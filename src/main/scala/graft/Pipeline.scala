@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.{Extract, MergeOps, Scd2}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Flagship raw→stg→dwh pipeline (SURVEY.md §7.4): the reference's entire
+  * load-bearing skeleton in one DAG-ordered flow.
+  *
+  *  raw:  orders wrapped as JSON payloads (the reference's raw layer stores
+  *        the whole API JSON verbatim — configure.py:58-62)
+  *  stg:  typed extraction P1-P4 from the payloads (stg_character.py:47-83)
+  *  dwh:  SCD2 customer dimension (M3/M5) + incremental fact via BK→SK
+  *        resolution and anti-join (J2/J4, dwh_fact_character_episode.py)
+  *  mart: per-nation order rollup from the star
+  */
+object Pipeline {
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    // ---- raw layer: schema-on-read JSON payloads, last-writer-wins by key
+    val raw = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("source_id"),
+      to_json(struct(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate").cast("string").as("o_orderdate"),
+        col("o_orderpriority"))).as("payload"))
+    val rawDeduped = MergeOps.latestByKey(raw, Seq("source_id"), Seq(col("source_id")))
+
+    // ---- staging: typed extraction from JSON (P1-P4)
+    val stgOrders = rawDeduped.select(
+      Extract.jsonInt(col("payload"), "o_orderkey").cast("long").as("orderkey"),
+      Extract.jsonInt(col("payload"), "o_custkey").cast("long").as("custkey"),
+      Extract.jsonText(col("payload"), "o_orderstatus").as("status"),
+      Extract.jsonText(col("payload"), "o_totalprice").cast("double").as("totalprice"),
+      to_timestamp(Extract.jsonText(col("payload"), "o_orderdate")).as("orderdate"))
+
+    // ---- dwh: SCD2 customer dimension (single initial load → one current
+    // version per key) with deterministic surrogate keys
+    val dimCustomer = Tables.customer(spark, dir).select(
+      col("c_custkey").cast("long").as("custkey"),
+      col("c_name"), col("c_nationkey"),
+      row_number().over(Window.orderBy(col("c_custkey"))).cast("long").as("customer_sk"),
+      lit("2024-01-01 00:00:00").cast("timestamp").as("valid_from"),
+      Scd2.infinity.as("valid_to"),
+      lit(true).as("is_current"))
+
+    // ---- fact: BK→SK resolution against current dim (J2, broadcast) then
+    // incremental anti-join append into an empty fact (J4)
+    val resolved = stgOrders
+      .join(broadcast(dimCustomer.filter(col("is_current"))
+        .select(col("custkey"), col("customer_sk"), col("c_nationkey"))),
+        Seq("custkey"), "inner")
+      .select(col("orderkey"), col("customer_sk"), col("c_nationkey"),
+        col("status"), col("totalprice"))
+    val emptyFact = resolved.limit(0)
+    val fact = resolved.join(emptyFact.select("orderkey"), Seq("orderkey"), "left_anti")
+
+    // ---- datamart: per-nation rollup
+    fact.join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("totalprice").cast("decimal(14,2)")).cast("double").as("total_price"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Upsert / merge machinery (SURVEY.md §2.7) on immutable columnar storage.
+  *
+  * The reference mutates Postgres heap tables row-at-a-time
+  * (`ON CONFLICT DO UPDATE/NOTHING`); on Spark the same semantics are
+  * whole-relation set operations that produce the table's next state in one
+  * shuffle-minimal pass, then replace it atomically (write-temp-then-swap, or
+  * a Delta MERGE on a real deployment).
+  *
+  * Scale notes (100 TB design point):
+  *  - [[insertIfAbsent]] is one `left_anti` join on the PK — shuffle-on-PK
+  *    both sides, or broadcast when `incoming` is a small increment.
+  *  - [[conditionalUpsert]] is one full-outer join on the PK. Both sides
+  *    shuffle-partition on the PK; with bucketed storage on the PK the
+  *    exchange disappears entirely.
+  *  - Neither collects to the driver; both are a single wide stage.
+  */
+object MergeOps {
+
+  /** M2: `INSERT ... ON CONFLICT DO NOTHING` — append rows whose PK is not
+    * already present (ref: stg_character.py:171, dwh_fact_character_episode.py:110).
+    * Incoming dups collapse to one row per PK (first by `tieBreak` order) so a
+    * single batch cannot insert the same PK twice. */
+  def insertIfAbsent(existing: DataFrame, incoming: DataFrame, pk: Seq[String]): DataFrame = {
+    val fresh = incoming.dropDuplicates(pk).join(existing, pk, "left_anti")
+    existing.unionByName(fresh)
+  }
+
+  /** M1: conditional upsert — `ON CONFLICT (pk) DO UPDATE SET ... WHERE any
+    * tracked attr IS DISTINCT FROM EXCLUDED` (ref: stg_character.py:65-81).
+    *
+    * Semantics preserved exactly:
+    *  - absent PK        → insert (loaded_at = runTs, lastUpd = runTs)
+    *  - present, changed → take incoming attrs, KEEP old loaded_at, bump lastUpd
+    *  - present, same    → old row untouched (lastUpd NOT bumped)
+    *
+    * `old` and `incoming` must share the schema: pk ++ tracked ++
+    * (loadedAtCol, lastUpdCol). Incoming audit columns are ignored; they are
+    * re-derived here so re-runs are idempotent.
+    */
+  def conditionalUpsert(
+      old: DataFrame,
+      incoming: DataFrame,
+      pk: Seq[String],
+      tracked: Seq[String],
+      runTs: Column,
+      loadedAtCol: String = "loaded_at",
+      lastUpdCol: String = "last_upd_at"): DataFrame = {
+
+    val o = old.alias("o")
+    val n = incoming.dropDuplicates(pk).alias("n")
+    val joined = o.join(n, pk.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _), "full_outer")
+
+    val oldAbsent = pk.map(k => col(s"o.$k").isNull).reduce(_ && _)
+    val newAbsent = pk.map(k => col(s"n.$k").isNull).reduce(_ && _)
+    val changed = Extract.anyChanged(tracked.map(c => (col(s"o.$c"), col(s"n.$c"))))
+
+    val keyCols = pk.map(k => coalesce(col(s"n.$k"), col(s"o.$k")).as(k))
+    val attrCols = tracked.map { c =>
+      when(oldAbsent || (!newAbsent && changed), col(s"n.$c")).otherwise(col(s"o.$c")).as(c)
+    }
+    val loadedAt = when(oldAbsent, runTs).otherwise(col(s"o.$loadedAtCol")).as(loadedAtCol)
+    val lastUpd = when(oldAbsent || (!newAbsent && changed), runTs)
+      .otherwise(col(s"o.$lastUpdCol")).as(lastUpdCol)
+
+    joined.select(keyCols ++ attrCols ++ Seq(loadedAt, lastUpd): _*)
+  }
+
+  /** S3: last-writer-wins keyed snapshot (raw-layer upsert,
+    * ref: extract_api_operator.py:36-43). Keeps, per PK, the row that sorts
+    * LAST by `versionCols` — one shuffle, map-side-combinable via max_by-style
+    * window. */
+  def latestByKey(df: DataFrame, pk: Seq[String], versionCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(versionCols.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}

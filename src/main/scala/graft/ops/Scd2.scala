@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SCD Type 2 machinery (SURVEY.md §2.7 M3-M5).
+  *
+  * The reference runs a two-statement transaction per dimension load
+  * (UPDATE-join closes changed current versions, INSERT opens new ones —
+  * ref: dwh_dim_character.py:49-118). On immutable storage both statements
+  * collapse into ONE declarative pass that computes the dimension's next
+  * state; atomicity is write-temp-then-swap (or Delta MERGE).
+  *
+  * Conventions (documented engine deviations from Postgres):
+  *  - `'infinity'::timestamptz` → sentinel 9999-12-31 23:59:59 UTC.
+  *  - `SERIAL` surrogate keys → `row_number()` over (business key, valid_from)
+  *    + max-existing offset: deterministic, oracle-comparable, and — unlike
+  *    `monotonically_increasing_id` — stable across partitionings.
+  *
+  * Scale notes: the windows partition by business key (no global ordering →
+  * no single-task sort). The close-and-insert join shuffles dim ∪ stg on the
+  * business key once; history rows pass through untouched via union, so cost
+  * is O(current + increment), not O(history).
+  */
+object Scd2 {
+
+  val InfinityTs = "9999-12-31 23:59:59"
+  def infinity: Column = lit(InfinityTs).cast("timestamp")
+
+  /** Build a full SCD2 version history from a change log (one row per
+    * observation of a business key, ordered by an event-time column).
+    *
+    * Steps, all window-per-key (no global shuffle beyond the key hash):
+    *  1. drop consecutive observations with unchanged tracked attrs
+    *     (null-safe, F2 semantics) — lag() per key;
+    *  2. valid_from = observation time, valid_to = next version's valid_from
+    *     (lead) or the infinity sentinel;
+    *  3. is_current = last version per key;
+    *  4. version surrogate = row_number per key (deterministic).
+    */
+  def fromChangeLog(
+      changes: DataFrame,
+      bk: String,
+      eventTime: String,
+      tracked: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+
+    val ord = (eventTime +: tieBreak).map(col)
+    val wOrd = Window.partitionBy(bk).orderBy(ord: _*)
+
+    val same = tracked
+      .map(c => col(c) <=> lag(col(c), 1).over(wOrd))
+      .reduce(_ && _)
+    val isFirst = row_number().over(wOrd) === 1
+
+    val deduped = changes
+      .withColumn("__keep", isFirst || !same)
+      .filter(col("__keep"))
+      .drop("__keep")
+
+    val w2 = Window.partitionBy(bk).orderBy(ord: _*)
+    deduped
+      .withColumn("valid_from", col(eventTime))
+      .withColumn("valid_to",
+        coalesce(lead(col(eventTime), 1).over(w2), infinity))
+      .withColumn("is_current", lead(col(eventTime), 1).over(w2).isNull)
+      .withColumn("version", row_number().over(w2))
+  }
+
+  /** M3: one batch close-and-insert against an existing dimension.
+    *
+    * Classifies (current dim) ⟕ (staging increment) rows into
+    * {unchanged, changed→close, changed/new→open}, exactly the reference's
+    * UPDATE+INSERT pair, and returns the dimension's complete next state:
+    * history ∪ kept-current ∪ closed ∪ opened.
+    *
+    * `dim` schema: bk ++ tracked ++ (skCol, valid_from, valid_to, is_current).
+    * `stg` schema: bk ++ tracked.
+    */
+  def closeAndInsert(
+      dim: DataFrame,
+      stg: DataFrame,
+      bk: String,
+      tracked: Seq[String],
+      runTs: Column,
+      skCol: String = "sk"): DataFrame = {
+
+    val history = dim.filter(!col("is_current"))
+    val current = dim.filter(col("is_current"))
+
+    val c = current.alias("c")
+    val s = stg.dropDuplicates(bk).alias("s")
+    val joined = c.join(s, col(s"c.$bk") === col(s"s.$bk"), "full_outer")
+
+    val isNew = col(s"c.$bk").isNull
+    val isGone = col(s"s.$bk").isNull // bk absent from increment → keep as-is
+    val changed = Extract.anyChanged(tracked.map(x => (col(s"c.$x"), col(s"s.$x"))))
+
+    val dimCols = (Seq(bk) ++ tracked ++ Seq(skCol, "valid_from", "valid_to", "is_current"))
+
+    // current rows that survive unchanged (or have no incoming row)
+    val kept = joined.filter(!isNew && (isGone || !changed))
+      .select(dimCols.map(x => col(s"c.$x").as(x)): _*)
+
+    // current rows whose attrs changed → closed at runTs
+    val closed = joined.filter(!isNew && !isGone && changed)
+      .select(dimCols.map {
+        case "valid_to"   => runTs.as("valid_to")
+        case "is_current" => lit(false).as("is_current")
+        case x            => col(s"c.$x").as(x)
+      }: _*)
+
+    // new business keys or changed attrs → new open version, SK assigned
+    // deterministically above the existing max
+    val maxSk = dim.agg(coalesce(max(col(skCol)), lit(0L)).cast("long")).first().getLong(0)
+    val opened = joined.filter(isNew || (!isGone && changed))
+      .select(
+        (Seq(col(s"s.$bk").as(bk)) ++
+          tracked.map(x => col(s"s.$x").as(x)) ++ Seq(
+          (row_number().over(Window.orderBy(col(s"s.$bk"))) + lit(maxSk)).cast("long").as(skCol),
+          runTs.as("valid_from"),
+          infinity.as("valid_to"),
+          lit(true).as("is_current"))): _*)
+
+    history.select(dimCols.map(col): _*)
+      .unionByName(kept).unionByName(closed).unionByName(opened)
+  }
+}

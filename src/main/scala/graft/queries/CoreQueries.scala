@@ -1,0 +1,322 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Extract, Facts, MergeOps, Scd2}
+import org.apache.spark.sql.functions._
+
+/** Reference-parity operators (SURVEY.md §2), each re-expressed over the
+  * driver's synthetic tables with a DuckDB oracle. Reference citations are on
+  * each query.
+  */
+object CoreQueries {
+  import Registry.{epochS, epochSql}
+
+  // Frozen run timestamps (P8: Postgres statement-level now() → one frozen
+  // literal per job, SURVEY.md §4.4). Events span 2024-01-01..01-30.
+  private val CutoffTs = "2024-01-15 00:00:00"
+  private val CutoffEpoch = 1705276800L
+  private val RunTs = "2024-02-01 00:00:00"
+  private val RunEpoch = 1706745600L
+
+  def all: Seq[Q] = Seq(
+
+    // S3 — raw-layer upsert = last-writer-wins keyed snapshot
+    // (ref: extract_api_operator.py:36-43, ON CONFLICT DO UPDATE).
+    Q("s3_raw_latest_snapshot",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        MergeOps.latestByKey(ev, Seq("user_id"), Seq(col("ts"), col("event_id")))
+          .select(col("user_id"), col("event_id"), col("event_type"), col("props"))
+      },
+      Some("""SELECT user_id, event_id, event_type, props FROM (
+             |  SELECT user_id, event_id, event_type, props,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events) t WHERE rn = 1""".stripMargin)),
+
+    // P1/P3 — JSON scalar extraction + cast (ref: stg_character.py:53-61).
+    Q("p1_json_extraction",
+      (s, d) => Tables.events(s, d).select(
+        col("event_id"),
+        Extract.jsonInt(col("props"), "k").as("prop_k"),
+        col("event_type")),
+      Some("SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS prop_k, event_type FROM events")),
+
+    // P5 + P6/P7 — NULLIF(TRIM(..)) and regex-guarded 'Month DD, YYYY' parse
+    // (ref: stg_character.py:108, stg_episode.py:49-53). The guarded parse
+    // round-trips o_orderdate through its English text form; every 100th key
+    // is corrupted to exercise the malformed branch.
+    Q("p5_p7_clean_parse",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val rawPriority = when(col("o_orderstatus") === "P", lit("  "))
+          .otherwise(col("o_orderpriority"))
+        val dateText = when(col("o_orderkey") % 100 === 0, lit("not a date"))
+          .otherwise(date_format(col("o_orderdate"), "MMMM d, yyyy"))
+        o.select(
+          col("o_orderkey"),
+          Extract.nullifEmpty(rawPriority).as("clean_priority"),
+          date_format(Extract.guardedDate(dateText), "yyyy-MM-dd").as("parsed_date"))
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderstatus = 'P' THEN NULL ELSE trim(o_orderpriority) END AS clean_priority,
+             |  CASE WHEN o_orderkey % 100 = 0 THEN NULL ELSE strftime(o_orderdate, '%Y-%m-%d') END AS parsed_date
+             |FROM orders""".stripMargin)),
+
+    // A1-A3 — set-returning array unnest (ref: stg_character.py:165-171,
+    // jsonb_array_elements_text). Tokens play the role of the URL arrays.
+    Q("a1_explode_tokens",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), explode(graft.ops.Text.tokens(col("text"))).as("token")),
+      Some("SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents")),
+
+    // F2 — null-safe IS DISTINCT FROM change detection
+    // (ref: dwh_dim_character.py:63-69). k % 7 == 0 → NULL exercises the
+    // NULL=NULL branch.
+    Q("f2_change_detection",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = Extract.jsonInt(col("props"), "k")
+        val e = Tables.events(s, d)
+          .withColumn("v", when(k % 7 === 0, lit(null).cast("int")).otherwise(k))
+        val wAsc = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        val first = e.withColumn("__rn", row_number().over(wAsc))
+          .filter(col("__rn") === 1).select(col("user_id"), col("v").as("first_v"))
+        val last = MergeOps.latestByKey(e, Seq("user_id"), Seq(col("ts"), col("event_id")))
+          .select(col("user_id"), col("v").as("last_v"))
+        first.join(last, Seq("user_id"))
+          .select(col("user_id"), col("first_v"), col("last_v"),
+            Extract.anyChanged(Seq((col("first_v"), col("last_v")))).as("changed"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, ts, event_id,
+             |         CASE WHEN CAST(props->>'$.k' AS INTEGER) % 7 = 0 THEN NULL
+             |              ELSE CAST(props->>'$.k' AS INTEGER) END AS v
+             |  FROM events),
+             |f AS (SELECT user_id, v AS first_v FROM (
+             |  SELECT user_id, v, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn FROM e) t WHERE rn = 1),
+             |l AS (SELECT user_id, v AS last_v FROM (
+             |  SELECT user_id, v, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM e) t WHERE rn = 1)
+             |SELECT f.user_id, first_v, last_v,
+             |       (first_v IS DISTINCT FROM last_v) AS changed
+             |FROM f JOIN l ON f.user_id = l.user_id""".stripMargin)),
+
+    // J1/J2 — equi-join FK resolution chain with broadcast dims
+    // (ref: dwh_fact_character_episode.py:61-73, 88-93).
+    Q("j2_fk_resolution",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .select(col("o_orderkey"), col("c_name"), col("n_name"), col("r_name"))
+      },
+      Some("""SELECT o_orderkey, c_name, n_name, r_name
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
+
+    // J3/F4 — left-join null-probe for "no current version exists"
+    // (ref: dwh_dim_character.py:104-114). Spark's first-class left_anti.
+    Q("j3_customers_without_orders",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name")),
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o ON o.o_custkey = c.c_custkey
+             |WHERE o.o_custkey IS NULL""".stripMargin)),
+
+    // J4/M2 — incremental anti-join fact load
+    // (ref: dwh_fact_character_episode.py:102-107).
+    Q("j4_incremental_antijoin",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val existing = o.filter(col("o_orderdate").cast("date") < lit("1998-01-01").cast("date"))
+        o.join(existing.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+          .select(col("o_orderkey"), col("o_custkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date
+             |FROM orders o
+             |WHERE NOT EXISTS (SELECT 1 FROM orders e
+             |  WHERE CAST(e.o_orderdate AS DATE) < DATE '1998-01-01'
+             |    AND e.o_orderkey = o.o_orderkey)""".stripMargin)),
+
+    // J5 — disjunctive unknown-member join, rewritten to a hash-joinable
+    // equi-key on the Spark side (ref: dwh_fact_charer_location.py:107-112;
+    // SURVEY.md §4.3). The oracle keeps the reference's OR form — matching
+    // results prove the rewrite.
+    Q("j5_unknown_member_join",
+      (s, d) => {
+        val fact = Tables.orders(s, d).select(
+          col("o_orderkey"),
+          when(col("o_custkey") % 10 === 0, lit(null).cast("string"))
+            .otherwise(col("o_custkey").cast("string")).as("nk"))
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey").cast("string").as("nk"), col("c_custkey").cast("long").as("dim_id"))
+          .unionByName(s.range(1).select(lit(null).cast("string").as("nk"), lit(-1L).as("dim_id")))
+        Facts.joinWithUnknownMember(fact, dim, "nk", "nk", "dim_id")
+          .groupBy(col("dim_id")).agg(count(lit(1)).as("n_orders"))
+      },
+      Some("""WITH f AS (SELECT o_orderkey,
+             |    CASE WHEN o_custkey % 10 = 0 THEN NULL ELSE CAST(o_custkey AS VARCHAR) END AS nk
+             |  FROM orders),
+             |d AS (SELECT CAST(c_custkey AS VARCHAR) AS nk, CAST(c_custkey AS BIGINT) AS dim_id FROM customer
+             |      UNION ALL SELECT NULL, CAST(-1 AS BIGINT))
+             |SELECT d.dim_id, COUNT(*) AS n_orders
+             |FROM f JOIN d ON (d.nk = f.nk OR (f.nk IS NULL AND d.dim_id = -1))
+             |GROUP BY d.dim_id""".stripMargin)),
+
+    // U1/U2 — SQL UNION = union + distinct (Spark union does NOT dedup;
+    // ref: dwh_fact_character_episode.py:55-81).
+    Q("u1_union_distinct",
+      (s, d) => Facts.unionDistinct(
+        Tables.customer(s, d).select(col("c_nationkey").as("nationkey")),
+        Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))),
+      Some("SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey AS nationkey FROM supplier")),
+
+    // M1 — conditional upsert: update only when attrs IS DISTINCT FROM,
+    // preserve loaded_at, bump last_upd_at (ref: stg_character.py:65-81).
+    // Old state = per-user snapshot before the cutoff; incoming = current.
+    Q("m1_conditional_upsert",
+      (s, d) => {
+        val ev = Tables.events(s, d).withColumn("ts", col("ts").cast("timestamp"))
+        val oldSnap = MergeOps.latestByKey(
+          ev.filter(col("ts") < lit(CutoffTs).cast("timestamp")),
+          Seq("user_id"), Seq(col("ts"), col("event_id")))
+          .select(col("user_id"), col("event_type"), col("value"),
+            lit(CutoffTs).cast("timestamp").as("loaded_at"),
+            lit(CutoffTs).cast("timestamp").as("last_upd_at"))
+        val incoming = MergeOps.latestByKey(ev, Seq("user_id"), Seq(col("ts"), col("event_id")))
+          .select(col("user_id"), col("event_type"), col("value"),
+            lit(null).cast("timestamp").as("loaded_at"),
+            lit(null).cast("timestamp").as("last_upd_at"))
+        MergeOps.conditionalUpsert(oldSnap, incoming,
+          pk = Seq("user_id"), tracked = Seq("event_type", "value"),
+          runTs = lit(RunTs).cast("timestamp"))
+          .select(col("user_id"), col("event_type"), col("value"),
+            epochS(col("loaded_at")).as("loaded_epoch"),
+            epochS(col("last_upd_at")).as("upd_epoch"))
+      },
+      Some(s"""WITH o AS (SELECT user_id, event_type, value FROM (
+             |    SELECT user_id, event_type, value,
+             |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+             |    FROM events WHERE ts < TIMESTAMP '$CutoffTs') t WHERE rn = 1),
+             |n AS (SELECT user_id, event_type, value FROM (
+             |    SELECT user_id, event_type, value,
+             |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+             |    FROM events) t WHERE rn = 1)
+             |SELECT coalesce(n.user_id, o.user_id) AS user_id,
+             |  CASE WHEN o.user_id IS NULL OR (n.user_id IS NOT NULL
+             |         AND (o.event_type IS DISTINCT FROM n.event_type OR o.value IS DISTINCT FROM n.value))
+             |       THEN n.event_type ELSE o.event_type END AS event_type,
+             |  CASE WHEN o.user_id IS NULL OR (n.user_id IS NOT NULL
+             |         AND (o.event_type IS DISTINCT FROM n.event_type OR o.value IS DISTINCT FROM n.value))
+             |       THEN n.value ELSE o.value END AS value,
+             |  CASE WHEN o.user_id IS NULL THEN $RunEpoch ELSE $CutoffEpoch END AS loaded_epoch,
+             |  CASE WHEN o.user_id IS NULL OR (n.user_id IS NOT NULL
+             |         AND (o.event_type IS DISTINCT FROM n.event_type OR o.value IS DISTINCT FROM n.value))
+             |       THEN $RunEpoch ELSE $CutoffEpoch END AS upd_epoch
+             |FROM o FULL JOIN n ON o.user_id = n.user_id""".stripMargin)),
+
+    // M3/M5 — SCD2 version history from a change log: consecutive-dup drop,
+    // valid_from/valid_to chaining, is_current, deterministic version numbers
+    // (ref: dwh_dim_character.py:49-118 collapsed into one declarative pass).
+    Q("m3_scd2_changelog",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+            col("event_id"), col("event_type"))
+        Scd2.fromChangeLog(ev, "user_id", "ts", Seq("event_type"), Seq("event_id"))
+          .select(col("user_id"), col("event_type"),
+            epochS(col("valid_from")).as("vf_epoch"),
+            epochS(col("valid_to")).as("vt_epoch"),
+            col("is_current"), col("version"))
+      },
+      Some(s"""WITH e AS (SELECT user_id, ts, event_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn0
+             |  FROM events),
+             |c AS (SELECT user_id, ts, event_id, event_type FROM e
+             |      WHERE rn0 = 1 OR prev IS DISTINCT FROM event_type),
+             |v AS (SELECT user_id, event_type, ts AS vf,
+             |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt,
+             |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+             |      FROM c)
+             |SELECT user_id, event_type,
+             |  ${epochSql("vf")} AS vf_epoch,
+             |  coalesce(${epochSql("vt")}, ${Registry.InfinityEpoch}) AS vt_epoch,
+             |  (vt IS NULL) AS is_current, version
+             |FROM v""".stripMargin)),
+
+    // M3 batch form — close-and-insert against an existing dimension
+    // (ref: dwh_dim_character.py:55-114, UPDATE+INSERT transaction → one pass).
+    Q("m3_scd2_close_insert",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+            col("event_id"), col("event_type"))
+        val dim0 = Scd2.fromChangeLog(
+          ev.filter(col("ts") < lit(CutoffTs).cast("timestamp")),
+          "user_id", "ts", Seq("event_type"), Seq("event_id"))
+          .select(col("user_id"), col("event_type"), col("version").cast("long").as("sk"),
+            col("valid_from"), col("valid_to"), col("is_current"))
+        val stg = MergeOps.latestByKey(ev, Seq("user_id"), Seq(col("ts"), col("event_id")))
+          .select(col("user_id"), col("event_type"))
+        Scd2.closeAndInsert(dim0, stg, "user_id", Seq("event_type"),
+          lit(RunTs).cast("timestamp"), "sk")
+          .select(col("user_id"), col("event_type"),
+            epochS(col("valid_from")).as("vf_epoch"),
+            epochS(col("valid_to")).as("vt_epoch"),
+            col("is_current"))
+      },
+      Some(s"""WITH e AS (SELECT user_id, ts, event_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn0
+             |  FROM events WHERE ts < TIMESTAMP '$CutoffTs'),
+             |c AS (SELECT user_id, ts, event_id, event_type FROM e
+             |      WHERE rn0 = 1 OR prev IS DISTINCT FROM event_type),
+             |dim0 AS (SELECT user_id, event_type, ts AS vf,
+             |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+             |      FROM c),
+             |stg AS (SELECT user_id, event_type FROM (
+             |    SELECT user_id, event_type,
+             |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+             |    FROM events) t WHERE rn = 1),
+             |hist AS (SELECT user_id, event_type, vf, vt FROM dim0 WHERE vt IS NOT NULL),
+             |cur AS (SELECT user_id, event_type, vf FROM dim0 WHERE vt IS NULL),
+             |kept AS (SELECT c.user_id, c.event_type, c.vf, NULL::TIMESTAMP AS vt, TRUE AS is_current
+             |  FROM cur c LEFT JOIN stg s ON c.user_id = s.user_id
+             |  WHERE s.user_id IS NULL OR c.event_type IS NOT DISTINCT FROM s.event_type),
+             |closed AS (SELECT c.user_id, c.event_type, c.vf, TIMESTAMP '$RunTs' AS vt, FALSE AS is_current
+             |  FROM cur c JOIN stg s ON c.user_id = s.user_id
+             |  WHERE c.event_type IS DISTINCT FROM s.event_type),
+             |opened AS (SELECT s.user_id, s.event_type, TIMESTAMP '$RunTs' AS vf, NULL::TIMESTAMP AS vt, TRUE AS is_current
+             |  FROM stg s LEFT JOIN cur c ON c.user_id = s.user_id
+             |  WHERE c.user_id IS NULL OR c.event_type IS DISTINCT FROM s.event_type),
+             |unioned AS (
+             |  SELECT user_id, event_type, vf, vt, FALSE AS is_current FROM hist
+             |  UNION ALL SELECT * FROM kept
+             |  UNION ALL SELECT * FROM closed
+             |  UNION ALL SELECT * FROM opened)
+             |SELECT user_id, event_type,
+             |  ${epochSql("vf")} AS vf_epoch,
+             |  coalesce(${epochSql("vt")}, ${Registry.InfinityEpoch}) AS vt_epoch,
+             |  is_current
+             |FROM unioned""".stripMargin)),
+
+    // M5 — deterministic surrogate key assignment (SERIAL → row_number;
+    // ref: configure.py:200).
+    Q("m5_surrogate_keys",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.customer(s, d).select(
+          col("c_custkey"), col("c_name"), col("c_nationkey"),
+          row_number().over(Window.orderBy(col("c_custkey"))).cast("long").as("sk"))
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey,
+             |       CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS sk
+             |FROM customer""".stripMargin)))
+}

@@ -1,0 +1,201 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Datamart-layer analytics — the reference's `datamart` schema is created
+  * but empty (configure.py:46-52); these are the §7.6 extension aggregates,
+  * sized for the 100 TB path: group-by shuffles on bounded key spaces,
+  * top-k via TakeOrdered (no global sort), windows partitioned by key.
+  *
+  * All money folds are DECIMAL → one cast to DOUBLE (Registry conventions).
+  */
+object MartQueries {
+  import Registry.{epochS, epochSql, money}
+
+  private def revenue = // l_extendedprice * (1 - l_discount), exact
+    money(col("l_extendedprice")) *
+      (lit(1) - col("l_discount").cast("decimal(3,2)")).cast("decimal(3,2)")
+
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(3,2))"
+
+  def all: Seq[Q] = Seq(
+
+    // TPC-H Q1 shape: scan-heavy grouped aggregation, 6 aggregates.
+    Q("q1_pricing_summary",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_shipdate").cast("date") <= lit("1998-09-02").cast("date"))
+        val charge = revenue * (lit(1) + col("l_tax").cast("decimal(3,2)")).cast("decimal(3,2)")
+        li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+          sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(revenue).cast("double").as("sum_disc_price"),
+          sum(charge).cast("double").as("sum_charge"),
+          (sum(col("l_quantity").cast("decimal(12,2)")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_qty"),
+          (sum(money(col("l_extendedprice"))).cast("double") /
+            count(lit(1)).cast("double")).as("avg_price"),
+          (sum(col("l_discount").cast("decimal(3,2)")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(3,2))) AS DOUBLE) AS sum_disc_price,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(3,2)) * CAST(1 + CAST(l_tax AS DECIMAL(3,2)) AS DECIMAL(3,2))) AS DOUBLE) AS sum_charge,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+             |  CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+             |  COUNT(*) AS count_order
+             |FROM lineitem
+             |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // TPC-H Q3 shape: selective join + grouped agg + top-k.
+    // Top-k is TakeOrdered in Spark (no full sort); total ordering via the
+    // (revenue DESC, l_orderkey) tie-break on both engines.
+    Q("q3_top_revenue_orders",
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate").cast("date") < lit("1997-06-01").cast("date"))
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_shipdate").cast("date") > lit("1997-06-01").cast("date"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+          .agg(sum(revenue).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+             |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND CAST(o_orderdate AS DATE) < DATE '1997-06-01'
+             |  AND CAST(l_shipdate AS DATE) > DATE '1997-06-01'
+             |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // TPC-H Q5 shape: 6-way star join, revenue per nation.
+    Q("q5_region_volume",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date"))
+          .filter(col("o_orderdate").cast("date") < lit("1997-01-01").cast("date"))
+        val c = Tables.customer(s, d)
+        val sup = Tables.supplier(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(c, col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(revenue).cast("double").as("revenue"))
+      },
+      Some(s"""SELECT n_name, CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+             |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+             |GROUP BY n_name""".stripMargin)),
+
+    // Window functions: per-customer running total + order rank.
+    Q("w1_running_totals",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          row_number().over(w).as("rn"),
+          sum(money(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  row_number() OVER w AS rn,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+             |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
+
+    // ROLLUP hierarchy totals.
+    Q("rollup_orders",
+      (s, d) => Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(money(col("o_totalprice"))).cast("double").as("total_price")),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // Pivot (fixed value list, so both plans stay one pass). Spark pivot
+    // yields NULL for absent combos → NULLIF on the oracle side.
+    Q("pivot_status",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count(),
+      Some("""SELECT o_orderpriority,
+             |  NULLIF(COUNT(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS "F",
+             |  NULLIF(COUNT(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS "O",
+             |  NULLIF(COUNT(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS "P"
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // Tumbling time windows over the event stream (batch form of the
+    // Structured Streaming aggregation; same plan shape).
+    Q("e2_hourly_windows",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(10,2)")).cast("double").as("total_value"))
+        .select(epochS(col("window.start")).as("hour_epoch"),
+          col("event_type"), col("n_events"), col("total_value")),
+      Some(s"""SELECT ${epochSql("date_trunc('hour', ts)")} AS hour_epoch, event_type,
+             |  COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // Sessionization: 30-minute-gap sessions via lag + running flag-sum —
+    // windows per user key, no global sort.
+    Q("e1_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("es"), col("event_id"))
+        val e = Tables.events(s, d)
+          .withColumn("es", epochS(col("ts")))
+          .withColumn("prev_es", lag(col("es"), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_es").isNull || col("es") - col("prev_es") > 1800, 1).otherwise(0))
+          .withColumn("session_id",
+            sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        e.groupBy(col("user_id"), col("session_id").cast("long").as("session_id"))
+          .agg(count(lit(1)).as("n_events"), min(col("es")).as("session_start_epoch"))
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_id, ${epochSql("ts")} AS es FROM events),
+             |g AS (SELECT user_id, event_id, es,
+             |        lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS prev_es
+             |      FROM e),
+             |f AS (SELECT user_id, es,
+             |        SUM(CASE WHEN prev_es IS NULL OR es - prev_es > 1800 THEN 1 ELSE 0 END)
+             |          OVER (PARTITION BY user_id ORDER BY es, event_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |      FROM g)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |  COUNT(*) AS n_events, MIN(es) AS session_start_epoch
+             |FROM f GROUP BY 1, 2""".stripMargin)))
+}

@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One named, oracle-checked query. `oracle` is equivalent ANSI-ish SQL that
+  * DuckDB runs over the same parquet tables; None → the driver records a
+  * weaker rows-only check (used for ops whose hashing primitives aren't
+  * portable to DuckDB, e.g. minhash banding).
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Registry {
+
+  /** Determinism conventions shared by every query and its oracle
+    * (SURVEY.md §5.2, §7.5):
+    *  - money/value aggregates fold in DECIMAL (exact, order-independent),
+    *    then one cast to DOUBLE → bit-identical on both engines;
+    *  - timestamps leave the query as second-truncated epoch BIGINTs;
+    *  - every ranking has a total ordering (explicit tie-break columns);
+    *  - the SCD2 open-interval sentinel is 9999-12-31 23:59:59 UTC
+    *    (epoch 253402300799).
+    */
+  def all: Seq[Q] = CoreQueries.all ++ MartQueries.all ++ TextQueries.all
+
+  // ---- shared helpers ----
+
+  /** Second-truncated epoch; cast through TIMESTAMP so TIMESTAMP_NTZ parquet
+    * columns behave identically under the UTC session. */
+  def epochS(c: Column): Column = unix_timestamp(c.cast("timestamp"))
+
+  /** Oracle-side twin of [[epochS]]. */
+  def epochSql(expr: String): String =
+    s"CAST(epoch(date_trunc('second', $expr)) AS BIGINT)"
+
+  /** Money columns: exact 2-decimal values stored as double. */
+  def money(c: Column): Column = c.cast("decimal(14,2)")
+
+  val InfinityEpoch = 253402300799L
+}

@@ -1,0 +1,243 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Similarity, Text}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`
+  * (BASELINE.json north star): token stats, quality scoring, language-ID,
+  * exact + near dedup, minhash-LSH candidates, embedding similarity search,
+  * multimodal-column plumbing.
+  *
+  * Scale shapes:
+  *  - per-doc metrics are pure map-side column expressions (one scan, no
+  *    shuffle, whole-stage codegen);
+  *  - near-dup candidate generation is an inverted-index join on shingles /
+  *    LSH bands — never an all-pairs cross join;
+  *  - ANN has a brute-force exact baseline and an LSH-bucketed path.
+  */
+object TextQueries {
+
+  private val stopSql = Text.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val wordsSql = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+
+  def all: Seq[Q] = Seq(
+
+    // Token counting + document fingerprint (rolling-hash analog: md5 of the
+    // normalized token stream — portable across engines).
+    Q("t1_token_stats",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        Text.wordCount(col("text")).as("n_words"),
+        length(col("text")).as("n_chars_measured"),
+        Text.fingerprint(col("text")).as("fingerprint")),
+      Some(s"""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS n_tokens,
+             |  len($wordsSql) AS n_words,
+             |  length(text) AS n_chars_measured,
+             |  md5(array_to_string($wordsSql, ' ')) AS fingerprint
+             |FROM documents""".stripMargin)),
+
+    // Quality scoring: cheap corpus-cleaning prefilters.
+    Q("t2_quality_score",
+      (s, d) => {
+        val m = Text.qualityMetrics(col("text"))
+        Tables.documents(s, d).select(col("doc_id") +: m.map { case (n, c) => c.as(n) }: _*)
+      },
+      Some(s"""SELECT doc_id,
+             |  length(text) AS n_chars_measured,
+             |  len($wordsSql) AS n_words,
+             |  CAST(list_sum(list_transform($wordsSql, x -> len(x))) AS DOUBLE)
+             |    / CAST(NULLIF(len($wordsSql), 0) AS DOUBLE) AS mean_word_len,
+             |  CAST(len(list_filter($wordsSql, x -> list_contains($stopSql, lower(x)))) AS DOUBLE)
+             |    / CAST(NULLIF(len($wordsSql), 0) AS DOUBLE) AS stopword_ratio,
+             |  CAST(len(list_distinct($wordsSql)) AS DOUBLE)
+             |    / CAST(NULLIF(len($wordsSql), 0) AS DOUBLE) AS uniq_word_ratio
+             |FROM documents""".stripMargin)),
+
+    // Language-ID by stopword-marker counts (n-gram heuristic family).
+    // Deterministic integer scores + fixed tie-break order.
+    Q("t3_lang_id",
+      (s, d) => {
+        val ws = Text.words(col("text"))
+        def score(markers: Seq[String]) =
+          size(filter(ws, w => lower(w).isin(markers: _*)))
+        val en = score(Seq("the", "a", "of", "and", "to"))
+        val es = score(Seq("el", "la", "de", "y", "que"))
+        val de = score(Seq("der", "die", "das", "und", "ist"))
+        val fr = score(Seq("le", "les", "des", "et", "une"))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          when(en >= greatest(es, de, fr) && en > 0, "en")
+            .when(es >= greatest(de, fr) && es > 0, "es")
+            .when(de >= fr && de > 0, "de")
+            .when(fr > 0, "fr")
+            .otherwise("und").as("predicted_lang"))
+      },
+      Some(s"""WITH sc AS (SELECT doc_id,
+             |  len(list_filter($wordsSql, x -> list_contains(['the','a','of','and','to'], lower(x)))) AS en,
+             |  len(list_filter($wordsSql, x -> list_contains(['el','la','de','y','que'], lower(x)))) AS es,
+             |  len(list_filter($wordsSql, x -> list_contains(['der','die','das','und','ist'], lower(x)))) AS de,
+             |  len(list_filter($wordsSql, x -> list_contains(['le','les','des','et','une'], lower(x)))) AS fr
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CASE WHEN en >= greatest(es, de, fr) AND en > 0 THEN 'en'
+             |       WHEN es >= greatest(de, fr) AND es > 0 THEN 'es'
+             |       WHEN de >= fr AND de > 0 THEN 'de'
+             |       WHEN fr > 0 THEN 'fr'
+             |       ELSE 'und' END AS predicted_lang
+             |FROM sc""".stripMargin)),
+
+    // Exact dedup: hash-groupBy on the normalized-text fingerprint
+    // (one shuffle on the hash — the canonical 100 TB exact-dedup shape).
+    Q("d1_exact_dedup",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))
+        .groupBy(col("fingerprint"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
+      Some(s"""SELECT md5(array_to_string($wordsSql, ' ')) AS fingerprint,
+             |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    // Near-dup pairs by exact 3-gram Jaccard ≥ 0.2, candidates via
+    // inverted-index join on shingles (never all-pairs).
+    Q("d2_ngram_jaccard_pairs",
+      (s, d) => {
+        val sh = Tables.documents(s, d).select(
+          col("doc_id"),
+          explode(array_distinct(Text.shingles(col("text"), 3))).as("g"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.as("a").join(sh.as("b"),
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("c"))
+        val jac = inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .withColumn("jaccard",
+            col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+        jac.filter(col("jaccard") >= 0.2).select(col("doc_a"), col("doc_b"), col("jaccard"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS ws FROM documents),
+             |grams AS (SELECT doc_id,
+             |    unnest(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) AS g
+             |  FROM docs),
+             |sh AS (SELECT DISTINCT doc_id, g FROM grams),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+             |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |  CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+             |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+             |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.2""".stripMargin)),
+
+    // MinHash + LSH banding: the sub-quadratic near-dup path. Signature of
+    // k=16 universal hashes over one md5-based 60-bit shingle hash; 4 bands
+    // × 4 rows; pairs sharing ≥1 band are candidates. Oracle omitted: the
+    // 64-bit wrap-around hash arithmetic is not portable to DuckDB SQL —
+    // driver records the rows-only check; d2 provides the exact-Jaccard
+    // ground truth for the same corpus.
+    Q("d3_minhash_lsh_candidates",
+      (s, d) => {
+        val k = 16
+        val rpb = 4 // 4 bands × 4 rows
+        // universal hash family mod p = 2^31-1: a*h+b stays < 2^62, so no
+        // overflow under ANSI arithmetic (Spark 4 default)
+        val p = 2147483647L
+        val as = (0 until k).map(i => (0x9E3779B9L * (i + 1)) % p + 1)
+        val bs = (0 until k).map(i => (0xC2B2AE35L * (i + 1)) % p)
+        // Distributed minhash: explode shingles once, hash once, then k
+        // min-aggregates (map-side combinable — one narrow shuffle on
+        // doc_id). Computing the signature as one nested array expression
+        // would redo the md5 pass k times and explode codegen size.
+        val sh = Tables.documents(s, d).select(
+          col("doc_id"),
+          explode(array_distinct(Text.shingles(col("text"), 3))).as("g"))
+        val hashed = sh.withColumn("h", pmod(Text.md5Long(col("g")), lit(p)))
+        val minCols = (0 until k).map(i =>
+          min(pmod(col("h") * lit(as(i)) + lit(bs(i)), lit(p))).as(s"m$i"))
+        val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+        // band key = md5 over its rpb signature slots; same-band docs are
+        // candidates (inverted-index join on the band key)
+        val banded = sig.select(
+          col("doc_id"),
+          explode(array((0 until k / rpb).map { b =>
+            concat(lit(s"$b:"), md5(concat_ws(",",
+              (b * rpb until (b + 1) * rpb).map(i => col(s"m$i")): _*)))
+          }: _*)).as("bk"))
+        banded.as("a").join(banded.as("b"),
+            col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+      },
+      None),
+
+    // SimHash fingerprints: 60-bit, one fold per row. Rows-only (bit
+    // arithmetic not portable to the oracle); hamming-near pairs are checked
+    // in unit tests instead.
+    Q("d4_simhash",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"), Text.simhash64(col("text")).as("simhash")),
+      None),
+
+    // Brute-force exact ANN baseline: cosine top-10 around vec_id = 0.
+    // Decimal dot products → deterministic doubles (Registry conventions).
+    Q("sim1_cosine_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        Similarity.bruteForceTopK(e, q, 10)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             |q AS (SELECT embedding AS qe FROM e WHERE vec_id = 0),
+             |ex AS (SELECT vec_id, unnest(embedding) AS x, unnest(range(len(embedding))) AS i FROM e),
+             |qx AS (SELECT unnest(qe) AS x, unnest(range(len(qe))) AS i FROM q),
+             |dots AS (SELECT ex.vec_id,
+             |    CAST(CAST(SUM(CAST(CAST(ex.x AS DOUBLE) AS DECIMAL(12,10)) * CAST(CAST(qx.x AS DOUBLE) AS DECIMAL(12,10))) AS VARCHAR) AS DOUBLE) AS dot,
+             |    CAST(CAST(SUM(CAST(CAST(ex.x AS DOUBLE) AS DECIMAL(12,10)) * CAST(CAST(ex.x AS DOUBLE) AS DECIMAL(12,10))) AS VARCHAR) AS DOUBLE) AS n2
+             |  FROM ex JOIN qx USING (i) GROUP BY ex.vec_id),
+             |qn AS (SELECT CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,10)) * CAST(CAST(x AS DOUBLE) AS DECIMAL(12,10))) AS VARCHAR) AS DOUBLE) AS qn2 FROM qx)
+             |SELECT vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cos_sim
+             |FROM dots, qn
+             |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // LSH-bucketed ANN: sign-of-dot buckets against 6 data-derived
+    // hyperplanes; exact cosine within the query's bucket. The sub-linear
+    // scale path (probe cost O(bucket), not O(n)). Rows-only check.
+    Q("sim2_lsh_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val planes = e.filter(col("vec_id").between(1, 6))
+          .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("ps"))
+          .select(transform(col("ps"), p => p.getField("embedding")).as("planes"))
+        Similarity.lshTopK(e, q, planes, 10)
+      },
+      None),
+
+    // Multimodal-column plumbing: opaque binary payload + typed metadata.
+    // The "decode" is the documented deterministic stub (no image libs in
+    // this container); schema, batching, and partitioning are real.
+    Q("mm1_multimodal_meta",
+      (s, d) => {
+        val blob = col("text").cast("binary")
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          length(blob).as("byte_len"),
+          when(col("doc_id") % 3 === 0, "jpeg")
+            .when(col("doc_id") % 3 === 1, "png")
+            .otherwise("webp").as("fake_format"),
+          (lit(64) + col("n_chars") % 512).as("fake_width"),
+          md5(blob).as("content_hash"))
+      },
+      Some("""SELECT doc_id,
+             |  length(text) AS byte_len,
+             |  CASE WHEN doc_id % 3 = 0 THEN 'jpeg'
+             |       WHEN doc_id % 3 = 1 THEN 'png'
+             |       ELSE 'webp' END AS fake_format,
+             |  64 + n_chars % 512 AS fake_width,
+             |  md5(text) AS content_hash
+             |FROM documents""".stripMargin)))
+}
