@@ -47,7 +47,10 @@ object Extract {
     * CORRECTED parser; the rlike guard nulls malformed rows instead of failing. */
   val monthDdYyyy = "^[A-Za-z]+ [0-9]{1,2}, [0-9]{4}$"
   def guardedDate(c: Column): Column =
-    when(c.rlike(monthDdYyyy), to_date(c, "MMMM d, yyyy"))
+    // try_to_date, not to_date: the regex admits abbreviated months
+    // ("Dec 2, 2013") which MMMM rejects — under ANSI (Spark 4 default)
+    // a plain to_date would throw instead of nulling
+    when(c.rlike(monthDdYyyy), try_to_date(c, "MMMM d, yyyy"))
       .otherwise(lit(null).cast("date"))
 
   /** A1-A3: JSON string-array field → ArrayType(StringType) column, ready for

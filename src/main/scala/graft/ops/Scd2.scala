@@ -68,6 +68,15 @@ object Scd2 {
       .withColumn("version", row_number().over(w2))
   }
 
+  /** M5: globally-unique surrogate keys for a freshly built dimension:
+    * row_number over (bk, valid_from) — deterministic and dense. Per-key
+    * `version` numbers are NOT surrogate keys (they collide across keys).
+    * The global window sort is acceptable for bounded dims; for unbounded
+    * tables assign via per-partition zipWithIndex + offsets instead. */
+  def withGlobalSk(dim: DataFrame, bk: String, skCol: String = "sk"): DataFrame =
+    dim.withColumn(skCol,
+      row_number().over(Window.orderBy(col(bk), col("valid_from"))).cast("long"))
+
   /** M3: one batch close-and-insert against an existing dimension.
     *
     * Classifies (current dim) ⟕ (staging increment) rows into

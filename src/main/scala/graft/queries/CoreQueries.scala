@@ -258,10 +258,12 @@ object CoreQueries {
         val ev = Tables.events(s, d)
           .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
             col("event_id"), col("event_type"))
-        val dim0 = Scd2.fromChangeLog(
-          ev.filter(col("ts") < lit(CutoffTs).cast("timestamp")),
-          "user_id", "ts", Seq("event_type"), Seq("event_id"))
-          .select(col("user_id"), col("event_type"), col("version").cast("long").as("sk"),
+        val dim0 = Scd2.withGlobalSk(
+          Scd2.fromChangeLog(
+            ev.filter(col("ts") < lit(CutoffTs).cast("timestamp")),
+            "user_id", "ts", Seq("event_type"), Seq("event_id")),
+          "user_id", "sk")
+          .select(col("user_id"), col("event_type"), col("sk"),
             col("valid_from"), col("valid_to"), col("is_current"))
         val stg = MergeOps.latestByKey(ev, Seq("user_id"), Seq(col("ts"), col("event_id")))
           .select(col("user_id"), col("event_type"))

@@ -1,0 +1,33 @@
+package graft
+
+import graft.queries.Registry
+
+class QueriesSpec extends SparkTestBase {
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query runs at sf0.001 and most return rows") {
+    // j3 (customers without orders) is legitimately empty at sf0.001
+    val mayBeEmpty = Set("j3_customers_without_orders")
+    Registry.all.foreach { q =>
+      val n = q.fn(spark, Sf001).count()
+      assert(n >= 0, q.name)
+      if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("oracle names are a subset of query names and non-empty") {
+    val qn = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qn))
+    assert(SparkEntry.oracleSql.nonEmpty)
+  }
+
+  test("query outputs have no duplicate column names (driver hash safety)") {
+    Registry.all.foreach { q =>
+      val cols = q.fn(spark, Sf001).columns
+      assert(cols.distinct.length == cols.length, s"${q.name}: ${cols.mkString(",")}")
+    }
+  }
+}

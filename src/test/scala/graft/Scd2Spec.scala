@@ -1,0 +1,99 @@
+package graft
+
+import graft.ops.Scd2
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class Scd2Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private def changeLog(rows: (Int, String, String)*): DataFrame =
+    rows.toDF("bk", "ts_s", "attr")
+      .select($"bk", $"ts_s".cast("timestamp").as("ts"), $"attr")
+
+  test("M3: fromChangeLog collapses consecutive duplicates and chains intervals") {
+    val log = changeLog(
+      (1, "2024-01-01 00:00:00", "a"),
+      (1, "2024-01-02 00:00:00", "a"), // unchanged → collapsed
+      (1, "2024-01-03 00:00:00", "b"), // changed → version 2
+      (2, "2024-01-01 00:00:00", "x"))
+    val out = Scd2.fromChangeLog(log, "bk", "ts", Seq("attr"))
+      .select($"bk", $"attr", $"valid_from".cast("string"), $"valid_to".cast("string"),
+        $"is_current", $"version")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getBoolean(4), r.getInt(5))).sortBy(t => (t._1, t._6))
+    assert(out.toSeq == Seq(
+      (1, "a", "2024-01-01 00:00:00", "2024-01-03 00:00:00", false, 1),
+      (1, "b", "2024-01-03 00:00:00", Scd2.InfinityTs, true, 2),
+      (2, "x", "2024-01-01 00:00:00", Scd2.InfinityTs, true, 1)))
+  }
+
+  test("SCD2 invariants hold for random change sequences (scalacheck)") {
+    val genLog = Gen.listOfN(40, for {
+      bk <- Gen.choose(1, 5)
+      day <- Gen.choose(1, 28)
+      attr <- Gen.oneOf("a", "b", "c")
+    } yield (bk, f"2024-01-$day%02d 00:00:00", attr))
+
+    (0 until 8).foreach { i =>
+      val rowsRaw = genLog.apply(Gen.Parameters.default, Seed(42L + i)).getOrElse(Nil)
+      // one observation per (bk, ts): dedup like a real change log
+      val rows = rowsRaw.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      if (rows.nonEmpty) {
+        val dim = Scd2.fromChangeLog(changeLog(rows: _*), "bk", "ts", Seq("attr"))
+          .select($"bk", $"attr", $"valid_from", $"valid_to", $"is_current", $"version")
+          .collect()
+        val byKey = dim.groupBy(_.getInt(0))
+        assert(byKey.values.forall(_.count(_.getBoolean(4)) == 1),
+          s"seed ${42 + i}: exactly one is_current per key")
+        byKey.values.foreach { vs =>
+          val s = vs.sortBy(_.getInt(5)).toSeq
+          assert(s.forall(r => r.getTimestamp(2).before(r.getTimestamp(3))),
+            s"seed ${42 + i}: valid_from < valid_to")
+          s.sliding(2).foreach { w =>
+            if (w.length == 2) {
+              assert(w(0).getTimestamp(3) == w(1).getTimestamp(2),
+                s"seed ${42 + i}: contiguous intervals")
+              assert(w(0).getString(1) != w(1).getString(1),
+                s"seed ${42 + i}: no consecutive dup attrs")
+            }
+          }
+        }
+      }
+    }
+  }
+
+  test("M3: closeAndInsert — unchanged kept, changed closed+reopened, new opened; re-run is no-op") {
+    val dim0 = Scd2.withGlobalSk(
+      Scd2.fromChangeLog(changeLog(
+        (1, "2024-01-01 00:00:00", "a"),
+        (2, "2024-01-01 00:00:00", "b")), "bk", "ts", Seq("attr")),
+      "bk", "sk")
+      .select($"bk", $"attr", $"sk", $"valid_from", $"valid_to", $"is_current")
+    val stg = Seq((1, "a"), (2, "B2"), (3, "c")).toDF("bk", "attr")
+    val runTs = lit("2024-02-01 00:00:00").cast("timestamp")
+
+    val next = Scd2.closeAndInsert(dim0, stg, "bk", Seq("attr"), runTs, "sk")
+    val rows = next.select($"bk", $"attr", $"is_current").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(rows == Set(
+      (1, "a", true),   // unchanged
+      (2, "b", false),  // closed
+      (2, "B2", true),  // reopened with new attr
+      (3, "c", true)))  // new key
+    // exactly one current per key, SKs unique
+    val cur = next.filter($"is_current").groupBy($"bk").count()
+      .filter($"count" =!= 1).count()
+    assert(cur == 0)
+    val sks = next.select($"sk").collect().map(_.getLong(0))
+    assert(sks.distinct.length == sks.length)
+    // idempotent re-run: same stg → no new versions
+    val again = Scd2.closeAndInsert(next, stg, "bk", Seq("attr"),
+      lit("2024-03-01 00:00:00").cast("timestamp"), "sk")
+    assert(again.count() == next.count())
+    assert(again.select($"bk", $"attr", $"is_current").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getBoolean(2))).toSet == rows)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.{Similarity, Text}
+import org.apache.spark.sql.functions._
+
+class TextSimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("shingles: n-grams, short docs yield empty array (no sequence(0,-1) trap)") {
+    val out = Seq("a b c d", "a b", "", "one").toDF("text")
+      .select(Text.shingles($"text", 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1).isEmpty && out(2).isEmpty && out(3).isEmpty)
+  }
+
+  test("tokens vs words: trailing empties kept by tokens, dropped by words") {
+    val r = Seq("a b ").toDF("text")
+      .select(Text.tokenCount($"text"), Text.wordCount($"text")).head()
+    assert(r.getInt(0) == 3 && r.getInt(1) == 2)
+  }
+
+  test("fingerprint is whitespace-normalization invariant") {
+    val fps = Seq("a b c", "a  b   c ", "a b  c").toDF("text")
+      .select(Text.fingerprint($"text")).collect().map(_.getString(0))
+    assert(fps.distinct.length == 1)
+  }
+
+  test("simhash: identical texts → distance 0; disjoint vocab → large distance") {
+    val df = Seq(
+      ("x", "spark shuffle partition join"),
+      ("y", "spark shuffle partition join"),
+      ("z", "apples pears grapes bananas melon kiwi")).toDF("id", "text")
+      .select($"id", Text.simhash64($"text").as("h"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("x") == m("y"))
+    assert(java.lang.Long.bitCount(m("x") ^ m("z")) > 10)
+  }
+
+  test("cosine: self-similarity is 1.0 within 1e-9 on real embeddings") {
+    val e = Tables.embeddings(spark, Sf001).limit(5)
+    val sims = e.select(Similarity.cosine($"embedding", $"embedding").as("c"))
+      .collect().map(_.getDouble(0))
+    assert(sims.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+
+  test("decimal dot product is partitioning-invariant (bit-identical)") {
+    val e = Tables.embeddings(spark, Sf001)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    def run(parts: Int) =
+      Similarity.bruteForceTopK(e.repartition(parts), q, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(run(1) == run(7))
+  }
+
+  test("LSH top-k: query's own vector is always in its bucket and ranked first") {
+    val e = Tables.embeddings(spark, Sf001)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    val planes = e.filter($"vec_id".between(1, 6))
+      .agg(sort_array(collect_list(struct($"vec_id", $"embedding"))).as("ps"))
+      .select(transform($"ps", p => p.getField("embedding")).as("planes"))
+    val top = Similarity.lshTopK(e, q, planes, 5).collect()
+    assert(top.head.getLong(0) == 0L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+  }
+}
