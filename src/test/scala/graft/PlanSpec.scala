@@ -1,0 +1,75 @@
+package graft
+
+import graft.queries.Registry
+
+/** Physical-plan shape assertions — the 100 TB guarantees (SURVEY.md §4):
+  * filters reach the parquet scan, bounded dims broadcast, the J5
+  * disjunctive-join rewrite actually hash-joins, and nothing degrades to a
+  * nested-loop join anywhere in the registry.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    Registry.all.find(_.name == name).get
+      .fn(spark, Sf001).queryExecution.executedPlan.toString
+
+  test("q1: ship-date filter is pushed to the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") || p.contains("PushedFilters: [*"),
+      s"no pushdown in:\n$p")
+  }
+
+  test("q1: scan reads only the needed columns") {
+    val p = plan("q1_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"),
+      s"over-wide scan: $readSchema")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+  }
+
+  test("j2: dimension joins are broadcast hash joins") {
+    val p = plan("j2_fk_resolution")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join for bounded dims:\n$p")
+  }
+
+  test("j5: unknown-member join is a hash join, NOT a nested-loop join") {
+    val p = plan("j5_unknown_member_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"),
+      s"equi-rewrite failed to produce a hash join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"disjunctive join degraded to nested loop:\n$p")
+  }
+
+  test("no query in the registry plans a nested-loop join (except the 1-row ANN query seed)") {
+    // cross-join against a single-row broadcast query vector is the one
+    // legitimate BNLJ shape (sim1/sim2); everything else must hash-join
+    val allowed = Set("sim1_cosine_topk", "sim2_lsh_topk")
+    Registry.all.filterNot(q => allowed(q.name)).foreach { q =>
+      val p = q.fn(spark, Sf001).queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"${q.name} plans a nested-loop/cartesian join:\n$p")
+    }
+  }
+
+  test("j4: incremental load is a first-class anti join") {
+    val p = plan("j4_incremental_antijoin")
+    assert(p.contains("LeftAnti"), s"no anti join in:\n$p")
+  }
+
+  test("aggregations are partial (map-side combine) before the shuffle") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair implies map-side combine
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"no partial aggregation:\n$p")
+  }
+
+  test("whole-stage codegen covers the q1 scan+filter+aggregate path") {
+    // AQE only annotates codegen stages in the FINAL plan — materialize first
+    val df = Registry.all.find(_.name == "q1_pricing_summary").get.fn(spark, Sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages print as "*(n) Operator" in the final AQE plan
+    assert(p.contains("*(1)"), s"no codegen spans:\n$p")
+  }
+}
