@@ -1,0 +1,42 @@
+package graft.ops
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table storage with transaction-like replacement semantics (SURVEY.md §2.7
+  * M4): the reference wraps its SCD2 close+insert in `BEGIN…COMMIT`
+  * (dwh_dim_character.py:53,116). Parquet has no cross-statement
+  * transactions, so the equivalent is: compute the table's ENTIRE next state
+  * in one job, write it to a temp directory, then atomically swap directory
+  * names. Readers see the old state or the new state, never a mix. On a real
+  * deployment the same call sites map 1:1 onto Delta/Iceberg MERGE commits.
+  *
+  * Scale note: the swap is a metadata operation — cost is independent of
+  * table size; the write is the usual distributed parquet write.
+  */
+object Storage {
+
+  def read(spark: SparkSession, table: Path): DataFrame =
+    spark.read.parquet(table.toString)
+
+  /** Write `next` as the new content of `table`, atomically. */
+  def atomicReplace(next: DataFrame, table: Path): Unit = {
+    val tmp = table.resolveSibling(table.getFileName.toString + ".tmp")
+    val old = table.resolveSibling(table.getFileName.toString + ".old")
+    deleteRecursively(tmp)
+    next.write.mode("overwrite").parquet(tmp.toString)
+    deleteRecursively(old)
+    if (Files.exists(table)) Files.move(table, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, table, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+    }
+
+  def path(dir: String, name: String): Path = Paths.get(dir, name)
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.ops.{MergeOps, Scd2}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming forms of the reference's incremental loads
+  * (SURVEY.md §2.9: the reference is batch-only; this is the §7.6(c)
+  * extension, mapping its relational incrementality onto streams).
+  *
+  *  - [[windowedEventCounts]]: watermarked tumbling-window aggregation —
+  *    the streaming twin of the e2_hourly_windows batch query. Watermark
+  *    bounds state; late rows beyond it are dropped, so state size is
+  *    O(windows in flight × key cardinality), not O(stream).
+  *  - [[foreachBatchUpsert]]: micro-batch M1/M2 — each batch merges into the
+  *    target table with the SAME MergeOps used in batch mode (foreachBatch
+  *    is where Delta MERGE would slot in on a real deployment).
+  *
+  * At 100 TB/day the same topology holds: source partitions = Kafka
+  * partitions, state store backed by RocksDB, watermark tuned to lateness.
+  */
+object StreamingLoads {
+
+  /** Watermarked tumbling-window counts per event_type over a streaming
+    * events source. `events` must be a streaming DataFrame with (ts
+    * TIMESTAMP, event_type STRING, value DOUBLE). */
+  def windowedEventCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(10,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Micro-batch conditional upsert into an in-memory table map (stand-in
+    * for a Delta table): every micro-batch applies M1 semantics against the
+    * accumulated state. Returns the writer, caller starts/stops it. */
+  def foreachBatchUpsert(
+      incoming: DataFrame,
+      state: StreamingTableState,
+      pk: Seq[String],
+      tracked: Seq[String]): DataStreamWriter[Row] =
+    incoming.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        state.merge(batch, pk, tracked)
+      }
+
+  /** Parquet-backed target table for the streaming upsert: each micro-batch
+    * computes the merged next state and swaps it in atomically
+    * ([[graft.ops.Storage.atomicReplace]]) — fully distributed, nothing
+    * collects to the driver. Production form: a Delta table + MERGE. */
+  final class StreamingTableState(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      dir: java.nio.file.Path) {
+
+    private val table = dir.resolve("state")
+
+    def snapshot: DataFrame =
+      if (java.nio.file.Files.exists(table)) spark.read.parquet(table.toString)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+    def merge(batch: DataFrame, pk: Seq[String], tracked: Seq[String]): Unit = synchronized {
+      val cols = schema.fieldNames.toSeq
+      val next = MergeOps.conditionalUpsert(
+        snapshot, batch.select(cols.map(col): _*), pk, tracked,
+        lit("2024-02-01 00:00:00").cast("timestamp"))
+      graft.ops.Storage.atomicReplace(next.select(cols.map(col): _*), table)
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.queries.Registry
+import graft.streaming.StreamingLoads
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class StreamingSpec extends SparkTestBase {
+
+  private def eventsStreamDir: String = {
+    // streaming sources list directories; stage the single events file
+    val dir = Files.createTempDirectory("events_stream")
+    Files.copy(
+      java.nio.file.Paths.get(s"$Sf001/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    dir.toString
+  }
+
+  // matches the nanosAsLong session conf: ts arrives as long nanos
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  test("streaming windowed aggregation matches the batch e2 query") {
+    val stream = spark.readStream.schema(rawSchema).parquet(eventsStreamDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = StreamingLoads.windowedEventCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("e2_stream").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("e2_stream")
+      .select(unix_timestamp(col("window_start")).as("hour_epoch"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .collect().map(_.toSeq).toSet
+    val want = Registry.all.find(_.name == "e2_hourly_windows").get
+      .fn(spark, Sf001).collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
+  test("foreachBatch streaming upsert lands the latest value per key") {
+    val stateSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("loaded_at", TimestampType), StructField("last_upd_at", TimestampType)))
+    val stateDir = Files.createTempDirectory("stream_state")
+    val state = new StreamingLoads.StreamingTableState(spark, stateSchema, stateDir)
+
+    val stream = spark.readStream.schema(rawSchema).parquet(eventsStreamDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("user_id"), col("event_type"), col("value"),
+        lit(null).cast("timestamp").as("loaded_at"),
+        lit(null).cast("timestamp").as("last_upd_at"))
+    val q = StreamingLoads.foreachBatchUpsert(stream, state,
+      Seq("user_id"), Seq("event_type", "value")).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val snap = state.snapshot
+    // one row per user, all 15 sf0.001 users present
+    assert(snap.count() == 15)
+    assert(snap.groupBy("user_id").count().filter(col("count") =!= 1).count() == 0)
+  }
+}
