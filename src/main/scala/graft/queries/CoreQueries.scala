@@ -62,6 +62,62 @@ object CoreQueries {
              |  CASE WHEN o_orderkey % 100 = 0 THEN NULL ELSE strftime(o_orderdate, '%Y-%m-%d') END AS parsed_date
              |FROM orders""".stripMargin)),
 
+    // P2 — nested JSON object traversal `payload -> 'a' ->> 'b'`
+    // (ref: stg_character.py:107-108). Orders are round-tripped through a
+    // nested JSON payload, then extracted back: the oracle reads the flat
+    // columns directly, proving extraction fidelity.
+    Q("p2_nested_json",
+      (s, d) => {
+        val payload = to_json(struct(
+          col("o_orderkey").as("id"),
+          struct(col("o_orderstatus").as("status"),
+            col("o_orderpriority").as("priority")).as("meta"),
+          struct(col("o_custkey").as("custkey")).as("customer")))
+        Tables.orders(s, d).select(payload.as("payload")).select(
+          Extract.jsonInt(col("payload"), "id").as("o_orderkey"),
+          Extract.jsonPath(col("payload"), "meta", "status").as("status"),
+          Extract.jsonPath(col("payload"), "meta", "priority").as("priority"),
+          Extract.jsonPath(col("payload"), "customer", "custkey").cast("long").as("custkey"))
+      },
+      Some("""SELECT CAST(o_orderkey AS INTEGER) AS o_orderkey, o_orderstatus AS status,
+             |  o_orderpriority AS priority, o_custkey AS custkey FROM orders""".stripMargin)),
+
+    // A1 on a real JSON string array: build per-order JSON payloads whose
+    // `items` field is an array of part keys, then explode it — the exact
+    // jsonb_array_elements_text shape (ref: stg_character.py:165-171).
+    // Empty arrays (orders with no lineitem would be absent anyway) emit 0
+    // rows, matching Postgres.
+    Q("a2_json_array_explode",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val payloads = li.groupBy(col("l_orderkey"))
+          .agg(to_json(struct(
+            col("l_orderkey").as("id"),
+            sort_array(collect_list(col("l_partkey").cast("string"))).as("items")))
+            .as("payload"))
+        payloads.select(
+          Extract.jsonInt(col("payload"), "id").cast("long").as("orderkey"),
+          explode(Extract.jsonArrayText(col("payload"), "items")).as("partkey"))
+      },
+      Some("""SELECT l_orderkey AS orderkey, CAST(l_partkey AS VARCHAR) AS partkey
+             |FROM lineitem""".stripMargin)),
+
+    // S6/S7 — literal-rows seed + NOT-EXISTS singleton guard
+    // (ref: configure.py:323-327, 270-302): seeding twice must not duplicate
+    // the role rows or the unknown member.
+    Q("s7_seed_singleton_guard",
+      (s, d) => {
+        import s.implicits._
+        val roleSeed = Seq((1, "origin"), (2, "last")).toDF("role_id", "role_name")
+        val unknown = Seq((-1, "Unknown")).toDF("role_id", "role_name")
+        val once = MergeOps.insertIfAbsent(roleSeed, unknown, Seq("role_id"))
+        // idempotent re-seed: ON CONFLICT DO NOTHING / WHERE NOT EXISTS
+        val twice = MergeOps.insertIfAbsent(once, roleSeed.unionByName(unknown), Seq("role_id"))
+        twice
+      },
+      Some("""SELECT * FROM (VALUES (1, 'origin'), (2, 'last'), (-1, 'Unknown'))
+             |AS t(role_id, role_name)""".stripMargin)),
+
     // A1-A3 — set-returning array unnest (ref: stg_character.py:165-171,
     // jsonb_array_elements_text). Tokens play the role of the URL arrays.
     Q("a1_explode_tokens",
