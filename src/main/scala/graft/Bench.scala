@@ -12,6 +12,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: exercise scan+shuffle+join+window codegen paths once
+    // so timings reflect steady state, not first-query JIT
+    try {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      li.groupBy("l_returnflag").count().count()
+      li.join(o, li("l_orderkey") === o("o_orderkey")).count()
+      import org.apache.spark.sql.expressions.Window
+      o.withColumn("rn", row_number().over(
+        Window.partitionBy("o_custkey").orderBy("o_orderkey"))).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

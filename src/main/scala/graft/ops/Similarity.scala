@@ -5,48 +5,56 @@ import org.apache.spark.sql.functions._
 
 /** Embedding similarity search (BASELINE.json north star).
   *
-  * Determinism strategy: dot products are folded in DECIMAL, which is exact
-  * and order-independent — the same value to the last bit no matter how Spark
-  * partitions the fold, and bit-identical to a DuckDB oracle computing the
-  * same decimal sum. The final cast to double is a single well-defined
-  * rounding. Float accumulation would differ run-to-run and engine-to-engine.
+  * Determinism strategy — fixed-point integer arithmetic:
+  * elements quantize to integer units of 1e-10 via `floor(x * 1e10)`.
+  * `floor` on identical IEEE doubles is identical everywhere — unlike
+  * rounding casts, it has NO tie-breaking mode (Spark decimal casts round
+  * HALF_UP from exact decimal expansions; DuckDB rounds HALF_EVEN after a
+  * double multiply — they disagree on near-midpoint values). Dot products
+  * then fold the unit integers exactly in DECIMAL, which is
+  * order-independent, so results are bit-identical under any partitioning
+  * and engine. The final cast to double is one well-defined rounding.
   *
   * Scale notes:
   *  - [[bruteForceTopK]] broadcasts the (single-row) query and scans once —
-  *    O(n·d), embarrassingly parallel, no shuffle except the global top-k
-  *    (which is a TakeOrdered, not a sort).
-  *  - [[lshBuckets]] gives the sub-linear path: sign-of-dot-product against a
-  *    fixed set of hyperplanes → candidates share a bucket; probe cost is
-  *    O(bucket) not O(n). Hyperplanes are data-derived (first H vectors) so
-  *    the whole pipeline stays deterministic and oracle-checkable.
+  *    O(n·d), embarrassingly parallel; the global top-k is a TakeOrdered,
+  *    not a sort.
+  *  - [[lshBuckets]] is the sub-linear path: sign-of-dot-product against a
+  *    fixed hyperplane set → candidates share a bucket; probe cost is
+  *    O(bucket) not O(n). Hyperplanes are data-derived so the pipeline
+  *    stays deterministic.
   */
 object Similarity {
 
-  // Element (12,10) → product (25,20). Accumulator (30,22): the fold's
-  // add yields (31,22) which re-casts to (30,22) EXACTLY (the integer part
-  // of a ≤4096-dim dot of unit-ish vectors needs ≤5 digits) — precision
-  // never hits Spark's 38 cap, so no silent scale reduction anywhere.
-  private val ElemDec = "decimal(12,10)"
-  private val AccDec = "decimal(30,22)"
+  private val Scale = 1e10
+  // units ≤ ~1e10 per element (11 digits); product ≤ 1e20 (23 digits);
+  // 4096-dim sum ≤ ~4e23 (27 digits) — far from Spark's 38-digit cap, so
+  // no silent scale reduction anywhere in the fold
+  private val UnitDec = "decimal(14,0)"
+  private val AccDec = "decimal(28,0)"
 
-  /** Exact decimal dot product of two array<float/double> columns. */
-  def dotDec(a: Column, b: Column): Column =
+  /** Element quantization: integer units of 1e-10. */
+  private def units(x: Column): Column =
+    floor(x.cast("double") * lit(Scale)).cast(UnitDec)
+
+  /** Exact dot product in integer units (value × 1e20), as decimal. */
+  def dotUnits(a: Column, b: Column): Column =
     aggregate(
-      // widen float→double BEFORE the decimal cast: Spark decimal-izes
-      // floating point via its shortest string form, and a raw float's ~8
-      // significant digits would lose precision the oracle keeps
-      zip_with(a, b, (x, y) => x.cast("double").cast(ElemDec) * y.cast("double").cast(ElemDec)),
+      zip_with(a, b, (x, y) => units(x) * units(y)),
       lit(java.math.BigDecimal.ZERO).cast(AccDec),
-      (acc, x) => (acc + x.cast(AccDec)).cast(AccDec))
+      (acc, x) => (acc + x).cast(AccDec))
 
-  /** Dot product as double (single rounding from the exact decimal). */
-  def dot(a: Column, b: Column): Column = dotDec(a, b).cast("double")
+  /** Dot product as a double value (units / 1e20, one rounding each). */
+  def dot(a: Column, b: Column): Column =
+    dotUnits(a, b).cast("double") / lit(Scale * Scale)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity, deterministic per the decimal strategy above. */
+  /** Cosine similarity. The 1e-20 unit factor cancels in the ratio, so
+    * this is computed purely from the exact unit integers. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    dotUnits(a, b).cast("double") /
+      (sqrt(dotUnits(a, a).cast("double")) * sqrt(dotUnits(b, b).cast("double")))
 
   /** Brute-force top-k cosine neighbors of one query vector.
     * `queryVec` must be a one-row DataFrame with column `qe`. */
@@ -69,7 +77,7 @@ object Similarity {
   def lshBucket(vec: Column, planes: Column): Column =
     aggregate(
       zip_with(planes, sequence(lit(0), size(planes) - 1),
-        (p, i) => when(dotDec(vec, p) > lit(java.math.BigDecimal.ZERO).cast(AccDec),
+        (p, i) => when(dotUnits(vec, p) > lit(java.math.BigDecimal.ZERO).cast(AccDec),
           call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
       lit(0L), (acc, b) => acc.bitwiseOR(b))
 

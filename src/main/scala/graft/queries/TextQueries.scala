@@ -109,7 +109,13 @@ object TextQueries {
           col("doc_id"),
           explode(array_distinct(Text.shingles(col("text"), 3))).as("g"))
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = sh.as("a").join(sh.as("b"),
+        // shingles appearing in exactly one doc cannot contribute to any
+        // pair — dropping them is semantics-preserving and shrinks the
+        // inverted-index join (posting lists of length 1 are dead weight)
+        val shared = sh.withColumn("df",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("g")))
+          .filter(col("df") > 1).drop("df")
+        val inter = shared.as("a").join(shared.as("b"),
             col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("c"))
@@ -190,15 +196,19 @@ object TextQueries {
         val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
         Similarity.bruteForceTopK(e, q, 10)
       },
+      // fixed-point units: u = floor(x*1e10) — floor of identical doubles
+      // is tie-mode-free, unlike rounding decimal casts (see Similarity)
       Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
              |q AS (SELECT embedding AS qe FROM e WHERE vec_id = 0),
-             |ex AS (SELECT vec_id, unnest(embedding) AS x, unnest(range(len(embedding))) AS i FROM e),
-             |qx AS (SELECT unnest(qe) AS x, unnest(range(len(qe))) AS i FROM q),
+             |ex AS (SELECT vec_id, CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e10) AS HUGEINT) AS u,
+             |       unnest(range(len(embedding))) AS i FROM e),
+             |qx AS (SELECT CAST(FLOOR(CAST(unnest(qe) AS DOUBLE) * 1e10) AS HUGEINT) AS u,
+             |       unnest(range(len(qe))) AS i FROM q),
              |dots AS (SELECT ex.vec_id,
-             |    CAST(CAST(SUM(CAST(CAST(ex.x AS DOUBLE) AS DECIMAL(12,10)) * CAST(CAST(qx.x AS DOUBLE) AS DECIMAL(12,10))) AS VARCHAR) AS DOUBLE) AS dot,
-             |    CAST(CAST(SUM(CAST(CAST(ex.x AS DOUBLE) AS DECIMAL(12,10)) * CAST(CAST(ex.x AS DOUBLE) AS DECIMAL(12,10))) AS VARCHAR) AS DOUBLE) AS n2
+             |    CAST(CAST(SUM(ex.u * qx.u) AS VARCHAR) AS DOUBLE) AS dot,
+             |    CAST(CAST(SUM(ex.u * ex.u) AS VARCHAR) AS DOUBLE) AS n2
              |  FROM ex JOIN qx USING (i) GROUP BY ex.vec_id),
-             |qn AS (SELECT CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,10)) * CAST(CAST(x AS DOUBLE) AS DECIMAL(12,10))) AS VARCHAR) AS DOUBLE) AS qn2 FROM qx)
+             |qn AS (SELECT CAST(CAST(SUM(u * u) AS VARCHAR) AS DOUBLE) AS qn2 FROM qx)
              |SELECT vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cos_sim
              |FROM dots, qn
              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
@@ -216,6 +226,38 @@ object TextQueries {
         Similarity.lshTopK(e, q, planes, 10)
       },
       None),
+
+    // Corpus term statistics: term frequency + document frequency — the
+    // inverted-index building block (and the df-cap input for near-dup at
+    // scale). One explode + one grouped agg, map-side combinable.
+    Q("t4_word_df",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), explode(Text.words(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("tf"),
+          countDistinct(col("doc_id")).as("df")),
+      Some(s"""SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+             |FROM (SELECT doc_id, unnest($wordsSql) AS word FROM documents) t
+             |GROUP BY word""".stripMargin)),
+
+    // Per-label embedding diagnostics: exact fixed-point norm² sums (order-
+    // independent → deterministic under any partitioning and engine).
+    Q("sim3_norms_by_label",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("label"),
+          Similarity.dotUnits(col("embedding"), col("embedding")).as("n2u"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (sum(col("n2u")).cast("double") / count(lit(1)).cast("double") /
+            lit(1e20)).as("avg_norm2")),
+      Some("""WITH ex AS (SELECT vec_id, label,
+             |        CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e10) AS HUGEINT) AS u
+             |      FROM embeddings),
+             |n AS (SELECT vec_id, any_value(label) AS label, SUM(u * u) AS n2u
+             |      FROM ex GROUP BY vec_id)
+             |SELECT label, COUNT(*) AS n_vecs,
+             |  CAST(CAST(SUM(n2u) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e20 AS avg_norm2
+             |FROM n GROUP BY label""".stripMargin)),
 
     // Multimodal-column plumbing: opaque binary payload + typed metadata.
     // The "decode" is the documented deterministic stub (no image libs in
