@@ -64,9 +64,16 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // hoist the query's own norm out of the scan: computing dotUnits(qe,qe)
+    // inside the per-row expression would redo a d-element fold per row
+    val q = queryVec.select(col("qe"),
+      sqrt(dotUnits(col("qe"), col("qe")).cast("double")).as("__qnorm"))
     embeddings
-      .crossJoin(broadcast(queryVec))
-      .select(col(idCol), cosine(col(vecCol), col("qe")).as("cos_sim"))
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        (dotUnits(col(vecCol), col("qe")).cast("double") /
+          (sqrt(dotUnits(col(vecCol), col(vecCol)).cast("double")) * col("__qnorm")))
+          .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }

@@ -156,6 +156,77 @@ object MartQueries {
              |  NULLIF(COUNT(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS "P"
              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
+    // Semi join — EXISTS as a first-class left_semi (never materializes
+    // the right side's columns; the reference expresses EXISTS only via
+    // NOT-EXISTS guards, this is the positive form).
+    Q("j6_semi_join_exists",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin)),
+
+    // Exact median via explicit window math — identical rank formula on
+    // both engines, so no interpolation-mode ambiguity. Scales: windows
+    // partition by the (bounded) group key.
+    Q("q7_median_price_by_status",
+      (s, d) => {
+        val byStatus = Window.partitionBy(col("o_orderstatus"))
+        val w = byStatus.orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(byStatus))
+          // `div`, not `/`: Spark's / on integers is double division
+          .filter(col("rn") === expr("(cnt + 1) div 2") || col("rn") === expr("(cnt + 2) div 2"))
+          .groupBy(col("o_orderstatus"))
+          .agg((sum(money(col("o_totalprice"))).cast("double") /
+            count(lit(1)).cast("double")).as("median_price"))
+      },
+      Some("""WITH r AS (SELECT o_orderstatus, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS rn,
+             |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt
+             |  FROM orders)
+             |SELECT o_orderstatus,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS median_price
+             |FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+             |GROUP BY o_orderstatus""".stripMargin)),
+
+    // Top-N per group: each customer's 3 largest orders — rank window +
+    // filter (the distributed argmax pattern; no global sort).
+    Q("q8_top_orders_per_customer",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rank_in_cust", row_number().over(w))
+          .filter(col("rank_in_cust") <= 3)
+          .select(col("o_custkey"), col("rank_in_cust"), col("o_orderkey"),
+            money(col("o_totalprice")).cast("double").as("totalprice"))
+      },
+      Some("""SELECT o_custkey, rank_in_cust, o_orderkey,
+             |  CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS totalprice
+             |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_cust
+             |  FROM orders) t
+             |WHERE rank_in_cust <= 3""".stripMargin)),
+
+    // TPC-H Q13 shape: distribution of orders-per-customer, including
+    // zero-order customers (left join + count of non-null keys).
+    Q("q13_order_count_distribution",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist")),
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+             |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |  GROUP BY c_custkey) t
+             |GROUP BY c_count""".stripMargin)),
+
     // Tumbling time windows over the event stream (batch form of the
     // Structured Streaming aggregation; same plan shape).
     Q("e2_hourly_windows",
