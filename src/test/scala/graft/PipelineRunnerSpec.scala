@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+class PipelineRunnerSpec extends SparkTestBase {
+
+  test("two incremental runs: SCD2 versions evolve, facts append-only, re-run is a no-op") {
+    val work = Files.createTempDirectory("pipeline")
+    val l = PipelineRunner.layers(work)
+
+    // run 1: first half of January, orders through 1997
+    PipelineRunner.run(spark, Sf001, work,
+      "2024-01-15 00:00:00", "1997-12-31", "2024-02-01 00:00:00")
+    val dim1 = spark.read.parquet(l.dimUsers.toString).collect()
+    val fact1 = spark.read.parquet(l.factOrders.toString)
+    val fact1Count = fact1.count()
+    assert(dim1.nonEmpty && fact1Count > 0)
+    // initial load: every user exactly one current version
+    assert(dim1.forall(_.getAs[Boolean]("is_current")))
+
+    // run 2: full month, all orders — profiles change, new orders appear
+    PipelineRunner.run(spark, Sf001, work,
+      "2024-01-30 23:59:59", "2001-12-31", "2024-03-01 00:00:00")
+    val dim2 = spark.read.parquet(l.dimUsers.toString)
+    val fact2 = spark.read.parquet(l.factOrders.toString)
+
+    // SCD2: exactly one current version per user; closed versions exist
+    assert(dim2.filter(col("is_current")).groupBy("user_id").count()
+      .filter(col("count") =!= 1).count() == 0)
+    assert(dim2.filter(!col("is_current")).count() > 0, "no versions were closed")
+    // closed versions end at run 2's timestamp
+    assert(dim2.filter(!col("is_current"))
+      .filter(col("valid_to") =!= lit("2024-03-01 00:00:00").cast("timestamp"))
+      .count() == 0)
+    // facts: append-only (run-1 rows still present, stamped with run-1 ts)
+    assert(fact2.count() > fact1Count)
+    assert(fact2.filter(col("inserted_at") === lit("2024-02-01 00:00:00").cast("timestamp"))
+      .count() == fact1Count)
+    // SKs unique across the whole dimension
+    val sks = dim2.select("sk").collect().map(_.getLong(0))
+    assert(sks.distinct.length == sks.length)
+
+    // run 2 again (same asOf, later runTs): every layer unchanged
+    val dimBefore = dim2.collect().toSet
+    val factBefore = fact2.collect().toSet
+    PipelineRunner.run(spark, Sf001, work,
+      "2024-01-30 23:59:59", "2001-12-31", "2024-04-01 00:00:00")
+    assert(spark.read.parquet(l.dimUsers.toString).collect().toSet == dimBefore)
+    assert(spark.read.parquet(l.factOrders.toString).collect().toSet == factBefore)
+  }
+}
