@@ -70,13 +70,23 @@ object MergeOps {
     joined.select(keyCols ++ attrCols ++ Seq(loadedAt, lastUpd): _*)
   }
 
-  /** S3: last-writer-wins keyed snapshot (raw-layer upsert,
-    * ref: extract_api_operator.py:36-43). Keeps, per PK, the row that sorts
-    * LAST by `versionCols` — one shuffle, map-side-combinable via max_by-style
-    * window. */
+  /** S3: last-writer-wins keyed snapshot (ref: extract_api_operator.py:36-43,
+    * ON CONFLICT DO UPDATE). Keeps, per PK, the row that sorts LAST by
+    * `versionCols`.
+    *
+    * Implemented as `max_by(struct(row), struct(version))` — a plain
+    * aggregate with MAP-SIDE COMBINE: each input partition reduces to at
+    * most one candidate per key before the shuffle, so a skewed key costs
+    * O(partitions), not O(rows-for-that-key). The window/row_number
+    * formulation shuffles every row and sorts within keys; on a hot key at
+    * 100 TB that is the difference between working and not.
+    *
+    * `versionCols` must form a total order per key (include a unique
+    * tie-break) — otherwise max_by picks an arbitrary maximal row. */
   def latestByKey(df: DataFrame, pk: Seq[String], versionCols: Seq[Column]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(pk.map(col): _*).orderBy(versionCols.map(_.desc): _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val dataCols = df.columns.filterNot(pk.contains).toSeq
+    val packed = df.groupBy(pk.map(col): _*)
+      .agg(max_by(struct(dataCols.map(col): _*), struct(versionCols: _*)).as("__row"))
+    packed.select(pk.map(col) ++ dataCols.map(c => col(s"__row.$c").as(c)): _*)
   }
 }

@@ -156,6 +156,26 @@ object MartQueries {
              |  NULLIF(COUNT(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS "P"
              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
+    // The same engine through the SQL-string surface: spark.sql over temp
+    // views compiles to the identical Catalyst plan as the DataFrame form —
+    // users of the reference's SQL workflows keep writing SQL.
+    Q("sql1_pricing_summary_sql",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                |  COUNT(*) AS count_order
+                |FROM graft_lineitem
+                |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+                |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             |  COUNT(*) AS count_order
+             |FROM lineitem
+             |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
     // Semi join — EXISTS as a first-class left_semi (never materializes
     // the right side's columns; the reference expresses EXISTS only via
     // NOT-EXISTS guards, this is the positive form).
