@@ -37,8 +37,16 @@ object Similarity {
   private def units(x: Column): Column =
     floor(x.cast("double") * lit(Scale)).cast(UnitDec)
 
-  /** Exact dot product in integer units (value × 1e20), as decimal. */
+  /** Exact dot product in integer units (value × 1e20), as decimal.
+    * Delegates to the codegen'd [[graft.plans.FixedPointDot]] expression —
+    * one tight 128-bit loop per row instead of a per-element Decimal fold
+    * (verified bit-identical in FixedPointDotSpec). */
   def dotUnits(a: Column, b: Column): Column =
+    graft.plans.FixedPointDot.dot(a, b).cast(AccDec)
+
+  /** Reference higher-order-function formulation of [[dotUnits]] — kept for
+    * the differential test against the fused expression. */
+  def dotUnitsHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => units(x) * units(y)),
       lit(java.math.BigDecimal.ZERO).cast(AccDec),

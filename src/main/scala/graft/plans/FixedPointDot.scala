@@ -1,0 +1,100 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, Decimal, DecimalType, FloatType}
+
+/** Fused fixed-point dot product — the engine's one custom codegen'd
+  * Catalyst Expression.
+  *
+  * Semantically identical to [[graft.ops.Similarity.dotUnits]] (elements
+  * quantized to 1e-10 units via floor, products summed exactly), but as a
+  * single tight loop instead of `aggregate(zip_with(...))`: the
+  * higher-order-function fold allocates a Decimal per element and cannot
+  * participate in whole-stage codegen. Here products accumulate in a
+  * two-long 128-bit integer (Math.multiplyHigh is a JIT intrinsic on
+  * JDK 17); one Decimal materializes per ROW, not per element.
+  *
+  * Value bound: |element| < 10⁹ after the 1e10 scaling per unit-ish
+  * embedding values keeps each product < 2¹²⁷/d for any realistic
+  * dimension; the 128-bit accumulator cannot overflow before ~10¹⁸
+  * elements.
+  */
+case class FixedPointDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DecimalType(28, 0)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FixedPointDot =
+    copy(left = newLeft, right = newRight)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    FixedPointDot.dotUnits(x, y, n, leftIsFloat, rightIsFloat)
+  }
+
+  private lazy val leftIsFloat =
+    left.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == FloatType
+  private lazy val rightIsFloat =
+    right.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == FloatType
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xa, ya) => {
+      val cls = FixedPointDot.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |${ev.value} = $cls.dotUnits($xa, $ya,
+         |  java.lang.Math.min($xa.numElements(), $ya.numElements()),
+         |  $leftIsFloat, $rightIsFloat);
+       """.stripMargin
+    })
+}
+
+object FixedPointDot {
+
+  private val Scale = 1e10
+
+  /** 128-bit exact unit-product sum; shared by eval and generated code. */
+  def dotUnits(x: ArrayData, y: ArrayData, n: Int,
+      leftFloat: Boolean, rightFloat: Boolean): Decimal = {
+    var hi = 0L
+    var lo = 0L
+    var i = 0
+    while (i < n) {
+      val xv = if (x.isNullAt(i)) 0.0
+        else if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (y.isNullAt(i)) 0.0
+        else if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      val u = math.floor(xv * Scale).toLong
+      val v = math.floor(yv * Scale).toLong
+      val pLo = u * v
+      val pHi = Math.multiplyHigh(u, v)
+      val nLo = lo + pLo
+      hi += pHi + (if (java.lang.Long.compareUnsigned(nLo, lo) < 0) 1L else 0L)
+      lo = nLo
+      i += 1
+    }
+    val bi = java.math.BigInteger.valueOf(hi).shiftLeft(64)
+      .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(lo)))
+    Decimal(new java.math.BigDecimal(bi), 28, 0)
+  }
+
+  val FnName = "graft_fixed_point_dot"
+
+  /** Column API: registers the expression in the active session's function
+    * registry (idempotent) and calls it — the supported route from the
+    * api-level Column to a custom Expression in Spark 4. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    val spark = castToImpl(org.apache.spark.sql.SparkSession.active)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName, exprs => FixedPointDot(exprs(0), exprs(1)), "built-in")
+    org.apache.spark.sql.functions.call_function(FnName, a, b)
+  }
+}
