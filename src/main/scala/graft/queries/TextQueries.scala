@@ -139,6 +139,71 @@ object TextQueries {
              |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
              |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.2""".stripMargin)),
 
+    // Near-dup DEDUP DECISION on top of d2's pairs: a doc survives unless a
+    // smaller-id near-duplicate exists (greedy keep-first) — the actual
+    // "which rows do we keep" output a training-data pipeline needs.
+    Q("d5_neardup_survivors",
+      (s, d) => {
+        val sh = Tables.documents(s, d).select(
+          col("doc_id"),
+          explode(array_distinct(Text.shingles(col("text"), 3))).as("g"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val shared = sh.withColumn("df",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("g")))
+          .filter(col("df") > 1).drop("df")
+        val pairs = shared.as("a").join(shared.as("b"),
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("c"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double") >= 0.2)
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(pairs.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      },
+      Some("""WITH docs AS (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS ws FROM documents),
+             |grams AS (SELECT doc_id,
+             |    unnest(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) AS g
+             |  FROM docs),
+             |sh AS (SELECT DISTINCT doc_id, g FROM grams),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+             |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |dupes AS (SELECT DISTINCT doc_b FROM inter
+             |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+             |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.2)
+             |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM dupes)""".stripMargin)),
+
+    // Embedding-cosine near-dup pairs, label-blocked (the blocking key
+    // bounds the candidate set the way LSH buckets do at scale); exact
+    // fixed-point cosine so the oracle matches bit-for-bit.
+    Q("d6_embedding_neardup_pairs",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"),
+            Similarity.dotUnits(col("embedding"), col("embedding"))
+              .cast("double").as("n2"))
+        val pairs = e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        pairs.select(
+            col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            (Similarity.dotUnits(col("a.embedding"), col("b.embedding")).cast("double") /
+              (sqrt(col("a.n2")) * sqrt(col("b.n2")))).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.4)
+      },
+      Some("""WITH ex AS (SELECT vec_id, label,
+             |        CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e10) AS HUGEINT) AS u,
+             |        unnest(range(len(embedding))) AS i
+             |      FROM embeddings),
+             |n AS (SELECT vec_id, CAST(CAST(SUM(u*u) AS VARCHAR) AS DOUBLE) AS n2 FROM ex GROUP BY vec_id),
+             |dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |    CAST(CAST(SUM(a.u * b.u) AS VARCHAR) AS DOUBLE) AS dot
+             |  FROM ex a JOIN ex b ON a.label = b.label AND a.vec_id < b.vec_id AND a.i = b.i
+             |  GROUP BY 1, 2)
+             |SELECT vec_a, vec_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cos_sim
+             |FROM dots JOIN n na ON vec_a = na.vec_id JOIN n nb ON vec_b = nb.vec_id
+             |WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.4""".stripMargin)),
+
     // MinHash + LSH banding: the sub-quadratic near-dup path. Signature of
     // k=16 universal hashes over one md5-based 60-bit shingle hash; 4 bands
     // × 4 rows; pairs sharing ≥1 band are candidates. Oracle omitted: the
