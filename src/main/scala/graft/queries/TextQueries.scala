@@ -144,13 +144,17 @@ object TextQueries {
     // "which rows do we keep" output a training-data pipeline needs.
     Q("d5_neardup_survivors",
       (s, d) => {
+        // persist: the shingle set feeds both sides of the self-join plus
+        // the size lookup — without it the explode+md5 pass runs 3×
         val sh = Tables.documents(s, d).select(
           col("doc_id"),
           explode(array_distinct(Text.shingles(col("text"), 3))).as("g"))
+          .persist()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val shared = sh.withColumn("df",
             count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("g")))
           .filter(col("df") > 1).drop("df")
+          .persist()
         val pairs = shared.as("a").join(shared.as("b"),
             col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
