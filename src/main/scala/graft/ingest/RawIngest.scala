@@ -1,0 +1,68 @@
+package graft.ingest
+
+import graft.ops.MergeOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Raw-layer ingestion: the reference's paginated REST extract re-shaped
+  * for Spark (SURVEY.md §2.1 S1/S2).
+  *
+  * The reference walks `info.next` page links, retrying a failed page after
+  * a delay, and upserts each page's `results` array into the raw table
+  * (extract_api_operator.py:29-66 recursive; raw_character.py:15-64
+  * iterative with page-number parsing + retry). Pagination is inherently
+  * sequential driver-side work — the DISTRIBUTED part is everything after:
+  * pages land as (source_id, payload JSON) rows, become one DataFrame, and
+  * merge into the raw layer with last-writer-wins semantics (S3).
+  *
+  * [[PageClient]] abstracts the transport: a real deployment plugs an HTTP
+  * client in; tests (and this zero-egress container) use an in-memory one.
+  * Page payloads stay verbatim JSON — the raw layer is schema-on-read
+  * ("весь JSON как есть", configure.py:60).
+  */
+object RawIngest {
+
+  /** One page of results, each entry (source_id, full JSON payload). */
+  type Page = Seq[(Long, String)]
+
+  trait PageClient {
+    /** Fetch page `n` (1-based). None = no such page (end of pagination).
+      * Throwing = transient failure, will be retried. */
+    def fetchPage(n: Int): Option[Page]
+  }
+
+  /** S1/S2: walk all pages with per-page retry, then parallelize into a
+    * raw-layer DataFrame. `maxRetries` mirrors the reference's
+    * retry-after-sleep loop (raw_character.py:35-38). */
+  def extractAll(
+      spark: SparkSession,
+      client: PageClient,
+      maxRetries: Int = 2,
+      retryDelayMs: Long = 0L): DataFrame = {
+    val rows = Iterator.from(1)
+      .map(n => fetchWithRetry(client, n, maxRetries, retryDelayMs))
+      .takeWhile(_.isDefined)
+      .flatMap(_.get)
+      .toSeq
+    import spark.implicits._
+    rows.toDF("source_id", "payload")
+      .withColumn("loaded_at", current_timestamp())
+  }
+
+  private def fetchWithRetry(client: PageClient, n: Int,
+      retriesLeft: Int, delayMs: Long): Option[Page] =
+    try client.fetchPage(n)
+    catch {
+      case e: Exception if retriesLeft > 0 =>
+        if (delayMs > 0) Thread.sleep(delayMs)
+        fetchWithRetry(client, n, retriesLeft - 1, delayMs)
+    }
+
+  /** S3: merge an extract into the raw table — last-writer-wins by
+    * source_id (ON CONFLICT DO UPDATE, extract_api_operator.py:36-43). */
+  def upsertIntoRaw(raw: DataFrame, extract: DataFrame): DataFrame =
+    MergeOps.latestByKey(
+      raw.unionByName(extract),
+      Seq("source_id"),
+      Seq(col("loaded_at"), col("payload")))
+}
