@@ -46,6 +46,13 @@ class RewriteRuleSpec extends AnyFunSuite {
     assert(got == Set((1, 10L), (2, 20L), (3, -1L)))
   }
 
+  test("extensions expose the fused dot product as a SQL function") {
+    val r = spark.sql(
+      "SELECT CAST(graft_fixed_point_dot(array(0.5D, 0.5D), array(1.0D, 1.0D)) AS STRING) AS d")
+      .head().getString(0)
+    assert(r == "100000000000000000000") // 2 × (5e9 × 1e10) unit products = 1e20
+  }
+
   test("joins that merely look similar are left untouched (no false rewrites)") {
     val (fact, dim) = fixtures
     // second disjunct references the LEFT side id — not the pattern
