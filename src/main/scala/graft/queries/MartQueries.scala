@@ -143,6 +143,16 @@ object MartQueries {
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
              |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)),
 
+    // CUBE: all grouping-set combinations in one pass.
+    Q("cube_orders",
+      (s, d) => Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(money(col("o_totalprice"))).cast("double").as("total_price")),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
+
     // Pivot (fixed value list, so both plans stay one pass). Spark pivot
     // yields NULL for absent combos → NULLIF on the oracle side.
     Q("pivot_status",
