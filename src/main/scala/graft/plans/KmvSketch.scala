@@ -1,0 +1,120 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Deterministic KMV (k-minimum-values) distinct-count sketch — a custom
+  * Catalyst TypedImperativeAggregate (the "novel sketch" extension class
+  * from the builder brief; same machinery Spark's own HLL uses).
+  *
+  * The aggregate keeps the k smallest values of a universal hash
+  * h(x) = ((x mod p)·a + b) mod p  over the prime p = 2³¹−1, and estimates
+  * |distinct| = (k−1) / (h₍ₖ₎ / p). Unlike HyperLogLog the whole pipeline
+  * is exactly reproducible in ANSI SQL (ORDER BY hash LIMIT k), so the
+  * DuckDB oracle can verify the ESTIMATE bit-for-bit — a sketch you can
+  * differential-test.
+  *
+  * Scale properties: buffer is O(k) longs; partial aggregation works
+  * map-side (merge = union + trim); inputs stream through without
+  * materializing the distinct set.
+  */
+case class KmvSketch(
+    child: Expression,
+    k: Int = 64,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvSketch.Buffer] {
+
+  import KmvSketch._
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+
+  override def createAggregationBuffer(): Buffer = new Buffer(k)
+
+  override def update(buf: Buffer, input: InternalRow): Buffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(hash(v.asInstanceOf[Number].longValue()))
+    buf
+  }
+
+  override def merge(buf: Buffer, other: Buffer): Buffer = {
+    other.values.foreach(buf.add)
+    buf
+  }
+
+  override def eval(buf: Buffer): Any = buf.estimate
+
+  override def serialize(buf: Buffer): Array[Byte] = {
+    val vs = buf.values
+    val bb = ByteBuffer.allocate(4 + 8 * vs.length)
+    bb.putInt(vs.length)
+    vs.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new Buffer(k)
+    (0 until n).foreach(_ => buf.add(bb.getLong))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KmvSketch =
+    copy(child = c.head)
+}
+
+object KmvSketch {
+  /** p = 2³¹−1 (prime); a, b fixed — the same constants the oracle uses. */
+  val P = 2147483647L
+  val A = 1103515245L % P
+  val B = 12345L
+
+  def hash(x: Long): Long = (((x % P + P) % P) * A + B) % P
+
+  /** k smallest distinct hashes. Sorted-array buffer: k is small and
+    * insertion is rare once the buffer saturates (only values below the
+    * current k-th minimum enter). */
+  final class Buffer(k: Int) {
+    private val arr = new Array[Long](k)
+    private var n = 0
+
+    def add(h: Long): Unit = {
+      if (n == k && h >= arr(n - 1)) return
+      var i = java.util.Arrays.binarySearch(arr, 0, n, h)
+      if (i >= 0) return // already present (KMV is over DISTINCT hashes)
+      i = -i - 1
+      val last = math.min(n, k - 1)
+      System.arraycopy(arr, i, arr, i + 1, last - i)
+      arr(i) = h
+      if (n < k) n += 1
+    }
+
+    def values: Seq[Long] = arr.take(n).toSeq
+
+    def estimate: Double =
+      if (n < k) n.toDouble // fewer distinct than k → exact
+      else (k - 1).toDouble / (arr(k - 1).toDouble / P.toDouble)
+  }
+
+  /** Column API via the function-registry route (see FixedPointDot.dot). */
+  def distinctEstimate(c: Column, k: Int = 64): Column = {
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    val spark = castToImpl(org.apache.spark.sql.SparkSession.active)
+    val name = s"graft_kmv_$k"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => KmvSketch(exprs.head, k).toAggregateExpression(), "built-in")
+    org.apache.spark.sql.functions.call_function(name, c)
+  }
+}

@@ -143,6 +143,33 @@ object MartQueries {
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
              |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)),
 
+    // Custom sketch aggregate: KMV distinct-count estimate
+    // (plans.KmvSketch, TypedImperativeAggregate) next to the exact count.
+    // The sketch's hash and estimator are reproduced in the oracle SQL —
+    // a differential-testable approximate aggregate.
+    Q("sketch1_kmv_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          graft.plans.KmvSketch.distinctEstimate(col("l_partkey"), 64)
+            .as("est_distinct_parts"),
+          countDistinct(col("l_partkey")).as("exact_distinct")),
+      Some("""WITH h AS (SELECT DISTINCT l_returnflag,
+             |    ((l_partkey % 2147483647 + 2147483647) % 2147483647 * 1103515245 + 12345) % 2147483647 AS hv
+             |  FROM lineitem),
+             |r AS (SELECT l_returnflag, hv,
+             |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
+             |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+             |  FROM h),
+             |est AS (SELECT l_returnflag,
+             |    CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+             |         ELSE 63.0 / (CAST(hv AS DOUBLE) / 2147483647.0) END AS est_distinct_parts
+             |  FROM r WHERE rn = (CASE WHEN n < 64 THEN n ELSE 64 END)),
+             |ex AS (SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_distinct
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, est_distinct_parts, exact_distinct
+             |FROM est JOIN ex USING (l_returnflag)""".stripMargin)),
+
     // CUBE: all grouping-set combinations in one pass.
     Q("cube_orders",
       (s, d) => Tables.orders(s, d)
