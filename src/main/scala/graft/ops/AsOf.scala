@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — the canonical "operator Spark lacks" from
+  * the builder brief. For each left row (key, t) attach the right row with
+  * the greatest t' ≤ t for the same key (LEFT semantics: no prior right
+  * row → nulls).
+  *
+  * Implementation is compose-first (brief's preference order (a)): the
+  * union-sort formulation — tag both inputs, union, ONE per-key sort by
+  * (time, right-before-left), then `last(col, ignoreNulls)` carries each
+  * right value forward to the left rows that follow it.
+  *
+  * Why not a range join: `l JOIN r ON l.key = r.key AND r.t <= l.t` +
+  * argmax explodes to O(|matches|) pairs before pruning — quadratic per
+  * key. The union-sort runs in O(n log n) per key, one shuffle, no
+  * intermediate blowup — the same plan shape a native AsOfJoinExec would
+  * produce, with AQE/codegen for free.
+  *
+  * Determinism: callers must dedupe the right side per (key, time) first
+  * (latestByKey) — otherwise "the" right row at a timestamp is arbitrary.
+  */
+object AsOf {
+
+  /** @param rightValueCols right-side payload columns to carry (must not
+    *                       collide with left column names) */
+  def asofJoinLeft(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightValueCols: Seq[String]): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    // right rows: time under the LEFT time column name so the union sorts
+    // both sides on one axis; side=0 sorts right rows first at equal time
+    // (≤ semantics: a right row AT t is visible to left rows at t)
+    val taggedRight = right.select(
+      (col(key) +: col(rightTime).as(leftTime) +: rightValueCols.map(col)) :+
+        lit(0).as("__side"): _*)
+    val taggedLeft = left.select(
+      leftCols.map(col) ++ rightValueCols.map(c =>
+        lit(null).cast(right.schema(c).dataType).as(c)) :+ lit(1).as("__side"): _*)
+
+    val all = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(leftTime), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = rightValueCols.foldLeft(all) { (df, c) =>
+      df.withColumn(s"__asof_$c", last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        rightValueCols.map(c => col(s"__asof_$c").as(c)): _*)
+  }
+}

@@ -143,6 +143,32 @@ object MartQueries {
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
              |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)),
 
+    // As-of join: each event paired with the user's most recent purchase
+    // at-or-before it (graft.ops.AsOf union-sort composition; oracle is
+    // DuckDB's NATIVE ASOF LEFT JOIN — two independent implementations).
+    Q("asof1_last_purchase",
+      (s, d) => {
+        val e = Tables.events(s, d).select(
+          col("event_id"), col("user_id"), col("event_type"),
+          col("value"), Registry.epochS(col("ts")).as("es"))
+        val purchases = graft.ops.MergeOps.latestByKey(
+          e.filter(col("event_type") === "purchase"),
+          Seq("user_id", "es"), Seq(col("event_id")))
+          .select(col("user_id"), col("es"),
+            col("es").as("p_es"), col("value").as("p_value"))
+        graft.ops.AsOf.asofJoinLeft(
+          e.select(col("event_id"), col("user_id"), col("es")),
+          purchases, "user_id", "es", "es", Seq("p_es", "p_value"))
+      },
+      Some(s"""WITH e AS (SELECT event_id, user_id, event_type, value,
+             |    ${epochSql("ts")} AS es FROM events),
+             |p0 AS (SELECT user_id, es, value,
+             |    row_number() OVER (PARTITION BY user_id, es ORDER BY event_id DESC) AS rn
+             |  FROM e WHERE event_type = 'purchase'),
+             |p AS (SELECT user_id, es, es AS p_es, value AS p_value FROM p0 WHERE rn = 1)
+             |SELECT e.event_id, e.user_id, e.es, p.p_es, p.p_value
+             |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.es >= p.es""".stripMargin)),
+
     // Custom sketch aggregate: KMV distinct-count estimate
     // (plans.KmvSketch, TypedImperativeAggregate) next to the exact count.
     // The sketch's hash and estimator are reproduced in the oracle SQL —

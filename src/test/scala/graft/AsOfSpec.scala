@@ -1,0 +1,29 @@
+package graft
+
+import graft.ops.AsOf
+
+class AsOfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("as-of left join: ≤ semantics, exact-time match, no-prior → null") {
+    val left = Seq(
+      (1L, 1L, 5L), (2L, 1L, 10L), (3L, 1L, 15L),
+      (4L, 2L, 7L),  // user 2 has no purchase before 7
+      (5L, 2L, 20L)).toDF("event_id", "user_id", "es")
+    val right = Seq(
+      (1L, 10L, 10L, 1.5), // exact-time: visible to left at es=10
+      (1L, 12L, 12L, 2.5),
+      (2L, 9L, 9L, 9.9)).toDF("user_id", "es", "p_es", "p_value")
+
+    val out = AsOf.asofJoinLeft(left, right, "user_id", "es", "es",
+        Seq("p_es", "p_value"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+
+    assert(out(1L) == None)        // es=5: before any purchase
+    assert(out(2L) == Some(10L))   // es=10: the equal-time purchase matches
+    assert(out(3L) == Some(12L))   // es=15: latest ≤ 15
+    assert(out(4L) == None)        // user 2, es=7: purchase at 9 is later
+    assert(out(5L) == Some(9L))    // user 2, es=20
+  }
+}
