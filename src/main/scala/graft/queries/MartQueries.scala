@@ -169,6 +169,32 @@ object MartQueries {
              |SELECT e.event_id, e.user_id, e.es, p.p_es, p.p_value
              |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.es >= p.es""".stripMargin)),
 
+    // Range join: event pairs within one hour per user. Banded into an
+    // equi-join — each right row registers in its bucket and both
+    // neighbors, the join is on (user, bucket), the exact interval
+    // predicate filters after — so the plan is a hash join, never a
+    // nested loop (PlanSpec enforces this for every registry query).
+    Q("range1_events_within_hour",
+      (s, d) => {
+        val e = Tables.events(s, d).select(
+          col("user_id"), col("event_id"), Registry.epochS(col("ts")).as("es"))
+        val probe = e.withColumn("bucket", floor(col("es") / 3600))
+        val build = e
+          .withColumn("bucket", explode(array(
+            floor(col("es") / 3600) - 1, floor(col("es") / 3600),
+            floor(col("es") / 3600) + 1)))
+          .select(col("user_id"), col("event_id").as("event_b"),
+            col("es").as("es_b"), col("bucket"))
+        probe.join(build, Seq("user_id", "bucket"))
+          .filter(col("event_id") < col("event_b") &&
+            abs(col("es") - col("es_b")) <= 3600)
+          .select(col("user_id"), col("event_id").as("event_a"), col("event_b"))
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_id, ${epochSql("ts")} AS es FROM events)
+             |SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b
+             |FROM e a JOIN e b ON a.user_id = b.user_id
+             |  AND a.event_id < b.event_id AND abs(a.es - b.es) <= 3600""".stripMargin)),
+
     // Custom sketch aggregate: KMV distinct-count estimate
     // (plans.KmvSketch, TypedImperativeAggregate) next to the exact count.
     // The sketch's hash and estimator are reproduced in the oracle SQL —
