@@ -233,6 +233,25 @@ object CoreQueries {
         Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))),
       Some("SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey AS nationkey FROM supplier")),
 
+    // Set operations beyond the reference's UNION: INTERSECT/EXCEPT
+    // (SURVEY §2.6 notes the reference has none — completing the family).
+    Q("u2_intersect_except",
+      (s, d) => {
+        val custNations = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        val suppNations = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+        custNations.intersect(suppNations)
+          .withColumn("side", lit("both"))
+          .unionByName(custNations.except(suppNations)
+            .withColumn("side", lit("customers_only")))
+      },
+      Some("""SELECT nationkey, 'both' AS side FROM (
+             |  SELECT c_nationkey AS nationkey FROM customer
+             |  INTERSECT SELECT s_nationkey FROM supplier) t
+             |UNION ALL
+             |SELECT nationkey, 'customers_only' AS side FROM (
+             |  SELECT c_nationkey AS nationkey FROM customer
+             |  EXCEPT SELECT s_nationkey FROM supplier) t2""".stripMargin)),
+
     // M1 — conditional upsert: update only when attrs IS DISTINCT FROM,
     // preserve loaded_at, bump last_upd_at (ref: stg_character.py:65-81).
     // Old state = per-user snapshot before the cutoff; incoming = current.

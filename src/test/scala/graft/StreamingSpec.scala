@@ -41,6 +41,23 @@ class StreamingSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("streaming dedup: watermarked dropDuplicates emits each event_id once") {
+    val dir = eventsStreamDir
+    // duplicate the source file → every event arrives twice
+    Files.copy(java.nio.file.Paths.get(s"$Sf001/events.parquet"),
+      java.nio.file.Paths.get(dir).resolve("part-1.parquet"))
+    val stream = spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.table("dedup_stream").count()
+    val want = Tables.events(spark, Sf001).count()
+    assert(n == want, s"expected $want deduped events, got $n")
+  }
+
   test("foreachBatch streaming upsert lands the latest value per key") {
     val stateSchema = StructType(Seq(
       StructField("user_id", LongType), StructField("event_type", StringType),
