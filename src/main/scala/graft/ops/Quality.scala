@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Constraint auditing (SURVEY.md §1.3): Postgres enforced PRIMARY KEY /
+  * FOREIGN KEY / NOT NULL declaratively; Spark enforces nothing, so the
+  * engine upholds them by construction (dedup before write, FK resolution
+  * via joins) and VERIFIES them with these relational audits — each audit
+  * is itself a distributed query (one aggregation or anti-join), usable as
+  * a data-quality gate at any scale.
+  */
+object Quality {
+
+  /** PK audit: keys appearing more than once. Empty ⇔ constraint holds. */
+  def primaryKeyViolations(df: DataFrame, pk: Seq[String]): DataFrame =
+    df.groupBy(pk.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
+
+  /** FK audit: child keys with no parent (NULL fk = no reference, allowed —
+    * matching SQL FK semantics). Empty ⇔ constraint holds. */
+  def foreignKeyViolations(
+      child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    child.filter(col(childKey).isNotNull)
+      .select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)), Seq(childKey), "left_anti")
+      .distinct()
+
+  /** NOT NULL audit: per-column null counts for the declared columns. */
+  def notNullViolations(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val counts = cols.map(c => sum(when(col(c).isNull, 1).otherwise(0)).as(c))
+    df.agg(counts.head, counts.tail: _*)
+      .selectExpr(s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', `$c`").mkString(", ") + ") as (column_name, n_nulls)")
+      .filter(col("n_nulls") > 0)
+  }
+}

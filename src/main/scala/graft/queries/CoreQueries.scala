@@ -233,6 +233,38 @@ object CoreQueries {
         Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))),
       Some("SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey AS nationkey FROM supplier")),
 
+    // Constraint audit (SURVEY §1.3): the declarative PK/FK/NOT NULL
+    // guarantees Postgres enforced, verified relationally. The testdata is
+    // clean, so the interesting half injects violations: every 50th order
+    // gets a dangling custkey and a duplicated orderkey.
+    Q("quality1_constraint_audit",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val corrupted = o
+          .withColumn("o_custkey",
+            when(col("o_orderkey") % 50 === 0, lit(999999999L)).otherwise(col("o_custkey")))
+          .unionByName(o.filter(col("o_orderkey") % 50 === 0))
+        val pkViol = graft.ops.Quality
+          .primaryKeyViolations(corrupted, Seq("o_orderkey"))
+          .select(col("o_orderkey").as("violating_key"), lit("pk_duplicate").as("violation"))
+        val fkViol = graft.ops.Quality
+          .foreignKeyViolations(corrupted, "o_custkey", Tables.customer(s, d), "c_custkey")
+          .select(col("o_custkey").as("violating_key"), lit("fk_dangling").as("violation"))
+        pkViol.unionByName(fkViol)
+      },
+      Some("""WITH corrupted AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 50 = 0 THEN 999999999 ELSE o_custkey END AS o_custkey
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 50 = 0),
+             |pk AS (SELECT o_orderkey AS violating_key, 'pk_duplicate' AS violation
+             |  FROM corrupted GROUP BY o_orderkey HAVING COUNT(*) > 1),
+             |fk AS (SELECT DISTINCT o_custkey AS violating_key, 'fk_dangling' AS violation
+             |  FROM corrupted WHERE o_custkey IS NOT NULL
+             |    AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+             |SELECT * FROM pk UNION ALL SELECT * FROM fk""".stripMargin)),
+
     // Set operations beyond the reference's UNION: INTERSECT/EXCEPT
     // (SURVEY §2.6 notes the reference has none — completing the family).
     Q("u2_intersect_except",

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.ops.{MergeOps, Scd2}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{col, count, lit, sum, window}
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 import org.apache.spark.sql.Row
 
@@ -50,6 +50,58 @@ object StreamingLoads {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         state.merge(batch, pk, tracked)
       }
+
+  /** Streaming SCD2: each micro-batch runs the SAME close-and-insert merge
+    * the batch dimension load uses (§2.9 mapping: SCD2 → foreachBatch +
+    * atomic table swap; Delta MERGE at deploy). The batch is reduced to
+    * its latest observation per key first — within-batch history is
+    * collapsed exactly like the reference's per-run staging snapshot. */
+  def foreachBatchScd2(
+      incoming: DataFrame,
+      dim: Scd2Table,
+      bk: String,
+      tracked: Seq[String],
+      versionCols: Seq[String],
+      runTsOf: Long => java.sql.Timestamp,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    incoming.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val stg = MergeOps.latestByKey(batch, Seq(bk), versionCols.map(col))
+          .select((bk +: tracked).map(col): _*)
+        dim.merge(stg, bk, tracked, lit(runTsOf(batchId)))
+      }
+
+  /** Parquet-backed SCD2 dimension for streaming merges. */
+  final class Scd2Table(
+      spark: SparkSession,
+      bk: String,
+      tracked: Seq[String],
+      dir: java.nio.file.Path) {
+
+    private val table = dir.resolve("dim")
+
+    def snapshot: DataFrame =
+      if (java.nio.file.Files.exists(table)) spark.read.parquet(table.toString)
+      else {
+        import org.apache.spark.sql.types._
+        val schema = StructType(
+          StructField(bk, LongType) +:
+            tracked.map(c => StructField(c, StringType)) :+
+            StructField("sk", LongType) :+
+            StructField("valid_from", TimestampType) :+
+            StructField("valid_to", TimestampType) :+
+            StructField("is_current", BooleanType))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      }
+
+    def merge(stg: DataFrame, bkCol: String, trackedCols: Seq[String],
+        runTs: org.apache.spark.sql.Column): Unit = synchronized {
+      val next = Scd2.closeAndInsert(snapshot, stg, bkCol, trackedCols, runTs, "sk")
+      graft.ops.Storage.atomicReplace(next, table)
+    }
+  }
 
   /** Parquet-backed target table for the streaming upsert: each micro-batch
     * computes the merged next state and swaps it in atomically

@@ -58,6 +58,41 @@ class StreamingSpec extends SparkTestBase {
     assert(n == want, s"expected $want deduped events, got $n")
   }
 
+  test("streaming SCD2 via foreachBatch: two micro-batches evolve versions like batch merges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val dimDir = Files.createTempDirectory("stream_scd2")
+    val dim = new StreamingLoads.Scd2Table(spark, "user_id", Seq("event_type"), dimDir)
+    val input = MemoryStream[(Long, String, Long)]
+    val stream = input.toDF().toDF("user_id", "event_type", "seq")
+    // NOT AvailableNow: the test feeds two separate micro-batches after start
+    val q = StreamingLoads.foreachBatchScd2(stream, dim, "user_id",
+      Seq("event_type"), Seq("seq"),
+      batchId => java.sql.Timestamp.valueOf(s"2024-0${batchId + 1}-01 00:00:00"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData((1L, "click", 1L), (2L, "view", 2L))
+      q.processAllAvailable()
+      input.addData((1L, "purchase", 3L), (3L, "signup", 4L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = dim.snapshot
+      .select($"user_id", $"event_type", $"is_current")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(rows == Set(
+      (1L, "click", false),    // closed by batch 2
+      (1L, "purchase", true),  // reopened
+      (2L, "view", true),      // untouched by batch 2
+      (3L, "signup", true)))   // new key in batch 2
+    // one current version per key, unique SKs
+    val cur = dim.snapshot.filter(col("is_current"))
+      .groupBy("user_id").count().filter(col("count") =!= 1).count()
+    assert(cur == 0)
+  }
+
   test("foreachBatch streaming upsert lands the latest value per key") {
     val stateSchema = StructType(Seq(
       StructField("user_id", LongType), StructField("event_type", StringType),
