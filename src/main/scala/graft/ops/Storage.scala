@@ -32,6 +32,18 @@ object Storage {
     deleteRecursively(old)
   }
 
+  /** Deploy-shape layout: a table partitioned by low-cardinality columns
+    * (load date, region, …) so predicate pushdown becomes partition
+    * PRUNING — the scan never opens non-matching directories. Dynamic
+    * partition overwrite replaces only the partitions present in `df`
+    * (the incremental-load write mode). */
+  def writePartitioned(df: DataFrame, table: Path, partitionCols: Seq[String]): Unit =
+    df.write
+      .partitionBy(partitionCols: _*)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(table.toString)
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
