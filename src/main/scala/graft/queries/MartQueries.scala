@@ -245,6 +245,32 @@ object MartQueries {
              |  NULLIF(COUNT(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS "P"
              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
+    // Typed Dataset[T] surface (brief: case-class Encoders where type
+    // safety helps): compile-time-checked fields through groupByKey/
+    // mapGroups, integer-only outputs for determinism.
+    Q("typed1_orders_stats",
+      (s, d) => {
+        import s.implicits._
+        val ds = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+          .as[(Long, Long, String)]
+        ds.groupByKey(_._3)
+          .mapGroups { (status, rows) =>
+            var n = 0L; var minK = Long.MaxValue; var maxK = Long.MinValue
+            var custs = Set.empty[Long]
+            rows.foreach { r =>
+              n += 1; minK = math.min(minK, r._1); maxK = math.max(maxK, r._1)
+              custs += r._2
+            }
+            (status, n, minK, maxK, custs.size.toLong)
+          }
+          .toDF("o_orderstatus", "n_orders", "min_key", "max_key", "n_custs")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n_orders,
+             |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+             |  COUNT(DISTINCT o_custkey) AS n_custs
+             |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
     // The same engine through the SQL-string surface: spark.sql over temp
     // views compiles to the identical Catalyst plan as the DataFrame form —
     // users of the reference's SQL workflows keep writing SQL.

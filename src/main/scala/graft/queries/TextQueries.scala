@@ -230,7 +230,10 @@ object TextQueries {
         val sh = Tables.documents(s, d).select(
           col("doc_id"),
           explode(array_distinct(Text.shingles(col("text"), 3))).as("g"))
-        val hashed = sh.withColumn("h", pmod(Text.md5Long(col("g")), lit(p)))
+        // xxhash64, not md5: this query is rows-only (no oracle), so the
+        // engine-native codegen'd hash applies — md5 is reserved for ops
+        // whose hashes must reproduce in the DuckDB oracle (d1/t1)
+        val hashed = sh.withColumn("h", pmod(xxhash64(col("g")), lit(p)))
         val minCols = (0 until k).map(i =>
           min(pmod(col("h") * lit(as(i)) + lit(bs(i)), lit(p))).as(s"m$i"))
         val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
