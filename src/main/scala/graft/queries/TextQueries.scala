@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Similarity, Text}
+import graft.ops.{Components, Similarity, Text}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
@@ -177,6 +177,51 @@ object TextQueries {
              |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
              |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.2)
              |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM dupes)""".stripMargin)),
+
+    // Near-dup CLUSTERS: connected components over the Jaccard pair graph
+    // (transitive closure — A~B, B~C ⇒ {A,B,C} one cluster, one survivor).
+    // Oracle: recursive-CTE reachability in DuckDB.
+    Q("d7_neardup_components",
+      (s, d) => {
+        val sh = Tables.documents(s, d).select(
+          col("doc_id"),
+          explode(array_distinct(Text.shingles(col("text"), 3))).as("g"))
+          .persist()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val pairs = sh.as("a").join(sh.as("b"),
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("c"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double") >= 0.2)
+          .select(col("doc_a"), col("doc_b"))
+        Components.connectedComponents(
+          Tables.documents(s, d).select(col("doc_id").as("id")),
+          pairs, "doc_a", "doc_b")
+          .select(col("id").as("doc_id"), col("component"))
+      },
+      Some("""WITH RECURSIVE docs AS (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS ws FROM documents),
+             |grams AS (SELECT doc_id,
+             |    unnest(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) AS g
+             |  FROM docs),
+             |sh AS (SELECT DISTINCT doc_id, g FROM grams),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+             |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |pairs AS (SELECT doc_a, doc_b FROM inter
+             |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+             |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.2),
+             |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+             |          UNION SELECT doc_b, doc_a FROM pairs),
+             |reach AS (
+             |  SELECT a AS src, b AS dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+             |SELECT d.doc_id,
+             |  LEAST(d.doc_id, coalesce(MIN(r.dst), d.doc_id)) AS component
+             |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+             |GROUP BY d.doc_id""".stripMargin)),
 
     // Embedding-cosine near-dup pairs, label-blocked (the blocking key
     // bounds the candidate set the way LSH buckets do at scale); exact
