@@ -188,7 +188,10 @@ object TextQueries {
           explode(array_distinct(Text.shingles(col("text"), 3))).as("g"))
           .persist()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val pairs = sh.as("a").join(sh.as("b"),
+        val shared = sh.withColumn("df",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("g")))
+          .filter(col("df") > 1).drop("df")
+        val pairs = shared.as("a").join(shared.as("b"),
             col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("c"))
