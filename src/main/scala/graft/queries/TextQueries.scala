@@ -57,6 +57,23 @@ object TextQueries {
              |    / CAST(NULLIF(len($wordsSql), 0) AS DOUBLE) AS uniq_word_ratio
              |FROM documents""".stripMargin)),
 
+    // BPE-ish subword token counting (builder brief: "whitespace + a
+    // BPE-ish regex"): GPT-2-style pretokenizer pattern restricted to
+    // ASCII classes so the Java (Spark) and RE2 (DuckDB) regex engines
+    // tokenize identically.
+    Q("t5_bpe_token_count",
+      (s, d) => {
+        val pat = "'(?:s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_bpe_tokens"),
+          Text.wordCount(col("text")).as("n_ws_tokens"))
+      },
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(text, '''(?:s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+')) AS n_bpe_tokens,
+             |  len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n_ws_tokens
+             |FROM documents""".stripMargin)),
+
     // Language-ID by stopword-marker counts (n-gram heuristic family).
     // Deterministic integer scores + fixed tie-break order.
     Q("t3_lang_id",
