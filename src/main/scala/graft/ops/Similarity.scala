@@ -96,6 +96,43 @@ object Similarity {
           call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
       lit(0L), (acc, b) => acc.bitwiseOR(b))
 
+  /** IVF (inverted-file) ANN: vectors are assigned to their nearest
+    * centroid's list; a query probes only the `nprobe` nearest lists and
+    * runs exact cosine within them — probe cost O(n·nprobe/C) instead of
+    * O(n). Centroids here are data-derived (the first C vectors) to keep
+    * the index deterministic; a production build would k-means them —
+    * the index/probe machinery is identical.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      queryVec: DataFrame,
+      centroids: DataFrame, // (centroid_id, cvec)
+      k: Int,
+      nprobe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // index build: each vector → argmax-dot centroid (one broadcast scan)
+    val byVec = Window.partitionBy(col(idCol))
+      .orderBy(col("__cdot").desc, col("centroid_id"))
+    val assigned = embeddings.crossJoin(broadcast(centroids))
+      .withColumn("__cdot", dotUnits(col(vecCol), col("cvec")).cast("double"))
+      .withColumn("__rn", row_number().over(byVec))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+    // probe: the query's nprobe nearest centroids
+    val probeLists = queryVec.crossJoin(broadcast(centroids))
+      .withColumn("__qdot", dotUnits(col("qe"), col("cvec")).cast("double"))
+      .orderBy(col("__qdot").desc, col("centroid_id"))
+      .limit(nprobe)
+      .select(col("centroid_id"))
+    assigned.join(broadcast(probeLists), Seq("centroid_id"))
+      .crossJoin(broadcast(queryVec))
+      .select(col(idCol), cosine(col(vecCol), col("qe")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Bucketed ANN top-k: restrict the scan to the query's LSH bucket, then
     * exact cosine within it. Returns (vec_id, cos_sim). */
   def lshTopK(

@@ -396,6 +396,19 @@ object TextQueries {
              |  CAST(CAST(SUM(n2u) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e20 AS avg_norm2
              |FROM n GROUP BY label""".stripMargin)),
 
+    // IVF-bucketed ANN (the other scale path next to sim2's LSH):
+    // deterministic centroid lists, nprobe-limited exact search.
+    // Rows-only: the index structure is engine-internal.
+    Q("sim4_ivf_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val centroids = e.filter(col("vec_id").between(10, 17))
+          .select((col("vec_id") - 10).as("centroid_id"), col("embedding").as("cvec"))
+        Similarity.ivfTopK(e, q, centroids, k = 10, nprobe = 3)
+      },
+      None),
+
     // Multimodal-column plumbing: opaque binary payload + typed metadata.
     // The "decode" is the documented deterministic stub (no image libs in
     // this container); schema, batching, and partitioning are real.
