@@ -36,26 +36,32 @@ object AsOf {
       rightValueCols: Seq[String]): DataFrame = {
 
     val leftCols = left.columns.toSeq
+    // All payload columns ride in ONE struct that is non-null on every right
+    // row: last(ignoreNulls) then carries the whole matched row, so (a) a
+    // legitimately-NULL payload value survives (it doesn't fall through to a
+    // stale earlier row), and (b) all values provably come from the SAME
+    // right row — true ASOF semantics (cf. DuckDB ASOF JOIN).
+    val payloadT = org.apache.spark.sql.types.StructType(
+      rightValueCols.map(c => right.schema(c)))
     // right rows: time under the LEFT time column name so the union sorts
     // both sides on one axis; side=0 sorts right rows first at equal time
     // (≤ semantics: a right row AT t is visible to left rows at t)
     val taggedRight = right.select(
-      (col(key) +: col(rightTime).as(leftTime) +: rightValueCols.map(col)) :+
-        lit(0).as("__side"): _*)
+      col(key), col(rightTime).as(leftTime),
+      struct(rightValueCols.map(col): _*).as("__payload"),
+      lit(0).as("__side"))
     val taggedLeft = left.select(
-      leftCols.map(col) ++ rightValueCols.map(c =>
-        lit(null).cast(right.schema(c).dataType).as(c)) :+ lit(1).as("__side"): _*)
+      leftCols.map(col) ++ Seq(
+        lit(null).cast(payloadT).as("__payload"), lit(1).as("__side")): _*)
 
     val all = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
       .orderBy(col(leftTime), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = rightValueCols.foldLeft(all) { (df, c) =>
-      df.withColumn(s"__asof_$c", last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
+    all.withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        rightValueCols.map(c => col(s"__asof_$c").as(c)): _*)
+        rightValueCols.map(c => col(s"__asof.$c").as(c)): _*)
   }
 }

@@ -23,11 +23,20 @@ object MergeOps {
 
   /** M2: `INSERT ... ON CONFLICT DO NOTHING` — append rows whose PK is not
     * already present (ref: stg_character.py:171, dwh_fact_character_episode.py:110).
-    * Incoming dups collapse to one row per PK (first by `tieBreak` order) so a
-    * single batch cannot insert the same PK twice. */
-  def insertIfAbsent(existing: DataFrame, incoming: DataFrame, pk: Seq[String]): DataFrame = {
-    val fresh = incoming.dropDuplicates(pk).join(existing, pk, "left_anti")
-    existing.unionByName(fresh)
+    * Incoming dups collapse to one row per PK. With `tieBreak` given, the row
+    * MAXIMAL by those columns wins ([[latestByKey]] — deterministic across
+    * runs/partitionings, per the engine's oracle-determinism convention);
+    * without, `dropDuplicates` keeps a partition-order-dependent arbitrary
+    * row, so callers must pre-dedupe deterministically themselves. */
+  def insertIfAbsent(
+      existing: DataFrame,
+      incoming: DataFrame,
+      pk: Seq[String],
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val one =
+      if (tieBreak.nonEmpty) latestByKey(incoming, pk, tieBreak)
+      else incoming.dropDuplicates(pk)
+    existing.unionByName(one.join(existing, pk, "left_anti").select(existing.columns.map(col): _*))
   }
 
   /** M1: conditional upsert — `ON CONFLICT (pk) DO UPDATE SET ... WHERE any
@@ -41,6 +50,10 @@ object MergeOps {
     * `old` and `incoming` must share the schema: pk ++ tracked ++
     * (loadedAtCol, lastUpdCol). Incoming audit columns are ignored; they are
     * re-derived here so re-runs are idempotent.
+    *
+    * Duplicate-PK incoming rows: with `tieBreak` given, the maximal row by
+    * those columns wins (deterministic); without, callers must pre-dedupe
+    * deterministically (`dropDuplicates` keeps an arbitrary row).
     */
   def conditionalUpsert(
       old: DataFrame,
@@ -49,10 +62,14 @@ object MergeOps {
       tracked: Seq[String],
       runTs: Column,
       loadedAtCol: String = "loaded_at",
-      lastUpdCol: String = "last_upd_at"): DataFrame = {
+      lastUpdCol: String = "last_upd_at",
+      tieBreak: Seq[Column] = Nil): DataFrame = {
 
+    val incomingOne =
+      if (tieBreak.nonEmpty) latestByKey(incoming, pk, tieBreak)
+      else incoming.dropDuplicates(pk)
     val o = old.alias("o")
-    val n = incoming.dropDuplicates(pk).alias("n")
+    val n = incomingOne.alias("n")
     val joined = o.join(n, pk.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _), "full_outer")
 
     val oldAbsent = pk.map(k => col(s"o.$k").isNull).reduce(_ && _)

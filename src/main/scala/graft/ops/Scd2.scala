@@ -86,6 +86,10 @@ object Scd2 {
     *
     * `dim` schema: bk ++ tracked ++ (skCol, valid_from, valid_to, is_current).
     * `stg` schema: bk ++ tracked.
+    *
+    * Duplicate-bk staging rows: with `tieBreak` given, the maximal row by
+    * those columns wins (deterministic, [[MergeOps.latestByKey]]); without,
+    * callers must pre-dedupe deterministically.
     */
   def closeAndInsert(
       dim: DataFrame,
@@ -93,13 +97,17 @@ object Scd2 {
       bk: String,
       tracked: Seq[String],
       runTs: Column,
-      skCol: String = "sk"): DataFrame = {
+      skCol: String = "sk",
+      tieBreak: Seq[Column] = Nil): DataFrame = {
 
     val history = dim.filter(!col("is_current"))
     val current = dim.filter(col("is_current"))
 
+    val stgOne =
+      if (tieBreak.nonEmpty) MergeOps.latestByKey(stg, Seq(bk), tieBreak)
+      else stg.dropDuplicates(bk)
     val c = current.alias("c")
-    val s = stg.dropDuplicates(bk).alias("s")
+    val s = stgOne.alias("s")
     val joined = c.join(s, col(s"c.$bk") === col(s"s.$bk"), "full_outer")
 
     val isNew = col(s"c.$bk").isNull

@@ -26,4 +26,19 @@ class AsOfSpec extends SparkTestBase {
     assert(out(4L) == None)        // user 2, es=7: purchase at 9 is later
     assert(out(5L) == Some(9L))    // user 2, es=20
   }
+
+  test("as-of: NULL payload on the matched row survives; all cols from ONE row") {
+    // purchase at es=10 has value 1.5; purchase at es=12 has NULL value.
+    // A left row at es=15 matches the es=12 row, so it must get
+    // (p_es=12, p_value=NULL) — NOT the stale 1.5 from es=10.
+    val left = Seq((1L, 1L, 15L)).toDF("event_id", "user_id", "es")
+    val right = Seq(
+      (1L, 10L, 10L, Some(1.5)),
+      (1L, 12L, 12L, None: Option[Double])).toDF("user_id", "es", "p_es", "p_value")
+
+    val r = AsOf.asofJoinLeft(left, right, "user_id", "es", "es",
+      Seq("p_es", "p_value")).head()
+    assert(r.getLong(3) == 12L)
+    assert(r.isNullAt(4), "matched row's NULL payload must survive")
+  }
 }

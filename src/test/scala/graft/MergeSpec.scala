@@ -50,6 +50,18 @@ class MergeSpec extends SparkTestBase {
     assert(MergeOps.insertIfAbsent(out, incoming, Seq("id")).count() == 3)
   }
 
+  test("M2/M1: tieBreak makes duplicate-PK batches deterministic") {
+    val existing = Seq((1, "a", 0)).toDF("id", "v", "ver")
+    val incoming = Seq((3, "lo", 1), (3, "hi", 9), (3, "mid", 5)).toDF("id", "v", "ver")
+    val out = MergeOps.insertIfAbsent(existing, incoming, Seq("id"), Seq(col("ver")))
+    assert(out.filter($"id" === 3).head().getString(1) == "hi") // max by ver wins
+    val up = MergeOps.conditionalUpsert(
+      stg((1, "a", t0, t0)),
+      stg((1, "z1", t1, t1), (1, "z2", t1, t1)).withColumn("ver", when($"attr" === "z2", 9).otherwise(1)),
+      Seq("id"), Seq("attr"), lit(t1).cast("timestamp"), tieBreak = Seq(col("ver")))
+    assert(up.filter($"id" === 1).head().getAs[String]("attr") == "z2")
+  }
+
   test("S3: latestByKey keeps exactly the last row per key") {
     val df = Seq((1, 10, "old"), (1, 20, "new"), (2, 5, "only")).toDF("k", "ver", "v")
     val out = MergeOps.latestByKey(df, Seq("k"), Seq(col("ver")))
