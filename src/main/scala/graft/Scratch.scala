@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only single-query timing harness: `runMain graft.Scratch q1 q2 ...`
+  * runs each named query twice at SPARK_GRAFT_SF_DIR (default sf0.1) and
+  * prints per-rep wall times — for isolating one query's cost outside the
+  * full Bench sweep. */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val byName = queries.Registry.all.map(q => q.name -> q.fn).toMap
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("d2_ngram_jaccard_pairs", "d5_neardup_survivors", "d7_neardup_components")
+    spark.read.parquet(s"$sfDir/documents.parquet").count() // warmup
+    for (n <- names; rep <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val c = byName(n)(spark, sfDir).count()
+      println(f"[scratch] $n rep$rep rows=$c t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.sharedState.cacheManager.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Components, Similarity, Text}
+import graft.ops.{Components, NearDup, Similarity, Text}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
@@ -119,30 +119,10 @@ object TextQueries {
              |FROM documents GROUP BY 1""".stripMargin)),
 
     // Near-dup pairs by exact 3-gram Jaccard ≥ 0.2, candidates via
-    // inverted-index join on shingles (never all-pairs).
+    // inverted-index join on shingles (never all-pairs). Plan shape and
+    // scale notes live at [[NearDup.jaccardPairs]].
     Q("d2_ngram_jaccard_pairs",
-      (s, d) => {
-        val sh = Tables.documents(s, d).select(
-          col("doc_id"),
-          explode(array_distinct(Text.shingles(col("text"), 3))).as("g"))
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        // shingles appearing in exactly one doc cannot contribute to any
-        // pair — dropping them is semantics-preserving and shrinks the
-        // inverted-index join (posting lists of length 1 are dead weight)
-        val shared = sh.withColumn("df",
-            count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("g")))
-          .filter(col("df") > 1).drop("df")
-        val inter = shared.as("a").join(shared.as("b"),
-            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("c"))
-        val jac = inter
-          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-          .withColumn("jaccard",
-            col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
-        jac.filter(col("jaccard") >= 0.2).select(col("doc_a"), col("doc_b"), col("jaccard"))
-      },
+      (s, d) => NearDup.jaccardPairs(Tables.documents(s, d), 3, 0.2),
       Some("""WITH docs AS (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS ws FROM documents),
              |grams AS (SELECT doc_id,
              |    unnest(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) AS g
@@ -160,28 +140,10 @@ object TextQueries {
     // smaller-id near-duplicate exists (greedy keep-first) — the actual
     // "which rows do we keep" output a training-data pipeline needs.
     Q("d5_neardup_survivors",
-      (s, d) => {
-        // persist: the shingle set feeds both sides of the self-join plus
-        // the size lookup — without it the explode+md5 pass runs 3×
-        val sh = Tables.documents(s, d).select(
-          col("doc_id"),
-          explode(array_distinct(Text.shingles(col("text"), 3))).as("g"))
-          .persist()
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val shared = sh.withColumn("df",
-            count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("g")))
-          .filter(col("df") > 1).drop("df")
-          .persist()
-        val pairs = shared.as("a").join(shared.as("b"),
-            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("c"))
-          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-          .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double") >= 0.2)
-        Tables.documents(s, d).select(col("doc_id"))
-          .join(pairs.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-      },
+      (s, d) => Tables.documents(s, d).select(col("doc_id"))
+        .join(NearDup.jaccardPairs(Tables.documents(s, d), 3, 0.2)
+            .select(col("doc_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti"),
       Some("""WITH docs AS (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS ws FROM documents),
              |grams AS (SELECT doc_id,
              |    unnest(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) AS g
@@ -198,29 +160,16 @@ object TextQueries {
     // Near-dup CLUSTERS: connected components over the Jaccard pair graph
     // (transitive closure — A~B, B~C ⇒ {A,B,C} one cluster, one survivor).
     // Oracle: recursive-CTE reachability in DuckDB.
+    // The pair graph is materialized exactly once inside
+    // connectedComponents (localCheckpoint of the symmetrized edges) —
+    // iterations run over that tiny edge list, never re-deriving shingles.
     Q("d7_neardup_components",
-      (s, d) => {
-        val sh = Tables.documents(s, d).select(
-          col("doc_id"),
-          explode(array_distinct(Text.shingles(col("text"), 3))).as("g"))
-          .persist()
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val shared = sh.withColumn("df",
-            count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("g")))
-          .filter(col("df") > 1).drop("df")
-        val pairs = shared.as("a").join(shared.as("b"),
-            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("c"))
-          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-          .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double") >= 0.2)
-          .select(col("doc_a"), col("doc_b"))
-        Components.connectedComponents(
+      (s, d) => Components.connectedComponents(
           Tables.documents(s, d).select(col("doc_id").as("id")),
-          pairs, "doc_a", "doc_b")
-          .select(col("id").as("doc_id"), col("component"))
-      },
+          NearDup.jaccardPairs(Tables.documents(s, d), 3, 0.2)
+            .select(col("doc_a"), col("doc_b")),
+          "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("component")),
       Some("""WITH RECURSIVE docs AS (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS ws FROM documents),
              |grams AS (SELECT doc_id,
              |    unnest(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) AS g
