@@ -113,6 +113,121 @@ object MartQueries {
              |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
              |GROUP BY n_name""".stripMargin)),
 
+    // TPC-H Q6 shape: pure scan + selective filter + single aggregate —
+    // the pushdown showcase (all three predicates reach the parquet scan;
+    // no shuffle at all, one partial+final agg).
+    Q("q6_forecast_revenue",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1997-01-01").cast("date") &&
+          col("l_discount").cast("decimal(3,2)")
+            .between(lit("0.05").cast("decimal(3,2)"), lit("0.07").cast("decimal(3,2)")) &&
+          col("l_quantity") < 24)
+        .agg(sum(money(col("l_extendedprice")) * col("l_discount").cast("decimal(3,2)"))
+          .cast("double").as("revenue")),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+             |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+             |  AND CAST(l_discount AS DECIMAL(3,2)) BETWEEN CAST('0.05' AS DECIMAL(3,2)) AND CAST('0.07' AS DECIMAL(3,2))
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // TPC-H Q10 shape: returned-item revenue ranking — selective fact
+    // filters, star join (bounded nation broadcast), top-20 TakeOrdered.
+    Q("q10_returned_items",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate").cast("date") >= lit("1996-10-01").cast("date"))
+          .filter(col("o_orderdate").cast("date") < lit("1997-01-01").cast("date"))
+        val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"),
+            money(col("c_acctbal")).cast("double").as("c_acctbal"), col("n_name"))
+          .agg(sum(revenue).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name,
+             |  CAST(CAST(c_acctbal AS DECIMAL(14,2)) AS DOUBLE) AS c_acctbal, n_name,
+             |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |  AND CAST(o_orderdate AS DATE) >= DATE '1996-10-01'
+             |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+             |GROUP BY c_custkey, c_name, CAST(CAST(c_acctbal AS DECIMAL(14,2)) AS DOUBLE), n_name
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // TPC-H Q14 shape: promo revenue share — conditional aggregation over a
+    // broadcast dim join, two sums in one pass.
+    Q("q14_promo_revenue",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_shipdate").cast("date") >= lit("1996-03-01").cast("date"))
+          .filter(col("l_shipdate").cast("date") < lit("1996-04-01").cast("date"))
+        li.join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .agg((lit(100.0) *
+            sum(when(col("p_type") === "PROMO", revenue).otherwise(lit("0.00").cast("decimal(14,2)"))).cast("double") /
+            sum(revenue).cast("double")).as("promo_pct"))
+      },
+      Some(s"""SELECT 100.0 *
+             |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revenueSql ELSE CAST('0.00' AS DECIMAL(14,2)) END) AS DOUBLE)
+             |  / CAST(SUM($revenueSql) AS DOUBLE) AS promo_pct
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-03-01'
+             |  AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'""".stripMargin)),
+
+    // TPC-H Q18 shape: large-volume orders — grouped HAVING on the fact,
+    // then key joins back to orders/customer. The heavy groupBy runs FIRST
+    // (partial agg before the shuffle) and its survivors drive the joins.
+    Q("q18_large_orders",
+      (s, d) => {
+        val big = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"))
+          .filter(col("sum_qty") > lit(350))
+        Tables.orders(s, d).join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            epochS(col("o_orderdate")).as("o_epoch"),
+            money(col("o_totalprice")).cast("double").as("o_totalprice"),
+            col("sum_qty").cast("double").as("sum_qty"))
+      },
+      Some(s"""SELECT c_custkey, c_name, o_orderkey, ${epochSql("o_orderdate")} AS o_epoch,
+             |  CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS o_totalprice,
+             |  CAST(sum_qty AS DOUBLE) AS sum_qty
+             |FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+             |      FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 350) b
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON o_custkey = c_custkey""".stripMargin)),
+
+    // TPC-H Q19 shape: disjunctive join predicate — Catalyst extracts the
+    // common equi key (partkey) and keeps the OR-of-conjuncts as the join
+    // filter, so this stays a broadcast HASH join (PlanSpec's no-BNLJ sweep
+    // proves it), unlike the naive reading of an OR join condition.
+    Q("q19_brand_quantity_revenue",
+      (s, d) => {
+        val disj =
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity") >= 1 && col("l_quantity") <= 11) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity") >= 20 && col("l_quantity") <= 30)
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)),
+            col("l_partkey") === col("p_partkey") && disj)
+          .agg(sum(revenue).cast("double").as("revenue"))
+      },
+      Some(s"""SELECT CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+             |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+             |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))""".stripMargin)),
+
     // Window functions: per-customer running total + order rank.
     Q("w1_running_totals",
       (s, d) => {

@@ -22,6 +22,21 @@ object TextQueries {
 
   private val wordsSql = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
 
+  /** DuckDB replica of [[Text.simhash64]] as a WITH prelude ending in
+    * `fp(doc_id, simhash)`. Same md5-derived 60-bit token hash
+    * (`CAST('0x'||hex15 AS BIGINT)` ≡ Spark's `conv(hex15, 16, 10)`),
+    * same ±1 counters, same sign rule; bits are disjoint so SUM of powers
+    * of two ≡ the engine's bit-OR fold. */
+  private val simhashFpSql =
+    s"""WITH docs AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) AS w FROM docs),
+       |h AS (SELECT doc_id, CAST(CONCAT('0x', substring(md5(w), 1, 15)) AS BIGINT) AS hv FROM tok),
+       |bits AS (SELECT doc_id, i, SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS c
+       |  FROM h, (SELECT unnest(range(60)) AS i) t(i) GROUP BY doc_id, i),
+       |fp AS (SELECT doc_id,
+       |    CAST(SUM(CASE WHEN c > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // Token counting + document fingerprint (rolling-hash analog: md5 of the
@@ -266,13 +281,47 @@ object TextQueries {
       },
       None),
 
-    // SimHash fingerprints: 60-bit, one fold per row. Rows-only (bit
-    // arithmetic not portable to the oracle); hamming-near pairs are checked
-    // in unit tests instead.
+    // SimHash fingerprints: 60-bit, one fold per row, no shuffle. The
+    // oracle rebuilds the identical hash in DuckDB SQL (md5-hex → 60-bit
+    // int, ±1 per token bit, sign → bit, sum of disjoint powers of two) —
+    // hash-checked, not rows-only.
     Q("d4_simhash",
       (s, d) => Tables.documents(s, d).select(
         col("doc_id"), Text.simhash64(col("text")).as("simhash")),
-      None),
+      Some(simhashFpSql + "\nSELECT doc_id, simhash FROM fp")),
+
+    // SimHash near-dup pairs, hamming ≤ 3. Spark side is the SCALE path:
+    // 4 bands of 15 bits — by pigeonhole any pair within hamming 3 agrees
+    // on ≥1 whole band, so banded candidate generation has PERFECT recall
+    // (an inverted-index join, never all-pairs) and the exact hamming
+    // filter keeps precision. The oracle brute-forces all pairs — two
+    // independent algorithms, one hash-compared answer.
+    Q("d8_simhash_hamming_pairs",
+      (s, d) => {
+        val fp = Tables.documents(s, d).select(
+          col("doc_id"), Text.simhash64(col("text")).as("simhash"))
+        val banded = fp.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map { b =>
+            struct(lit(b).as("band"),
+              call_function("shiftright", col("simhash"), lit(15 * b))
+                .bitwiseAND(lit(0x7FFFL)).as("bv"))
+          }: _*)).as("bk"))
+          .select(col("doc_id"), col("simhash"),
+            col("bk.band").as("band"), col("bk.bv").as("bv"))
+        banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            Text.hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
+          .distinct() // a pair can agree on several bands
+          .filter(col("hamming") <= 3)
+      },
+      Some(simhashFpSql +
+        """
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin)),
 
     // Brute-force exact ANN baseline: cosine top-10 around vec_id = 0.
     // Decimal dot products → deterministic doubles (Registry conventions).
