@@ -22,9 +22,12 @@ object Scratch {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("d2_ngram_jaccard_pairs", "d5_neardup_survivors", "d7_neardup_components")
     spark.read.parquet(s"$sfDir/documents.parquet").count() // warmup
+
     for (n <- names; rep <- 1 to 2) {
       val t0 = System.nanoTime()
-      val c = byName(n)(spark, sfDir).count()
+      // toRdd forces every output column to be computed (count() alone
+      // would let Catalyst prune pure projections to a row count)
+      val c = byName(n)(spark, sfDir).queryExecution.toRdd.count()
       println(f"[scratch] $n rep$rep rows=$c t=${(System.nanoTime() - t0) / 1e9}%.2f s")
       spark.sharedState.cacheManager.clearCache()
     }

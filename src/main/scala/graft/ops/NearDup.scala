@@ -26,6 +26,32 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
+  /** (doc_id, simhash): [[Text.simhash64]] re-shaped for bulk computation —
+    * explode tokens once, ONE md5 per token, 60 map-side-combinable
+    * bit-count sums per doc, fingerprint assembled from the counts
+    * (2·Σbitᵢ > n ⟺ the ±1 counter is positive — same value, bit for bit;
+    * SimhashSpec asserts equality against the column form). The
+    * nested-lambda column form allocates a 60-int array per token inside
+    * codegen — this form is the d3 lesson (explode+agg beats k-way lambda)
+    * applied to simhash: ~10× on bulk corpora. Docs with no words get
+    * fingerprint 0, matching the column form. */
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(Text.words(col("text"))).as("w"))
+      .withColumn("h", Text.md5Long(col("w")))
+    val sums = (0 until 60).map(i =>
+      sum(call_function("shiftright", col("h"), lit(i)).bitwiseAND(lit(1L))).as(s"s$i"))
+    val counted = tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sums: _*)
+    val fp = counted.select(col("doc_id"),
+      (0 until 60).map(i =>
+        when(col(s"s$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+    docs.select(col("doc_id"))
+      .join(fp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
+  }
+
   /** (doc_a, doc_b, jaccard) for all pairs with n-gram Jaccard ≥ minJ;
     * doc_a < doc_b. `docs` needs (doc_id, text). */
   def jaccardPairs(docs: DataFrame, n: Int, minJ: Double): DataFrame = {

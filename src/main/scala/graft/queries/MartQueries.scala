@@ -21,6 +21,8 @@ object MartQueries {
   private val revenueSql =
     "CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(3,2))"
 
+  private val docWordsSql = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+
   def all: Seq[Q] = Seq(
 
     // TPC-H Q1 shape: scan-heavy grouped aggregation, 6 aggregates.
@@ -490,6 +492,58 @@ object MartQueries {
              |  COUNT(*) AS n_events,
              |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // Entity-resolution fuzzy match: customer-name pairs within edit
+    // distance 1 via [[graft.ops.FuzzyMatch.lev1Pairs]] — exact wildcard/
+    // deletion-variant blocking where the join condition itself proves the
+    // distance, so NO levenshtein is ever evaluated, and never all-pairs
+    // (O(n·len) variant keys). The oracle brute-forces every pair with
+    // DuckDB's levenshtein — two entirely different algorithms, one
+    // hash-compared answer.
+    Q("er1_fuzzy_name_pairs",
+      (s, d) => graft.ops.FuzzyMatch
+        .lev1Pairs(Tables.customer(s, d), "c_custkey", "c_name")
+        .select(col("key_a").as("cust_a"), col("key_b").as("cust_b"), col("lev")),
+      Some("""SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+             |  levenshtein(a.c_name, b.c_name) AS lev
+             |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+             |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)),
+
+    // GROUPING SETS with grouping-level tags through the SQL surface (the
+    // general form behind rollup/cube): two one-column groupings plus the
+    // grand total in ONE pass over orders (Spark expands to a single
+    // aggregate, not three scans).
+    Q("gs1_grouping_sets",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_orders_gs")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                |  grouping(o_orderstatus) AS g_status, grouping(o_orderpriority) AS g_prio,
+                |  COUNT(*) AS n_orders,
+                |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+                |FROM graft_orders_gs
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+             |  CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+             |  COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)),
+
+    // posexplode — ordinal-preserving UNNEST (the index matters for
+    // sequence data: token positions, frame numbers). Oracle pairs each
+    // element with its 0-based index via a range join on the list.
+    Q("a3_posexplode_words",
+      (s, d) => Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          posexplode(graft.ops.Text.words(col("text"))))
+        .withColumnRenamed("pos", "word_pos")
+        .withColumnRenamed("col", "word"),
+      Some(s"""WITH docs AS (SELECT doc_id, $docWordsSql AS ws FROM documents WHERE doc_id < 100)
+             |SELECT doc_id, i - 1 AS word_pos, ws[i] AS word
+             |FROM docs, unnest(range(1, len(ws) + 1)) t(i)""".stripMargin)),
 
     // Sessionization: 30-minute-gap sessions via lag + running flag-sum —
     // windows per user key, no global sort.

@@ -286,8 +286,7 @@ object TextQueries {
     // int, ±1 per token bit, sign → bit, sum of disjoint powers of two) —
     // hash-checked, not rows-only.
     Q("d4_simhash",
-      (s, d) => Tables.documents(s, d).select(
-        col("doc_id"), Text.simhash64(col("text")).as("simhash")),
+      (s, d) => NearDup.simhashFingerprints(Tables.documents(s, d)),
       Some(simhashFpSql + "\nSELECT doc_id, simhash FROM fp")),
 
     // SimHash near-dup pairs, hamming ≤ 3. Spark side is the SCALE path:
@@ -298,8 +297,7 @@ object TextQueries {
     // independent algorithms, one hash-compared answer.
     Q("d8_simhash_hamming_pairs",
       (s, d) => {
-        val fp = Tables.documents(s, d).select(
-          col("doc_id"), Text.simhash64(col("text")).as("simhash"))
+        val fp = NearDup.simhashFingerprints(Tables.documents(s, d))
         val banded = fp.select(col("doc_id"), col("simhash"),
           explode(array((0 until 4).map { b =>
             struct(lit(b).as("band"),

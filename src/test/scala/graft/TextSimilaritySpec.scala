@@ -37,6 +37,22 @@ class TextSimilaritySpec extends SparkTestBase {
     assert(java.lang.Long.bitCount(m("x") ^ m("z")) > 10)
   }
 
+  test("simhashFingerprints (explode+agg) ≡ simhash64 (column fold) on real docs") {
+    val docs = Tables.documents(spark, Sf001).limit(50)
+    val bulk = graft.ops.NearDup.simhashFingerprints(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val colForm = docs.select($"doc_id", Text.simhash64($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bulk == colForm)
+  }
+
+  test("simhashFingerprints: wordless doc gets fingerprint 0") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "   ")).toDF("doc_id", "text")
+    val m = graft.ops.NearDup.simhashFingerprints(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(2L) == 0L && m.size == 2)
+  }
+
   test("cosine: self-similarity is 1.0 within 1e-9 on real embeddings") {
     val e = Tables.embeddings(spark, Sf001).limit(5)
     val sims = e.select(Similarity.cosine($"embedding", $"embedding").as("c"))
