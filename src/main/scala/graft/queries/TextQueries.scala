@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Components, NearDup, Similarity, Text}
+import graft.ops.{Components, Multimodal, NearDup, Similarity, Text}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
@@ -427,5 +427,42 @@ object TextQueries {
              |       ELSE 'webp' END AS fake_format,
              |  64 + n_chars % 512 AS fake_width,
              |  md5(text) AS content_hash
-             |FROM documents""".stripMargin)))
+             |FROM documents""".stripMargin)),
+
+    // Multimodal DECODE pipeline end-to-end: blob-byte-aware partition
+    // sizing (repartitionForBlobs) → per-partition batched decode
+    // (Multimodal.decode, the mapInPandas-shaped stub) → typed columnar
+    // output. The stub is deterministic (dims + byte histogram from the
+    // blob alone), so the ORACLE recomputes it byte-for-byte in SQL —
+    // the plumbing is hash-verified even though the codec is fake. Docs
+    // are ASCII, so DuckDB's per-char ascii() equals Spark's blob bytes.
+    Q("mm2_multimodal_decode",
+      (s, d) => {
+        val media = Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text")
+        val decoded = Multimodal.decode(
+          Multimodal.repartitionForBlobs(media, targetBytes = 1L << 20))
+        decoded.select(
+          (Seq(col("media_id"), col("format"), col("byte_len"),
+            col("width"), col("height")) ++
+            (0 until 8).map(i => element_at(col("feature"), i + 1).as(s"f$i"))): _*)
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |    list_transform(range(1, length(text) + 1),
+             |                   i -> ascii(substring(text, i, 1)) // 32) AS buckets
+             |  FROM documents)
+             |SELECT d.doc_id AS media_id,
+             |  CASE WHEN d.doc_id % 3 = 0 THEN 'jpeg'
+             |       WHEN d.doc_id % 3 = 1 THEN 'png' ELSE 'webp' END AS format,
+             |  length(d.text) AS byte_len,
+             |  64 + (length(d.text) % 512) AS width,
+             |  64 + ((length(d.text) // 7) % 512) AS height,
+             |  CAST(len(list_filter(b.buckets, x -> x = 0)) AS DOUBLE) AS f0,
+             |  CAST(len(list_filter(b.buckets, x -> x = 1)) AS DOUBLE) AS f1,
+             |  CAST(len(list_filter(b.buckets, x -> x = 2)) AS DOUBLE) AS f2,
+             |  CAST(len(list_filter(b.buckets, x -> x = 3)) AS DOUBLE) AS f3,
+             |  CAST(len(list_filter(b.buckets, x -> x = 4)) AS DOUBLE) AS f4,
+             |  CAST(len(list_filter(b.buckets, x -> x = 5)) AS DOUBLE) AS f5,
+             |  CAST(len(list_filter(b.buckets, x -> x = 6)) AS DOUBLE) AS f6,
+             |  CAST(len(list_filter(b.buckets, x -> x = 7)) AS DOUBLE) AS f7
+             |FROM documents d JOIN b ON d.doc_id = b.doc_id""".stripMargin)))
 }
