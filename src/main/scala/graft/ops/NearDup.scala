@@ -59,6 +59,12 @@ object NearDup {
       col("doc_id"),
       explode(array_distinct(Text.shingles(col("text"), n))).as("g"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // df>1 prefilter as a WINDOW on g, not an agg+semi-join: the window
+    // consumes the same exchange the pair self-join needs, so the whole
+    // prefilter costs one per-partition sort. The agg+semi variant was
+    // measured 3× slower — AQE broadcasts the df keys, which splits the
+    // plan off the shared exchange and recomputes the shingle explode
+    // per branch.
     val shared = sh.withColumn("df",
         count(lit(1)).over(Window.partitionBy("g")))
       .filter(col("df") > 1).drop("df")
