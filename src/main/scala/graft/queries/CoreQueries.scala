@@ -393,6 +393,10 @@ object CoreQueries {
         val ev = Tables.events(s, d)
           .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
             col("event_id"), col("event_type"))
+        // localCheckpoint: closeAndInsert fans the dim into four branches
+        // (history, kept, closed, max-SK action); without materializing,
+        // the change-log windows re-run per branch. In a real pipeline the
+        // dim comes off parquet and rescans are already cheap.
         val dim0 = Scd2.withGlobalSk(
           Scd2.fromChangeLog(
             ev.filter(col("ts") < lit(CutoffTs).cast("timestamp")),
@@ -400,6 +404,7 @@ object CoreQueries {
           "user_id", "sk")
           .select(col("user_id"), col("event_type"), col("sk"),
             col("valid_from"), col("valid_to"), col("is_current"))
+          .localCheckpoint()
         val stg = MergeOps.latestByKey(ev, Seq("user_id"), Seq(col("ts"), col("event_id")))
           .select(col("user_id"), col("event_type"))
         Scd2.closeAndInsert(dim0, stg, "user_id", Seq("event_type"),
