@@ -250,6 +250,69 @@ object MartQueries {
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
 
+    // RANGE window frame: trailing-30-day order stats per customer. RANGE
+    // (unlike ROWS) is tie-insensitive — every order on the same date sees
+    // the same frame — so no tie-break column is even needed for
+    // determinism. Frame bounds are epoch seconds.
+    Q("w2_trailing_30d",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(epochS(col("o_orderdate")))
+          .rangeBetween(-30L * 86400, 0)
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          count(lit(1)).over(w).as("n_trailing"),
+          sum(money(col("o_totalprice"))).over(w).cast("double").as("sum_trailing"))
+      },
+      Some(s"""SELECT o_orderkey, o_custkey,
+             |  COUNT(*) OVER w AS n_trailing,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER w AS DOUBLE) AS sum_trailing
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY ${epochSql("o_orderdate")}
+             |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // Ranking-function family over one window: rank/dense_rank carry ties,
+    // percent_rank/cume_dist are exact small-integer ratios (bit-identical
+    // doubles on both engines), ntile fills larger buckets first (SQL
+    // standard on both). Total ordering via the orderkey tie-break.
+    Q("w3_rank_family",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_orderstatus"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"),
+          ntile(4).over(w).as("quartile"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |  rank() OVER w AS rnk,
+             |  dense_rank() OVER w AS drnk,
+             |  percent_rank() OVER w AS prnk,
+             |  cume_dist() OVER w AS cdist,
+             |  ntile(4) OVER w AS quartile
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""".stripMargin)),
+
+    // MapType + higher-order map functions: per-status map of
+    // priority → order count (map_from_entries over a sorted nested agg),
+    // exploded back to rows. The oracle is the flat two-level GROUP BY the
+    // map round-trip must preserve exactly.
+    Q("map1_priority_counts",
+      (s, d) => {
+        val counts = Tables.orders(s, d)
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+        val mapped = counts.groupBy(col("o_orderstatus"))
+          .agg(map_from_entries(sort_array(
+            collect_list(struct(col("o_orderpriority"), col("n"))))).as("m"))
+        mapped.select(col("o_orderstatus"), explode(col("m")).as(Seq("o_orderpriority", "n")))
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+             |FROM orders GROUP BY 1, 2""".stripMargin)),
+
     // ROLLUP hierarchy totals.
     Q("rollup_orders",
       (s, d) => Tables.orders(s, d)
