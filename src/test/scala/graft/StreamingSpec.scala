@@ -58,6 +58,42 @@ class StreamingSpec extends SparkTestBase {
     assert(n == want, s"expected $want deduped events, got $n")
   }
 
+  test("stream-stream interval join matches the batch equivalent") {
+    // click ⋈ purchase by user within [click_ts, click_ts + 1h] — both
+    // sides watermarked so the join state is bounded (Spark requires the
+    // time-interval condition + watermarks to age out buffered rows)
+    val dir = eventsStreamDir
+    def side(tpe: String, tsName: String) = spark.readStream
+      .schema(rawSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .filter(col("event_type") === tpe)
+      .select(col("user_id"), col("event_id").as(s"${tsName}_id"), col("ts").as(tsName))
+      .withWatermark(tsName, "2 hours")
+    val left = side("click", "click_ts").as("c")
+    val right = side("purchase", "p_ts").as("p")
+    val stream = left.join(right,
+      col("c.user_id") === col("p.user_id") &&
+        col("p_ts") >= col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c.user_id"), col("click_ts_id"), col("p_ts_id"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_stream").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val ev = Tables.events(spark, Sf001)
+    def bside(tpe: String, tsName: String) = ev.filter(col("event_type") === tpe)
+      .select(col("user_id"), col("event_id").as(s"${tsName}_id"), col("ts").as(tsName))
+    val want = bside("click", "click_ts").as("c").join(bside("purchase", "p_ts").as("p"),
+        col("c.user_id") === col("p.user_id") &&
+          col("p_ts") >= col("click_ts") &&
+          col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c.user_id"), col("click_ts_id"), col("p_ts_id"))
+      .collect().map(_.toSeq).toSet
+    val got = spark.table("ssj_stream").collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture should produce at least one joined pair")
+  }
+
   test("streaming SCD2 via foreachBatch: two micro-batches evolve versions like batch merges") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
