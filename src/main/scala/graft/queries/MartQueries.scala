@@ -230,6 +230,69 @@ object MartQueries {
              |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
              |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))""".stripMargin)),
 
+    // TPC-H Q9 shape: 5-way star join (two broadcast dims) with a derived
+    // profit measure, grouped by nation × order year. (The reference
+    // part-cost table doesn't exist in the fixture set; cost is derived
+    // from p_retailprice — the JOIN SHAPE is the point.)
+    Q("q9_profit_by_nation",
+      (s, d) => {
+        val cost = (col("p_retailprice").cast("decimal(14,2)") *
+          lit("0.60").cast("decimal(3,2)")).cast("decimal(14,2)")
+        val profit = revenue - (cost * col("l_quantity").cast("decimal(12,2)"))
+          .cast("decimal(18,2)")
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+          .agg(sum(profit).cast("double").as("profit"))
+      },
+      Some(s"""SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             |  CAST(SUM($revenueSql
+             |    - CAST(CAST(CAST(p_retailprice AS DECIMAL(14,2)) * CAST('0.60' AS DECIMAL(3,2)) AS DECIMAL(14,2))
+             |      * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(18,2))) AS DOUBLE) AS profit
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY n_name, year(o_orderdate)""".stripMargin)),
+
+    // Correlated scalar subquery — customers above their nation's average
+    // balance. Catalyst DECORRELATES this into an aggregate + join (the
+    // no-BNLJ plan sweep proves no per-row subquery execution survives).
+    Q("sub1_above_nation_avg",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("graft_cust_sub1")
+        s.sql("""SELECT c_custkey, c_nationkey,
+                |  CAST(CAST(c_acctbal AS DECIMAL(14,2)) AS DOUBLE) AS c_acctbal
+                |FROM graft_cust_sub1 c
+                |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM graft_cust_sub1 c2
+                |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_nationkey,
+             |  CAST(CAST(c_acctbal AS DECIMAL(14,2)) AS DOUBLE) AS c_acctbal
+             |FROM customer c
+             |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+             |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)),
+
+    // NOT IN with a NULL-bearing subquery — the classic three-valued-logic
+    // trap: one NULL in the IN-list makes NOT IN never-true, so the query
+    // must return ZERO rows on BOTH engines (c_custkey 0 exists, NULLIF
+    // injects the NULL). Guards the engine against "optimizing" NOT IN
+    // into a plain anti join.
+    Q("sub2_not_in_null_semantics",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_orders_sub2")
+        Tables.customer(s, d).createOrReplaceTempView("graft_cust_sub2")
+        s.sql("""SELECT o_orderkey FROM graft_orders_sub2
+                |WHERE o_custkey NOT IN
+                |  (SELECT NULLIF(c_custkey, 0) FROM graft_cust_sub2)""".stripMargin)
+      },
+      Some("""SELECT o_orderkey FROM orders
+             |WHERE o_custkey NOT IN (SELECT NULLIF(c_custkey, 0) FROM customer)""".stripMargin)),
+
     // Window functions: per-customer running total + order rank.
     Q("w1_running_totals",
       (s, d) => {
