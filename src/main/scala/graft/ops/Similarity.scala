@@ -133,20 +133,46 @@ object Similarity {
       .limit(k)
   }
 
-  /** Bucketed ANN top-k: restrict the scan to the query's LSH bucket, then
-    * exact cosine within it. Returns (vec_id, cos_sim). */
+  /** Bucketed ANN top-k: restrict the scan to the query's LSH bucket(s),
+    * then exact cosine within them. Returns (vec_id, cos_sim).
+    *
+    * `probeRadius` is the multi-probe knob: additionally probe every
+    * bucket within that hamming distance of the query's signature. With a
+    * single bucket (radius 0), recall@k is capped at bucket_size/k
+    * (≈ n/2^bits candidates); each radius step multiplies the candidate
+    * pool (×(1+bits), then ×O(bits²)) for the SAME index — recall/cost is
+    * a query-time knob, no rebuild. Probe keys are distinct and each
+    * vector lives in exactly one bucket, so no candidate dedup is needed.
+    * (Recall on weakly-clustered corpora is angle-theory-bounded:
+    * P[bit match] = 1 − θ/π per plane — the fixture's measured values
+    * live in TextSimilaritySpec.) */
   def lshTopK(
       embeddings: DataFrame,
       queryVec: DataFrame,
       planesDf: DataFrame,
       k: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      probeRadius: Int = 1): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 2, "probeRadius ∈ {0,1,2}")
     val bucketed = embeddings.crossJoin(broadcast(planesDf))
       .withColumn("__bucket", lshBucket(col(vecCol), col("planes")))
+    val qSig = lshBucket(col("qe"), col("planes"))
+    val nb = size(col("planes"))
+    def flip(sig: Column, i: Column): Column =
+      sig.bitwiseXOR(call_function("shiftleft", lit(1L), i))
+    val r1 = transform(sequence(lit(0), nb - 1), i => flip(qSig, i))
+    // ordered i<j pairs; outer stops at nb-2 so the inner sequence never
+    // runs backwards (sequence(a, b) DESCENDS when a > b)
+    val r2 = flatten(transform(sequence(lit(0), nb - 2), i =>
+      transform(sequence(i + 1, nb - 1), j => flip(flip(qSig, i), j))))
+    val probes = probeRadius match {
+      case 0 => array(qSig)
+      case 1 => array_union(array(qSig), r1)
+      case 2 => array_union(array_union(array(qSig), r1), r2)
+    }
     val qB = queryVec.crossJoin(broadcast(planesDf))
-      .withColumn("__bucket", lshBucket(col("qe"), col("planes")))
-      .select(col("__bucket"), col("qe"))
+      .select(explode(probes).as("__bucket"), col("qe"))
     bucketed.join(broadcast(qB), Seq("__bucket"))
       .select(col(idCol), cosine(col(vecCol), col("qe")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))

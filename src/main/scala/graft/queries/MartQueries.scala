@@ -293,6 +293,50 @@ object MartQueries {
       Some("""SELECT o_orderkey FROM orders
              |WHERE o_custkey NOT IN (SELECT NULLIF(c_custkey, 0) FROM customer)""".stripMargin)),
 
+    // TPC-H Q17 shape: correlated aggregate against the join partner —
+    // lineitems under 20% of their part's average quantity. Decorrelates
+    // to a per-part aggregate joined back (one pass + broadcast join).
+    Q("q17_small_quantity_revenue",
+      (s, d) => {
+        // qty < 0.2·avg  ⟺  5·qty·cnt < sum — multiplication-only, so the
+        // comparison is EXACT decimal arithmetic on both engines (an
+        // avg/0.2-multiply form rounds at the division and can flip
+        // boundary rows between engines)
+        val perPart = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey").as("ap_partkey"))
+          .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"),
+            count(lit(1)).as("cnt"))
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)).filter(col("p_brand") === "Brand#1"),
+            col("l_partkey") === col("p_partkey"))
+          .join(perPart, col("l_partkey") === col("ap_partkey"))
+          .filter(col("l_quantity").cast("decimal(12,2)") * lit(5) * col("cnt") <
+            col("sum_qty"))
+          .agg((sum(money(col("l_extendedprice"))).cast("double") / lit(7.0)).as("avg_yearly"))
+      },
+      Some("""WITH a AS (SELECT l_partkey AS ap_partkey,
+             |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty, COUNT(*) AS cnt
+             |  FROM lineitem GROUP BY 1)
+             |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / 7.0 AS avg_yearly
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |JOIN a ON l_partkey = ap_partkey
+             |WHERE p_brand = 'Brand#1'
+             |  AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sum_qty""".stripMargin)),
+
+    // UNPIVOT (melt) — the pivot inverse, round-tripped: wide per-status
+    // counts back to (priority, status, n) rows, NULL cells (absent
+    // combos) dropped, which must reproduce the plain GROUP BY.
+    Q("un1_unpivot_roundtrip",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")), "o_orderstatus", "n")
+        .filter(col("n").isNotNull),
+      Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+             |FROM orders GROUP BY 1, 2""".stripMargin)),
+
     // Window functions: per-customer running total + order rank.
     Q("w1_running_totals",
       (s, d) => {

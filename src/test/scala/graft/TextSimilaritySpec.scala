@@ -69,6 +69,27 @@ class TextSimilaritySpec extends SparkTestBase {
     assert(run(1) == run(7))
   }
 
+  test("ANN recall@10: multi-probe radius trades cost for recall, IVF floor holds") {
+    def ids(name: String) = graft.queries.Registry.all.find(_.name == name).get
+      .fn(spark, Sf001).collect().map(_.getLong(0)).toSet
+    val exact = ids("sim1_cosine_topk")
+    val e = Tables.embeddings(spark, Sf001)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    val planes = e.filter($"vec_id".between(1, 6))
+      .agg(sort_array(collect_list(struct($"vec_id", $"embedding"))).as("ps"))
+      .select(transform($"ps", p => p.getField("embedding")).as("planes"))
+    val recalls = (0 to 2).map { r =>
+      Similarity.lshTopK(e, q, planes, 10, probeRadius = r)
+        .collect().map(_.getLong(0)).toSet.intersect(exact).size / 10.0
+    }
+    val ivfRecall = ids("sim4_ivf_topk").intersect(exact).size / 10.0
+    info(f"recall@10: lsh(r=0/1/2)=${recalls(0)}%.1f/${recalls(1)}%.1f/${recalls(2)}%.1f ivf=$ivfRecall%.1f")
+    assert(recalls(0) <= recalls(1) && recalls(1) <= recalls(2),
+      s"widening the probe radius must not lose neighbors: $recalls")
+    assert(recalls(2) >= 0.4, s"radius-2 recall collapsed: ${recalls(2)}")
+    assert(ivfRecall >= 0.3, s"IVF recall collapsed: $ivfRecall")
+  }
+
   test("LSH top-k: query's own vector is always in its bucket and ranked first") {
     val e = Tables.embeddings(spark, Sf001)
     val q = e.filter($"vec_id" === 0).select($"embedding".as("qe"))
