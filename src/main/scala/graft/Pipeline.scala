@@ -27,13 +27,23 @@ object Pipeline {
         col("o_orderpriority"))).as("payload"))
     val rawDeduped = MergeOps.latestByKey(raw, Seq("source_id"), Seq(col("source_id")))
 
-    // ---- staging: typed extraction from JSON (P1-P4)
-    val stgOrders = rawDeduped.select(
-      Extract.jsonInt(col("payload"), "o_orderkey").cast("long").as("orderkey"),
-      Extract.jsonInt(col("payload"), "o_custkey").cast("long").as("custkey"),
-      Extract.jsonText(col("payload"), "o_orderstatus").as("status"),
-      Extract.jsonText(col("payload"), "o_totalprice").cast("double").as("totalprice"),
-      to_timestamp(Extract.jsonText(col("payload"), "o_orderdate")).as("orderdate"))
+    // ---- staging: typed extraction from JSON (P1-P4), ONE from_json parse
+    // per payload (SURVEY §2.2 guidance; per-field get_json_object would
+    // re-parse the payload five times)
+    val stgSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_custkey", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("o_orderdate", org.apache.spark.sql.types.StringType)))
+    val stgOrders = rawDeduped
+      .select(from_json(col("payload"), stgSchema).as("j"))
+      .select(
+        col("j.o_orderkey").as("orderkey"),
+        col("j.o_custkey").as("custkey"),
+        col("j.o_orderstatus").as("status"),
+        col("j.o_totalprice").as("totalprice"),
+        to_timestamp(col("j.o_orderdate")).as("orderdate"))
 
     // ---- dwh: SCD2 customer dimension (single initial load → one current
     // version per key) with deterministic surrogate keys

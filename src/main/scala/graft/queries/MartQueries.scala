@@ -337,6 +337,36 @@ object MartQueries {
       Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
              |FROM orders GROUP BY 1, 2""".stripMargin)),
 
+    // TPC-H Q22 shape: above-average-balance customers with no URGENT
+    // orders — an uncorrelated global aggregate broadcast as a filter,
+    // composed with a left anti join, grouped by nation. ("no orders at
+    // all" is empty at every fixture SF; urgency keeps the shape AND the
+    // rows.) The threshold is multiplication-only (bal·cnt > sum), exact
+    // decimal on both engines — same trick as q17.
+    Q("q22_dormant_rich_customers",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val bal = c.filter(col("c_acctbal") > 0)
+          .agg(sum(money(col("c_acctbal"))).as("sum_bal"), count(lit(1)).as("cnt"))
+        val rich = c.crossJoin(broadcast(bal))
+          .filter(money(col("c_acctbal")) * col("cnt") > col("sum_bal"))
+        rich.join(
+            Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(money(col("c_acctbal"))).cast("double").as("totacctbal"))
+      },
+      Some("""WITH b AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS sum_bal, COUNT(*) AS cnt
+             |          FROM customer WHERE c_acctbal > 0)
+             |SELECT c_nationkey, COUNT(*) AS numcust,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS totacctbal
+             |FROM customer c, b
+             |WHERE CAST(c_acctbal AS DECIMAL(14,2)) * cnt > sum_bal
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+             |GROUP BY c_nationkey""".stripMargin)),
+
     // Window functions: per-customer running total + order rank.
     Q("w1_running_totals",
       (s, d) => {

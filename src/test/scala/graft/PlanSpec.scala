@@ -42,9 +42,11 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("no query in the registry plans a nested-loop join (except the 1-row ANN query seed)") {
-    // cross-join against a single-row broadcast query vector is the one
-    // legitimate BNLJ shape (sim1/sim2); everything else must hash-join
-    val allowed = Set("sim1_cosine_topk", "sim2_lsh_topk", "sim4_ivf_topk")
+    // cross-join against a SINGLE-ROW broadcast (the ANN query vector, a
+    // global-aggregate scalar) is the one legitimate BNLJ shape — the
+    // "loop" runs over one row; everything else must hash-join
+    val allowed = Set("sim1_cosine_topk", "sim2_lsh_topk", "sim4_ivf_topk",
+      "q22_dormant_rich_customers")
     Registry.all.filterNot(q => allowed(q.name)).foreach { q =>
       val p = q.fn(spark, Sf001).queryExecution.executedPlan.toString
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
