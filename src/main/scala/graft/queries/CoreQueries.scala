@@ -386,6 +386,34 @@ object CoreQueries {
              |  (vt IS NULL) AS is_current, version
              |FROM v""".stripMargin)),
 
+    // SCD2 point-in-time lookup — the consumer side of the dimension: the
+    // state of every entity AS OF the cutoff (valid_from ≤ T < valid_to),
+    // i.e. time travel over the version history the loads maintain.
+    Q("pit1_dim_as_of_cutoff",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+            col("event_id"), col("event_type"))
+        Scd2.fromChangeLog(ev, "user_id", "ts", Seq("event_type"), Seq("event_id"))
+          .filter(col("valid_from") <= lit(CutoffTs).cast("timestamp") &&
+            lit(CutoffTs).cast("timestamp") < col("valid_to"))
+          .select(col("user_id"), col("event_type"),
+            epochS(col("valid_from")).as("vf_epoch"))
+      },
+      Some(s"""WITH e AS (SELECT user_id, ts, event_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn0
+             |  FROM events),
+             |c AS (SELECT user_id, ts, event_id, event_type FROM e
+             |      WHERE rn0 = 1 OR prev IS DISTINCT FROM event_type),
+             |v AS (SELECT user_id, event_type, ts AS vf,
+             |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+             |      FROM c)
+             |SELECT user_id, event_type, ${epochSql("vf")} AS vf_epoch
+             |FROM v
+             |WHERE vf <= TIMESTAMP '$CutoffTs'
+             |  AND (vt IS NULL OR TIMESTAMP '$CutoffTs' < vt)""".stripMargin)),
+
     // M3 batch form — close-and-insert against an existing dimension
     // (ref: dwh_dim_character.py:55-114, UPDATE+INSERT transaction → one pass).
     Q("m3_scd2_close_insert",

@@ -367,6 +367,30 @@ object MartQueries {
              |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
              |GROUP BY c_nationkey""".stripMargin)),
 
+    // Generated calendar dimension — the warehouse dim_date: one row per
+    // day from a pure sequence (no source table), with the standard
+    // attribute columns. Engine date-part parity: Spark dayofweek is
+    // 1=Sunday, DuckDB's is 0=Sunday, hence the -1.
+    Q("dim1_date_dimension",
+      (s, d) => s.range(1).select(
+          explode(sequence(
+            lit("1995-01-01").cast("date"), lit("1995-12-31").cast("date"),
+            expr("interval 1 day"))).as("d"))
+        .select(
+          date_format(col("d"), "yyyy-MM-dd").as("d"),
+          year(col("d")).as("y"),
+          quarter(col("d")).as("q"),
+          month(col("d")).as("m"),
+          dayofmonth(col("d")).as("dom"),
+          dayofyear(col("d")).as("doy"),
+          (dayofweek(col("d")) - 1).as("dow"),
+          (dayofweek(col("d")).isin(1, 7)).as("is_weekend")),
+      Some("""SELECT strftime(d, '%Y-%m-%d') AS d, year(d) AS y, quarter(d) AS q,
+             |  month(d) AS m, dayofmonth(d) AS dom, dayofyear(d) AS doy,
+             |  dayofweek(d) AS dow, dayofweek(d) IN (0, 6) AS is_weekend
+             |FROM (SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-12-31',
+             |                                         INTERVAL 1 DAY)) AS DATE) AS d)""".stripMargin)),
+
     // Window functions: per-customer running total + order rank.
     Q("w1_running_totals",
       (s, d) => {
