@@ -33,6 +33,38 @@ object CoreQueries {
              |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
              |  FROM events) t WHERE rn = 1""".stripMargin)),
 
+    // S1/S2/S3 — the full paginated ingest path, oracle-checked: an
+    // in-memory PageClient serves 100-row pages derived from the customer
+    // table (pagination + retry are driver-side by design, mirroring the
+    // reference's HTTP loop — the DISTRIBUTED work starts once pages land
+    // as a DataFrame); page 2's first fetch throws to exercise the retry;
+    // payloads re-extract to typed columns that must hash-match the
+    // source table exactly.
+    Q("s1_paginated_ingest",
+      (s, d) => {
+        val src = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+          .orderBy(col("c_custkey"))
+          .collect()
+          .map(r => (r.getLong(0),
+            s"""{"id":${r.getLong(0)},"name":"${r.getString(1)}","nationkey":${r.getInt(2)}}"""))
+        val pageSize = 100
+        val client = new graft.ingest.RawIngest.PageClient {
+          private var page2Failures = 1 // first fetch of page 2 is transient
+          def fetchPage(n: Int): Option[graft.ingest.RawIngest.Page] = {
+            if (n == 2 && page2Failures > 0) { page2Failures -= 1; sys.error("transient") }
+            val slice = src.slice((n - 1) * pageSize, n * pageSize)
+            if (slice.isEmpty) None else Some(slice.toSeq)
+          }
+        }
+        val raw = graft.ingest.RawIngest.extractAll(s, client)
+        raw.select(
+          Extract.jsonText(col("payload"), "id").cast("long").as("id"),
+          Extract.jsonText(col("payload"), "name").as("name"),
+          Extract.jsonText(col("payload"), "nationkey").cast("int").as("nationkey"))
+      },
+      Some("SELECT c_custkey AS id, c_name AS name, c_nationkey AS nationkey FROM customer")),
+
     // P1/P3 — JSON scalar extraction + cast (ref: stg_character.py:53-61).
     Q("p1_json_extraction",
       (s, d) => Tables.events(s, d).select(
