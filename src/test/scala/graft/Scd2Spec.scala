@@ -65,6 +65,47 @@ class Scd2Spec extends SparkTestBase {
     }
   }
 
+  test("SCD2 invariants hold across random multi-batch closeAndInsert sequences (scalacheck)") {
+    val genBatch = Gen.listOfN(6, for {
+      bk <- Gen.choose(1, 4)
+      attr <- Gen.oneOf("a", "b", "c", "d")
+    } yield (bk, attr))
+
+    (0 until 5).foreach { i =>
+      var dim = Scd2.withGlobalSk(
+        Scd2.fromChangeLog(changeLog((1, "2024-01-01 00:00:00", "a")), "bk", "ts", Seq("attr")),
+        "bk", "sk")
+        .select($"bk", $"attr", $"sk", $"valid_from", $"valid_to", $"is_current")
+      var lastState = Map(1 -> "a")
+      (0 until 4).foreach { batchNo =>
+        val raw = genBatch.apply(Gen.Parameters.default, Seed(1000L * i + batchNo))
+          .getOrElse(Nil)
+        val batch = raw.groupBy(_._1).map(_._2.head).toSeq // one row per bk
+        if (batch.nonEmpty) {
+          val runTs = lit(f"2024-02-${batchNo + 1}%02d 00:00:00").cast("timestamp")
+          dim = Scd2.closeAndInsert(dim, batch.toDF("bk", "attr"), "bk", Seq("attr"), runTs, "sk")
+            .localCheckpoint() // keep the plan from growing across batches
+          lastState = lastState ++ batch.toMap
+          val rows = dim.collect()
+          val byKey = rows.groupBy(_.getInt(0))
+          // exactly one current version per key, carrying the latest value
+          byKey.foreach { case (bk, vs) =>
+            val cur = vs.filter(_.getBoolean(5))
+            assert(cur.length == 1, s"seed $i/$batchNo: one is_current for bk=$bk")
+            assert(cur.head.getString(1) == lastState(bk),
+              s"seed $i/$batchNo: current attr is the latest upserted value")
+          }
+          // SKs unique; every closed version has valid_from < valid_to
+          val sks = rows.map(_.getLong(2))
+          assert(sks.distinct.length == sks.length, s"seed $i/$batchNo: unique SKs")
+          assert(rows.filter(!_.getBoolean(5))
+            .forall(r => r.getTimestamp(3).before(r.getTimestamp(4))),
+            s"seed $i/$batchNo: closed versions have valid_from < valid_to")
+        }
+      }
+    }
+  }
+
   test("M3: closeAndInsert — unchanged kept, changed closed+reopened, new opened; re-run is no-op") {
     val dim0 = Scd2.withGlobalSk(
       Scd2.fromChangeLog(changeLog(
