@@ -21,6 +21,16 @@ object Scratch {
     val byName = queries.Registry.all.map(q => q.name -> q.fn).toMap
     val names = if (args.nonEmpty) args.toSeq
       else Seq("d2_ngram_jaccard_pairs", "d5_neardup_survivors", "d7_neardup_components")
+
+    if (args.headOption.contains("plan")) {
+      val q = queries.Registry.all.find(_.name == args(1)).get
+      val df = q.fn(spark, sfDir)
+      df.collect()
+      println("[plan] " + df.queryExecution.executedPlan.toString
+        .linesIterator.filter(l => l.contains("PushedFilters") || l.contains("ReadSchema") || l.contains("Scan parquet"))
+        .mkString("\n[plan] "))
+      spark.stop(); sys.exit(0)
+    }
     spark.read.parquet(s"$sfDir/documents.parquet").count() // warmup
 
     for (n <- names; rep <- 1 to 2) {

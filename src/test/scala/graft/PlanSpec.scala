@@ -27,6 +27,16 @@ class PlanSpec extends SparkTestBase {
     assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
   }
 
+  test("q6: date-cast comparison still pushes a timestamp range to the scan") {
+    // `cast(ts AS DATE) >= lit` must not block pushdown — Catalyst
+    // rewrites it to a timestamp range (OptimizeCastsOnDatetimeFields);
+    // at 100 TB a cast-blocked scan filter reads the whole table
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+      "IsNotNull(l_quantity), GreaterThanOrEqual(l_shipda"),
+      s"q6 predicates not pushed:\n$p")
+  }
+
   test("j2: dimension joins are broadcast hash joins") {
     val p = plan("j2_fk_resolution")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
