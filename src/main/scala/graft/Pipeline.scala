@@ -30,14 +30,10 @@ object Pipeline {
     // ---- staging: typed extraction from JSON (P1-P4), ONE from_json parse
     // per payload (SURVEY §2.2 guidance; per-field get_json_object would
     // re-parse the payload five times)
-    val stgSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("o_custkey", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("o_orderdate", org.apache.spark.sql.types.StringType)))
+    val stgSchema = "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+      "o_totalprice DOUBLE, o_orderdate STRING"
     val stgOrders = rawDeduped
-      .select(from_json(col("payload"), stgSchema).as("j"))
+      .select(from_json(col("payload"), org.apache.spark.sql.types.StructType.fromDDL(stgSchema)).as("j"))
       .select(
         col("j.o_orderkey").as("orderkey"),
         col("j.o_custkey").as("custkey"),

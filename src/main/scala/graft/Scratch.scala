@@ -23,7 +23,11 @@ object Scratch {
       else Seq("d2_ngram_jaccard_pairs", "d5_neardup_survivors", "d7_neardup_components")
 
     if (args.headOption.contains("plan")) {
-      val q = queries.Registry.all.find(_.name == args(1)).get
+      val name = args.lift(1).getOrElse(
+        sys.error("usage: runMain graft.Scratch plan <query-name>"))
+      val q = queries.Registry.all.find(_.name == name).getOrElse(
+        sys.error(s"unknown query '$name'; names: " +
+          queries.Registry.all.map(_.name).sorted.mkString(", ")))
       val df = q.fn(spark, sfDir)
       df.collect()
       println("[plan] " + df.queryExecution.executedPlan.toString
@@ -37,7 +41,8 @@ object Scratch {
       val t0 = System.nanoTime()
       // toRdd forces every output column to be computed (count() alone
       // would let Catalyst prune pure projections to a row count)
-      val c = byName(n)(spark, sfDir).queryExecution.toRdd.count()
+      val fn = byName.getOrElse(n, sys.error(s"unknown query '$n'"))
+      val c = fn(spark, sfDir).queryExecution.toRdd.count()
       println(f"[scratch] $n rep$rep rows=$c t=${(System.nanoTime() - t0) / 1e9}%.2f s")
       spark.sharedState.cacheManager.clearCache()
     }

@@ -37,9 +37,15 @@ object FuzzyMatch {
     val s = col(strCol)
     val base = df.select(k.as("key"), s.as("str"))
 
+    // positions 1..len — guarded: sequence(1, 0) would count DOWN for
+    // empty strings and fabricate variants of them (the Text.shingles trap)
+    def positions(s0: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(length(s0) >= 1, sequence(lit(1), length(s0)))
+        .otherwise(array().cast("array<int>"))
+
     // wildcard variants: mask position i (same length, marker can't collide)
     val wild = base.select(col("key"), col("str"),
-      explode(transform(sequence(lit(1), length(col("str"))), i =>
+      explode(transform(positions(col("str")), i =>
         concat(substr(col("str"), lit(1), i - lit(1)), lit("\u0000"),
           substr(col("str"), i + lit(1), length(col("str")))))).as("v"))
     val substPairs = wild.as("a").join(wild.as("b"),
@@ -49,7 +55,7 @@ object FuzzyMatch {
 
     // deletion variants ⋈ originals: one-char insert/delete pairs
     val dels = base.select(col("key"), col("str"),
-      explode(array_distinct(transform(sequence(lit(1), length(col("str"))), i =>
+      explode(array_distinct(transform(positions(col("str")), i =>
         concat(substr(col("str"), lit(1), i - lit(1)),
           substr(col("str"), i + lit(1), length(col("str"))))))).as("v"))
     val indelPairs = dels.as("a").join(base.as("b"), col("a.v") === col("b.str"))

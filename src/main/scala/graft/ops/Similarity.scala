@@ -162,10 +162,13 @@ object Similarity {
     def flip(sig: Column, i: Column): Column =
       sig.bitwiseXOR(call_function("shiftleft", lit(1L), i))
     val r1 = transform(sequence(lit(0), nb - 1), i => flip(qSig, i))
-    // ordered i<j pairs; outer stops at nb-2 so the inner sequence never
-    // runs backwards (sequence(a, b) DESCENDS when a > b)
-    val r2 = flatten(transform(sequence(lit(0), nb - 2), i =>
-      transform(sequence(i + 1, nb - 1), j => flip(flip(qSig, i), j))))
+    // ordered i<j pairs; both sequences guarded because sequence(a, b)
+    // DESCENDS when a > b — unguarded, nb=1 would make the outer run
+    // [0,-1] and probe a garbage bit-63 bucket
+    val r2 = when(nb >= 2,
+      flatten(transform(sequence(lit(0), nb - 2), i =>
+        transform(sequence(i + 1, nb - 1), j => flip(flip(qSig, i), j)))))
+      .otherwise(array().cast("array<long>"))
     val probes = probeRadius match {
       case 0 => array(qSig)
       case 1 => array_union(array(qSig), r1)

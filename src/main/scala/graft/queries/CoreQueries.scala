@@ -107,21 +107,10 @@ object CoreQueries {
           struct(col("o_custkey").as("custkey")).as("customer")))
         // one nested from_json parse (SURVEY §2.2's preferred P2 mapping —
         // four get_json_object calls would parse the payload four times)
-        val nested = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("meta",
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("status",
-                org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("priority",
-                org.apache.spark.sql.types.StringType)))),
-          org.apache.spark.sql.types.StructField("customer",
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("custkey",
-                org.apache.spark.sql.types.LongType))))))
+        val nested =
+          "id INT, meta STRUCT<status: STRING, priority: STRING>, customer STRUCT<custkey: BIGINT>"
         Tables.orders(s, d).select(payload.as("payload"))
-          .select(from_json(col("payload"), nested).as("j"))
+          .select(from_json(col("payload"), org.apache.spark.sql.types.StructType.fromDDL(nested)).as("j"))
           .select(
             col("j.id").as("o_orderkey"),
             col("j.meta.status").as("status"),
@@ -148,13 +137,8 @@ object CoreQueries {
         // from_json per table") — separate get_json_object calls for id
         // and items would re-parse the JSON string per field (measured
         // 4.4s → 2.6s at sf0.1 on this query)
-        val parsed = payloads.select(from_json(col("payload"),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("items",
-              org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.StringType))))).as("j"))
+        val parsed = payloads.select(
+          from_json(col("payload"), org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, items ARRAY<STRING>")).as("j"))
         parsed.select(
           col("j.id").as("orderkey"),
           explode(col("j.items")).as("partkey"))

@@ -259,23 +259,32 @@ object MartQueries {
              |JOIN nation ON s_nationkey = n_nationkey
              |GROUP BY n_name, year(o_orderdate)""".stripMargin)),
 
-    // Correlated scalar subquery — customers above their nation's average
-    // balance. Catalyst DECORRELATES this into an aggregate + join (the
-    // no-BNLJ plan sweep proves no per-row subquery execution survives).
+    // Correlated scalar subqueries — customers above their nation's
+    // average balance. Catalyst DECORRELATES these into an aggregate +
+    // join (the no-BNLJ plan sweep proves no per-row subquery execution
+    // survives). The threshold is multiplication-only in exact decimal
+    // (bal·cnt > sum) — comparing against a floating AVG would let
+    // summation order flip boundary rows between engines (q17/q22 rule).
     Q("sub1_above_nation_avg",
       (s, d) => {
         Tables.customer(s, d).createOrReplaceTempView("graft_cust_sub1")
         s.sql("""SELECT c_custkey, c_nationkey,
                 |  CAST(CAST(c_acctbal AS DECIMAL(14,2)) AS DOUBLE) AS c_acctbal
                 |FROM graft_cust_sub1 c
-                |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM graft_cust_sub1 c2
-                |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
+                |WHERE CAST(c_acctbal AS DECIMAL(14,2)) *
+                |    (SELECT COUNT(*) FROM graft_cust_sub1 c2
+                |     WHERE c2.c_nationkey = c.c_nationkey) >
+                |  (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(14,2))) FROM graft_cust_sub1 c3
+                |   WHERE c3.c_nationkey = c.c_nationkey)""".stripMargin)
       },
       Some("""SELECT c_custkey, c_nationkey,
              |  CAST(CAST(c_acctbal AS DECIMAL(14,2)) AS DOUBLE) AS c_acctbal
              |FROM customer c
-             |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
-             |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)),
+             |WHERE CAST(c_acctbal AS DECIMAL(14,2)) *
+             |    (SELECT COUNT(*) FROM customer c2
+             |     WHERE c2.c_nationkey = c.c_nationkey) >
+             |  (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(14,2))) FROM customer c3
+             |   WHERE c3.c_nationkey = c.c_nationkey)""".stripMargin)),
 
     // NOT IN with a NULL-bearing subquery — the classic three-valued-logic
     // trap: one NULL in the IN-list makes NOT IN never-true, so the query

@@ -26,16 +26,20 @@ object TextQueries {
     * `fp(doc_id, simhash)`. Same md5-derived 60-bit token hash
     * (`CAST('0x'||hex15 AS BIGINT)` ≡ Spark's `conv(hex15, 16, 10)`),
     * same ±1 counters, same sign rule; bits are disjoint so SUM of powers
-    * of two ≡ the engine's bit-OR fold. */
+    * of two ≡ the engine's bit-OR fold. The final LEFT JOIN keeps
+    * wordless docs with fingerprint 0 — exactly what the engine emits —
+    * instead of silently dropping them from the unnest. */
   private val simhashFpSql =
     s"""WITH docs AS (SELECT doc_id, $wordsSql AS ws FROM documents),
        |tok AS (SELECT doc_id, unnest(ws) AS w FROM docs),
        |h AS (SELECT doc_id, CAST(CONCAT('0x', substring(md5(w), 1, 15)) AS BIGINT) AS hv FROM tok),
        |bits AS (SELECT doc_id, i, SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS c
        |  FROM h, (SELECT unnest(range(60)) AS i) t(i) GROUP BY doc_id, i),
-       |fp AS (SELECT doc_id,
+       |fp0 AS (SELECT doc_id,
        |    CAST(SUM(CASE WHEN c > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
-       |  FROM bits GROUP BY doc_id)""".stripMargin
+       |  FROM bits GROUP BY doc_id),
+       |fp AS (SELECT d.doc_id, COALESCE(fp0.simhash, 0) AS simhash
+       |  FROM documents d LEFT JOIN fp0 ON d.doc_id = fp0.doc_id)""".stripMargin
 
   def all: Seq[Q] = Seq(
 

@@ -29,7 +29,9 @@ class FuzzyMatchSpec extends SparkTestBase {
       6L -> "flink",                  // unrelated
       7L -> "aa", 8L -> "aaa",        // adjacent identical chars (indel dedup)
       9L -> "a b", 10L -> "axb",      // space in data must not confuse the mask
-      11L -> "ab", 12L -> "ba")       // transposition = lev 2, must be absent
+      11L -> "ab", 12L -> "ba",       // transposition = lev 2, must be absent
+      13L -> "", 14L -> "",           // empty strings: lev 0 pair, no phantom variants
+      15L -> "x")                     // single char: lev 1 to the empties
     val out = FuzzyMatch.lev1Pairs(rows.toDF("k", "s"), "k", "s")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(out == brute(rows))
