@@ -26,6 +26,37 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
+  /** (doc_a, doc_b, hamming) for all pairs within `maxHamming` simhash
+    * bits, doc_a < doc_b. Banded candidate generation with PERFECT recall
+    * by pigeonhole: the 60-bit fingerprint splits into `bands` contiguous
+    * bands, and any pair within hamming ≤ bands-1 must agree on at least
+    * one whole band — so `bands > maxHamming` makes the inverted-index
+    * band join lossless and the exact hamming filter restores precision.
+    * Never all-pairs; candidates cost O(Σ band-bucket²). */
+  def simhashHammingPairs(docs: DataFrame, maxHamming: Int, bands: Int = 4): DataFrame = {
+    require(bands > maxHamming,
+      s"pigeonhole needs bands > maxHamming (got $bands bands for hamming $maxHamming)")
+    require(60 % bands == 0, s"bands must divide 60 (got $bands)")
+    val width = 60 / bands
+    val mask = (1L << width) - 1
+    val fp = simhashFingerprints(docs)
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          call_function("shiftright", col("simhash"), lit(width * b))
+            .bitwiseAND(lit(mask)).as("bv"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        Text.hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct() // a pair can agree on several bands
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** (doc_id, simhash): [[Text.simhash64]] re-shaped for bulk computation —
     * explode tokens once, ONE md5 per token, 60 map-side-combinable
     * bit-count sums per doc, fingerprint assembled from the counts
@@ -53,21 +84,32 @@ object NearDup {
   }
 
   /** (doc_a, doc_b, jaccard) for all pairs with n-gram Jaccard ≥ minJ;
-    * doc_a < doc_b. `docs` needs (doc_id, text). */
-  def jaccardPairs(docs: DataFrame, n: Int, minJ: Double): DataFrame = {
+    * doc_a < doc_b. `docs` needs (doc_id, text).
+    *
+    * `maxDf`: the 100 TB recall/cost knob — ALSO drop shingles present in
+    * more than maxDf docs. Boilerplate grams connect everything and their
+    * posting lists blow up the pair join quadratically; capping them
+    * loses only pairs whose entire overlap is boilerplate. None (default)
+    * = exact. The oracle-compared queries always run exact. */
+  def jaccardPairs(
+      docs: DataFrame, n: Int, minJ: Double,
+      maxDf: Option[Long] = None): DataFrame = {
     val sh = docs.select(
       col("doc_id"),
       explode(array_distinct(Text.shingles(col("text"), n))).as("g"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // df>1 prefilter as a WINDOW on g, not an agg+semi-join: the window
+    // df prefilter as a WINDOW on g, not an agg+semi-join: the window
     // consumes the same exchange the pair self-join needs, so the whole
     // prefilter costs one per-partition sort. The agg+semi variant was
     // measured 3× slower — AQE broadcasts the df keys, which splits the
     // plan off the shared exchange and recomputes the shingle explode
     // per branch.
-    val shared = sh.withColumn("df",
-        count(lit(1)).over(Window.partitionBy("g")))
-      .filter(col("df") > 1).drop("df")
+    val dfCol = count(lit(1)).over(Window.partitionBy("g"))
+    val keep = maxDf match {
+      case Some(cap) => col("df") > 1 && col("df") <= cap
+      case None      => col("df") > 1
+    }
+    val shared = sh.withColumn("df", dfCol).filter(keep).drop("df")
     shared.as("a").join(shared.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -300,24 +300,8 @@ object TextQueries {
     // filter keeps precision. The oracle brute-forces all pairs — two
     // independent algorithms, one hash-compared answer.
     Q("d8_simhash_hamming_pairs",
-      (s, d) => {
-        val fp = NearDup.simhashFingerprints(Tables.documents(s, d))
-        val banded = fp.select(col("doc_id"), col("simhash"),
-          explode(array((0 until 4).map { b =>
-            struct(lit(b).as("band"),
-              call_function("shiftright", col("simhash"), lit(15 * b))
-                .bitwiseAND(lit(0x7FFFL)).as("bv"))
-          }: _*)).as("bk"))
-          .select(col("doc_id"), col("simhash"),
-            col("bk.band").as("band"), col("bk.bv").as("bv"))
-        banded.as("a").join(banded.as("b"),
-            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            Text.hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
-          .distinct() // a pair can agree on several bands
-          .filter(col("hamming") <= 3)
-      },
+      (s, d) => NearDup.simhashHammingPairs(Tables.documents(s, d),
+        maxHamming = 3, bands = 4),
       Some(simhashFpSql +
         """
           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

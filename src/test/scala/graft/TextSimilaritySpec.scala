@@ -46,6 +46,21 @@ class TextSimilaritySpec extends SparkTestBase {
     assert(bulk == colForm)
   }
 
+  test("simhashHammingPairs: banded candidates ≡ brute force for several (hamming, bands)") {
+    val docs = Tables.documents(spark, Sf001).limit(120)
+    val fps = graft.ops.NearDup.simhashFingerprints(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    def brute(maxH: Int) = (for {
+      (ida, ha) <- fps; (idb, hb) <- fps
+      if ida < idb && java.lang.Long.bitCount(ha ^ hb) <= maxH
+    } yield (ida, idb)).toSet
+    for ((maxH, bands) <- Seq((3, 4), (5, 6), (9, 10))) {
+      val got = graft.ops.NearDup.simhashHammingPairs(docs, maxH, bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute(maxH), s"hamming=$maxH bands=$bands")
+    }
+  }
+
   test("simhashFingerprints: wordless doc gets fingerprint 0") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "   ")).toDF("doc_id", "text")
     val m = graft.ops.NearDup.simhashFingerprints(docs)
