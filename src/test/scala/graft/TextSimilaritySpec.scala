@@ -61,6 +61,17 @@ class TextSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("jaccardPairs maxDf knob: huge cap ≡ exact, tight cap only loses pairs") {
+    val docs = Tables.documents(spark, Sf001).limit(150)
+    def pairs(maxDf: Option[Long]) =
+      graft.ops.NearDup.jaccardPairs(docs, 3, 0.2, maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(None)
+    assert(pairs(Some(1000000L)) == exact)
+    val capped = pairs(Some(3L))
+    assert(capped.subsetOf(exact), "capping may only DROP pairs, never invent them")
+  }
+
   test("simhashFingerprints: wordless doc gets fingerprint 0") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "   ")).toDF("doc_id", "text")
     val m = graft.ops.NearDup.simhashFingerprints(docs)
