@@ -45,8 +45,12 @@ object AsOf {
       rightValueCols.map(c => right.schema(c)))
     // right rows: time under the LEFT time column name so the union sorts
     // both sides on one axis; side=0 sorts right rows first at equal time
-    // (≤ semantics: a right row AT t is visible to left rows at t)
-    val taggedRight = right.select(
+    // (≤ semantics: a right row AT t is visible to left rows at t).
+    // NULL-key right rows are DROPPED: an ASOF equi-join never matches
+    // NULL = NULL (cf. DuckDB ASOF JOIN), but Window.partitionBy groups
+    // NULLs together and would fabricate matches for NULL-key left rows
+    // (which instead pass through with NULL payload, like a left join).
+    val taggedRight = right.filter(col(key).isNotNull).select(
       col(key), col(rightTime).as(leftTime),
       struct(rightValueCols.map(col): _*).as("__payload"),
       lit(0).as("__side"))

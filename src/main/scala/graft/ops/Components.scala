@@ -28,7 +28,7 @@ object Components {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
@@ -53,6 +53,11 @@ object Components {
       converged = changed == 0
       iter += 1
     }
+    // fail LOUDLY: returning a half-propagated labeling would silently
+    // split clusters (dedup would keep duplicate documents with no signal)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations — " +
+        "a component's diameter exceeds maxIter; raise it (labels advance one hop/round)")
     labels
   }
 }

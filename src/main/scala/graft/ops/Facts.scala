@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object Facts {
 
-  val UnknownSentinel = "<UNKNOWN>"
+  /** Shared with the Catalyst rule: the NUL-embedded sentinel cannot occur
+    * in any real key alphabet — a printable sentinel would silently map a
+    * legitimately-equal natural key to the unknown member. */
+  val UnknownSentinel: String = graft.plans.RewriteUnknownMemberJoin.Sentinel
 
   /** Probe-side synthetic key: NULL natural key → sentinel. */
   def unknownMemberKey(naturalKey: Column): Column =

@@ -46,7 +46,9 @@ object Multimodal {
     * ~`targetBytes` of payload — row-count partitioning would let a few
     * large blobs blow task memory at scale. */
   def repartitionForBlobs(media: DataFrame, targetBytes: Long = 128L << 20): DataFrame = {
-    val total = media.agg(sum(length(col("blob")))).first().getLong(0)
+    // sum() is NULL on an empty table / all-null blobs — treat as 0 bytes
+    val row = media.agg(sum(length(col("blob")))).first()
+    val total = if (row.isNullAt(0)) 0L else row.getLong(0)
     val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     media.repartition(parts, col("media_id"))
   }

@@ -59,10 +59,17 @@ object Similarity {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity. The 1e-20 unit factor cancels in the ratio, so
-    * this is computed purely from the exact unit integers. */
-  def cosine(a: Column, b: Column): Column =
-    dotUnits(a, b).cast("double") /
-      (sqrt(dotUnits(a, a).cast("double")) * sqrt(dotUnits(b, b).cast("double")))
+    * this is computed purely from the exact unit integers.
+    *
+    * Zero-norm (all elements < 1e-10) or empty vectors have no defined
+    * angle → NULL, not 0/0 = NaN. This matters for ranking: Spark sorts
+    * NaN ABOVE every real double, so an unguarded NaN row would outrank
+    * every true neighbor in a top-k; NULLs sort last under desc. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = sqrt(dotUnits(a, a).cast("double")) * sqrt(dotUnits(b, b).cast("double"))
+    when(denom > 0, dotUnits(a, b).cast("double") / denom)
+      .otherwise(lit(null).cast("double"))
+  }
 
   /** Brute-force top-k cosine neighbors of one query vector.
     * `queryVec` must be a one-row DataFrame with column `qe`. */
@@ -76,12 +83,14 @@ object Similarity {
     // inside the per-row expression would redo a d-element fold per row
     val q = queryVec.select(col("qe"),
       sqrt(dotUnits(col("qe"), col("qe")).cast("double")).as("__qnorm"))
+    val denom = sqrt(dotUnits(col(vecCol), col(vecCol)).cast("double")) * col("__qnorm")
     embeddings
       .crossJoin(broadcast(q))
       .select(col(idCol),
-        (dotUnits(col(vecCol), col("qe")).cast("double") /
-          (sqrt(dotUnits(col(vecCol), col(vecCol)).cast("double")) * col("__qnorm")))
-          .as("cos_sim"))
+        // NULL (sorts last), not NaN (sorts FIRST under desc), for
+        // zero-norm vectors — see cosine()
+        when(denom > 0, dotUnits(col(vecCol), col("qe")).cast("double") / denom)
+          .otherwise(lit(null).cast("double")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -111,15 +120,18 @@ object Similarity {
       nprobe: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // index build: each vector → argmax-dot centroid (one broadcast scan)
-    val byVec = Window.partitionBy(col(idCol))
-      .orderBy(col("__cdot").desc, col("centroid_id"))
+    // index build: each vector → argmax-dot centroid. max_by aggregate,
+    // not a row_number window: map-side combine reduces each partition to
+    // one candidate per vector BEFORE the shuffle (the same hot-key
+    // argument MergeOps.latestByKey documents); tie-break = smallest
+    // centroid_id via the negated second struct field
     val assigned = embeddings.crossJoin(broadcast(centroids))
       .withColumn("__cdot", dotUnits(col(vecCol), col("cvec")).cast("double"))
-      .withColumn("__rn", row_number().over(byVec))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id"))
+      .groupBy(col(idCol))
+      .agg(max_by(
+        struct(col(vecCol).as("v"), col("centroid_id").as("c")),
+        struct(col("__cdot"), (-col("centroid_id")).as("nc"))).as("__best"))
+      .select(col(idCol), col("__best.v").as(vecCol), col("__best.c").as("centroid_id"))
     // probe: the query's nprobe nearest centroids
     val probeLists = queryVec.crossJoin(broadcast(centroids))
       .withColumn("__qdot", dotUnits(col("qe"), col("cvec")).cast("double"))

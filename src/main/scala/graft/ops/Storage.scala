@@ -17,11 +17,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Storage {
 
-  def read(spark: SparkSession, table: Path): DataFrame =
+  def read(spark: SparkSession, table: Path): DataFrame = {
+    recover(table)
     spark.read.parquet(table.toString)
+  }
 
-  /** Write `next` as the new content of `table`, atomically. */
+  /** Write `next` as the new content of `table` via write-temp-then-swap.
+    *
+    * Crash safety (single-writer): each individual move is atomic, but the
+    * two-move swap has a window where only `.old` exists — [[recover]]
+    * (called by [[read]] and on entry here) rolls the table back to the
+    * old state if a crash hit that window, so no state is ever lost.
+    * CONCURRENT readers during the window would see path-not-found; true
+    * reader isolation needs a pointer/log layer, which is exactly what the
+    * documented Delta/Iceberg mapping provides at deploy. */
   def atomicReplace(next: DataFrame, table: Path): Unit = {
+    recover(table)
     val tmp = table.resolveSibling(table.getFileName.toString + ".tmp")
     val old = table.resolveSibling(table.getFileName.toString + ".old")
     deleteRecursively(tmp)
@@ -30,6 +41,14 @@ object Storage {
     if (Files.exists(table)) Files.move(table, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, table, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(old)
+  }
+
+  /** Roll back a swap interrupted between its two moves: the table path is
+    * gone but `.old` holds the complete previous state. */
+  private def recover(table: Path): Unit = {
+    val old = table.resolveSibling(table.getFileName.toString + ".old")
+    if (!Files.exists(table) && Files.exists(old))
+      Files.move(old, table, StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Deploy-shape layout: a table partitioned by low-cardinality columns
@@ -46,8 +65,9 @@ object Storage {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+      val s = Files.walk(p) // close: Files.walk leaks an fd per call otherwise
+      try s.sorted(java.util.Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally s.close()
     }
 
   def path(dir: String, name: String): Path = Paths.get(dir, name)

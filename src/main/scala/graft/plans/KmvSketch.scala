@@ -4,9 +4,10 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types._
 
 /** Deterministic KMV (k-minimum-values) distinct-count sketch — a custom
   * Catalyst TypedImperativeAggregate (the "novel sketch" extension class
@@ -31,6 +32,16 @@ case class KmvSketch(
   extends TypedImperativeAggregate[KmvSketch.Buffer] {
 
   import KmvSketch._
+
+  // integral only: Number.longValue() on fractional input would silently
+  // collapse distinct values (1.2 and 1.4 both hash as 1); a non-numeric
+  // child would ClassCastException at runtime — fail at ANALYSIS instead
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_kmv requires an integral column, got ${t.simpleString}")
+  }
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

@@ -717,13 +717,16 @@ object MartQueries {
     Q("e2_hourly_windows",
       (s, d) => Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        // decimal(18,2) matches StreamingLoads.windowedEventCounts (the
+        // streaming twin must stay bit-identical) and survives ANSI casts
+        // for any realistic value magnitude
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(10,2)")).cast("double").as("total_value"))
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
         .select(epochS(col("window.start")).as("hour_epoch"),
           col("event_type"), col("n_events"), col("total_value")),
       Some(s"""SELECT ${epochSql("date_trunc('hour', ts)")} AS hour_epoch, event_type,
              |  COUNT(*) AS n_events,
-             |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
     // Entity-resolution fuzzy match: customer-name pairs within edit

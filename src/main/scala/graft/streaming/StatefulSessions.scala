@@ -47,7 +47,16 @@ object StatefulSessions {
               closed += SessionOut(userId, open.sessionId, open.n, open.startEs)
               open = OpenSession(open.sessionId + 1, e.es, e.es, 1L)
             } else {
-              open = open.copy(lastEs = e.es, n = open.n + 1)
+              // cross-batch late event (e.es < lastEs): merge into the open
+              // session WITHOUT regressing lastEs — a regressed watermark
+              // would fabricate a session split the batch query never sees.
+              // (Events later than the session span by > gap belong to a
+              // closed session; bounding that properly is the watermark's
+              // job — the engine pairs this with withWatermark upstream.)
+              open = open.copy(
+                startEs = math.min(open.startEs, e.es),
+                lastEs = math.max(open.lastEs, e.es),
+                n = open.n + 1)
             }
           }
           if (open != null) state.update(open)

@@ -31,8 +31,11 @@ object StreamingLoads {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
+      // decimal(18,2), not (10,2): under ANSI (Spark 4 default) a single
+      // |value| ≥ 1e8 would make the narrower cast THROW inside the
+      // micro-batch and poison the streaming query on every restart
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(10,2)")).cast("double").as("total_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 

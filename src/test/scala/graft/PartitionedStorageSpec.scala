@@ -33,4 +33,20 @@ class PartitionedStorageSpec extends SparkTestBase {
     assert(after.filter(col("order_year") =!= 1997)
       .filter(col("o_orderpriority") === "0-PATCHED").count() == 0)
   }
+
+  test("atomicReplace recovers a swap interrupted between its two moves") {
+    import java.nio.file.{Files => F, StandardCopyOption}
+    val work = Files.createTempDirectory("swap_recovery")
+    val table = work.resolve("t")
+    val v1 = Tables.nation(spark, Sf001)
+    Storage.atomicReplace(v1, table)
+    // simulate a crash in the swap window: table moved aside, new never landed
+    F.move(table, work.resolve("t.old"), StandardCopyOption.ATOMIC_MOVE)
+    assert(!F.exists(table) && F.exists(work.resolve("t.old")))
+    // read() rolls back to the old state instead of path-not-found
+    assert(Storage.read(spark, table).count() == v1.count())
+    // and a subsequent replace proceeds normally
+    Storage.atomicReplace(v1.limit(3), table)
+    assert(Storage.read(spark, table).count() == 3)
+  }
 }

@@ -86,6 +86,21 @@ class TextSimilaritySpec extends SparkTestBase {
     assert(sims.forall(s => math.abs(s - 1.0) < 1e-9))
   }
 
+  test("zero-norm vectors never pollute top-k (NULL cosine, not NaN-sorts-first)") {
+    import org.apache.spark.sql.types._
+    val e = Tables.embeddings(spark, Sf001).select($"vec_id", $"embedding")
+    val dim = e.head().getSeq[Float](1).length
+    val zeroRow = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(99999L, Seq.fill(dim)(0.0f))),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    val top = Similarity.bruteForceTopK(e.unionByName(zeroRow), q, 10).collect()
+    assert(!top.exists(_.getLong(0) == 99999L), "zero vector must not rank")
+    assert(top.head.getLong(0) == 0L, "query's own vector still first")
+    assert(!top.exists(r => r.isNullAt(1) || r.getDouble(1).isNaN))
+  }
+
   test("decimal dot product is partitioning-invariant (bit-identical)") {
     val e = Tables.embeddings(spark, Sf001)
     val q = e.filter($"vec_id" === 0).select($"embedding".as("qe"))
