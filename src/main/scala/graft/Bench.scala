@@ -24,18 +24,23 @@ object Bench {
       o.withColumn("rn", row_number().over(
         Window.partitionBy("o_custkey").orderBy("o_orderkey"))).count()
     } catch { case _: Throwable => () }
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() forces EVERY output column to be computed; a bare
       // count() would let Catalyst prune pure projections (map-only
       // queries like fingerprints would be timed as a parquet row count)
-      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).queryExecution.toRdd.count()
+      catch { case _: Throwable => failed += name } // visible below, never silent
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a broken query would otherwise record ~0s and read as a speedup —
+    // the failed list makes breakage impossible to mistake for progress
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Extract, MergeOps, Scd2}
+import graft.ops.{Facts, MergeOps, Scd2}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -25,7 +25,10 @@ object Pipeline {
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"), col("o_orderdate").cast("string").as("o_orderdate"),
         col("o_orderpriority"))).as("payload"))
-    val rawDeduped = MergeOps.latestByKey(raw, Seq("source_id"), Seq(col("source_id")))
+    // version by payload: versionCols must totally order each key group
+    // (MergeOps contract) — versioning by the PK itself would compare all
+    // duplicates equal and keep a partition-order-dependent row
+    val rawDeduped = MergeOps.latestByKey(raw, Seq("source_id"), Seq(col("payload")))
 
     // ---- staging: typed extraction from JSON (P1-P4), ONE from_json parse
     // per payload (SURVEY §2.2 guidance; per-field get_json_object would
@@ -52,15 +55,15 @@ object Pipeline {
       lit(true).as("is_current"))
 
     // ---- fact: BK→SK resolution against current dim (J2, broadcast) then
-    // incremental anti-join append into an empty fact (J4)
-    val resolved = stgOrders
-      .join(broadcast(dimCustomer.filter(col("is_current"))
-        .select(col("custkey"), col("customer_sk"), col("c_nationkey"))),
-        Seq("custkey"), "inner")
+    // incremental anti-join append into an empty fact (J4) — the same
+    // Facts operators the oracle-checked queries exercise
+    val resolved = Facts.resolveFk(
+        stgOrders, dimCustomer.filter(col("is_current")),
+        factKey = "custkey", dimBk = "custkey", dimSk = "customer_sk",
+        carry = Seq("c_nationkey"))
       .select(col("orderkey"), col("customer_sk"), col("c_nationkey"),
         col("status"), col("totalprice"))
-    val emptyFact = resolved.limit(0)
-    val fact = resolved.join(emptyFact.select("orderkey"), Seq("orderkey"), "left_anti")
+    val fact = Facts.incrementalAppend(resolved.limit(0), resolved, Seq("orderkey"))
 
     // ---- datamart: per-nation rollup
     fact.join(broadcast(Tables.nation(spark, dir)),

@@ -30,8 +30,13 @@ object PipelineRunner {
     workDir.resolve("dim_users"),
     workDir.resolve("fact_orders"))
 
-  private def readOr(spark: SparkSession, p: Path, empty: => DataFrame): DataFrame =
-    if (Files.exists(p)) spark.read.parquet(p.toString) else empty
+  private def readOr(spark: SparkSession, p: Path, empty: => DataFrame): DataFrame = {
+    // recover FIRST: after a crash inside atomicReplace's swap window only
+    // `.old` exists — a bare existence check would silently rebuild the
+    // layer from empty state, losing audit history and SK continuity
+    Storage.recover(p)
+    if (Files.exists(p)) Storage.read(spark, p) else empty
+  }
 
   /** One pipeline run: events/orders visible up to `asOf` (event-time and
     * order-date cutoffs), stamped with frozen `runTs`. */
@@ -55,7 +60,7 @@ object PipelineRunner {
     Storage.atomicReplace(stgNext, l.stgUsers)
 
     // ---- stg → dwh dim: SCD2 close-and-insert (M3/M5)
-    val stg = spark.read.parquet(l.stgUsers.toString)
+    val stg = Storage.read(spark, l.stgUsers)
       .select(col("user_id"), col("event_type"), col("value"))
     val dimPrev = readOr(spark, l.dimUsers,
       stg.limit(0)
@@ -68,7 +73,7 @@ object PipelineRunner {
     Storage.atomicReplace(dimNext, l.dimUsers)
 
     // ---- dwh fact: BK→SK resolution + incremental anti-join append (J2/J4)
-    val dimCurrent = spark.read.parquet(l.dimUsers.toString)
+    val dimCurrent = Storage.read(spark, l.dimUsers)
       .filter(col("is_current"))
       .select(col("user_id"), col("sk").as("user_sk"))
     val orders = Tables.orders(spark, dir)

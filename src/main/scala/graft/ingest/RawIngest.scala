@@ -33,7 +33,15 @@ object RawIngest {
 
   /** S1/S2: walk all pages with per-page retry, then parallelize into a
     * raw-layer DataFrame. `maxRetries` mirrors the reference's
-    * retry-after-sleep loop (raw_character.py:35-38). */
+    * retry-after-sleep loop (raw_character.py:35-38).
+    *
+    * `loaded_at` is a DRIVER-SIDE literal, strictly increasing across
+    * extractAll calls in this JVM: `current_timestamp()` evaluates to one
+    * constant per QUERY execution, so two lazily-evaluated extracts
+    * merged by [[upsertIntoRaw]] would carry identical stamps and the
+    * last-writer-wins tie-break would fall through to payload ordering —
+    * the stale record could win. The literal also makes the stamp stable
+    * across re-executions of the un-persisted plan. */
   def extractAll(
       spark: SparkSession,
       client: PageClient,
@@ -46,8 +54,13 @@ object RawIngest {
       .toSeq
     import spark.implicits._
     rows.toDF("source_id", "payload")
-      .withColumn("loaded_at", current_timestamp())
+      .withColumn("loaded_at",
+        lit(new java.sql.Timestamp(nextStampMillis())).cast("timestamp"))
   }
+
+  private val lastStamp = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def nextStampMillis(): Long =
+    lastStamp.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis()))
 
   private def fetchWithRetry(client: PageClient, n: Int,
       retriesLeft: Int, delayMs: Long): Option[Page] =

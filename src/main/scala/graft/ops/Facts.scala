@@ -57,15 +57,18 @@ object Facts {
     a.unionByName(b).distinct()
 
   /** J2: business key → surrogate key through a current-version dimension.
-    * Dim side broadcast: bounded cardinality by SCD2 construction. */
+    * Dim side broadcast: bounded cardinality by SCD2 construction.
+    * `carry`: additional dim attributes to attach alongside the SK. */
   def resolveFk(
       fact: DataFrame,
       dimCurrent: DataFrame,
       factKey: String,
       dimBk: String,
-      dimSk: String): DataFrame =
+      dimSk: String,
+      carry: Seq[String] = Nil): DataFrame =
     fact.join(
-      broadcast(dimCurrent.select(col(dimBk).as(factKey), col(dimSk))),
+      broadcast(dimCurrent.select(
+        (col(dimBk).as(factKey) +: col(dimSk) +: carry.map(col)): _*)),
       Seq(factKey), "inner")
 
   /** J4/M2: incremental append — only rows whose composite PK is absent.

@@ -44,8 +44,11 @@ object Storage {
   }
 
   /** Roll back a swap interrupted between its two moves: the table path is
-    * gone but `.old` holds the complete previous state. */
-  private def recover(table: Path): Unit = {
+    * gone but `.old` holds the complete previous state. Public because
+    * ANY existence check on a managed table must recover first — a bare
+    * `Files.exists` would read an interrupted swap as "table never
+    * existed" and silently rebuild from empty state. */
+  def recover(table: Path): Unit = {
     val old = table.resolveSibling(table.getFileName.toString + ".old")
     if (!Files.exists(table) && Files.exists(old))
       Files.move(old, table, StandardCopyOption.ATOMIC_MOVE)

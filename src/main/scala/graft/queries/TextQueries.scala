@@ -213,7 +213,11 @@ object TextQueries {
 
     // Embedding-cosine near-dup pairs, label-blocked (the blocking key
     // bounds the candidate set the way LSH buckets do at scale); exact
-    // fixed-point cosine so the oracle matches bit-for-bit.
+    // fixed-point cosine so the oracle matches bit-for-bit. Deliberately
+    // the RAW ratio (not Similarity.cosine's NULL-on-zero-norm guard):
+    // double division is IEEE on both engines — a zero-norm vector gives
+    // NaN, and `NaN >= 0.4` is false on both, so such pairs drop
+    // identically; the guard would diverge from the oracle formula.
     Q("d6_embedding_neardup_pairs",
       (s, d) => {
         val e = Tables.embeddings(s, d)
