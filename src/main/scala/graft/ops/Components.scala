@@ -43,13 +43,15 @@ object Components {
         .join(labels.withColumnRenamed("id", "b"), Seq("b"))
         .groupBy(col("a").as("id"))
         .agg(min(col("component")).as("nmin"))
+      // carry the previous label through the propagation pass so the
+      // convergence probe is a filter on the checkpointed result, not a
+      // second next⋈labels join per round
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
         .localCheckpoint()
-      val changed = next.as("n").join(labels.as("o"), Seq("id"))
-        .filter(col("n.component") =!= col("o.component")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("component") =!= col("prev")).limit(1).count()
+      labels = next.select(col("id"), col("component"))
       converged = changed == 0
       iter += 1
     }

@@ -376,6 +376,89 @@ object MartQueries {
              |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
              |GROUP BY c_nationkey""".stripMargin)),
 
+    // TPC-H Q11 shape: grouped value vs a GLOBAL scalar threshold (HAVING
+    // against a fraction of the total). Multiply-only comparison
+    // (pval·2500 > total ⟺ pval > total/2500) keeps the decimal
+    // arithmetic exact on both engines — a division form rounds and can
+    // flip boundary parts. The scalar side is one broadcast row.
+    Q("q11_important_parts",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val perPart = li.groupBy(col("l_partkey"))
+          .agg(sum(money(col("l_extendedprice"))).as("pval"))
+        val total = li.agg(sum(money(col("l_extendedprice"))).as("tot"))
+        perPart.crossJoin(broadcast(total))
+          .filter(col("pval") * lit(2500) > col("tot"))
+          .select(col("l_partkey"), col("pval").cast("double").as("part_value"))
+      },
+      Some("""WITH p AS (SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS pval
+             |           FROM lineitem GROUP BY 1),
+             |     t AS (SELECT SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS tot FROM lineitem)
+             |SELECT l_partkey, CAST(pval AS DOUBLE) AS part_value
+             |FROM p, t WHERE pval * 2500 > tot""".stripMargin)),
+
+    // TPC-H Q15 shape: argmax by scalar subquery — per-supplier revenue
+    // over one quarter, keep the supplier(s) whose revenue EQUALS the
+    // max. Decimal folds are exact, so the equality is engine-portable
+    // (a double fold would make `= max` a coin flip at the ulp).
+    Q("q15_top_supplier",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+            col("l_shipdate").cast("date") < lit("1996-04-01").cast("date"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(revenue).as("total_revenue"))
+        val mx = rev.agg(max(col("total_revenue")).as("mx"))
+        rev.crossJoin(broadcast(mx))
+          .filter(col("total_revenue") === col("mx"))
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("total_revenue").cast("double").as("total_revenue"))
+      },
+      Some(s"""WITH r AS (SELECT l_suppkey, SUM($revenueSql) AS total_revenue
+             |           FROM lineitem
+             |           WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+             |             AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+             |           GROUP BY 1)
+             |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+             |FROM supplier JOIN r ON s_suppkey = l_suppkey
+             |WHERE total_revenue = (SELECT MAX(total_revenue) FROM r)""".stripMargin)),
+
+    // TPC-H Q20 shape: IN-subquery with a per-group share threshold —
+    // suppliers who shipped more than 1/8 of some Brand#2 part's total
+    // quantity (the synthetic data spreads each part over ~10-30
+    // suppliers, so TPC-H's literal half-share never occurs; the shape —
+    // nested agg + share predicate + IN — is what's being exercised).
+    // The part total re-aggregates the (part,supp) rollup
+    // instead of rescanning lineitem: one wide shuffle feeds both levels
+    // (at 100 TB the second agg runs on the already-reduced rollup).
+    Q("q20_majority_part_suppliers",
+      (s, d) => {
+        val perPartSupp = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("sq"))
+        val perPart = perPartSupp.groupBy(col("l_partkey"))
+          .agg(sum(col("sq")).as("tq"))
+        val majority = perPartSupp
+          .join(perPart, Seq("l_partkey"))
+          .filter(col("sq") * lit(8) > col("tq"))
+          .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#2")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_suppkey")).distinct()
+        majority
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"))
+      },
+      Some("""WITH ps AS (SELECT l_partkey, l_suppkey,
+             |      SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+             |    FROM lineitem GROUP BY 1, 2),
+             |  p AS (SELECT l_partkey, SUM(sq) AS tq FROM ps GROUP BY 1)
+             |SELECT s_suppkey, s_name FROM supplier
+             |WHERE s_suppkey IN (
+             |  SELECT ps.l_suppkey
+             |  FROM ps JOIN p USING (l_partkey) JOIN part ON ps.l_partkey = p_partkey
+             |  WHERE p_brand = 'Brand#2' AND ps.sq * 8 > p.tq)""".stripMargin)),
+
     // Generated calendar dimension — the warehouse dim_date: one row per
     // day from a pure sequence (no source table), with the standard
     // attribute columns. Engine date-part parity: Spark dayofweek is
