@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Components, Multimodal, NearDup, Similarity, Text}
+import graft.ops.{Components, Multimodal, NearDup, Sampling, Similarity, Text}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
@@ -91,6 +91,23 @@ object TextQueries {
       Some("""SELECT doc_id,
              |  len(regexp_extract_all(text, '''(?:s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+')) AS n_bpe_tokens,
              |  len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n_ws_tokens
+             |FROM documents""".stripMargin)),
+
+    // Deterministic train/validation/test split — membership is a pure
+    // function of md5(doc_id), so it is partition-order independent,
+    // repeatable across backfills, and identical in the oracle (the hex
+    // thresholds '1a'/'33' are Sampling's 26/256 and 51/256 buckets;
+    // fixed-width lowercase hex compares like its numeric value). A
+    // random `df.sample` could never be oracle-checked — or trusted.
+    Q("split1_train_test_split",
+      (s, d) => Sampling.deterministicSplit(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          col("doc_id"), test256 = 26, val256 = 25)
+        .select(col("doc_id"), col("split")),
+      Some("""SELECT doc_id,
+             |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+             |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '33' THEN 'validation'
+             |       ELSE 'train' END AS split
              |FROM documents""".stripMargin)),
 
     // Language-ID by stopword-marker counts (n-gram heuristic family).
