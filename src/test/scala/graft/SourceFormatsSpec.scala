@@ -39,4 +39,17 @@ class SourceFormatsSpec extends SparkTestBase {
     val back = spark.read.schema(schema).json(dir)
     assert(back.collect().map(_.toSeq).toSet == src.collect().map(_.toSeq).toSet)
   }
+
+  test("ORC round-trip is lossless and pushes filters to the scan") {
+    val dir = Files.createTempDirectory("orc_rt").toString
+    val src = sample
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.collect().map(_.toSeq).toSet == src.collect().map(_.toSeq).toSet)
+    // columnar parity with parquet: predicate reaches the ORC scan
+    val plan = back.filter(col("o_orderkey") === 42L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)"),
+      s"no ORC pushdown in:\n$plan")
+  }
 }
