@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked main's stdout through UNPREFIXED: sbt's default logger
+// wraps every line in "[info] ", which breaks line-oriented JSON
+// consumers of Bench/Verify output (a parser looking for a line starting
+// with '{' never finds one).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
