@@ -23,7 +23,10 @@ object Sampling {
 
   /** Stable bucket in [0, 256): the first byte of md5(key as string).
     * Uniform for any key set (md5 avalanche), independent of partition
-    * order and engine. */
+    * order and engine. A NULL key yields a NULL bucket: every
+    * comparison on it is false, so NULL-keyed rows land in
+    * [[deterministicSplit]]'s "train" branch and are dropped by
+    * [[hashSample]] — deterministic either way. */
   def bucket256(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("int")
 
