@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Path}
+import java.nio.file.Path
 
 import graft.ops.{MergeOps, Scd2, Storage}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -30,13 +30,8 @@ object PipelineRunner {
     workDir.resolve("dim_users"),
     workDir.resolve("fact_orders"))
 
-  private def readOr(spark: SparkSession, p: Path, empty: => DataFrame): DataFrame = {
-    // recover FIRST: after a crash inside atomicReplace's swap window only
-    // `.old` exists — a bare existence check would silently rebuild the
-    // layer from empty state, losing audit history and SK continuity
-    Storage.recover(p)
-    if (Files.exists(p)) Storage.read(spark, p) else empty
-  }
+  private def readOr(spark: SparkSession, p: Path, empty: => DataFrame): DataFrame =
+    Storage.readOr(spark, p, empty) // recover-then-exists lives in Storage
 
   /** One pipeline run: events/orders visible up to `asOf` (event-time and
     * order-date cutoffs), stamped with frozen `runTs`. */

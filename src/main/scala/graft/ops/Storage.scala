@@ -22,6 +22,17 @@ object Storage {
     spark.read.parquet(table.toString)
   }
 
+  /** Read `table` if it exists, else `empty` — the ONLY correct
+    * first-run/bootstrap check on a managed table. Recovery runs before
+    * the existence test so a crash inside [[atomicReplace]]'s swap window
+    * (only `.old` present) reads as the previous state, not as "table
+    * never existed" — a bare `Files.exists` there would silently rebuild
+    * the layer from empty, losing audit history and SK continuity. */
+  def readOr(spark: SparkSession, table: Path, empty: => DataFrame): DataFrame = {
+    recover(table)
+    if (Files.exists(table)) spark.read.parquet(table.toString) else empty
+  }
+
   /** Write `next` as the new content of `table` via write-temp-then-swap.
     *
     * Crash safety (single-writer): each individual move is atomic, but the

@@ -101,9 +101,8 @@ object TextQueries {
     // random `df.sample` could never be oracle-checked — or trusted.
     Q("split1_train_test_split",
       (s, d) => Sampling.deterministicSplit(
-          Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
-          col("doc_id"), test256 = 26, val256 = 25)
-        .select(col("doc_id"), col("split")),
+          Tables.documents(s, d).select(col("doc_id")),
+          col("doc_id"), test256 = 26, val256 = 25),
       Some("""SELECT doc_id,
              |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
              |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '33' THEN 'validation'
@@ -230,11 +229,13 @@ object TextQueries {
 
     // Embedding-cosine near-dup pairs, label-blocked (the blocking key
     // bounds the candidate set the way LSH buckets do at scale); exact
-    // fixed-point cosine so the oracle matches bit-for-bit. Deliberately
-    // the RAW ratio (not Similarity.cosine's NULL-on-zero-norm guard):
-    // double division is IEEE on both engines — a zero-norm vector gives
-    // NaN, and `NaN >= 0.4` is false on both, so such pairs drop
-    // identically; the guard would diverge from the oracle formula.
+    // fixed-point cosine so the oracle matches bit-for-bit. The
+    // denominator is NULLIF-guarded ON BOTH SIDES: a zero-norm vector is
+    // a crash, not a NaN — Spark 4 ANSI throws DIVIDE_BY_ZERO for double
+    // x/0.0 while DuckDB yields NULL (both verified empirically; and
+    // NaN >= 0.4 is TRUE on both engines, so even non-ANSI IEEE NaN
+    // would KEEP such pairs, not drop them). With the shared NULLIF,
+    // zero-norm pairs get NULL cosine and drop identically.
     Q("d6_embedding_neardup_pairs",
       (s, d) => {
         val e = Tables.embeddings(s, d)
@@ -246,7 +247,7 @@ object TextQueries {
         pairs.select(
             col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
             (Similarity.dotUnits(col("a.embedding"), col("b.embedding")).cast("double") /
-              (sqrt(col("a.n2")) * sqrt(col("b.n2")))).as("cos_sim"))
+              nullif(sqrt(col("a.n2")) * sqrt(col("b.n2")), lit(0.0))).as("cos_sim"))
           .filter(col("cos_sim") >= 0.4)
       },
       Some("""WITH ex AS (SELECT vec_id, label,
@@ -258,9 +259,9 @@ object TextQueries {
              |    CAST(CAST(SUM(a.u * b.u) AS VARCHAR) AS DOUBLE) AS dot
              |  FROM ex a JOIN ex b ON a.label = b.label AND a.vec_id < b.vec_id AND a.i = b.i
              |  GROUP BY 1, 2)
-             |SELECT vec_a, vec_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cos_sim
+             |SELECT vec_a, vec_b, dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0.0) AS cos_sim
              |FROM dots JOIN n na ON vec_a = na.vec_id JOIN n nb ON vec_b = nb.vec_id
-             |WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.4""".stripMargin)),
+             |WHERE dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0.0) >= 0.4""".stripMargin)),
 
     // MinHash + LSH banding: the sub-quadratic near-dup path. Signature of
     // k=16 universal hashes over one md5-based 60-bit shingle hash; 4 bands
