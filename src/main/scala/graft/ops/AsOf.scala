@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
-  /** @param rightValueCols right-side payload columns to carry (must not
+  /** Backward as-of: greatest right t' ≤ left t.
+    * @param rightValueCols right-side payload columns to carry (must not
     *                       collide with left column names) */
   def asofJoinLeft(
       left: DataFrame,
@@ -33,7 +34,30 @@ object AsOf {
       key: String,
       leftTime: String,
       rightTime: String,
-      rightValueCols: Seq[String]): DataFrame = {
+      rightValueCols: Seq[String]): DataFrame =
+    asofImpl(left, right, key, leftTime, rightTime, rightValueCols, forward = false)
+
+  /** Forward as-of: SMALLEST right t' ≥ left t (next event at-or-after) —
+    * e.g. "first purchase following each impression". Same union-sort
+    * plan with the time axis reversed; DuckDB expresses it as
+    * `ASOF LEFT JOIN … ON l.t <= r.t`. */
+  def asofJoinLeftForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightValueCols: Seq[String]): DataFrame =
+    asofImpl(left, right, key, leftTime, rightTime, rightValueCols, forward = true)
+
+  private def asofImpl(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightValueCols: Seq[String],
+      forward: Boolean): DataFrame = {
 
     val leftCols = left.columns.toSeq
     // All payload columns ride in ONE struct that is non-null on every right
@@ -59,8 +83,13 @@ object AsOf {
         lit(null).cast(payloadT).as("__payload"), lit(1).as("__side")): _*)
 
     val all = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+    // forward: traverse time DESCENDING, so "carry the last right row
+    // seen" becomes "nearest right row at-or-after". __side stays
+    // ascending either way: the right row AT t sorts before left rows at
+    // t, making both bounds inclusive.
+    val timeOrder = if (forward) col(leftTime).desc else col(leftTime).asc
     val w = Window.partitionBy(col(key))
-      .orderBy(col(leftTime), col("__side"))
+      .orderBy(timeOrder, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     all.withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))

@@ -602,6 +602,32 @@ object MartQueries {
              |SELECT e.event_id, e.user_id, e.es, p.p_es, p.p_value
              |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.es >= p.es""".stripMargin)),
 
+    // Forward as-of: for each event, the NEXT purchase at-or-after it per
+    // user (attribution direction: impression → following conversion).
+    // Same dedup discipline as asof1; DuckDB's `<=` ASOF is the oracle.
+    Q("asof2_next_purchase",
+      (s, d) => {
+        val e = Tables.events(s, d).select(
+          col("event_id"), col("user_id"), col("event_type"),
+          col("value"), Registry.epochS(col("ts")).as("es"))
+        val purchases = graft.ops.MergeOps.latestByKey(
+          e.filter(col("event_type") === "purchase"),
+          Seq("user_id", "es"), Seq(col("event_id")))
+          .select(col("user_id"), col("es"),
+            col("es").as("p_es"), col("value").as("p_value"))
+        graft.ops.AsOf.asofJoinLeftForward(
+          e.select(col("event_id"), col("user_id"), col("es")),
+          purchases, "user_id", "es", "es", Seq("p_es", "p_value"))
+      },
+      Some(s"""WITH e AS (SELECT event_id, user_id, event_type, value,
+             |    ${epochSql("ts")} AS es FROM events),
+             |p0 AS (SELECT user_id, es, value,
+             |    row_number() OVER (PARTITION BY user_id, es ORDER BY event_id DESC) AS rn
+             |  FROM e WHERE event_type = 'purchase'),
+             |p AS (SELECT user_id, es, es AS p_es, value AS p_value FROM p0 WHERE rn = 1)
+             |SELECT e.event_id, e.user_id, e.es, p.p_es, p.p_value
+             |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.es <= p.es""".stripMargin)),
+
     // Range join: event pairs within one hour per user. Banded into an
     // equi-join — each right row registers in its bucket and both
     // neighbors, the join is on (user, bucket), the exact interval

@@ -41,4 +41,26 @@ class AsOfSpec extends SparkTestBase {
     assert(r.getLong(3) == 12L)
     assert(r.isNullAt(4), "matched row's NULL payload must survive")
   }
+
+  test("forward as-of: ≥ semantics, exact-time match, no-following → null") {
+    val left = Seq(
+      (1L, 1L, 5L), (2L, 1L, 10L), (3L, 1L, 15L),
+      (4L, 2L, 7L),
+      (5L, 2L, 20L)).toDF("event_id", "user_id", "es") // user 2: nothing after 20
+    val right = Seq(
+      (1L, 10L, 10L, 1.5), // exact-time: visible to left at es=10
+      (1L, 12L, 12L, 2.5),
+      (2L, 9L, 9L, 9.9)).toDF("user_id", "es", "p_es", "p_value")
+
+    val out = AsOf.asofJoinLeftForward(left, right, "user_id", "es", "es",
+        Seq("p_es", "p_value"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+
+    assert(out(1L) == Some(10L))   // es=5: nearest following is 10, not 12
+    assert(out(2L) == Some(10L))   // es=10: the equal-time purchase matches
+    assert(out(3L) == None)        // es=15: nothing at-or-after
+    assert(out(4L) == Some(9L))    // user 2, es=7 → purchase at 9
+    assert(out(5L) == None)        // user 2, es=20: purchase at 9 is earlier
+  }
 }
