@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{Components, Multimodal, NearDup, Sampling, Similarity, Text}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
@@ -382,6 +383,45 @@ object TextQueries {
       Some(s"""SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
              |FROM (SELECT doc_id, unnest($wordsSql) AS word FROM documents) t
              |GROUP BY word""".stripMargin)),
+
+    // TF-IDF top-5 terms per document — the feature-extraction op behind
+    // keyword/topic pipelines. Scoring uses tf·N/df with INTEGER
+    // numerator (exact in both engines) and one IEEE-exact double
+    // division, so the ranking order is engine-identical; ties break on
+    // the term. The df aggregation reuses the (doc,term) tf rollup (its
+    // rows are distinct by construction — no countDistinct expand), and
+    // N rides in as a 1-row broadcast.
+    Q("tfidf1_top_terms",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tf = docs
+          .select(col("doc_id"), explode(Text.words(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfByTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("term"))
+        tf.join(dfByTerm, Seq("term"))
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            (col("tf") * col("n_docs")).cast("double") / col("df"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            col("tfidf"), col("rnk"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+             |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+             |SELECT doc_id, term, tf, df, tfidf, rnk
+             |FROM (SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+             |        CAST(tf.tf * n.n_docs AS DOUBLE) / dfx.df AS tfidf,
+             |        row_number() OVER (PARTITION BY tf.doc_id
+             |          ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / dfx.df DESC, tf.term) AS rnk
+             |      FROM tf JOIN dfx USING (term) CROSS JOIN n) s
+             |WHERE rnk <= 5""".stripMargin)),
 
     // Per-label embedding diagnostics: exact fixed-point norm² sums (order-
     // independent → deterministic under any partitioning and engine).

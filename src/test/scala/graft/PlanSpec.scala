@@ -56,7 +56,8 @@ class PlanSpec extends SparkTestBase {
     // global-aggregate scalar) is the one legitimate BNLJ shape — the
     // "loop" runs over one row; everything else must hash-join
     val allowed = Set("sim1_cosine_topk", "sim2_lsh_topk", "sim4_ivf_topk",
-      "q22_dormant_rich_customers", "q11_important_parts", "q15_top_supplier")
+      "q22_dormant_rich_customers", "q11_important_parts", "q15_top_supplier",
+      "tfidf1_top_terms")
     Registry.all.filterNot(q => allowed(q.name)).foreach { q =>
       val p = q.fn(spark, Sf001).queryExecution.executedPlan.toString
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
