@@ -63,4 +63,27 @@ class AsOfSpec extends SparkTestBase {
     assert(out(4L) == Some(9L))    // user 2, es=7 → purchase at 9
     assert(out(5L) == None)        // user 2, es=20: purchase at 9 is earlier
   }
+
+  test("duality on real data: forward as-of ≡ backward as-of on negated time") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.events(spark, Sf001).select(
+      col("event_id"), col("user_id"), col("value"),
+      unix_timestamp(col("ts")).as("es"))
+    val purchases = graft.ops.MergeOps.latestByKey(
+        e.filter(col("value") > 150), // arbitrary deterministic right side
+        Seq("user_id", "es"), Seq(col("event_id")))
+      .select(col("user_id"), col("es"), col("value").as("p_value"))
+    val left = e.select(col("event_id"), col("user_id"), col("es"))
+
+    val fwd = AsOf.asofJoinLeftForward(left, purchases,
+        "user_id", "es", "es", Seq("p_value"))
+      .select(col("event_id"), col("p_value"))
+    val bwdNeg = AsOf.asofJoinLeft(
+        left.withColumn("es", -col("es")),
+        purchases.withColumn("es", -col("es")),
+        "user_id", "es", "es", Seq("p_value"))
+      .select(col("event_id"), col("p_value"))
+
+    assert(fwd.except(bwdNeg).isEmpty && bwdNeg.except(fwd).isEmpty)
+  }
 }
