@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,7 +26,7 @@ object Bench {
         Window.partitionBy("o_custkey").orderBy("o_orderkey"))).count()
     } catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() forces EVERY output column to be computed; a bare
       // count() would let Catalyst prune pure projections (map-only
@@ -34,13 +35,31 @@ object Bench {
       catch { case _: Throwable => failed += name } // visible below, never silent
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    spark.stop()
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
+    val total = results.map(_._2).sum
     // a broken query would otherwise record ~0s and read as a speedup —
     // the failed list makes breakage impossible to mistake for progress
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
-    spark.stop()
+    def line(entries: Seq[(String, Double)]): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    }
+    // Full per-query breakdown → file (the consumer of stdout keeps only the
+    // last ~2000 chars, which an 82-entry map overflows).
+    val full = line(results)
+    try {
+      val w = new java.io.PrintWriter("bench_full.json")
+      try w.println(full) finally w.close()
+    } catch { case _: Throwable => () }
+    // Final stdout line: slowest queries first, trimmed so the LINE stays
+    // well inside the consumer's 2000-char tail window even after the
+    // "[success] Total time ..." epilogue that follows it.
+    val budget = 1700
+    val bySlowest = results.sortBy(-_._2)
+    var keep = bySlowest
+    while (keep.nonEmpty && line(keep).length > budget) keep = keep.dropRight(1)
+    println(line(keep))
   }
 }
