@@ -83,6 +83,32 @@ object NearDup {
       .select(col("doc_id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
 
+  /** (doc_id, g) — each doc's DISTINCT hashed word n-gram shingles, one
+    * row per gram. The shared candidate-generation input for d2/d5/d7
+    * (Jaccard) and d3 (minhash): gram VALUES never reach any output,
+    * only gram equality does, so each gram is an 8-byte xxhash64 of its
+    * word hashes rather than a "w1 w2 w3" string — downstream
+    * exchanges, sorts and joins compare longs (collision mass across
+    * ~1e6 grams ≈ 1e-8, the standard shingle-sketch trade).
+    *
+    * Plan shape matters more than the hash: higher-order functions
+    * (transform/filter) are NOT whole-stage-codegen'd — they evaluate
+    * interpreted, re-computing their child per reference. Inlining
+    * words(text) into the gram lambda re-split the text ~3× per row
+    * (measured 2.0 s for 5000 docs); materializing the word array, then
+    * the word-hash array, in their OWN projections drops that to
+    * 0.3 s. CollapseProject leaves the boundaries alone because each
+    * array is referenced several times by non-cheap expressions. */
+  def hashedShingleSet(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"), Text.words(col("text")).as("__ws"))
+      .select(col("doc_id"), transform(col("__ws"), w => xxhash64(w)).as("__hs"))
+      .select(col("doc_id"), explode(array_distinct(
+        when(size(col("__hs")) >= n,
+          transform(sequence(lit(0), size(col("__hs")) - n),
+            i => xxhash64((1 to n).map(j => element_at(col("__hs"), i + lit(j))): _*)))
+          .otherwise(array().cast("array<bigint>")))).as("g"))
+
   /** (doc_a, doc_b, jaccard) for all pairs with n-gram Jaccard ≥ minJ;
     * doc_a < doc_b. `docs` needs (doc_id, text).
     *
@@ -94,16 +120,16 @@ object NearDup {
   def jaccardPairs(
       docs: DataFrame, n: Int, minJ: Double,
       maxDf: Option[Long] = None): DataFrame = {
-    val sh = docs.select(
-      col("doc_id"),
-      explode(array_distinct(Text.shingles(col("text"), n))).as("g"))
+    val sh = hashedShingleSet(docs, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // df prefilter as a WINDOW on g, not an agg+semi-join: the window
     // consumes the same exchange the pair self-join needs, so the whole
     // prefilter costs one per-partition sort. The agg+semi variant was
     // measured 3× slower — AQE broadcasts the df keys, which splits the
     // plan off the shared exchange and recomputes the shingle explode
-    // per branch.
+    // per branch. (A posting-list formulation — groupBy g,
+    // collect_list, in-array pair generation — also measured ~10%
+    // slower than the reused-exchange self-join.)
     val dfCol = count(lit(1)).over(Window.partitionBy("g"))
     val keep = maxDf match {
       case Some(cap) => col("df") > 1 && col("df") <= cap

@@ -282,13 +282,12 @@ object TextQueries {
         // Distributed minhash: explode shingles once, hash once, then k
         // min-aggregates (map-side combinable — one narrow shuffle on
         // doc_id). Computing the signature as one nested array expression
-        // would redo the md5 pass k times and explode codegen size.
-        val sh = Tables.documents(s, d).select(
-          col("doc_id"),
-          explode(array_distinct(Text.shingles(col("text"), 3))).as("g"))
-        // xxhash64, not md5: this query is rows-only (no oracle), so the
-        // engine-native codegen'd hash applies — md5 is reserved for ops
-        // whose hashes must reproduce in the DuckDB oracle (d1/t1)
+        // would redo the hash pass k times and explode codegen size.
+        // Grams come pre-hashed to longs (NearDup.hashedShingleSet — the
+        // staged-projection shape); this query is rows-only (no oracle),
+        // so engine-native xxhash64 applies throughout — md5 is reserved
+        // for ops whose hashes must reproduce in the DuckDB oracle (d1/t1).
+        val sh = NearDup.hashedShingleSet(Tables.documents(s, d), 3)
         val hashed = sh.withColumn("h", pmod(xxhash64(col("g")), lit(p)))
         val minCols = (0 until k).map(i =>
           min(pmod(col("h") * lit(as(i)) + lit(bs(i)), lit(p))).as(s"m$i"))
