@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators for training-data pipelines: repetition
+  * quality (Gopher-style), sub-document dedup (C4-style), benchmark
+  * contamination, PII redaction.
+  *
+  * All gram/chunk equality is computed on xxhash64'd values via the
+  * staged-projection shape (see [[NearDup.hashedShingleSet]]): the
+  * text of a gram never reaches any output — only counts do — so
+  * every exchange and join compares 8-byte longs. The DuckDB oracles
+  * recompute the same counts from string grams; collision mass across
+  * ~1e6 grams (~1e-8) is the standard sketch trade.
+  */
+object Corpus {
+
+  /** Per-doc word-bigram OCCURRENCES (not distinct), hashed. The
+    * repetition-metric input: one row per bigram occurrence. */
+  private def bigramOccurrences(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), Text.words(col("text")).as("__ws"))
+      .select(col("doc_id"), transform(col("__ws"), w => xxhash64(w)).as("__hs"))
+      .select(col("doc_id"), explode(
+        when(size(col("__hs")) >= 2,
+          transform(sequence(lit(0), size(col("__hs")) - 2),
+            i => xxhash64(element_at(col("__hs"), i + lit(1)),
+              element_at(col("__hs"), i + lit(2)))))
+          .otherwise(array().cast("array<bigint>"))).as("g"))
+
+  /** Gopher-style repetition metrics per document:
+    *  - `n_bigrams`: word-bigram occurrences (0 for docs under 2 words);
+    *  - `top_bigram_share`: occurrences of the most frequent bigram /
+    *    n_bigrams (the "top n-gram fraction" boilerplate rule);
+    *  - `dup_bigram_frac`: fraction of occurrences whose bigram occurs
+    *    more than once in the doc (the "duplicate n-grams" rule).
+    * Shares are NULL when a doc has no bigrams (SQL NULLIF convention).
+    * Two map-side-combinable aggregations; int/int → one exact IEEE
+    * double division, engine-identical. */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val perGram = bigramOccurrences(docs)
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = perGram.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_bigrams"),
+      max(col("c")).as("max_c"),
+      sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_occ"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (col("max_c").cast("double") / col("n_bigrams").cast("double"))
+          .as("top_bigram_share"),
+        (col("dup_occ").cast("double") / col("n_bigrams").cast("double"))
+          .as("dup_bigram_frac"))
+  }
+
+  /** C4-style sub-document dedup at `chunkWords`-word granularity: each
+    * doc splits into consecutive chunks; a chunk OCCURRENCE survives iff
+    * it is the globally first occurrence of its text, ordered by
+    * (doc_id, idx) — deterministic under any partitioning. Returns
+    * (doc_id, n_chunks, n_kept); a downstream reassembly keeps the
+    * surviving chunks only. One shuffle on the chunk hash. */
+  def chunkDedup(docs: DataFrame, chunkWords: Int): DataFrame = {
+    val ch = docs
+      .select(col("doc_id"), Text.words(col("text")).as("__ws"))
+      .select(col("doc_id"), explode(
+        when(size(col("__ws")) >= 1,
+          transform(sequence(lit(0),
+              floor((size(col("__ws")) - lit(1)) / lit(chunkWords)).cast("int")),
+            c => struct(c.as("idx"),
+              xxhash64(concat_ws(" ",
+                slice(col("__ws"), c * chunkWords + lit(1), lit(chunkWords))))
+                .as("h"))))
+          .otherwise(array().cast("array<struct<idx:int,h:bigint>>"))).as("c"))
+      .select(col("doc_id"), col("c.idx").as("idx"), col("c.h").as("h"))
+    val firstRank = row_number().over(
+      Window.partitionBy(col("h")).orderBy(col("doc_id"), col("idx")))
+    val ranked = ch.withColumn("kept", (firstRank === 1).cast("long"))
+    val perDoc = ranked.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_chunks"), sum(col("kept")).as("n_kept"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** Benchmark-contamination check: docs (excluding the benchmark set)
+    * sharing at least one distinct word `n`-gram with any benchmark
+    * doc, with the count of shared distinct grams. The benchmark side
+    * of the join is the small, fixed eval suite → broadcast; the
+    * corpus side streams through map-side — the honest 100 TB shape. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    val benchGrams = NearDup.hashedShingleSet(benchmark, n)
+      .select(col("g")).distinct()
+    NearDup.hashedShingleSet(corpus, n)
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams")) // grams are distinct per doc
+  }
+
+  /** Email pattern valid in BOTH Java regex (Spark) and RE2 (DuckDB). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone-ish pattern: international prefix optional, ≥8 chars of
+    * digits/separators, digit-bounded. Java+RE2 compatible. */
+  val PhonePattern = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII redaction: mask emails then phones, count matches. Pure
+    * map-side column expressions (codegen'd, no shuffle). DuckDB twin:
+    * regexp_replace(..., 'g') — DuckDB replaces first-match-only by
+    * default where Spark is global. */
+  def piiRedact(text: Column): Seq[(String, Column)] = {
+    val redacted = regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+    Seq(
+      "n_emails" -> size(regexp_extract_all(text, lit(EmailPattern), lit(0))),
+      "n_phones" -> size(regexp_extract_all(text, lit(PhonePattern), lit(0))),
+      "redacted_fp" -> md5(redacted))
+  }
+}

@@ -47,4 +47,17 @@ object Sampling {
   /** Keep ~keep256/256 of rows, deterministically by key. */
   def hashSample(df: DataFrame, key: Column, keep256: Int): DataFrame =
     df.filter(bucket256(key) < keep256)
+
+  /** Stratified deterministic sampling: per-stratum keep rates in
+    * 256ths (e.g. down-sample overrepresented languages). Same
+    * map-only, engine-portable membership as [[hashSample]] — the rate
+    * just switches on the stratum column. Strata absent from `rates`
+    * use `default256`. */
+  def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
+      rates: Map[String, Int], default256: Int): DataFrame = {
+    val threshold = rates.foldLeft(lit(default256)) {
+      case (acc, (s, r)) => when(stratum === s, lit(r)).otherwise(acc)
+    }
+    df.filter(bucket256(key) < threshold)
+  }
 }

@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Corpus, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Round-3 corpus-hygiene block: repetition quality, sub-document
+  * dedup, stratified sampling, mixture weights, benchmark
+  * contamination, PII redaction — the remaining operators a
+  * training-data pipeline runs between raw crawl and tokenizer.
+  *
+  * Engine-side gram/chunk equality is hashed (staged-projection
+  * xxhash64 — see Corpus/NearDup); the oracles recompute identical
+  * COUNTS from string grams, so every query here is hash-compared,
+  * not rows-only.
+  */
+object CorpusQueries {
+
+  private val wordsSql = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+
+  def all: Seq[Q] = Seq(
+
+    // Gopher repetition rules: top-bigram share + duplicate-bigram
+    // fraction. The filtering decision a real pipeline makes on these
+    // (drop if top_share > 0.2 etc.) is a trivial downstream filter.
+    Q("t6_repetition_metrics",
+      (s, d) => Corpus.repetitionMetrics(Tables.documents(s, d)),
+      Some(s"""WITH docs AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+             |g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+             |        i -> ws[i] || ' ' || ws[i+1])) AS g
+             |      FROM docs),
+             |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2),
+             |a AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS max_c,
+             |        SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ
+             |      FROM c GROUP BY 1)
+             |SELECT d.doc_id,
+             |  CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             |  CAST(a.max_c AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE) AS top_bigram_share,
+             |  CAST(a.dup_occ AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE) AS dup_bigram_frac
+             |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin)),
+
+    // C4-style chunk-level dedup: globally-first occurrence survives,
+    // ordered by (doc_id, idx). Oracle brute-forces the same ranking
+    // over string chunks.
+    Q("d9_chunk_dedup",
+      (s, d) => Corpus.chunkDedup(Tables.documents(s, d), chunkWords = 10),
+      Some(s"""WITH docs AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+             |ch AS (SELECT doc_id, i AS idx,
+             |         array_to_string(ws[i*10+1 : i*10+10], ' ') AS chunk
+             |       FROM (SELECT doc_id, ws, unnest(range(0, (len(ws)+9)//10)) AS i
+             |             FROM docs)),
+             |rk AS (SELECT doc_id, idx,
+             |         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+             |       FROM ch),
+             |a AS (SELECT doc_id, COUNT(*) AS n_chunks,
+             |        SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+             |      FROM rk GROUP BY 1)
+             |SELECT d.doc_id, COALESCE(a.n_chunks, 0) AS n_chunks,
+             |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept
+             |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin)),
+
+    // Stratified deterministic down-sampling by language: en keeps
+    // 128/256, de 64/256, the long tail 32/256 — membership is a pure
+    // function of md5(doc_id), reproducible across engines/backfills.
+    Q("s8_stratified_sample",
+      (s, d) => Sampling.stratifiedHashSample(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          col("doc_id"), col("lang"),
+          rates = Map("en" -> 128, "de" -> 64), default256 = 32),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+             |  CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN '40' ELSE '20' END""".stripMargin)),
+
+    // Domain-mixture reweighting: per-doc resampling weight that moves
+    // the corpus from its observed language mix to the uniform target —
+    // weight = target_share / actual_share = N / (k · n_lang). One
+    // grouped count + one 1-row broadcast; integers → one exact IEEE
+    // division, engine-identical.
+    Q("mix1_mixture_weights",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val perLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+        val totals = docs.agg(count(lit(1)).as("n_total"),
+          countDistinct(col("lang")).as("k"))
+        docs.select(col("doc_id"), col("lang"))
+          .join(broadcast(perLang), Seq("lang"))
+          .crossJoin(broadcast(totals))
+          .select(col("doc_id"), col("lang"),
+            (col("n_total").cast("double") /
+              (col("k") * col("n_lang")).cast("double")).as("weight"))
+      },
+      Some("""WITH pl AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),
+             |t AS (SELECT COUNT(*) AS n_total, COUNT(DISTINCT lang) AS k FROM documents)
+             |SELECT doc_id, d.lang,
+             |  CAST(n_total AS DOUBLE) / CAST(k * n_lang AS DOUBLE) AS weight
+             |FROM documents d JOIN pl ON d.lang = pl.lang CROSS JOIN t""".stripMargin)),
+
+    // Benchmark contamination: corpus docs sharing ≥1 distinct 5-gram
+    // with the held-out benchmark slice (source = 'src0'). The
+    // benchmark gram set broadcasts (eval suites are small and fixed);
+    // the corpus side never shuffles on the gram.
+    Q("c1_benchmark_contamination",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Corpus.contamination(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), n = 5)
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, source, $wordsSql AS ws FROM documents),
+             |grams AS (SELECT doc_id, source,
+             |    unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+             |      i -> array_to_string(ws[i:i+4], ' ')))) AS g
+             |  FROM docs),
+             |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+             |SELECT doc_id, COUNT(*) AS n_shared_grams
+             |FROM grams JOIN bench USING (g)
+             |WHERE source <> 'src0'
+             |GROUP BY doc_id""".stripMargin)),
+
+    // PII redaction: email/phone masking + match counts. This corpus
+    // contains no PII (counts are all 0; the fingerprint equals the
+    // unredacted text's) — PiiSpec carries the semantic verification on
+    // crafted rows; the oracle still recomputes the same regexes over
+    // every doc, so the patterns' cross-engine parity IS hash-checked.
+    Q("t7_pii_redaction",
+      (s, d) => {
+        val m = Corpus.piiRedact(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id") +: m.map { case (n, c) => c.as(n) }: _*)
+      },
+      Some(s"""SELECT doc_id,
+             |  len(regexp_extract_all(text, '${Corpus.EmailPattern}')) AS n_emails,
+             |  len(regexp_extract_all(text, '${Corpus.PhonePattern}')) AS n_phones,
+             |  md5(regexp_replace(regexp_replace(text, '${Corpus.EmailPattern}', '<EMAIL>', 'g'),
+             |      '${Corpus.PhonePattern}', '<PHONE>', 'g')) AS redacted_fp
+             |FROM documents""".stripMargin)))
+}

@@ -24,7 +24,8 @@ object Registry {
     *  - the SCD2 open-interval sentinel is 9999-12-31 23:59:59 UTC
     *    (epoch 253402300799).
     */
-  def all: Seq[Q] = CoreQueries.all ++ MartQueries.all ++ TextQueries.all
+  def all: Seq[Q] =
+    CoreQueries.all ++ MartQueries.all ++ TextQueries.all ++ CorpusQueries.all
 
   // ---- shared helpers ----
 

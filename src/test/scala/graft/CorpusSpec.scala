@@ -1,0 +1,92 @@
+package graft
+
+import graft.ops.{Corpus, Sampling}
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("repetitionMetrics: hand-computed bigram shares, short/empty docs get NULL shares") {
+    val docs = Seq(
+      (1L, "a b a b a"),  // bigrams: ab,ba,ab,ba → n=4, max=2, all dup → top .5, dup 1.0
+      (2L, "x y z"),      // xy,yz → n=2, max=1, dup 0
+      (3L, "solo"),       // no bigrams
+      (4L, "")            // no words
+    ).toDF("doc_id", "text")
+    val m = Corpus.repetitionMetrics(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getLong(1) == 4 && m(1L).getDouble(2) == 0.5 && m(1L).getDouble(3) == 1.0)
+    assert(m(2L).getLong(1) == 2 && m(2L).getDouble(2) == 0.5 && m(2L).getDouble(3) == 0.0)
+    assert(m(3L).getLong(1) == 0 && m(3L).isNullAt(2) && m(3L).isNullAt(3))
+    assert(m(4L).getLong(1) == 0 && m(4L).isNullAt(2))
+  }
+
+  test("chunkDedup: globally-first chunk occurrence survives, ordered by (doc_id, idx)") {
+    // 2-word chunks. doc 1: [a b][c d]; doc 2: [c d][e f]; doc 3: [a b][a b]
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "c d e f"),
+      (3L, "a b a b"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val m = Corpus.chunkDedup(docs, chunkWords = 2).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(m(1L) == (2L, 2L)) // both first occurrences
+    assert(m(2L) == (2L, 1L)) // "c d" already seen in doc 1
+    assert(m(3L) == (2L, 0L)) // "a b" seen in doc 1; second occurrence loses to idx 0 of doc... both lose
+    assert(m(4L) == (0L, 0L))
+  }
+
+  test("chunkDedup: short tail chunk is its own unit") {
+    val docs = Seq((1L, "a b c"), (2L, "c")).toDF("doc_id", "text")
+    val m = Corpus.chunkDedup(docs, chunkWords = 2).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(m(1L) == (2L, 2L)) // [a b], [c]
+    assert(m(2L) == (1L, 0L)) // [c] already taken by (doc 1, idx 1)
+  }
+
+  test("contamination: shared distinct grams counted once, benchmark excluded from output") {
+    val bench = Seq((100L, "one two three four five six")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "zero one two three four five six"),   // shares 2 distinct 5-grams
+      (2L, "nothing in common here at all")       // shares none
+    ).toDF("doc_id", "text")
+    val got = Corpus.contamination(corpus, bench, n = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L))
+  }
+
+  test("piiRedact: emails and phones masked globally, counts exact, clean text untouched") {
+    val df = Seq(
+      ("contact a.user+tag@example.co.uk or b@x.io today", 2, 0),
+      ("call +1 (415) 555-0100 or 020-7946-0958 now", 0, 2),
+      ("no pii in this row", 0, 0)
+    ).toDF("text", "expEmails", "expPhones")
+    val m = Corpus.piiRedact($"text")
+    val out = df.select(col("expEmails"), col("expPhones"),
+      m(0)._2.as("e"), m(1)._2.as("p"), m(2)._2.as("fp"), md5($"text").as("origFp")).collect()
+    out.foreach { r =>
+      assert(r.getInt(2) == r.getInt(0), s"emails: $r")
+      assert(r.getInt(3) == r.getInt(1), s"phones: $r")
+      val changed = r.getInt(0) + r.getInt(1) > 0
+      assert((r.getString(4) != r.getString(5)) == changed)
+    }
+  }
+
+  test("stratifiedHashSample: rates honored per stratum, membership = pure hash function") {
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "xx"))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.stratifiedHashSample(df, $"doc_id", $"lang",
+      Map("en" -> 128), default256 = 32)
+    val counts = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1000 per stratum; expect ~500 en (128/256), ~125 xx (32/256)
+    assert(counts("en") > 400 && counts("en") < 600, counts)
+    assert(counts("xx") > 75 && counts("xx") < 180, counts)
+    // determinism: same membership under a different partitioning
+    val again = Sampling.stratifiedHashSample(df.repartition(17), $"doc_id", $"lang",
+      Map("en" -> 128), default256 = 32)
+    assert(again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+}
