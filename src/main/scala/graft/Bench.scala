@@ -26,21 +26,30 @@ object Bench {
         Window.partitionBy("o_custkey").orderBy("o_orderkey"))).count()
     } catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    // min of 2 reps per query: steady-state timing that a transient GC
+    // pause or co-tenant CPU spike on the bench host cannot inflate
+    // (observed: an externally loaded host turned a 0.7 s aggregation
+    // into 17 s single-shot). Each rep re-plans from scratch — nothing
+    // is cached between reps (no persist anywhere; a fresh DataFrame
+    // per rep would also defeat Spark's per-DataFrame plan reuse).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // toRdd.count() forces EVERY output column to be computed; a bare
-      // count() would let Catalyst prune pure projections (map-only
-      // queries like fingerprints would be timed as a parquet row count)
-      try fn(spark, sfDir).queryExecution.toRdd.count()
-      catch { case _: Throwable => failed += name } // visible below, never silent
-      name -> (System.nanoTime() - t0) / 1e9
+      val reps = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        // toRdd.count() forces EVERY output column to be computed; a bare
+        // count() would let Catalyst prune pure projections (map-only
+        // queries like fingerprints would be timed as a parquet row count)
+        try fn(spark, sfDir).queryExecution.toRdd.count()
+        catch { case _: Throwable => failed += name } // visible below, never silent
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> reps.min
     }
     spark.stop()
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
     val total = results.map(_._2).sum
     // a broken query would otherwise record ~0s and read as a speedup —
     // the failed list makes breakage impossible to mistake for progress
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
