@@ -103,6 +103,45 @@ object Corpus {
       .agg(count(lit(1)).as("n_shared_grams")) // grams are distinct per doc
   }
 
+  /** Winnowing document fingerprints (the MOSS scheme, Schleimer et al.
+    * SIGMOD'03): hash every word `k`-gram, slide a window of `w`
+    * consecutive gram hashes, select each window's minimum — rightmost
+    * occurrence on ties — and emit the distinct selected (pos, hash)
+    * pairs. Guarantees: any shared run of w+k-1 words between two docs
+    * shares ≥1 fingerprint, and ~2/(w+1) of grams are selected — a
+    * bounded-size sketch with positional matching, strictly stronger
+    * than one whole-doc hash for clone/plagiarism detection.
+    *
+    * Gram hashes are md5-derived (engine-portable — the DuckDB oracle
+    * recomputes them bit-for-bit), computed per doc via the staged
+    * projections; window minima are in-array lambdas — map-only, no
+    * shuffle until the final distinct. Docs with fewer than k words
+    * emit nothing; with fewer grams than w, one window spans them all. */
+  def winnowingFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    val gh = docs
+      .select(col("doc_id"), Text.words(col("text")).as("__ws"))
+      .select(col("doc_id"),
+        when(size(col("__ws")) >= k,
+          transform(sequence(lit(0), size(col("__ws")) - k),
+            i => concat_ws(" ", slice(col("__ws"), i + lit(1), lit(k)))))
+          .otherwise(array().cast("array<string>")).as("__gs"))
+      .select(col("doc_id"),
+        transform(col("__gs"), g => Text.md5Long(g)).as("__gh"))
+    val nG = size(col("__gh"))
+    val wEff = least(lit(w), nG)
+    val wins = transform(sequence(lit(0), nG - wEff), { i =>
+      val sl = slice(col("__gh"), i + lit(1), wEff)
+      val m = array_min(sl)
+      // rightmost occurrence of the min: first hit in the REVERSED window
+      val posInWin = wEff - array_position(reverse(sl), m) + lit(1)
+      struct((i + posInWin).as("pos"), m.as("fph"))
+    })
+    gh.filter(nG >= 1)
+      .select(col("doc_id"), explode(wins).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fph").as("fph"))
+      .distinct()
+  }
+
   /** Email pattern valid in BOTH Java regex (Spark) and RE2 (DuckDB). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 

@@ -117,6 +117,30 @@ object CorpusQueries {
              |WHERE source <> 'src0'
              |GROUP BY doc_id""".stripMargin)),
 
+    // Winnowing fingerprints (MOSS): per-doc positional sketch — every
+    // shared w+k-1-word run between docs shares a fingerprint. The
+    // oracle replays the identical md5-derived gram hash and
+    // rightmost-min window selection in SQL.
+    Q("fp1_winnowing",
+      (s, d) => Corpus.winnowingFingerprints(Tables.documents(s, d), k = 4, w = 4),
+      Some(s"""WITH docs AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+             |g AS (SELECT doc_id, list_transform(range(1, len(ws) - 2),
+             |        i -> array_to_string(ws[i:i+3], ' ')) AS gs
+             |      FROM docs),
+             |gh AS (SELECT doc_id, list_transform(gs,
+             |        s -> CAST(CONCAT('0x', substring(md5(s), 1, 15)) AS BIGINT)) AS gh
+             |      FROM g WHERE len(gs) >= 1),
+             |wins AS (SELECT doc_id,
+             |    unnest(list_transform(range(0, len(gh) - least(4, len(gh)) + 1), i ->
+             |      struct_pack(
+             |        pos := i + least(4, len(gh))
+             |          - list_position(list_reverse(gh[i+1 : i+least(4, len(gh))]),
+             |              list_min(gh[i+1 : i+least(4, len(gh))])) + 1,
+             |        fph := list_min(gh[i+1 : i+least(4, len(gh))])))) AS s
+             |  FROM gh)
+             |SELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos, s.fph AS fph
+             |FROM wins""".stripMargin)),
+
     // PII redaction: email/phone masking + match counts. This corpus
     // contains no PII (counts are all 0; the fingerprint equals the
     // unredacted text's) — PiiSpec carries the semantic verification on

@@ -56,6 +56,35 @@ class CorpusSpec extends SparkTestBase {
     assert(got == Map(1L -> 2L))
   }
 
+  test("winnowing: every window contains a selected fingerprint; shared runs share one") {
+    val a = "p q r s t u v w x y z aa bb cc dd"
+    val b = "THE SHARED RUN p q r s t u v w x y z IS LONG ENOUGH"
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val k = 4; val w = 4
+    val fp = Corpus.winnowingFingerprints(docs, k, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // winnowing coverage: for each doc, consecutive selected positions
+    // are at most w apart (each window selects something)
+    for (d <- Seq(1L, 2L)) {
+      val ps = fp.filter(_._1 == d).map(_._2).sorted
+      assert(ps.nonEmpty)
+      ps.zip(ps.tail).foreach { case (x, y) => assert(y - x <= w, s"gap in doc $d: $ps") }
+    }
+    // guarantee: a shared run of w+k-1 = 7 words forces >=1 shared hash
+    // (the shared run here is 11 words long)
+    val h1 = fp.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = fp.filter(_._1 == 2L).map(_._3).toSet
+    assert((h1 & h2).nonEmpty)
+  }
+
+  test("winnowing: short docs — fewer grams than w gives one window, <k words gives none") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c")).toDF("doc_id", "text")
+    val fp = Corpus.winnowingFingerprints(docs, k = 4, w = 4).collect()
+    // doc 1: 2 grams < w → one window over both → exactly 1 fingerprint
+    assert(fp.count(_.getLong(0) == 1L) == 1)
+    assert(fp.count(_.getLong(0) == 2L) == 0)
+  }
+
   test("piiRedact: emails and phones masked globally, counts exact, clean text untouched") {
     val df = Seq(
       ("contact a.user+tag@example.co.uk or b@x.io today", 2, 0),
