@@ -127,19 +127,22 @@ object Corpus {
           .otherwise(array().cast("array<string>")).as("__gs"))
       .select(col("doc_id"),
         transform(col("__gs"), g => Text.md5Long(g)).as("__gh"))
-    val nG = size(col("__gh"))
-    val wEff = least(lit(w), nG)
-    val wins = transform(sequence(lit(0), nG - wEff), { i =>
-      val sl = slice(col("__gh"), i + lit(1), wEff)
-      val m = array_min(sl)
-      // rightmost occurrence of the min: first hit in the REVERSED window
-      val posInWin = wEff - array_position(reverse(sl), m) + lit(1)
-      struct((i + posInWin).as("pos"), m.as("fph"))
-    })
-    gh.filter(nG >= 1)
-      .select(col("doc_id"), explode(wins).as("s"))
+    // Selection runs in the native codegen'd expression
+    // [[graft.plans.WinnowSelect]] (O(n) amortized rolling
+    // rightmost-min over a primitive long[]): column-lambda
+    // formulations of the same rule are interpreted (HOFs have no
+    // codegen) and floored at ~3 s for 250k grams. Map-only — selected
+    // positions are distinct by construction, so there is no distinct
+    // shuffle; docs with no grams explode to zero rows. Deliberately NO
+    // size(__gh)>=1 guard filter: predicate pushdown rewrites such a
+    // filter to run BELOW the staged projections, re-inlining the whole
+    // words→grams→md5 chain into the Filter (and the parquet
+    // DataFilters) — the chain then executes twice per row (measured
+    // 2.4 s vs 0.6 s). CorpusSpec cross-checks the expression against
+    // an independent per-position column formulation.
+    gh.select(col("doc_id"),
+        explode(graft.plans.WinnowSelect(col("__gh"), w)).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.fph").as("fph"))
-      .distinct()
   }
 
   /** Email pattern valid in BOTH Java regex (Spark) and RE2 (DuckDB). */

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Corpus, Sampling}
+import graft.ops.{Corpus, Sampling, Text}
 import org.apache.spark.sql.functions._
 
 /** Round-3 corpus-hygiene block: repetition quality, sub-document
@@ -116,6 +116,58 @@ object CorpusQueries {
              |FROM grams JOIN bench USING (g)
              |WHERE source <> 'src0'
              |GROUP BY doc_id""".stripMargin)),
+
+    // The composed training-corpus pipeline — the north star's actual
+    // use-case, end to end in ONE DAG: quality gate → exact dedup
+    // (min-doc_id survivor per fingerprint) → stratified language
+    // down-sampling → deterministic split assignment → token stats.
+    // Every stage is one of the library's operators; the oracle replays
+    // the whole chain as CTEs. Plan: two shuffles total (the dedup
+    // group-by and its semi-join back), everything else map-side.
+    Q("pipe1_training_corpus",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ws = Text.words(col("text"))
+        val measured = docs.select(
+          col("doc_id"), col("lang"), col("text"),
+          size(ws).as("n_words"),
+          (size(array_distinct(ws)).cast("double") /
+            nullif(size(ws), lit(0)).cast("double")).as("uniq_ratio"))
+        val quality = measured
+          .filter(col("n_words") >= 5 && col("uniq_ratio") >= 0.3)
+        val keepIds = quality
+          .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+          .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        val deduped = quality.join(keepIds, Seq("doc_id"), "left_semi")
+        val sampled = Sampling.stratifiedHashSample(
+          deduped, col("doc_id"), col("lang"),
+          rates = Map("en" -> 128, "de" -> 64), default256 = 32)
+        Sampling.deterministicSplit(sampled, col("doc_id"),
+            test256 = 26, val256 = 25)
+          .select(col("doc_id"), col("lang"), col("split"),
+            Text.tokenCount(col("text")).as("n_tokens"))
+      },
+      Some(s"""WITH m AS (SELECT doc_id, lang, text,
+             |    len($wordsSql) AS n_words,
+             |    CAST(len(list_distinct($wordsSql)) AS DOUBLE)
+             |      / CAST(NULLIF(len($wordsSql), 0) AS DOUBLE) AS uniq_ratio
+             |  FROM documents),
+             |q AS (SELECT * FROM m WHERE n_words >= 5 AND uniq_ratio >= 0.3),
+             |keep AS (SELECT MIN(doc_id) AS doc_id
+             |  FROM (SELECT doc_id, md5(array_to_string($wordsSql, ' ')) AS fp
+             |        FROM documents
+             |        WHERE doc_id IN (SELECT doc_id FROM q))
+             |  GROUP BY fp),
+             |sampled AS (SELECT q.* FROM q JOIN keep USING (doc_id)
+             |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+             |    CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN '40' ELSE '20' END)
+             |SELECT doc_id, lang,
+             |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+             |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '33' THEN 'validation'
+             |       ELSE 'train' END AS split,
+             |  len(string_split(text, ' ')) AS n_tokens
+             |FROM sampled""".stripMargin)),
 
     // Winnowing fingerprints (MOSS): per-doc positional sketch — every
     // shared w+k-1-word run between docs shares a fingerprint. The

@@ -77,6 +77,55 @@ class CorpusSpec extends SparkTestBase {
     assert((h1 & h2).nonEmpty)
   }
 
+  test("winnowing: native WinnowSelect ≡ independent per-position column formulation on real docs") {
+    // Independent oracle: position j is selected iff some window has j as
+    // its rightmost minimum ⟺ max(1, j-b) <= min(j+a-W+1, n-W+1) where
+    // a = right-run of strictly-greater hashes, b = left-run of >= hashes
+    // (both capped at w-1). Completely different algorithm and code path
+    // from the expression's rolling scan.
+    val w = 4
+    val docs = Tables.documents(spark, Sf001).limit(150)
+    val gh = docs
+      .select(col("doc_id"), graft.ops.Text.words(col("text")).as("__ws"))
+      .select(col("doc_id"),
+        when(size(col("__ws")) >= 4,
+          transform(sequence(lit(0), size(col("__ws")) - 4),
+            i => concat_ws(" ", slice(col("__ws"), i + lit(1), lit(4)))))
+          .otherwise(array().cast("array<string>")).as("__gs"))
+      .select(col("doc_id"),
+        transform(col("__gs"), g => graft.ops.Text.md5Long(g)).as("__gh"))
+    val g = col("__gh")
+    val nG = size(g)
+    val wEff = least(lit(w), nG)
+    def run(j: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column,
+        step: Int, strict: Boolean): org.apache.spark.sql.Column = {
+      def chain(u: Int): org.apache.spark.sql.Column =
+        if (u >= w) lit(0)
+        else {
+          val nb = get(g, (j + lit(step * u) - 1).cast("int"))
+          val ok = if (strict) nb > v else nb >= v
+          when(ok, lit(1) + chain(u + 1)).otherwise(lit(0))
+        }
+      chain(1)
+    }
+    val selected = filter(sequence(lit(1), nG), { j =>
+      val v = get(g, (j - 1).cast("int"))
+      val a = run(j, v, step = 1, strict = true)
+      val b = run(j, v, step = -1, strict = false)
+      greatest(lit(1), j - b) <= least(j + a - wEff + lit(1), nG - wEff + lit(1))
+    })
+    val independent = gh.filter(nG >= 1)
+      .select(col("doc_id"), explode(transform(selected,
+        j => struct(j.cast("long").as("pos"),
+          get(g, (j - 1).cast("int")).as("fph")))).as("s"))
+      .select(col("doc_id"), col("s.pos"), col("s.fph"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val native = graft.ops.Corpus.winnowingFingerprints(docs, k = 4, w = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(native == independent)
+    assert(native.nonEmpty)
+  }
+
   test("winnowing: short docs — fewer grams than w gives one window, <k words gives none") {
     val docs = Seq((1L, "a b c d e"), (2L, "a b c")).toDF("doc_id", "text")
     val fp = Corpus.winnowingFingerprints(docs, k = 4, w = 4).collect()
