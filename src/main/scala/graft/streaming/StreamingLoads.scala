@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.ops.{MergeOps, Scd2}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit, sum, window}
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 import org.apache.spark.sql.Row
@@ -42,6 +42,21 @@ object StreamingLoads {
   /** Micro-batch conditional upsert into an in-memory table map (stand-in
     * for a Delta table): every micro-batch applies M1 semantics against the
     * accumulated state. Returns the writer, caller starts/stops it. */
+  /** Streaming exact dedup — d1's streaming twin: keep the first row per
+    * fingerprint, with `dropDuplicatesWithinWatermark` so the dedup
+    * state is BOUNDED by the watermark (an unbounded `dropDuplicates`
+    * would grow state forever at 100 TB/day ingest; within-watermark
+    * semantics keep exactly the dedup window a crawl pipeline wants:
+    * duplicates arriving inside the late-data horizon collapse, ancient
+    * state ages out). `tsCol` must be an event-time column. */
+  def streamingExactDedup(docs: DataFrame, fingerprint: Column,
+      tsCol: String, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__fp", fingerprint)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   def foreachBatchUpsert(
       incoming: DataFrame,
       state: StreamingTableState,

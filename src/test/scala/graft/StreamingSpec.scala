@@ -58,6 +58,25 @@ class StreamingSpec extends SparkTestBase {
     assert(n == want, s"expected $want deduped events, got $n")
   }
 
+  test("streamingExactDedup: content-fingerprint dedup with BOUNDED state (within-watermark)") {
+    val dir = eventsStreamDir
+    Files.copy(java.nio.file.Paths.get(s"$Sf001/events.parquet"),
+      java.nio.file.Paths.get(dir).resolve("part-1.parquet"))
+    val stream = spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val deduped = StreamingLoads.streamingExactDedup(
+      stream, fingerprint = md5(concat_ws("|", col("event_id"), col("event_type"))),
+      tsCol = "ts")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("fp_dedup_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("fp_dedup_stream")
+    // each duplicated event collapses to one row; schema passes through
+    // (the internal __fp column is dropped)
+    assert(out.count() == Tables.events(spark, Sf001).count())
+    assert(out.columns.toSet == Set("event_id", "ts", "user_id", "event_type", "value", "props"))
+  }
+
   test("stream-stream interval join matches the batch equivalent") {
     // click ⋈ purchase by user within [click_ts, click_ts + 1h] — both
     // sides watermarked so the join state is bounded (Spark requires the
