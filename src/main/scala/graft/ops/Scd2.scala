@@ -71,11 +71,48 @@ object Scd2 {
   /** M5: globally-unique surrogate keys for a freshly built dimension:
     * row_number over (bk, valid_from) — deterministic and dense. Per-key
     * `version` numbers are NOT surrogate keys (they collide across keys).
-    * The global window sort is acceptable for bounded dims; for unbounded
-    * tables assign via per-partition zipWithIndex + offsets instead. */
+    * The global window sort is acceptable for bounded dims; unbounded
+    * tables use [[withScalableSk]] (same keys, no single-task sort). */
   def withGlobalSk(dim: DataFrame, bk: String, skCol: String = "sk"): DataFrame =
     dim.withColumn(skCol,
       row_number().over(Window.orderBy(col(bk), col("valid_from"))).cast("long"))
+
+  /** M5 at scale: the same dense, deterministic surrogate keys as
+    * [[withGlobalSk]] — identical (row → sk) mapping, asserted in
+    * Scd2Spec — with NO single-partition sort anywhere:
+    *
+    *  1. `repartitionByRange(ordCols)` spreads the sort across N tasks
+    *     (range exchange, parallel);
+    *  2. one count per partition comes back to the driver — O(N) rows,
+    *     never data — and prefix-sums into per-partition offsets;
+    *  3. sk = offset(partition) + row_number within the partition.
+    *
+    * `ordCols` must be a total order (unique per row), which it must be
+    * for ANY deterministic sk assignment — under a total order the
+    * result is independent of where the range boundaries land. The
+    * input is localCheckpointed so the count job and the output job see
+    * the same partitioning (range boundaries come from sampling; two
+    * separate computations of the same plan are not guaranteed to
+    * produce them identically). */
+  def withScalableSk(dim: DataFrame, ordCols: Seq[String],
+      skCol: String = "sk", partitions: Int = 0): DataFrame = {
+    val spark = dim.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = dim
+      .repartitionByRange(n, ordCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy(col("__pid")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until n).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    val offsetOf = element_at(
+      map((0 until n).flatMap(p => Seq(lit(p), lit(offsets(p)))): _*), col("__pid"))
+    val wPid = Window.partitionBy(col("__pid")).orderBy(ordCols.map(col): _*)
+    ranged
+      .withColumn(skCol, (offsetOf + row_number().over(wPid)).cast("long"))
+      .drop("__pid")
+  }
 
   /** M3: one batch close-and-insert against an existing dimension.
     *

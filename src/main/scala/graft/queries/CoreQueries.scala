@@ -504,5 +504,21 @@ object CoreQueries {
       },
       Some("""SELECT c_custkey, c_name, c_nationkey,
              |       CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS sk
+             |FROM customer""".stripMargin)),
+
+    // M5 scale path: identical keys to m5_surrogate_keys but assigned
+    // WITHOUT a global sort — range partitions + per-partition row
+    // numbers + O(partitions) driver-side offsets (Scd2.withScalableSk).
+    // The oracle is the plain global row_number: the equivalence IS the
+    // point (same dense keys, parallel plan).
+    Q("m5b_scalable_sk",
+      (s, d) => {
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        graft.ops.Scd2.withScalableSk(dim, Seq("c_custkey"), partitions = 8)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("sk"))
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey,
+             |       CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS sk
              |FROM customer""".stripMargin)))
 }

@@ -13,6 +13,32 @@ class Scd2Spec extends SparkTestBase {
     rows.toDF("bk", "ts_s", "attr")
       .select($"bk", $"ts_s".cast("timestamp").as("ts"), $"attr")
 
+  test("M5: withScalableSk assigns the identical (row -> sk) mapping as withGlobalSk, with no global sort") {
+    // orders at sf0.001 as a stand-in dimension: (o_orderkey) is a total
+    // order; valid_from is synthesized so withGlobalSk's (bk, valid_from)
+    // equals plain bk order
+    val dim = Tables.orders(spark, Sf001)
+      .select(col("o_orderkey").as("bk"), col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("valid_from"))
+    val global = Scd2.withGlobalSk(dim, "bk")
+      .select(col("bk"), col("sk")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scalable = Scd2.withScalableSk(dim, Seq("bk", "valid_from"), partitions = 7)
+    val got = scalable.select(col("bk"), col("sk")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == global)
+    // dense 1..n
+    assert(got.values.toSeq.sorted == (1L to got.size.toLong))
+    // scale shape: no single-partition exchange anywhere in the plan
+    val plan = scalable.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    // determinism under a different input partitioning
+    val again = Scd2.withScalableSk(dim.repartition(13), Seq("bk", "valid_from"), partitions = 7)
+      .select(col("bk"), col("sk")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == global)
+  }
+
   test("M3: fromChangeLog collapses consecutive duplicates and chains intervals") {
     val log = changeLog(
       (1, "2024-01-01 00:00:00", "a"),
