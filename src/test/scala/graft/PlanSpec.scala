@@ -27,6 +27,22 @@ class PlanSpec extends SparkTestBase {
     assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
   }
 
+  test("corpus queries: the documents scan is pruned to exactly the needed columns") {
+    // map-only per-doc metrics need (doc_id, text) and nothing else; a
+    // scan dragging lang/source/n_chars through a 100 TB corpus is wrong
+    for (q <- Seq("t1_token_stats", "t6_repetition_metrics", "t7_pii_redaction",
+        "fp1_winnowing", "d9_chunk_dedup")) {
+      val schemas = plan(q).linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+      assert(!schemas.contains("lang") && !schemas.contains("source") &&
+        !schemas.contains("n_chars"), s"$q over-wide scan:\n$schemas")
+      assert(schemas.contains("text"), s"$q missing text column:\n$schemas")
+    }
+    // s8 needs only (doc_id, lang)
+    val s8 = plan("s8_stratified_sample").linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!s8.contains("text") && s8.contains("lang"), s"s8 scan:\n$s8")
+  }
+
   test("q6: date-cast comparison still pushes a timestamp range to the scan") {
     // `cast(ts AS DATE) >= lit` must not block pushdown — Catalyst
     // rewrites it to a timestamp range (OptimizeCastsOnDatetimeFields);
