@@ -193,6 +193,29 @@ object CorpusQueries {
              |SELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos, s.fph AS fph
              |FROM wins""".stripMargin)),
 
+    // Heavy hitters: top-10 corpus words via the SpaceSaving sketch
+    // (plans.SpaceSavingTopK — bounded O(capacity) state, map-side
+    // merge). Run in the exact regime (capacity ≫ vocabulary), where
+    // every count is provably exact and merge-order independent, so the
+    // plain GROUP BY oracle verifies the sketch bit-for-bit; the
+    // bounded regime's error guarantees are property-tested in
+    // SpaceSavingSpec.
+    Q("hh1_heavy_hitter_words",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode(Text.words(col("text"))).as("w"))
+        words
+          .agg(graft.plans.SpaceSavingTopK.topK(col("w"), 4096).as("hh"))
+          .select(explode(slice(col("hh"), 1, 10)).as("e"))
+          .select(col("e.item").as("word"), col("e.cnt").as("cnt"),
+            col("e.err").as("err"))
+      },
+      Some(s"""SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS err
+             |FROM (SELECT unnest($wordsSql) AS word FROM documents)
+             |GROUP BY word
+             |ORDER BY cnt DESC, word
+             |LIMIT 10""".stripMargin)),
+
     // PII redaction: email/phone masking + match counts. This corpus
     // contains no PII (counts are all 0; the fingerprint equals the
     // unredacted text's) — PiiSpec carries the semantic verification on
