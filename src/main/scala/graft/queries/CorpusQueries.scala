@@ -20,6 +20,47 @@ object CorpusQueries {
 
   def all: Seq[Q] = Seq(
 
+    // Skew-mitigated aggregation: two-phase salted sum/count
+    // (ops.Skew.saltedSumCount — phase 1 on (key, salt) spreads a hot
+    // key over 16 reducers, phase 2 combines partials). l_returnflag
+    // has 3 values over 600k rows — exactly the pathological key
+    // distribution the helper exists for. DECIMAL fold → the result is
+    // identical to the plain GROUP BY regardless of salting or
+    // partitioning, which is what the oracle checks.
+    Q("skew1_salted_agg",
+      (s, d) => {
+        val out = graft.ops.Skew.saltedSumCount(
+          Tables.lineitem(s, d), "l_returnflag",
+          col("l_quantity").cast("decimal(12,2)"),
+          discriminator = col("l_orderkey") * lit(8) + col("l_linenumber"),
+          salts = 16)
+        out.select(col("l_returnflag"),
+          col("sum").cast("double").as("sum_qty"),
+          col("count").as("n"))
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // Exact interpolated quartiles per group: Spark `percentile` and
+    // DuckDB `quantile_cont` both compute lower + (upper-lower)·frac on
+    // the sorted doubles — engine-identical interpolation, verified by
+    // the hash compare here.
+    Q("q7b_quartiles_by_priority",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))").as("qs"))
+        .select(col("o_orderpriority"),
+          element_at(col("qs"), 1).as("p25"),
+          element_at(col("qs"), 2).as("p50"),
+          element_at(col("qs"), 3).as("p75")),
+      Some("""SELECT o_orderpriority,
+             |  quantile_cont(o_totalprice, 0.25) AS p25,
+             |  quantile_cont(o_totalprice, 0.50) AS p50,
+             |  quantile_cont(o_totalprice, 0.75) AS p75
+             |FROM orders GROUP BY 1""".stripMargin)),
+
     // Gopher repetition rules: top-bigram share + duplicate-bigram
     // fraction. The filtering decision a real pipeline makes on these
     // (drop if top_share > 0.2 etc.) is a trivial downstream filter.
