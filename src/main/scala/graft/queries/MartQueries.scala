@@ -917,5 +917,163 @@ object MartQueries {
              |      FROM g)
              |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
              |  COUNT(*) AS n_events, MIN(es) AS session_start_epoch
-             |FROM f GROUP BY 1, 2""".stripMargin)))
+             |FROM f GROUP BY 1, 2""".stripMargin))) ++ tpchCompletion
+
+  /** The five TPC-H shapes the registry didn't yet cover — q2, q4, q12,
+    * q16, q21 — adapted to the synthetic schema (no partsupp /
+    * l_commitdate / l_receiptdate / l_shipmode columns exist; lineitem
+    * stands in for the offer list and `l_returnflag = 'R'` is the
+    * "late/failed" proxy). With these the registry exercises all 22
+    * TPC-H query shapes.
+    */
+  private def tpchCompletion: Seq[Q] = Seq(
+
+    // TPC-H Q2 shape: per-group argmin against a correlated minimum,
+    // reached through a supplier→nation→region dim chain. Both sides
+    // compute min over the exact DECIMAL price, so `price = min_price`
+    // is engine-portable (same reasoning as q15's argmax). The dim chain
+    // and the qualifying-part filter broadcast; the min join reuses the
+    // per-part aggregation — at 100 TB the only wide exchange is the
+    // per-part groupBy of the (already supplier-pruned) lineitem.
+    Q("q2_min_cost_supplier",
+      (s, d) => {
+        val supEurope = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+        val offers = Tables.lineitem(s, d)
+          .join(broadcast(supEurope), col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_partkey"), col("s_name"), col("s_acctbal"), col("n_name"),
+            money(col("l_extendedprice")).as("price"))
+        val minPrice = offers.groupBy(col("l_partkey")).agg(min(col("price")).as("min_price"))
+        offers.join(minPrice, Seq("l_partkey"))
+          .filter(col("price") === col("min_price"))
+          .join(broadcast(Tables.part(s, d).filter(col("p_size") === 15)),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+            col("s_acctbal"), col("min_price").cast("double").as("min_price"))
+          .distinct()
+      },
+      Some("""WITH o AS (
+             |  SELECT l_partkey, s_name, s_acctbal, n_name,
+             |         CAST(l_extendedprice AS DECIMAL(14,2)) AS price
+             |  FROM lineitem
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  WHERE r_name = 'EUROPE'),
+             |m AS (SELECT l_partkey, MIN(price) AS min_price FROM o GROUP BY 1)
+             |SELECT DISTINCT p_partkey, p_name, s_name, n_name, s_acctbal,
+             |       CAST(m.min_price AS DOUBLE) AS min_price
+             |FROM o JOIN m ON o.l_partkey = m.l_partkey
+             |JOIN part ON o.l_partkey = p_partkey
+             |WHERE p_size = 15 AND o.price = m.min_price""".stripMargin)),
+
+    // TPC-H Q4 shape: EXISTS → left-semi join, then count by priority.
+    // The semi join shuffles both sides on the order key (no payload
+    // columns cross the exchange); the 5-key aggregation is map-side.
+    Q("q4_priority_order_check",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
+            col("o_orderdate").cast("date") < lit("1996-04-01").cast("date"))
+        val returned = Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+        o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+             |FROM orders
+             |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+             |  AND CAST(o_orderdate AS DATE) <  DATE '1996-04-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+             |GROUP BY 1""".stripMargin)),
+
+    // TPC-H Q12 shape: big-big equi-join + conditional (CASE) counts
+    // over a bounded group key (l_returnflag stands in for l_shipmode).
+    // Both sides shuffle on the order key; at 100 TB neither side
+    // broadcasts and AQE picks the hash side.
+    Q("q12_priority_by_returnflag",
+      (s, d) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+            col("l_shipdate").cast("date") < lit("1997-01-01").cast("date"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+             |  AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+             |GROUP BY 1""".stripMargin)),
+
+    // TPC-H Q16 shape: NOT IN exclusion subquery (suppliers with
+    // negative balance stand in for "customer complaints") + grouped
+    // COUNT(DISTINCT supplier). Supplier keys are non-null, so the
+    // anti join is semantics-identical to NOT IN. lineitem is the
+    // partsupp stand-in; the part slice and the exclusion list both
+    // broadcast.
+    Q("q16_supplier_part_counts",
+      (s, d) => {
+        val excl = Tables.supplier(s, d)
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)
+              .filter(col("p_brand") =!= "Brand#1" && col("p_size").isin(1, 5, 9, 15, 23))),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      },
+      Some("""SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand <> 'Brand#1' AND p_size IN (1,5,9,15,23)
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // TPC-H Q21 shape: the sole-failing-supplier query. The oracle keeps
+    // the canonical EXISTS + NOT EXISTS self-join form; the Spark side
+    // folds both correlated subqueries into ONE grouped pass over
+    // lineitem — countDistinct(supplier) answers EXISTS-other-supplier,
+    // countDistinct(failing supplier) answers NOT-EXISTS-other-failer,
+    // and max(failing supplier) recovers the unique culprit. Two
+    // self-join shuffles of the fact table become a single aggregation —
+    // at 100 TB that is 3× less lineitem through the wire.
+    Q("q21_sole_returning_supplier",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_returnflag") === "R").as("fail"))
+        val perOrder = li.groupBy(col("l_orderkey")).agg(
+          countDistinct(col("l_suppkey")).as("nsupp"),
+          countDistinct(when(col("fail"), col("l_suppkey"))).as("nfail"),
+          max(when(col("fail"), col("l_suppkey"))).as("fail_supp"))
+        perOrder.filter(col("nsupp") > 1 && col("nfail") === 1)
+          .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+            col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .join(broadcast(Tables.supplier(s, d)), col("fail_supp") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+      },
+      Some("""SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+             |FROM lineitem l1
+             |JOIN supplier ON l1.l_suppkey = s_suppkey
+             |JOIN orders ON o_orderkey = l1.l_orderkey
+             |WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey
+             |                    AND l3.l_returnflag = 'R')
+             |GROUP BY 1""".stripMargin)))
 }
