@@ -1052,9 +1052,15 @@ object MartQueries {
       (s, d) => {
         val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
           (col("l_returnflag") === "R").as("fail"))
-        val perOrder = li.groupBy(col("l_orderkey")).agg(
-          countDistinct(col("l_suppkey")).as("nsupp"),
-          countDistinct(when(col("fail"), col("l_suppkey"))).as("nfail"),
+        // Two-level aggregation instead of multi-countDistinct: the
+        // distinct-rewrite would Expand every lineitem row 3× before the
+        // shuffle; deduping (order, supplier) first keeps the wire volume
+        // at 1× and both levels keep map-side partial aggregation.
+        val perOrderSupp = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max(col("fail")).as("fail"))
+        val perOrder = perOrderSupp.groupBy(col("l_orderkey")).agg(
+          count(lit(1)).as("nsupp"),
+          sum(when(col("fail"), 1L).otherwise(0L)).as("nfail"),
           max(when(col("fail"), col("l_suppkey"))).as("fail_supp"))
         perOrder.filter(col("nsupp") > 1 && col("nfail") === 1)
           .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
