@@ -30,9 +30,13 @@ object Scratch {
           queries.Registry.all.map(_.name).sorted.mkString(", ")))
       val df = q.fn(spark, sfDir)
       df.collect()
-      println("[plan] " + df.queryExecution.executedPlan.toString
-        .linesIterator.filter(l => l.contains("PushedFilters") || l.contains("ReadSchema") || l.contains("Scan parquet"))
-        .mkString("\n[plan] "))
+      // Full AQE-final formatted plan (PLANS.md source); NULs from the
+      // unknown-member sentinel print escaped so the dump stays text.
+      println("[plan-full-begin]")
+      println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        .replace("\u0000", "\\u0000"))
+      println("[plan-full-end]")
       spark.stop(); sys.exit(0)
     }
     spark.read.parquet(s"$sfDir/documents.parquet").count() // warmup
