@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC changelog application — the M-family (SURVEY.md §2.7) extended with
+  * DELETES. The reference's pipeline is insert/update-only (`ON CONFLICT DO
+  * UPDATE / DO NOTHING`); any engine ingesting change streams (Debezium-style
+  * row images, Delta CDF) also needs ordered upsert+delete application to
+  * roll a snapshot forward.
+  *
+  * Semantics: the changelog is a set of (pk, seq, op, payload) rows where
+  * `op` is "U" (upsert — insert when the key is absent, update when present)
+  * or "D" (delete). Per key, ONLY the operation with the greatest `seq`
+  * decides the key's fate: a snapshot is a point-in-time state, so
+  * intermediate operations collapse (U then D = gone; D then U = the new
+  * row) — exactly Delta/Iceberg MERGE-from-changelog semantics.
+  *
+  * Scale shape: per-key latest-op reduction is [[MergeOps.latestByKey]]
+  * (max_by — map-side combinable: a hot key reduces to one candidate per
+  * input partition BEFORE the shuffle, unlike a window/row_number which
+  * shuffles and sorts every change row). Then one full-outer join with the
+  * base on the PK — shuffle-on-PK both sides, or exchange-free with
+  * PK-bucketed storage.
+  */
+object Cdc {
+
+  /** Roll `base` forward by `changes`. Returns the next snapshot with
+    * schema pk ++ payloadCols (base must contain those columns; extra base
+    * columns are dropped).
+    *
+    * @param seqCol  total order within a key (a commit LSN / kafka offset);
+    *                duplicate (pk, seq) pairs are a contract violation —
+    *                max_by would pick an arbitrary one.
+    * @param opCol   "U" | "D" per change row.
+    */
+  def applyChangelog(
+      base: DataFrame,
+      changes: DataFrame,
+      pk: Seq[String],
+      seqCol: String,
+      opCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+
+    val latest = MergeOps.latestByKey(
+      changes.select((pk ++ Seq(seqCol, opCol) ++ payloadCols).map(col): _*),
+      pk, Seq(col(seqCol)))
+
+    val b = base.select((pk ++ payloadCols).map(col): _*).alias("b")
+    val l = latest.alias("l")
+    val joined = b.join(l,
+      pk.map(k => col(s"b.$k") <=> col(s"l.$k")).reduce(_ && _), "full_outer")
+
+    val hasChange = col(s"l.$opCol").isNotNull
+    joined
+      .filter(!hasChange || col(s"l.$opCol") =!= "D")
+      .select(
+        pk.map(k => coalesce(col(s"l.$k"), col(s"b.$k")).as(k)) ++
+          payloadCols.map(c =>
+            when(hasChange, col(s"l.$c")).otherwise(col(s"b.$c")).as(c)): _*)
+  }
+}

@@ -145,6 +145,55 @@ object Corpus {
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.fph").as("fph"))
   }
 
+  /** Sequence packing (concat-and-chunk, the GPT-style pretraining
+    * layout): rows are concatenated in `idCol` order and the token stream
+    * is cut into fixed `seqLen`-token training sequences. Returns, per
+    * row: its token count, the first and last sequence index it lands in
+    * (NULL for empty rows), and how many sequences it spans — the shuffle
+    * manifest a downstream tokenizer/writer consumes.
+    *
+    * The global running token offset is computed WITHOUT a
+    * single-partition sort (the [[Scd2.withScalableSk]] two-phase shape):
+    * range-partition on `idCol`, per-partition token totals come back to
+    * the driver (O(partitions) rows, never data), prefix-sum into
+    * per-partition offsets, then offset + within-partition running sum.
+    * The input is localCheckpointed so the totals job and the output job
+    * see identical range boundaries (they come from sampling).
+    *
+    * `df` needs (idCol: unique total order, nTokensCol: non-negative). */
+  def packSequences(
+      df: DataFrame, idCol: String, nTokensCol: String, seqLen: Int,
+      partitions: Int = 0): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive (got $seqLen)")
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = df.select(col(idCol), col(nTokensCol).cast("long").as(nTokensCol))
+      .repartitionByRange(n, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = ranged.groupBy(col("__pid"))
+      .agg(sum(col(nTokensCol)).as("t")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until n).scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
+    val offsetOf = element_at(
+      map((0 until n).flatMap(p => Seq(lit(p), lit(offsets(p)))): _*), col("__pid"))
+    val wBefore = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumBefore = offsetOf + coalesce(sum(col(nTokensCol)).over(wBefore), lit(0L))
+    // `div` (integer division) — Column./ on longs is DOUBLE division;
+    // all quantities are non-negative so div ≡ floor division.
+    ranged
+      .withColumn("__cb", cumBefore)
+      .select(
+        col(idCol), col(nTokensCol),
+        when(col(nTokensCol) > 0, expr(s"__cb div ${seqLen}L")).as("first_seq"),
+        when(col(nTokensCol) > 0,
+          expr(s"(__cb + $nTokensCol - 1L) div ${seqLen}L")).as("last_seq"))
+      .withColumn("n_seqs",
+        coalesce(col("last_seq") - col("first_seq") + 1, lit(0L)))
+  }
+
   /** Email pattern valid in BOTH Java regex (Spark) and RE2 (DuckDB). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 

@@ -520,5 +520,44 @@ object CoreQueries {
       },
       Some("""SELECT c_custkey, c_name, c_nationkey,
              |       CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS sk
-             |FROM customer""".stripMargin)))
+             |FROM customer""".stripMargin)),
+
+    // M6 — CDC changelog application (the M-family extended with DELETES;
+    // Debezium/Delta-CDF-style ordered upsert+delete rolling a snapshot
+    // forward). Changelog synthesized from orders: per customer the
+    // highest o_orderkey decides (op D when that key % 7 = 0, else U with
+    // the order's payload). Per-key latest-op via max_by (map-side
+    // combinable — ops.Cdc scale notes), then ONE full-outer join with
+    // the base snapshot.
+    Q("m6_cdc_apply",
+      (s, d) => {
+        val base = Tables.customer(s, d).select(
+          col("c_custkey"), col("c_name"),
+          Registry.money(col("c_acctbal")).as("bal"))
+        val changes = Tables.orders(s, d).select(
+          col("o_custkey").as("c_custkey"),
+          col("o_orderkey").as("seq"),
+          when(col("o_orderkey") % 7 === 0, "D").otherwise("U").as("op"),
+          concat(lit("cust-upd-"), col("o_custkey")).as("c_name"),
+          Registry.money(col("o_totalprice")).as("bal"))
+        graft.ops.Cdc.applyChangelog(base, changes,
+            pk = Seq("c_custkey"), seqCol = "seq", opCol = "op",
+            payloadCols = Seq("c_name", "bal"))
+          .select(col("c_custkey"), col("c_name"),
+            col("bal").cast("double").as("balance"))
+      },
+      Some("""WITH ch AS (SELECT o_custkey AS c_custkey, o_orderkey AS seq,
+             |        CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+             |        concat('cust-upd-', o_custkey) AS c_name,
+             |        CAST(o_totalprice AS DECIMAL(14,2)) AS bal
+             |      FROM orders),
+             |latest AS (SELECT c_custkey, op, c_name, bal FROM (
+             |        SELECT ch.*, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+             |        FROM ch) WHERE rn = 1),
+             |b AS (SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(14,2)) AS bal FROM customer)
+             |SELECT COALESCE(l.c_custkey, b.c_custkey) AS c_custkey,
+             |  CASE WHEN l.op IS NOT NULL THEN l.c_name ELSE b.c_name END AS c_name,
+             |  CAST(CAST(CASE WHEN l.op IS NOT NULL THEN l.bal ELSE b.bal END AS VARCHAR) AS DOUBLE) AS balance
+             |FROM b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
+             |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin)))
 }

@@ -257,6 +257,29 @@ object CorpusQueries {
              |ORDER BY cnt DESC, word
              |LIMIT 10""".stripMargin)),
 
+    // Sequence packing (concat-and-chunk): the manifest mapping each doc
+    // into fixed 512-token training sequences, docs concatenated in
+    // doc_id order. Spark computes the global running offset with the
+    // two-phase range-partition + driver-prefix-sum shape (no
+    // single-partition sort anywhere); the oracle replays it as one
+    // window cumsum — two algorithms, one hash-compared answer.
+    Q("pack1_sequence_packing",
+      (s, d) => Corpus.packSequences(
+        Tables.documents(s, d)
+          .select(col("doc_id"), Text.wordCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", seqLen = 512),
+      Some(s"""WITH t AS (SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS n_tokens FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |        COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+             |      FROM t)
+             |SELECT doc_id, n_tokens,
+             |  CASE WHEN n_tokens > 0 THEN cb // 512 END AS first_seq,
+             |  CASE WHEN n_tokens > 0 THEN (cb + n_tokens - 1) // 512 END AS last_seq,
+             |  CASE WHEN n_tokens > 0 THEN (cb + n_tokens - 1) // 512 - cb // 512 + 1
+             |       ELSE 0 END AS n_seqs
+             |FROM c""".stripMargin)),
+
     // PII redaction: email/phone masking + match counts. This corpus
     // contains no PII (counts are all 0; the fingerprint equals the
     // unredacted text's) — PiiSpec carries the semantic verification on

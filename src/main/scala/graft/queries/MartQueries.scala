@@ -917,7 +917,81 @@ object MartQueries {
              |      FROM g)
              |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
              |  COUNT(*) AS n_events, MIN(es) AS session_start_epoch
-             |FROM f GROUP BY 1, 2""".stripMargin))) ++ tpchCompletion
+             |FROM f GROUP BY 1, 2""".stripMargin)),
+
+    // Ordered funnel: view → click → purchase, each stage's timestamp the
+    // EARLIEST at-or-after the previous stage (the strict event-sequence
+    // semantics product analytics needs — a purchase BEFORE the first
+    // view does not count). Three grouped mins chained by per-user joins;
+    // every join is an equi hash join on user_id, no window over the raw
+    // event stream.
+    Q("e3_funnel_stages",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          col("user_id"), col("event_type"), epochS(col("ts")).as("es"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("es")).as("t_view"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, Seq("user_id"))
+          .filter(col("es") >= col("t_view"))
+          .groupBy("user_id").agg(min(col("es")).as("t_click"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id"))
+          .filter(col("es") >= col("t_click"))
+          .groupBy("user_id").agg(min(col("es")).as("t_purchase"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+            (lit(1) +
+              when(col("t_click").isNotNull, 1).otherwise(0) +
+              when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_type, ${epochSql("ts")} AS es FROM events),
+             |v AS (SELECT user_id, MIN(es) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, MIN(es) AS t_click FROM e JOIN v ON e.user_id = v.user_id
+             |      WHERE event_type = 'click' AND es >= t_view GROUP BY 1),
+             |p AS (SELECT e.user_id, MIN(es) AS t_purchase FROM e JOIN c ON e.user_id = c.user_id
+             |      WHERE event_type = 'purchase' AND es >= t_click GROUP BY 1)
+             |SELECT v.user_id, t_view, t_click, t_purchase,
+             |  1 + (CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
+             |    + (CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS stage
+             |FROM v LEFT JOIN c ON v.user_id = c.user_id
+             |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin)),
+
+    // Data-quality profile: per-column null count / distinct count /
+    // min / max over orders in ONE pass — unpivot to (column, value)
+    // rows, then a single grouped aggregation (one shuffle, one
+    // countDistinct per group — no N-column expand). Values compare as
+    // canonical strings; doubles go through DECIMAL(14,2) so both
+    // engines render identical fixed-point text.
+    Q("dq1_profile",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val profiled = Seq(
+          "o_orderstatus" -> col("o_orderstatus").cast("string"),
+          "o_orderpriority" -> col("o_orderpriority").cast("string"),
+          "o_custkey" -> col("o_custkey").cast("string"),
+          "o_orderdate" -> date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+          "o_totalprice" -> Registry.money(col("o_totalprice")).cast("string"))
+        o.select(explode(array(profiled.map { case (n, c) =>
+            struct(lit(n).as("column_name"), c.as("v")) }: _*)).as("e"))
+          .select(col("e.column_name").as("column_name"), col("e.v").as("v"))
+          .groupBy("column_name")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+            countDistinct(col("v")).as("n_distinct"),
+            min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      },
+      Some("""WITH u AS (
+             |  SELECT 'o_orderstatus' AS column_name, CAST(o_orderstatus AS VARCHAR) AS v FROM orders
+             |  UNION ALL SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+             |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+             |  UNION ALL SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') FROM orders
+             |  UNION ALL SELECT 'o_totalprice', CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR) FROM orders)
+             |SELECT column_name, COUNT(*) AS n_rows,
+             |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |  COUNT(DISTINCT v) AS n_distinct,
+             |  MIN(v) AS min_v, MAX(v) AS max_v
+             |FROM u GROUP BY 1""".stripMargin))) ++ tpchCompletion
 
   /** The five TPC-H shapes the registry didn't yet cover — q2, q4, q12,
     * q16, q21 — adapted to the synthetic schema (no partsupp /
