@@ -29,6 +29,10 @@ object Cdc {
     * schema pk ++ payloadCols (base must contain those columns; extra base
     * columns are dropped).
     *
+    * `base` must be UNIQUE on `pk` — it is a snapshot, and a duplicate key
+    * would fan out through the full-outer join into duplicated/partially-
+    * updated rows with no warning (same contract as MergeOps targets).
+    *
     * @param seqCol  total order within a key (a commit LSN / kafka offset);
     *                duplicate (pk, seq) pairs are a contract violation —
     *                max_by would pick an arbitrary one.
@@ -41,6 +45,11 @@ object Cdc {
       seqCol: String,
       opCol: String,
       payloadCols: Seq[String]): DataFrame = {
+    // overlapping roles would produce duplicate/ambiguous column
+    // references deep in the analyzer — fail loudly at the API edge
+    val roles = pk ++ Seq(seqCol, opCol) ++ payloadCols
+    require(roles.distinct.size == roles.size,
+      s"pk, seqCol, opCol and payloadCols must be pairwise disjoint (got $roles)")
 
     val latest = MergeOps.latestByKey(
       changes.select((pk ++ Seq(seqCol, opCol) ++ payloadCols).map(col): _*),

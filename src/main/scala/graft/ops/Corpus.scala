@@ -160,7 +160,11 @@ object Corpus {
     * The input is localCheckpointed so the totals job and the output job
     * see identical range boundaries (they come from sampling).
     *
-    * `df` needs (idCol: unique total order, nTokensCol: non-negative). */
+    * `df` needs (idCol: unique total order, nTokensCol: non-negative).
+    * NULL token counts are treated as 0 (coalesced up front — the
+    * driver-side partition totals and the window cumsum must agree on
+    * the same convention, or a NULL would sum to NULL per partition and
+    * throw an opaque NPE on the driver). */
   def packSequences(
       df: DataFrame, idCol: String, nTokensCol: String, seqLen: Int,
       partitions: Int = 0): DataFrame = {
@@ -168,7 +172,8 @@ object Corpus {
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    val ranged = df.select(col(idCol), col(nTokensCol).cast("long").as(nTokensCol))
+    val ranged = df.select(col(idCol),
+        coalesce(col(nTokensCol).cast("long"), lit(0L)).as(nTokensCol))
       .repartitionByRange(n, col(idCol))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
@@ -189,7 +194,7 @@ object Corpus {
         col(idCol), col(nTokensCol),
         when(col(nTokensCol) > 0, expr(s"__cb div ${seqLen}L")).as("first_seq"),
         when(col(nTokensCol) > 0,
-          expr(s"(__cb + $nTokensCol - 1L) div ${seqLen}L")).as("last_seq"))
+          expr(s"(__cb + `$nTokensCol` - 1L) div ${seqLen}L")).as("last_seq"))
       .withColumn("n_seqs",
         coalesce(col("last_seq") - col("first_seq") + 1, lit(0L)))
   }

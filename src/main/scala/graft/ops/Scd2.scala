@@ -166,16 +166,25 @@ object Scd2 {
       }: _*)
 
     // new business keys or changed attrs → new open version, SK assigned
-    // deterministically above the existing max
+    // deterministically above the existing max. SK assignment goes through
+    // [[withScalableSk]] (range partitions + O(partitions) driver offsets):
+    // the (row → sk) mapping is IDENTICAL to row_number over a global
+    // bk-order window, but a bulk initial load no longer funnels the whole
+    // dimension through one single-partition sort task (Scd2Spec asserts
+    // both the key equality and the absence of an unkeyed window).
     val maxSk = dim.agg(coalesce(max(col(skCol)), lit(0L)).cast("long")).first().getLong(0)
-    val opened = joined.filter(isNew || (!isGone && changed))
+    val openedBase = joined.filter(isNew || (!isGone && changed))
       .select(
         (Seq(col(s"s.$bk").as(bk)) ++
           tracked.map(x => col(s"s.$x").as(x)) ++ Seq(
-          (row_number().over(Window.orderBy(col(s"s.$bk"))) + lit(maxSk)).cast("long").as(skCol),
           runTs.as("valid_from"),
           infinity.as("valid_to"),
           lit(true).as("is_current"))): _*)
+    // bk is unique here (stgOne is deduped), so Seq(bk) is a total order
+    val opened = withScalableSk(openedBase, Seq(bk), "__sk")
+      .withColumn(skCol, (col("__sk") + lit(maxSk)).cast("long"))
+      .drop("__sk")
+      .select(dimCols.map(col): _*)
 
     history.select(dimCols.map(col): _*)
       .unionByName(kept).unionByName(closed).unionByName(opened)

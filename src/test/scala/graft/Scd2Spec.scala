@@ -163,4 +163,38 @@ class Scd2Spec extends SparkTestBase {
     assert(again.select($"bk", $"attr", $"is_current").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getBoolean(2))).toSet == rows)
   }
+
+  test("M3 at scale: closeAndInsert bulk initial load assigns maxSk-offset keys in bk order with NO single-partition sort") {
+    // bulk-load shape: empty dim, the whole dimension arrives as one
+    // increment — the exact case where a global row_number window would
+    // funnel everything through one task
+    val stg = Tables.customer(spark, Sf001)
+      .select(col("c_custkey").as("bk"), col("c_name").as("attr"))
+    val empty = stg.limit(0)
+      .withColumn("sk", lit(7L)) // schema only; dim is empty → maxSk = 0
+      .withColumn("valid_from", lit(null).cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+    val runTs = lit("2024-02-01 00:00:00").cast("timestamp")
+    val next = Scd2.closeAndInsert(empty, stg, "bk", Seq("attr"), runTs, "sk")
+
+    // keys are dense 1..n in bk order — identical to the global-window
+    // assignment the scalable path replaces
+    val got = next.select($"bk", $"sk").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(got.map(_._2).toSeq == (1L to got.length.toLong))
+    // plan shape: nothing in the SCD2 plan funnels through one partition
+    val plan = next.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+
+    // incremental continuation: opened rows continue above the existing max
+    val stg2 = stg.withColumn("attr", concat($"attr", lit("!")))
+      .filter($"bk" <= 5)
+    val next2 = Scd2.closeAndInsert(next.localCheckpoint(), stg2, "bk", Seq("attr"),
+      lit("2024-03-01 00:00:00").cast("timestamp"), "sk")
+    val maxSk = got.map(_._2).max
+    val openedSks = next2.filter($"is_current" && $"bk" <= 5)
+      .select($"bk", $"sk").collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(openedSks.map(_._2).toSeq == (maxSk + 1 to maxSk + openedSks.length))
+  }
 }
