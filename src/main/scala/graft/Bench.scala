@@ -25,15 +25,26 @@ object Bench {
       o.withColumn("rn", row_number().over(
         Window.partitionBy("o_custkey").orderBy("o_orderkey"))).count()
     } catch { case _: Throwable => () }
+    // host-contention self-diagnosis: a loaded bench host inflates
+    // timings 10-25x and is indistinguishable from a regression after
+    // the fact — record /proc/loadavg before and after so the artifact
+    // carries its own context
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "n/a" }
+    val loadStart = loadavg()
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    // min of 2 reps per query: steady-state timing that a transient GC
+    // min of 3 reps per query: steady-state timing that a transient GC
     // pause or co-tenant CPU spike on the bench host cannot inflate
     // (observed: an externally loaded host turned a 0.7 s aggregation
-    // into 17 s single-shot). Each rep re-plans from scratch — nothing
-    // is cached between reps (no persist anywhere; a fresh DataFrame
-    // per rep would also defeat Spark's per-DataFrame plan reuse).
+    // into 17 s single-shot, and at min-of-2 BOTH reps of one query
+    // landed on the same noise spike). Each rep re-plans from scratch —
+    // nothing is cached between reps (no persist anywhere; a fresh
+    // DataFrame per rep would also defeat Spark's per-DataFrame plan
+    // reuse).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val reps = (1 to 2).map { _ =>
+      val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         // toRdd.count() forces EVERY output column to be computed; a bare
         // count() would let Catalyst prune pure projections (map-only
@@ -50,10 +61,11 @@ object Bench {
     // a broken query would otherwise record ~0s and read as a speedup —
     // the failed list makes breakage impossible to mistake for progress
     val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val loadEnd = loadavg()
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}"""
     }
     // Full per-query breakdown → file (the consumer of stdout keeps only the
     // last ~2000 chars, which an 82-entry map overflows).

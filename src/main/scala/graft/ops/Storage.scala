@@ -77,7 +77,7 @@ object Storage {
       .mode("overwrite")
       .parquet(table.toString)
 
-  private def deleteRecursively(p: Path): Unit =
+  def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p) // close: Files.walk leaks an fd per call otherwise
       try s.sorted(java.util.Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))

@@ -25,7 +25,8 @@ object Registry {
     *    (epoch 253402300799).
     */
   def all: Seq[Q] =
-    CoreQueries.all ++ MartQueries.all ++ TextQueries.all ++ CorpusQueries.all
+    CoreQueries.all ++ MartQueries.all ++ TextQueries.all ++ CorpusQueries.all ++
+      DomainPipeline.all ++ StreamingQueries.all
 
   // ---- shared helpers ----
 

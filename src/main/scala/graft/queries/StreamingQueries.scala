@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.StreamingLoads
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming operators with a driver-checkable correctness row.
+  *
+  * The batch SCD2 family (m3, pipe*) is oracle-checked; the streaming
+  * twin ([[StreamingLoads.foreachBatchScd2]], SURVEY.md §2.9) was
+  * previously spec-only. [[all]]'s `stream1_scd2_equiv` closes that gap:
+  * the event log is replayed through a real Structured Streaming query
+  * (MemoryStream source, one micro-batch per arrival window, each batch
+  * running the SAME close-and-insert merge a batch load uses), and the
+  * final dimension must hash-match a DuckDB oracle that derives the full
+  * version history relationally. Stream-vs-batch equivalence IS the
+  * assertion — same rows, same version intervals, same surrogate keys.
+  */
+object StreamingQueries {
+  import Registry.epochS
+
+  /** Arrival-window cutoffs over the events table (spans 2024-01); each
+    * window is one micro-batch, and the batch's frozen run timestamp (P8)
+    * is its cutoff — deterministic, so the oracle can reproduce every
+    * valid_from/valid_to transition. */
+  private val Cutoffs = Seq(
+    "2024-01-07 00:00:00", "2024-01-13 00:00:00", "2024-01-19 00:00:00",
+    "2024-01-25 00:00:00", "2024-02-01 00:00:00")
+
+  def all: Seq[Q] = Seq(
+    Q("stream1_scd2_equiv",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx = s.sqlContext
+
+        // the event log, tagged with its arrival window
+        var bcol: Column = lit(Cutoffs.size - 1)
+        for (i <- Cutoffs.size - 2 to 0 by -1)
+          bcol = when(col("ts") <= lit(Cutoffs(i)).cast("timestamp"), lit(i)).otherwise(bcol)
+        val tagged = Tables.events(s, d)
+          .select(bcol.as("b"), col("user_id"), col("event_type"), col("props"),
+            unix_timestamp(col("ts")).as("ts_s"), col("event_id"))
+          .collect()
+          .map(r => (r.getInt(0), (r.getLong(1), r.getString(2), r.getString(3),
+            r.getLong(4), r.getLong(5))))
+        val windows = (0 until Cutoffs.size)
+          .map(i => Cutoffs(i) -> tagged.filter(_._1 == i).map(_._2).toSeq)
+          .filter(_._2.nonEmpty) // an empty window runs no micro-batch
+        val batchTs = windows.map(_._1)
+
+        val dimDir = java.nio.file.Files.createTempDirectory("stream1_scd2")
+        val dim = new StreamingLoads.Scd2Table(
+          s, "user_id", Seq("event_type", "props"), dimDir)
+        val input = MemoryStream[(Long, String, String, Long, Long)]
+        val stream = input.toDF()
+          .toDF("user_id", "event_type", "props", "ts_s", "event_id")
+        val q = StreamingLoads.foreachBatchScd2(
+          stream, dim, "user_id", Seq("event_type", "props"), Seq("ts_s", "event_id"),
+          bid => java.sql.Timestamp.valueOf(
+            batchTs(math.min(bid.toInt, batchTs.size - 1))),
+          trigger = Trigger.ProcessingTime(0)).start()
+        try {
+          // one micro-batch per window: add, drain, repeat — processAllAvailable
+          // between adds pins the batchId ↔ window mapping
+          windows.foreach { case (_, rows) => input.addData(rows); q.processAllAvailable() }
+        } finally q.stop()
+
+        // localCheckpoint so the result outlives the temp table files
+        val out = dim.snapshot.select(
+          col("user_id"), col("event_type"), col("props"), col("sk"),
+          epochS(col("valid_from")).as("vf_epoch"),
+          epochS(col("valid_to")).as("vt_epoch"),
+          col("is_current")).localCheckpoint()
+        graft.ops.Storage.deleteRecursively(dimDir)
+        out
+      },
+      Some(s"""WITH w AS (
+             |  SELECT user_id, event_type, props, ts, event_id,
+             |         CASE WHEN ts <= TIMESTAMP '${Cutoffs(0)}' THEN 1
+             |              WHEN ts <= TIMESTAMP '${Cutoffs(1)}' THEN 2
+             |              WHEN ts <= TIMESTAMP '${Cutoffs(2)}' THEN 3
+             |              WHEN ts <= TIMESTAMP '${Cutoffs(3)}' THEN 4
+             |              ELSE 5 END AS b
+             |  FROM events
+             |),
+             |snap AS (
+             |  SELECT b, user_id, event_type, props FROM (
+             |    SELECT b, user_id, event_type, props,
+             |           row_number() OVER (PARTITION BY user_id, b ORDER BY ts DESC, event_id DESC) AS rn
+             |    FROM w) t WHERE rn = 1
+             |),
+             |chg AS (
+             |  SELECT b, user_id, event_type, props FROM (
+             |    SELECT b, user_id, event_type, props,
+             |           lag(event_type) OVER (PARTITION BY user_id ORDER BY b) AS pet,
+             |           lag(props) OVER (PARTITION BY user_id ORDER BY b) AS pp,
+             |           row_number() OVER (PARTITION BY user_id ORDER BY b) AS rn0
+             |    FROM snap) t
+             |  WHERE rn0 = 1 OR pet IS DISTINCT FROM event_type OR pp IS DISTINCT FROM props
+             |),
+             |v AS (
+             |  SELECT user_id, event_type, props,
+             |         CASE b WHEN 1 THEN TIMESTAMP '${Cutoffs(0)}'
+             |                WHEN 2 THEN TIMESTAMP '${Cutoffs(1)}'
+             |                WHEN 3 THEN TIMESTAMP '${Cutoffs(2)}'
+             |                WHEN 4 THEN TIMESTAMP '${Cutoffs(3)}'
+             |                ELSE TIMESTAMP '${Cutoffs(4)}' END AS valid_from,
+             |         lead(CASE b WHEN 1 THEN TIMESTAMP '${Cutoffs(0)}'
+             |                     WHEN 2 THEN TIMESTAMP '${Cutoffs(1)}'
+             |                     WHEN 3 THEN TIMESTAMP '${Cutoffs(2)}'
+             |                     WHEN 4 THEN TIMESTAMP '${Cutoffs(3)}'
+             |                     ELSE TIMESTAMP '${Cutoffs(4)}' END)
+             |           OVER (PARTITION BY user_id ORDER BY b) AS vt_next
+             |  FROM chg
+             |)
+             |SELECT user_id, event_type, props,
+             |       CAST(row_number() OVER (ORDER BY valid_from, user_id) AS BIGINT) AS sk,
+             |       CAST(epoch(valid_from) AS BIGINT) AS vf_epoch,
+             |       COALESCE(CAST(epoch(vt_next) AS BIGINT), ${Registry.InfinityEpoch}) AS vt_epoch,
+             |       (vt_next IS NULL) AS is_current
+             |FROM v""".stripMargin))
+  )
+}
