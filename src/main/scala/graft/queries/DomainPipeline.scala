@@ -127,22 +127,26 @@ object DomainPipeline {
     "id BIGINT, name STRING, episode STRING, air_date STRING, url STRING, characters ARRAY<STRING>")
 
   /** All seven staging tables of the reference (3 entities + 4 link
-    * tables), extracted with ONE from_json per payload. */
-  private final case class Stg(
-      character: DataFrame, location: DataFrame, episode: DataFrame,
-      locationCh: DataFrame, episodeCh: DataFrame,
-      characterLoc: DataFrame, characterEp: DataFrame)
+    * tables), extracted with ONE from_json per payload. Parsed payloads
+    * are lazily localCheckpointed: several staging branches read each
+    * entity's parse (entity + link tables), and without materialization
+    * every branch would re-build and re-parse the JSON; laziness keeps a
+    * query that never touches an entity from paying for it. */
+  private final class Stg(s: SparkSession, d: String,
+      nChar: Long, nLoc: Long, nEp: Long) {
 
-  private def stage(s: SparkSession, d: String, nChar: Long, nLoc: Long, nEp: Long): Stg = {
-    val pc = rawCharacter(s, d, nLoc, nEp)
+    private lazy val pc = rawCharacter(s, d, nLoc, nEp)
       .select(from_json(col("payload"), CharSchema).as("j"))
-    val pl = rawLocation(s, d, nChar)
+      .localCheckpoint()
+    private lazy val pl = rawLocation(s, d, nChar)
       .select(from_json(col("payload"), LocSchema).as("j"))
-    val pe = rawEpisode(s, d, nChar)
+      .localCheckpoint()
+    private lazy val pe = rawEpisode(s, d, nChar)
       .select(from_json(col("payload"), EpSchema).as("j"))
+      .localCheckpoint()
 
     // stg.character (stg_character.py:50-62)
-    val character = pc.select(
+    lazy val character: DataFrame = pc.select(
       col("j.id").as("id"), col("j.name").as("name"), col("j.status").as("status"),
       col("j.species").as("species"), col("j.gender").as("gender"),
       col("j.image").as("image"), col("j.url").as("url"))
@@ -151,7 +155,7 @@ object DomainPipeline {
     // being present, stored through NULLIF(TRIM(..)) (stg_character.py:
     // 99-146): an empty-string origin url survives the filter but stores
     // as NULL → unknown-member link
-    val locationCh =
+    lazy val locationCh: DataFrame =
       pc.filter(col("j.location.url").isNotNull).select(
           col("j.id").as("id"), col("j.location.name").as("name"),
           Extract.nullifEmpty(col("j.location.url")).as("url"), lit("last").as("role"))
@@ -162,30 +166,31 @@ object DomainPipeline {
 
     // stg.episode_ch — jsonb_array_elements_text + PK(id,url) dedup
     // (stg_character.py:152-171: ON CONFLICT DO NOTHING)
-    val episodeCh = pc.select(col("j.id").as("id"), explode(col("j.episode")).as("url"))
+    lazy val episodeCh: DataFrame = pc.select(col("j.id").as("id"), explode(col("j.episode")).as("url"))
       .distinct()
 
     // stg.location (stg_location.py:24-68)
-    val location = pl.select(
+    lazy val location: DataFrame = pl.select(
       col("j.id").as("id"), col("j.name").as("name"), col("j.type").as("type"),
       col("j.dimension").as("dimension"), col("j.url").as("url"))
 
     // stg.character_loc — residents array (stg_location.py:70-96)
-    val characterLoc = pl.select(col("j.id").as("id"), explode(col("j.residents")).as("url"))
+    lazy val characterLoc: DataFrame = pl.select(col("j.id").as("id"), explode(col("j.residents")).as("url"))
       .distinct()
 
     // stg.episode with the regex-guarded 'Month DD, YYYY' parse
     // (stg_episode.py:40-53)
-    val episode = pe.select(
+    lazy val episode: DataFrame = pe.select(
       col("j.id").as("id"), col("j.name").as("name"), col("j.episode").as("episode"),
       Extract.guardedDate(col("j.air_date")).as("air_date"), col("j.url").as("url"))
 
     // stg.character_ep — characters array (stg_episode.py:75-96)
-    val characterEp = pe.select(col("j.id").as("id"), explode(col("j.characters")).as("url"))
+    lazy val characterEp: DataFrame = pe.select(col("j.id").as("id"), explode(col("j.characters")).as("url"))
       .distinct()
-
-    Stg(character, location, episode, locationCh, episodeCh, characterLoc, characterEp)
   }
+
+  private def stage(s: SparkSession, d: String, nChar: Long, nLoc: Long, nEp: Long): Stg =
+    new Stg(s, d, nChar, nLoc, nEp)
 
   /** Initial SCD2 dimension load: one current version per key, surrogate
     * keys dense in bk order via the scalable assignment (M5). */

@@ -86,6 +86,20 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftAnti"), s"no anti join in:\n$p")
   }
 
+  test("pipe2: the composed domain star stays on broadcast hash joins end to end") {
+    // dims (bounded) broadcast into the fact build; the disjunctive
+    // unknown-member join must take the synthetic-equi-key hash path;
+    // nothing in the 10-join pipeline may degrade to a shuffle-sort or
+    // nested-loop join, and the only windows are the keyed per-partition
+    // SK windows
+    val p = plan("pipe2_domain_star")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"domain star degraded from broadcast hash joins:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition funnel in the domain star:\n$p")
+  }
+
   test("aggregations are partial (map-side combine) before the shuffle") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("HashAggregate"), p)
