@@ -109,6 +109,71 @@ object NearDup {
             i => xxhash64((1 to n).map(j => element_at(col("__hs"), i + lit(j))): _*)))
           .otherwise(array().cast("array<bigint>")))).as("g"))
 
+  /** (doc_a, doc_b) MinHash/LSH candidate pairs: signature of `k`
+    * universal hashes over the hashed shingle set, banded `rpb` rows per
+    * band; docs sharing ≥1 band key are candidates (doc_a < doc_b).
+    *
+    * Distributed minhash: explode shingles once, hash once, then k
+    * min-aggregates (map-side combinable — one narrow shuffle on doc_id).
+    * Computing the signature as one nested array expression would redo
+    * the hash pass k times and explode codegen size. The band join is an
+    * inverted index on the band key — never all-pairs; cost
+    * O(Σ band-bucket²), with band count k/rpb the recall knob
+    * (P[candidate] = 1-(1-J^rpb)^bands). */
+  def minhashLshCandidates(docs: DataFrame, n: Int, k: Int = 16, rpb: Int = 4): DataFrame = {
+    require(k % rpb == 0, s"rpb must divide k (got k=$k, rpb=$rpb)")
+    // universal hash family mod p = 2^31-1: a*h+b stays < 2^62, so no
+    // overflow under ANSI arithmetic (Spark 4 default)
+    val p = 2147483647L
+    val as = (0 until k).map(i => (0x9E3779B9L * (i + 1)) % p + 1)
+    val bs = (0 until k).map(i => (0xC2B2AE35L * (i + 1)) % p)
+    val hashed = hashedShingleSet(docs, n)
+      .withColumn("h", pmod(xxhash64(col("g")), lit(p)))
+    val minCols = (0 until k).map(i =>
+      min(pmod(col("h") * lit(as(i)) + lit(bs(i)), lit(p))).as(s"m$i"))
+    val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    // band key = xxhash64 over its rpb signature slots (band-local values
+    // never reach an output, only band equality does)
+    val banded = sig.select(
+      col("doc_id"),
+      explode(array((0 until k / rpb).map { b =>
+        xxhash64(lit(b) +: (b * rpb until (b + 1) * rpb).map(i => col(s"m$i")): _*)
+      }: _*)).as("bk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** The full sub-quadratic MinHash near-dup operator: LSH candidates
+    * ([[minhashLshCandidates]]) verified by EXACT Jaccard computed only
+    * over the candidate pairs — the textbook candidates→verify pipeline.
+    * Returns (doc_a, doc_b, jaccard) with jaccard ≥ minJ.
+    *
+    * The verify step never touches non-candidate pairs: candidates join
+    * the shingle set per side, intersections count per pair — cost
+    * O(candidate-pair grams), not O(corpus²). Precision is exact by
+    * construction; recall is the banding probability (the d2 exact op is
+    * the ground truth the recall spec measures against). */
+  def minhashLshPairs(
+      docs: DataFrame, n: Int, minJ: Double,
+      k: Int = 16, rpb: Int = 4): DataFrame = {
+    val sh = hashedShingleSet(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cands = minhashLshCandidates(docs, n, k, rpb)
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** (doc_a, doc_b, jaccard) for all pairs with n-gram Jaccard ≥ minJ;
     * doc_a < doc_b. `docs` needs (doc_id, text).
     *

@@ -105,12 +105,78 @@ object Similarity {
           call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
       lit(0L), (acc, b) => acc.bitwiseOR(b))
 
+  /** Deterministic spherical k-means (Lloyd) centroids for [[ivfTopK]].
+    *
+    * Seeds = the first `c` vectors in `idCol` order (data-derived, no RNG —
+    * the whole pipeline stays reproducible). Each iteration:
+    * assignment = argmax cosine against the current centroids (the SAME
+    * metric [[ivfTopK]] probes with, so trained lists match probe order;
+    * ties break on the smaller centroid id), update = element-wise mean of
+    * the members. The per-dimension sums fold the 1e-10 unit integers in
+    * DECIMAL — exact and order-independent — so centroids are bit-identical
+    * under any partitioning; the mean takes one well-defined double
+    * rounding per element. A centroid that loses every member keeps its
+    * previous vector.
+    *
+    * Scale shape: each iteration is one broadcast-join scan + one
+    * (cluster, dim)-grouped aggregation — map-side combinable, shuffle
+    * cardinality c·d rows. Only the c·d centroid table ever reaches the
+    * driver (IVF codebooks are driver-sized by construction; at 100 TB one
+    * trains on a sample with the same code). Returns (centroid_id, cvec).
+    */
+  def kmeansCentroids(
+      embeddings: DataFrame,
+      c: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(c > 0 && iters >= 0, s"need c > 0, iters >= 0 (got c=$c, iters=$iters)")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+
+    def toDf(cs: Seq[(Int, Seq[Double])]): DataFrame =
+      cs.toDF("centroid_id", "cvec")
+        .select(col("centroid_id"), col("cvec").cast("array<double>"))
+
+    var centroids: Seq[(Int, Seq[Double])] =
+      embeddings.orderBy(col(idCol)).limit(c)
+        .select(col(vecCol).cast("array<double>")).collect()
+        .zipWithIndex
+        .map { case (r, i) => i -> r.getSeq[Double](0) }.toSeq
+
+    for (_ <- 1 to iters) {
+      val assigned = embeddings.crossJoin(broadcast(toDf(centroids)))
+        .withColumn("__cos", cosine(col(vecCol), col("cvec")))
+        .groupBy(col(idCol))
+        .agg(max_by(
+          struct(col(vecCol).as("v"), col("centroid_id").as("c")),
+          struct(col("__cos"), (-col("centroid_id")).as("nc"))).as("__best"))
+        .select(col("__best.c").as("cluster"), col("__best.v").as("v"))
+      // exact per-dimension sums: c·d result rows, two-level combine
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(units(col("x"))).cast(AccDec).as("su"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getInt(0))
+      centroids = centroids.map { case (id, prev) =>
+        sums.get(id) match {
+          case Some(rows) =>
+            val mean = rows.sortBy(_.getInt(1)).map { r =>
+              r.getDecimal(2).doubleValue / r.getLong(3) / Scale
+            }.toSeq
+            id -> mean
+          case None => id -> prev // empty cluster: keep the old centroid
+        }
+      }
+    }
+    toDf(centroids)
+  }
+
   /** IVF (inverted-file) ANN: vectors are assigned to their nearest
     * centroid's list; a query probes only the `nprobe` nearest lists and
     * runs exact cosine within them — probe cost O(n·nprobe/C) instead of
-    * O(n). Centroids here are data-derived (the first C vectors) to keep
-    * the index deterministic; a production build would k-means them —
-    * the index/probe machinery is identical.
+    * O(n). Pair with [[kmeansCentroids]] for a representative codebook.
     */
   def ivfTopK(
       embeddings: DataFrame,

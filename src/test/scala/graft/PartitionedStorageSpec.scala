@@ -49,4 +49,40 @@ class PartitionedStorageSpec extends SparkTestBase {
     Storage.atomicReplace(v1.limit(3), table)
     assert(Storage.read(spark, table).count() == 3)
   }
+
+  test("commit log: reader during a commit keeps a valid snapshot; no missing-path window") {
+    import java.nio.file.{Files => F}
+    val table = Files.createTempDirectory("commit_log").resolve("t")
+    val nation = Tables.nation(spark, Sf001)
+
+    assert(Storage.currentVersion(table).isEmpty)
+    assert(Storage.readVersionOr(spark, table, nation.limit(0)).count() == 0)
+
+    val v0 = Storage.commitVersion(nation, table)
+    assert(v0 == 0 && Storage.currentVersion(table).contains(0L))
+
+    // an in-flight reader resolves its directory BEFORE the next commit...
+    val pinned = Storage.readVersion(spark, table)
+    val v1 = Storage.commitVersion(nation.limit(5), table)
+    assert(v1 == 1)
+    // ...and still reads the OLD complete snapshot afterwards (v0 is inside
+    // the keep-window), while a fresh reader sees the new version. This is
+    // exactly the isolation atomicReplace cannot give.
+    assert(pinned.count() == nation.count())
+    assert(Storage.readVersion(spark, table).count() == 5)
+
+    // vacuum: a third commit pushes v0 out of keepVersions=1
+    Storage.commitVersion(nation.limit(7), table)
+    assert(!F.exists(table.resolve("v0")), "v0 should be vacuumed")
+    assert(F.exists(table.resolve("v1")), "v1 stays for in-flight readers")
+
+    // crash before the pointer swap = orphan directory; the pointer still
+    // names the last complete version and the next commit reuses the slot
+    val orphan = table.resolve("v3")
+    F.createDirectories(orphan)
+    F.write(orphan.resolve("junk"), "torn".getBytes)
+    assert(Storage.readVersion(spark, table).count() == 7)
+    val v3 = Storage.commitVersion(nation.limit(9), table)
+    assert(v3 == 3 && Storage.readVersion(spark, table).count() == 9)
+  }
 }
