@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of materialized aggregate tables — the datamart
+  * extension of the reference's incremental fact loads (SURVEY.md §2.7 J4:
+  * only NEW rows enter the warehouse each run; an aggregate table over
+  * those facts must advance the same way, without rescanning history).
+  *
+  * Semantics: `state` holds one row per key with ADDITIVE partial
+  * aggregates (counts, sums — anything where merge(a, b) = a + b) and
+  * optionally MIN/MAX columns (merge = least/greatest). A delta batch is
+  * pre-aggregated to the same shape, then ONE full-outer join on the keys
+  * merges it into the state. Deletions/retractions are additive too: feed
+  * negative counts/sums (the changelog convention); min/max do NOT support
+  * retraction (stated contract — a retractable min needs a full per-key
+  * recompute or a sketch).
+  *
+  * Scale shape: the delta aggregation is map-side combinable and its
+  * output is |delta keys| rows — tiny against the state; the join
+  * shuffles on the SAME keys every run, so with key-bucketed state
+  * storage it is exchange-free on the state side. This is O(|delta| +
+  * |touched keys|) per run versus O(|history|) for recompute — the only
+  * viable shape at 100 TB.
+  */
+object AggMaintain {
+
+  /** Pre-aggregate a raw delta to the state's shape: one row per key with
+    * count_rows plus sum/min/max partials. `sums` values fold in DECIMAL
+    * (exact, order-independent — Registry determinism conventions). */
+  def deltaAggregates(
+      delta: DataFrame,
+      keys: Seq[String],
+      sums: Map[String, Column],
+      mins: Map[String, Column] = Map.empty,
+      maxs: Map[String, Column] = Map.empty): DataFrame = {
+    val aggs =
+      sums.map { case (n, c) => sum(c).as(n) } ++
+        mins.map { case (n, c) => min(c).as(n) } ++
+        maxs.map { case (n, c) => max(c).as(n) }
+    delta.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("count_rows"), aggs.toSeq: _*)
+  }
+
+  /** Merge a pre-aggregated `deltaAgg` into `state` (same schema: keys ++
+    * count_rows ++ sumCols ++ minCols ++ maxCols). `state` must be unique
+    * on `keys` (it is an aggregate table); `deltaAgg` is unique by
+    * construction. Keys absent from one side pass through; keys present
+    * in both merge column-wise (+ / least / greatest). */
+  def applyDelta(
+      state: DataFrame,
+      deltaAgg: DataFrame,
+      keys: Seq[String],
+      sumCols: Seq[String],
+      minCols: Seq[String] = Seq.empty,
+      maxCols: Seq[String] = Seq.empty): DataFrame = {
+    val order = keys ++ Seq("count_rows") ++ sumCols ++ minCols ++ maxCols
+    val s = state.select(order.map(col): _*).alias("s")
+    val d = deltaAgg.select(order.map(col): _*).alias("d")
+    val joined = s.join(d,
+      keys.map(k => col(s"s.$k") <=> col(s"d.$k")).reduce(_ && _), "full_outer")
+    def merged(c: String, combine: (Column, Column) => Column): Column = {
+      val (sc, dc) = (col(s"s.$c"), col(s"d.$c"))
+      // null-on-one-side = key absent there → pass the other side through
+      // (coalesce-to-zero would turn "no observation" of a min into 0)
+      when(sc.isNull, dc).when(dc.isNull, sc).otherwise(combine(sc, dc)).as(c)
+    }
+    joined.select(
+      keys.map(k => coalesce(col(s"d.$k"), col(s"s.$k")).as(k)) ++
+        Seq(merged("count_rows", _ + _)) ++
+        sumCols.map(c => merged(c, _ + _)) ++
+        minCols.map(c => merged(c, least(_, _))) ++
+        maxCols.map(c => merged(c, greatest(_, _))): _*)
+  }
+}

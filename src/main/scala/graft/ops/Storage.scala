@@ -142,6 +142,24 @@ object Storage {
       case None    => empty
     }
 
+  /** Small-file compaction: rewrite `table` into ⌈bytes/targetBytes⌉
+    * files via a narrow coalesce (no shuffle) + [[atomicReplace]].
+    * Incremental loads accrete one file per micro-batch/run; thousands of
+    * tiny files turn a 100 TB scan into a metadata storm (one task + one
+    * open per file), so compaction is scheduled maintenance, not an
+    * optimization. Returns the target file count. */
+  def compact(spark: SparkSession, table: Path, targetBytes: Long = 128L << 20): Int = {
+    recover(table)
+    val s = Files.walk(table)
+    val bytes =
+      try s.filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .mapToLong(Files.size).sum()
+      finally s.close()
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    atomicReplace(spark.read.parquet(table.toString).coalesce(n), table)
+    n
+  }
+
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p) // close: Files.walk leaks an fd per call otherwise

@@ -559,5 +559,39 @@ object CoreQueries {
              |  CASE WHEN l.op IS NOT NULL THEN l.c_name ELSE b.c_name END AS c_name,
              |  CAST(CAST(CASE WHEN l.op IS NOT NULL THEN l.bal ELSE b.bal END AS VARCHAR) AS DOUBLE) AS balance
              |FROM b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
-             |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin)))
+             |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin)),
+
+    // M7 — incremental aggregate-table maintenance: a materialized hourly
+    // rollup built from the first 20 days of events rolls FORWARD by the
+    // remaining days' delta (pre-aggregated, then one full-outer key
+    // join — ops.AggMaintain scale notes: O(delta + touched keys), never
+    // a history rescan). The oracle recomputes the rollup from the whole
+    // log — incremental-vs-recompute equivalence is the hash check.
+    Q("m7_incremental_agg",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          Registry.epochS(date_trunc("hour", col("ts"))).as("hour_epoch"),
+          col("event_type"), col("value"), col("ts"))
+        val cutoff = lit("2024-01-21 00:00:00").cast("timestamp")
+        def rollup(df: org.apache.spark.sql.DataFrame) =
+          graft.ops.AggMaintain.deltaAggregates(df.drop("ts"),
+            Seq("hour_epoch", "event_type"),
+            sums = Map("sum_value" -> col("value").cast("decimal(18,2)")),
+            mins = Map("min_value" -> col("value")),
+            maxs = Map("max_value" -> col("value")))
+        val state = rollup(ev.filter(col("ts") < cutoff))
+        val delta = rollup(ev.filter(col("ts") >= cutoff))
+        graft.ops.AggMaintain.applyDelta(state, delta,
+            Seq("hour_epoch", "event_type"),
+            sumCols = Seq("sum_value"),
+            minCols = Seq("min_value"), maxCols = Seq("max_value"))
+          .select(col("hour_epoch"), col("event_type"), col("count_rows"),
+            col("sum_value").cast("double").as("sum_value"),
+            col("min_value"), col("max_value"))
+      },
+      Some(s"""SELECT ${Registry.epochSql("date_trunc('hour', ts)")} AS hour_epoch, event_type,
+             |  COUNT(*) AS count_rows,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |  MIN(value) AS min_value, MAX(value) AS max_value
+             |FROM events GROUP BY 1, 2""".stripMargin)))
 }

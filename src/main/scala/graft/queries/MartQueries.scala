@@ -1155,5 +1155,23 @@ object MartQueries {
              |                  WHERE l3.l_orderkey = l1.l_orderkey
              |                    AND l3.l_suppkey <> l1.l_suppkey
              |                    AND l3.l_returnflag = 'R')
-             |GROUP BY 1""".stripMargin)))
+             |GROUP BY 1""".stripMargin)),
+
+    // Z-order (Morton) clustering key — the multi-column file-skipping
+    // layout ([[graft.ops.ZOrder]]; writeZOrdered range-writes on this
+    // value so every file is one small 2-D tile and min/max stats prune
+    // on EITHER column). The oracle rebuilds the identical interleave
+    // with explicit shift/mask terms in DuckDB — bit-for-bit.
+    Q("zorder1_morton_keys",
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"),
+        graft.ops.ZOrder.zValue(
+          Seq(pmod(col("o_custkey"), lit(1024L)),
+            pmod(col("o_orderkey"), lit(1024L))), bits = 10).as("zval")),
+      Some {
+        val terms = (0 until 10).flatMap(i => Seq(
+          s"((((o_custkey % 1024) >> $i) & 1) << ${i * 2})",
+          s"((((o_orderkey % 1024) >> $i) & 1) << ${i * 2 + 1})"))
+        s"SELECT o_orderkey, CAST(${terms.mkString(" | ")} AS BIGINT) AS zval FROM orders"
+      }))
 }

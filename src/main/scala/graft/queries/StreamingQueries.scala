@@ -30,6 +30,58 @@ object StreamingQueries {
     "2024-01-25 00:00:00", "2024-02-01 00:00:00")
 
   def all: Seq[Q] = Seq(
+    // Watermarked tumbling-window aggregation — the canonical Structured
+    // Streaming shape — proven equivalent to the batch hourly rollup. The
+    // event log replays IN EVENT-TIME ORDER through a MemoryStream in 4
+    // arrival chunks (ordered replay ⇒ nothing ever falls behind the
+    // watermark, so the stream must reproduce the batch answer exactly);
+    // append mode only emits a window once the watermark passes its end,
+    // so two far-future sentinel events flush the tail (the second
+    // advances the watermark past the first; sentinels filter out of the
+    // result). State stays O(windows in flight), never O(stream) — the
+    // property that makes this the 100 TB/day shape.
+    Q("stream2_windowed_equiv",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx = s.sqlContext
+        val evs = Tables.events(s, d)
+          .select(unix_timestamp(col("ts")).as("ts_s"), col("event_type"), col("value"))
+          .orderBy(col("ts_s"), col("event_type"), col("value"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        val chunkLen = math.max(1, (evs.length + 3) / 4)
+        val maxTs = evs.map(_._1).max
+
+        val input = MemoryStream[(Long, String, Double)]
+        val stream = input.toDF().toDF("ts_s", "event_type", "value")
+          .select(col("ts_s").cast("timestamp").as("ts"), col("event_type"), col("value"))
+        val sink = s"stream2_out_${System.identityHashCode(input)}"
+        val q = StreamingLoads.windowedEventCounts(stream)
+          .writeStream.outputMode("append").format("memory").queryName(sink)
+          .trigger(Trigger.ProcessingTime(0)).start()
+        try {
+          evs.grouped(chunkLen).foreach { c =>
+            input.addData(c.toSeq); q.processAllAvailable()
+          }
+          // sentinel 1 pushes the watermark past every real window;
+          // sentinel 2 pushes it past sentinel 1's window so the flush of
+          // the real tail actually emits
+          for (k <- Seq(10L, 20L)) {
+            input.addData(Seq((maxTs + k * 86400, "__sentinel__", 0.0)))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table(sink)
+          .filter(col("event_type") =!= "__sentinel__")
+          .select(epochS(col("window_start")).as("hour_epoch"),
+            col("event_type"), col("n_events"), col("total_value"))
+          .localCheckpoint()
+      },
+      Some(s"""SELECT ${Registry.epochSql("date_trunc('hour', ts)")} AS hour_epoch, event_type,
+             |  COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
     Q("stream1_scd2_equiv",
       (s, d) => {
         import s.implicits._

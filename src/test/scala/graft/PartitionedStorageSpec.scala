@@ -85,4 +85,19 @@ class PartitionedStorageSpec extends SparkTestBase {
     val v3 = Storage.commitVersion(nation.limit(9), table)
     assert(v3 == 3 && Storage.readVersion(spark, table).count() == 9)
   }
+
+  test("compact: many small files collapse to the byte-targeted count, rows intact") {
+    import java.nio.file.{Files => F}
+    val table = Files.createTempDirectory("compaction").resolve("t")
+    val orders = Tables.orders(spark, Sf001)
+    Storage.atomicReplace(orders.repartition(16), table)
+    def parquetFiles() = {
+      val s = F.list(table)
+      try s.toArray.map(_.toString).count(_.endsWith(".parquet")) finally s.close()
+    }
+    assert(parquetFiles() == 16)
+    val n = Storage.compact(spark, table, targetBytes = 1L << 30)
+    assert(n == 1 && parquetFiles() == 1, "tiny table must compact to one file")
+    assert(Storage.read(spark, table).count() == orders.count())
+  }
 }
