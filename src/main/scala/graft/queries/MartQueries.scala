@@ -1173,5 +1173,30 @@ object MartQueries {
           s"((((o_custkey % 1024) >> $i) & 1) << ${i * 2})",
           s"((((o_orderkey % 1024) >> $i) & 1) << ${i * 2 + 1})"))
         s"SELECT o_orderkey, CAST(${terms.mkString(" | ")} AS BIGINT) AS zval FROM orders"
-      }))
+      }),
+
+    // Bloom-filter join pruning ([[graft.ops.BloomPrune]]): a selective
+    // build side (urgent high-value orders) blooms its keys; the lineitem
+    // probe side drops non-candidates BEFORE its shuffle. No false
+    // negatives ⇒ bloom + exact join ≡ exact join — the oracle runs the
+    // PLAIN join, so the hash match proves the prefilter is lossless.
+    Q("bf1_bloom_pruned_join",
+      (s, d) => {
+        val sel = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_totalprice") > 200000)
+          .select(col("o_orderkey"))
+        val pruned = graft.ops.BloomPrune.prunedByBloom(
+          Tables.lineitem(s, d), col("l_orderkey"), sel, col("o_orderkey"),
+          expectedItems = 100000L, numBits = 1L << 20)
+        pruned.join(sel, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(Registry.money(col("l_extendedprice"))).cast("double").as("revenue"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n_items,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000
+             |GROUP BY 1""".stripMargin)))
 }

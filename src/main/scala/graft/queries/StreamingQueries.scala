@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.streaming.StreamingLoads
+import graft.streaming.{StatefulSessions, StreamingLoads}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -20,6 +20,20 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingQueries {
   import Registry.epochS
+
+  /** Run `body` with the session's shuffle-partition count scoped down:
+    * state-store/reducer count is a PER-QUERY deployment knob for
+    * streaming jobs, and a micro-batch replay over a fixture-sized state
+    * pays pure task-launch overhead for every unused partition × every
+    * micro-batch (measured ~2× wall on stream2: 6 batches × 32 state
+    * partitions of a few KB each). At real volume the same queries size
+    * this to cores × headroom — nothing in the query shape changes. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
 
   /** Arrival-window cutoffs over the events table (spans 2024-01); each
     * window is one micro-batch, and the batch's frozen run timestamp (P8)
@@ -41,7 +55,7 @@ object StreamingQueries {
     // result). State stays O(windows in flight), never O(stream) — the
     // property that makes this the 100 TB/day shape.
     Q("stream2_windowed_equiv",
-      (s, d) => {
+      (s, d) => withShufflePartitions(s, 8) {
         import s.implicits._
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         implicit val sqlCtx = s.sqlContext
@@ -82,8 +96,55 @@ object StreamingQueries {
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // Custom-state sessionization (flatMapGroupsWithState) replayed over
+    // the full event log in 4 event-time-ordered micro-batches, open
+    // sessions flushed by per-user sentinels (whose own sessions never
+    // emit). Must reproduce the batch gap-1800s sessionize (e1) exactly —
+    // the stateful-processing twin of stream2's windowed aggregation.
+    Q("stream3_stateful_sessions",
+      (s, d) => withShufflePartitions(s, 8) {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx = s.sqlContext
+        val evs = Tables.events(s, d)
+          .select(col("user_id"),
+            unix_timestamp(col("ts").cast("timestamp")).as("es"), col("event_id"))
+          .as[StatefulSessions.Event].collect().toSeq
+        val users = evs.map(_.user_id).distinct
+        val maxEs = evs.map(_.es).max
+        val input = MemoryStream[StatefulSessions.Event]
+        val sink = s"stream3_out_${System.identityHashCode(input)}"
+        val q = StatefulSessions.sessionize(input.toDS())
+          .writeStream.outputMode("append").format("memory").queryName(sink)
+          .trigger(Trigger.ProcessingTime(0)).start()
+        try {
+          val chunkLen = math.max(1, (evs.length + 3) / 4)
+          evs.sortBy(e => (e.es, e.event_id)).grouped(chunkLen).foreach { c =>
+            input.addData(c); q.processAllAvailable()
+          }
+          input.addData(StatefulSessions.flushEvents(users, maxEs))
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(sink)
+          .select(col("user_id"), col("session_id"), col("n_events"),
+            col("session_start_epoch"))
+          .localCheckpoint()
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_id, ${Registry.epochSql("ts")} AS es FROM events),
+             |g AS (SELECT user_id, event_id, es,
+             |        lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS prev_es
+             |      FROM e),
+             |f AS (SELECT user_id, es,
+             |        SUM(CASE WHEN prev_es IS NULL OR es - prev_es > 1800 THEN 1 ELSE 0 END)
+             |          OVER (PARTITION BY user_id ORDER BY es, event_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |      FROM g)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |  COUNT(*) AS n_events, MIN(es) AS session_start_epoch
+             |FROM f GROUP BY 1, 2""".stripMargin)),
+
     Q("stream1_scd2_equiv",
-      (s, d) => {
+      (s, d) => withShufflePartitions(s, 8) {
         import s.implicits._
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         implicit val sqlCtx = s.sqlContext

@@ -100,9 +100,12 @@ object StreamingLoads {
 
     private val table = dir.resolve("dim")
 
+    // versioned commit log, not directory swap: a batch job reading the
+    // dimension DURING a streaming merge keeps its resolved snapshot
+    // (Storage.commitVersion scale notes) — atomicReplace's swap window
+    // would 404 it
     def snapshot: DataFrame =
-      if (java.nio.file.Files.exists(table)) spark.read.parquet(table.toString)
-      else {
+      graft.ops.Storage.readVersionOr(spark, table, {
         import org.apache.spark.sql.types._
         val schema = StructType(
           StructField(bk, LongType) +:
@@ -112,12 +115,12 @@ object StreamingLoads {
             StructField("valid_to", TimestampType) :+
             StructField("is_current", BooleanType))
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      }
+      })
 
     def merge(stg: DataFrame, bkCol: String, trackedCols: Seq[String],
         runTs: org.apache.spark.sql.Column): Unit = synchronized {
       val next = Scd2.closeAndInsert(snapshot, stg, bkCol, trackedCols, runTs, "sk")
-      graft.ops.Storage.atomicReplace(next, table)
+      graft.ops.Storage.commitVersion(next, table)
     }
   }
 
@@ -133,15 +136,15 @@ object StreamingLoads {
     private val table = dir.resolve("state")
 
     def snapshot: DataFrame =
-      if (java.nio.file.Files.exists(table)) spark.read.parquet(table.toString)
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      graft.ops.Storage.readVersionOr(spark, table,
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
 
     def merge(batch: DataFrame, pk: Seq[String], tracked: Seq[String]): Unit = synchronized {
       val cols = schema.fieldNames.toSeq
       val next = MergeOps.conditionalUpsert(
         snapshot, batch.select(cols.map(col): _*), pk, tracked,
         lit("2024-02-01 00:00:00").cast("timestamp"))
-      graft.ops.Storage.atomicReplace(next.select(cols.map(col): _*), table)
+      graft.ops.Storage.commitVersion(next.select(cols.map(col): _*), table)
     }
   }
 }
