@@ -62,10 +62,16 @@ object Bench {
     // the failed list makes breakage impossible to mistake for progress
     val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadEnd = loadavg()
+    // self-diagnosing artifact: flag runs that started on a busy host
+    // (1-min loadavg > half the bench cores) — such totals measure the
+    // co-tenant, not the engine, and must not be read as regressions
+    val busy =
+      try loadStart.split(" ").head.toDouble > cpus.toInt / 2.0
+      catch { case _: Throwable => false }
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"reps":3,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_warning":$busy,"sf":"$sfDir"}"""
     }
     // Full per-query breakdown → file (the consumer of stdout keeps only the
     // last ~2000 chars, which an 82-entry map overflows).

@@ -135,6 +135,16 @@ object Storage {
     spark.read.parquet(table.resolve(s"v$v").toString)
   }
 
+  /** Time travel: read a specific retained version (within the commit's
+    * `keepVersions` window — vacuumed versions are gone). */
+  def readVersionAt(spark: SparkSession, table: Path, v: Long): DataFrame = {
+    val dir = table.resolve(s"v$v")
+    val cur = currentVersion(table)
+    require(Files.exists(dir) && cur.exists(v <= _),
+      s"version $v not retained at $table (current=$cur)")
+    spark.read.parquet(dir.toString)
+  }
+
   /** [[readVersion]] with a bootstrap default, mirroring [[readOr]]. */
   def readVersionOr(spark: SparkSession, table: Path, empty: => DataFrame): DataFrame =
     currentVersion(table) match {

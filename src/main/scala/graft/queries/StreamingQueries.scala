@@ -143,6 +143,64 @@ object StreamingQueries {
              |  COUNT(*) AS n_events, MIN(es) AS session_start_epoch
              |FROM f GROUP BY 1, 2""".stripMargin)),
 
+    // Stream-stream interval join: click ⋈ purchase per user within
+    // [click_ts, click_ts + 1h], both sides watermarked (2h) so buffered
+    // state ages out — the bounded-state join shape for event streams.
+    // Inner joins emit eagerly as matches arrive, and the ordered replay
+    // guarantees no row is evicted while a future match is still
+    // possible, so the stream must produce the batch join EXACTLY. The
+    // oracle compares at MICROsecond precision (epoch_ns // 1000 ≡ the
+    // engine's ns-to-micros floor) — the fixture's timestamps carry
+    // sub-second parts, so second-truncated comparison would be a
+    // different (wrong) predicate.
+    Q("stream4_interval_join",
+      (s, d) => withShufflePartitions(s, 8) {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx = s.sqlContext
+        def collectSide(tpe: String) = Tables.events(s, d)
+          .filter(col("event_type") === tpe)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+          .orderBy(col("us"), col("event_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val clicks = collectSide("click")
+        val purchases = collectSide("purchase")
+
+        def stream(input: MemoryStream[(Long, Long, Long)], nm: String) =
+          input.toDF().toDF("user_id", s"${nm}_id", "us")
+            .select(col("user_id"), col(s"${nm}_id"),
+              timestamp_micros(col("us")).as(nm))
+            .withWatermark(nm, "2 hours")
+        val ci = MemoryStream[(Long, Long, Long)]
+        val pi = MemoryStream[(Long, Long, Long)]
+        val joined = stream(ci, "click_ts").as("c")
+          .join(stream(pi, "p_ts").as("p"),
+            col("c.user_id") === col("p.user_id") &&
+              col("p_ts") >= col("click_ts") &&
+              col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+          .select(col("c.user_id"), col("click_ts_id").as("click_id"),
+            col("p_ts_id").as("purchase_id"))
+        val sink = s"stream4_out_${System.identityHashCode(ci)}"
+        val q = joined.writeStream.outputMode("append").format("memory")
+          .queryName(sink).trigger(Trigger.ProcessingTime(0)).start()
+        try {
+          // interleave both sides in 3 event-time-ordered chunks each
+          def chunks(a: Array[(Long, Long, Long)]): Seq[Seq[(Long, Long, Long)]] =
+            a.grouped(math.max(1, (a.length + 2) / 3)).map(_.toSeq).toSeq
+              .padTo(3, Seq.empty[(Long, Long, Long)])
+          chunks(clicks).zip(chunks(purchases)).foreach { case (c, p) =>
+            ci.addData(c); pi.addData(p); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table(sink).localCheckpoint()
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |            epoch_ns(ts) // 1000 AS us FROM events)
+             |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+             |FROM e c JOIN e p ON c.user_id = p.user_id
+             |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+             |  AND p.us >= c.us AND p.us <= c.us + 3600000000""".stripMargin)),
+
     Q("stream1_scd2_equiv",
       (s, d) => withShufflePartitions(s, 8) {
         import s.implicits._

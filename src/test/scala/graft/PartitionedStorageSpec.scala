@@ -76,6 +76,11 @@ class PartitionedStorageSpec extends SparkTestBase {
     assert(!F.exists(table.resolve("v0")), "v0 should be vacuumed")
     assert(F.exists(table.resolve("v1")), "v1 stays for in-flight readers")
 
+    // time travel inside the keep-window; vacuumed/future versions refuse
+    assert(Storage.readVersionAt(spark, table, 1).count() == 5)
+    intercept[IllegalArgumentException](Storage.readVersionAt(spark, table, 0))
+    intercept[IllegalArgumentException](Storage.readVersionAt(spark, table, 9))
+
     // crash before the pointer swap = orphan directory; the pointer still
     // names the last complete version and the next commit reuses the slot
     val orphan = table.resolve("v3")
