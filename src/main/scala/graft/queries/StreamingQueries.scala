@@ -46,7 +46,7 @@ object StreamingQueries {
   def all: Seq[Q] = Seq(
     // Watermarked tumbling-window aggregation — the canonical Structured
     // Streaming shape — proven equivalent to the batch hourly rollup. The
-    // event log replays IN EVENT-TIME ORDER through a MemoryStream in 4
+    // event log replays IN EVENT-TIME ORDER through a MemoryStream in 3
     // arrival chunks (ordered replay ⇒ nothing ever falls behind the
     // watermark, so the stream must reproduce the batch answer exactly);
     // append mode only emits a window once the watermark passes its end,
@@ -55,7 +55,7 @@ object StreamingQueries {
     // result). State stays O(windows in flight), never O(stream) — the
     // property that makes this the 100 TB/day shape.
     Q("stream2_windowed_equiv",
-      (s, d) => withShufflePartitions(s, 8) {
+      (s, d) => withShufflePartitions(s, 4) {
         import s.implicits._
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         implicit val sqlCtx = s.sqlContext
@@ -63,7 +63,7 @@ object StreamingQueries {
           .select(unix_timestamp(col("ts")).as("ts_s"), col("event_type"), col("value"))
           .orderBy(col("ts_s"), col("event_type"), col("value"))
           .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
-        val chunkLen = math.max(1, (evs.length + 3) / 4)
+        val chunkLen = math.max(1, (evs.length + 2) / 3)
         val maxTs = evs.map(_._1).max
 
         val input = MemoryStream[(Long, String, Double)]
@@ -102,7 +102,7 @@ object StreamingQueries {
     // emit). Must reproduce the batch gap-1800s sessionize (e1) exactly —
     // the stateful-processing twin of stream2's windowed aggregation.
     Q("stream3_stateful_sessions",
-      (s, d) => withShufflePartitions(s, 8) {
+      (s, d) => withShufflePartitions(s, 4) {
         import s.implicits._
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         implicit val sqlCtx = s.sqlContext
@@ -154,7 +154,7 @@ object StreamingQueries {
     // sub-second parts, so second-truncated comparison would be a
     // different (wrong) predicate.
     Q("stream4_interval_join",
-      (s, d) => withShufflePartitions(s, 8) {
+      (s, d) => withShufflePartitions(s, 4) {
         import s.implicits._
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         implicit val sqlCtx = s.sqlContext
@@ -186,8 +186,8 @@ object StreamingQueries {
         try {
           // interleave both sides in 3 event-time-ordered chunks each
           def chunks(a: Array[(Long, Long, Long)]): Seq[Seq[(Long, Long, Long)]] =
-            a.grouped(math.max(1, (a.length + 2) / 3)).map(_.toSeq).toSeq
-              .padTo(3, Seq.empty[(Long, Long, Long)])
+            a.grouped(math.max(1, (a.length + 1) / 2)).map(_.toSeq).toSeq
+              .padTo(2, Seq.empty[(Long, Long, Long)])
           chunks(clicks).zip(chunks(purchases)).foreach { case (c, p) =>
             ci.addData(c); pi.addData(p); q.processAllAvailable()
           }
@@ -202,7 +202,7 @@ object StreamingQueries {
              |  AND p.us >= c.us AND p.us <= c.us + 3600000000""".stripMargin)),
 
     Q("stream1_scd2_equiv",
-      (s, d) => withShufflePartitions(s, 8) {
+      (s, d) => withShufflePartitions(s, 4) {
         import s.implicits._
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         implicit val sqlCtx = s.sqlContext
