@@ -48,18 +48,36 @@ object AggMaintain {
     * on `keys` (it is an aggregate table); `deltaAgg` is unique by
     * construction. Keys absent from one side pass through; keys present
     * in both merge column-wise (+ / least / greatest). */
+  /** @param assumeKeysNonNull caller-asserted: no key is ever null on
+    *        either side (parquet schemas report nullable even for columns
+    *        that never are, defeating the automatic check). With null
+    *        keys present this assumption would DUPLICATE those rows
+    *        instead of merging them — only assert what the pipeline
+    *        guarantees. */
   def applyDelta(
       state: DataFrame,
       deltaAgg: DataFrame,
       keys: Seq[String],
       sumCols: Seq[String],
       minCols: Seq[String] = Seq.empty,
-      maxCols: Seq[String] = Seq.empty): DataFrame = {
+      maxCols: Seq[String] = Seq.empty,
+      assumeKeysNonNull: Boolean = false): DataFrame = {
     val order = keys ++ Seq("count_rows") ++ sumCols ++ minCols ++ maxCols
     val s = state.select(order.map(col): _*).alias("s")
     val d = deltaAgg.select(order.map(col): _*).alias("d")
+    // join with plain equality when every key is non-nullable on both
+    // sides: null-safe <=> keys make the planner hash COALESCED key
+    // tuples, which can't reuse the upstream aggregations' partitioning —
+    // a wasted extra exchange pair on both inputs (measured in the m7
+    // plan). Nullable keys genuinely need <=> (a null key is a real
+    // group) and pay the shuffle.
+    def keysNullable(df: DataFrame) =
+      df.schema.filter(f => keys.contains(f.name)).exists(_.nullable)
+    val nullSafe =
+      !assumeKeysNonNull && (keysNullable(state) || keysNullable(deltaAgg))
+    val eq: (Column, Column) => Column = if (nullSafe) _ <=> _ else _ === _
     val joined = s.join(d,
-      keys.map(k => col(s"s.$k") <=> col(s"d.$k")).reduce(_ && _), "full_outer")
+      keys.map(k => eq(col(s"s.$k"), col(s"d.$k"))).reduce(_ && _), "full_outer")
     def merged(c: String, combine: (Column, Column) => Column): Column = {
       val (sc, dc) = (col(s"s.$c"), col(s"d.$c"))
       // null-on-one-side = key absent there → pass the other side through

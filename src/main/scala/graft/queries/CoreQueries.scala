@@ -581,10 +581,14 @@ object CoreQueries {
             maxs = Map("max_value" -> col("value")))
         val state = rollup(ev.filter(col("ts") < cutoff))
         val delta = rollup(ev.filter(col("ts") >= cutoff))
+        // keys derive from non-null ts/event_type → plain-equality join,
+        // which REUSES the two rollups' hash partitioning (null-safe <=>
+        // would re-shuffle both sides on coalesced key tuples)
         graft.ops.AggMaintain.applyDelta(state, delta,
             Seq("hour_epoch", "event_type"),
             sumCols = Seq("sum_value"),
-            minCols = Seq("min_value"), maxCols = Seq("max_value"))
+            minCols = Seq("min_value"), maxCols = Seq("max_value"),
+            assumeKeysNonNull = true)
           .select(col("hour_epoch"), col("event_type"), col("count_rows"),
             col("sum_value").cast("double").as("sum_value"),
             col("min_value"), col("max_value"))

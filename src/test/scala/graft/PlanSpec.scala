@@ -100,6 +100,16 @@ class PlanSpec extends SparkTestBase {
       s"single-partition funnel in the domain star:\n$p")
   }
 
+  test("m7: the merge join reuses the rollups' partitioning (one exchange per side)") {
+    // the delta-merge join runs on the same keys both sides just
+    // aggregated by; with plain-equality keys the join inherits their
+    // hash partitioning, so the ONLY exchanges are the two aggs' own —
+    // a <=> join would re-shuffle both sides on coalesced key tuples
+    val p = plan("m7_incremental_agg")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"delta-merge join re-shuffles its inputs:\n$p")
+  }
+
   test("aggregations are partial (map-side combine) before the shuffle") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("HashAggregate"), p)
