@@ -60,4 +60,21 @@ object Sampling {
     }
     df.filter(bucket256(key) < threshold)
   }
+
+  /** Deterministic corpus shuffle: a reproducible pseudo-random TOTAL
+    * training order (GPT-style pretraining shuffles the corpus once,
+    * then every epoch/restart must see the identical order). The sort
+    * key is md5(seed:id) — avalanche-uniform, engine-portable, stable
+    * under repartitioning — with ties broken by the id, and the dense
+    * rank assigned by the [[graft.ops.Scd2.withScalableSk]] two-phase
+    * shape: range-partition on the hash, O(partitions) counts to the
+    * driver, offset + per-partition row_number. NO single-task global
+    * window anywhere; changing `seed` is a whole new permutation. */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
+      rankCol: String = "shuffle_rank"): DataFrame =
+    Scd2.withScalableSk(
+        df.withColumn("__shufkey",
+          md5(concat_ws(":", lit(seed), col(idCol).cast("string")))),
+        Seq("__shufkey", idCol), rankCol)
+      .drop("__shufkey")
 }

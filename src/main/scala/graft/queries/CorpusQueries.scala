@@ -112,6 +112,20 @@ object CorpusQueries {
              |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
              |  CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN '40' ELSE '20' END""".stripMargin)),
 
+    // Deterministic corpus shuffle: the reproducible training order —
+    // rank = position in the md5(seed:doc_id) permutation, assigned with
+    // the scalable two-phase rank (range partitions + driver offsets, no
+    // global window; the oracle's row_number PROVES the two-phase keys
+    // equal a global sort's).
+    Q("s9_deterministic_shuffle",
+      (s, d) => Sampling.deterministicShuffle(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id", "seed42"),
+      Some("""SELECT doc_id,
+             |  CAST(row_number() OVER (
+             |    ORDER BY md5(concat('seed42:', CAST(doc_id AS VARCHAR))), doc_id)
+             |    AS BIGINT) AS shuffle_rank
+             |FROM documents""".stripMargin)),
+
     // Domain-mixture reweighting: per-doc resampling weight that moves
     // the corpus from its observed language mix to the uniform target —
     // weight = target_share / actual_share = N / (k · n_lang). One

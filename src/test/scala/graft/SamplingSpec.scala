@@ -42,4 +42,15 @@ class SamplingSpec extends SparkTestBase {
       .filter(col("d_split") =!= col("e_split")).count()
     assert(disagree == 0)
   }
+
+  test("deterministicShuffle: identical permutation under any partitioning; new seed = new order") {
+    def ranks(parts: Int, seed: String) =
+      Sampling.deterministicShuffle(docs.repartition(parts), "doc_id", seed)
+        .select(col("doc_id"), col("shuffle_rank"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = ranks(1, "s1")
+    assert(a == ranks(11, "s1"), "shuffle order must not depend on partitioning")
+    assert(a != ranks(11, "s2"), "a different seed must permute differently")
+    assert(a.values.toSeq.sorted == (1L to a.size).toSeq, "ranks must be dense 1..n")
+  }
 }
