@@ -100,6 +100,23 @@ class PlanSpec extends SparkTestBase {
       s"single-partition funnel in the domain star:\n$p")
   }
 
+  test("no query plans a partition-unbounded window (except the global-SK baseline)") {
+    // a Window with an empty partition spec funnels the whole input
+    // through ONE task — the bulk-load anti-pattern withScalableSk
+    // exists to kill. m5_surrogate_keys keeps the global form
+    // deliberately as the bounded-dim baseline its scalable twin (m5b)
+    // is hash-compared against.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val allowed = Set("m5_surrogate_keys")
+    Registry.all.filterNot(q => allowed(q.name)).foreach { q =>
+      val global = q.fn(spark, Sf001).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty,
+        s"${q.name} plans a partition-unbounded window: ${global.mkString(";")}")
+    }
+  }
+
   test("m7: the merge join reuses the rollups' partitioning (one exchange per side)") {
     // the delta-merge join runs on the same keys both sides just
     // aggregated by; with plain-equality keys the join inherits their
