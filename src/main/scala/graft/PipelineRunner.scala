@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   *          + append-only order fact via anti-join (J4/M2,
   *          dwh_fact_character_episode.py:102-107)
   *
-  * Every table write is [[Storage.atomicReplace]] — the BEGIN/COMMIT analog
-  * (M4). Re-running with the same `asOf` is a no-op on every layer
+  * Every table write is [[Storage.commitVersion]] — the BEGIN/COMMIT analog
+  * (M4) as a versioned commit log: each run is one commit per layer,
+  * concurrent readers keep their resolved snapshot, and the previous
+  * run's state stays readable via [[Storage.readVersionAt]] until
+  * vacuumed. Re-running with the same `asOf` is a no-op on every layer
   * (idempotence, verified in PipelineRunnerSpec).
   */
 object PipelineRunner {
@@ -31,7 +34,7 @@ object PipelineRunner {
     workDir.resolve("fact_orders"))
 
   private def readOr(spark: SparkSession, p: Path, empty: => DataFrame): DataFrame =
-    Storage.readOr(spark, p, empty) // recover-then-exists lives in Storage
+    Storage.readVersionOr(spark, p, empty)
 
   /** One pipeline run: events/orders visible up to `asOf` (event-time and
     * order-date cutoffs), stamped with frozen `runTs`. */
@@ -52,10 +55,10 @@ object PipelineRunner {
     val stgPrev = readOr(spark, l.stgUsers, snapshot.limit(0))
     val stgNext = MergeOps.conditionalUpsert(stgPrev, snapshot,
       Seq("user_id"), Seq("event_type", "value"), runTsCol)
-    Storage.atomicReplace(stgNext, l.stgUsers)
+    Storage.commitVersion(stgNext, l.stgUsers)
 
     // ---- stg → dwh dim: SCD2 close-and-insert (M3/M5)
-    val stg = Storage.read(spark, l.stgUsers)
+    val stg = Storage.readVersion(spark, l.stgUsers)
       .select(col("user_id"), col("event_type"), col("value"))
     val dimPrev = readOr(spark, l.dimUsers,
       stg.limit(0)
@@ -65,10 +68,10 @@ object PipelineRunner {
         .withColumn("is_current", lit(true)))
     val dimNext = Scd2.closeAndInsert(dimPrev, stg, "user_id",
       Seq("event_type", "value"), runTsCol, "sk")
-    Storage.atomicReplace(dimNext, l.dimUsers)
+    Storage.commitVersion(dimNext, l.dimUsers)
 
     // ---- dwh fact: BK→SK resolution + incremental anti-join append (J2/J4)
-    val dimCurrent = Storage.read(spark, l.dimUsers)
+    val dimCurrent = Storage.readVersion(spark, l.dimUsers)
       .filter(col("is_current"))
       .select(col("user_id"), col("sk").as("user_sk"))
     val orders = Tables.orders(spark, dir)
@@ -81,6 +84,6 @@ object PipelineRunner {
         col("o_totalprice"), runTsCol.as("inserted_at"))
     val factPrev = readOr(spark, l.factOrders, resolved.limit(0))
     val factNext = MergeOps.insertIfAbsent(factPrev, resolved, Seq("o_orderkey"))
-    Storage.atomicReplace(factNext, l.factOrders)
+    Storage.commitVersion(factNext, l.factOrders)
   }
 }

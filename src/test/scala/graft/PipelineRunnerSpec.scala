@@ -13,8 +13,8 @@ class PipelineRunnerSpec extends SparkTestBase {
     // run 1: first half of January, orders through 1997
     PipelineRunner.run(spark, Sf001, work,
       "2024-01-15 00:00:00", "1997-12-31", "2024-02-01 00:00:00")
-    val dim1 = spark.read.parquet(l.dimUsers.toString).collect()
-    val fact1 = spark.read.parquet(l.factOrders.toString)
+    val dim1 = graft.ops.Storage.readVersion(spark, l.dimUsers).collect()
+    val fact1 = graft.ops.Storage.readVersion(spark, l.factOrders)
     val fact1Count = fact1.count()
     assert(dim1.nonEmpty && fact1Count > 0)
     // initial load: every user exactly one current version
@@ -23,8 +23,8 @@ class PipelineRunnerSpec extends SparkTestBase {
     // run 2: full month, all orders — profiles change, new orders appear
     PipelineRunner.run(spark, Sf001, work,
       "2024-01-30 23:59:59", "2001-12-31", "2024-03-01 00:00:00")
-    val dim2 = spark.read.parquet(l.dimUsers.toString)
-    val fact2 = spark.read.parquet(l.factOrders.toString)
+    val dim2 = graft.ops.Storage.readVersion(spark, l.dimUsers)
+    val fact2 = graft.ops.Storage.readVersion(spark, l.factOrders)
 
     // SCD2: exactly one current version per user; closed versions exist
     assert(dim2.filter(col("is_current")).groupBy("user_id").count()
@@ -47,7 +47,13 @@ class PipelineRunnerSpec extends SparkTestBase {
     val factBefore = fact2.collect().toSet
     PipelineRunner.run(spark, Sf001, work,
       "2024-01-30 23:59:59", "2001-12-31", "2024-04-01 00:00:00")
-    assert(spark.read.parquet(l.dimUsers.toString).collect().toSet == dimBefore)
-    assert(spark.read.parquet(l.factOrders.toString).collect().toSet == factBefore)
+    assert(graft.ops.Storage.readVersion(spark, l.dimUsers).collect().toSet == dimBefore)
+    assert(graft.ops.Storage.readVersion(spark, l.factOrders).collect().toSet == factBefore)
+
+    // commit log across runs: 3 runs = versions 0..2 per layer; run-2's
+    // state is still readable via time travel (keep-window), and equals
+    // the current state because run 3 was a no-op
+    assert(graft.ops.Storage.currentVersion(l.dimUsers).contains(2L))
+    assert(graft.ops.Storage.readVersionAt(spark, l.dimUsers, 1).collect().toSet == dimBefore)
   }
 }
