@@ -28,6 +28,23 @@ object Quality {
       .join(parent.select(col(parentKey).as(childKey)), Seq(childKey), "left_anti")
       .distinct()
 
+  /** Malformed-payload predicate for a schema-on-read raw layer: TRUE for
+    * rows whose non-null JSON payload fails to parse against `ddlSchema`.
+    * PERMISSIVE `from_json` does NOT null the struct on bad input — it
+    * nulls the fields — so the reliable signal is the standard
+    * `_corrupt_record` idiom: add the corrupt-record column to the parse
+    * schema; it is non-null exactly for unparseable payloads. Pure
+    * map-side expression, usable as a filter into a quarantine table at
+    * any scale (the reference's raw layer ingests payloads unvalidated;
+    * configure.py:58-62 — this is the missing gate). */
+  def malformedJson(payload: org.apache.spark.sql.Column, ddlSchema: String): org.apache.spark.sql.Column = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddlSchema)
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    payload.isNotNull &&
+      from_json(payload, schema, Map("columnNameOfCorruptRecord" -> "_corrupt_record"))
+        .getField("_corrupt_record").isNotNull
+  }
+
   /** NOT NULL audit: per-column null counts for the declared columns. */
   def notNullViolations(df: DataFrame, cols: Seq[String]): DataFrame = {
     val counts = cols.map(c => sum(when(col(c).isNull, 1).otherwise(0)).as(c))

@@ -309,6 +309,34 @@ object CoreQueries {
              |    AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
              |SELECT * FROM pk UNION ALL SELECT * FROM fk""".stripMargin)),
 
+    // Malformed-payload quarantine — the raw layer's schema-on-read gate
+    // (the reference ingests payloads unvalidated). Payloads are rebuilt
+    // from orders with every 7th corrupted into non-JSON; quarantined =
+    // payload present ∧ from_json NULL (map-side predicate,
+    // ops.Quality.malformedJson). The oracle derives the same
+    // classification from the corruption rule AND re-checks it with
+    // DuckDB's independent json_valid parser — two parsers, one verdict.
+    Q("dq2_malformed_quarantine",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val wellFormed = to_json(struct(
+          col("o_orderkey").as("id"), col("o_orderpriority").as("priority")))
+        val payload = when(col("o_orderkey") % 7 === 0,
+          concat(lit("{corrupt"), col("o_orderpriority"))).otherwise(wellFormed)
+        val quarantined = graft.ops.Quality.malformedJson(payload, "id BIGINT, priority STRING")
+        val parsed = from_json(payload,
+          org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, priority STRING"))
+        o.select(col("o_orderkey"), quarantined.as("quarantined"),
+          parsed.getField("id").as("parsed_id"))
+      },
+      Some("""SELECT o_orderkey,
+             |  NOT json_valid(CASE WHEN o_orderkey % 7 = 0
+             |    THEN concat('{corrupt', o_orderpriority)
+             |    ELSE concat('{"id":', o_orderkey, ',"priority":"', o_orderpriority, '"}')
+             |  END) AS quarantined,
+             |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey END AS parsed_id
+             |FROM orders""".stripMargin)),
+
     // Set operations beyond the reference's UNION: INTERSECT/EXCEPT
     // (SURVEY §2.6 notes the reference has none — completing the family).
     Q("u2_intersect_except",
