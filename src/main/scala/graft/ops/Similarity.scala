@@ -173,6 +173,27 @@ object Similarity {
     toDf(centroids)
   }
 
+  /** Per-group mean embeddings, fully IN-ENGINE (contrast with
+    * [[kmeansCentroids]], which legitimately driver-collects its c·d
+    * codebook): posexplode → exact DECIMAL unit sums per (group, dim) →
+    * one double rounding per element → arrays reassembled with
+    * sort_array(collect_list). Two map-side-combinable aggregations,
+    * no driver data movement — the shape for per-language/per-source
+    * corpus centroids at any cardinality. Returns (groupCol, cvec). */
+  def groupCentroids(
+      embeddings: DataFrame,
+      groupCol: String,
+      vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg((sum(units(col("x"))).cast(AccDec).cast("double") / count(lit(1)) / lit(Scale))
+        .as("c"))
+      .groupBy(col(groupCol))
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("c")))),
+        p => p.getField("c")).as("cvec"))
+
   /** IVF (inverted-file) ANN: vectors are assigned to their nearest
     * centroid's list; a query probes only the `nprobe` nearest lists and
     * runs exact cosine within them — probe cost O(n·nprobe/C) instead of

@@ -459,6 +459,37 @@ object TextQueries {
              |  CAST(CAST(SUM(n2u) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e20 AS avg_norm2
              |FROM n GROUP BY label""".stripMargin)),
 
+    // Per-label centroids + each vector's cosine to its OWN centroid —
+    // the cluster-cohesion diagnostic (and the in-engine grouped-mean
+    // building block IVF training samples from). Centroids never leave
+    // the cluster (two map-side-combinable aggs); the oracle rebuilds
+    // the identical decimal-unit means and re-quantized cosines.
+    Q("sim5_label_centroid_cohesion",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cent = Similarity.groupCentroids(e, "label")
+        e.join(broadcast(cent), Seq("label"))
+          .select(col("vec_id"), col("label"),
+            Similarity.cosine(col("embedding"), col("cvec")).as("cos_to_centroid"))
+      },
+      Some("""WITH ex AS (SELECT vec_id, label,
+             |        CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e10) AS HUGEINT) AS u,
+             |        unnest(range(len(embedding))) AS i FROM embeddings),
+             |cs AS (SELECT label, i,
+             |        CAST(CAST(SUM(u) AS VARCHAR) AS DOUBLE) / COUNT(*) / 1e10 AS c
+             |      FROM ex GROUP BY 1, 2),
+             |cu AS (SELECT label, i, CAST(FLOOR(c * 1e10) AS HUGEINT) AS uc FROM cs),
+             |dots AS (SELECT ex.vec_id, ex.label,
+             |    CAST(CAST(SUM(ex.u * cu.uc) AS VARCHAR) AS DOUBLE) AS dot,
+             |    CAST(CAST(SUM(ex.u * ex.u) AS VARCHAR) AS DOUBLE) AS n2,
+             |    CAST(CAST(SUM(cu.uc * cu.uc) AS VARCHAR) AS DOUBLE) AS cn2
+             |  FROM ex JOIN cu ON ex.label = cu.label AND ex.i = cu.i
+             |  GROUP BY 1, 2)
+             |SELECT vec_id, label,
+             |  CASE WHEN sqrt(n2) * sqrt(cn2) > 0 THEN dot / (sqrt(n2) * sqrt(cn2)) END
+             |    AS cos_to_centroid
+             |FROM dots""".stripMargin)),
+
     // IVF-bucketed ANN (the other scale path next to sim2's LSH):
     // deterministic centroid lists, nprobe-limited exact search.
     // Rows-only: the index structure is engine-internal.
