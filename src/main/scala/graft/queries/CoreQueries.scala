@@ -430,6 +430,43 @@ object CoreQueries {
              |  (vt IS NULL) AS is_current, version
              |FROM v""".stripMargin)),
 
+    // Temporal (point-in-time) fact enrichment — THE warehouse temporal
+    // join: every event picks up the dimension version valid AT ITS OWN
+    // time. Shape: equi-join on the KEY with the interval as a filter —
+    // never an inequality-only join (which would plan a nested loop);
+    // per-key version counts are small, so the hash join fan-out is
+    // bounded. Interval comparisons happen at the engine's native
+    // microsecond timestamps; the oracle compares epoch_ns // 1000 so
+    // both engines test the identical predicate (the fixture's
+    // timestamps carry sub-second parts).
+    Q("j7_pit_enrichment",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+            col("event_id"), col("event_type"))
+        val dim = Scd2.fromChangeLog(ev, "user_id", "ts", Seq("event_type"), Seq("event_id"))
+        ev.join(dim.select(col("user_id"), col("event_type").as("state_at_event"),
+            col("valid_from"), col("valid_to"), col("version")), Seq("user_id"))
+          .filter(col("valid_from") <= col("ts") && col("ts") < col("valid_to"))
+          .select(col("event_id"), col("user_id"),
+            epochS(col("ts")).as("ts_epoch"), col("state_at_event"), col("version"))
+      },
+      Some(s"""WITH e0 AS (SELECT user_id, ts, event_id, event_type,
+             |    epoch_ns(ts) // 1000 AS us FROM events),
+             |e AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn0
+             |      FROM e0),
+             |c AS (SELECT user_id, ts, us, event_id, event_type FROM e
+             |      WHERE rn0 = 1 OR prev IS DISTINCT FROM event_type),
+             |v AS (SELECT user_id, event_type, us AS vf_us,
+             |        lead(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt_us,
+             |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+             |      FROM c)
+             |SELECT e0.event_id, e0.user_id, ${epochSql("e0.ts")} AS ts_epoch,
+             |  v.event_type AS state_at_event, CAST(v.version AS BIGINT) AS version
+             |FROM e0 JOIN v ON e0.user_id = v.user_id
+             |  AND v.vf_us <= e0.us AND (v.vt_us IS NULL OR e0.us < v.vt_us)""".stripMargin)),
+
     // SCD2 point-in-time lookup — the consumer side of the dimension: the
     // state of every entity AS OF the cutoff (valid_from ≤ T < valid_to),
     // i.e. time travel over the version history the loads maintain.
