@@ -919,6 +919,46 @@ object MartQueries {
              |  COUNT(*) AS n_events, MIN(es) AS session_start_epoch
              |FROM f GROUP BY 1, 2""".stripMargin)),
 
+    // Retention cohorts: users grouped by first-active week, activity
+    // counted per (cohort, week offset) — the standard growth-analytics
+    // triangle. Two map-side-combinable aggregations (cohort min, then
+    // distinct actives) joined on the user key; week arithmetic in exact
+    // epoch integers so both engines bucket identically.
+    Q("e4_retention_cohorts",
+      (s, d) => {
+        val wk = epochS(date_trunc("week", col("ts")))
+        val active = Tables.events(s, d)
+          .select(col("user_id"), wk.as("week_epoch")).distinct()
+        val cohort = active.groupBy(col("user_id"))
+          .agg(min(col("week_epoch")).as("cohort_epoch"))
+        active.join(cohort, Seq("user_id"))
+          .groupBy(col("cohort_epoch"),
+            ((col("week_epoch") - col("cohort_epoch")) / 604800L).cast("long").as("week_no"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      },
+      Some(s"""WITH a AS (SELECT DISTINCT user_id,
+             |    ${epochSql("date_trunc('week', ts)")} AS week_epoch FROM events),
+             |c AS (SELECT user_id, MIN(week_epoch) AS cohort_epoch FROM a GROUP BY 1)
+             |SELECT c.cohort_epoch,
+             |  CAST((a.week_epoch - c.cohort_epoch) // 604800 AS BIGINT) AS week_no,
+             |  COUNT(DISTINCT a.user_id) AS n_users
+             |FROM a JOIN c ON a.user_id = c.user_id
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // Equi-width histogram of order values over fixed bounds (fixed →
+    // one pass, no min/max pre-scan): the profiling primitive next to
+    // dq1's per-column stats. Bucket arithmetic in exact integers.
+    Q("hist1_order_value_histogram",
+      (s, d) => Tables.orders(s, d)
+        .select(least(lit(19L),
+          floor(col("o_totalprice").cast("decimal(14,2)") / 30000).cast("long"))
+          .as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders")),
+      Some("""SELECT LEAST(19, CAST(FLOOR(CAST(o_totalprice AS DECIMAL(14,2)) / 30000) AS BIGINT)) AS bucket,
+             |  COUNT(*) AS n_orders
+             |FROM orders GROUP BY 1""".stripMargin)),
+
     // Ordered funnel: view → click → purchase, each stage's timestamp the
     // EARLIEST at-or-after the previous stage (the strict event-sequence
     // semantics product analytics needs — a purchase BEFORE the first
