@@ -91,6 +91,16 @@ class PartitionedStorageSpec extends SparkTestBase {
     assert(v3 == 3 && Storage.readVersion(spark, table).count() == 9)
   }
 
+  test("commit log: schema evolves across versions; time travel returns each version's own schema") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("schema_evo").resolve("t")
+    Storage.commitVersion(Seq((1L, "a")).toDF("id", "name"), table, keepVersions = 2)
+    // v1 adds a column — a new immutable version dir, so no merge problem
+    Storage.commitVersion(Seq((1L, "a", 0.5)).toDF("id", "name", "score"), table, keepVersions = 2)
+    assert(Storage.readVersion(spark, table).columns.toSeq == Seq("id", "name", "score"))
+    assert(Storage.readVersionAt(spark, table, 0).columns.toSeq == Seq("id", "name"))
+  }
+
   test("compact: many small files collapse to the byte-targeted count, rows intact") {
     import java.nio.file.{Files => F}
     val table = Files.createTempDirectory("compaction").resolve("t")
