@@ -58,6 +58,29 @@ object Corpus {
           .as("dup_bigram_frac"))
   }
 
+  /** Sliding-window chunking with overlap — the RAG/pretraining chunker:
+    * windows of `chunkLen` words starting every `chunkLen - overlap`
+    * words (the last window may be short; empty docs yield no chunks).
+    * One generate over a precomputed start sequence + a slice per chunk —
+    * map-side only, no shuffle; output grows by ~chunkLen/(chunkLen -
+    * overlap)× of the token volume, which is the op's intrinsic cost.
+    * Returns (doc_id, chunk_idx, chunk_text, n_tokens). */
+  def slidingChunks(docs: DataFrame, chunkLen: Int, overlap: Int): DataFrame = {
+    require(chunkLen > 0 && overlap >= 0 && overlap < chunkLen,
+      s"need 0 <= overlap < chunkLen (got chunkLen=$chunkLen overlap=$overlap)")
+    val step = chunkLen - overlap
+    docs
+      .select(col("doc_id"), Text.words(col("text")).as("__ws"))
+      .select(col("doc_id"), col("__ws"),
+        explode(when(size(col("__ws")) > 0,
+          sequence(lit(0), size(col("__ws")) - 1, lit(step)))
+          .otherwise(array().cast("array<int>"))).as("__st"))
+      .select(col("doc_id"),
+        (col("__st") / step).cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("__ws"), col("__st") + 1, lit(chunkLen))).as("chunk_text"),
+        size(slice(col("__ws"), col("__st") + 1, lit(chunkLen))).cast("long").as("n_tokens"))
+  }
+
   /** C4-style sub-document dedup at `chunkWords`-word granularity: each
     * doc splits into consecutive chunks; a chunk OCCURRENCE survives iff
     * it is the globally first occurrence of its text, ordered by

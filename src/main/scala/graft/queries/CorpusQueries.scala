@@ -83,6 +83,19 @@ object CorpusQueries {
     // C4-style chunk-level dedup: globally-first occurrence survives,
     // ordered by (doc_id, idx). Oracle brute-forces the same ranking
     // over string chunks.
+    // Sliding-window chunking with overlap (chunkLen 40, overlap 10 →
+    // a new chunk every 30 words): the RAG/pretraining chunker. Map-side
+    // generate + slice, no shuffle ([[Corpus.slidingChunks]]).
+    Q("c2_sliding_chunks",
+      (s, d) => Corpus.slidingChunks(Tables.documents(s, d), chunkLen = 40, overlap = 10),
+      Some(s"""WITH docs AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+             |st AS (SELECT doc_id, ws, unnest(range(0, len(ws), 30)) AS s
+             |       FROM docs WHERE len(ws) > 0)
+             |SELECT doc_id, CAST(s // 30 AS BIGINT) AS chunk_idx,
+             |  array_to_string(ws[s+1 : s+40], ' ') AS chunk_text,
+             |  CAST(len(ws[s+1 : s+40]) AS BIGINT) AS n_tokens
+             |FROM st""".stripMargin)),
+
     Q("d9_chunk_dedup",
       (s, d) => Corpus.chunkDedup(Tables.documents(s, d), chunkWords = 10),
       Some(s"""WITH docs AS (SELECT doc_id, $wordsSql AS ws FROM documents),
