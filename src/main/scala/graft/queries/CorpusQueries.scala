@@ -96,6 +96,49 @@ object CorpusQueries {
              |  CAST(len(ws[s+1 : s+40]) AS BIGINT) AS n_tokens
              |FROM st""".stripMargin)),
 
+    // Incremental cross-corpus dedup — the production shape: dedup the
+    // NEW batch (doc_id ≥ 250) against the EXISTING training set
+    // (doc_id < 250), never the old corpus against itself. Exact layer:
+    // anti-join on the whitespace-normalized fingerprint. Near layer:
+    // the inverted-index Jaccard pair graph restricted to cross pairs
+    // (old < 250 ≤ new). A new doc survives only if neither layer finds
+    // a prior duplicate. At 100 TB the old side is just its stored
+    // fingerprint/shingle index — this query IS that plan at fixture
+    // scale.
+    Q("d10_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val split = lit(250L)
+        val newDocs = docs.filter(col("doc_id") >= split)
+        val oldDocs = docs.filter(col("doc_id") < split)
+        val exactDups = newDocs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+          .join(oldDocs.select(Text.fingerprint(col("text")).as("fp")), Seq("fp"), "left_semi")
+          .select(col("doc_id"))
+        // doc_a < doc_b always, so cross pairs are exactly a<250<=b
+        val nearDups = graft.ops.NearDup.jaccardPairs(docs, 3, 0.2)
+          .filter(col("doc_a") < split && col("doc_b") >= split)
+          .select(col("doc_b").as("doc_id"))
+        newDocs.select(col("doc_id"))
+          .join(exactDups.unionByName(nearDups).distinct(), Seq("doc_id"), "left_anti")
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, $wordsSql AS ws, text FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |    unnest(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) AS g
+             |  FROM docs),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+             |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |near AS (SELECT doc_b AS doc_id FROM inter
+             |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+             |  WHERE doc_a < 250 AND doc_b >= 250
+             |    AND CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.2),
+             |exact AS (SELECT n.doc_id FROM docs n JOIN docs o
+             |  ON array_to_string(n.ws, ' ') = array_to_string(o.ws, ' ')
+             |  AND n.doc_id >= 250 AND o.doc_id < 250),
+             |dups AS (SELECT doc_id FROM near UNION SELECT doc_id FROM exact)
+             |SELECT doc_id FROM documents
+             |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin)),
+
     Q("d9_chunk_dedup",
       (s, d) => Corpus.chunkDedup(Tables.documents(s, d), chunkWords = 10),
       Some(s"""WITH docs AS (SELECT doc_id, $wordsSql AS ws FROM documents),
