@@ -69,6 +69,55 @@ object Multimodal {
     (w, h, hist)
   }
 
+  /** Frame sampling — the video path's explode shape: every `everyNth`
+    * frame of the blob becomes its own row (media_id, frame_idx,
+    * frame_hash, frame_len). Frames here are fixed-`frameBytes` windows —
+    * the deterministic stand-in for container-index boundaries, which on
+    * real video come from a per-partition codec exactly like [[decode]];
+    * the explode/plumbing (row-per-frame fan-out, downstream dedup or
+    * featurization per frame) is the real Spark-side work and is
+    * identical either way. Map-side only; output rows ≈ bytes/(frameBytes
+    * ·everyNth). */
+  def sampleFrames(media: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {
+    require(frameBytes > 0 && everyNth > 0, s"need positive sizes (got $frameBytes, $everyNth)")
+    media
+      .select(col("media_id"), col("blob"),
+        explode(when(length(col("blob")) > 0,
+          // Column./ is DOUBLE division — cast truncates back to the
+          // last frame index (non-negative, so trunc ≡ floor)
+          sequence(lit(0),
+            ((length(col("blob")) - 1) / frameBytes).cast("int"), lit(everyNth)))
+          .otherwise(array().cast("array<int>"))).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(col("blob").substr(
+          col("frame_idx") * frameBytes + 1, lit(frameBytes))).as("frame_hash"),
+        length(col("blob").substr(
+          col("frame_idx") * frameBytes + 1, lit(frameBytes))).cast("long").as("frame_len"))
+  }
+
+  /** Resize — deterministic stub: keep every `factor`-th byte and scale
+    * the fake dimensions accordingly (a real deployment swaps ONLY the
+    * per-partition body for a codec resample, like [[decode]]). */
+  def resize(media: DataFrame, factor: Int): DataFrame = {
+    require(factor > 0, s"factor must be positive (got $factor)")
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = true),
+      StructField("format", StringType, nullable = true)))
+    val rdd = media.select(col("media_id"), col("blob"), col("format")).rdd
+      .mapPartitions { it =>
+        // codec init once per partition, as in decode()
+        it.map { r =>
+          val blob = r.getAs[Array[Byte]]("blob")
+          val small = if (blob == null) null
+            else blob.zipWithIndex.collect { case (b, i) if i % factor == 0 => b }
+          Row(r.getLong(0), small, r.getString(2))
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Batch-shaped decode: one codec "session" per partition, rows streamed
     * through it. Output is columnar-friendly (fixed decodedSchema). */
   def decode(media: DataFrame): DataFrame = {

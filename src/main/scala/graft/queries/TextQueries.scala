@@ -581,5 +581,26 @@ object TextQueries {
              |  CAST(len(list_filter(b.buckets, x -> x = 5)) AS DOUBLE) AS f5,
              |  CAST(len(list_filter(b.buckets, x -> x = 6)) AS DOUBLE) AS f6,
              |  CAST(len(list_filter(b.buckets, x -> x = 7)) AS DOUBLE) AS f7
-             |FROM documents d JOIN b ON d.doc_id = b.doc_id""".stripMargin)))
+             |FROM documents d JOIN b ON d.doc_id = b.doc_id""".stripMargin)),
+
+    // Frame sampling — the video path's row-per-frame explode: every 3rd
+    // 256-byte frame of each blob becomes a row. Frame boundaries are the
+    // deterministic codec stand-in (Multimodal.sampleFrames notes); the
+    // fan-out plumbing is the real work, and the oracle recomputes every
+    // sampled frame's hash byte-for-byte (ASCII docs ⇒ DuckDB substring
+    // equals blob bytes).
+    Q("mm3_frame_sample",
+      (s, d) => {
+        val media = Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text")
+        Multimodal.sampleFrames(
+          Multimodal.repartitionForBlobs(media, targetBytes = 1L << 20),
+          frameBytes = 256, everyNth = 3)
+      },
+      Some("""WITH f AS (SELECT doc_id, text,
+             |    unnest(range(0, (length(text) + 255) // 256, 3)) AS frame_idx
+             |  FROM documents WHERE length(text) > 0)
+             |SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+             |  md5(substring(text, frame_idx * 256 + 1, 256)) AS frame_hash,
+             |  CAST(length(substring(text, frame_idx * 256 + 1, 256)) AS BIGINT) AS frame_len
+             |FROM f""".stripMargin)))
 }

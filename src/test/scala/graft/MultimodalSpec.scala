@@ -29,4 +29,25 @@ class MultimodalSpec extends SparkTestBase {
     val again = Multimodal.decode(media).filter(col("media_id") === 0).head()
     assert(again == r)
   }
+
+  test("resize keeps every factor-th byte; sampleFrames covers the blob without overlap") {
+    val media = Multimodal.asMediaTable(
+      Tables.documents(spark, Sf001).limit(50), "doc_id", "text")
+    val small = Multimodal.resize(media, factor = 4)
+      .select(col("media_id"), length(col("blob")).as("small_len"))
+    val both = media.select(col("media_id"), length(col("blob")).as("orig_len"))
+      .join(small, "media_id").collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val (orig, sm) = (r.getInt(1), r.getInt(2))
+      assert(sm == (orig + 3) / 4, s"media ${r.getLong(0)}: $orig -> $sm")
+    }
+    // everyNth=1: frames tile the blob exactly — total frame bytes = blob bytes
+    val frames = Multimodal.sampleFrames(media, frameBytes = 128, everyNth = 1)
+      .groupBy(col("media_id")).agg(sum(col("frame_len")).as("covered"))
+    val uncovered = media.select(col("media_id"), length(col("blob")).cast("long").as("n"))
+      .join(frames, "media_id")
+      .filter(col("covered") =!= col("n")).count()
+    assert(uncovered == 0)
+  }
 }
