@@ -174,6 +174,32 @@ object NearDup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Cross-corpus variant of [[jaccardPairs]]: pairs (doc_a ∈ left,
+    * doc_b ∈ right) with Jaccard ≥ minJ — the incremental-dedup shape
+    * (left = the already-deduped training set, right = the new batch).
+    * The inverted-index join runs left-grams × right-grams ONLY: no
+    * left×left or right×right work, so cost scales with the batch, not
+    * the corpus (at deploy, left's shingle set is its stored index).
+    * Inputs must be disjoint doc_id sets (pairs are emitted as-is, no
+    * ordering constraint). */
+  def jaccardPairsBetween(
+      left: DataFrame, right: DataFrame, n: Int, minJ: Double): DataFrame = {
+    val shL = hashedShingleSet(left, n)
+    val shR = hashedShingleSet(right, n)
+    val sizesL = shL.groupBy("doc_id").agg(count(lit(1)).as("na"))
+    val sizesR = shR.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+    shL.select(col("doc_id").as("doc_a"), col("g"))
+      .join(shR.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizesL.select(col("doc_id").as("doc_a"), col("na")), "doc_a")
+      .join(sizesR.select(col("doc_id").as("doc_b"), col("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** (doc_a, doc_b, jaccard) for all pairs with n-gram Jaccard ≥ minJ;
     * doc_a < doc_b. `docs` needs (doc_id, text).
     *

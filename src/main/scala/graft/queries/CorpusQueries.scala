@@ -114,9 +114,10 @@ object CorpusQueries {
         val exactDups = newDocs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
           .join(oldDocs.select(Text.fingerprint(col("text")).as("fp")), Seq("fp"), "left_semi")
           .select(col("doc_id"))
-        // doc_a < doc_b always, so cross pairs are exactly a<250<=b
-        val nearDups = graft.ops.NearDup.jaccardPairs(docs, 3, 0.2)
-          .filter(col("doc_a") < split && col("doc_b") >= split)
+        // cross-corpus pair graph ONLY — no old×old / new×new work
+        // (NearDup.jaccardPairsBetween; equality with the filtered full
+        // graph is differential-tested in TextSimilaritySpec)
+        val nearDups = graft.ops.NearDup.jaccardPairsBetween(oldDocs, newDocs, 3, 0.2)
           .select(col("doc_b").as("doc_id"))
         newDocs.select(col("doc_id"))
           .join(exactDups.unionByName(nearDups).distinct(), Seq("doc_id"), "left_anti")

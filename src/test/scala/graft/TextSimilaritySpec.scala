@@ -154,6 +154,18 @@ class TextSimilaritySpec extends SparkTestBase {
     assert(cs.values.forall(_.forall(x => !x.isNaN)))
   }
 
+  test("jaccardPairsBetween ≡ full pair graph restricted to cross pairs") {
+    val docs = Tables.documents(spark, Sf001)
+    val (old_, neu) = (docs.filter($"doc_id" < 250), docs.filter($"doc_id" >= 250))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e12))).toSet
+    val cross = canon(graft.ops.NearDup.jaccardPairsBetween(old_, neu, 3, 0.2))
+    val full = canon(graft.ops.NearDup.jaccardPairs(docs, 3, 0.2)
+      .filter($"doc_a" < 250 && $"doc_b" >= 250))
+    assert(cross == full)
+  }
+
   test("minhashLshPairs: verified output ≡ exact jaccardPairs on the corpus") {
     val docs = Tables.documents(spark, Sf001)
     def canon(df: org.apache.spark.sql.DataFrame) =
