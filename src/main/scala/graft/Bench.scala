@@ -13,6 +13,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "n/a" }
+    // sample BEFORE the warmup: the warmup itself saturates the cores and
+    // would inflate the 1-min loadavg, flagging an idle host as busy
+    val loadStart = loadavg()
     // untimed warmup: exercise scan+shuffle+join+window codegen paths once
     // so timings reflect steady state, not first-query JIT
     try {
@@ -27,13 +34,8 @@ object Bench {
     } catch { case _: Throwable => () }
     // host-contention self-diagnosis: a loaded bench host inflates
     // timings 10-25x and is indistinguishable from a regression after
-    // the fact — record /proc/loadavg before and after so the artifact
-    // carries its own context
-    def loadavg(): String =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
-        .split(" ").take(3).mkString(" ")
-      catch { case _: Throwable => "n/a" }
-    val loadStart = loadavg()
+    // the fact — loadStart (sampled pre-warmup above) + loadEnd make the
+    // artifact carry its own context
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     // min of 3 reps per query: steady-state timing that a transient GC
     // pause or co-tenant CPU spike on the bench host cannot inflate

@@ -90,5 +90,9 @@ object AggMaintain {
         sumCols.map(c => merged(c, _ + _)) ++
         minCols.map(c => merged(c, least(_, _))) ++
         maxCols.map(c => merged(c, greatest(_, _))): _*)
+      // a fully-retracted key (count_rows reaches 0) must DISAPPEAR, as it
+      // would from a recompute — a ghost (0, zeroed-sums, stale-min/max)
+      // row would otherwise persist in the state forever
+      .filter(col("count_rows") =!= 0)
   }
 }

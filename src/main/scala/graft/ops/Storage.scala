@@ -145,11 +145,28 @@ object Storage {
     spark.read.parquet(dir.toString)
   }
 
-  /** [[readVersion]] with a bootstrap default, mirroring [[readOr]]. */
+  /** [[readVersion]] with a bootstrap default, mirroring [[readOr]].
+    * A directory that exists but is NOT a versioned layout (a flat
+    * atomicReplace-era table, say) fails loudly instead of reading as
+    * "never existed" — silently bootstrapping a populated layer from
+    * empty loses audit history and restarts SK sequences, the exact
+    * failure [[readOr]]'s recover-first contract exists to prevent. */
   def readVersionOr(spark: SparkSession, table: Path, empty: => DataFrame): DataFrame =
     currentVersion(table) match {
       case Some(v) => spark.read.parquet(table.resolve(s"v$v").toString)
-      case None    => empty
+      case None =>
+        if (Files.isDirectory(table)) {
+          val s = Files.list(table)
+          val foreign =
+            try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
+              .filterNot(n => n.matches("v\\d+") || n.startsWith(Latest))
+            finally s.close()
+          require(foreign.isEmpty,
+            s"$table exists but is not a versioned table (found: " +
+              s"${foreign.take(3).mkString(", ")}) — refusing to treat it as " +
+              "empty; migrate with commitVersion(read(spark, table), table)")
+        }
+        empty
     }
 
   /** Small-file compaction: rewrite `table` into ⌈bytes/targetBytes⌉
@@ -158,16 +175,31 @@ object Storage {
     * tiny files turn a 100 TB scan into a metadata storm (one task + one
     * open per file), so compaction is scheduled maintenance, not an
     * optimization. Returns the target file count. */
-  def compact(spark: SparkSession, table: Path, targetBytes: Long = 128L << 20): Int = {
-    recover(table)
-    val s = Files.walk(table)
+  def compact(spark: SparkSession, table: Path, targetBytes: Long = 128L << 20): Int =
+    currentVersion(table) match {
+      // versioned table: compaction is just another commit of the latest
+      // snapshot, rewritten into fewer files — never touch the layout
+      // (walking the directory would read EVERY retained version and an
+      // atomicReplace would destroy the v*/_LATEST structure)
+      case Some(v) =>
+        val dir = table.resolve(s"v$v")
+        val n = fileCountFor(dir, targetBytes)
+        commitVersion(spark.read.parquet(dir.toString).coalesce(n), table)
+        n
+      case None =>
+        recover(table)
+        val n = fileCountFor(table, targetBytes)
+        atomicReplace(spark.read.parquet(table.toString).coalesce(n), table)
+        n
+    }
+
+  private def fileCountFor(dir: Path, targetBytes: Long): Int = {
+    val s = Files.walk(dir)
     val bytes =
       try s.filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
         .mapToLong(Files.size).sum()
       finally s.close()
-    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    atomicReplace(spark.read.parquet(table.toString).coalesce(n), table)
-    n
+    math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
   }
 
   def deleteRecursively(p: Path): Unit =

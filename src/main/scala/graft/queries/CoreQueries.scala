@@ -323,15 +323,9 @@ object CoreQueries {
           col("o_orderkey").as("id"), col("o_orderpriority").as("priority")))
         val payload = when(col("o_orderkey") % 7 === 0,
           concat(lit("{corrupt"), col("o_orderpriority"))).otherwise(wellFormed)
-        // ONE parse serves both outputs: the corrupt-record schema makes
-        // the same from_json expression yield the quarantine flag AND the
-        // typed fields (two differently-schemed from_json calls cannot
-        // share a subexpression — measured 2× the parse cost)
-        val schema = org.apache.spark.sql.types.StructType
-          .fromDDL("id BIGINT, priority STRING")
-          .add("_corrupt_record", org.apache.spark.sql.types.StringType)
-        val parsed = from_json(payload, schema,
-          Map("columnNameOfCorruptRecord" -> "_corrupt_record"))
+        // ONE parse serves both outputs (Quality.parseJsonWithQuarantine)
+        val parsed = graft.ops.Quality
+          .parseJsonWithQuarantine(payload, "id BIGINT, priority STRING")
         o.select(col("o_orderkey"),
           parsed.getField("_corrupt_record").isNotNull.as("quarantined"),
           parsed.getField("id").as("parsed_id"))

@@ -184,7 +184,7 @@ object StreamingQueries {
         val q = joined.writeStream.outputMode("append").format("memory")
           .queryName(sink).trigger(Trigger.ProcessingTime(0)).start()
         try {
-          // interleave both sides in 3 event-time-ordered chunks each
+          // interleave both sides in 2 event-time-ordered chunks each
           def chunks(a: Array[(Long, Long, Long)]): Seq[Seq[(Long, Long, Long)]] =
             a.grouped(math.max(1, (a.length + 1) / 2)).map(_.toSeq).toSeq
               .padTo(2, Seq.empty[(Long, Long, Long)])
@@ -207,13 +207,20 @@ object StreamingQueries {
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         implicit val sqlCtx = s.sqlContext
 
-        // the event log, tagged with its arrival window
+        // the event log, tagged with its arrival window. ALL time
+        // handling is in microseconds (the engine's native timestamp
+        // precision): second-truncated ordering would let two
+        // same-second events of one user resolve latest-by-key
+        // differently than the oracle's full-precision ordering, and
+        // sub-second events just past a cutoff would land in different
+        // windows per engine (the oracle buckets/orders on
+        // epoch_ns // 1000 to match).
         var bcol: Column = lit(Cutoffs.size - 1)
         for (i <- Cutoffs.size - 2 to 0 by -1)
           bcol = when(col("ts") <= lit(Cutoffs(i)).cast("timestamp"), lit(i)).otherwise(bcol)
         val tagged = Tables.events(s, d)
           .select(bcol.as("b"), col("user_id"), col("event_type"), col("props"),
-            unix_timestamp(col("ts")).as("ts_s"), col("event_id"))
+            unix_micros(col("ts")).as("ts_us"), col("event_id"))
           .collect()
           .map(r => (r.getInt(0), (r.getLong(1), r.getString(2), r.getString(3),
             r.getLong(4), r.getLong(5))))
@@ -227,9 +234,9 @@ object StreamingQueries {
           s, "user_id", Seq("event_type", "props"), dimDir)
         val input = MemoryStream[(Long, String, String, Long, Long)]
         val stream = input.toDF()
-          .toDF("user_id", "event_type", "props", "ts_s", "event_id")
+          .toDF("user_id", "event_type", "props", "ts_us", "event_id")
         val q = StreamingLoads.foreachBatchScd2(
-          stream, dim, "user_id", Seq("event_type", "props"), Seq("ts_s", "event_id"),
+          stream, dim, "user_id", Seq("event_type", "props"), Seq("ts_us", "event_id"),
           bid => java.sql.Timestamp.valueOf(
             batchTs(math.min(bid.toInt, batchTs.size - 1))),
           trigger = Trigger.ProcessingTime(0)).start()
@@ -249,18 +256,18 @@ object StreamingQueries {
         out
       },
       Some(s"""WITH w AS (
-             |  SELECT user_id, event_type, props, ts, event_id,
-             |         CASE WHEN ts <= TIMESTAMP '${Cutoffs(0)}' THEN 1
-             |              WHEN ts <= TIMESTAMP '${Cutoffs(1)}' THEN 2
-             |              WHEN ts <= TIMESTAMP '${Cutoffs(2)}' THEN 3
-             |              WHEN ts <= TIMESTAMP '${Cutoffs(3)}' THEN 4
+             |  SELECT user_id, event_type, props, epoch_ns(ts) // 1000 AS us, event_id,
+             |         CASE WHEN epoch_ns(ts) // 1000 <= epoch_us(TIMESTAMP '${Cutoffs(0)}') THEN 1
+             |              WHEN epoch_ns(ts) // 1000 <= epoch_us(TIMESTAMP '${Cutoffs(1)}') THEN 2
+             |              WHEN epoch_ns(ts) // 1000 <= epoch_us(TIMESTAMP '${Cutoffs(2)}') THEN 3
+             |              WHEN epoch_ns(ts) // 1000 <= epoch_us(TIMESTAMP '${Cutoffs(3)}') THEN 4
              |              ELSE 5 END AS b
              |  FROM events
              |),
              |snap AS (
              |  SELECT b, user_id, event_type, props FROM (
              |    SELECT b, user_id, event_type, props,
-             |           row_number() OVER (PARTITION BY user_id, b ORDER BY ts DESC, event_id DESC) AS rn
+             |           row_number() OVER (PARTITION BY user_id, b ORDER BY us DESC, event_id DESC) AS rn
              |    FROM w) t WHERE rn = 1
              |),
              |chg AS (

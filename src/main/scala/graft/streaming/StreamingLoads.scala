@@ -103,7 +103,11 @@ object StreamingLoads {
     // versioned commit log, not directory swap: a batch job reading the
     // dimension DURING a streaming merge keeps its resolved snapshot
     // (Storage.commitVersion scale notes) — atomicReplace's swap window
-    // would 404 it
+    // would 404 it. keepVersions below sizes the retention to how many
+    // MICRO-BATCHES may commit while a concurrent batch scan is still
+    // running — at default 1 a long scan would be vacuumed out after two
+    // merges; 8 commits of retention is cheap (dims are small next to
+    // facts) and covers realistic scan-vs-trigger ratios
     def snapshot: DataFrame =
       graft.ops.Storage.readVersionOr(spark, table, {
         import org.apache.spark.sql.types._
@@ -120,7 +124,7 @@ object StreamingLoads {
     def merge(stg: DataFrame, bkCol: String, trackedCols: Seq[String],
         runTs: org.apache.spark.sql.Column): Unit = synchronized {
       val next = Scd2.closeAndInsert(snapshot, stg, bkCol, trackedCols, runTs, "sk")
-      graft.ops.Storage.commitVersion(next, table)
+      graft.ops.Storage.commitVersion(next, table, keepVersions = 8)
     }
   }
 

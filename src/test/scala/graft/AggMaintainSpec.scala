@@ -33,4 +33,13 @@ class AggMaintainSpec extends SparkTestBase {
     assert(out.getLong(1) == 2L)
     assert(out.getDecimal(2).doubleValue == 6.0)
   }
+
+  test("applyDelta: a fully-retracted key disappears, matching recompute") {
+    val state = Seq(("a", 3L, BigDecimal(10.0)), ("b", 1L, BigDecimal(2.0)))
+      .toDF("k", "count_rows", "s")
+    val retract = Seq(("a", -3L, BigDecimal(-10.0))).toDF("k", "count_rows", "s")
+    val out = AggMaintain.applyDelta(state, retract, Seq("k"), Seq("s"))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("b"), "retracted-to-zero key must not leave a ghost row")
+  }
 }

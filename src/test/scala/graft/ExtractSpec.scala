@@ -48,4 +48,17 @@ class ExtractSpec extends SparkTestBase {
     val bad = df.filter(Extract.anyChanged(Seq(($"a", $"b"))) =!= $"expect").count()
     assert(bad == 0)
   }
+
+  test("Quality.malformedJson: true only for present-but-unparseable payloads") {
+    val df = Seq(
+      ("""{"id":1,"name":"x"}""", false), // valid
+      ("""{oops""", true),               // malformed
+      ("""[1,2]""", true),               // not an object of the schema
+      (null.asInstanceOf[String], false) // absent ≠ malformed
+    ).toDF("payload", "expect")
+    val bad = df.filter(
+      graft.ops.Quality.malformedJson($"payload", "id BIGINT, name STRING")
+        =!= $"expect").count()
+    assert(bad == 0)
+  }
 }

@@ -101,6 +101,27 @@ class PartitionedStorageSpec extends SparkTestBase {
     assert(Storage.readVersionAt(spark, table, 0).columns.toSeq == Seq("id", "name"))
   }
 
+  test("readVersionOr refuses a flat (non-versioned) table instead of silently rebuilding") {
+    val table = Files.createTempDirectory("flat_guard").resolve("t")
+    val nation = Tables.nation(spark, Sf001)
+    Storage.atomicReplace(nation, table) // legacy flat layout
+    intercept[IllegalArgumentException] {
+      Storage.readVersionOr(spark, table, nation.limit(0))
+    }
+  }
+
+  test("compact on a versioned table commits a compacted version; layout intact") {
+    import java.nio.file.{Files => F}
+    val table = Files.createTempDirectory("compact_versioned").resolve("t")
+    val orders = Tables.orders(spark, Sf001)
+    Storage.commitVersion(orders.repartition(16), table)
+    val n = Storage.compact(spark, table, targetBytes = 1L << 30)
+    assert(n == 1)
+    assert(Storage.currentVersion(table).contains(1L), "compaction is commit v1")
+    assert(Storage.readVersion(spark, table).count() == orders.count())
+    assert(F.exists(table.resolve("_LATEST")))
+  }
+
   test("compact: many small files collapse to the byte-targeted count, rows intact") {
     import java.nio.file.{Files => F}
     val table = Files.createTempDirectory("compaction").resolve("t")
