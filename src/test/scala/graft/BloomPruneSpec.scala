@@ -16,6 +16,15 @@ class BloomPruneSpec extends SparkTestBase {
     val viaBloom = pruned.join(sel, col("l_orderkey") === col("o_orderkey")).count()
     val direct = li.join(sel, col("l_orderkey") === col("o_orderkey")).count()
     assert(viaBloom == direct, "bloom prefilter lost true matches")
+
+    // a pathologically undersized filter (64 bits for thousands of keys,
+    // fp rate ≈ 1) must STILL never lose a true match — false positives
+    // cost bytes, false negatives would be wrong answers
+    val tiny = BloomPrune.prunedByBloom(
+      li, col("l_orderkey"), sel, col("o_orderkey"),
+      expectedItems = 8L, numBits = 64L)
+    val viaTiny = tiny.join(sel, col("l_orderkey") === col("o_orderkey")).count()
+    assert(viaTiny == direct, "undersized bloom lost true matches")
   }
 
   test("prunedByBloom actually prunes, and the probe filter sits in the plan") {

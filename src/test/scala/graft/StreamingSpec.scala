@@ -24,6 +24,34 @@ class StreamingSpec extends SparkTestBase {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  test("watermark drops late data: an event older than the watermark never lands in its window") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val stream = input.toDF().toDF("ts_s", "event_type", "value")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("event_type"), col("value"))
+    val q = StreamingLoads.windowedEventCounts(stream, watermark = "2 hours")
+      .writeStream.outputMode("append").format("memory").queryName("late_drop").start()
+    val h = 3600L
+    try {
+      // batch 1: one event at t=0h; batch 2 advances event time to t=12h
+      // → watermark moves to 10h and the 0h window flushes with n=1
+      input.addData(Seq((0L, "click", 1.0))); q.processAllAvailable()
+      input.addData(Seq((12 * h, "click", 1.0))); q.processAllAvailable()
+      // batch 3: a LATE straggler for the 0h window (beyond the 2h
+      // watermark) plus a fresh event advancing time further
+      input.addData(Seq((5L, "click", 99.0), (13 * h, "click", 1.0)))
+      q.processAllAvailable()
+      input.addData(Seq((24 * h, "click", 1.0))); q.processAllAvailable()
+    } finally q.stop()
+    val hour0 = spark.table("late_drop")
+      .filter(unix_timestamp(col("window_start")) === 0L).collect()
+    assert(hour0.length == 1, s"hour-0 window must emit exactly once: ${hour0.toSeq}")
+    assert(hour0.head.getAs[Long]("n_events") == 1L,
+      "the late straggler must be DROPPED, not merged (state was evicted)")
+  }
+
   test("streaming windowed aggregation matches the batch e2 query") {
     val stream = spark.readStream.schema(rawSchema).parquet(eventsStreamDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
