@@ -74,7 +74,11 @@ object AsOf {
     // NULL = NULL (cf. DuckDB ASOF JOIN), but Window.partitionBy groups
     // NULLs together and would fabricate matches for NULL-key left rows
     // (which instead pass through with NULL payload, like a left join).
-    val taggedRight = right.filter(col(key).isNotNull).select(
+    // NULL-TIME right rows are dropped for the same reason: they have no
+    // position on the time axis ("NULL ≤ t" is never true), yet ascending
+    // sort puts NULLs FIRST, where last(ignoreNulls) would carry their
+    // payload into every backward match.
+    val taggedRight = right.filter(col(key).isNotNull && col(rightTime).isNotNull).select(
       col(key), col(rightTime).as(leftTime),
       struct(rightValueCols.map(col): _*).as("__payload"),
       lit(0).as("__side"))
@@ -94,7 +98,11 @@ object AsOf {
 
     all.withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+      // a NULL-time left row has no as-of position either ("t' ≤ NULL" is
+      // never true) → NULL payload; without the guard the forward sort
+      // (desc, NULLs LAST) would hand it the smallest-time right row
       .select(leftCols.map(col) ++
-        rightValueCols.map(c => col(s"__asof.$c").as(c)): _*)
+        rightValueCols.map(c =>
+          when(col(leftTime).isNotNull, col(s"__asof.$c")).as(c)): _*)
   }
 }

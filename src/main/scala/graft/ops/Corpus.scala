@@ -192,20 +192,10 @@ object Corpus {
       df: DataFrame, idCol: String, nTokensCol: String, seqLen: Int,
       partitions: Int = 0): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive (got $seqLen)")
-    val spark = df.sparkSession
-    val n = if (partitions > 0) partitions
-      else spark.sessionState.conf.numShufflePartitions
-    val ranged = df.select(col(idCol),
-        coalesce(col(nTokensCol).cast("long"), lit(0L)).as(nTokensCol))
-      .repartitionByRange(n, col(idCol))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val totals = ranged.groupBy(col("__pid"))
-      .agg(sum(col(nTokensCol)).as("t")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until n).scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
-    val offsetOf = element_at(
-      map((0 until n).flatMap(p => Seq(lit(p), lit(offsets(p)))): _*), col("__pid"))
+    val (ranged, offsetOf) = Scd2.rangeOffsets(
+      df.select(col(idCol),
+        coalesce(col(nTokensCol).cast("long"), lit(0L)).as(nTokensCol)),
+      Seq(idCol), col(nTokensCol), partitions)
     val wBefore = Window.partitionBy(col("__pid")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cumBefore = offsetOf + coalesce(sum(col(nTokensCol)).over(wBefore), lit(0L))

@@ -68,12 +68,16 @@ object MergeOps {
     val incomingOne =
       if (tieBreak.nonEmpty) latestByKey(incoming, pk, tieBreak)
       else incoming.dropDuplicates(pk)
-    val o = old.alias("o")
-    val n = incomingOne.alias("n")
+    // presence markers, NOT key-nullness: the join is null-safe (<=>), so
+    // a NULL PK is a legitimate matchable key — reading `o.pk IS NULL` as
+    // "absent from old" would re-insert the NULL-key row every run,
+    // resetting loaded_at and bumping last_upd_at with no actual change
+    val o = old.withColumn("__in_old", lit(true)).alias("o")
+    val n = incomingOne.withColumn("__in_new", lit(true)).alias("n")
     val joined = o.join(n, pk.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _), "full_outer")
 
-    val oldAbsent = pk.map(k => col(s"o.$k").isNull).reduce(_ && _)
-    val newAbsent = pk.map(k => col(s"n.$k").isNull).reduce(_ && _)
+    val oldAbsent = col("o.__in_old").isNull
+    val newAbsent = col("n.__in_new").isNull
     val changed = Extract.anyChanged(tracked.map(c => (col(s"o.$c"), col(s"n.$c"))))
 
     val keyCols = pk.map(k => coalesce(col(s"n.$k"), col(s"o.$k")).as(k))

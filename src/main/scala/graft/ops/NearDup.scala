@@ -109,6 +109,20 @@ object NearDup {
             i => xxhash64((1 to n).map(j => element_at(col("__hs"), i + lit(j))): _*)))
           .otherwise(array().cast("array<bigint>")))).as("g"))
 
+  /** Shared finalization of every Jaccard variant: per-pair intersection
+    * counts join per-doc set sizes; jaccard = |∩| / (|A| + |B| − |∩|);
+    * threshold filter. `sizesA`/`sizesB` carry (doc_a, na) / (doc_b, nb). */
+  private def jaccardFinalize(
+      counts: DataFrame, sizesA: DataFrame, sizesB: DataFrame,
+      minJ: Double): DataFrame =
+    counts
+      .join(sizesA, "doc_a")
+      .join(sizesB, "doc_b")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
   /** (doc_a, doc_b) MinHash/LSH candidate pairs: signature of `k`
     * universal hashes over the hashed shingle set, banded `rpb` rows per
     * band; docs sharing ≥1 band key are candidates (doc_a < doc_b).
@@ -161,17 +175,14 @@ object NearDup {
     val sh = hashedShingleSet(docs, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val cands = minhashLshCandidates(docs, n, k, rpb)
-    cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("c"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
-      .filter(col("jaccard") >= minJ)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    jaccardFinalize(
+      cands
+        .join(sh.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("c")),
+      sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+      sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), minJ)
   }
 
   /** Cross-corpus variant of [[jaccardPairs]]: pairs (doc_a ∈ left,
@@ -188,16 +199,13 @@ object NearDup {
     val shR = hashedShingleSet(right, n)
     val sizesL = shL.groupBy("doc_id").agg(count(lit(1)).as("na"))
     val sizesR = shR.groupBy("doc_id").agg(count(lit(1)).as("nb"))
-    shL.select(col("doc_id").as("doc_a"), col("g"))
-      .join(shR.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("c"))
-      .join(sizesL.select(col("doc_id").as("doc_a"), col("na")), "doc_a")
-      .join(sizesR.select(col("doc_id").as("doc_b"), col("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
-      .filter(col("jaccard") >= minJ)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    jaccardFinalize(
+      shL.select(col("doc_id").as("doc_a"), col("g"))
+        .join(shR.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("c")),
+      sizesL.select(col("doc_id").as("doc_a"), col("na")),
+      sizesR.select(col("doc_id").as("doc_b"), col("nb")), minJ)
   }
 
   /** (doc_a, doc_b, jaccard) for all pairs with n-gram Jaccard ≥ minJ;
@@ -227,15 +235,12 @@ object NearDup {
       case None      => col("df") > 1
     }
     val shared = sh.withColumn("df", dfCol).filter(keep).drop("df")
-    shared.as("a").join(shared.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
-      .filter(col("jaccard") >= minJ)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    jaccardFinalize(
+      shared.as("a").join(shared.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("c")),
+      sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+      sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), minJ)
   }
 }

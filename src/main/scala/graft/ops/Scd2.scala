@@ -96,22 +96,38 @@ object Scd2 {
     * produce them identically). */
   def withScalableSk(dim: DataFrame, ordCols: Seq[String],
       skCol: String = "sk", partitions: Int = 0): DataFrame = {
-    val spark = dim.sparkSession
-    val n = if (partitions > 0) partitions
-      else spark.sessionState.conf.numShufflePartitions
-    val ranged = dim
-      .repartitionByRange(n, ordCols.map(col): _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val counts = ranged.groupBy(col("__pid")).count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until n).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
-    val offsetOf = element_at(
-      map((0 until n).flatMap(p => Seq(lit(p), lit(offsets(p)))): _*), col("__pid"))
+    val (ranged, offsetOf) = rangeOffsets(dim, ordCols, lit(1L), partitions)
     val wPid = Window.partitionBy(col("__pid")).orderBy(ordCols.map(col): _*)
     ranged
       .withColumn(skCol, (offsetOf + row_number().over(wPid)).cast("long"))
       .drop("__pid")
+  }
+
+  /** The shared two-phase global-prefix mechanism behind [[withScalableSk]]
+    * and [[Corpus.packSequences]]: range-partition on `ordCols`, bring back
+    * ONE per-partition total of `weight` (O(partitions) rows, never data),
+    * prefix-sum on the driver, and return the ranged frame (tagged
+    * `__pid`) plus a column giving each row its partition's starting
+    * offset. The input is localCheckpointed so the totals job and the
+    * output job see identical range boundaries (they come from sampling —
+    * two separate computations of the same plan are not guaranteed to
+    * reproduce them). `weight` must be non-null per row. */
+  private[ops] def rangeOffsets(
+      df: DataFrame, ordCols: Seq[String], weight: Column,
+      partitions: Int): (DataFrame, Column) = {
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(n, ordCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = ranged.groupBy(col("__pid")).agg(sum(weight).as("t")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until n).scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
+    val offsetOf = element_at(
+      map((0 until n).flatMap(p => Seq(lit(p), lit(offsets(p)))): _*), col("__pid"))
+    (ranged, offsetOf)
   }
 
   /** M3: one batch close-and-insert against an existing dimension.

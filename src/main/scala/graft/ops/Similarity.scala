@@ -207,22 +207,32 @@ object Similarity {
       nprobe: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    // index build: each vector → argmax-dot centroid. max_by aggregate,
-    // not a row_number window: map-side combine reduces each partition to
-    // one candidate per vector BEFORE the shuffle (the same hot-key
-    // argument MergeOps.latestByKey documents); tie-break = smallest
-    // centroid_id via the negated second struct field
+    // index build: each vector → argmax-COSINE centroid — the SAME metric
+    // kmeansCentroids trains with and the final ranking uses (raw dot
+    // would bias assignment toward large-norm centroids, and k-means
+    // means have varying norms — diffuse clusters shrink toward zero).
+    // The vector's own norm is constant across its argmax, so dividing by
+    // the centroid norm alone suffices. max_by aggregate, not a
+    // row_number window: map-side combine reduces each partition to one
+    // candidate per vector BEFORE the shuffle (the same hot-key argument
+    // MergeOps.latestByKey documents); tie-break = smallest centroid_id
+    // via the negated second struct field
+    val cnorm = sqrt(dotUnits(col("cvec"), col("cvec")).cast("double"))
     val assigned = embeddings.crossJoin(broadcast(centroids))
-      .withColumn("__cdot", dotUnits(col(vecCol), col("cvec")).cast("double"))
+      .withColumn("__csim",
+        when(cnorm > 0, dotUnits(col(vecCol), col("cvec")).cast("double") / cnorm)
+          .otherwise(lit(Double.NegativeInfinity)))
       .groupBy(col(idCol))
       .agg(max_by(
         struct(col(vecCol).as("v"), col("centroid_id").as("c")),
-        struct(col("__cdot"), (-col("centroid_id")).as("nc"))).as("__best"))
+        struct(col("__csim"), (-col("centroid_id")).as("nc"))).as("__best"))
       .select(col(idCol), col("__best.v").as(vecCol), col("__best.c").as("centroid_id"))
-    // probe: the query's nprobe nearest centroids
+    // probe: the query's nprobe nearest centroids, by the same metric
     val probeLists = queryVec.crossJoin(broadcast(centroids))
-      .withColumn("__qdot", dotUnits(col("qe"), col("cvec")).cast("double"))
-      .orderBy(col("__qdot").desc, col("centroid_id"))
+      .withColumn("__qsim",
+        when(cnorm > 0, dotUnits(col("qe"), col("cvec")).cast("double") / cnorm)
+          .otherwise(lit(Double.NegativeInfinity)))
+      .orderBy(col("__qsim").desc, col("centroid_id"))
       .limit(nprobe)
       .select(col("centroid_id"))
     assigned.join(broadcast(probeLists), Seq("centroid_id"))

@@ -8,14 +8,14 @@ import org.apache.spark.sql.functions._
   * AQE's skew-join splitting handles shuffle-join skew at runtime; these
   * helpers cover the two shapes AQE does not:
   *
-  *  - [[saltedAggregate]]: a grouped aggregation whose key distribution is
+  *  - [[saltedSumCount]]: a grouped aggregation whose key distribution is
   *    pathological (one key = half the table). Phase 1 aggregates on
   *    (key, salt) — spreading the hot key over `salts` reducers — phase 2
   *    combines the partials. Works for any algebraic aggregate
   *    (sum/count/min/max here; extend with the combine expression).
-  *  - [[saltedBroadcastableJoin]]: replicate the SMALL side `salts` times,
-  *    salt the big side's key randomly-but-deterministically (hash of a
-  *    unique column), join on (key, salt). Each hot-key shard lands on a
+  *  - [[saltedJoin]]: replicate the small side `salts` times, salt the
+  *    big side's key deterministically (hash of a unique column), join on
+  *    (key, salt) — a shuffle join where each hot-key shard lands on a
   *    different reducer.
   *
   * Salting trades one shuffle for uniform reducer load; the salt column

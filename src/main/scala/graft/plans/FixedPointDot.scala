@@ -27,6 +27,11 @@ case class FixedPointDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DecimalType(28, 0)
 
+  // can yield NULL even for non-null inputs (dimension mismatch / NULL
+  // element) — without this the optimizer would assume non-null outputs
+  // for non-null children and miscompile the guard away
+  override def nullable: Boolean = true
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FixedPointDot =
     copy(left = newLeft, right = newRight)
@@ -34,8 +39,7 @@ case class FixedPointDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    FixedPointDot.dotUnits(x, y, n, leftIsFloat, rightIsFloat)
+    FixedPointDot.dotUnitsOrNull(x, y, leftIsFloat, rightIsFloat)
   }
 
   private lazy val leftIsFloat =
@@ -49,9 +53,8 @@ case class FixedPointDot(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (xa, ya) => {
       val cls = FixedPointDot.getClass.getName.stripSuffix("$") + "$.MODULE$"
       s"""
-         |${ev.value} = $cls.dotUnits($xa, $ya,
-         |  java.lang.Math.min($xa.numElements(), $ya.numElements()),
-         |  $leftIsFloat, $rightIsFloat);
+         |${ev.value} = $cls.dotUnitsOrNull($xa, $ya, $leftIsFloat, $rightIsFloat);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
        """.stripMargin
     })
 }
@@ -60,17 +63,23 @@ object FixedPointDot {
 
   private val Scale = 1e10
 
-  /** 128-bit exact unit-product sum; shared by eval and generated code. */
-  def dotUnits(x: ArrayData, y: ArrayData, n: Int,
+  /** 128-bit exact unit-product sum; shared by eval and generated code.
+    * NULL (not a truncated value) for mismatched dimensions or NULL
+    * elements — matching the reference `aggregate(zip_with(...))`
+    * formulation, where zip_with pads the shorter side with NULLs and the
+    * fold nulls out. A silently-truncated dot over mixed embedding models
+    * (a bad upstream join) would be a plausible-looking wrong answer. */
+  def dotUnitsOrNull(x: ArrayData, y: ArrayData,
       leftFloat: Boolean, rightFloat: Boolean): Decimal = {
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var hi = 0L
     var lo = 0L
     var i = 0
     while (i < n) {
-      val xv = if (x.isNullAt(i)) 0.0
-        else if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (y.isNullAt(i)) 0.0
-        else if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
       val u = math.floor(xv * Scale).toLong
       val v = math.floor(yv * Scale).toLong
       val pLo = u * v

@@ -36,12 +36,16 @@ case class KmvSketch(
   // integral only: Number.longValue() on fractional input would silently
   // collapse distinct values (1.2 and 1.4 both hash as 1); a non-numeric
   // child would ClassCastException at runtime — fail at ANALYSIS instead
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ByteType | ShortType | IntegerType | LongType =>
-      TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"graft_kmv requires an integral column, got ${t.simpleString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 1)
+      // analysis-time, not arr(-1) inside an executor task
+      TypeCheckResult.TypeCheckFailure(s"graft_kmv k must be >= 1 (got $k)")
+    else child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_kmv requires an integral column, got ${t.simpleString}")
+    }
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

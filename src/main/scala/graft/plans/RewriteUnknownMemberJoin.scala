@@ -56,11 +56,25 @@ object RewriteUnknownMemberJoin extends Rule[LogicalPlan] {
     if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
     else rewrite(plan)
 
+  // key types whose string rendering is total and injective-enough for
+  // the synthetic equi-key: strings and integrals. Timestamps would build
+  // an unresolved Cast (no timeZoneId is available inside the optimizer),
+  // and float/double string forms break SQL equality at 0.0 vs -0.0 —
+  // those key shapes keep the original (BNLJ) plan rather than risk a
+  // crash or a silently dropped match.
+  private def stringSafe(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+    case StringType => true
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       cond match {
         case Or(EqualTo(lk, rk), And(IsNull(lk2), EqualTo(dimId, unk: Literal)))
             if lk.semanticEquals(lk2) &&
+              stringSafe(lk.dataType) && stringSafe(rk.dataType) &&
               lk.references.subsetOf(left.outputSet) &&
               rk.references.subsetOf(right.outputSet) &&
               dimId.references.subsetOf(right.outputSet) =>

@@ -38,11 +38,17 @@ case class SpaceSavingTopK(
 
   import SpaceSavingTopK._
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"graft_space_saving requires a string column, got ${t.simpleString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (capacity < 1)
+      // analysis-time, not an opaque executor crash: capacity 0 would make
+      // the eviction branch silently grow the "bounded" buffer forever
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_space_saving capacity must be >= 1 (got $capacity)")
+    else child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_space_saving requires a string column, got ${t.simpleString}")
+    }
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -78,7 +84,12 @@ case class SpaceSavingTopK(
     val es = buf.entries
     out.writeInt(es.length)
     es.foreach { case (item, cnt, err) =>
-      out.writeUTF(item); out.writeLong(cnt); out.writeLong(err)
+      // length-prefixed raw UTF-8, NOT writeUTF: the modified-UTF-8 form
+      // caps at 65535 bytes and would throw mid-shuffle on a long tracked
+      // item (boilerplate paragraphs are exactly this sketch's use case)
+      val ib = item.getBytes("UTF-8")
+      out.writeInt(ib.length); out.write(ib)
+      out.writeLong(cnt); out.writeLong(err)
     }
     out.flush(); bos.toByteArray
   }
@@ -88,7 +99,8 @@ case class SpaceSavingTopK(
     val n = in.readInt()
     val buf = new Buffer(capacity)
     (0 until n).foreach { _ =>
-      buf.add(in.readUTF(), in.readLong(), in.readLong())
+      val ib = new Array[Byte](in.readInt()); in.readFully(ib)
+      buf.add(new String(ib, "UTF-8"), in.readLong(), in.readLong())
     }
     buf
   }

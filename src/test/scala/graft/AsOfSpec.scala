@@ -42,6 +42,27 @@ class AsOfSpec extends SparkTestBase {
     assert(r.isNullAt(4), "matched row's NULL payload must survive")
   }
 
+  test("NULL times: right NULL-time rows never match; left NULL-time rows get NULL payload") {
+    val left = Seq(
+      (1L, 1L, Some(5L)),
+      (2L, 1L, None: Option[Long])).toDF("event_id", "user_id", "es")
+    val right = Seq(
+      (1L, None: Option[Long], 99L, 9.9), // positionless: must never match
+      (1L, Some(3L), 3L, 1.0)).toDF("user_id", "es", "p_es", "p_value")
+
+    for (fwd <- Seq(false, true)) {
+      val fn = if (fwd) AsOf.asofJoinLeftForward _ else AsOf.asofJoinLeft _
+      val out = fn(left, right, "user_id", "es", "es", Seq("p_es", "p_value"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      // left es=5: backward matches t'=3; forward has no t' ≥ 5 (99 is
+      // the NULL-time row's PAYLOAD, not a time)
+      assert(out(1L) == (if (fwd) None else Some(3L)), s"fwd=$fwd")
+      // left NULL time: no as-of position in either direction
+      assert(out(2L) == None, s"fwd=$fwd: NULL-time left row must get NULL payload")
+    }
+  }
+
   test("forward as-of: ≥ semantics, exact-time match, no-following → null") {
     val left = Seq(
       (1L, 1L, 5L), (2L, 1L, 10L), (3L, 1L, 15L),

@@ -30,4 +30,21 @@ class FixedPointDotSpec extends SparkTestBase {
       FixedPointDot.dot(col("a"), col("b")).as("ab")).head()
     assert(r.getDecimal(0).negate() == r.getDecimal(1))
   }
+
+  test("dirty inputs yield NULL, matching the HOF formulation — never a truncated value") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(Some(1.0), Some(2.0)), Seq(Some(1.0), Some(2.0)), false), // clean
+      (Seq(Some(1.0), Some(2.0)), Seq(Some(1.0)), true),             // dim mismatch
+      (Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0)), true)        // NULL element
+    ).toDF("a", "b", "expect_null")
+    val bad = df.filter(
+      FixedPointDot.dot(col("a"), col("b")).isNull =!= col("expect_null")).count()
+    assert(bad == 0)
+    // and the fused expression still agrees with the HOF fold on dirty data
+    val diff = df.filter(
+      !(FixedPointDot.dot(col("a"), col("b")) <=>
+        graft.ops.Similarity.dotUnitsHof(col("a"), col("b")).cast("decimal(28,0)"))).count()
+    assert(diff == 0)
+  }
 }

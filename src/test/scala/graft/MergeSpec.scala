@@ -68,4 +68,23 @@ class MergeSpec extends SparkTestBase {
       .collect().map(r => (r.getInt(0), r.getString(2))).sortBy(_._1)
     assert(out.toSeq == Seq((1, "new"), (2, "only")))
   }
+
+  test("M1: a NULL-PK row upserts like any other key (presence ≠ key nullness)") {
+    // the null-safe join matches NULL = NULL, so an unchanged NULL-key row
+    // must keep BOTH audit columns — misreading `o.pk IS NULL` as "absent"
+    // would reset loaded_at and bump last_upd_at on every run
+    val t1 = lit("2024-01-01 00:00:00").cast("timestamp")
+    val t2 = lit("2024-02-01 00:00:00").cast("timestamp")
+    val old = Seq((Option.empty[Long], "a"), (Some(1L), "b")).toDF("pk", "attr")
+      .select(col("pk"), col("attr"), t1.as("loaded_at"), t1.as("last_upd_at"))
+    val incoming = Seq((Option.empty[Long], "a"), (Some(1L), "B")).toDF("pk", "attr")
+      .select(col("pk"), col("attr"), t1.as("loaded_at"), t1.as("last_upd_at"))
+    val out = MergeOps.conditionalUpsert(old, incoming, Seq("pk"), Seq("attr"), t2)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        (r.getString(1), r.getTimestamp(2), r.getTimestamp(3))).toMap
+    val (ts1, ts2) = (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    assert(out(-1L) == (("a", ts1, ts1)), "unchanged NULL-key row must be untouched")
+    assert(out(1L) == (("B", ts1, ts2)), "changed row keeps loaded_at, bumps last_upd")
+  }
 }
