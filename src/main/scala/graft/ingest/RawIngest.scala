@@ -47,13 +47,18 @@ object RawIngest {
       client: PageClient,
       maxRetries: Int = 2,
       retryDelayMs: Long = 0L): DataFrame = {
+    // stop on None OR an empty page: the common REST shape returns an
+    // empty results array past the end rather than a 404, and a
+    // takeWhile(isDefined) alone would page forever against it. The page
+    // ordinal rides along as the within-extract recency tie-break (see
+    // upsertIntoRaw).
     val rows = Iterator.from(1)
-      .map(n => fetchWithRetry(client, n, maxRetries, retryDelayMs))
-      .takeWhile(_.isDefined)
-      .flatMap(_.get)
+      .map(n => (n, fetchWithRetry(client, n, maxRetries, retryDelayMs)))
+      .takeWhile(_._2.exists(_.nonEmpty))
+      .flatMap { case (n, page) => page.get.map { case (id, p) => (id, p, n) } }
       .toSeq
     import spark.implicits._
-    rows.toDF("source_id", "payload")
+    rows.toDF("source_id", "payload", "page")
       .withColumn("loaded_at",
         lit(new java.sql.Timestamp(nextStampMillis())).cast("timestamp"))
   }
@@ -72,10 +77,21 @@ object RawIngest {
     }
 
   /** S3: merge an extract into the raw table — last-writer-wins by
-    * source_id (ON CONFLICT DO UPDATE, extract_api_operator.py:36-43). */
-  def upsertIntoRaw(raw: DataFrame, extract: DataFrame): DataFrame =
+    * source_id (ON CONFLICT DO UPDATE, extract_api_operator.py:36-43).
+    * Recency order: loaded_at (across extract calls), then the page
+    * ordinal (WITHIN one extract — pagination drift during a walk can
+    * surface the same source_id on two pages, and the later page is the
+    * fresher read; a payload-string tie-break would pick
+    * lexicographically, i.e. arbitrarily). Inputs without a `page`
+    * column (the stored raw table) rank as page 0. */
+  def upsertIntoRaw(raw: DataFrame, extract: DataFrame): DataFrame = {
+    def withPage(df: DataFrame) =
+      if (df.columns.contains("page")) df
+      else df.withColumn("page", lit(0))
     MergeOps.latestByKey(
-      raw.unionByName(extract),
+      withPage(raw).unionByName(withPage(extract)),
       Seq("source_id"),
-      Seq(col("loaded_at"), col("payload")))
+      Seq(col("loaded_at"), col("page"), col("payload")))
+      .drop("page")
+  }
 }

@@ -42,12 +42,16 @@ object CoreQueries {
     // source table exactly.
     Q("s1_paginated_ingest",
       (s, d) => {
+        // JSON string escaping on the synthesized payload: fixture names
+        // are quote-free today, but a name with '"' or '\' would corrupt
+        // the payload and surface as a confusing oracle mismatch far away
+        def jstr(v: String) = "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
         val src = Tables.customer(s, d)
           .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
           .orderBy(col("c_custkey"))
           .collect()
           .map(r => (r.getLong(0),
-            s"""{"id":${r.getLong(0)},"name":"${r.getString(1)}","nationkey":${r.getInt(2)}}"""))
+            s"""{"id":${r.getLong(0)},"name":${jstr(r.getString(1))},"nationkey":${r.getInt(2)}}"""))
         val pageSize = 100
         val client = new graft.ingest.RawIngest.PageClient {
           private var page2Failures = 1 // first fetch of page 2 is transient

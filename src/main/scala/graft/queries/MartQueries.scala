@@ -906,18 +906,7 @@ object MartQueries {
         e.groupBy(col("user_id"), col("session_id").cast("long").as("session_id"))
           .agg(count(lit(1)).as("n_events"), min(col("es")).as("session_start_epoch"))
       },
-      Some(s"""WITH e AS (SELECT user_id, event_id, ${epochSql("ts")} AS es FROM events),
-             |g AS (SELECT user_id, event_id, es,
-             |        lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS prev_es
-             |      FROM e),
-             |f AS (SELECT user_id, es,
-             |        SUM(CASE WHEN prev_es IS NULL OR es - prev_es > 1800 THEN 1 ELSE 0 END)
-             |          OVER (PARTITION BY user_id ORDER BY es, event_id
-             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-             |      FROM g)
-             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-             |  COUNT(*) AS n_events, MIN(es) AS session_start_epoch
-             |FROM f GROUP BY 1, 2""".stripMargin)),
+      Some(Registry.SessionizeOracleSql)),
 
     // Retention cohorts: users grouped by first-active week, activity
     // counted per (cohort, week offset) — the standard growth-analytics

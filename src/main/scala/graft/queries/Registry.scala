@@ -42,4 +42,22 @@ object Registry {
   def money(c: Column): Column = c.cast("decimal(14,2)")
 
   val InfinityEpoch = 253402300799L
+
+  /** Gap-1800s sessionization oracle — shared VERBATIM by e1 (the batch
+    * query) and stream3 (the stateful-streaming replay): the stream≡batch
+    * equivalence claim is only as strong as the two rows checking against
+    * the IDENTICAL SQL, so there is exactly one copy. */
+  val SessionizeOracleSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, ${epochSql("ts")} AS es FROM events),
+       |g AS (SELECT user_id, event_id, es,
+       |        lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS prev_es
+       |      FROM e),
+       |f AS (SELECT user_id, es,
+       |        SUM(CASE WHEN prev_es IS NULL OR es - prev_es > 1800 THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY user_id ORDER BY es, event_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |      FROM g)
+       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       |  COUNT(*) AS n_events, MIN(es) AS session_start_epoch
+       |FROM f GROUP BY 1, 2""".stripMargin
 }

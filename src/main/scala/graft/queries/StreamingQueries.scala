@@ -43,6 +43,13 @@ object StreamingQueries {
     "2024-01-07 00:00:00", "2024-01-13 00:00:00", "2024-01-19 00:00:00",
     "2024-01-25 00:00:00", "2024-02-01 00:00:00")
 
+  /** b → that window's cutoff timestamp, generated from [[Cutoffs]] so the
+    * oracle can never drift from the Spark replay when cutoffs change. */
+  private val cutoffCase: String =
+    "CASE b " + Cutoffs.init.zipWithIndex.map { case (c, i) =>
+      s"WHEN ${i + 1} THEN TIMESTAMP '$c'"
+    }.mkString(" ") + s" ELSE TIMESTAMP '${Cutoffs.last}' END"
+
   def all: Seq[Q] = Seq(
     // Watermarked tumbling-window aggregation — the canonical Structured
     // Streaming shape — proven equivalent to the batch hourly rollup. The
@@ -64,7 +71,7 @@ object StreamingQueries {
           .orderBy(col("ts_s"), col("event_type"), col("value"))
           .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
         val chunkLen = math.max(1, (evs.length + 2) / 3)
-        val maxTs = evs.map(_._1).max
+        val maxTs = evs.map(_._1).maxOption.getOrElse(0L) // empty log → sentinel-only replay → empty result
 
         val input = MemoryStream[(Long, String, Double)]
         val stream = input.toDF().toDF("ts_s", "event_type", "value")
@@ -111,7 +118,7 @@ object StreamingQueries {
             unix_timestamp(col("ts").cast("timestamp")).as("es"), col("event_id"))
           .as[StatefulSessions.Event].collect().toSeq
         val users = evs.map(_.user_id).distinct
-        val maxEs = evs.map(_.es).max
+        val maxEs = evs.map(_.es).maxOption.getOrElse(0L)
         val input = MemoryStream[StatefulSessions.Event]
         val sink = s"stream3_out_${System.identityHashCode(input)}"
         val q = StatefulSessions.sessionize(input.toDS())
@@ -130,18 +137,7 @@ object StreamingQueries {
             col("session_start_epoch"))
           .localCheckpoint()
       },
-      Some(s"""WITH e AS (SELECT user_id, event_id, ${Registry.epochSql("ts")} AS es FROM events),
-             |g AS (SELECT user_id, event_id, es,
-             |        lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS prev_es
-             |      FROM e),
-             |f AS (SELECT user_id, es,
-             |        SUM(CASE WHEN prev_es IS NULL OR es - prev_es > 1800 THEN 1 ELSE 0 END)
-             |          OVER (PARTITION BY user_id ORDER BY es, event_id
-             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-             |      FROM g)
-             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-             |  COUNT(*) AS n_events, MIN(es) AS session_start_epoch
-             |FROM f GROUP BY 1, 2""".stripMargin)),
+      Some(Registry.SessionizeOracleSql)),
 
     // Stream-stream interval join: click ⋈ purchase per user within
     // [click_ts, click_ts + 1h], both sides watermarked (2h) so buffered
@@ -241,27 +237,25 @@ object StreamingQueries {
             batchTs(math.min(bid.toInt, batchTs.size - 1))),
           trigger = Trigger.ProcessingTime(0)).start()
         try {
-          // one micro-batch per window: add, drain, repeat — processAllAvailable
-          // between adds pins the batchId ↔ window mapping
-          windows.foreach { case (_, rows) => input.addData(rows); q.processAllAvailable() }
-        } finally q.stop()
-
-        // localCheckpoint so the result outlives the temp table files
-        val out = dim.snapshot.select(
-          col("user_id"), col("event_type"), col("props"), col("sk"),
-          epochS(col("valid_from")).as("vf_epoch"),
-          epochS(col("valid_to")).as("vt_epoch"),
-          col("is_current")).localCheckpoint()
-        graft.ops.Storage.deleteRecursively(dimDir)
-        out
+          try {
+            // one micro-batch per window: add, drain, repeat —
+            // processAllAvailable between adds pins the batchId ↔ window
+            // mapping
+            windows.foreach { case (_, rows) => input.addData(rows); q.processAllAvailable() }
+          } finally q.stop()
+          // localCheckpoint so the result outlives the temp table files
+          dim.snapshot.select(
+            col("user_id"), col("event_type"), col("props"), col("sk"),
+            epochS(col("valid_from")).as("vf_epoch"),
+            epochS(col("valid_to")).as("vt_epoch"),
+            col("is_current")).localCheckpoint()
+        } finally graft.ops.Storage.deleteRecursively(dimDir) // also on failure
       },
       Some(s"""WITH w AS (
              |  SELECT user_id, event_type, props, epoch_ns(ts) // 1000 AS us, event_id,
-             |         CASE WHEN epoch_ns(ts) // 1000 <= epoch_us(TIMESTAMP '${Cutoffs(0)}') THEN 1
-             |              WHEN epoch_ns(ts) // 1000 <= epoch_us(TIMESTAMP '${Cutoffs(1)}') THEN 2
-             |              WHEN epoch_ns(ts) // 1000 <= epoch_us(TIMESTAMP '${Cutoffs(2)}') THEN 3
-             |              WHEN epoch_ns(ts) // 1000 <= epoch_us(TIMESTAMP '${Cutoffs(3)}') THEN 4
-             |              ELSE 5 END AS b
+             |         CASE ${Cutoffs.init.zipWithIndex.map { case (c, i) =>
+                          s"WHEN epoch_ns(ts) // 1000 <= epoch_us(TIMESTAMP '$c') THEN ${i + 1}"
+                        }.mkString(" ")} ELSE ${Cutoffs.size} END AS b
              |  FROM events
              |),
              |snap AS (
@@ -281,16 +275,8 @@ object StreamingQueries {
              |),
              |v AS (
              |  SELECT user_id, event_type, props,
-             |         CASE b WHEN 1 THEN TIMESTAMP '${Cutoffs(0)}'
-             |                WHEN 2 THEN TIMESTAMP '${Cutoffs(1)}'
-             |                WHEN 3 THEN TIMESTAMP '${Cutoffs(2)}'
-             |                WHEN 4 THEN TIMESTAMP '${Cutoffs(3)}'
-             |                ELSE TIMESTAMP '${Cutoffs(4)}' END AS valid_from,
-             |         lead(CASE b WHEN 1 THEN TIMESTAMP '${Cutoffs(0)}'
-             |                     WHEN 2 THEN TIMESTAMP '${Cutoffs(1)}'
-             |                     WHEN 3 THEN TIMESTAMP '${Cutoffs(2)}'
-             |                     WHEN 4 THEN TIMESTAMP '${Cutoffs(3)}'
-             |                     ELSE TIMESTAMP '${Cutoffs(4)}' END)
+             |         ${cutoffCase} AS valid_from,
+             |         lead(${cutoffCase})
              |           OVER (PARTITION BY user_id ORDER BY b) AS vt_next
              |  FROM chg
              |)

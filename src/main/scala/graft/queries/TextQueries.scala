@@ -159,7 +159,7 @@ object TextQueries {
     // scale notes live at [[NearDup.jaccardPairs]].
     Q("d2_ngram_jaccard_pairs",
       (s, d) => NearDup.jaccardPairs(Tables.documents(s, d), 3, 0.2),
-      Some("""WITH docs AS (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS ws FROM documents),
+      Some(s"""WITH docs AS (SELECT doc_id, ${wordsSql} AS ws FROM documents),
              |grams AS (SELECT doc_id,
              |    unnest(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) AS g
              |  FROM docs),
@@ -180,7 +180,7 @@ object TextQueries {
         .join(NearDup.jaccardPairs(Tables.documents(s, d), 3, 0.2)
             .select(col("doc_b").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti"),
-      Some("""WITH docs AS (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS ws FROM documents),
+      Some(s"""WITH docs AS (SELECT doc_id, ${wordsSql} AS ws FROM documents),
              |grams AS (SELECT doc_id,
              |    unnest(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) AS g
              |  FROM docs),
@@ -206,7 +206,7 @@ object TextQueries {
             .select(col("doc_a"), col("doc_b")),
           "doc_a", "doc_b")
         .select(col("id").as("doc_id"), col("component")),
-      Some("""WITH RECURSIVE docs AS (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS ws FROM documents),
+      Some(s"""WITH RECURSIVE docs AS (SELECT doc_id, ${wordsSql} AS ws FROM documents),
              |grams AS (SELECT doc_id,
              |    unnest(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) AS g
              |  FROM docs),
@@ -283,7 +283,7 @@ object TextQueries {
     // this, not d2, is the op you run: verify cost is O(candidate grams).
     Q("d3b_minhash_verified_pairs",
       (s, d) => NearDup.minhashLshPairs(Tables.documents(s, d), 3, 0.2),
-      Some("""WITH docs AS (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS ws FROM documents),
+      Some(s"""WITH docs AS (SELECT doc_id, ${wordsSql} AS ws FROM documents),
              |grams AS (SELECT doc_id,
              |    unnest(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) AS g
              |  FROM docs),

@@ -39,9 +39,6 @@ object StreamingLoads {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
-  /** Micro-batch conditional upsert into an in-memory table map (stand-in
-    * for a Delta table): every micro-batch applies M1 semantics against the
-    * accumulated state. Returns the writer, caller starts/stops it. */
   /** Streaming exact dedup — d1's streaming twin: keep the first row per
     * fingerprint, with `dropDuplicatesWithinWatermark` so the dedup
     * state is BOUNDED by the watermark (an unbounded `dropDuplicates`
@@ -57,16 +54,22 @@ object StreamingLoads {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Micro-batch conditional upsert into a parquet-backed table: every
+    * micro-batch applies M1 semantics against the accumulated state
+    * (foreachBatch is where Delta MERGE would slot in at deploy).
+    * `runTsOf` stamps each batch's audit columns — same contract as
+    * [[foreachBatchScd2]]. Returns the writer; caller starts/stops it. */
   def foreachBatchUpsert(
       incoming: DataFrame,
       state: StreamingTableState,
       pk: Seq[String],
-      tracked: Seq[String]): DataStreamWriter[Row] =
+      tracked: Seq[String],
+      runTsOf: Long => java.sql.Timestamp): DataStreamWriter[Row] =
     incoming.writeStream
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        state.merge(batch, pk, tracked)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        state.merge(batch, pk, tracked, lit(runTsOf(batchId)))
       }
 
   /** Streaming SCD2: each micro-batch runs the SAME close-and-insert merge
@@ -143,11 +146,11 @@ object StreamingLoads {
       graft.ops.Storage.readVersionOr(spark, table,
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
 
-    def merge(batch: DataFrame, pk: Seq[String], tracked: Seq[String]): Unit = synchronized {
+    def merge(batch: DataFrame, pk: Seq[String], tracked: Seq[String],
+        runTs: org.apache.spark.sql.Column): Unit = synchronized {
       val cols = schema.fieldNames.toSeq
       val next = MergeOps.conditionalUpsert(
-        snapshot, batch.select(cols.map(col): _*), pk, tracked,
-        lit("2024-02-01 00:00:00").cast("timestamp"))
+        snapshot, batch.select(cols.map(col): _*), pk, tracked, runTs)
       graft.ops.Storage.commitVersion(next.select(cols.map(col): _*), table)
     }
   }

@@ -58,4 +58,32 @@ class RawIngestSpec extends SparkTestBase {
     assert(merged.filter(col("source_id") === 2).head().getString(1).contains("B-UPDATED"))
     assert(merged.filter(col("source_id") === 1).head().getString(1).contains("\"a\""))
   }
+
+  test("a client whose last page is Some(empty) terminates (no infinite paging)") {
+    // the common REST shape: past-the-end pages return an empty results
+    // array, never None
+    val client = new RawIngest.PageClient {
+      def fetchPage(n: Int): Option[RawIngest.Page] =
+        if (n <= 2) Some(Seq((n.toLong, s"""{"id":$n}"""))) else Some(Seq.empty)
+    }
+    assert(RawIngest.extractAll(spark, client).count() == 2)
+  }
+
+  test("within one extract, the LATER page wins a duplicate source_id (pagination drift)") {
+    // same id on pages 1 and 3 (a row shifted pages mid-walk): both rows
+    // share the extract's loaded_at, so recency must come from the page
+    // ordinal — a payload-string tie-break would pick '...stale...'
+    // lexicographically
+    val client = new RawIngest.PageClient {
+      def fetchPage(n: Int): Option[RawIngest.Page] = n match {
+        case 1 => Some(Seq((7L, """{"v":"zzz-stale"}""")))
+        case 2 => Some(Seq((8L, """{"v":"other"}""")))
+        case 3 => Some(Seq((7L, """{"v":"aaa-fresh"}""")))
+        case _ => None
+      }
+    }
+    val extract = RawIngest.extractAll(spark, client)
+    val merged = RawIngest.upsertIntoRaw(extract.limit(0), extract)
+    assert(merged.filter(col("source_id") === 7).head().getString(1).contains("aaa-fresh"))
+  }
 }

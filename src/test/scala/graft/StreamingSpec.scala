@@ -190,7 +190,8 @@ class StreamingSpec extends SparkTestBase {
         lit(null).cast("timestamp").as("loaded_at"),
         lit(null).cast("timestamp").as("last_upd_at"))
     val q = StreamingLoads.foreachBatchUpsert(stream, state,
-      Seq("user_id"), Seq("event_type", "value")).start()
+      Seq("user_id"), Seq("event_type", "value"),
+      bid => java.sql.Timestamp.valueOf("2024-02-01 00:00:00")).start()
     try q.processAllAvailable() finally q.stop()
 
     val snap = state.snapshot
