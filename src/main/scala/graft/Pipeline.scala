@@ -45,14 +45,18 @@ object Pipeline {
         to_timestamp(col("j.o_orderdate")).as("orderdate"))
 
     // ---- dwh: SCD2 customer dimension (single initial load → one current
-    // version per key) with deterministic surrogate keys
-    val dimCustomer = Tables.customer(spark, dir).select(
-      col("c_custkey").cast("long").as("custkey"),
-      col("c_name"), col("c_nationkey"),
-      row_number().over(Window.orderBy(col("c_custkey"))).cast("long").as("customer_sk"),
-      lit("2024-01-01 00:00:00").cast("timestamp").as("valid_from"),
-      Scd2.infinity.as("valid_to"),
-      lit(true).as("is_current"))
+    // version per key) with deterministic surrogate keys assigned by the
+    // scalable two-phase shape — same keys as a global row_number
+    // (hash-proven in m5b), no single-task sort even on a bulk load
+    val dimCustomer = Scd2.withScalableSk(
+        Tables.customer(spark, dir).select(
+          col("c_custkey").cast("long").as("custkey"),
+          col("c_name"), col("c_nationkey")),
+        ordCols = Seq("custkey"), skCol = "customer_sk")
+      .select(col("custkey"), col("c_name"), col("c_nationkey"), col("customer_sk"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("valid_from"),
+        Scd2.infinity.as("valid_to"),
+        lit(true).as("is_current"))
 
     // ---- fact: BK→SK resolution against current dim (J2, broadcast) then
     // incremental anti-join append into an empty fact (J4) — the same
