@@ -212,6 +212,33 @@ object Corpus {
         coalesce(col("last_seq") - col("first_seq") + 1, lit(0L)))
   }
 
+  /** Token-budget selection — "fill a 10B-token training budget with the
+    * best documents": rows are ranked by `ordCols` (quality-first; must be
+    * a total order) and kept while the cumulative token count of all
+    * STRICTLY-BETTER rows stays under `budget` — so the boundary document
+    * that crosses the budget is still included (greedy prefix semantics)
+    * and selection is deterministic for any partitioning.
+    *
+    * The global cumulative sum uses the same two-phase shape as
+    * [[packSequences]] ([[Scd2.rangeOffsets]]): range partitions, O(parts)
+    * driver totals, offset + within-partition window — no single-task
+    * sort at any scale. Returns the kept rows with their `cum_before`. */
+  def tokenBudgetSample(
+      df: DataFrame, ordCols: Seq[String], nTokensCol: String,
+      budget: Long, partitions: Int = 0): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative (got $budget)")
+    val (ranged, offsetOf) = Scd2.rangeOffsets(
+      df.withColumn(nTokensCol, coalesce(col(nTokensCol).cast("long"), lit(0L))),
+      ordCols, col(nTokensCol), partitions)
+    val wBefore = Window.partitionBy(col("__pid")).orderBy(ordCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn("cum_before",
+        offsetOf + coalesce(sum(col(nTokensCol)).over(wBefore), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .drop("__pid")
+  }
+
   /** Email pattern valid in BOTH Java regex (Spark) and RE2 (DuckDB). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 

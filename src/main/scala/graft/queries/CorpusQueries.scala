@@ -96,6 +96,28 @@ object CorpusQueries {
              |  CAST(len(ws[s+1 : s+40]) AS BIGINT) AS n_tokens
              |FROM st""".stripMargin)),
 
+    // Token-budget selection: fill a fixed training budget with the
+    // longest documents first (greedy prefix over a deterministic
+    // quality order; the budget-crossing document is included). The
+    // global running total uses the scalable two-phase shape — the
+    // oracle's plain window cumsum proves the two paths equal.
+    Q("c3_token_budget_sample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), Text.wordCount(col("text")).as("n_words"))
+          .withColumn("neg_words", -col("n_words"))
+        Corpus.tokenBudgetSample(docs, Seq("neg_words", "doc_id"), "n_words", budget = 10000L)
+          .select(col("doc_id"), col("n_words"), col("cum_before"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id, len($wordsSql) AS n_words FROM documents),
+             |c AS (SELECT doc_id, n_words,
+             |        COALESCE(SUM(n_words) OVER (ORDER BY n_words DESC, doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+             |      FROM w)
+             |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+             |  CAST(cum_before AS BIGINT) AS cum_before
+             |FROM c WHERE cum_before < 10000""".stripMargin)),
+
     // Incremental cross-corpus dedup — the production shape: dedup the
     // NEW batch (doc_id ≥ 250) against the EXISTING training set
     // (doc_id < 250), never the old corpus against itself. Exact layer:

@@ -35,4 +35,19 @@ class PackSpec extends SparkTestBase {
       (4L, 1L, Some(1L), Some(1L), 1L),    // token 74
       (5L, 200L, Some(1L), Some(4L), 4L))) // tokens 75..274
   }
+
+  test("tokenBudgetSample: greedy prefix, budget-crossing doc included, partition-invariant") {
+    // order (longest first, id tie-break): 1(5), 2(5), 3(4), 4(1)
+    // cum_before:                          0     5     10    14
+    val docs = Seq((1L, 5L), (2L, 5L), (3L, 4L), (4L, 1L)).toDF("doc_id", "n_words")
+      .withColumn("neg", -col("n_words"))
+    def run(budget: Long, parts: Int) =
+      Corpus.tokenBudgetSample(docs.repartition(parts), Seq("neg", "doc_id"), "n_words", budget)
+        .collect().map(_.getLong(0)).toSet
+    assert(run(10L, 1) == Set(1L, 2L), "cum_before = budget is past the budget")
+    // doc 3 CROSSES the 12-token budget (10 < 12 but 10+4 > 12) — included
+    assert(run(12L, 1) == Set(1L, 2L, 3L))
+    assert(run(12L, 5) == run(12L, 1), "selection must not depend on partitioning")
+    assert(run(0L, 3) == Set.empty)
+  }
 }
