@@ -43,6 +43,39 @@ object CorpusQueries {
              |  COUNT(*) AS n
              |FROM lineitem GROUP BY 1""".stripMargin)),
 
+    // Skew-mitigated JOIN (ops.Skew.saltedJoin — VERDICT r6 item 8):
+    // lineitem joined to a 3-row per-returnflag dim on the SAME
+    // pathological key as skew1. The dim is replicated `salts` times and
+    // the fact side salts deterministically, so on a shuffle join each
+    // hot-key shard lands on a different reducer (SkewAndStateSpec pins
+    // the (key, salt) shuffle plan with broadcast disabled; at this SF
+    // the 48-row side broadcasts, which is also correct). DECIMAL fold
+    // through the join → result identical to the unsalted join, which is
+    // what the oracle hash-checks.
+    Q("skew2_salted_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val dim = li.groupBy(col("l_returnflag"))
+          .agg(max(col("l_tax").cast("decimal(12,2)")).as("max_tax"))
+        val joined = graft.ops.Skew.saltedJoin(
+          li.select(col("l_returnflag"),
+            col("l_extendedprice").cast("decimal(12,2)").as("price"),
+            col("l_orderkey"), col("l_linenumber")),
+          dim, "l_returnflag",
+          bigDiscriminator = col("l_orderkey") * lit(8) + col("l_linenumber"),
+          salts = 16)
+        joined.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("price") * col("max_tax")).cast("double").as("weighted"))
+      },
+      Some("""WITH dim AS (SELECT l_returnflag,
+             |    MAX(CAST(l_tax AS DECIMAL(12,2))) AS max_tax
+             |  FROM lineitem GROUP BY 1)
+             |SELECT li.l_returnflag, COUNT(*) AS n,
+             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * dim.max_tax) AS VARCHAR) AS DOUBLE) AS weighted
+             |FROM lineitem li JOIN dim USING (l_returnflag)
+             |GROUP BY 1""".stripMargin)),
+
     // Exact interpolated quartiles per group: Spark `percentile` and
     // DuckDB `quantile_cont` both compute lower + (upper-lower)·frac on
     // the sorted doubles — engine-identical interpolation, verified by

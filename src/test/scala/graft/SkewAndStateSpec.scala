@@ -32,6 +32,25 @@ class SkewAndStateSpec extends SparkTestBase {
     assert(salted == plain)
   }
 
+  test("salted join plans a (key, salt) shuffle join when broadcast is off") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dim = Seq((0L, "hot"), (1L, "a"), (2L, "b")).toDF("k", "name")
+      val fact = spark.range(5000)
+        .select(when($"id" % 10 === 0, $"id" % 3).otherwise(0L).as("k"), $"id")
+      val p = Skew.saltedJoin(fact, dim, "k", $"id", salts = 8)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"), s"salting bypassed by broadcast:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffle join:\n$p")
+      // the shuffle key must carry the salt, or the hot key still lands
+      // on one reducer
+      assert(raw"(?s)(SortMergeJoin|ShuffledHashJoin)\s*\[[^\]]*__salt".r
+        .findFirstIn(p).isDefined, s"join keys lack __salt:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch e1 query") {
     implicit val sqlCtx = spark.sqlContext
     // batch ground truth over sf0.001 events
