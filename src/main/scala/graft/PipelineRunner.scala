@@ -41,6 +41,9 @@ object PipelineRunner {
   def run(spark: SparkSession, dir: String, workDir: Path,
       asOfEventTs: String, asOfOrderDate: String, runTs: String): Unit = {
     val l = layers(workDir)
+    // single-writer startup: clear promoted-but-unpointed crash orphans so
+    // this run's commits can't collide with them (Storage CAS contract)
+    Seq(l.stgUsers, l.dimUsers, l.factOrders).foreach(Storage.repairOrphans)
     val runTsCol = lit(runTs).cast("timestamp")
 
     // ---- raw → stg: visible snapshot, conditional upsert (M1)

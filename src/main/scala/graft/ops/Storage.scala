@@ -91,13 +91,27 @@ object Storage {
   // moves on, with a keep-window for in-flight readers.
   //
   // Commit cost is one small-file write + one rename — metadata-only,
-  // independent of table size, same as atomicReplace. Crash safety
-  // (single-writer, matching atomicReplace's contract): a crash before the
-  // pointer swap leaves an orphan `v<N>` directory that the next commit
-  // deletes and rewrites; the pointer still names the last complete version,
-  // so no torn state is ever visible.
+  // independent of table size, same as atomicReplace.
+  //
+  // CONCURRENT WRITERS (lost-update guard): data is written to a unique
+  // staging directory, then promoted with an atomic rename to `v<N>` —
+  // POSIX rename fails when the target exists, so of two committers racing
+  // to the same version number exactly ONE rename succeeds and the loser
+  // throws instead of silently clobbering (on an object-store deployment
+  // the same promote maps onto a conditional PUT / If-None-Match). The
+  // pointer is only ever swapped by the rename winner. A crash AFTER the
+  // promote but before the pointer swap leaves a committed-but-unpointed
+  // `v<N>` that later commits CANNOT distinguish from an in-flight
+  // concurrent commit, so they fail loudly; [[repairOrphans]] is the
+  // explicit single-writer-startup recovery (PipelineRunner and the
+  // streaming sinks run it before their first commit).
 
   private val Latest = "_LATEST"
+  private val PartsManifest = "_PARTS.json"
+  private val StatsManifest = "_STATS.json"
+  // vacuum sweeps only this many version slots below the keep window, so a
+  // commit's filesystem work is O(keepVersions + window), not O(history)
+  private val VacuumSweep = 64L
 
   /** The committed version number, or None for an empty/new table. */
   def currentVersion(table: Path): Option[Long] = {
@@ -109,23 +123,93 @@ object Storage {
 
   /** Commit `next` as the new version of `table`; returns the new version
     * number. `keepVersions` older versions are retained for in-flight
-    * readers before vacuum. */
+    * readers before vacuum. Fails with `ConcurrentModificationException`
+    * if another writer commits the same version first (see the CAS notes
+    * above). Also writes the per-file min/max stats manifest consulted by
+    * [[readVersionPruned]]. */
   def commitVersion(next: DataFrame, table: Path, keepVersions: Int = 1): Long = {
     require(keepVersions >= 1, s"keepVersions must be >= 1 (got $keepVersions)")
     Files.createDirectories(table)
+    requireVersionedLayout(table) // same guard as readVersionOr, write side
     val v = currentVersion(table).getOrElse(-1L) + 1
+    val staging = newStaging(table, v)
+    next.write.mode("overwrite").parquet(staging.toString)
+    writeStatsManifest(next.sparkSession, staging)
+    casPromote(table, staging, v)
+    vacuum(table, v, keepVersions, referenced = Set.empty)
+    v
+  }
+
+  /** Atomic staging→`v<N>` promote + pointer swap. The rename is the
+    * compare-and-swap: it fails if `v<N>` already exists, so a racing
+    * writer loses loudly instead of clobbering. */
+  private def casPromote(table: Path, staging: Path, v: Long): Unit = {
     val dir = table.resolve(s"v$v")
-    deleteRecursively(dir) // orphan from a pre-pointer-swap crash
-    next.write.mode("overwrite").parquet(dir.toString)
+    try Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileSystemException if Files.exists(dir) =>
+        deleteRecursively(staging)
+        throw new java.util.ConcurrentModificationException(
+          s"lost update committing v$v at $table: the version directory " +
+            "already exists — another writer won the race, or a crashed " +
+            "commit left an unpointed orphan (single-writer recovery: " +
+            "Storage.repairOrphans(table))", e)
+    }
     val tmp = table.resolve(Latest + ".tmp")
     Files.write(tmp, s"v$v".getBytes("UTF-8"))
     Files.move(tmp, table.resolve(Latest), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    // vacuum: only versions strictly older than the keep-window, so a reader
-    // that resolved its directory just before this commit still has it
-    (0L until (v - keepVersions)).foreach(o => deleteRecursively(table.resolve(s"v$o")))
-    v
   }
+
+  private def newStaging(table: Path, v: Long): Path =
+    table.resolve(s".staging-v$v-${java.util.UUID.randomUUID}")
+
+  /** Vacuum versions strictly older than the keep-window — but only a
+    * bounded sweep below it (O(keepVersions + [[VacuumSweep]]) per commit,
+    * independent of table history), and never a version still referenced
+    * by a partition manifest. A reader that resolved its directory just
+    * before this commit still has it. */
+  private def vacuum(table: Path, v: Long, keepVersions: Int, referenced: Set[Long]): Unit =
+    (math.max(0L, v - keepVersions - VacuumSweep) until (v - keepVersions))
+      .filterNot(referenced.contains)
+      .foreach(o => deleteRecursively(table.resolve(s"v$o")))
+
+  /** Single-writer crash recovery: delete version directories ABOVE the
+    * committed pointer (promoted but unpointed crash orphans) and stale
+    * staging directories. MUST NOT run while another writer is committing —
+    * call it from the single writer's startup, before its first commit. */
+  def repairOrphans(table: Path): Unit =
+    if (Files.isDirectory(table)) {
+      val cur = currentVersion(table).getOrElse(-1L)
+      val s = Files.list(table)
+      val names =
+        try s.toArray.map(_.asInstanceOf[Path].getFileName.toString).toSeq
+        finally s.close()
+      names.foreach {
+        case n if n.startsWith(".staging-") => deleteRecursively(table.resolve(n))
+        case n if n.matches("v\\d+") && n.drop(1).toLong > cur =>
+          deleteRecursively(table.resolve(n))
+        case _ => ()
+      }
+    }
+
+  /** Refuse to commit into a directory that exists but is not a versioned
+    * layout — writing would nest `v0/` beside stale flat part-files that
+    * plain readers double-count and vacuum never removes. Mirrors the
+    * read-side guard in [[readVersionOr]]. */
+  private def requireVersionedLayout(table: Path): Unit =
+    if (Files.isDirectory(table)) {
+      val s = Files.list(table)
+      val foreign =
+        try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
+          .filterNot(n => n.matches("v\\d+") || n.startsWith(Latest) ||
+            n.startsWith(".staging-"))
+        finally s.close()
+      require(foreign.isEmpty,
+        s"$table exists but is not a versioned table (found: " +
+          s"${foreign.take(3).mkString(", ")}) — refusing to commit into it; " +
+          "migrate with commitVersion(read(spark, table), table) on a fresh path")
+    }
 
   /** Read the committed version of a versioned table. The returned frame is
     * pinned to the directory resolved HERE — later commits don't disturb it. */
@@ -164,10 +248,221 @@ object Storage {
           require(foreign.isEmpty,
             s"$table exists but is not a versioned table (found: " +
               s"${foreign.take(3).mkString(", ")}) — refusing to treat it as " +
-              "empty; migrate with commitVersion(read(spark, table), table)")
+              "empty; migrate with commitVersion(read(spark, table), freshPath)")
         }
         empty
     }
+
+  // ---- per-file min/max stats manifest (file skipping) -------------------
+  //
+  // Parquet already carries row-group min/max, but the engine only sees
+  // them AFTER listing and opening every file. The commit-time manifest
+  // lifts per-FILE min/max into table metadata (read from the freshly
+  // written footers — metadata-only, no data pass), so a selective read
+  // prunes files before the scan ever lists them into a FileIndex. This is
+  // what completes the z-order promise at 100 TB: cluster on the key
+  // (ZOrder), then skip whole files by key range here.
+
+  /** file name → column → (typeTag, min, max); built from parquet footers. */
+  private[graft] def readFooterStats(
+      spark: SparkSession, dir: Path): Map[String, Map[String, (String, String, String)]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val conf = spark.sessionState.newHadoopConf()
+    val s = Files.list(dir)
+    val parts =
+      try s.toArray.map(_.asInstanceOf[Path])
+        .filter(p => p.getFileName.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .sortBy(_.getFileName.toString).toSeq
+      finally s.close()
+    parts.map { p =>
+      val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
+      val rd = ParquetFileReader.open(in)
+      val cols =
+        try {
+          import scala.jdk.CollectionConverters._
+          val perChunk = for {
+            block <- rd.getFooter.getBlocks.asScala.toSeq
+            cc <- block.getColumns.asScala
+            st = cc.getStatistics
+            if st != null && !st.isEmpty && st.hasNonNullValue
+            tag <- (cc.getPrimitiveType.getPrimitiveTypeName match {
+              case INT32 | INT64 => Some("i")
+              case FLOAT | DOUBLE => Some("f")
+              case BINARY => Some("s")
+              case _ => None // INT96/BOOLEAN/FIXED: not range-prunable here
+            }).toSeq
+          } yield {
+            def str(v: Any): String = v match {
+              case b: Binary => b.toStringUsingUTF8
+              case x => x.toString
+            }
+            (cc.getPath.toDotString, tag,
+              str(st.genericGetMin), str(st.genericGetMax))
+          }
+          perChunk.groupBy(_._1).map { case (c, chunks) =>
+            val tag = chunks.head._2
+            def ord(x: String): (String, BigDecimal) =
+              if (tag == "s") (x, BigDecimal(0)) else ("", BigDecimal(x))
+            c -> (tag,
+              chunks.map(_._3).minBy(ord),
+              chunks.map(_._4).maxBy(ord))
+          }
+        } finally rd.close()
+      p.getFileName.toString -> cols
+    }.toMap
+  }
+
+  private def writeStatsManifest(spark: SparkSession, dir: Path): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val stats = readFooterStats(spark, dir)
+    val json = JObject(stats.toSeq.sortBy(_._1).map { case (f, cols) =>
+      f -> JObject(cols.toSeq.sortBy(_._1).map { case (c, (t, mn, mx)) =>
+        c -> JObject(List("t" -> JString(t), "min" -> JString(mn), "max" -> JString(mx)))
+      }.toList)
+    }.toList)
+    Files.write(dir.resolve(StatsManifest),
+      JsonMethods.compact(JsonMethods.render(json)).getBytes("UTF-8"))
+  }
+
+  private def readStatsManifest(dir: Path): Map[String, Map[String, (String, String, String)]] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val p = dir.resolve(StatsManifest)
+    if (!Files.exists(p)) Map.empty
+    else JsonMethods.parse(new String(Files.readAllBytes(p), "UTF-8")) match {
+      case JObject(files) => files.map { case (f, JObject(cols)) =>
+        f -> cols.map { case (c, v) =>
+          def s(k: String) = (v \ k).asInstanceOf[JString].s
+          c -> (s("t"), s("min"), s("max"))
+        }.toMap
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** The files of the committed version whose `[min, max]` on `column`
+    * intersects `[lo, hi]` (numeric columns), plus the total file count.
+    * Files with no recorded stats for the column are conservatively kept. */
+  def statsPrunedFiles(
+      table: Path, column: String, lo: Double, hi: Double): (Seq[Path], Int) = {
+    val v = currentVersion(table).getOrElse(
+      throw new IllegalStateException(s"no committed version at $table"))
+    val dir = table.resolve(s"v$v")
+    val stats = readStatsManifest(dir)
+    val s = Files.list(dir)
+    val all =
+      try s.toArray.map(_.asInstanceOf[Path])
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.getFileName.toString).toSeq
+      finally s.close()
+    val kept = all.filter { f =>
+      stats.get(f.getFileName.toString).flatMap(_.get(column)) match {
+        case Some((t, mn, mx)) if t == "i" || t == "f" =>
+          BigDecimal(mx) >= BigDecimal(lo) && BigDecimal(mn) <= BigDecimal(hi)
+        case _ => true
+      }
+    }
+    (kept, all.size)
+  }
+
+  /** Read the committed version with manifest-driven file skipping for a
+    * range predicate on `column`. Semantically identical to
+    * `readVersion(...).filter(column between lo and hi)` — the caller still
+    * applies its own filter; this just hands Spark fewer files. */
+  def readVersionPruned(
+      spark: SparkSession, table: Path, column: String, lo: Double, hi: Double): DataFrame = {
+    val (kept, _) = statsPrunedFiles(table, column, lo, hi)
+    if (kept.isEmpty) readVersion(spark, table).limit(0)
+    else spark.read.parquet(kept.map(_.toString): _*)
+  }
+
+  // ---- partitioned commit log (pruned incremental writes) ----------------
+  //
+  // A plain commitVersion rewrites the whole table every commit — O(table)
+  // write amplification for an incremental load that changes 0.1% of rows.
+  // Here a version directory holds ONLY the partitions that commit rewrote;
+  // a per-version `_PARTS.json` manifest maps partition-dir name → the
+  // version that owns its current bytes. Untouched partitions are committed
+  // BY REFERENCE: their bytes are never rewritten, copied, or even listed.
+  // Readers union the per-version reads the manifest names; vacuum keeps
+  // any version the live manifest still references. Same CAS promote and
+  // crash contract as commitVersion.
+
+  private def readPartsManifest(versionDir: Path): Map[String, Long] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val p = versionDir.resolve(PartsManifest)
+    if (!Files.exists(p)) Map.empty
+    else JsonMethods.parse(new String(Files.readAllBytes(p), "UTF-8")) match {
+      case JObject(fields) => fields.map {
+        case (k, JInt(v)) => k -> v.toLong
+        case (k, JLong(v)) => k -> v
+        case (k, other) => throw new IllegalStateException(s"bad manifest entry $k -> $other")
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** Commit `next` — which carries ONLY the partitions to rewrite, with
+    * `partCol` as a column — as the new version of a partition-manifested
+    * table. Partitions absent from `next` keep their existing bytes and are
+    * carried forward by manifest reference. Returns the new version. */
+  def commitPartitions(next: DataFrame, table: Path, partCol: String, keepVersions: Int = 1): Long = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1 (got $keepVersions)")
+    // a leading _/. would write partition dirs Spark's listing treats as
+    // hidden — silently invisible data
+    require(!partCol.startsWith("_") && !partCol.startsWith("."),
+      s"partition column '$partCol' must not start with '_' or '.'")
+    Files.createDirectories(table)
+    requireVersionedLayout(table)
+    val base = currentVersion(table)
+    val v = base.getOrElse(-1L) + 1
+    val prev = base.map(b => readPartsManifest(table.resolve(s"v$b"))).getOrElse(Map.empty)
+    val staging = newStaging(table, v)
+    next.write.partitionBy(partCol).mode("overwrite").parquet(staging.toString)
+    val s = Files.list(staging)
+    val written =
+      try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
+        .filter(_.startsWith(partCol + "=")).toSeq
+      finally s.close()
+    val manifest = prev ++ written.map(_ -> v)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    Files.write(staging.resolve(PartsManifest),
+      JsonMethods.compact(JsonMethods.render(JObject(
+        manifest.toSeq.sortBy(_._1).map { case (k, ver) => k -> JLong(ver) }.toList
+      ))).getBytes("UTF-8"))
+    casPromote(table, staging, v)
+    vacuum(table, v, keepVersions, referenced = manifest.values.toSet)
+    v
+  }
+
+  /** Read the committed state of a partition-manifested table, optionally
+    * restricted to `onlyParts` partition-dir names (`col=value`) — the
+    * pruned-read path: only the named partitions' owning versions are
+    * listed, everything else is never touched. */
+  def readPartitionedVersion(
+      spark: SparkSession, table: Path,
+      onlyParts: Option[Set[String]] = None): DataFrame = {
+    val v = currentVersion(table).getOrElse(
+      throw new IllegalStateException(s"no committed version at $table"))
+    val manifest = readPartsManifest(table.resolve(s"v$v"))
+    require(manifest.nonEmpty, s"$table v$v has no partition manifest — " +
+      "was it committed with commitVersion instead of commitPartitions?")
+    val selected = manifest.filter { case (p, _) => onlyParts.forall(_.contains(p)) }
+    if (selected.isEmpty)
+      readPartitionedVersion(spark, table, None).limit(0)
+    else
+      selected.groupBy(_._2).toSeq.sortBy(_._1).map { case (ver, parts) =>
+        val vdir = table.resolve(s"v$ver")
+        spark.read.option("basePath", vdir.toString)
+          .parquet(parts.keys.toSeq.sorted.map(p => vdir.resolve(p).toString): _*)
+      }.reduce(_.unionByName(_))
+  }
 
   /** Small-file compaction: rewrite `table` into ⌈bytes/targetBytes⌉
     * files via a narrow coalesce (no shuffle) + [[atomicReplace]].

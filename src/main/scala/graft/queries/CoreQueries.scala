@@ -405,6 +405,60 @@ object CoreQueries {
              |       THEN $RunEpoch ELSE $CutoffEpoch END AS upd_epoch
              |FROM o FULL JOIN n ON o.user_id = n.user_id""".stripMargin)),
 
+    // M1 at scale — the SAME upsert as m1, but through the partition-pruned
+    // write path (MergeOps.prunedConditionalUpsert, VERDICT r6 item 1):
+    // the table is PK-hash bucketed, the bootstrap load commits v0, the
+    // incremental load reads back ONLY the buckets containing incoming
+    // keys and rewrites ONLY those — every untouched bucket carries
+    // forward by manifest reference, bytes unmoved (byte-identity asserted
+    // in PartitionedStorageSpec). Result hash-equals m1's oracle: the
+    // pruned path changes write amplification, not semantics.
+    Q("m1b_partitioned_upsert",
+      (s, d) => {
+        val table = java.nio.file.Files.createTempDirectory("m1b_upsert")
+          .resolve("stg_events")
+        val ev = Tables.events(s, d).withColumn("ts", col("ts").cast("timestamp"))
+        def latest(df: org.apache.spark.sql.DataFrame) =
+          MergeOps.latestByKey(df, Seq("user_id"), Seq(col("ts"), col("event_id")))
+            .select(col("user_id"), col("event_type"), col("value"),
+              lit(null).cast("timestamp").as("loaded_at"),
+              lit(null).cast("timestamp").as("last_upd_at"))
+        // load 1 (bootstrap): pre-cutoff snapshot at CutoffTs → every row
+        // inserted with loaded_at = last_upd_at = CutoffTs, same as m1's old
+        MergeOps.prunedConditionalUpsert(table,
+          latest(ev.filter(col("ts") < lit(CutoffTs).cast("timestamp"))),
+          pk = Seq("user_id"), tracked = Seq("event_type", "value"),
+          runTs = lit(CutoffTs).cast("timestamp"), nParts = 16)
+        // load 2 (incremental): current snapshot at RunTs
+        MergeOps.prunedConditionalUpsert(table, latest(ev),
+          pk = Seq("user_id"), tracked = Seq("event_type", "value"),
+          runTs = lit(RunTs).cast("timestamp"), nParts = 16)
+        graft.ops.Storage.readPartitionedVersion(s, table).drop("pbucket")
+          .select(col("user_id"), col("event_type"), col("value"),
+            epochS(col("loaded_at")).as("loaded_epoch"),
+            epochS(col("last_upd_at")).as("upd_epoch"))
+      },
+      Some(s"""WITH o AS (SELECT user_id, event_type, value FROM (
+             |    SELECT user_id, event_type, value,
+             |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+             |    FROM events WHERE ts < TIMESTAMP '$CutoffTs') t WHERE rn = 1),
+             |n AS (SELECT user_id, event_type, value FROM (
+             |    SELECT user_id, event_type, value,
+             |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+             |    FROM events) t WHERE rn = 1)
+             |SELECT coalesce(n.user_id, o.user_id) AS user_id,
+             |  CASE WHEN o.user_id IS NULL OR (n.user_id IS NOT NULL
+             |         AND (o.event_type IS DISTINCT FROM n.event_type OR o.value IS DISTINCT FROM n.value))
+             |       THEN n.event_type ELSE o.event_type END AS event_type,
+             |  CASE WHEN o.user_id IS NULL OR (n.user_id IS NOT NULL
+             |         AND (o.event_type IS DISTINCT FROM n.event_type OR o.value IS DISTINCT FROM n.value))
+             |       THEN n.value ELSE o.value END AS value,
+             |  CASE WHEN o.user_id IS NULL THEN $RunEpoch ELSE $CutoffEpoch END AS loaded_epoch,
+             |  CASE WHEN o.user_id IS NULL OR (n.user_id IS NOT NULL
+             |         AND (o.event_type IS DISTINCT FROM n.event_type OR o.value IS DISTINCT FROM n.value))
+             |       THEN $RunEpoch ELSE $CutoffEpoch END AS upd_epoch
+             |FROM o FULL JOIN n ON o.user_id = n.user_id""".stripMargin)),
+
     // M3/M5 — SCD2 version history from a change log: consecutive-dup drop,
     // valid_from/valid_to chaining, is_current, deterministic version numbers
     // (ref: dwh_dim_character.py:49-118 collapsed into one declarative pass).

@@ -102,6 +102,9 @@ object StreamingLoads {
       dir: java.nio.file.Path) {
 
     private val table = dir.resolve("dim")
+    // single-writer startup recovery (Storage CAS contract): clear any
+    // promoted-but-unpointed orphan a crashed run left, before first commit
+    graft.ops.Storage.repairOrphans(table)
 
     // versioned commit log, not directory swap: a batch job reading the
     // dimension DURING a streaming merge keeps its resolved snapshot
@@ -141,6 +144,7 @@ object StreamingLoads {
       dir: java.nio.file.Path) {
 
     private val table = dir.resolve("state")
+    graft.ops.Storage.repairOrphans(table) // same startup contract as Scd2Table
 
     def snapshot: DataFrame =
       graft.ops.Storage.readVersionOr(spark, table,

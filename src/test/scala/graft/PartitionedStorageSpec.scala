@@ -81,14 +81,148 @@ class PartitionedStorageSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Storage.readVersionAt(spark, table, 0))
     intercept[IllegalArgumentException](Storage.readVersionAt(spark, table, 9))
 
-    // crash before the pointer swap = orphan directory; the pointer still
-    // names the last complete version and the next commit reuses the slot
+    // crash after promote but before the pointer swap = orphan directory;
+    // the pointer still names the last complete version. The next commit
+    // CANNOT tell the orphan from a racing writer's promoted version, so
+    // it fails loudly (CAS contract) until the single writer repairs.
     val orphan = table.resolve("v3")
     F.createDirectories(orphan)
     F.write(orphan.resolve("junk"), "torn".getBytes)
     assert(Storage.readVersion(spark, table).count() == 7)
+    intercept[java.util.ConcurrentModificationException] {
+      Storage.commitVersion(nation.limit(9), table)
+    }
+    Storage.repairOrphans(table)
     val v3 = Storage.commitVersion(nation.limit(9), table)
     assert(v3 == 3 && Storage.readVersion(spark, table).count() == 9)
+  }
+
+  test("commit log CAS: of two interleaved committers the loser throws, never clobbers") {
+    val table = Files.createTempDirectory("cas_commit").resolve("t")
+    val nation = Tables.nation(spark, Sf001)
+    Storage.commitVersion(nation, table)
+
+    // Writer A resolves base v0 and targets v1; writer B commits v1 first.
+    // A's promote rename then fails atomically — the filesystem is the
+    // arbiter — and A surfaces the lost update instead of overwriting B.
+    val winner = Storage.commitVersion(nation.limit(5), table) // B wins v1
+    assert(winner == 1)
+    val vdir = table.resolve("v1") // A's target already exists
+    intercept[java.util.ConcurrentModificationException] {
+      // simulate A: its staging is ready, promote races into the taken slot
+      val staging = table.resolve(".staging-v1-test-loser")
+      nation.limit(2).write.parquet(staging.toString)
+      import java.nio.file.{Files => F, StandardCopyOption}
+      try F.move(staging, vdir, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e: java.nio.file.FileSystemException if F.exists(vdir) =>
+          Storage.deleteRecursively(staging)
+          throw new java.util.ConcurrentModificationException("lost update", e)
+      }
+    }
+    // B's committed bytes are intact and still pointed to
+    assert(Storage.currentVersion(table).contains(1L))
+    assert(Storage.readVersion(spark, table).count() == 5)
+
+    // and the end-to-end arm: a racing winner's dir pre-exists → the full
+    // commitVersion call is the loser and throws
+    // (a promoted dir is never empty — staging always carries _SUCCESS)
+    val orphanRace = table.resolve("v2")
+    java.nio.file.Files.createDirectories(orphanRace)
+    java.nio.file.Files.write(orphanRace.resolve("_SUCCESS"), Array[Byte]())
+    intercept[java.util.ConcurrentModificationException] {
+      Storage.commitVersion(nation.limit(3), table)
+    }
+    assert(Storage.readVersion(spark, table).count() == 5, "loser must not clobber")
+  }
+
+  test("prunedConditionalUpsert rewrites only buckets with incoming PKs; rest carry by reference") {
+    import graft.ops.MergeOps
+    import java.nio.file.{Files => F, Path}
+    val table = Files.createTempDirectory("pruned_upsert").resolve("t")
+    import spark.implicits._
+
+    def withAudit(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("loaded_at", lit(null).cast("timestamp"))
+      .withColumn("last_upd_at", lit(null).cast("timestamp"))
+    val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
+    val t1 = lit("2024-02-01 00:00:00").cast("timestamp")
+
+    val base = withAudit(spark.range(200).select($"id".as("k"),
+      ($"id" % 7).cast("string").as("attr")))
+    MergeOps.prunedConditionalUpsert(table, base,
+      pk = Seq("k"), tracked = Seq("attr"), runTs = t0, nParts = 8)
+
+    // byte-level snapshot of every v0 data file
+    def dataFiles(p: Path): Map[String, Seq[Byte]] = {
+      val s = F.walk(p)
+      try s.toArray.map(_.asInstanceOf[Path])
+        .filter(f => f.toString.endsWith(".parquet") && F.isRegularFile(f))
+        .map(f => table.relativize(f).toString -> F.readAllBytes(f).toSeq)
+        .toMap
+      finally s.close()
+    }
+    val v0Files = dataFiles(table.resolve("v0"))
+    assert(v0Files.nonEmpty)
+
+    // incremental load: 3 changed keys + 1 new key
+    val inc = withAudit(Seq(0L -> "X", 31L -> "X", 62L -> "X", 999L -> "NEW")
+      .toDF("k", "attr"))
+    MergeOps.prunedConditionalUpsert(table, inc,
+      pk = Seq("k"), tracked = Seq("attr"), runTs = t1, nParts = 8)
+
+    // v1 holds ONLY the affected buckets (≤ 4 of 8)
+    val affected = Seq(0L, 31L, 62L, 999L)
+      .map(k => spark.sql(s"SELECT pmod(xxhash64(${k}L), 8)").first().getLong(0))
+      .distinct
+    val s1 = F.list(table.resolve("v1"))
+    val v1Parts =
+      try s1.toArray.map(_.asInstanceOf[Path].getFileName.toString)
+        .filter(_.startsWith("pbucket=")).toSeq
+      finally s1.close()
+    assert(v1Parts.toSet == affected.map(b => s"pbucket=$b").toSet,
+      s"v1 must hold exactly the affected buckets, got $v1Parts")
+
+    // untouched v0 files are BYTE-IDENTICAL (never rewritten or moved)
+    val v0After = dataFiles(table.resolve("v0"))
+    assert(v0After == v0Files, "untouched partitions' files must not change")
+
+    // and the composed state equals the all-at-once upsert
+    val got = Storage.readPartitionedVersion(spark, table).drop("pbucket")
+    val baseState = MergeOps.conditionalUpsert(
+      withAudit(spark.range(0).select($"id".as("k"), lit("").as("attr"))),
+      base, Seq("k"), Seq("attr"), t0)
+    val want = MergeOps.conditionalUpsert(baseState, inc, Seq("k"), Seq("attr"), t1)
+    assert(got.count() == 201)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("stats manifest: a selective range predicate reads strictly fewer files") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("stats_prune").resolve("t")
+    // range-clustered write (the z-order/sort-on-key shape): 8 files, each
+    // covering a disjoint id range
+    val df = spark.range(0, 8000).select($"id", ($"id" % 13).as("v"))
+      .repartitionByRange(8, $"id")
+    Storage.commitVersion(df, table)
+
+    val (kept, total) = Storage.statsPrunedFiles(table, "id", 100.0, 200.0)
+    assert(total == 8, s"expected 8 files, got $total")
+    assert(kept.size < total, s"pruning must skip files: kept ${kept.size}/$total")
+    assert(kept.size <= 2, s"a 100-wide range should hit at most 2 of 8 range-files")
+    info(s"stats manifest kept ${kept.size} of $total files for id in [100, 200]")
+
+    // pruned read + filter ≡ full read + filter
+    val want = Storage.readVersion(spark, table)
+      .filter($"id".between(100, 200)).collect().map(_.getLong(0)).sorted.toSeq
+    val got = Storage.readVersionPruned(spark, table, "id", 100.0, 200.0)
+      .filter($"id".between(100, 200)).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want)
+
+    // a disjoint range prunes everything and still answers correctly
+    val none = Storage.readVersionPruned(spark, table, "id", 1e7, 2e7)
+      .filter($"id".between(1e7.toLong, 2e7.toLong))
+    assert(none.count() == 0)
   }
 
   test("commit log: schema evolves across versions; time travel returns each version's own schema") {
