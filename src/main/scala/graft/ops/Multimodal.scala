@@ -6,16 +6,17 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (BASELINE.json north star): images/audio/video
   * travel as opaque `binary` columns with a typed metadata struct alongside.
-  * The Spark-side machinery — schema, partition sizing, batch-shaped decode
-  * — is real; the codec itself is a clearly-marked DETERMINISTIC STUB
-  * because no image/audio libraries exist in this container. Swapping
-  * [[decodeStub]] for a JNI/Java codec changes no plumbing.
+  * The decode path is a REAL image codec (`javax.imageio`, in the JDK):
+  * [[synthesizedMedia]] encodes deterministic PNGs whose pixel values are a
+  * closed-form function of (x, y, media_id), and [[decode]] reads the
+  * actual pixels back — so an oracle that recomputes the closed form
+  * verifies a genuine decode happened, end to end.
   *
   * Scale notes:
   *  - blobs dominate row size → repartition by target partition BYTES, not
   *    row count ([[repartitionForBlobs]]), so tasks stay memory-bounded.
   *  - decode runs per-partition with batched iteration (mapPartitions) —
-  *    the Scala analog of mapInPandas batches: codec init happens once per
+  *    the Scala analog of mapInPandas batches: codec state lives once per
   *    partition, not once per row.
   */
 object Multimodal {
@@ -29,10 +30,48 @@ object Multimodal {
   val decodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("format", StringType, nullable = true),
-    StructField("byte_len", IntegerType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
+    StructField("pix_sum", LongType, nullable = false),
     StructField("feature", ArrayType(DoubleType), nullable = false)))
+
+  /** Deterministic grayscale test image for `id`: dimensions
+    * `(16 + id%9) × (16 + id%11)`, pixel (x, y) value
+    * `(7x + 13y + 31·id) mod 256` — the closed form an oracle can
+    * recompute without a codec. Returns REAL PNG bytes (lossless, so the
+    * decoded pixels equal the formula exactly). */
+  def synthesizePng(id: Long): Array[Byte] = {
+    val w = (16 + (id % 9)).toInt
+    val h = (16 + (id % 11)).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((x * 7 + y * 13 + id * 31) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** One media row per id in `df(idCol)`: real PNG blobs from
+    * [[synthesizePng]]. Encoding runs distributed (mapPartitions). */
+  def synthesizedMedia(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, synthesizePng(id), "png")
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
 
   /** Wrap any table into media rows: text bytes stand in for image bytes. */
   def asMediaTable(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
@@ -53,21 +92,6 @@ object Multimodal {
     media.repartition(parts, col("media_id"))
   }
 
-  // ===== STUB ============================================================
-  // Deterministic fake "decode": derives width/height/feature from the blob
-  // bytes alone. A real deployment replaces ONLY this function with an
-  // actual codec (e.g. TwelveMonkeys/ImageIO via mapPartitions, or a Pandas
-  // UDF in PySpark). Signature and batching stay identical.
-  // =======================================================================
-  private def decodeStub(blob: Array[Byte]): (Int, Int, Array[Double]) = {
-    val n = if (blob == null) 0 else blob.length
-    val w = 64 + (n % 512)
-    val h = 64 + ((n / 7) % 512)
-    // 8-bucket byte histogram as the stand-in feature vector
-    val hist = new Array[Double](8)
-    if (blob != null) blob.foreach(b => hist((b & 0xFF) / 32) += 1.0)
-    (w, h, hist)
-  }
 
   /** Frame sampling — the video path's explode shape: every `everyNth`
     * frame of the blob becomes its own row (media_id, frame_idx,
@@ -118,18 +142,39 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
-  /** Batch-shaped decode: one codec "session" per partition, rows streamed
-    * through it. Output is columnar-friendly (fixed decodedSchema). */
+  /** Batch-shaped REAL decode: `javax.imageio` per partition, rows streamed
+    * through it. Emits decoded dimensions, the exact pixel-value sum, and
+    * an 8-bucket pixel-intensity histogram (columnar-friendly fixed
+    * [[decodedSchema]]). An undecodable non-null blob fails loudly —
+    * silent nulls would let a corrupt batch pass as "decoded". */
   def decode(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select(col("media_id"), col("blob"), col("format")).rdd
       .mapPartitions { it =>
-        // codec init would happen HERE, once per partition
         it.map { r =>
           val blob = r.getAs[Array[Byte]]("blob")
-          val (w, h, feat) = decodeStub(blob)
-          Row(r.getLong(0), r.getString(2),
-            if (blob == null) 0 else blob.length, w, h, feat.toSeq)
+          if (blob == null) Row(r.getLong(0), r.getString(2), 0, 0, 0L,
+            Seq.fill(8)(0.0))
+          else {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(blob))
+            require(img != null, s"undecodable blob for media_id ${r.getLong(0)}")
+            var sum = 0L
+            val hist = new Array[Double](8)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val v = img.getRGB(x, y) & 0xFF // grayscale: any channel
+                sum += v
+                hist(v / 32) += 1.0
+                x += 1
+              }
+              y += 1
+            }
+            Row(r.getLong(0), r.getString(2), img.getWidth, img.getHeight,
+              sum, hist.toSeq)
+          }
         }
       }
     spark.createDataFrame(rdd, decodedSchema)

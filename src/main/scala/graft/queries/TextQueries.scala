@@ -555,42 +555,42 @@ object TextQueries {
              |  md5(text) AS content_hash
              |FROM documents""".stripMargin)),
 
-    // Multimodal DECODE pipeline end-to-end: blob-byte-aware partition
-    // sizing (repartitionForBlobs) → per-partition batched decode
-    // (Multimodal.decode, the mapInPandas-shaped stub) → typed columnar
-    // output. The stub is deterministic (dims + byte histogram from the
-    // blob alone), so the ORACLE recomputes it byte-for-byte in SQL —
-    // the plumbing is hash-verified even though the codec is fake. Docs
-    // are ASCII, so DuckDB's per-char ascii() equals Spark's blob bytes.
+    // Multimodal DECODE pipeline end-to-end with a REAL codec: per-doc
+    // deterministic PNGs are ENCODED distributed (javax.imageio, real
+    // compressed PNG bytes), byte-budget repartitioned, then DECODED back
+    // per-partition (Multimodal.decode reads actual pixels). Pixel values
+    // are the closed form (7x + 13y + 31·id) mod 256, so the ORACLE
+    // recomputes dimensions, exact pixel sum, and the 8-bucket intensity
+    // histogram WITHOUT a codec — the hash match proves a genuine
+    // encode→decode round trip, not plumbing over a stub.
     Q("mm2_multimodal_decode",
       (s, d) => {
-        val media = Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text")
+        val media = Multimodal.synthesizedMedia(Tables.documents(s, d), "doc_id")
         val decoded = Multimodal.decode(
           Multimodal.repartitionForBlobs(media, targetBytes = 1L << 20))
         decoded.select(
-          (Seq(col("media_id"), col("format"), col("byte_len"),
-            col("width"), col("height")) ++
+          (Seq(col("media_id"), col("format"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("pix_sum")) ++
             (0 until 8).map(i => element_at(col("feature"), i + 1).as(s"f$i"))): _*)
       },
-      Some("""WITH b AS (SELECT doc_id,
-             |    list_transform(range(1, length(text) + 1),
-             |                   i -> ascii(substring(text, i, 1)) // 32) AS buckets
-             |  FROM documents)
-             |SELECT d.doc_id AS media_id,
-             |  CASE WHEN d.doc_id % 3 = 0 THEN 'jpeg'
-             |       WHEN d.doc_id % 3 = 1 THEN 'png' ELSE 'webp' END AS format,
-             |  length(d.text) AS byte_len,
-             |  64 + (length(d.text) % 512) AS width,
-             |  64 + ((length(d.text) // 7) % 512) AS height,
-             |  CAST(len(list_filter(b.buckets, x -> x = 0)) AS DOUBLE) AS f0,
-             |  CAST(len(list_filter(b.buckets, x -> x = 1)) AS DOUBLE) AS f1,
-             |  CAST(len(list_filter(b.buckets, x -> x = 2)) AS DOUBLE) AS f2,
-             |  CAST(len(list_filter(b.buckets, x -> x = 3)) AS DOUBLE) AS f3,
-             |  CAST(len(list_filter(b.buckets, x -> x = 4)) AS DOUBLE) AS f4,
-             |  CAST(len(list_filter(b.buckets, x -> x = 5)) AS DOUBLE) AS f5,
-             |  CAST(len(list_filter(b.buckets, x -> x = 6)) AS DOUBLE) AS f6,
-             |  CAST(len(list_filter(b.buckets, x -> x = 7)) AS DOUBLE) AS f7
-             |FROM documents d JOIN b ON d.doc_id = b.doc_id""".stripMargin)),
+      Some("""WITH m AS (SELECT doc_id, 16 + doc_id % 9 AS w, 16 + doc_id % 11 AS h
+             |  FROM documents),
+             |px AS (SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM m),
+             |pv AS (SELECT doc_id, w, h,
+             |    ((i % w) * 7 + (i // w) * 13 + doc_id * 31) % 256 AS v FROM px)
+             |SELECT doc_id AS media_id, 'png' AS format, w AS width, h AS height,
+             |  CAST(SUM(v) AS BIGINT) AS pix_sum,
+             |  CAST(COUNT(*) FILTER (v // 32 = 0) AS DOUBLE) AS f0,
+             |  CAST(COUNT(*) FILTER (v // 32 = 1) AS DOUBLE) AS f1,
+             |  CAST(COUNT(*) FILTER (v // 32 = 2) AS DOUBLE) AS f2,
+             |  CAST(COUNT(*) FILTER (v // 32 = 3) AS DOUBLE) AS f3,
+             |  CAST(COUNT(*) FILTER (v // 32 = 4) AS DOUBLE) AS f4,
+             |  CAST(COUNT(*) FILTER (v // 32 = 5) AS DOUBLE) AS f5,
+             |  CAST(COUNT(*) FILTER (v // 32 = 6) AS DOUBLE) AS f6,
+             |  CAST(COUNT(*) FILTER (v // 32 = 7) AS DOUBLE) AS f7
+             |FROM pv GROUP BY 1, 2, 3, 4""".stripMargin)),
 
     // Frame sampling — the video path's row-per-frame explode: every 3rd
     // 256-byte frame of each blob becomes a row. Frame boundaries are the

@@ -13,20 +13,28 @@ class MultimodalSpec extends SparkTestBase {
     assert(media.count() == 500)
   }
 
-  test("decode is deterministic, batch-shaped, and byte-derived") {
-    val media = Multimodal.asMediaTable(
-      Tables.documents(spark, Sf001), "doc_id", "text")
+  test("decode reads real PNG pixels back (encode→decode round trip)") {
+    val docs = Tables.documents(spark, Sf001).limit(50)
+    val media = Multimodal.synthesizedMedia(docs, "doc_id")
+    // the blobs are REAL compressed PNGs, not a stand-in: magic header
+    val blob0 = media.filter(col("media_id") === 0).head().getAs[Array[Byte]]("blob")
+    assert(blob0.take(8).toSeq ==
+      Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+
     val out = Multimodal.decode(Multimodal.repartitionForBlobs(media, 64 << 10))
-    assert(out.count() == 500)
-    val r = out.filter(col("media_id") === 0).head()
-    // byte_len equals source text length (ascii corpus)
-    val n = Tables.documents(spark, Sf001).filter(col("doc_id") === 0)
-      .select(length(col("text"))).head().getInt(0)
-    assert(r.getAs[Int]("byte_len") == n)
-    // histogram feature sums to byte count
-    assert(r.getAs[Seq[Double]]("feature").sum == n.toDouble)
+    assert(out.count() == 50)
+    val r = out.filter(col("media_id") === 5).head()
+    // decoded dimensions and exact pixel sum match the closed form the
+    // encoder painted — only a genuine decode can reproduce them
+    val (w, h) = (16 + 5 % 9, 16 + 5 % 11)
+    assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+    val want = (for (y <- 0 until h; x <- 0 until w)
+      yield (x * 7 + y * 13 + 5 * 31) % 256).sum.toLong
+    assert(r.getAs[Long]("pix_sum") == want)
+    // histogram covers every pixel exactly once
+    assert(r.getAs[Seq[Double]]("feature").sum == (w * h).toDouble)
     // same input → same output (determinism across runs/partitionings)
-    val again = Multimodal.decode(media).filter(col("media_id") === 0).head()
+    val again = Multimodal.decode(media).filter(col("media_id") === 5).head()
     assert(again == r)
   }
 
