@@ -176,6 +176,97 @@ class StreamingSpec extends SparkTestBase {
     assert(cur == 0)
   }
 
+  test("crash recovery: checkpoint restart neither loses nor duplicates through foreachBatch + commit log") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("crash_src")
+    val srcSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    def feed(n: Int, rows: Seq[(Long, String, Double)]): Unit = {
+      // the file source lists FILES, not subdirectories: stage the single
+      // part-file into the source dir under a stable name
+      val tmp = Files.createTempDirectory(s"crash_feed_$n")
+      rows.toDF("user_id", "event_type", "value")
+        .coalesce(1).write.parquet(tmp.resolve("w").toString)
+      val s = Files.list(tmp.resolve("w"))
+      val part =
+        try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally s.close()
+      Files.copy(part, srcDir.resolve(s"b$n.parquet"))
+    }
+
+    val stateSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("loaded_at", TimestampType), StructField("last_upd_at", TimestampType)))
+    val stateDir = Files.createTempDirectory("crash_state")
+    val ckpt = Files.createTempDirectory("crash_ckpt").toString
+    val table = stateDir.resolve("state")
+    // batch stamps must be a pure function of batchId: a RE-EXECUTED batch
+    // then re-merges to the identical state (effectively-once)
+    def ts(bid: Long) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$bid%02d")
+
+    def runOnce(): StreamingLoads.StreamingTableState = {
+      val state = new StreamingLoads.StreamingTableState(spark, stateSchema, stateDir)
+      val stream = spark.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+        .select(col("user_id"), col("event_type"), col("value"),
+          lit(null).cast("timestamp").as("loaded_at"),
+          lit(null).cast("timestamp").as("last_upd_at"))
+      val q = StreamingLoads.foreachBatchUpsert(stream, state,
+          Seq("user_id"), Seq("event_type", "value"), ts)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      state
+    }
+    def snap(state: StreamingLoads.StreamingTableState) = state.snapshot
+      .select($"user_id", $"event_type", $"value",
+        unix_timestamp($"loaded_at").as("l"), unix_timestamp($"last_upd_at").as("u"))
+      .collect().map(_.toSeq).toSet
+
+    // ---- run 1: two micro-batches (maxFilesPerTrigger=1), then "crash"
+    feed(0, Seq((1L, "a", 1.0), (2L, "a", 2.0)))
+    feed(1, Seq((1L, "b", 3.0), (3L, "a", 4.0)))
+    val s1 = runOnce()
+    val afterRun1 = snap(s1)
+    assert(afterRun1.map(r => (r(0), r(1))) ==
+      Set((1L, "b"), (2L, "a"), (3L, "a")))
+    assert(graft.ops.Storage.currentVersion(table).contains(1L), "2 batches = v0, v1")
+
+    // ---- crash mode 1: foreachBatch is at-least-once — the last batch's
+    // side effect may be RE-EXECUTED after a crash before the offset
+    // commit. Deterministic per-batch stamps make the re-merge a no-op.
+    s1.merge(
+      Seq((1L, "b", 3.0), (3L, "a", 4.0)).toDF("user_id", "event_type", "value")
+        .withColumn("loaded_at", lit(null).cast("timestamp"))
+        .withColumn("last_upd_at", lit(null).cast("timestamp")),
+      Seq("user_id"), Seq("event_type", "value"), lit(ts(1)))
+    assert(snap(s1) == afterRun1, "re-executed batch must not change state")
+
+    // ---- crash mode 2: a crash inside commitVersion leaves a promoted-
+    // but-unpointed orphan; the restarted writer's startup repair clears it
+    val orphan = table.resolve("v9")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("_SUCCESS"), Array[Byte]())
+
+    // ---- run 2: new data + restart from the SAME checkpoint
+    feed(2, Seq((2L, "c", 5.0), (4L, "a", 6.0)))
+    val s2 = runOnce() // constructor repairs the orphan, then commits
+    val fin = snap(s2)
+    assert(fin == Set(
+      Seq(1L, "b", 3.0, epoch(ts(0)), epoch(ts(1))), // run-1 state survives
+      Seq(2L, "c", 5.0, epoch(ts(0)), epoch(ts(2))), // updated, loaded_at kept
+      Seq(3L, "a", 4.0, epoch(ts(1)), epoch(ts(1))),
+      Seq(4L, "a", 6.0, epoch(ts(2)), epoch(ts(2)))), // new key after restart
+      s"unexpected final state: $fin")
+    // restart processed ONLY the new file: exactly one commit past the
+    // manual re-merge (v2) — batches 0/1 were not replayed into new versions
+    assert(graft.ops.Storage.currentVersion(table).contains(3L))
+  }
+
+  private def epoch(t: java.sql.Timestamp): Long = t.getTime / 1000
+
   test("foreachBatch streaming upsert lands the latest value per key") {
     val stateSchema = StructType(Seq(
       StructField("user_id", LongType), StructField("event_type", StringType),
