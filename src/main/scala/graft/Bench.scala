@@ -70,25 +70,64 @@ object Bench {
     val busy =
       try loadStart.split(" ").head.toDouble > cpus.toInt / 2.0
       catch { case _: Throwable => false }
-    def line(entries: Seq[(String, Double)]): String = {
+    // regression self-flagging: the previous round's committed
+    // bench_full.json (about to be overwritten below) is the baseline —
+    // any query ≥1.5× AND ≥0.3 s slower is named in the artifact, so a
+    // real regression surfaces in the driver output instead of hiding in
+    // a 120-entry map. load_warning above contextualizes false alarms
+    // from a busy host.
+    val prevQueries: Map[String, Double] =
+      try {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val prev = JsonMethods.parse(scala.io.Source.fromFile("bench_full.json").mkString)
+        // only compare like against like: a baseline recorded at another
+        // scale factor (or dev run) would flag everything
+        val sameSf = prev \ "sf" match {
+          case JString(s) => s == sfDir
+          case _ => false
+        }
+        if (!sameSf) Map.empty
+        else prev \ "queries" match {
+          case JObject(fs) => fs.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JDecimal(v)) => k -> v.toDouble
+            case (k, JInt(v)) => k -> v.toDouble
+          }.toMap
+          case _ => Map.empty
+        }
+      } catch { case _: Throwable => Map.empty }
+    val regressions = results
+      .flatMap { case (name, now) => prevQueries.get(name) match {
+        case Some(prev) if now > prev * 1.5 && now - prev > 0.3 =>
+          Some((name, prev, now))
+        case _ => None
+      } }
+      .sortBy { case (_, prev, now) => prev - now } // largest slowdown first
+    def regsJson(regs: Seq[(String, Double, Double)]): String = regs
+      .map { case (q, p, n) => s"""{"q":"$q","prev":${r3(p)},"now":${r3(n)}}""" }
+      .mkString("[", ",", "]")
+    def line(entries: Seq[(String, Double)], regs: Seq[(String, Double, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"reps":3,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_warning":$busy,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"regressions":${regsJson(regs)},"reps":3,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_warning":$busy,"sf":"$sfDir"}"""
     }
     // Full per-query breakdown → file (the consumer of stdout keeps only the
     // last ~2000 chars, which an 82-entry map overflows).
-    val full = line(results)
+    val full = line(results, regressions)
     try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
     // Final stdout line: slowest queries first, trimmed so the LINE stays
     // well inside the consumer's 2000-char tail window even after the
-    // "[success] Total time ..." epilogue that follows it.
+    // "[success] Total time ..." epilogue that follows it. Regressions are
+    // the headline: they keep their slot (capped at 5) before queries.
     val budget = 1700
+    val regsTop = regressions.take(5)
     val bySlowest = results.sortBy(-_._2)
     var keep = bySlowest
-    while (keep.nonEmpty && line(keep).length > budget) keep = keep.dropRight(1)
-    println(line(keep))
+    while (keep.nonEmpty && line(keep, regsTop).length > budget) keep = keep.dropRight(1)
+    println(line(keep, regsTop))
   }
 }

@@ -53,7 +53,12 @@ object AggMaintain {
     *        that never are, defeating the automatic check). With null
     *        keys present this assumption would DUPLICATE those rows
     *        instead of merging them — only assert what the pipeline
-    *        guarantees. */
+    *        guarantees.
+    * @param validateKeys belt-and-suspenders for the assertion above:
+    *        eagerly count null keys in `deltaAgg` (tiny — one row per
+    *        delta key) and fail loudly if any exist. State rows only ever
+    *        originate from deltas, so validating each delta inductively
+    *        keeps the state clean without scanning it. */
   def applyDelta(
       state: DataFrame,
       deltaAgg: DataFrame,
@@ -61,7 +66,15 @@ object AggMaintain {
       sumCols: Seq[String],
       minCols: Seq[String] = Seq.empty,
       maxCols: Seq[String] = Seq.empty,
-      assumeKeysNonNull: Boolean = false): DataFrame = {
+      assumeKeysNonNull: Boolean = false,
+      validateKeys: Boolean = false): DataFrame = {
+    if (assumeKeysNonNull && validateKeys) {
+      val nulls = deltaAgg
+        .filter(keys.map(col(_).isNull).reduce(_ || _)).count()
+      require(nulls == 0,
+        s"assumeKeysNonNull is set but the delta has $nulls null-keyed " +
+          s"row(s) on ${keys.mkString(",")} — they would duplicate instead of merge")
+    }
     val order = keys ++ Seq("count_rows") ++ sumCols ++ minCols ++ maxCols
     val s = state.select(order.map(col): _*).alias("s")
     val d = deltaAgg.select(order.map(col): _*).alias("d")

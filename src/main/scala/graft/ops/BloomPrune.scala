@@ -64,6 +64,12 @@ object BloomPrune {
       call_function(AggFn, xxhash64(buildKey), lit(expectedItems), lit(numBits))
         .as("__bloom"))
       .head().getAs[Array[Byte]](0)
-    large.filter(call_function(ProbeFn, lit(bloom), xxhash64(largeKey)))
+    // empty build side → the aggregate returns null. Make the "no key can
+    // match" outcome EXPLICIT instead of relying on might_contain's
+    // null-bloom behavior: callers get an empty frame with the right
+    // schema, consistent with the bloom+join equivalence (join against an
+    // empty build yields nothing).
+    if (bloom == null) large.limit(0)
+    else large.filter(call_function(ProbeFn, lit(bloom), xxhash64(largeKey)))
   }
 }

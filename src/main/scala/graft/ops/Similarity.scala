@@ -138,14 +138,19 @@ object Similarity {
       cs.toDF("centroid_id", "cvec")
         .select(col("centroid_id"), col("cvec").cast("array<double>"))
 
+    // the upstream lineage would otherwise re-execute 2·iters + 1 times
+    // (seeding + assignment and per-dimension sums each iteration) —
+    // materialize the two-column projection once for the whole loop
+    val emb = embeddings.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids: Seq[(Int, Seq[Double])] =
-      embeddings.orderBy(col(idCol)).limit(c)
+      emb.orderBy(col(idCol)).limit(c)
         .select(col(vecCol).cast("array<double>")).collect()
         .zipWithIndex
         .map { case (r, i) => i -> r.getSeq[Double](0) }.toSeq
 
     for (_ <- 1 to iters) {
-      val assigned = embeddings.crossJoin(broadcast(toDf(centroids)))
+      val assigned = emb.crossJoin(broadcast(toDf(centroids)))
         .withColumn("__cos", cosine(col(vecCol), col("cvec")))
         .groupBy(col(idCol))
         .agg(max_by(
@@ -170,6 +175,7 @@ object Similarity {
         }
       }
     }
+    emb.unpersist(blocking = false) // centroids are local data by now
     toDf(centroids)
   }
 

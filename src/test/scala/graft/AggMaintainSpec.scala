@@ -26,6 +26,20 @@ class AggMaintainSpec extends SparkTestBase {
     assert(merged == full)
   }
 
+  test("applyDelta: validateKeys catches a violated assumeKeysNonNull assertion") {
+    val state = Seq(("a", 1L, BigDecimal(1.0))).toDF("k", "count_rows", "s")
+    val badDelta = Seq((null.asInstanceOf[String], 1L, BigDecimal(2.0)))
+      .toDF("k", "count_rows", "s")
+    intercept[IllegalArgumentException] {
+      AggMaintain.applyDelta(state, badDelta, Seq("k"), Seq("s"),
+        assumeKeysNonNull = true, validateKeys = true)
+    }
+    // clean delta passes with validation on
+    val ok = Seq(("b", 1L, BigDecimal(2.0))).toDF("k", "count_rows", "s")
+    assert(AggMaintain.applyDelta(state, ok, Seq("k"), Seq("s"),
+      assumeKeysNonNull = true, validateKeys = true).count() == 2)
+  }
+
   test("applyDelta: additive retraction (negative counts/sums) shrinks state") {
     val state = Seq(("a", 3L, BigDecimal(10.0))).toDF("k", "count_rows", "s")
     val retract = Seq(("a", -1L, BigDecimal(-4.0))).toDF("k", "count_rows", "s")
