@@ -1,0 +1,264 @@
+package graft.ops
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Delta Lake transaction-log interop for the versioned commit log.
+  *
+  * [[Storage.commitVersion]]'s `_LATEST`/`v<N>` layout is correct but opaque
+  * to every other engine — the gap a real deployment hits first. The Delta
+  * Lake transaction-log format is a published open protocol
+  * (github.com/delta-io/delta, PROTOCOL.md): a table is a directory whose
+  * `_delta_log/<version>.json` files list newline-delimited JSON actions
+  * (`protocol`, `metaData`, `add`, `remove`). This module writes that log at
+  * commit time so EVERY committed version directory is simultaneously a
+  * valid, standalone Delta table (version 0 = the snapshot): point Spark
+  * with delta-spark, Trino, or DuckDB's delta extension at
+  * `table/v<N>` and it reads the exact committed snapshot — zero data
+  * copies, zero export jobs.
+  *
+  * Two shapes:
+  *  - [[Storage.commitVersion]]: all add-paths are relative file names
+  *    inside the version directory — the plain-table shape.
+  *  - [[Storage.commitPartitions]]: partitions rewritten by this commit are
+  *    relative `col=value/part-*.parquet` adds; untouched partitions carry
+  *    forward as ABSOLUTE `file:` URI adds pointing into the owning older
+  *    version directory — exactly Delta's shallow-clone shape, so the
+  *    by-reference commit stays O(changed partitions) while still being a
+  *    complete external-readable table. Carried adds are copied from the
+  *    PREVIOUS version's log (metadata-only), so untouched partitions are
+  *    still never listed.
+  *
+  * Each `add` carries the protocol's optional per-file `stats` JSON
+  * (`numRecords` + `minValues`/`maxValues` for top-level numeric and string
+  * columns), read from the freshly-written parquet footers — a Delta reader
+  * gets file skipping on the same stats [[Storage.statsPrunedFiles]] uses.
+  *
+  * Scale note: the log is one small JSON file per commit, built from footer
+  * metadata already in page cache from the write — commit cost stays
+  * metadata-only, independent of table size.
+  *
+  * Limitations (documented, not hidden): single-commit logs (history lives
+  * in OUR version directories, not one Delta log — time travel across
+  * commits is `v<N-1>`'s log); partition values are written raw (the tables
+  * here use numeric bucket values — no special-character escaping);
+  * checkpoints (`_last_checkpoint`) are unnecessary at one commit per log.
+  */
+object DeltaInterop {
+
+  private val LogDirName = "_delta_log"
+  private val Commit0 = "00000000000000000000.json"
+
+  def logFile(versionDir: Path): Path = versionDir.resolve(LogDirName).resolve(Commit0)
+
+  /** One `add` action: `path` is a relative path inside the version dir or
+    * an absolute `file:` URI (the shallow-clone carry). `stats` is the
+    * protocol's JSON-as-string per-file stats payload. */
+  final case class Add(
+      path: String,
+      partitionValues: Map[String, String],
+      size: Long,
+      modificationTime: Long,
+      stats: Option[String])
+
+  final case class Snapshot(schemaJson: String, partitionColumns: Seq[String], adds: Seq[Add])
+
+  // ---- write side ---------------------------------------------------------
+
+  /** Write `_delta_log/…0.json` into `versionDir` (normally the staging dir,
+    * pre-promote): protocol + metaData + one add per data file under it +
+    * `carried` adds (absolute-URI references into older version dirs). */
+  private[graft] def writeCommit0(
+      spark: SparkSession,
+      versionDir: Path,
+      schema: StructType,
+      partitionColumns: Seq[String],
+      carried: Seq[Add] = Nil,
+      footerStats: Option[Map[String, (Long, Map[String, (String, String, String)])]] = None): Unit = {
+    val own = listOwnAdds(spark, versionDir, schema, footerStats)
+    val now = System.currentTimeMillis()
+    val actions: Seq[JObject] =
+      JObject("commitInfo" -> JObject(
+        "timestamp" -> JLong(now),
+        "operation" -> JString("WRITE"),
+        "operationParameters" -> JObject(Nil),
+        "engineInfo" -> JString("graft-storage"))) ::
+      JObject("protocol" -> JObject(
+        "minReaderVersion" -> JInt(1),
+        "minWriterVersion" -> JInt(2))) ::
+      JObject("metaData" -> JObject(
+        "id" -> JString(java.util.UUID.randomUUID.toString),
+        "format" -> JObject("provider" -> JString("parquet"), "options" -> JObject(Nil)),
+        "schemaString" -> JString(schema.json),
+        "partitionColumns" -> JArray(partitionColumns.map(JString(_)).toList),
+        "configuration" -> JObject(Nil),
+        "createdTime" -> JLong(now))) ::
+      (own ++ carried).map(addAction).toList
+    val log = logFile(versionDir)
+    Files.createDirectories(log.getParent)
+    Files.write(log,
+      actions.map(a => JsonMethods.compact(JsonMethods.render(a))).mkString("\n").getBytes("UTF-8"))
+  }
+
+  private def addAction(a: Add): JObject =
+    JObject("add" -> JObject(
+      "path" -> JString(a.path),
+      "partitionValues" -> JObject(a.partitionValues.toSeq.sortBy(_._1)
+        .map { case (k, v) => k -> (JString(v): JValue) }.toList),
+      "size" -> JLong(a.size),
+      "modificationTime" -> JLong(a.modificationTime),
+      "dataChange" -> JBool(true),
+      "stats" -> a.stats.map(JString(_)).getOrElse(JNothing)))
+
+  /** The data files physically under `versionDir`, as relative adds with
+    * footer-derived stats. Partition values come from `col=value` path
+    * segments (the layout `DataFrame.write.partitionBy` produces). */
+  private def listOwnAdds(
+      spark: SparkSession, versionDir: Path, schema: StructType,
+      footerStats: Option[Map[String, (Long, Map[String, (String, String, String)])]]): Seq[Add] = {
+    val meta = footerStats.getOrElse(Storage.readFooterStats(spark, versionDir))
+    dataFilesUnder(versionDir).map { f =>
+      val rel = versionDir.relativize(f)
+      val relStr = (0 until rel.getNameCount).map(rel.getName(_).toString).mkString("/")
+      val partVals = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
+        .filter(_.contains("="))
+        .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
+      Add(relStr, partVals, Files.size(f), Files.getLastModifiedTime(f).toMillis,
+        meta.get(relStr).map { case (rows, cols) => statsJson(schema, rows, cols) })
+    }
+  }
+
+  /** The protocol's per-file stats string. min/max only for columns whose
+    * SPARK type renders unambiguously in JSON (integral, floating, string) —
+    * date/timestamp/decimal footer stats are raw physical values (days,
+    * micros, unscaled) that an external reader would misinterpret, so those
+    * columns get numRecords-only skipping. */
+  private def statsJson(
+      schema: StructType, rows: Long, cols: Map[String, (String, String, String)]): String = {
+    import org.apache.spark.sql.types._
+    def typed(name: String, tag: String, v: String): Option[JValue] =
+      schema.find(_.name == name).map(_.dataType).flatMap {
+        case ByteType | ShortType | IntegerType | LongType if tag == "i" =>
+          Some(JInt(BigInt(v)))
+        case FloatType | DoubleType if tag == "f" => Some(JDouble(v.toDouble))
+        case StringType if tag == "s" => Some(JString(v))
+        case _ => None
+      }
+    def side(pick: ((String, String, String)) => (String, String)): List[(String, JValue)] =
+      cols.toSeq.sortBy(_._1).flatMap { case (c, st) =>
+        val (tag, v) = pick(st)
+        typed(c, tag, v).map(c -> _)
+      }.toList
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "numRecords" -> JLong(rows),
+      "minValues" -> JObject(side { case (t, mn, _) => (t, mn) }),
+      "maxValues" -> JObject(side { case (t, _, mx) => (t, mx) }))))
+  }
+
+  /** Carry the previous version's adds for partitions NOT rewritten by this
+    * commit, absolutized against the directory that owns their bytes. Pure
+    * log-to-log metadata: no data directory is listed. Falls back to listing
+    * only for pre-interop tables with no previous log. */
+  private[graft] def carriedAdds(
+      spark: SparkSession,
+      table: Path,
+      baseVersion: Option[Long],
+      manifest: Map[String, Long],
+      rewritten: Set[String],
+      partCol: String): Seq[Add] = {
+    val keep = manifest.view.filterKeys(!rewritten.contains(_)).toMap
+    if (keep.isEmpty) return Nil
+    val prevLog = baseVersion.map(b => logFile(table.resolve(s"v$b")))
+    prevLog.filter(Files.exists(_)) match {
+      case Some(log) =>
+        val base = table.resolve(s"v${baseVersion.get}")
+        readLog(log).adds
+          .filter(a => keep.contains(partDirName(a, partCol)))
+          .map(a => if (isAbsolute(a.path)) a
+                    else a.copy(path = base.resolve(a.path).toUri.toString))
+      case None => // legacy table: one listing per carried partition, once
+        keep.toSeq.sortBy(_._1).flatMap { case (part, ver) =>
+          val dir = table.resolve(s"v$ver").resolve(part)
+          val Array(k, v) = part.split("=", 2)
+          dataFilesUnder(dir).map(f => Add(f.toUri.toString, Map(k -> v),
+            Files.size(f), Files.getLastModifiedTime(f).toMillis, None))
+        }
+    }
+  }
+
+  private def partDirName(a: Add, partCol: String): String =
+    a.partitionValues.get(partCol).map(v => s"$partCol=$v").getOrElse("")
+
+  private def isAbsolute(p: String): Boolean =
+    p.startsWith("file:") || p.startsWith("/") || p.contains("://")
+
+  private def dataFilesUnder(dir: Path): Seq[Path] = {
+    val s = Files.walk(dir)
+    try s.toArray.map(_.asInstanceOf[Path])
+      .filter(p => p.getFileName.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .sortBy(_.toString).toSeq
+    finally s.close()
+  }
+
+  // ---- read side (the "external engine" path) -----------------------------
+
+  /** Parse a version directory's Delta log. */
+  def readLog(log: Path): Snapshot = {
+    require(Files.exists(log), s"no Delta log at $log")
+    val lines = new String(Files.readAllBytes(log), "UTF-8").split("\n").filter(_.nonEmpty)
+    var schemaJson = ""
+    var partCols = Seq.empty[String]
+    val adds = Seq.newBuilder[Add]
+    lines.foreach { l =>
+      JsonMethods.parse(l) match {
+        case JObject(fields) => fields.foreach {
+          case ("metaData", md) =>
+            schemaJson = (md \ "schemaString").asInstanceOf[JString].s
+            partCols = (md \ "partitionColumns").asInstanceOf[JArray]
+              .arr.map(_.asInstanceOf[JString].s)
+          case ("add", ad) =>
+            adds += Add(
+              (ad \ "path").asInstanceOf[JString].s,
+              (ad \ "partitionValues") match {
+                case JObject(pv) => pv.map { case (k, v) => k -> v.asInstanceOf[JString].s }.toMap
+                case _ => Map.empty
+              },
+              (ad \ "size") match { case JLong(n) => n; case JInt(n) => n.toLong; case _ => 0L },
+              (ad \ "modificationTime") match {
+                case JLong(n) => n; case JInt(n) => n.toLong; case _ => 0L },
+              (ad \ "stats") match { case JString(s) => Some(s); case _ => None })
+          case _ => ()
+        }
+        case other => throw new IllegalStateException(s"bad Delta log line: $other")
+      }
+    }
+    require(schemaJson.nonEmpty, s"Delta log $log has no metaData action")
+    Snapshot(schemaJson, partCols, adds.result())
+  }
+
+  /** Read a committed version EXACTLY the way an external Delta engine
+    * would: the log — not a directory listing — decides which files to
+    * read, the metaData schemaString types the scan, and partition-column
+    * values come from each add's `partitionValues` (they are NOT in the
+    * data files). Used by the `io1` oracle row and DeltaInteropSpec. */
+  def readSnapshot(spark: SparkSession, versionDir: Path): DataFrame = {
+    val snap = readLog(logFile(versionDir))
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val dataSchema = StructType(schema.filterNot(f => snap.partitionColumns.contains(f.name)))
+    def resolve(p: String): String =
+      if (isAbsolute(p)) p else versionDir.resolve(p).toString
+    snap.adds.groupBy(_.partitionValues).toSeq.sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+      .map { case (pv, adds) =>
+        val base = spark.read.schema(dataSchema).parquet(adds.map(a => resolve(a.path)): _*)
+        snap.partitionColumns.foldLeft(base) { (df, c) =>
+          df.withColumn(c, lit(pv(c)).cast(schema(c).dataType))
+        }.select(schema.map(f => org.apache.spark.sql.functions.col(f.name)): _*)
+      }
+      .reduce(_.unionByName(_))
+  }
+}

@@ -134,7 +134,11 @@ object Storage {
     val v = currentVersion(table).getOrElse(-1L) + 1
     val staging = newStaging(table, v)
     next.write.mode("overwrite").parquet(staging.toString)
-    writeStatsManifest(next.sparkSession, staging)
+    // one footer pass feeds both the skipping manifest and the Delta log
+    val footerStats = readFooterStats(next.sparkSession, staging)
+    writeStatsManifest(next.sparkSession, staging, Some(footerStats))
+    DeltaInterop.writeCommit0(next.sparkSession, staging, next.schema, Nil,
+      footerStats = Some(footerStats))
     casPromote(table, staging, v)
     vacuum(table, v, keepVersions, referenced = Set.empty)
     v
@@ -263,24 +267,27 @@ object Storage {
   // what completes the z-order promise at 100 TB: cluster on the key
   // (ZOrder), then skip whole files by key range here.
 
-  /** file name → column → (typeTag, min, max); built from parquet footers. */
+  /** relative path → (rowCount, column → (typeTag, min, max)); built from
+    * parquet footers — metadata-only, no data pass. Walks recursively so
+    * partitioned (`col=value/…`) version dirs are covered too; keys are
+    * paths relative to `dir` (for a flat dir, just the file name). */
   private[graft] def readFooterStats(
-      spark: SparkSession, dir: Path): Map[String, Map[String, (String, String, String)]] = {
+      spark: SparkSession, dir: Path): Map[String, (Long, Map[String, (String, String, String)])] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.io.api.Binary
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val conf = spark.sessionState.newHadoopConf()
-    val s = Files.list(dir)
+    val s = Files.walk(dir)
     val parts =
       try s.toArray.map(_.asInstanceOf[Path])
         .filter(p => p.getFileName.toString.endsWith(".parquet") && Files.isRegularFile(p))
-        .sortBy(_.getFileName.toString).toSeq
+        .sortBy(_.toString).toSeq
       finally s.close()
     parts.map { p =>
       val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
       val rd = ParquetFileReader.open(in)
-      val cols =
+      val (rows, cols) =
         try {
           import scala.jdk.CollectionConverters._
           val perChunk = for {
@@ -302,7 +309,7 @@ object Storage {
             (cc.getPath.toDotString, tag,
               str(st.genericGetMin), str(st.genericGetMax))
           }
-          perChunk.groupBy(_._1).map { case (c, chunks) =>
+          val byCol = perChunk.groupBy(_._1).map { case (c, chunks) =>
             val tag = chunks.head._2
             def ord(x: String): (String, BigDecimal) =
               if (tag == "s") (x, BigDecimal(0)) else ("", BigDecimal(x))
@@ -310,16 +317,20 @@ object Storage {
               chunks.map(_._3).minBy(ord),
               chunks.map(_._4).maxBy(ord))
           }
+          (rd.getRecordCount, byCol)
         } finally rd.close()
-      p.getFileName.toString -> cols
+      val rel = dir.relativize(p)
+      (0 until rel.getNameCount).map(rel.getName(_).toString).mkString("/") -> (rows, cols)
     }.toMap
   }
 
-  private def writeStatsManifest(spark: SparkSession, dir: Path): Unit = {
+  private def writeStatsManifest(
+      spark: SparkSession, dir: Path,
+      precomputed: Option[Map[String, (Long, Map[String, (String, String, String)])]] = None): Unit = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    val stats = readFooterStats(spark, dir)
-    val json = JObject(stats.toSeq.sortBy(_._1).map { case (f, cols) =>
+    val stats = precomputed.getOrElse(readFooterStats(spark, dir))
+    val json = JObject(stats.toSeq.sortBy(_._1).map { case (f, (_, cols)) =>
       f -> JObject(cols.toSeq.sortBy(_._1).map { case (c, (t, mn, mx)) =>
         c -> JObject(List("t" -> JString(t), "min" -> JString(mn), "max" -> JString(mx)))
       }.toList)
@@ -436,6 +447,12 @@ object Storage {
       JsonMethods.compact(JsonMethods.render(JObject(
         manifest.toSeq.sortBy(_._1).map { case (k, ver) => k -> JLong(ver) }.toList
       ))).getBytes("UTF-8"))
+    // Delta interop: rewritten partitions as relative adds, untouched ones
+    // carried as absolute-URI adds (shallow-clone shape) from the previous
+    // version's log — still metadata-only, still never listing their bytes
+    DeltaInterop.writeCommit0(next.sparkSession, staging, next.schema, Seq(partCol),
+      carried = DeltaInterop.carriedAdds(next.sparkSession, table, base, manifest,
+        rewritten = written.toSet, partCol))
     casPromote(table, staging, v)
     vacuum(table, v, keepVersions, referenced = manifest.values.toSet)
     v

@@ -1227,5 +1227,27 @@ object MartQueries {
              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000
-             |GROUP BY 1""".stripMargin)))
+             |GROUP BY 1""".stripMargin)),
+
+    // Delta Lake interop ([[graft.ops.DeltaInterop]]): commit `documents`
+    // through the versioned commit log, then read it back EXACTLY the way
+    // an external Delta engine would — the `_delta_log` written at commit
+    // time (protocol/metaData/add actions, open published format), not a
+    // directory listing, decides which files to read and what schema types
+    // them. Hash-matching the oracle (which reads the ORIGINAL parquet)
+    // proves every committed snapshot is externally readable in place —
+    // zero data copies, zero export jobs.
+    Q("io1_delta_log_roundtrip",
+      (s, d) => {
+        val table = java.nio.file.Files.createTempDirectory("io1_delta")
+          .resolve("documents")
+        val v = graft.ops.Storage.commitVersion(Tables.documents(s, d), table)
+        graft.ops.DeltaInterop.readSnapshot(s, table.resolve(s"v$v"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY 1""".stripMargin)))
 }

@@ -1,0 +1,171 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import graft.ops.{DeltaInterop, MergeOps, Storage}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Every committed version directory must be a valid standalone Delta Lake
+  * table per the published protocol (delta-io/delta PROTOCOL.md): these
+  * tests parse the log the way an EXTERNAL engine would — raw JSON, no graft
+  * read helpers — and assert protocol fields, file coverage, stats, and
+  * snapshot equivalence for both commit shapes.
+  */
+class DeltaInteropSpec extends SparkTestBase {
+
+  private def logLines(versionDir: Path): Seq[JValue] = {
+    val log = DeltaInterop.logFile(versionDir)
+    assert(Files.exists(log), s"missing Delta log at $log")
+    new String(Files.readAllBytes(log), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSeq.map(JsonMethods.parse(_))
+  }
+
+  private def addActions(lines: Seq[JValue]): Seq[JValue] =
+    lines.flatMap(l => (l \ "add") match { case JNothing => None; case a => Some(a) })
+
+  test("commitVersion writes a protocol-compliant single-commit Delta log") {
+    val table = Files.createTempDirectory("delta_plain").resolve("t")
+    val nation = Tables.nation(spark, Sf001)
+    Storage.commitVersion(nation, table)
+    val vdir = table.resolve("v0")
+    val lines = logLines(vdir)
+
+    // exactly one protocol and one metaData action, protocol-minimum versions
+    val protocols = lines.flatMap(l => (l \ "protocol") match {
+      case JNothing => None; case p => Some(p) })
+    assert(protocols.size == 1)
+    assert((protocols.head \ "minReaderVersion") == JInt(1))
+    assert((protocols.head \ "minWriterVersion") == JInt(2))
+
+    val metas = lines.flatMap(l => (l \ "metaData") match {
+      case JNothing => None; case m => Some(m) })
+    assert(metas.size == 1)
+    val meta = metas.head
+    assert((meta \ "format" \ "provider") == JString("parquet"))
+    assert((meta \ "partitionColumns") == JArray(Nil))
+    // schemaString is Spark-schema JSON and round-trips to the frame's schema
+    val schemaString = (meta \ "schemaString").asInstanceOf[JString].s
+    assert(DataType.fromJson(schemaString).asInstanceOf[StructType] == nation.schema)
+
+    // add actions cover EXACTLY the data files, with true sizes
+    val adds = addActions(lines)
+    val dataFiles = {
+      val s = Files.list(vdir)
+      try s.toArray.map(_.asInstanceOf[Path])
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      finally s.close()
+    }
+    val addPaths = adds.map(a => (a \ "path").asInstanceOf[JString].s)
+    assert(addPaths.toSet == dataFiles.map(_.getFileName.toString).toSet)
+    def asLong(v: JValue): Long = v match {
+      case JLong(n) => n; case JInt(n) => n.toLong; case other => fail(s"not a number: $other")
+    }
+    adds.foreach { a =>
+      val p = vdir.resolve((a \ "path").asInstanceOf[JString].s)
+      assert(asLong(a \ "size") == Files.size(p), s"size mismatch for $p")
+      assert((a \ "dataChange") == JBool(true))
+    }
+
+    // per-file stats: numRecords sums to the row count; min/max usable
+    val statsJ = adds.map(a => JsonMethods.parse((a \ "stats").asInstanceOf[JString].s))
+    val numRecords = statsJ.map(s => (s \ "numRecords") match {
+      case JLong(n) => n; case JInt(n) => n.toLong; case other => fail(s"bad numRecords $other") })
+    assert(numRecords.sum == nation.count())
+    val mins = statsJ.map(s => (s \ "minValues" \ "n_nationkey"))
+    assert(mins.forall(_.isInstanceOf[JInt]), s"expected integer minValues, got $mins")
+  }
+
+  test("external-engine read (log-driven, schema-typed) equals readVersion") {
+    val table = Files.createTempDirectory("delta_read").resolve("t")
+    val orders = Tables.orders(spark, Sf001)
+    val v = Storage.commitVersion(orders.repartition(4), table)
+    val ext = DeltaInterop.readSnapshot(spark, table.resolve(s"v$v"))
+    val own = Storage.readVersion(spark, table)
+    assert(ext.schema == own.schema)
+    assert(ext.exceptAll(own).isEmpty && own.exceptAll(ext).isEmpty)
+  }
+
+  test("commitPartitions carries untouched partitions as absolute-URI adds (shallow clone)") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("delta_parts").resolve("t")
+
+    def withAudit(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("loaded_at", lit(null).cast("timestamp"))
+      .withColumn("last_upd_at", lit(null).cast("timestamp"))
+    val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
+    val t1 = lit("2024-02-01 00:00:00").cast("timestamp")
+    val base = withAudit(spark.range(200).select($"id".as("k"),
+      ($"id" % 7).cast("string").as("attr")))
+    MergeOps.prunedConditionalUpsert(table, base,
+      pk = Seq("k"), tracked = Seq("attr"), runTs = t0, nParts = 8)
+    val inc = withAudit(Seq(0L -> "X", 999L -> "NEW").toDF("k", "attr"))
+    MergeOps.prunedConditionalUpsert(table, inc,
+      pk = Seq("k"), tracked = Seq("attr"), runTs = t1, nParts = 8)
+
+    val v1 = table.resolve("v1")
+    val lines = logLines(v1)
+    val metas = lines.flatMap(l => (l \ "metaData") match {
+      case JNothing => None; case m => Some(m) })
+    assert((metas.head \ "partitionColumns") == JArray(List(JString("pbucket"))))
+
+    val adds = addActions(lines)
+    val (abs, rel) = adds.partition(a =>
+      (a \ "path").asInstanceOf[JString].s.startsWith("file:"))
+    assert(rel.nonEmpty, "rewritten buckets must be relative adds")
+    assert(abs.nonEmpty, "carried buckets must be absolute-URI adds")
+    // carried adds point into v0, never into v1
+    abs.foreach { a =>
+      val p = (a \ "path").asInstanceOf[JString].s
+      assert(p.contains("/v0/"), s"carried add should reference v0: $p")
+      assert(Files.exists(java.nio.file.Paths.get(java.net.URI.create(p))), s"dangling carry: $p")
+    }
+    // every add names its bucket in partitionValues (values are NOT in data files)
+    adds.foreach { a =>
+      (a \ "partitionValues" \ "pbucket") match {
+        case JString(_) => ()
+        case other => fail(s"missing pbucket partition value: $other")
+      }
+    }
+
+    // the log-driven external read reconstructs the partition column and
+    // equals the engine's own manifest-driven read
+    val ext = DeltaInterop.readSnapshot(spark, v1)
+    val own = Storage.readPartitionedVersion(spark, table)
+    assert(ext.columns.sorted.toSeq == own.columns.sorted.toSeq)
+    val e = ext.select(own.columns.map(col).toIndexedSeq: _*)
+    assert(e.exceptAll(own).isEmpty && own.exceptAll(e).isEmpty)
+  }
+
+  test("second incremental commit carries through a chain: absolute adds survive re-carry") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("delta_chain").resolve("t")
+    def withAudit(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("loaded_at", lit(null).cast("timestamp"))
+      .withColumn("last_upd_at", lit(null).cast("timestamp"))
+    val ts = Seq("2024-01-01", "2024-02-01", "2024-03-01")
+      .map(d => lit(s"$d 00:00:00").cast("timestamp"))
+    val base = withAudit(spark.range(100).select($"id".as("k"), lit("a").as("attr")))
+    MergeOps.prunedConditionalUpsert(table, base,
+      pk = Seq("k"), tracked = Seq("attr"), runTs = ts(0), nParts = 8)
+    MergeOps.prunedConditionalUpsert(table,
+      withAudit(Seq(1L -> "b").toDF("k", "attr")),
+      pk = Seq("k"), tracked = Seq("attr"), runTs = ts(1), nParts = 8)
+    // vacuum keeps v0 alive because the live manifest still references it
+    MergeOps.prunedConditionalUpsert(table,
+      withAudit(Seq(2L -> "c").toDF("k", "attr")),
+      pk = Seq("k"), tracked = Seq("attr"), runTs = ts(2), nParts = 8)
+
+    // v2's log must still reference v0 (twice-carried) and v1 bytes
+    val v2 = table.resolve("v2")
+    val paths = addActions(logLines(v2)).map(a => (a \ "path").asInstanceOf[JString].s)
+    assert(paths.exists(_.contains("/v0/")), s"v0 bytes must still be referenced: $paths")
+    val ext = DeltaInterop.readSnapshot(spark, v2)
+    val own = Storage.readPartitionedVersion(spark, table)
+    val e = ext.select(own.columns.map(col).toIndexedSeq: _*)
+    assert(e.exceptAll(own).isEmpty && own.exceptAll(e).isEmpty)
+    assert(ext.count() == 100)
+  }
+}
