@@ -329,6 +329,41 @@ object TextQueries {
           |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin)),
 
+    // Exact substring-level dedup (suffix-array dedup re-expressed as a
+    // rolling-window plan, NearDup.dropDuplicatedSpans): every token
+    // covered by a 5-token window that occurs ≥2 times corpus-wide is
+    // removed; clean_text is the rewritten document (NULL when nothing
+    // survives). The oracle rebuilds the identical semantics on STRING
+    // windows via DuckDB window lists — hash-matching it checks window
+    // extraction, global counting, span coverage, and the indexed
+    // rewrite end-to-end.
+    Q("d11_dup_span_removal",
+      (s, d) => NearDup.dropDuplicatedSpans(Tables.documents(s, d), k = 5),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |toks AS (SELECT doc_id, unnest(ts) AS tok,
+             |                unnest(range(1, len(ts) + 1)) AS pos FROM t),
+             |w AS (SELECT doc_id, pos,
+             |        list(tok) OVER (PARTITION BY doc_id ORDER BY pos
+             |                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wl
+             |      FROM toks),
+             |grams AS (SELECT doc_id, pos AS ws, array_to_string(wl, ' ') AS kg
+             |          FROM w WHERE len(wl) = 5),
+             |dups AS (SELECT kg FROM grams GROUP BY kg HAVING COUNT(*) >= 2),
+             |cov AS (SELECT DISTINCT doc_id, pos FROM (
+             |          SELECT g.doc_id, unnest(range(g.ws, g.ws + 5)) AS pos
+             |          FROM grams g JOIN dups USING (kg))),
+             |keep AS (SELECT tk.doc_id,
+             |           string_agg(tk.tok, ' ' ORDER BY tk.pos) AS clean_text,
+             |           COUNT(*) AS n_kept
+             |         FROM toks tk
+             |         WHERE NOT EXISTS (SELECT 1 FROM cov c
+             |                           WHERE c.doc_id = tk.doc_id AND c.pos = tk.pos)
+             |         GROUP BY 1)
+             |SELECT t.doc_id, k.clean_text,
+             |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+             |  CAST(len(t.ts) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+             |FROM t LEFT JOIN keep k USING (doc_id)""".stripMargin)),
+
     // Brute-force exact ANN baseline: cosine top-10 around vec_id = 0.
     // Decimal dot products → deterministic doubles (Registry conventions).
     Q("sim1_cosine_topk",

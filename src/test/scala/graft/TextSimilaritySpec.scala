@@ -187,4 +187,37 @@ class TextSimilaritySpec extends SparkTestBase {
     assert(top.head.getLong(0) == 0L)
     assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
   }
+
+  test("dropDuplicatedSpans: coverage, overlap merge, whole-doc removal, short docs") {
+    // doc 1 and 2 share the 3-gram "p q r"; doc 3 is untouched; doc 4 is
+    // shorter than the window; doc 5 repeats a 3-gram WITHIN itself
+    // (multiplicity counts); doc 6 is entirely one duplicated window.
+    val docs = Seq(
+      (1L, "a b p q r c d"),
+      (2L, "x p q r y z w"),
+      (3L, "no dups here at all"),
+      (4L, "too short"),
+      (5L, "m n o t m n o t"),
+      (6L, "p q r")).toDF("doc_id", "text")
+    val out = graft.ops.NearDup.dropDuplicatedSpans(docs, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1)), r.getLong(2), r.getLong(3))).toMap
+
+    assert(out(1L) == (("a b c d", 4L, 3L)), s"got ${out(1L)}")
+    assert(out(2L) == (("x y z w", 4L, 3L)), s"got ${out(2L)}")
+    assert(out(3L) == (("no dups here at all", 5L, 0L)))
+    assert(out(4L) == (("too short", 2L, 0L)), "sub-window docs pass through")
+    // doc 5: "m n o" and "n o t" both repeat → every token of both
+    // occurrences is covered → nothing survives; overlapping windows
+    // merged into one span per occurrence, not double-counted
+    assert(out(5L) == ((null, 0L, 8L)), s"got ${out(5L)}")
+    assert(out(6L) == ((null, 0L, 3L)), "whole-doc duplicate → NULL clean_text")
+  }
+
+  test("dropDuplicatedSpans: minCount above corpus max removes nothing") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val out = graft.ops.NearDup.dropDuplicatedSpans(docs, k = 3, minCount = 5)
+      .collect()
+    assert(out.forall(_.getLong(3) == 0L))
+  }
 }
