@@ -20,6 +20,26 @@ object Bench {
     // sample BEFORE the warmup: the warmup itself saturates the cores and
     // would inflate the 1-min loadavg, flagging an idle host as busy
     val loadStart = loadavg()
+    // single-thread CPU calibration: a fixed arithmetic loop timed before
+    // the run. loadavg only sees runnable-queue pressure — an idle-LOOKING
+    // host can still be slow (hypervisor co-tenancy, frequency capping;
+    // observed: every query uniformly 1.5-3x slower at loadavg 0.6).
+    // calib_ms makes that visible in the artifact: compare it across
+    // rounds before reading any query delta as a regression.
+    def calibrate(): Double = {
+      def burn(): Long = {
+        var x = 0x9E3779B97F4A7C15L; var i = 0
+        while (i < 50_000_000) { x = x * 6364136223846793005L + 1442695040888963407L; x ^= x >>> 33; i += 1 }
+        x
+      }
+      burn() // JIT warm
+      val t0 = System.nanoTime()
+      val sink = burn()
+      val ms = (System.nanoTime() - t0) / 1e6
+      if (sink == 42) println("") // keep the loop observable
+      ms
+    }
+    val calibMs = calibrate()
     // untimed warmup: exercise scan+shuffle+join+window codegen paths once
     // so timings reflect steady state, not first-query JIT
     try {
@@ -110,7 +130,7 @@ object Bench {
     def line(entries: Seq[(String, Double)], regs: Seq[(String, Double, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"regressions":${regsJson(regs)},"reps":3,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_warning":$busy,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"regressions":${regsJson(regs)},"reps":3,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_warning":$busy,"calib_ms":${r3(calibMs)},"sf":"$sfDir"}"""
     }
     // Full per-query breakdown → file (the consumer of stdout keeps only the
     // last ~2000 chars, which an 82-entry map overflows).
