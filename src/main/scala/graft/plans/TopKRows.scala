@@ -1,0 +1,147 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, InterpretedOrdering, RowOrdering, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Grouped top-k WITHOUT a per-group sort — a bounded-buffer
+  * TypedImperativeAggregate replacing the `row_number() OVER (PARTITION BY g
+  * ORDER BY …) <= k` pattern for the common "top handful per key" ask.
+  *
+  * Why it matters at 100 TB: the window form shuffles EVERY row of the fact
+  * table to its group's partition and sorts each partition, just to throw
+  * away all but k rows per group. This aggregate keeps a k-bounded buffer
+  * per group and is map-side combinable — partial aggregation shrinks each
+  * group to ≤ k rows BEFORE the exchange, so the shuffle moves O(groups·k)
+  * rows instead of O(input), and nothing ever sorts more than k elements.
+  * Same trick Spark applies globally for `ORDER BY … LIMIT k`
+  * (TakeOrderedAndProject), here per group.
+  *
+  * Semantics: `child` must be a non-null struct; rows are ranked by the
+  * struct's lexicographic field order, ALL ascending, nulls first (Spark's
+  * interpreted row ordering) — encode a descending key by negating it (or
+  * inverting bits) in the struct, and include tie-break fields so the
+  * ordering is total (determinism conventions, Registry). Returns the k
+  * smallest structs as a sorted array; `posexplode` restores (rank, row).
+  */
+case class TopKRows(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKRows.Buffer] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 1)
+      TypeCheckResult.TypeCheckFailure(s"graft_topk k must be >= 1 (got $k)")
+    else child.dataType match {
+      case s: StructType if s.fields.forall(f => RowOrdering.isOrderable(f.dataType)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_topk requires a struct of orderable fields, got ${t.simpleString}")
+    }
+
+  private lazy val structType = child.dataType.asInstanceOf[StructType]
+  private lazy val ordering: Ordering[InternalRow] =
+    InterpretedOrdering.forSchema(structType.fields.map(_.dataType).toIndexedSeq)
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(structType, containsNull = false)
+
+  override def createAggregationBuffer(): TopKRows.Buffer =
+    new TopKRows.Buffer(k, ordering)
+
+  override def update(buf: TopKRows.Buffer, input: InternalRow): TopKRows.Buffer = {
+    val v = child.eval(input)
+    // a null struct carries no rankable row; skip (fields may be null —
+    // the ordering handles those)
+    if (v != null) buf.add(v.asInstanceOf[InternalRow].copy())
+    buf
+  }
+
+  override def merge(buf: TopKRows.Buffer, other: TopKRows.Buffer): TopKRows.Buffer = {
+    other.rows.foreach(buf.add)
+    buf
+  }
+
+  override def eval(buf: TopKRows.Buffer): Any = new GenericArrayData(buf.rows.toArray[Any])
+
+  @transient private lazy val toUnsafe = UnsafeProjection.create(structType)
+
+  override def serialize(buf: TopKRows.Buffer): Array[Byte] = {
+    // copy() before getBytes: the projection REUSES its result buffer, and
+    // when the row exactly fills it, getBytes returns that shared buffer
+    // uncopied — without the copy every serialized row is the LAST row
+    val rows = buf.rows.map(r => toUnsafe(r).copy().getBytes)
+    val bb = java.nio.ByteBuffer.allocate(4 + rows.map(_.length + 4).sum)
+    bb.putInt(rows.length)
+    rows.foreach { b => bb.putInt(b.length); bb.put(b) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKRows.Buffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKRows.Buffer(k, ordering)
+    (0 until n).foreach { _ =>
+      val b = new Array[Byte](bb.getInt)
+      bb.get(b)
+      val row = new UnsafeRow(structType.size)
+      row.pointTo(b, b.length)
+      buf.add(row)
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKRows =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKRows =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TopKRows =
+    copy(child = c.head)
+}
+
+object TopKRows {
+
+  /** k smallest rows under `ord`, kept sorted. Same saturated-buffer shape
+    * as [[KmvSketch.Buffer]]: once full, only rows below the current k-th
+    * enter, so steady-state cost per input row is one comparison. */
+  final class Buffer(k: Int, ord: Ordering[InternalRow]) {
+    private val arr = new Array[InternalRow](k)
+    private var n = 0
+
+    def add(r: InternalRow): Unit = {
+      if (n == k && ord.compare(r, arr(n - 1)) >= 0) return
+      var lo = 0; var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ord.compare(arr(mid), r) <= 0) lo = mid + 1 else hi = mid
+      }
+      // ties keep the earlier-inserted row; with a total ordering
+      // (tie-break fields in the struct) equal rows are identical anyway
+      val last = math.min(n, k - 1)
+      System.arraycopy(arr, lo, arr, lo + 1, last - lo)
+      arr(lo) = r
+      if (n < k) n += 1
+    }
+
+    def rows: Seq[InternalRow] = arr.take(n).toSeq
+  }
+
+  /** Column API via the function-registry route (see FixedPointDot.dot):
+    * `topK(struct(sortKeys…, payload…), k)` → sorted array of the k
+    * smallest structs. */
+  def topK(c: Column, k: Int): Column = {
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    val spark = castToImpl(org.apache.spark.sql.SparkSession.active)
+    val name = s"graft_topk_$k"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => TopKRows(exprs.head, k).toAggregateExpression(), "built-in")
+    org.apache.spark.sql.functions.call_function(name, c)
+  }
+}

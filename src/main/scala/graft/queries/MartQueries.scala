@@ -806,6 +806,38 @@ object MartQueries {
              |  FROM orders) t
              |WHERE rank_in_cust <= 3""".stripMargin)),
 
+    // q8 at scale — SAME result through the bounded top-k aggregate
+    // ([[graft.plans.TopKRows]]) instead of a window: the window form
+    // shuffles every order row to its customer's partition and sorts each
+    // partition just to discard all but 3 per customer; the aggregate is
+    // map-side combinable, so partial aggregation shrinks each group to
+    // ≤3 rows BEFORE the exchange — the shuffle moves O(customers·3)
+    // rows, not O(orders). Descending price is encoded by negating it in
+    // the sort struct (the aggregate ranks ascending); o_orderkey breaks
+    // ties for the total ordering the oracle demands. Hash-equal to q8's
+    // window-form oracle: the plan changes, the semantics don't.
+    Q("q8b_topk_agg",
+      (s, d) => {
+        import graft.plans.TopKRows
+        val sortStruct = struct(
+          negate(money(col("o_totalprice")).cast("double")).as("negprice"),
+          col("o_orderkey").as("o_orderkey"))
+        Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(TopKRows.topK(sortStruct, 3).as("tk"))
+          .select(col("o_custkey"), posexplode(col("tk")))
+          .select(col("o_custkey"),
+            (col("pos") + 1).cast("int").as("rank_in_cust"),
+            col("col.o_orderkey").as("o_orderkey"),
+            negate(col("col.negprice")).as("totalprice"))
+      },
+      Some("""SELECT o_custkey, rank_in_cust, o_orderkey,
+             |  CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS totalprice
+             |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_cust
+             |  FROM orders) t
+             |WHERE rank_in_cust <= 3""".stripMargin)),
+
     // TPC-H Q13 shape: distribution of orders-per-customer, including
     // zero-order customers (left join + count of non-null keys).
     Q("q13_order_count_distribution",
