@@ -285,6 +285,94 @@ object StreamingQueries {
              |       CAST(epoch(valid_from) AS BIGINT) AS vf_epoch,
              |       COALESCE(CAST(epoch(vt_next) AS BIGINT), ${Registry.InfinityEpoch}) AS vt_epoch,
              |       (vt_next IS NULL) AS is_current
-             |FROM v""".stripMargin))
+             |FROM v""".stripMargin)),
+
+    // Streaming M1 through the PARTITION-PRUNED write path — the round-7
+    // storage shape under a real Structured Streaming query: each arrival
+    // window is one micro-batch, each batch rewrites ONLY the PK-hash
+    // buckets containing its keys (untouched buckets carry forward by
+    // commit-log manifest reference). The oracle derives the same final
+    // state relationally: per-user last snapshot, loaded_at = first
+    // window the user appeared, last_upd_at = last window whose snapshot
+    // CHANGED the tracked attrs — conditionalUpsert audit semantics
+    // reproduced across five incremental loads. Equivalence to the batch
+    // m1/m1b family is the assertion; only the write amplification
+    // differs.
+    Q("stream5_pruned_upsert",
+      (s, d) => withShufflePartitions(s, 4) {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx = s.sqlContext
+
+        var bcol: Column = lit(Cutoffs.size - 1)
+        for (i <- Cutoffs.size - 2 to 0 by -1)
+          bcol = when(col("ts") <= lit(Cutoffs(i)).cast("timestamp"), lit(i)).otherwise(bcol)
+        val tagged = Tables.events(s, d)
+          .select(bcol.as("b"), col("user_id"), col("event_type"), col("value"),
+            unix_micros(col("ts")).as("ts_us"), col("event_id"))
+          .collect()
+          .map(r => (r.getInt(0), (r.getLong(1), r.getString(2), r.getDouble(3),
+            r.getLong(4), r.getLong(5))))
+        val windows = (0 until Cutoffs.size)
+          .map(i => Cutoffs(i) -> tagged.filter(_._1 == i).map(_._2).toSeq)
+          .filter(_._2.nonEmpty)
+        val batchTs = windows.map(_._1)
+
+        val dir = java.nio.file.Files.createTempDirectory("stream5_upsert")
+        val table = dir.resolve("stg_events")
+        val input = MemoryStream[(Long, String, Double, Long, Long)]
+        val stream = input.toDF()
+          .toDF("user_id", "event_type", "value", "ts_us", "event_id")
+        val q = StreamingLoads.foreachBatchPrunedUpsert(
+          stream, table, pk = Seq("user_id"), tracked = Seq("event_type", "value"),
+          versionCols = Seq("ts_us", "event_id"),
+          runTsOf = bid => java.sql.Timestamp.valueOf(
+            batchTs(math.min(bid.toInt, batchTs.size - 1))),
+          nParts = 16, trigger = Trigger.ProcessingTime(0)).start()
+        try {
+          try windows.foreach { case (_, rows) => input.addData(rows); q.processAllAvailable() }
+          finally q.stop()
+          graft.ops.Storage.readPartitionedVersion(s, table).drop("pbucket")
+            .select(col("user_id"), col("event_type"), col("value"),
+              epochS(col("loaded_at")).as("loaded_epoch"),
+              epochS(col("last_upd_at")).as("upd_epoch"))
+            .localCheckpoint()
+        } finally graft.ops.Storage.deleteRecursively(dir)
+      },
+      Some {
+        def cutoffEpochCase(c: String): String =
+          s"CAST(epoch(CASE $c " + Cutoffs.zipWithIndex.map { case (t, i) =>
+            s"WHEN ${i + 1} THEN TIMESTAMP '$t'"
+          }.mkString(" ") + " END) AS BIGINT)"
+        s"""WITH w AS (
+           |  SELECT user_id, event_type, value, epoch_ns(ts) // 1000 AS us, event_id,
+           |         CASE ${Cutoffs.init.zipWithIndex.map { case (c, i) =>
+                        s"WHEN epoch_ns(ts) // 1000 <= epoch_us(TIMESTAMP '$c') THEN ${i + 1}"
+                      }.mkString(" ")} ELSE ${Cutoffs.size} END AS b
+           |  FROM events
+           |),
+           |snap AS (
+           |  SELECT b, user_id, event_type, value FROM (
+           |    SELECT b, user_id, event_type, value,
+           |           row_number() OVER (PARTITION BY user_id, b ORDER BY us DESC, event_id DESC) AS rn
+           |    FROM w) t WHERE rn = 1
+           |),
+           |seq AS (
+           |  SELECT b, user_id, event_type, value,
+           |         (row_number() OVER (PARTITION BY user_id ORDER BY b) = 1
+           |          OR lag(event_type) OVER (PARTITION BY user_id ORDER BY b) IS DISTINCT FROM event_type
+           |          OR lag(value) OVER (PARTITION BY user_id ORDER BY b) IS DISTINCT FROM value) AS changed
+           |  FROM snap
+           |),
+           |agg AS (
+           |  SELECT user_id, min(b) AS loaded_b, max(b) AS last_b,
+           |         max(CASE WHEN changed THEN b END) AS upd_b
+           |  FROM seq GROUP BY 1
+           |)
+           |SELECT a.user_id, s.event_type, s.value,
+           |       ${cutoffEpochCase("a.loaded_b")} AS loaded_epoch,
+           |       ${cutoffEpochCase("a.upd_b")} AS upd_epoch
+           |FROM agg a JOIN snap s ON s.user_id = a.user_id AND s.b = a.last_b""".stripMargin
+      })
   )
 }

@@ -72,6 +72,38 @@ object StreamingLoads {
         state.merge(batch, pk, tracked, lit(runTsOf(batchId)))
       }
 
+  /** Micro-batch M1 through the PARTITION-PRUNED write path
+    * ([[MergeOps.prunedConditionalUpsert]]): each batch rewrites ONLY the
+    * PK-hash buckets containing its keys; every untouched bucket carries
+    * forward by commit-log manifest reference, bytes unmoved. This is the
+    * 100 TB/day streaming-ingest shape — per-batch write cost scales with
+    * the batch, not the table (a full-rewrite upsert per micro-batch
+    * multiplies table-size write amplification by trigger frequency).
+    * Batches reduce to latest-per-key first, like the batch loads. */
+  def foreachBatchPrunedUpsert(
+      incoming: DataFrame,
+      table: java.nio.file.Path,
+      pk: Seq[String],
+      tracked: Seq[String],
+      versionCols: Seq[String],
+      runTsOf: Long => java.sql.Timestamp,
+      nParts: Int,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] = {
+    graft.ops.Storage.repairOrphans(table) // same startup contract as Scd2Table
+    incoming.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val stg = MergeOps.latestByKey(batch, pk, versionCols.map(col))
+          .select((pk ++ tracked).map(col): _*)
+          .withColumn("loaded_at", lit(null).cast("timestamp"))
+          .withColumn("last_upd_at", lit(null).cast("timestamp"))
+        MergeOps.prunedConditionalUpsert(table, stg, pk, tracked,
+          lit(runTsOf(batchId)), nParts)
+        ()
+      }
+  }
+
   /** Streaming SCD2: each micro-batch runs the SAME close-and-insert merge
     * the batch dimension load uses (§2.9 mapping: SCD2 → foreachBatch +
     * atomic table swap; Delta MERGE at deploy). The batch is reduced to
