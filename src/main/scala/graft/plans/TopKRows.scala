@@ -12,14 +12,19 @@ import org.apache.spark.sql.types._
   * TypedImperativeAggregate replacing the `row_number() OVER (PARTITION BY g
   * ORDER BY …) <= k` pattern for the common "top handful per key" ask.
   *
-  * Why it matters at 100 TB: the window form shuffles EVERY row of the fact
-  * table to its group's partition and sorts each partition, just to throw
-  * away all but k rows per group. This aggregate keeps a k-bounded buffer
-  * per group and is map-side combinable — partial aggregation shrinks each
-  * group to ≤ k rows BEFORE the exchange, so the shuffle moves O(groups·k)
-  * rows instead of O(input), and nothing ever sorts more than k elements.
-  * Same trick Spark applies globally for `ORDER BY … LIMIT k`
-  * (TakeOrderedAndProject), here per group.
+  * Why it exists at 100 TB (scoped honestly): Spark 4's own
+  * WindowGroupLimit already prunes the rank-filter window to top-k per
+  * group on the MAP side, so the window form no longer shuffles the whole
+  * input. What it still does is SORT — once per map partition to feed the
+  * group limit, and a full per-partition sort on the reduce side to
+  * compute row_number. This aggregate keeps a k-bounded sorted buffer per
+  * group instead (O(k) comparisons per input row, binary-search insert,
+  * no sort operator anywhere), shrinks each group to ≤ k rows before the
+  * exchange like any partial aggregate, and — unlike a window — composes
+  * with other aggregates in the same groupBy pass. Same trick Spark
+  * applies globally for `ORDER BY … LIMIT k` (TakeOrderedAndProject),
+  * here per group. Measured at sf0.1 the two forms tie; the sort savings
+  * grow with rows-per-group.
   *
   * Semantics: `child` must be a non-null struct; rows are ranked by the
   * struct's lexicographic field order, ALL ascending, nulls first (Spark's

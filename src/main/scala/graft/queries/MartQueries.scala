@@ -807,14 +807,17 @@ object MartQueries {
              |WHERE rank_in_cust <= 3""".stripMargin)),
 
     // q8 at scale — SAME result through the bounded top-k aggregate
-    // ([[graft.plans.TopKRows]]) instead of a window: the window form
-    // shuffles every order row to its customer's partition and sorts each
-    // partition just to discard all but 3 per customer; the aggregate is
-    // map-side combinable, so partial aggregation shrinks each group to
-    // ≤3 rows BEFORE the exchange — the shuffle moves O(customers·3)
-    // rows, not O(orders). Descending price is encoded by negating it in
-    // the sort struct (the aggregate ranks ascending); o_orderkey breaks
-    // ties for the total ordering the oracle demands. Hash-equal to q8's
+    // ([[graft.plans.TopKRows]]) instead of a window. Honest scope note:
+    // Spark 4 already inserts WindowGroupLimit around q8's rank filter
+    // (map-side top-k per group before the exchange), so at fixture scale
+    // the two forms tie (~0.56 s each at sf0.1). What the aggregate still
+    // removes is BOTH sorts — WindowGroupLimit keeps a map-side sort and
+    // a full reduce-side sort per partition, while the aggregate merges
+    // k-bounded buffers (O(k) comparisons per row, no sort anywhere) —
+    // and it composes with other aggregates in the same groupBy, which a
+    // window cannot. Descending price is encoded by negating it in the
+    // sort struct (the aggregate ranks ascending); o_orderkey breaks ties
+    // for the total ordering the oracle demands. Hash-equal to q8's
     // window-form oracle: the plan changes, the semantics don't.
     Q("q8b_topk_agg",
       (s, d) => {
