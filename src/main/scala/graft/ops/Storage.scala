@@ -489,6 +489,25 @@ object Storage {
     * optimization. Returns the target file count. */
   def compact(spark: SparkSession, table: Path, targetBytes: Long = 128L << 20): Int =
     currentVersion(table) match {
+      // partition-manifested table: the latest version dir holds ONLY the
+      // partitions its commit rewrote — compacting just that dir would
+      // silently drop every carried partition. Full compaction = read the
+      // composed state and commit it as a new all-partitions version
+      // (every partition now owned by the new version; older versions
+      // become vacuumable).
+      case Some(v) if Files.exists(table.resolve(s"v$v").resolve(PartsManifest)) =>
+        val manifest = readPartsManifest(table.resolve(s"v$v"))
+        val partCol = manifest.keys.head.split("=", 2)(0)
+        val composed = readPartitionedVersion(spark, table)
+        val bytes = manifest.toSeq.map { case (part, ver) =>
+          dirBytes(table.resolve(s"v$ver").resolve(part))
+        }.sum
+        val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        // repartition on the partition column so each partition dir gets
+        // few files (coalesce would interleave partition values per file
+        // and partitionBy would re-split them into many small files)
+        commitPartitions(composed.repartition(n, composed(partCol)), table, partCol)
+        n
       // versioned table: compaction is just another commit of the latest
       // snapshot, rewritten into fewer files — never touch the layout
       // (walking the directory would read EVERY retained version and an
@@ -505,14 +524,15 @@ object Storage {
         n
     }
 
-  private def fileCountFor(dir: Path, targetBytes: Long): Int = {
+  private def dirBytes(dir: Path): Long = {
     val s = Files.walk(dir)
-    val bytes =
-      try s.filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-        .mapToLong(Files.size).sum()
-      finally s.close()
-    math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    try s.filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .mapToLong(Files.size).sum()
+    finally s.close()
   }
+
+  private def fileCountFor(dir: Path, targetBytes: Long): Int =
+    math.max(1L, (dirBytes(dir) + targetBytes - 1) / targetBytes).toInt
 
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

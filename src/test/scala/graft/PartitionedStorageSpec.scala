@@ -256,6 +256,42 @@ class PartitionedStorageSpec extends SparkTestBase {
     assert(F.exists(table.resolve("_LATEST")))
   }
 
+  test("compact on a partition-manifested table keeps carried partitions (no silent drop)") {
+    import graft.ops.MergeOps
+    import java.nio.file.{Files => F}
+    import spark.implicits._
+    val table = Files.createTempDirectory("compact_parts").resolve("t")
+    def withAudit(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("loaded_at", lit(null).cast("timestamp"))
+      .withColumn("last_upd_at", lit(null).cast("timestamp"))
+    val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
+    val t1 = lit("2024-02-01 00:00:00").cast("timestamp")
+    MergeOps.prunedConditionalUpsert(table,
+      withAudit(spark.range(100).select($"id".as("k"), ($"id" % 5).cast("string").as("attr"))),
+      pk = Seq("k"), tracked = Seq("attr"), runTs = t0, nParts = 8)
+    MergeOps.prunedConditionalUpsert(table,
+      withAudit(Seq(3L -> "X").toDF("k", "attr")),
+      pk = Seq("k"), tracked = Seq("attr"), runTs = t1, nParts = 8)
+    val before = Storage.readPartitionedVersion(spark, table).collect()
+      .map(_.toString).sorted.toSeq
+    // v1 holds only the one rewritten bucket; a naive "compact the latest
+    // dir" would commit THAT as the whole table, losing 7 buckets
+    Storage.compact(spark, table, targetBytes = 1L << 30)
+    assert(Storage.currentVersion(table).contains(2L))
+    val after = Storage.readPartitionedVersion(spark, table).collect()
+      .map(_.toString).sorted.toSeq
+    assert(after == before, "compaction must preserve the composed state")
+    // the compacted version owns every partition; v0 is unreferenced and
+    // vacuumed, v1 stays inside the keep window
+    assert(!F.exists(table.resolve("v0")), "v0 should vacuum after full compaction")
+    assert(F.exists(table.resolve("v1")))
+    // and the Delta log of the compacted version is fully self-contained
+    // (all adds relative — nothing carried)
+    val log = graft.ops.DeltaInterop.readLog(
+      graft.ops.DeltaInterop.logFile(table.resolve("v2")))
+    assert(log.adds.nonEmpty && log.adds.forall(a => !a.path.startsWith("file:")))
+  }
+
   test("compact: many small files collapse to the byte-targeted count, rows intact") {
     import java.nio.file.{Files => F}
     val table = Files.createTempDirectory("compaction").resolve("t")
