@@ -252,6 +252,11 @@ object DeltaInterop {
     val dataSchema = StructType(schema.filterNot(f => snap.partitionColumns.contains(f.name)))
     def resolve(p: String): String =
       if (isAbsolute(p)) p else versionDir.resolve(p).toString
+    // zero add actions is a VALID Delta table (e.g. the v0 of a pruned
+    // upsert bootstrapped from an empty batch) — empty frame, log's schema
+    if (snap.adds.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     snap.adds.groupBy(_.partitionValues).toSeq.sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
       .map { case (pv, adds) =>
         val base = spark.read.schema(dataSchema).parquet(adds.map(a => resolve(a.path)): _*)

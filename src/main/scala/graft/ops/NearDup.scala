@@ -208,14 +208,6 @@ object NearDup {
       sizesR.select(col("doc_id").as("doc_b"), col("nb")), minJ)
   }
 
-  /** (doc_a, doc_b, jaccard) for all pairs with n-gram Jaccard ≥ minJ;
-    * doc_a < doc_b. `docs` needs (doc_id, text).
-    *
-    * `maxDf`: the 100 TB recall/cost knob — ALSO drop shingles present in
-    * more than maxDf docs. Boilerplate grams connect everything and their
-    * posting lists blow up the pair join quadratically; capping them
-    * loses only pairs whose entire overlap is boilerplate. None (default)
-    * = exact. The oracle-compared queries always run exact. */
   /** Exact substring-level dedup (the suffix-array dedup of "Deduplicating
     * Training Data Makes Language Models Better", Lee et al. 2022 —
     * re-expressed as a declarative rolling-window plan): drop every token
@@ -226,19 +218,26 @@ object NearDup {
     * (doc_id, clean_text, n_kept, n_removed); clean_text is NULL when a
     * document is entirely duplicated material.
     *
-    * Plan shape: window extraction is one map-side pass (the token and
-    * token-hash arrays materialize in their own projections — the
-    * HOF-recompute lesson from [[hashedShingleSet]]); the global
-    * occurrence count is a window on g consuming the single exchange
-    * (same trick as jaccardPairs' df prefilter — no agg+join back);
-    * covered positions aggregate per doc (second exchange); the rewrite
-    * is a map-side indexed-filter over the original token array. No
-    * driver-side data anywhere; at 100 TB the g-exchange partitions by
-    * window hash exactly like the shingle pipelines. Windows are hashed
+    * Plan shape — every stage linear in its input: window extraction is
+    * one map-side pass (the token and token-hash arrays materialize in
+    * their own projections — the HOF-recompute lesson from
+    * [[hashedShingleSet]]); the global occurrence count is a window on g
+    * consuming the single wide exchange (same trick as jaccardPairs' df
+    * prefilter — no agg+join back); surviving tokens come from an
+    * ANTI-JOIN of the exploded (doc_id, pos) tokens against the covered
+    * positions — NOT a per-token array_contains over a per-doc covered
+    * set, which is O(len²) for a long heavily-duplicated document — and
+    * the document is reassembled with one per-doc sort of its kept
+    * tokens. No driver-side data anywhere; at 100 TB the g-exchange
+    * partitions by window hash exactly like the shingle pipelines, and
+    * the token/position exchanges partition by doc. Windows are hashed
     * (xxhash64 chain) so the wide exchange moves 8-byte keys — the
     * standard shingle-sketch collision trade ([[hashedShingleSet]]). */
   def dropDuplicatedSpans(docs: DataFrame, k: Int, minCount: Long = 2): DataFrame = {
     require(k >= 2, s"window must span at least 2 tokens (got $k)")
+    val toks = docs
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+      .toDF("doc_id", "pos", "tok")
     val grams = docs
       .select(col("doc_id"), Text.tokens(col("text")).as("__ts"))
       .select(col("doc_id"), transform(col("__ts"), w => xxhash64(w)).as("__hs"))
@@ -248,26 +247,35 @@ object NearDup {
             i => xxhash64((1 to k).map(j => element_at(col("__hs"), i + lit(j))): _*)))
           .otherwise(array().cast("array<bigint>"))))
       .toDF("doc_id", "wstart", "g")
-    val dupWindows = grams
+    val covered = grams
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy("g")))
       .filter(col("cnt") >= minCount)
-    val covered = dupWindows
       .select(col("doc_id"),
         explode(sequence(col("wstart"), col("wstart") + lit(k - 1))).as("pos"))
-      .groupBy("doc_id").agg(collect_set(col("pos")).as("__cov"))
+    val kept = toks
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("__nk"),
+        array_sort(collect_list(struct(col("pos"), col("tok")))).as("__kp"))
+      .select(col("doc_id"), col("__nk"),
+        concat_ws(" ", transform(col("__kp"), p => p.getField("tok"))).as("__text"))
     docs
-      .join(covered, Seq("doc_id"), "left")
-      .select(col("doc_id"), Text.tokens(col("text")).as("__ts"), col("__cov"))
-      .select(col("doc_id"), col("__ts"),
-        when(col("__cov").isNull, col("__ts"))
-          .otherwise(filter(col("__ts"), (_, i) => !array_contains(col("__cov"), i)))
-          .as("__kept"))
+      .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("__nt"))
+      .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(size(col("__kept")) > 0, concat_ws(" ", col("__kept"))).as("clean_text"),
-        size(col("__kept")).cast("long").as("n_kept"),
-        (size(col("__ts")) - size(col("__kept"))).cast("long").as("n_removed"))
+        col("__text").as("clean_text"),
+        coalesce(col("__nk"), lit(0L)).as("n_kept"),
+        (col("__nt") - coalesce(col("__nk"), lit(0L))).as("n_removed"))
   }
 
+  /** (doc_a, doc_b, jaccard) for all pairs with n-gram Jaccard ≥ minJ;
+    * doc_a < doc_b. `docs` needs (doc_id, text).
+    *
+    * `maxDf`: the 100 TB recall/cost knob — ALSO drop shingles present in
+    * more than maxDf docs. Boilerplate grams connect everything and their
+    * posting lists blow up the pair join quadratically; capping them
+    * loses only pairs whose entire overlap is boilerplate. None (default)
+    * = exact. The oracle-compared queries always run exact. */
   def jaccardPairs(
       docs: DataFrame, n: Int, minJ: Double,
       maxDf: Option[Long] = None): DataFrame = {

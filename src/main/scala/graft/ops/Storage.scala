@@ -301,6 +301,14 @@ object Storage {
               case BINARY => Some("s")
               case _ => None // INT96/BOOLEAN/FIXED: not range-prunable here
             }).toSeq
+            // ±Infinity/NaN min/max would throw in the BigDecimal range
+            // compares here and in statsPrunedFiles, and render as
+            // non-standard JSON in the Delta log — drop the column's
+            // stats for this chunk (conservative keep; an infinite bound
+            // can't prune anything anyway)
+            if tag != "f" ||
+              (java.lang.Double.isFinite(st.genericGetMin.asInstanceOf[Number].doubleValue()) &&
+                java.lang.Double.isFinite(st.genericGetMax.asInstanceOf[Number].doubleValue()))
           } yield {
             def str(v: Any): String = v match {
               case b: Binary => b.toStringUsingUTF8
@@ -503,11 +511,20 @@ object Storage {
           dirBytes(table.resolve(s"v$ver").resolve(part))
         }.sum
         val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-        // repartition on the partition column so each partition dir gets
-        // few files (coalesce would interleave partition values per file
-        // and partitionBy would re-split them into many small files)
-        commitPartitions(composed.repartition(n, composed(partCol)), table, partCol)
-        n
+        // one file per (bucket, split): repartitioning on the partition
+        // column alone would emit exactly one file per bucket no matter
+        // how large (a 10 GB bucket must split to honor targetBytes), so
+        // buckets subdivide by a deterministic hash of the full row —
+        // splitsPerBucket sizes the subdivision to the byte target
+        val splitsPerBucket = math.max(1L, (n + manifest.size - 1) / manifest.size).toInt
+        val target = manifest.size * splitsPerBucket
+        val rowSplit = org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(
+            composed.columns.map(composed(_)).toIndexedSeq: _*),
+          org.apache.spark.sql.functions.lit(splitsPerBucket))
+        commitPartitions(
+          composed.repartition(target, composed(partCol), rowSplit), table, partCol)
+        target
       // versioned table: compaction is just another commit of the latest
       // snapshot, rewritten into fewer files — never touch the layout
       // (walking the directory would read EVERY retained version and an

@@ -415,28 +415,32 @@ object CoreQueries {
     // pruned path changes write amplification, not semantics.
     Q("m1b_partitioned_upsert",
       (s, d) => {
-        val table = java.nio.file.Files.createTempDirectory("m1b_upsert")
-          .resolve("stg_events")
+        val dir = java.nio.file.Files.createTempDirectory("m1b_upsert")
+        val table = dir.resolve("stg_events")
         val ev = Tables.events(s, d).withColumn("ts", col("ts").cast("timestamp"))
         def latest(df: org.apache.spark.sql.DataFrame) =
           MergeOps.latestByKey(df, Seq("user_id"), Seq(col("ts"), col("event_id")))
             .select(col("user_id"), col("event_type"), col("value"),
               lit(null).cast("timestamp").as("loaded_at"),
               lit(null).cast("timestamp").as("last_upd_at"))
-        // load 1 (bootstrap): pre-cutoff snapshot at CutoffTs → every row
-        // inserted with loaded_at = last_upd_at = CutoffTs, same as m1's old
-        MergeOps.prunedConditionalUpsert(table,
-          latest(ev.filter(col("ts") < lit(CutoffTs).cast("timestamp"))),
-          pk = Seq("user_id"), tracked = Seq("event_type", "value"),
-          runTs = lit(CutoffTs).cast("timestamp"), nParts = 16)
-        // load 2 (incremental): current snapshot at RunTs
-        MergeOps.prunedConditionalUpsert(table, latest(ev),
-          pk = Seq("user_id"), tracked = Seq("event_type", "value"),
-          runTs = lit(RunTs).cast("timestamp"), nParts = 16)
-        graft.ops.Storage.readPartitionedVersion(s, table).drop("pbucket")
-          .select(col("user_id"), col("event_type"), col("value"),
-            epochS(col("loaded_at")).as("loaded_epoch"),
-            epochS(col("last_upd_at")).as("upd_epoch"))
+        try {
+          // load 1 (bootstrap): pre-cutoff snapshot at CutoffTs → every row
+          // inserted with loaded_at = last_upd_at = CutoffTs, same as m1's old
+          MergeOps.prunedConditionalUpsert(table,
+            latest(ev.filter(col("ts") < lit(CutoffTs).cast("timestamp"))),
+            pk = Seq("user_id"), tracked = Seq("event_type", "value"),
+            runTs = lit(CutoffTs).cast("timestamp"), nParts = 16)
+          // load 2 (incremental): current snapshot at RunTs
+          MergeOps.prunedConditionalUpsert(table, latest(ev),
+            pk = Seq("user_id"), tracked = Seq("event_type", "value"),
+            runTs = lit(RunTs).cast("timestamp"), nParts = 16)
+          graft.ops.Storage.readPartitionedVersion(s, table).drop("pbucket")
+            .select(col("user_id"), col("event_type"), col("value"),
+              epochS(col("loaded_at")).as("loaded_epoch"),
+              epochS(col("last_upd_at")).as("upd_epoch"))
+            // materialize before the temp table is deleted (lazy otherwise)
+            .localCheckpoint()
+        } finally graft.ops.Storage.deleteRecursively(dir)
       },
       Some(s"""WITH o AS (SELECT user_id, event_type, value FROM (
              |    SELECT user_id, event_type, value,

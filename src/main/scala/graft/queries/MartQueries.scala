@@ -1274,13 +1274,18 @@ object MartQueries {
     // zero data copies, zero export jobs.
     Q("io1_delta_log_roundtrip",
       (s, d) => {
-        val table = java.nio.file.Files.createTempDirectory("io1_delta")
-          .resolve("documents")
-        val v = graft.ops.Storage.commitVersion(Tables.documents(s, d), table)
-        graft.ops.DeltaInterop.readSnapshot(s, table.resolve(s"v$v"))
-          .groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_chars")).cast("long").as("sum_chars"))
+        val dir = java.nio.file.Files.createTempDirectory("io1_delta")
+        val table = dir.resolve("documents")
+        try {
+          val v = graft.ops.Storage.commitVersion(Tables.documents(s, d), table)
+          graft.ops.DeltaInterop.readSnapshot(s, table.resolve(s"v$v"))
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).cast("long").as("sum_chars"))
+            // materialize before the temp table is deleted below (the
+            // returned frame is otherwise lazy over the temp files)
+            .localCheckpoint()
+        } finally graft.ops.Storage.deleteRecursively(dir)
       },
       Some("""SELECT lang, COUNT(*) AS n_docs,
              |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars

@@ -50,6 +50,25 @@ object StreamingQueries {
       s"WHEN ${i + 1} THEN TIMESTAMP '$c'"
     }.mkString(" ") + s" ELSE TIMESTAMP '${Cutoffs.last}' END"
 
+  /** 0-based arrival-window index of an event's `ts` under [[Cutoffs]] —
+    * the ONE definition of the window bucketing, shared by every replay
+    * (stream1/stream5) so the batchId ↔ window mapping cannot diverge
+    * between equivalence rows. */
+  private def windowTag: Column = {
+    var bcol: Column = lit(Cutoffs.size - 1)
+    for (i <- Cutoffs.size - 2 to 0 by -1)
+      bcol = when(col("ts") <= lit(Cutoffs(i)).cast("timestamp"), lit(i)).otherwise(bcol)
+    bcol
+  }
+
+  /** (cutoffTs, rows) per NON-EMPTY arrival window, in window order — an
+    * empty window runs no micro-batch, so batchId i maps to the i-th
+    * non-empty window's cutoff. */
+  private def arrivalWindows[T](tagged: Seq[(Int, T)]): Seq[(String, Seq[T])] =
+    (0 until Cutoffs.size)
+      .map(i => Cutoffs(i) -> tagged.filter(_._1 == i).map(_._2).toSeq)
+      .filter(_._2.nonEmpty)
+
   def all: Seq[Q] = Seq(
     // Watermarked tumbling-window aggregation — the canonical Structured
     // Streaming shape — proven equivalent to the batch hourly rollup. The
@@ -211,18 +230,12 @@ object StreamingQueries {
         // sub-second events just past a cutoff would land in different
         // windows per engine (the oracle buckets/orders on
         // epoch_ns // 1000 to match).
-        var bcol: Column = lit(Cutoffs.size - 1)
-        for (i <- Cutoffs.size - 2 to 0 by -1)
-          bcol = when(col("ts") <= lit(Cutoffs(i)).cast("timestamp"), lit(i)).otherwise(bcol)
-        val tagged = Tables.events(s, d)
-          .select(bcol.as("b"), col("user_id"), col("event_type"), col("props"),
+        val windows = arrivalWindows(Tables.events(s, d)
+          .select(windowTag.as("b"), col("user_id"), col("event_type"), col("props"),
             unix_micros(col("ts")).as("ts_us"), col("event_id"))
           .collect()
           .map(r => (r.getInt(0), (r.getLong(1), r.getString(2), r.getString(3),
-            r.getLong(4), r.getLong(5))))
-        val windows = (0 until Cutoffs.size)
-          .map(i => Cutoffs(i) -> tagged.filter(_._1 == i).map(_._2).toSeq)
-          .filter(_._2.nonEmpty) // an empty window runs no micro-batch
+            r.getLong(4), r.getLong(5)))).toSeq)
         val batchTs = windows.map(_._1)
 
         val dimDir = java.nio.file.Files.createTempDirectory("stream1_scd2")
@@ -304,18 +317,12 @@ object StreamingQueries {
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         implicit val sqlCtx = s.sqlContext
 
-        var bcol: Column = lit(Cutoffs.size - 1)
-        for (i <- Cutoffs.size - 2 to 0 by -1)
-          bcol = when(col("ts") <= lit(Cutoffs(i)).cast("timestamp"), lit(i)).otherwise(bcol)
-        val tagged = Tables.events(s, d)
-          .select(bcol.as("b"), col("user_id"), col("event_type"), col("value"),
+        val windows = arrivalWindows(Tables.events(s, d)
+          .select(windowTag.as("b"), col("user_id"), col("event_type"), col("value"),
             unix_micros(col("ts")).as("ts_us"), col("event_id"))
           .collect()
           .map(r => (r.getInt(0), (r.getLong(1), r.getString(2), r.getDouble(3),
-            r.getLong(4), r.getLong(5))))
-        val windows = (0 until Cutoffs.size)
-          .map(i => Cutoffs(i) -> tagged.filter(_._1 == i).map(_._2).toSeq)
-          .filter(_._2.nonEmpty)
+            r.getLong(4), r.getLong(5)))).toSeq)
         val batchTs = windows.map(_._1)
 
         val dir = java.nio.file.Files.createTempDirectory("stream5_upsert")

@@ -139,6 +139,16 @@ class DeltaInteropSpec extends SparkTestBase {
     assert(e.exceptAll(own).isEmpty && own.exceptAll(e).isEmpty)
   }
 
+  test("zero-add log (empty bootstrap commit) reads as an empty frame with the log's schema") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("delta_empty").resolve("t")
+    val empty = spark.range(0).select($"id".as("k"), lit(0).as("pbucket"))
+    Storage.commitPartitions(empty, table, "pbucket")
+    val ext = DeltaInterop.readSnapshot(spark, table.resolve("v0"))
+    assert(ext.count() == 0)
+    assert(ext.columns.toSeq == Seq("k", "pbucket"))
+  }
+
   test("second incremental commit carries through a chain: absolute adds survive re-carry") {
     import spark.implicits._
     val table = Files.createTempDirectory("delta_chain").resolve("t")
