@@ -239,6 +239,31 @@ object Corpus {
       .drop("__pid")
   }
 
+  /** Quality-filter funnel with FIRST-FAILING-STAGE attribution: every
+    * document is counted under the first predicate (in `stages` order)
+    * that rejects it, or under `survivorLabel`. The per-stage removal
+    * counts are the audit view a real corpus pipeline needs — "the lang
+    * filter removed 30%" is only meaningful if earlier filters already
+    * took their share, so attribution order IS the semantics. Stages with
+    * zero removals still appear (zero-filled) so the funnel schema is
+    * stable across runs. One map-side when-chain + one count shuffle;
+    * the stage list is a driver-side literal (bounded by construction). */
+  def qualityFunnel(
+      docs: DataFrame,
+      stages: Seq[(String, Column)],
+      survivorLabel: String = "survivors"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val chain = stages.reverse.foldLeft(lit(survivorLabel): Column) {
+      case (rest, (name, pred)) => when(pred, lit(name)).otherwise(rest)
+    }
+    val counts = docs.select(chain.as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n"))
+    import docs.sparkSession.implicits._
+    (stages.map(_._1) :+ survivorLabel).toDF("stage")
+      .join(counts, Seq("stage"), "left")
+      .select(col("stage"), coalesce(col("n"), lit(0L)).as("n_docs"))
+  }
+
   /** Email pattern valid in BOTH Java regex (Spark) and RE2 (DuckDB). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 

@@ -422,5 +422,35 @@ object CorpusQueries {
              |  len(regexp_extract_all(text, '${Corpus.PhonePattern}')) AS n_phones,
              |  md5(regexp_replace(regexp_replace(text, '${Corpus.EmailPattern}', '<EMAIL>', 'g'),
              |      '${Corpus.PhonePattern}', '<PHONE>', 'g')) AS redacted_fp
-             |FROM documents""".stripMargin)))
+             |FROM documents""".stripMargin)),
+
+    // Quality-filter funnel (Corpus.qualityFunnel): per-stage removal
+    // counts with FIRST-FAILING attribution — the audit view a corpus
+    // pipeline ships alongside its filters ("how much did each rule
+    // cost me, in order"). Stage 3 removes nothing on this fixture by
+    // design: a zero row proves zero-fill works and the funnel schema is
+    // stable when a filter goes quiet. Ordinal-prefixed stage names give
+    // the oracle a total order without a separate rank column.
+    Q("t8_quality_funnel",
+      (s, d) => Corpus.qualityFunnel(Tables.documents(s, d), Seq(
+        "1_too_short" -> (length(col("text")) < 200),
+        "2_too_few_words" -> (size(graft.ops.Text.tokens(col("text"))) < 40),
+        "3_bad_word_shape" ->
+          !(length(col("text")).cast("double") /
+            size(graft.ops.Text.tokens(col("text")))).between(3.5, 9.0),
+        "4_wrong_lang" -> !col("lang").isin("en", "de", "fr")),
+        survivorLabel = "5_survivors"),
+      Some("""WITH f AS (SELECT CASE
+             |    WHEN length(text) < 200 THEN '1_too_short'
+             |    WHEN len(string_split(text, ' ')) < 40 THEN '2_too_few_words'
+             |    WHEN length(text) * 1.0 / len(string_split(text, ' '))
+             |         NOT BETWEEN 3.5 AND 9.0 THEN '3_bad_word_shape'
+             |    WHEN lang NOT IN ('en', 'de', 'fr') THEN '4_wrong_lang'
+             |    ELSE '5_survivors' END AS stage
+             |  FROM documents),
+             |s(stage) AS (VALUES ('1_too_short'), ('2_too_few_words'),
+             |  ('3_bad_word_shape'), ('4_wrong_lang'), ('5_survivors'))
+             |SELECT s.stage, CAST(coalesce(c.n, 0) AS BIGINT) AS n_docs
+             |FROM s LEFT JOIN (SELECT stage, COUNT(*) AS n FROM f GROUP BY 1) c
+             |  USING (stage)""".stripMargin)))
 }
