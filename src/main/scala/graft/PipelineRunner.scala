@@ -17,12 +17,22 @@ import org.apache.spark.sql.functions._
   *          + append-only order fact via anti-join (J4/M2,
   *          dwh_fact_character_episode.py:102-107)
   *
-  * Every table write is [[Storage.commitVersion]] — the BEGIN/COMMIT analog
-  * (M4) as a versioned commit log: each run is one commit per layer,
-  * concurrent readers keep their resolved snapshot, and the previous
-  * run's state stays readable via [[Storage.readVersionAt]] until
-  * vacuumed. Re-running with the same `asOf` is a no-op on every layer
+  * Every table write goes through the versioned commit log — the
+  * BEGIN/COMMIT analog (M4): each run is one commit per layer, concurrent
+  * readers keep their resolved snapshot, and the previous run's state
+  * stays readable via [[Storage.readVersionAt]] until vacuumed.
+  * Re-running with the same `asOf` is a no-op on every layer
   * (idempotence, verified in PipelineRunnerSpec).
+  *
+  * The stg layer is the 100 TB write shape end-to-end: a HIGH-WATERMARK
+  * delta extraction (only users with events since the previous run's
+  * cutoff enter the load) feeding [[MergeOps.prunedConditionalUpsert]],
+  * so each run rewrites only the PK-hash buckets containing changed
+  * users — untouched buckets carry forward by commit-log manifest
+  * reference, bytes unmoved. The watermark advances AFTER the commit:
+  * a crash between commit and watermark write just makes the next run's
+  * delta larger (the upsert is idempotent on unchanged rows), never
+  * loses data.
   */
 object PipelineRunner {
 
@@ -36,6 +46,26 @@ object PipelineRunner {
   private def readOr(spark: SparkSession, p: Path, empty: => DataFrame): DataFrame =
     Storage.readVersionOr(spark, p, empty)
 
+  private val StgBuckets = 16
+
+  private def watermarkFile(workDir: Path): Path = workDir.resolve("_stg_watermark")
+
+  private def readWatermark(workDir: Path): Option[String] = {
+    val p = watermarkFile(workDir)
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
+    else None
+  }
+
+  private def writeWatermark(workDir: Path, asOf: String): Unit = {
+    val p = watermarkFile(workDir)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp, asOf.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** One pipeline run: events/orders visible up to `asOf` (event-time and
     * order-date cutoffs), stamped with frozen `runTs`. */
   def run(spark: SparkSession, dir: String, workDir: Path,
@@ -46,22 +76,36 @@ object PipelineRunner {
     Seq(l.stgUsers, l.dimUsers, l.factOrders).foreach(Storage.repairOrphans)
     val runTsCol = lit(runTs).cast("timestamp")
 
-    // ---- raw → stg: visible snapshot, conditional upsert (M1)
+    // ---- raw → stg: high-watermark delta, partition-pruned upsert (M1)
     val visible = Tables.events(spark, dir)
       .withColumn("ts", col("ts").cast("timestamp"))
       .filter(col("ts") <= lit(asOfEventTs).cast("timestamp"))
-    val snapshot = MergeOps.latestByKey(visible, Seq("user_id"),
+    // delta extraction: only users with events SINCE the previous run's
+    // cutoff enter the load — for them the visible-latest equals the
+    // full-snapshot value, and users without new events already hold
+    // their correct row (the exact ON CONFLICT incremental contract)
+    val changed = readWatermark(workDir) match {
+      case Some(wm) =>
+        val changedUsers = Tables.events(spark, dir)
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .filter(col("ts") > lit(wm).cast("timestamp") &&
+            col("ts") <= lit(asOfEventTs).cast("timestamp"))
+          .select(col("user_id")).distinct()
+        visible.join(changedUsers, Seq("user_id"), "left_semi")
+      case None => visible // bootstrap: full load
+    }
+    val snapshot = MergeOps.latestByKey(changed, Seq("user_id"),
         Seq(col("ts"), col("event_id")))
       .select(col("user_id"), col("event_type"), col("value"),
         lit(null).cast("timestamp").as("loaded_at"),
         lit(null).cast("timestamp").as("last_upd_at"))
-    val stgPrev = readOr(spark, l.stgUsers, snapshot.limit(0))
-    val stgNext = MergeOps.conditionalUpsert(stgPrev, snapshot,
-      Seq("user_id"), Seq("event_type", "value"), runTsCol)
-    Storage.commitVersion(stgNext, l.stgUsers)
+    MergeOps.prunedConditionalUpsert(l.stgUsers, snapshot,
+      pk = Seq("user_id"), tracked = Seq("event_type", "value"),
+      runTs = runTsCol, nParts = StgBuckets)
+    writeWatermark(workDir, asOfEventTs) // only after the commit succeeded
 
     // ---- stg → dwh dim: SCD2 close-and-insert (M3/M5)
-    val stg = Storage.readVersion(spark, l.stgUsers)
+    val stg = Storage.readPartitionedVersion(spark, l.stgUsers)
       .select(col("user_id"), col("event_type"), col("value"))
     val dimPrev = readOr(spark, l.dimUsers,
       stg.limit(0)

@@ -55,5 +55,18 @@ class PipelineRunnerSpec extends SparkTestBase {
     // the current state because run 3 was a no-op
     assert(graft.ops.Storage.currentVersion(l.dimUsers).contains(2L))
     assert(graft.ops.Storage.readVersionAt(spark, l.dimUsers, 1).collect().toSet == dimBefore)
+
+    // stg write pruning: the no-op re-run had an EMPTY high-watermark
+    // delta, so its pruned-upsert commit rewrote ZERO buckets — the new
+    // version directory holds no partition dirs, everything carried by
+    // manifest reference
+    val stgV = graft.ops.Storage.currentVersion(l.stgUsers).get
+    val vdir = l.stgUsers.resolve(s"v$stgV")
+    val s0 = java.nio.file.Files.list(vdir)
+    val rewritten =
+      try s0.toArray.map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+        .count(_.startsWith("pbucket="))
+      finally s0.close()
+    assert(rewritten == 0, s"no-op run must rewrite no buckets, rewrote $rewritten")
   }
 }
