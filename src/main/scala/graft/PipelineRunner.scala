@@ -118,6 +118,14 @@ object PipelineRunner {
     Storage.commitVersion(dimNext, l.dimUsers)
 
     // ---- dwh fact: BK→SK resolution + incremental anti-join append (J2/J4)
+    //
+    // Append-only facts are the natural pruned-commit shape: each run's
+    // new rows land in THEIR OWN load_epoch partition and every earlier
+    // run's partition carries forward by manifest reference — the fact
+    // table (the biggest table in any warehouse) is never rewritten. The
+    // anti-join against existing keys is a column-pruned READ (o_orderkey
+    // only); the write is O(new rows). A re-run's empty delta commits a
+    // version with zero rewritten partitions (asserted in the spec).
     val dimCurrent = Storage.readVersion(spark, l.dimUsers)
       .filter(col("is_current"))
       .select(col("user_id"), col("sk").as("user_sk"))
@@ -129,8 +137,15 @@ object PipelineRunner {
       .join(broadcast(dimCurrent), Seq("user_id"), "inner")
       .select(col("o_orderkey"), col("user_sk"),
         col("o_totalprice"), runTsCol.as("inserted_at"))
-    val factPrev = readOr(spark, l.factOrders, resolved.limit(0))
-    val factNext = MergeOps.insertIfAbsent(factPrev, resolved, Seq("o_orderkey"))
-    Storage.commitVersion(factNext, l.factOrders)
+    val newRows = Storage.currentVersion(l.factOrders) match {
+      case Some(_) =>
+        val existingKeys = Storage.readPartitionedVersion(spark, l.factOrders)
+          .select(col("o_orderkey"))
+        resolved.join(existingKeys, Seq("o_orderkey"), "left_anti")
+      case None => resolved
+    }
+    Storage.commitPartitions(
+      newRows.withColumn("load_epoch", unix_timestamp(runTsCol)),
+      l.factOrders, "load_epoch")
   }
 }

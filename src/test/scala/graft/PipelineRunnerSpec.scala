@@ -14,7 +14,7 @@ class PipelineRunnerSpec extends SparkTestBase {
     PipelineRunner.run(spark, Sf001, work,
       "2024-01-15 00:00:00", "1997-12-31", "2024-02-01 00:00:00")
     val dim1 = graft.ops.Storage.readVersion(spark, l.dimUsers).collect()
-    val fact1 = graft.ops.Storage.readVersion(spark, l.factOrders)
+    val fact1 = graft.ops.Storage.readPartitionedVersion(spark, l.factOrders)
     val fact1Count = fact1.count()
     assert(dim1.nonEmpty && fact1Count > 0)
     // initial load: every user exactly one current version
@@ -24,7 +24,7 @@ class PipelineRunnerSpec extends SparkTestBase {
     PipelineRunner.run(spark, Sf001, work,
       "2024-01-30 23:59:59", "2001-12-31", "2024-03-01 00:00:00")
     val dim2 = graft.ops.Storage.readVersion(spark, l.dimUsers)
-    val fact2 = graft.ops.Storage.readVersion(spark, l.factOrders)
+    val fact2 = graft.ops.Storage.readPartitionedVersion(spark, l.factOrders)
 
     // SCD2: exactly one current version per user; closed versions exist
     assert(dim2.filter(col("is_current")).groupBy("user_id").count()
@@ -48,7 +48,7 @@ class PipelineRunnerSpec extends SparkTestBase {
     PipelineRunner.run(spark, Sf001, work,
       "2024-01-30 23:59:59", "2001-12-31", "2024-04-01 00:00:00")
     assert(graft.ops.Storage.readVersion(spark, l.dimUsers).collect().toSet == dimBefore)
-    assert(graft.ops.Storage.readVersion(spark, l.factOrders).collect().toSet == factBefore)
+    assert(graft.ops.Storage.readPartitionedVersion(spark, l.factOrders).collect().toSet == factBefore)
 
     // commit log across runs: 3 runs = versions 0..2 per layer; run-2's
     // state is still readable via time travel (keep-window), and equals
@@ -60,13 +60,20 @@ class PipelineRunnerSpec extends SparkTestBase {
     // delta, so its pruned-upsert commit rewrote ZERO buckets — the new
     // version directory holds no partition dirs, everything carried by
     // manifest reference
-    val stgV = graft.ops.Storage.currentVersion(l.stgUsers).get
-    val vdir = l.stgUsers.resolve(s"v$stgV")
-    val s0 = java.nio.file.Files.list(vdir)
-    val rewritten =
+    def rewrittenParts(table: java.nio.file.Path, prefix: String): Int = {
+      val v = graft.ops.Storage.currentVersion(table).get
+      val s0 = java.nio.file.Files.list(table.resolve(s"v$v"))
       try s0.toArray.map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
-        .count(_.startsWith("pbucket="))
+        .count(_.startsWith(prefix))
       finally s0.close()
-    assert(rewritten == 0, s"no-op run must rewrite no buckets, rewrote $rewritten")
+    }
+    assert(rewrittenParts(l.stgUsers, "pbucket=") == 0,
+      "no-op run must rewrite no stg buckets")
+
+    // fact write pruning: append-only facts land in per-run load_epoch
+    // partitions; the no-op run appended nothing, so its version rewrote
+    // zero partitions — the whole fact table carries by reference
+    assert(rewrittenParts(l.factOrders, "load_epoch=") == 0,
+      "no-op run must rewrite no fact partitions")
   }
 }
