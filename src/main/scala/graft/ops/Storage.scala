@@ -503,6 +503,9 @@ object Storage {
       // composed state and commit it as a new all-partitions version
       // (every partition now owned by the new version; older versions
       // become vacuumable).
+      case Some(v) if Files.exists(table.resolve(s"v$v").resolve(PartsManifest)) &&
+          readPartsManifest(table.resolve(s"v$v")).isEmpty =>
+        0 // empty bootstrap commit: no partitions exist, nothing to compact
       case Some(v) if Files.exists(table.resolve(s"v$v").resolve(PartsManifest)) =>
         val manifest = readPartsManifest(table.resolve(s"v$v"))
         val partCol = manifest.keys.head.split("=", 2)(0)

@@ -292,6 +292,15 @@ class PartitionedStorageSpec extends SparkTestBase {
     assert(log.adds.nonEmpty && log.adds.forall(a => !a.path.startsWith("file:")))
   }
 
+  test("compact on an empty bootstrap partitioned commit is a safe no-op") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("compact_empty").resolve("t")
+    Storage.commitPartitions(
+      spark.range(0).select($"id".as("k"), lit(0).as("pbucket")), table, "pbucket")
+    assert(Storage.compact(spark, table) == 0)
+    assert(Storage.currentVersion(table).contains(0L), "no spurious version")
+  }
+
   test("compact: many small files collapse to the byte-targeted count, rows intact") {
     import java.nio.file.{Files => F}
     val table = Files.createTempDirectory("compaction").resolve("t")
