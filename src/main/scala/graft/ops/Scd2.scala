@@ -151,7 +151,8 @@ object Scd2 {
       tracked: Seq[String],
       runTs: Column,
       skCol: String = "sk",
-      tieBreak: Seq[Column] = Nil): DataFrame = {
+      tieBreak: Seq[Column] = Nil,
+      skBase: Option[Long] = None): DataFrame = {
 
     val history = dim.filter(!col("is_current"))
     val current = dim.filter(col("is_current"))
@@ -188,7 +189,11 @@ object Scd2 {
     // bk-order window, but a bulk initial load no longer funnels the whole
     // dimension through one single-partition sort task (Scd2Spec asserts
     // both the key equality and the absence of an unkeyed window).
-    val maxSk = dim.agg(coalesce(max(col(skCol)), lit(0L)).cast("long")).first().getLong(0)
+    // skBase overrides the derived max for callers whose `dim` is only a
+    // SLICE of the dimension (the pruned path): the high-water mark must
+    // be global or new SKs would collide with unseen buckets' keys
+    val maxSk = skBase.getOrElse(
+      dim.agg(coalesce(max(col(skCol)), lit(0L)).cast("long")).first().getLong(0))
     val openedBase = joined.filter(isNew || (!isGone && changed))
       .select(
         (Seq(col(s"s.$bk").as(bk)) ++
@@ -204,5 +209,57 @@ object Scd2 {
 
     history.select(dimCols.map(col): _*)
       .unionByName(kept).unionByName(closed).unionByName(opened)
+  }
+
+  /** SCD2 close-and-insert at dimension scale: the table is PK-hash
+    * bucketed in a partition-manifested commit log
+    * ([[Storage.commitPartitions]]), and an incremental load rewrites ONLY
+    * the buckets containing incoming business keys — the rest of the
+    * dimension (history included) carries forward by manifest reference,
+    * bytes unmoved. The M3 analogue of
+    * [[MergeOps.prunedConditionalUpsert]], for dims too big to rewrite
+    * per load (a consumer-scale user dimension at 1e9 rows); small dims
+    * should keep the plain [[closeAndInsert]]+commitVersion path, whose
+    * single version dir also gives simple time travel.
+    *
+    * Reads: affected buckets in full, plus ONE column-pruned scan of the
+    * whole dimension for the global SK high-water mark (metadata-cheap:
+    * parquet reads just the sk column; at deploy the max would live in
+    * table metadata). Writes: O(affected buckets). The (row → sk)
+    * mapping is IDENTICAL to the full-rewrite path — Scd2PrunedSpec
+    * asserts state equality after multiple loads and byte-identity of
+    * untouched buckets. */
+  def prunedCloseAndInsert(
+      table: java.nio.file.Path,
+      stgDelta: DataFrame,
+      bk: String,
+      tracked: Seq[String],
+      runTs: Column,
+      skCol: String = "sk",
+      nParts: Int = 64,
+      tieBreak: Seq[Column] = Nil): Long = {
+    val spark = stgDelta.sparkSession
+    val bucket = pmod(xxhash64(col(bk)), lit(nParts)).cast("int")
+    val affected = stgDelta
+      .select(bucket.as("pbucket")).distinct()
+      .collect().map(r => s"pbucket=${r.getInt(0)}").toSet
+    val (old, maxSk) = Storage.currentVersion(table) match {
+      case Some(_) =>
+        val full = Storage.readPartitionedVersion(spark, table)
+        val m = full.agg(coalesce(max(col(skCol)), lit(0L)).cast("long"))
+          .first().getLong(0)
+        (Storage.readPartitionedVersion(spark, table, Some(affected)).drop("pbucket"), m)
+      case None =>
+        val empty = stgDelta
+          .select(col(bk) +: tracked.map(col): _*).limit(0)
+          .withColumn(skCol, lit(0L))
+          .withColumn("valid_from", lit(null).cast("timestamp"))
+          .withColumn("valid_to", lit(null).cast("timestamp"))
+          .withColumn("is_current", lit(true))
+        (empty, 0L)
+    }
+    val next = closeAndInsert(old, stgDelta, bk, tracked, runTs, skCol,
+      tieBreak, skBase = Some(maxSk))
+    Storage.commitPartitions(next.withColumn("pbucket", bucket), table, "pbucket")
   }
 }
