@@ -48,6 +48,11 @@ object PipelineRunner {
 
   private val StgBuckets = 16
 
+  /** How far BEHIND the watermark a late-arriving event may land and
+    * still be picked up by the next run's delta (events later than this
+    * are dropped — the standard watermark trade). */
+  private val LatenessHorizon = "2 DAYS"
+
   private def watermarkFile(workDir: Path): Path = workDir.resolve("_stg_watermark")
 
   private def readWatermark(workDir: Path): Option[String] = {
@@ -80,15 +85,21 @@ object PipelineRunner {
     val visible = Tables.events(spark, dir)
       .withColumn("ts", col("ts").cast("timestamp"))
       .filter(col("ts") <= lit(asOfEventTs).cast("timestamp"))
-    // delta extraction: only users with events SINCE the previous run's
-    // cutoff enter the load — for them the visible-latest equals the
-    // full-snapshot value, and users without new events already hold
-    // their correct row (the exact ON CONFLICT incremental contract)
+    // delta extraction: only users with events since (previous cutoff −
+    // lateness horizon) enter the load — for them the visible-latest
+    // equals the full-snapshot value, and users without new events hold
+    // their correct row (the ON CONFLICT incremental contract). The
+    // horizon re-opens the window for LATE-ARRIVING events whose event
+    // time predates the watermark (the raw extract can deliver them any
+    // time); events later than the horizon are dropped — the standard
+    // watermark trade, same contract as Structured Streaming's
+    // withWatermark, and the horizon is the knob.
     val changed = readWatermark(workDir) match {
       case Some(wm) =>
+        val reopened = lit(wm).cast("timestamp") - expr(s"INTERVAL $LatenessHorizon")
         val changedUsers = Tables.events(spark, dir)
           .withColumn("ts", col("ts").cast("timestamp"))
-          .filter(col("ts") > lit(wm).cast("timestamp") &&
+          .filter(col("ts") > reopened &&
             col("ts") <= lit(asOfEventTs).cast("timestamp"))
           .select(col("user_id")).distinct()
         visible.join(changedUsers, Seq("user_id"), "left_semi")
@@ -108,11 +119,7 @@ object PipelineRunner {
     val stg = Storage.readPartitionedVersion(spark, l.stgUsers)
       .select(col("user_id"), col("event_type"), col("value"))
     val dimPrev = readOr(spark, l.dimUsers,
-      stg.limit(0)
-        .withColumn("sk", lit(0L))
-        .withColumn("valid_from", lit(null).cast("timestamp"))
-        .withColumn("valid_to", lit(null).cast("timestamp"))
-        .withColumn("is_current", lit(true)))
+      Scd2.emptyDim(stg, "user_id", Seq("event_type", "value")))
     val dimNext = Scd2.closeAndInsert(dimPrev, stg, "user_id",
       Seq("event_type", "value"), runTsCol, "sk")
     Storage.commitVersion(dimNext, l.dimUsers)
@@ -144,6 +151,19 @@ object PipelineRunner {
         resolved.join(existingKeys, Seq("o_orderkey"), "left_anti")
       case None => resolved
     }
+    // runTs identifies the run, so its load_epoch partition must be fresh:
+    // committing NEW rows into an epoch that already exists would REPLACE
+    // that partition's bytes (dynamic-overwrite semantics) and silently
+    // drop the earlier run's facts. An exact re-run (same asOf, same
+    // runTs) is still fine — its delta is empty, nothing is written.
+    val epoch = java.time.LocalDateTime
+      .parse(runTs.replace(' ', 'T'))
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    if (Storage.committedPartitions(l.factOrders).contains(s"load_epoch=$epoch") &&
+        !newRows.isEmpty)
+      throw new IllegalStateException(
+        s"fact load_epoch=$epoch already committed with different content — " +
+          "each run needs a distinct runTs (or re-run with identical asOf)")
     Storage.commitPartitions(
       newRows.withColumn("load_epoch", unix_timestamp(runTsCol)),
       l.factOrders, "load_epoch")

@@ -253,6 +253,11 @@ object Corpus {
       stages: Seq[(String, Column)],
       survivorLabel: String = "survivors"): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    // duplicate labels would double-join their count row — sum(n_docs)
+    // would exceed the doc count and the funnel silently lies
+    val names = stages.map(_._1) :+ survivorLabel
+    require(names.distinct.size == names.size,
+      s"stage names must be distinct incl. '$survivorLabel' (got $names)")
     val chain = stages.reverse.foldLeft(lit(survivorLabel): Column) {
       case (rest, (name, pred)) => when(pred, lit(name)).otherwise(rest)
     }

@@ -110,6 +110,20 @@ object MergeOps {
     *
     * `nParts` is fixed at table creation (it's the on-disk layout).
     * Returns the committed version. */
+  /** THE bucketing contract of every pruned-write path (`pbucket` column,
+    * xxhash64 over the PK, `pbucket=<n>` partition dirs) — one definition
+    * shared by [[prunedConditionalUpsert]], [[Scd2.prunedCloseAndInsert]],
+    * and their specs, because readers match partition-dir NAMES: a
+    * divergent copy would silently read the wrong buckets. */
+  private[graft] def pkBucket(pk: Seq[String], nParts: Int): Column =
+    pmod(xxhash64(pk.map(col): _*), lit(nParts)).cast("int")
+
+  /** The `pbucket=<n>` partition-dir names `df`'s PKs hash into —
+    * O(nParts) driver rows, never data. */
+  private[graft] def affectedBuckets(df: DataFrame, pk: Seq[String], nParts: Int): Set[String] =
+    df.select(pkBucket(pk, nParts).as("pbucket")).distinct()
+      .collect().map(r => s"pbucket=${r.getInt(0)}").toSet
+
   def prunedConditionalUpsert(
       table: java.nio.file.Path,
       incoming: DataFrame,
@@ -121,21 +135,47 @@ object MergeOps {
       lastUpdCol: String = "last_upd_at",
       tieBreak: Seq[Column] = Nil): Long = {
     val spark = incoming.sparkSession
-    val bucket = pmod(xxhash64(pk.map(col): _*), lit(nParts)).cast("int")
-    val affected = incoming
-      .select(bucket.as("pbucket")).distinct()
-      .collect().map(r => s"pbucket=${r.getInt(0)}").toSet
-    val old = Storage.currentVersion(table) match {
-      case Some(_) =>
-        Storage.readPartitionedVersion(spark, table, Some(affected)).drop("pbucket")
-      case None => // bootstrap: empty old with the managed schema
-        incoming
-          .withColumn(loadedAtCol, runTs).withColumn(lastUpdCol, runTs)
-          .select((pk ++ tracked).map(col) ++ Seq(col(loadedAtCol), col(lastUpdCol)): _*)
-          .limit(0)
+    val bucket = pkBucket(pk, nParts)
+
+    if (Storage.currentVersion(table).isEmpty) { // bootstrap: full load
+      val emptyOld = incoming
+        .withColumn(loadedAtCol, runTs).withColumn(lastUpdCol, runTs)
+        .select((pk ++ tracked).map(col) ++ Seq(col(loadedAtCol), col(lastUpdCol)): _*)
+        .limit(0)
+      val next = conditionalUpsert(emptyOld, incoming, pk, tracked, runTs,
+        loadedAtCol, lastUpdCol, tieBreak)
+      return Storage.commitPartitions(next.withColumn("pbucket", bucket), table, "pbucket")
     }
-    val next = conditionalUpsert(old, incoming, pk, tracked, runTs,
-      loadedAtCol, lastUpdCol, tieBreak)
+
+    // prune by CHANGE, not by presence: an incoming row equal to its
+    // stored row must not force its bucket to rewrite (the reference's
+    // ON CONFLICT DO UPDATE ... WHERE <attr IS DISTINCT> touches only
+    // changed rows; an idempotent re-delivery rewrites ZERO buckets).
+    // The comparison runs only over the candidate buckets already read.
+    val candidate = affectedBuckets(incoming, pk, nParts)
+    val old = Storage.readPartitionedVersion(spark, table, Some(candidate)).drop("pbucket")
+    val one =
+      if (tieBreak.nonEmpty) latestByKey(incoming, pk, tieBreak)
+      else incoming.dropDuplicates(pk)
+    // null-safe PK match (a NULL PK is a key like any other — MergeSpec),
+    // with an explicit marker because a matched null-key row would fool a
+    // pk-is-null unmatched test
+    val changedKeys = one.alias("i")
+      .join(old.withColumn("__matched", lit(true)).alias("o"),
+        pk.map(k => col(s"i.$k") <=> col(s"o.$k")).reduce(_ && _), "left")
+      .filter(col("o.__matched").isNull ||
+        Extract.anyChanged(tracked.map(x => (col(s"o.$x"), col(s"i.$x")))))
+      .select(pk.map(k => col(s"i.$k").as(k)): _*)
+    val affected = affectedBuckets(changedKeys, pk, nParts)
+    if (affected.isEmpty) // nothing changed: everything carries by reference
+      return Storage.commitPartitions(
+        old.limit(0).withColumn("pbucket", bucket), table, "pbucket")
+    val oldAffected =
+      Storage.readPartitionedVersion(spark, table, Some(affected)).drop("pbucket")
+    val affectedIds = affected.map(_.stripPrefix("pbucket=").toInt).toSeq
+    val next = conditionalUpsert(
+      oldAffected, incoming.filter(bucket.isin(affectedIds: _*)),
+      pk, tracked, runTs, loadedAtCol, lastUpdCol, tieBreak)
     Storage.commitPartitions(next.withColumn("pbucket", bucket), table, "pbucket")
   }
 

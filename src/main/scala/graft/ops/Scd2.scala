@@ -239,27 +239,30 @@ object Scd2 {
       nParts: Int = 64,
       tieBreak: Seq[Column] = Nil): Long = {
     val spark = stgDelta.sparkSession
-    val bucket = pmod(xxhash64(col(bk)), lit(nParts)).cast("int")
-    val affected = stgDelta
-      .select(bucket.as("pbucket")).distinct()
-      .collect().map(r => s"pbucket=${r.getInt(0)}").toSet
+    val affected = MergeOps.affectedBuckets(stgDelta, Seq(bk), nParts)
     val (old, maxSk) = Storage.currentVersion(table) match {
       case Some(_) =>
         val full = Storage.readPartitionedVersion(spark, table)
         val m = full.agg(coalesce(max(col(skCol)), lit(0L)).cast("long"))
           .first().getLong(0)
         (Storage.readPartitionedVersion(spark, table, Some(affected)).drop("pbucket"), m)
-      case None =>
-        val empty = stgDelta
-          .select(col(bk) +: tracked.map(col): _*).limit(0)
-          .withColumn(skCol, lit(0L))
-          .withColumn("valid_from", lit(null).cast("timestamp"))
-          .withColumn("valid_to", lit(null).cast("timestamp"))
-          .withColumn("is_current", lit(true))
-        (empty, 0L)
+      case None => (emptyDim(stgDelta, bk, tracked, skCol), 0L)
     }
     val next = closeAndInsert(old, stgDelta, bk, tracked, runTs, skCol,
       tieBreak, skBase = Some(maxSk))
-    Storage.commitPartitions(next.withColumn("pbucket", bucket), table, "pbucket")
+    Storage.commitPartitions(
+      next.withColumn("pbucket", MergeOps.pkBucket(Seq(bk), nParts)), table, "pbucket")
   }
+
+  /** Empty dimension frame typed from a staging frame — THE bootstrap
+    * schema (bk + tracked + sk/valid_from/valid_to/is_current), shared by
+    * [[prunedCloseAndInsert]], PipelineRunner, and the specs so an added
+    * audit column cannot drift between call sites. */
+  def emptyDim(stg: DataFrame, bk: String, tracked: Seq[String],
+      skCol: String = "sk"): DataFrame =
+    stg.select(col(bk) +: tracked.map(col): _*).limit(0)
+      .withColumn(skCol, lit(0L))
+      .withColumn("valid_from", lit(null).cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
 }

@@ -290,40 +290,50 @@ object Storage {
       val (rows, cols) =
         try {
           import scala.jdk.CollectionConverters._
-          val perChunk = for {
-            block <- rd.getFooter.getBlocks.asScala.toSeq
-            cc <- block.getColumns.asScala
-            st = cc.getStatistics
-            if st != null && !st.isEmpty && st.hasNonNullValue
-            tag <- (cc.getPrimitiveType.getPrimitiveTypeName match {
+          // A file's column min/max is only usable if EVERY chunk holding
+          // values contributed usable stats — a chunk with values but
+          // missing/unusable stats (not recorded, or ±Infinity/NaN whose
+          // BigDecimal compare would throw and whose JSON is non-standard)
+          // POISONS the column for this file: emitting a partial range
+          // would make pruning silently skip files containing matching
+          // rows. All-null chunks are safely skipped (no values to cover;
+          // a range predicate never matches NULL anyway).
+          val poisoned = scala.collection.mutable.Set.empty[String]
+          val perChunk = scala.collection.mutable.ListBuffer.empty[(String, String, String, String)]
+          def str(v: Any): String = v match {
+            case b: Binary => b.toStringUsingUTF8
+            case x => x.toString
+          }
+          for (block <- rd.getFooter.getBlocks.asScala; cc <- block.getColumns.asScala) {
+            val tagOpt = cc.getPrimitiveType.getPrimitiveTypeName match {
               case INT32 | INT64 => Some("i")
               case FLOAT | DOUBLE => Some("f")
               case BINARY => Some("s")
               case _ => None // INT96/BOOLEAN/FIXED: not range-prunable here
-            }).toSeq
-            // ±Infinity/NaN min/max would throw in the BigDecimal range
-            // compares here and in statsPrunedFiles, and render as
-            // non-standard JSON in the Delta log — drop the column's
-            // stats for this chunk (conservative keep; an infinite bound
-            // can't prune anything anyway)
-            if tag != "f" ||
-              (java.lang.Double.isFinite(st.genericGetMin.asInstanceOf[Number].doubleValue()) &&
-                java.lang.Double.isFinite(st.genericGetMax.asInstanceOf[Number].doubleValue()))
-          } yield {
-            def str(v: Any): String = v match {
-              case b: Binary => b.toStringUsingUTF8
-              case x => x.toString
             }
-            (cc.getPath.toDotString, tag,
-              str(st.genericGetMin), str(st.genericGetMax))
+            tagOpt.foreach { tag =>
+              val colName = cc.getPath.toDotString
+              val st = cc.getStatistics
+              def finite(v: Any) =
+                java.lang.Double.isFinite(v.asInstanceOf[Number].doubleValue())
+              if (st == null || st.isEmpty)
+                poisoned += colName // chunk may hold values but recorded no stats
+              else if (!st.hasNonNullValue)
+                () // all-null chunk: no values to cover; range predicates never match NULL
+              else if (tag == "f" && !(finite(st.genericGetMin) && finite(st.genericGetMax)))
+                poisoned += colName // ±Inf/NaN: BigDecimal throws, JSON non-standard
+              else
+                perChunk += ((colName, tag, str(st.genericGetMin), str(st.genericGetMax)))
+            }
           }
-          val byCol = perChunk.groupBy(_._1).map { case (c, chunks) =>
-            val tag = chunks.head._2
-            def ord(x: String): (String, BigDecimal) =
-              if (tag == "s") (x, BigDecimal(0)) else ("", BigDecimal(x))
-            c -> (tag,
-              chunks.map(_._3).minBy(ord),
-              chunks.map(_._4).maxBy(ord))
+          val byCol = perChunk.groupBy(_._1).collect {
+            case (c, chunks) if !poisoned.contains(c) =>
+              val tag = chunks.head._2
+              def ord(x: String): (String, BigDecimal) =
+                if (tag == "s") (x, BigDecimal(0)) else ("", BigDecimal(x))
+              c -> (tag,
+                chunks.map(_._3).minBy(ord),
+                chunks.map(_._4).maxBy(ord))
           }
           (rd.getRecordCount, byCol)
         } finally rd.close()
@@ -426,6 +436,16 @@ object Storage {
     }
   }
 
+  /** Partition-dir names (`col=value`) of the committed version of a
+    * partition-manifested table; empty for an uncommitted table or an
+    * empty bootstrap commit. Lets callers detect partition collisions
+    * BEFORE a commit would overwrite existing bytes. */
+  def committedPartitions(table: Path): Set[String] =
+    currentVersion(table) match {
+      case Some(v) => readPartsManifest(table.resolve(s"v$v")).keySet
+      case None => Set.empty
+    }
+
   /** Commit `next` — which carries ONLY the partitions to rewrite, with
     * `partCol` as a column — as the new version of a partition-manifested
     * table. Partitions absent from `next` keep their existing bytes and are
@@ -475,9 +495,20 @@ object Storage {
       onlyParts: Option[Set[String]] = None): DataFrame = {
     val v = currentVersion(table).getOrElse(
       throw new IllegalStateException(s"no committed version at $table"))
-    val manifest = readPartsManifest(table.resolve(s"v$v"))
-    require(manifest.nonEmpty, s"$table v$v has no partition manifest — " +
-      "was it committed with commitVersion instead of commitPartitions?")
+    val vdir = table.resolve(s"v$v")
+    require(Files.exists(vdir.resolve(PartsManifest)),
+      s"$table v$v has no partition manifest — " +
+        "was it committed with commitVersion instead of commitPartitions?")
+    val manifest = readPartsManifest(vdir)
+    // a PRESENT-but-empty manifest is the valid empty-bootstrap state
+    // (commitPartitions of an empty batch) — resolve the schema from the
+    // commit's Delta log instead of wedging the table; without it (no
+    // pre-interop table can be empty-manifested) fail loudly
+    if (manifest.isEmpty) {
+      require(Files.exists(DeltaInterop.logFile(vdir)),
+        s"$table v$v: empty partition manifest and no Delta log to type it")
+      return DeltaInterop.readSnapshot(spark, vdir)
+    }
     val selected = manifest.filter { case (p, _) => onlyParts.forall(_.contains(p)) }
     if (selected.isEmpty)
       readPartitionedVersion(spark, table, None).limit(0)

@@ -292,6 +292,27 @@ class PartitionedStorageSpec extends SparkTestBase {
     assert(log.adds.nonEmpty && log.adds.forall(a => !a.path.startsWith("file:")))
   }
 
+  test("empty bootstrap commit does not wedge the table: reads type from the Delta log, next load succeeds") {
+    import graft.ops.MergeOps
+    import spark.implicits._
+    val table = Files.createTempDirectory("empty_boot").resolve("t")
+    def withAudit(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("loaded_at", lit(null).cast("timestamp"))
+      .withColumn("last_upd_at", lit(null).cast("timestamp"))
+    val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
+    val empty = withAudit(spark.range(0).select($"id".as("k"), lit("").as("attr")))
+    MergeOps.prunedConditionalUpsert(table, empty,
+      pk = Seq("k"), tracked = Seq("attr"), runTs = t0, nParts = 8)
+    // the primary read path returns an empty TYPED frame, not an exception
+    val read0 = Storage.readPartitionedVersion(spark, table)
+    assert(read0.count() == 0 && read0.columns.contains("k"))
+    // and a later real load proceeds normally
+    MergeOps.prunedConditionalUpsert(table,
+      withAudit(Seq(1L -> "a").toDF("k", "attr")),
+      pk = Seq("k"), tracked = Seq("attr"), runTs = t0, nParts = 8)
+    assert(Storage.readPartitionedVersion(spark, table).count() == 1)
+  }
+
   test("compact on an empty bootstrap partitioned commit is a safe no-op") {
     import spark.implicits._
     val table = Files.createTempDirectory("compact_empty").resolve("t")

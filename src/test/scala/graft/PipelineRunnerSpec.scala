@@ -76,4 +76,55 @@ class PipelineRunnerSpec extends SparkTestBase {
     assert(rewrittenParts(l.factOrders, "load_epoch=") == 0,
       "no-op run must rewrite no fact partitions")
   }
+
+  test("reusing a runTs with NEW facts fails loudly instead of replacing the epoch partition") {
+    val work = Files.createTempDirectory("pipeline_epoch")
+    PipelineRunner.run(spark, Sf001, work,
+      "2024-01-15 00:00:00", "1997-12-31", "2024-02-01 00:00:00")
+    // wider asOf finds new orders; same runTs would overwrite their epoch
+    intercept[IllegalStateException] {
+      PipelineRunner.run(spark, Sf001, work,
+        "2024-01-20 00:00:00", "2001-12-31", "2024-02-01 00:00:00")
+    }
+    // a distinct runTs proceeds normally
+    PipelineRunner.run(spark, Sf001, work,
+      "2024-01-20 00:00:00", "2001-12-31", "2024-02-15 00:00:00")
+  }
+
+  test("late-arriving events inside the lateness horizon are picked up by the next run") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("pipeline_late")
+    val data = Files.createTempDirectory("pipeline_late_raw")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(Sf001, "orders.parquet"), data.resolve("orders.parquet"))
+    val ev = Tables.events(spark, Sf001)
+
+    // the "late" slice: one user's events with ts in (Jan 14, Jan 15] —
+    // they exist in the source but have NOT landed in raw when run 1 runs
+    val window = col("ts") > lit("2024-01-14 00:00:00").cast("timestamp") &&
+      col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp")
+    val lateUser = ev.filter(window).select("user_id").head().getLong(0)
+    val lateWindow = window && col("user_id") === lateUser
+    ev.filter(!lateWindow).write.parquet(data.resolve("events.parquet").toString)
+    PipelineRunner.run(spark, data.toString, work,
+      "2024-01-15 00:00:00", "1997-12-31", "2024-02-01 00:00:00")
+
+    // late slice lands in raw AFTER run 1's watermark (Jan 15) passed
+    graft.ops.Storage.deleteRecursively(data.resolve("events.parquet"))
+    ev.write.parquet(data.resolve("events.parquet").toString)
+    // run 2's delta window re-opens watermark − 2 days = Jan 13, so the
+    // late events (Jan 14–15) re-enter user 3's snapshot
+    PipelineRunner.run(spark, data.toString, work,
+      "2024-01-16 00:00:00", "1997-12-31", "2024-03-01 00:00:00")
+
+    val l = PipelineRunner.layers(work)
+    val got = graft.ops.Storage.readPartitionedVersion(spark, l.stgUsers)
+      .filter(col("user_id") === lateUser)
+      .select("event_type", "value").as[(String, Double)].collect().toSeq
+    val want = ev.filter(col("user_id") === lateUser &&
+        col("ts") <= lit("2024-01-16 00:00:00").cast("timestamp"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .select("event_type", "value").as[(String, Double)].head(1).toSeq
+    assert(got == want, s"stg must reflect the late events: got $got want $want")
+  }
 }

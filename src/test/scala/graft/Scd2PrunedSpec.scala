@@ -27,11 +27,7 @@ class Scd2PrunedSpec extends SparkTestBase {
     val runTs = Seq(ts("2024-01-01 00:00:00"), ts("2024-02-01 00:00:00"), ts("2024-03-01 00:00:00"))
 
     // reference: plain full-rewrite path
-    var full = load1.limit(0)
-      .withColumn("sk", lit(0L))
-      .withColumn("valid_from", lit(null).cast("timestamp"))
-      .withColumn("valid_to", lit(null).cast("timestamp"))
-      .withColumn("is_current", lit(true))
+    var full = Scd2.emptyDim(load1, "user_id", Seq("plan"))
     Seq(load1, load2, load3).zip(runTs).foreach { case (l, t) =>
       full = Scd2.closeAndInsert(full, l, "user_id", Seq("plan"), t)
         .localCheckpoint()
