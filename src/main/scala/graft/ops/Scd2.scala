@@ -239,19 +239,44 @@ object Scd2 {
       nParts: Int = 64,
       tieBreak: Seq[Column] = Nil): Long = {
     val spark = stgDelta.sparkSession
-    val affected = MergeOps.affectedBuckets(stgDelta, Seq(bk), nParts)
-    val (old, maxSk) = Storage.currentVersion(table) match {
-      case Some(_) =>
-        val full = Storage.readPartitionedVersion(spark, table)
-        val m = full.agg(coalesce(max(col(skCol)), lit(0L)).cast("long"))
-          .first().getLong(0)
-        (Storage.readPartitionedVersion(spark, table, Some(affected)).drop("pbucket"), m)
-      case None => (emptyDim(stgDelta, bk, tracked, skCol), 0L)
+    val bucket = MergeOps.pkBucket(Seq(bk), nParts)
+
+    if (Storage.currentVersion(table).isEmpty) { // bootstrap: full load
+      val next = closeAndInsert(emptyDim(stgDelta, bk, tracked, skCol),
+        stgDelta, bk, tracked, runTs, skCol, tieBreak, skBase = Some(0L))
+      return Storage.commitPartitions(next.withColumn("pbucket", bucket), table, "pbucket")
     }
-    val next = closeAndInsert(old, stgDelta, bk, tracked, runTs, skCol,
-      tieBreak, skBase = Some(maxSk))
-    Storage.commitPartitions(
-      next.withColumn("pbucket", MergeOps.pkBucket(Seq(bk), nParts)), table, "pbucket")
+
+    val candidate = MergeOps.affectedBuckets(stgDelta, Seq(bk), nParts)
+    val full = Storage.readPartitionedVersion(spark, table)
+    val maxSk = full.agg(coalesce(max(col(skCol)), lit(0L)).cast("long"))
+      .first().getLong(0)
+    val old = Storage.readPartitionedVersion(spark, table, Some(candidate)).drop("pbucket")
+    // prune by CHANGE, not presence (same contract as
+    // prunedConditionalUpsert): a delta row equal to its current version
+    // neither closes nor opens anything — rewriting its bucket would be
+    // pure write amplification, and re-delivering an identical load must
+    // rewrite ZERO buckets
+    val one =
+      if (tieBreak.nonEmpty) MergeOps.latestByKey(stgDelta, Seq(bk), tieBreak)
+      else stgDelta.dropDuplicates(bk)
+    val changedKeys = one.alias("i")
+      .join(old.filter(col("is_current")).withColumn("__matched", lit(true)).alias("o"),
+        col(s"i.$bk") <=> col(s"o.$bk"), "left")
+      .filter(col("o.__matched").isNull ||
+        Extract.anyChanged(tracked.map(x => (col(s"o.$x"), col(s"i.$x")))))
+      .select(col(s"i.$bk").as(bk))
+    val affected = MergeOps.affectedBuckets(changedKeys, Seq(bk), nParts)
+    if (affected.isEmpty) // nothing changed: everything carries by reference
+      return Storage.commitPartitions(
+        old.limit(0).withColumn("pbucket", bucket), table, "pbucket")
+    val oldAffected =
+      Storage.readPartitionedVersion(spark, table, Some(affected)).drop("pbucket")
+    val affectedIds = affected.map(_.stripPrefix("pbucket=").toInt).toSeq
+    val next = closeAndInsert(oldAffected,
+      stgDelta.filter(bucket.isin(affectedIds: _*)),
+      bk, tracked, runTs, skCol, tieBreak, skBase = Some(maxSk))
+    Storage.commitPartitions(next.withColumn("pbucket", bucket), table, "pbucket")
   }
 
   /** Empty dimension frame typed from a staging frame — THE bootstrap

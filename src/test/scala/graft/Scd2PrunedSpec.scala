@@ -58,6 +58,21 @@ class Scd2PrunedSpec extends SparkTestBase {
 
     Scd2.prunedCloseAndInsert(table, load3, "user_id", Seq("plan"), runTs(2), nParts = 8)
 
+    // re-delivering an identical load changes nothing and rewrites NOTHING
+    val beforeRedeliver = Storage.readPartitionedVersion(spark, table)
+      .drop("pbucket").collect().map(_.toString).sorted.toSeq
+    Scd2.prunedCloseAndInsert(table, load3, "user_id", Seq("plan"),
+      ts("2024-04-01 00:00:00"), nParts = 8)
+    val vLatest = Storage.currentVersion(table).get
+    val sL = java.nio.file.Files.list(table.resolve(s"v$vLatest"))
+    val redelivered =
+      try sL.toArray.map(_.asInstanceOf[Path].getFileName.toString)
+        .count(_.startsWith("pbucket="))
+      finally sL.close()
+    assert(redelivered == 0, "identical re-delivery must rewrite zero buckets")
+    assert(Storage.readPartitionedVersion(spark, table)
+      .drop("pbucket").collect().map(_.toString).sorted.toSeq == beforeRedeliver)
+
     // composed pruned state == full-rewrite state, SKs included
     val got = Storage.readPartitionedVersion(spark, table).drop("pbucket")
       .select(full.columns.map(col).toIndexedSeq: _*)
