@@ -48,11 +48,6 @@ object PipelineRunner {
 
   private val StgBuckets = 16
 
-  /** How far BEHIND the watermark a late-arriving event may land and
-    * still be picked up by the next run's delta (events later than this
-    * are dropped — the standard watermark trade). */
-  private val LatenessHorizon = "2 DAYS"
-
   private def watermarkFile(workDir: Path): Path = workDir.resolve("_stg_watermark")
 
   private def readWatermark(workDir: Path): Option[String] = {
@@ -72,9 +67,14 @@ object PipelineRunner {
   }
 
   /** One pipeline run: events/orders visible up to `asOf` (event-time and
-    * order-date cutoffs), stamped with frozen `runTs`. */
+    * order-date cutoffs), stamped with frozen `runTs`. `lateness` is the
+    * deployment knob for how far BEHIND the previous watermark a
+    * late-arriving event may land and still be picked up by this run's
+    * delta; events later than that are dropped — the standard watermark
+    * trade, tune it to the extractor's actual delivery lag. */
   def run(spark: SparkSession, dir: String, workDir: Path,
-      asOfEventTs: String, asOfOrderDate: String, runTs: String): Unit = {
+      asOfEventTs: String, asOfOrderDate: String, runTs: String,
+      lateness: String = "2 DAYS"): Unit = {
     val l = layers(workDir)
     // single-writer startup: clear promoted-but-unpointed crash orphans so
     // this run's commits can't collide with them (Storage CAS contract)
@@ -96,7 +96,7 @@ object PipelineRunner {
     // withWatermark, and the horizon is the knob.
     val changed = readWatermark(workDir) match {
       case Some(wm) =>
-        val reopened = lit(wm).cast("timestamp") - expr(s"INTERVAL $LatenessHorizon")
+        val reopened = lit(wm).cast("timestamp") - expr(s"INTERVAL $lateness")
         val changedUsers = Tables.events(spark, dir)
           .withColumn("ts", col("ts").cast("timestamp"))
           .filter(col("ts") > reopened &&
@@ -156,16 +156,17 @@ object PipelineRunner {
     // that partition's bytes (dynamic-overwrite semantics) and silently
     // drop the earlier run's facts. An exact re-run (same asOf, same
     // runTs) is still fine — its delta is empty, nothing is written.
-    val epoch = java.time.LocalDateTime
-      .parse(runTs.replace(' ', 'T'))
-      .toEpochSecond(java.time.ZoneOffset.UTC)
+    // The guard's epoch comes from Spark ITSELF (same cast, same session
+    // timezone as the written column) — a driver-side parser could
+    // disagree on a non-UTC session and fail open.
+    val epoch = spark.range(1).select(unix_timestamp(runTsCol)).first().getLong(0)
     if (Storage.committedPartitions(l.factOrders).contains(s"load_epoch=$epoch") &&
         !newRows.isEmpty)
       throw new IllegalStateException(
         s"fact load_epoch=$epoch already committed with different content — " +
           "each run needs a distinct runTs (or re-run with identical asOf)")
     Storage.commitPartitions(
-      newRows.withColumn("load_epoch", unix_timestamp(runTsCol)),
+      newRows.withColumn("load_epoch", lit(epoch)),
       l.factOrders, "load_epoch")
   }
 }

@@ -91,25 +91,6 @@ object MergeOps {
     joined.select(keyCols ++ attrCols ++ Seq(loadedAt, lastUpd): _*)
   }
 
-  /** M1 at the 100 TB design point: [[conditionalUpsert]] composed with
-    * [[Storage.commitPartitions]] so an incremental load rewrites ONLY the
-    * PK-hash partitions that contain incoming keys — the reference's
-    * `ON CONFLICT … DO UPDATE` touching-only-matched-rows semantics
-    * (stg_character.py:65-81) restored at scale: write amplification is
-    * O(changed partitions), not O(table).
-    *
-    * The table lives at `table` as a partition-manifested commit log,
-    * bucketed by `pbucket = pmod(xxhash64(pk), nParts)`. Per load:
-    *   1. the incoming increment's distinct buckets are collected —
-    *      O(nParts) driver rows, the only driver-side data;
-    *   2. ONLY those buckets' files are read back (manifest-pruned — the
-    *      other buckets are never listed);
-    *   3. [[conditionalUpsert]] produces those buckets' next state;
-    *   4. [[Storage.commitPartitions]] commits it, carrying every
-    *      untouched bucket forward by reference, bytes unmoved.
-    *
-    * `nParts` is fixed at table creation (it's the on-disk layout).
-    * Returns the committed version. */
   /** THE bucketing contract of every pruned-write path (`pbucket` column,
     * xxhash64 over the PK, `pbucket=<n>` partition dirs) — one definition
     * shared by [[prunedConditionalUpsert]], [[Scd2.prunedCloseAndInsert]],
@@ -124,6 +105,27 @@ object MergeOps {
     df.select(pkBucket(pk, nParts).as("pbucket")).distinct()
       .collect().map(r => s"pbucket=${r.getInt(0)}").toSet
 
+  /** M1 at the 100 TB design point: [[conditionalUpsert]] composed with
+    * [[Storage.commitPartitions]] so an incremental load rewrites ONLY the
+    * PK-hash partitions whose rows actually CHANGE — the reference's
+    * `ON CONFLICT … DO UPDATE WHERE <attr IS DISTINCT>` touching-only-
+    * changed-rows semantics (stg_character.py:65-81) restored at scale:
+    * write amplification is O(changed partitions), not O(table), and an
+    * idempotent re-delivery rewrites zero.
+    *
+    * The table lives at `table` as a partition-manifested commit log,
+    * bucketed by `pbucket = pmod(xxhash64(pk), nParts)`. Per load:
+    *   1. the increment's distinct buckets are collected — O(nParts)
+    *      driver rows, the only driver-side data — and read back
+    *      (manifest-pruned; other buckets are never listed);
+    *   2. the deduped increment probes those buckets' stored rows for
+    *      genuinely new/changed keys (null-safe PK match);
+    *   3. [[conditionalUpsert]] produces the CHANGED buckets' next state;
+    *   4. [[Storage.commitPartitions]] commits it, carrying every
+    *      untouched bucket forward by reference, bytes unmoved.
+    *
+    * `nParts` is fixed at table creation (it's the on-disk layout).
+    * Returns the committed version. */
   def prunedConditionalUpsert(
       table: java.nio.file.Path,
       incoming: DataFrame,
@@ -173,8 +175,12 @@ object MergeOps {
     val oldAffected =
       Storage.readPartitionedVersion(spark, table, Some(affected)).drop("pbucket")
     val affectedIds = affected.map(_.stripPrefix("pbucket=").toInt).toSeq
+    // merge the SAME deduped rows the pruning decision saw — re-deduping
+    // the raw incoming could pick a DIFFERENT duplicate than the one the
+    // changed-key probe judged, silently skipping (or spuriously
+    // rewriting) an update
     val next = conditionalUpsert(
-      oldAffected, incoming.filter(bucket.isin(affectedIds: _*)),
+      oldAffected, one.filter(bucket.isin(affectedIds: _*)),
       pk, tracked, runTs, loadedAtCol, lastUpdCol, tieBreak)
     Storage.commitPartitions(next.withColumn("pbucket", bucket), table, "pbucket")
   }

@@ -248,9 +248,6 @@ object Scd2 {
     }
 
     val candidate = MergeOps.affectedBuckets(stgDelta, Seq(bk), nParts)
-    val full = Storage.readPartitionedVersion(spark, table)
-    val maxSk = full.agg(coalesce(max(col(skCol)), lit(0L)).cast("long"))
-      .first().getLong(0)
     val old = Storage.readPartitionedVersion(spark, table, Some(candidate)).drop("pbucket")
     // prune by CHANGE, not presence (same contract as
     // prunedConditionalUpsert): a delta row equal to its current version
@@ -267,14 +264,22 @@ object Scd2 {
         Extract.anyChanged(tracked.map(x => (col(s"o.$x"), col(s"i.$x")))))
       .select(col(s"i.$bk").as(bk))
     val affected = MergeOps.affectedBuckets(changedKeys, Seq(bk), nParts)
-    if (affected.isEmpty) // nothing changed: everything carries by reference
+    if (affected.isEmpty) // nothing changed: metadata-only commit, no scans
       return Storage.commitPartitions(
         old.limit(0).withColumn("pbucket", bucket), table, "pbucket")
+    // the global SK high-water mark needs the WHOLE dimension (a bucket
+    // slice could derive a colliding local max) — but only once we know
+    // something will actually open; the no-change path above never scans
+    val maxSk = Storage.readPartitionedVersion(spark, table)
+      .agg(coalesce(max(col(skCol)), lit(0L)).cast("long"))
+      .first().getLong(0)
     val oldAffected =
       Storage.readPartitionedVersion(spark, table, Some(affected)).drop("pbucket")
     val affectedIds = affected.map(_.stripPrefix("pbucket=").toInt).toSeq
+    // merge the SAME deduped rows the pruning probe saw (duplicate-pick
+    // agreement — see MergeOps.prunedConditionalUpsert)
     val next = closeAndInsert(oldAffected,
-      stgDelta.filter(bucket.isin(affectedIds: _*)),
+      one.filter(bucket.isin(affectedIds: _*)),
       bk, tracked, runTs, skCol, tieBreak, skBase = Some(maxSk))
     Storage.commitPartitions(next.withColumn("pbucket", bucket), table, "pbucket")
   }
