@@ -463,6 +463,61 @@ object CoreQueries {
              |       THEN $RunEpoch ELSE $CutoffEpoch END AS upd_epoch
              |FROM o FULL JOIN n ON o.user_id = n.user_id""".stripMargin)),
 
+    // Delta interop × pruned writes — the SHALLOW-CLONE read driver-checked:
+    // the same two incremental loads as m1b, but the final state is read
+    // back EXACTLY as an external Delta engine would, from the latest
+    // version's `_delta_log` alone. That log mixes relative adds (the
+    // buckets load 2 rewrote) with ABSOLUTE adds pointing into v0 (the
+    // carried buckets), and the partition column is reconstructed from
+    // each add's partitionValues — hash-matching m1b's oracle proves the
+    // carry chain end-to-end through the driver gate, not just the spec.
+    Q("io2_delta_shallow_clone",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("io2_delta")
+        val table = dir.resolve("stg_events")
+        val ev = Tables.events(s, d).withColumn("ts", col("ts").cast("timestamp"))
+        def latest(df: org.apache.spark.sql.DataFrame) =
+          MergeOps.latestByKey(df, Seq("user_id"), Seq(col("ts"), col("event_id")))
+            .select(col("user_id"), col("event_type"), col("value"),
+              lit(null).cast("timestamp").as("loaded_at"),
+              lit(null).cast("timestamp").as("last_upd_at"))
+        try {
+          MergeOps.prunedConditionalUpsert(table,
+            latest(ev.filter(col("ts") < lit(CutoffTs).cast("timestamp"))),
+            pk = Seq("user_id"), tracked = Seq("event_type", "value"),
+            runTs = lit(CutoffTs).cast("timestamp"), nParts = 16)
+          val v = MergeOps.prunedConditionalUpsert(table, latest(ev),
+            pk = Seq("user_id"), tracked = Seq("event_type", "value"),
+            runTs = lit(RunTs).cast("timestamp"), nParts = 16)
+          graft.ops.DeltaInterop.readSnapshot(s, table.resolve(s"v$v"))
+            .drop("pbucket")
+            .select(col("user_id"), col("event_type"), col("value"),
+              epochS(col("loaded_at")).as("loaded_epoch"),
+              epochS(col("last_upd_at")).as("upd_epoch"))
+            .localCheckpoint()
+        } finally graft.ops.Storage.deleteRecursively(dir)
+      },
+      Some(s"""WITH o AS (SELECT user_id, event_type, value FROM (
+             |    SELECT user_id, event_type, value,
+             |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+             |    FROM events WHERE ts < TIMESTAMP '$CutoffTs') t WHERE rn = 1),
+             |n AS (SELECT user_id, event_type, value FROM (
+             |    SELECT user_id, event_type, value,
+             |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+             |    FROM events) t WHERE rn = 1)
+             |SELECT coalesce(n.user_id, o.user_id) AS user_id,
+             |  CASE WHEN o.user_id IS NULL OR (n.user_id IS NOT NULL
+             |         AND (o.event_type IS DISTINCT FROM n.event_type OR o.value IS DISTINCT FROM n.value))
+             |       THEN n.event_type ELSE o.event_type END AS event_type,
+             |  CASE WHEN o.user_id IS NULL OR (n.user_id IS NOT NULL
+             |         AND (o.event_type IS DISTINCT FROM n.event_type OR o.value IS DISTINCT FROM n.value))
+             |       THEN n.value ELSE o.value END AS value,
+             |  CASE WHEN o.user_id IS NULL THEN $RunEpoch ELSE $CutoffEpoch END AS loaded_epoch,
+             |  CASE WHEN o.user_id IS NULL OR (n.user_id IS NOT NULL
+             |         AND (o.event_type IS DISTINCT FROM n.event_type OR o.value IS DISTINCT FROM n.value))
+             |       THEN $RunEpoch ELSE $CutoffEpoch END AS upd_epoch
+             |FROM o FULL JOIN n ON o.user_id = n.user_id""".stripMargin)),
+
     // M3/M5 — SCD2 version history from a change log: consecutive-dup drop,
     // valid_from/valid_to chaining, is_current, deterministic version numbers
     // (ref: dwh_dim_character.py:49-118 collapsed into one declarative pass).
