@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** CDC changelog application — the M-family (SURVEY.md §2.7) extended with
@@ -67,5 +67,59 @@ object Cdc {
         pk.map(k => coalesce(col(s"l.$k"), col(s"b.$k")).as(k)) ++
           payloadCols.map(c =>
             when(hasChange, col(s"l.$c")).otherwise(col(s"b.$c")).as(c)): _*)
+  }
+
+  /** The inverse of [[applyChangelog]]: GENERATE the change feed between two
+    * retained versions of a partition-manifested table (Delta CDF /
+    * `table_changes` semantics, computed after the fact from snapshots).
+    *
+    * The 100 TB shape is in the pruning, not the join:
+    * [[Storage.partitionsChangedBetween]] diffs the two versions' partition
+    * manifests — metadata-only — and ONLY buckets whose owning version
+    * changed are read from either snapshot. Carried-by-reference buckets
+    * are byte-identical by construction, so a load that rewrote 3 of 64
+    * buckets yields a diff that scans 3 buckets twice, never the table.
+    * Within the scanned buckets, rows are matched with one null-safe
+    * full-outer join on the PK (both sides bucketed by the same
+    * `pkBucket`, so a key meets only its own bucket's rows) and unchanged
+    * rows — rewritten alongside a changed neighbour — are dropped by a
+    * value compare on `compareCols`.
+    *
+    * Returns pk ++ compareCols ++ `change_type` ("insert" | "update" |
+    * "delete"); insert/update rows carry the `toV` values, delete rows the
+    * `fromV` values. `compareCols` must cover every column a consumer
+    * treats as data — a column outside it can change without emitting a row. */
+  def changeDataFeed(
+      spark: SparkSession,
+      table: java.nio.file.Path,
+      fromV: Long,
+      toV: Long,
+      pk: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    // overlap would emit duplicate output columns; empty compareCols would
+    // make every matched row look unchanged — both are caller bugs
+    val roles = pk ++ compareCols
+    require(compareCols.nonEmpty && roles.distinct.size == roles.size,
+      s"pk and compareCols must be non-empty and pairwise disjoint (got $roles)")
+    val changed = Storage.partitionsChangedBetween(table, fromV, toV)
+    val cols = pk ++ compareCols
+    def snap(v: Long) =
+      Storage.readPartitionedVersionAt(spark, table, v, Some(changed))
+        .select(cols.map(col): _*)
+    val o = snap(fromV).withColumn("__present", lit(true)).alias("o")
+    val n = snap(toV).withColumn("__present", lit(true)).alias("n")
+    val matched =
+      o.join(n, pk.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _), "full_outer")
+    val inserted = col("o.__present").isNull
+    val deleted = col("n.__present").isNull
+    val updated = !inserted && !deleted &&
+      Extract.anyChanged(compareCols.map(c => (col(s"o.$c"), col(s"n.$c"))))
+    matched
+      .filter(inserted || deleted || updated)
+      .select(
+        pk.map(k => coalesce(col(s"n.$k"), col(s"o.$k")).as(k)) ++
+          compareCols.map(c => when(deleted, col(s"o.$c")).otherwise(col(s"n.$c")).as(c)) :+
+          when(inserted, lit("insert")).when(deleted, lit("delete"))
+            .otherwise(lit("update")).as("change_type"): _*)
   }
 }

@@ -449,8 +449,16 @@ object Storage {
   /** Commit `next` — which carries ONLY the partitions to rewrite, with
     * `partCol` as a column — as the new version of a partition-manifested
     * table. Partitions absent from `next` keep their existing bytes and are
-    * carried forward by manifest reference. Returns the new version. */
-  def commitPartitions(next: DataFrame, table: Path, partCol: String, keepVersions: Int = 1): Long = {
+    * carried forward by manifest reference. Returns the new version.
+    *
+    * `dropParts` removes partitions from the table without rewriting
+    * anything (the Delta `remove`-action shape): a partition whose next
+    * state is EMPTY writes no directory at all, so "absent from `next`"
+    * cannot distinguish carry-forward from delete-everything — the caller
+    * must name the emptied partitions explicitly or their old bytes stay
+    * live. */
+  def commitPartitions(next: DataFrame, table: Path, partCol: String,
+      keepVersions: Int = 1, dropParts: Set[String] = Set.empty): Long = {
     require(keepVersions >= 1, s"keepVersions must be >= 1 (got $keepVersions)")
     // a leading _/. would write partition dirs Spark's listing treats as
     // hidden — silently invisible data
@@ -468,7 +476,14 @@ object Storage {
       try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
         .filter(_.startsWith(partCol + "=")).toSeq
       finally s.close()
-    val manifest = prev ++ written.map(_ -> v)
+    // a partition both rewritten and dropped is a contradictory request
+    // (only detectable after the write reveals which dirs `next` produced)
+    if (dropParts.intersect(written.toSet).nonEmpty) {
+      deleteRecursively(staging)
+      throw new IllegalArgumentException(
+        s"dropParts ${dropParts.intersect(written.toSet)} also present in `next`")
+    }
+    val manifest = (prev -- dropParts) ++ written.map(_ -> v)
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     Files.write(staging.resolve(PartsManifest),
@@ -492,9 +507,22 @@ object Storage {
     * listed, everything else is never touched. */
   def readPartitionedVersion(
       spark: SparkSession, table: Path,
+      onlyParts: Option[Set[String]] = None): DataFrame =
+    readPartitionedVersionAt(spark, table,
+      currentVersion(table).getOrElse(
+        throw new IllegalStateException(s"no committed version at $table")),
+      onlyParts)
+
+  /** Time travel for a partition-manifested table: the state AS OF retained
+    * version `v`. The manifest at `v` still names the owning version of
+    * every partition it carried, and vacuum never removes a referenced
+    * version, so the historical composition reads exactly like the live one. */
+  def readPartitionedVersionAt(
+      spark: SparkSession, table: Path, v: Long,
       onlyParts: Option[Set[String]] = None): DataFrame = {
-    val v = currentVersion(table).getOrElse(
-      throw new IllegalStateException(s"no committed version at $table"))
+    val cur = currentVersion(table)
+    require(Files.exists(table.resolve(s"v$v")) && cur.exists(v <= _),
+      s"version $v not retained at $table (current=$cur)")
     val vdir = table.resolve(s"v$v")
     require(Files.exists(vdir.resolve(PartsManifest)),
       s"$table v$v has no partition manifest — " +
@@ -511,13 +539,31 @@ object Storage {
     }
     val selected = manifest.filter { case (p, _) => onlyParts.forall(_.contains(p)) }
     if (selected.isEmpty)
-      readPartitionedVersion(spark, table, None).limit(0)
+      readPartitionedVersionAt(spark, table, v, None).limit(0)
     else
       selected.groupBy(_._2).toSeq.sortBy(_._1).map { case (ver, parts) =>
         val vdir = table.resolve(s"v$ver")
         spark.read.option("basePath", vdir.toString)
           .parquet(parts.keys.toSeq.sorted.map(p => vdir.resolve(p).toString): _*)
       }.reduce(_.unionByName(_))
+  }
+
+  /** The partition-dir names whose BYTES differ between retained versions
+    * `fromV` and `toV` of a partition-manifested table: a partition changed
+    * iff its manifest entry (owning version) changed — carried-by-reference
+    * partitions are byte-identical by construction, so everything else can
+    * be skipped without reading it. Metadata-only: two manifest reads. */
+  def partitionsChangedBetween(table: Path, fromV: Long, toV: Long): Set[String] = {
+    require(fromV <= toV, s"fromV $fromV must be <= toV $toV")
+    def manifestAt(v: Long): Map[String, Long] = {
+      val vdir = table.resolve(s"v$v")
+      require(Files.exists(vdir.resolve(PartsManifest)),
+        s"$table v$v is not retained or has no partition manifest")
+      readPartsManifest(vdir)
+    }
+    val from = manifestAt(fromV)
+    val to = manifestAt(toV)
+    (from.keySet ++ to.keySet).filter(p => from.get(p) != to.get(p))
   }
 
   /** Small-file compaction: rewrite `table` into ⌈bytes/targetBytes⌉

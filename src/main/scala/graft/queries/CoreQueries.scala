@@ -518,6 +518,91 @@ object CoreQueries {
              |       THEN $RunEpoch ELSE $CutoffEpoch END AS upd_epoch
              |FROM o FULL JOIN n ON o.user_id = n.user_id""".stripMargin)),
 
+    // CDF generation — table_changes(fromV, toV) computed AFTER the fact
+    // from two committed versions, the inverse of m6's changelog APPLY.
+    // The scale story is the pruning: partitionsChangedBetween diffs the
+    // two partition manifests (metadata-only); carried-by-reference buckets
+    // are byte-identical by construction, so only rewritten buckets are
+    // scanned from either snapshot — a load that touched 3 of 16 buckets
+    // diffs 3 buckets twice, never the table. Oracle = the relational diff
+    // of the two upsert states (insert/update only: upsert loads never
+    // delete; the delete branch is spec-covered in CdfSpec).
+    Q("m8_change_data_feed",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("m8_cdf")
+        val table = dir.resolve("stg_events")
+        val ev = Tables.events(s, d).withColumn("ts", col("ts").cast("timestamp"))
+        def latest(df: org.apache.spark.sql.DataFrame) =
+          MergeOps.latestByKey(df, Seq("user_id"), Seq(col("ts"), col("event_id")))
+            .select(col("user_id"), col("event_type"), col("value"),
+              lit(null).cast("timestamp").as("loaded_at"),
+              lit(null).cast("timestamp").as("last_upd_at"))
+        try {
+          val v0 = MergeOps.prunedConditionalUpsert(table,
+            latest(ev.filter(col("ts") < lit(CutoffTs).cast("timestamp"))),
+            pk = Seq("user_id"), tracked = Seq("event_type", "value"),
+            runTs = lit(CutoffTs).cast("timestamp"), nParts = 16)
+          val v1 = MergeOps.prunedConditionalUpsert(table, latest(ev),
+            pk = Seq("user_id"), tracked = Seq("event_type", "value"),
+            runTs = lit(RunTs).cast("timestamp"), nParts = 16)
+          graft.ops.Cdc.changeDataFeed(s, table, v0, v1,
+            pk = Seq("user_id"), compareCols = Seq("event_type", "value"))
+            .localCheckpoint()
+        } finally graft.ops.Storage.deleteRecursively(dir)
+      },
+      Some(s"""WITH o AS (SELECT user_id, event_type, value FROM (
+             |    SELECT user_id, event_type, value,
+             |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+             |    FROM events WHERE ts < TIMESTAMP '$CutoffTs') t WHERE rn = 1),
+             |n AS (SELECT user_id, event_type, value FROM (
+             |    SELECT user_id, event_type, value,
+             |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+             |    FROM events) t WHERE rn = 1)
+             |SELECT n.user_id AS user_id, n.event_type AS event_type, n.value AS value,
+             |       CASE WHEN o.user_id IS NULL THEN 'insert' ELSE 'update' END AS change_type
+             |FROM n LEFT JOIN o ON o.user_id = n.user_id
+             |WHERE o.user_id IS NULL
+             |   OR o.event_type IS DISTINCT FROM n.event_type
+             |   OR o.value IS DISTINCT FROM n.value""".stripMargin)),
+
+    // Time travel on the partition-manifested table, driver-checked: after
+    // the incremental load commits v1, the state AS OF v0 (the bootstrap)
+    // still reads exactly — the manifest at v0 names its owning versions
+    // and vacuum keeps referenced versions, so history is a metadata
+    // lookup, not a restore. Oracle = the pre-cutoff relational state.
+    Q("io3_time_travel",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("io3_tt")
+        val table = dir.resolve("stg_events")
+        val ev = Tables.events(s, d).withColumn("ts", col("ts").cast("timestamp"))
+        def latest(df: org.apache.spark.sql.DataFrame) =
+          MergeOps.latestByKey(df, Seq("user_id"), Seq(col("ts"), col("event_id")))
+            .select(col("user_id"), col("event_type"), col("value"),
+              lit(null).cast("timestamp").as("loaded_at"),
+              lit(null).cast("timestamp").as("last_upd_at"))
+        try {
+          val v0 = MergeOps.prunedConditionalUpsert(table,
+            latest(ev.filter(col("ts") < lit(CutoffTs).cast("timestamp"))),
+            pk = Seq("user_id"), tracked = Seq("event_type", "value"),
+            runTs = lit(CutoffTs).cast("timestamp"), nParts = 16)
+          MergeOps.prunedConditionalUpsert(table, latest(ev),
+            pk = Seq("user_id"), tracked = Seq("event_type", "value"),
+            runTs = lit(RunTs).cast("timestamp"), nParts = 16)
+          graft.ops.Storage.readPartitionedVersionAt(s, table, v0)
+            .drop("pbucket")
+            .select(col("user_id"), col("event_type"), col("value"),
+              epochS(col("loaded_at")).as("loaded_epoch"),
+              epochS(col("last_upd_at")).as("upd_epoch"))
+            .localCheckpoint()
+        } finally graft.ops.Storage.deleteRecursively(dir)
+      },
+      Some(s"""SELECT user_id, event_type, value,
+             |       $CutoffEpoch AS loaded_epoch, $CutoffEpoch AS upd_epoch
+             |FROM (SELECT user_id, event_type, value,
+             |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+             |      FROM events WHERE ts < TIMESTAMP '$CutoffTs') t
+             |WHERE rn = 1""".stripMargin)),
+
     // M3/M5 — SCD2 version history from a change log: consecutive-dup drop,
     // valid_from/valid_to chaining, is_current, deterministic version numbers
     // (ref: dwh_dim_character.py:49-118 collapsed into one declarative pass).

@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.{Cdc, MergeOps, Storage}
+import org.apache.spark.sql.functions._
+
+/** Change-data-feed GENERATION between two committed versions of a
+  * partition-manifested table (`Cdc.changeDataFeed`): row-level equivalence
+  * to the naive full-snapshot diff, the manifest-diff pruning that makes it
+  * O(changed buckets), and the delete branch the upsert-driven oracle row
+  * (m8) can't reach.
+  */
+class CdfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val NParts = 8
+
+  private def load(table: java.nio.file.Path, rows: Seq[(Int, String, Double)], ts: String): Long =
+    MergeOps.prunedConditionalUpsert(table,
+      rows.toDF("id", "name", "score")
+        .withColumn("loaded_at", lit(null).cast("timestamp"))
+        .withColumn("last_upd_at", lit(null).cast("timestamp")),
+      pk = Seq("id"), tracked = Seq("name", "score"),
+      runTs = lit(ts).cast("timestamp"), nParts = NParts)
+
+  private def feed(table: java.nio.file.Path, fromV: Long, toV: Long) =
+    Cdc.changeDataFeed(spark, table, fromV, toV,
+        pk = Seq("id"), compareCols = Seq("name", "score"))
+      .select("id", "name", "score", "change_type").as[(Int, String, Double, String)]
+      .collect().sortBy(_._1).toSeq
+
+  test("CDF equals the naive full-snapshot diff; only changed buckets are scanned") {
+    val dir = Files.createTempDirectory("cdf_equiv")
+    val table = dir.resolve("t")
+    try {
+      val base = (1 to 200).map(i => (i, s"n$i", i.toDouble))
+      val v0 = load(table, base, "2024-01-01 00:00:00")
+      // one update + one insert → at most 2 of 8 buckets rewritten
+      val v1 = load(table, Seq((7, "n7-upd", 7.0), (201, "n201", 201.0)),
+        "2024-01-02 00:00:00")
+
+      assert(feed(table, v0, v1) == Seq(
+        (7, "n7-upd", 7.0, "update"), (201, "n201", 201.0, "insert")))
+
+      // the pruning is real AND exact: the manifest diff names at most the
+      // incoming keys' buckets, and strictly fewer than the table has
+      val changed = Storage.partitionsChangedBetween(table, v0, v1)
+      val all = Storage.committedPartitions(table)
+      assert(changed.subsetOf(all) && changed.size <= 2 && all.size == NParts,
+        s"changed=$changed all=$all")
+
+      // equivalence with the unpruned diff: same join over FULL snapshots
+      val o = Storage.readPartitionedVersionAt(spark, table, v0)
+        .select("id", "name", "score").withColumn("p", lit(true)).alias("o")
+      val n = Storage.readPartitionedVersionAt(spark, table, v1)
+        .select("id", "name", "score").withColumn("p", lit(true)).alias("n")
+      val naive = o.join(n, col("o.id") <=> col("n.id"), "full_outer")
+        .filter(col("o.p").isNull || col("n.p").isNull ||
+          col("o.name") =!= col("n.name") || col("o.score") =!= col("n.score"))
+        .count()
+      assert(naive == 2)
+    } finally Storage.deleteRecursively(dir)
+  }
+
+  test("idempotent re-delivery: no buckets change and the feed is empty") {
+    val dir = Files.createTempDirectory("cdf_noop")
+    val table = dir.resolve("t")
+    try {
+      val rows = (1 to 50).map(i => (i, s"n$i", i.toDouble))
+      val v0 = load(table, rows, "2024-01-01 00:00:00")
+      val v1 = load(table, rows, "2024-01-02 00:00:00") // same payload again
+      assert(Storage.partitionsChangedBetween(table, v0, v1).isEmpty)
+      assert(feed(table, v0, v1).isEmpty)
+    } finally Storage.deleteRecursively(dir)
+  }
+
+  test("deletes surface with the fromV image; multi-commit ranges compose") {
+    val dir = Files.createTempDirectory("cdf_delete")
+    val table = dir.resolve("t")
+    try {
+      val v0 = load(table, (1 to 40).map(i => (i, s"n$i", i.toDouble)),
+        "2024-01-01 00:00:00")
+      val st = Storage.readPartitionedVersion(spark, table)
+      // delete one row of a MULTI-row bucket by rewriting the bucket
+      // without it (the pruned-delete shape: other buckets carry)
+      val (bkt, victim) = st.groupBy("pbucket")
+        .agg(min(col("id")).as("victim"), count(lit(1)).as("c"))
+        .filter(col("c") >= 2).orderBy("pbucket")
+        .select(col("pbucket"), col("victim")).as[(Int, Int)].head()
+      val v1 = Storage.commitPartitions(
+        st.filter(col("pbucket") === bkt && col("id") =!= victim),
+        table, "pbucket")
+      assert(feed(table, v0, v1) ==
+        Seq((victim, s"n$victim", victim.toDouble, "delete")))
+
+      // then update a different key in a separate commit: the v0→v2 feed
+      // composes both commits' effects through one manifest diff
+      val updKey = if (victim == 1) 2 else 1
+      val v2 = load(table, Seq((updKey, "upd", 0.5)), "2024-01-02 00:00:00")
+      assert(feed(table, v0, v2) == Seq(
+        (updKey, "upd", 0.5, "update"),
+        (victim, s"n$victim", victim.toDouble, "delete")).sortBy(_._1))
+    } finally Storage.deleteRecursively(dir)
+  }
+
+  test("emptying a whole bucket needs an explicit drop, and feeds as deletes") {
+    val dir = Files.createTempDirectory("cdf_drop")
+    val table = dir.resolve("t")
+    try {
+      val v0 = load(table, (1 to 40).map(i => (i, s"n$i", i.toDouble)),
+        "2024-01-01 00:00:00")
+      val st = Storage.readPartitionedVersion(spark, table)
+      val bkt = st.select(min(col("pbucket"))).as[Int].head()
+      val doomed = st.filter(col("pbucket") === bkt)
+        .select(col("id"), col("name"), col("score")).as[(Int, String, Double)]
+        .collect().sortBy(_._1).toSeq
+      assert(doomed.nonEmpty)
+      // an EMPTY rewrite writes no partition dir — without the explicit
+      // drop the manifest would silently carry the old bytes forward
+      val v1 = Storage.commitPartitions(st.limit(0), table, "pbucket",
+        dropParts = Set(s"pbucket=$bkt"))
+      assert(!Storage.committedPartitions(table).contains(s"pbucket=$bkt"))
+      assert(Storage.readPartitionedVersion(spark, table)
+        .filter(col("pbucket") === bkt).count() == 0)
+      assert(feed(table, v0, v1) == doomed.map { case (i, n, s0) => (i, n, s0, "delete") })
+      // contradictory request: dropping a partition `next` also rewrites
+      intercept[IllegalArgumentException] {
+        Storage.commitPartitions(
+          st.filter(col("pbucket") =!= bkt), table, "pbucket",
+          dropParts = Storage.committedPartitions(table).take(1))
+      }
+    } finally Storage.deleteRecursively(dir)
+  }
+
+  test("time travel: the state AS OF an old version reads exactly") {
+    val dir = Files.createTempDirectory("cdf_tt")
+    val table = dir.resolve("t")
+    try {
+      val base = (1 to 40).map(i => (i, s"n$i", i.toDouble))
+      val v0 = load(table, base, "2024-01-01 00:00:00")
+      load(table, Seq((5, "changed", 0.0), (99, "new", 9.0)), "2024-01-02 00:00:00")
+      val asOf = Storage.readPartitionedVersionAt(spark, table, v0)
+        .select("id", "name", "score").as[(Int, String, Double)]
+        .collect().sortBy(_._1).toSeq
+      assert(asOf == base)
+      // a version that was never committed is refused
+      intercept[IllegalArgumentException] {
+        Storage.readPartitionedVersionAt(spark, table, 99)
+      }
+    } finally Storage.deleteRecursively(dir)
+  }
+}
