@@ -87,15 +87,21 @@ object Cdc {
     *
     * Returns pk ++ compareCols ++ `change_type` ("insert" | "update" |
     * "delete"); insert/update rows carry the `toV` values, delete rows the
-    * `fromV` values. `compareCols` must cover every column a consumer
-    * treats as data — a column outside it can change without emitting a row. */
+    * `fromV` values. With `preImages` set, each update instead emits TWO
+    * rows — "update_preimage" (fromV values) and "update_postimage" (toV
+    * values) — the Delta CDF shape that makes the feed directly consumable
+    * by additive aggregate maintenance: retract the preimage, add the
+    * postimage ([[AggMaintain.applyDelta]] with signed partials).
+    * `compareCols` must cover every column a consumer treats as data — a
+    * column outside it can change without emitting a row. */
   def changeDataFeed(
       spark: SparkSession,
       table: java.nio.file.Path,
       fromV: Long,
       toV: Long,
       pk: Seq[String],
-      compareCols: Seq[String]): DataFrame = {
+      compareCols: Seq[String],
+      preImages: Boolean = false): DataFrame = {
     // overlap would emit duplicate output columns; empty compareCols would
     // make every matched row look unchanged — both are caller bugs
     val roles = pk ++ compareCols
@@ -114,12 +120,19 @@ object Cdc {
     val deleted = col("n.__present").isNull
     val updated = !inserted && !deleted &&
       Extract.anyChanged(compareCols.map(c => (col(s"o.$c"), col(s"n.$c"))))
+    // one struct per emitted row, exploded in a single pass (no
+    // self-union re-reading the join for the two-row update shape)
+    def img(side: String, ct: String) = struct(
+      pk.map(k => coalesce(col(s"n.$k"), col(s"o.$k")).as(k)) ++
+        compareCols.map(c => col(s"$side.$c").as(c)) :+
+        lit(ct).as("change_type"): _*)
+    val rows = when(inserted, array(img("n", "insert")))
+      .when(deleted, array(img("o", "delete")))
+      .otherwise(
+        if (preImages) array(img("o", "update_preimage"), img("n", "update_postimage"))
+        else array(img("n", "update")))
     matched
       .filter(inserted || deleted || updated)
-      .select(
-        pk.map(k => coalesce(col(s"n.$k"), col(s"o.$k")).as(k)) ++
-          compareCols.map(c => when(deleted, col(s"o.$c")).otherwise(col(s"n.$c")).as(c)) :+
-          when(inserted, lit("insert")).when(deleted, lit("delete"))
-            .otherwise(lit("update")).as("change_type"): _*)
+      .select(inline(rows))
   }
 }

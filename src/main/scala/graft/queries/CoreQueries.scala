@@ -603,6 +603,60 @@ object CoreQueries {
              |      FROM events WHERE ts < TIMESTAMP '$CutoffTs') t
              |WHERE rn = 1""".stripMargin)),
 
+    // M7 closed end-to-end by M8: a materialized per-type aggregate is
+    // kept fresh by consuming the table's OWN change feed — preimages
+    // retract (sign -1), postimages/inserts add (sign +1), applyDelta
+    // merges the signed partials — and hash-matches the full recompute of
+    // the final snapshot. Total per-run cost: the CDF's changed buckets +
+    // |touched groups|, never the table or the history. Sums fold in
+    // DECIMAL so incremental == recompute exactly (order-independent);
+    // one double cast at the edge per Registry convention.
+    Q("m9_cdf_driven_agg",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("m9_cdf_agg")
+        val table = dir.resolve("stg_events")
+        val ev = Tables.events(s, d).withColumn("ts", col("ts").cast("timestamp"))
+        def latest(df: org.apache.spark.sql.DataFrame) =
+          MergeOps.latestByKey(df, Seq("user_id"), Seq(col("ts"), col("event_id")))
+            .select(col("user_id"), col("event_type"), col("value"),
+              lit(null).cast("timestamp").as("loaded_at"),
+              lit(null).cast("timestamp").as("last_upd_at"))
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+        try {
+          val v0 = MergeOps.prunedConditionalUpsert(table,
+            latest(ev.filter(col("ts") < lit(CutoffTs).cast("timestamp"))),
+            pk = Seq("user_id"), tracked = Seq("event_type", "value"),
+            runTs = lit(CutoffTs).cast("timestamp"), nParts = 16)
+          val v1 = MergeOps.prunedConditionalUpsert(table, latest(ev),
+            pk = Seq("user_id"), tracked = Seq("event_type", "value"),
+            runTs = lit(RunTs).cast("timestamp"), nParts = 16)
+          // the materialized state as of v0 (bootstrap recompute, once)
+          val state0 = graft.ops.Storage.readPartitionedVersionAt(s, table, v0)
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("count_rows"), sum(dec(col("value"))).as("sum_value"))
+          // ...rolled forward by the feed alone
+          val cdf = graft.ops.Cdc.changeDataFeed(s, table, v0, v1,
+            pk = Seq("user_id"), compareCols = Seq("event_type", "value"),
+            preImages = true)
+          val sign = when(col("change_type").isin("insert", "update_postimage"), 1)
+            .otherwise(-1)
+          val deltaAgg = cdf.groupBy(col("event_type"))
+            .agg(sum(sign.cast("long")).as("count_rows"),
+              sum(sign * dec(col("value"))).as("sum_value"))
+          graft.ops.AggMaintain.applyDelta(state0, deltaAgg,
+            keys = Seq("event_type"), sumCols = Seq("sum_value"))
+            .select(col("event_type"), col("count_rows").as("cnt"),
+              col("sum_value").cast("double").as("sum_value"))
+            .localCheckpoint()
+        } finally graft.ops.Storage.deleteRecursively(dir)
+      },
+      Some(s"""SELECT event_type, count(*) AS cnt,
+             |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+             |FROM (SELECT event_type, value,
+             |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+             |      FROM events) t
+             |WHERE rn = 1 GROUP BY event_type""".stripMargin)),
+
     // M3/M5 — SCD2 version history from a change log: consecutive-dup drop,
     // valid_from/valid_to chaining, is_current, deterministic version numbers
     // (ref: dwh_dim_character.py:49-118 collapsed into one declarative pass).

@@ -133,6 +133,41 @@ class CdfSpec extends SparkTestBase {
     } finally Storage.deleteRecursively(dir)
   }
 
+  test("preimages: updates emit retract+add pairs; applyDelta ≡ recompute") {
+    val dir = Files.createTempDirectory("cdf_pre")
+    val table = dir.resolve("t")
+    try {
+      val v0 = load(table, Seq((1, "a", 1.0), (2, "b", 2.0)), "2024-01-01 00:00:00")
+      val v1 = load(table, Seq((1, "a2", 5.0), (3, "c", 3.0)), "2024-01-02 00:00:00")
+      val pre = Cdc.changeDataFeed(spark, table, v0, v1,
+          pk = Seq("id"), compareCols = Seq("name", "score"), preImages = true)
+        .as[(Int, String, Double, String)].collect().sortBy(r => (r._1, r._4)).toSeq
+      assert(pre == Seq( // "update_postimage" sorts before "update_preimage"
+        (1, "a2", 5.0, "update_postimage"), (1, "a", 1.0, "update_preimage"),
+        (3, "c", 3.0, "insert")))
+
+      // the feed maintains an additive aggregate exactly: retract the
+      // preimage, add the postimage, compare against a full recompute
+      def aggOf(v: Long) = Storage.readPartitionedVersionAt(spark, table, v)
+        .groupBy(col("name").substr(1, 1).as("g"))
+        .agg(count(lit(1)).as("count_rows"),
+          sum(col("score").cast("decimal(38,6)")).as("sum_score"))
+      val sign = when(col("change_type").isin("insert", "update_postimage"), 1L)
+        .otherwise(-1L)
+      val delta = Cdc.changeDataFeed(spark, table, v0, v1,
+          pk = Seq("id"), compareCols = Seq("name", "score"), preImages = true)
+        .groupBy(col("name").substr(1, 1).as("g"))
+        .agg(sum(sign).as("count_rows"),
+          sum(sign * col("score").cast("decimal(38,6)")).as("sum_score"))
+      val maintained = graft.ops.AggMaintain
+        .applyDelta(aggOf(v0), delta, keys = Seq("g"), sumCols = Seq("sum_score"))
+        .as[(String, Long, java.math.BigDecimal)].collect().sortBy(_._1).toSeq
+      val recomputed = aggOf(v1)
+        .as[(String, Long, java.math.BigDecimal)].collect().sortBy(_._1).toSeq
+      assert(maintained == recomputed)
+    } finally Storage.deleteRecursively(dir)
+  }
+
   test("time travel: the state AS OF an old version reads exactly") {
     val dir = Files.createTempDirectory("cdf_tt")
     val table = dir.resolve("t")
