@@ -103,10 +103,13 @@ object Cdc {
       compareCols: Seq[String],
       preImages: Boolean = false): DataFrame = {
     // overlap would emit duplicate output columns; empty compareCols would
-    // make every matched row look unchanged — both are caller bugs
+    // make every matched row look unchanged; the two injected names would
+    // be silently shadowed/duplicated — all caller bugs, failed loudly
     val roles = pk ++ compareCols
     require(compareCols.nonEmpty && roles.distinct.size == roles.size,
       s"pk and compareCols must be non-empty and pairwise disjoint (got $roles)")
+    require(!roles.contains("__present") && !roles.contains("change_type"),
+      "'__present' and 'change_type' are reserved by changeDataFeed")
     val changed = Storage.partitionsChangedBetween(table, fromV, toV)
     val cols = pk ++ compareCols
     def snap(v: Long) =

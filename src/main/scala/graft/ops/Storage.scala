@@ -476,6 +476,15 @@ object Storage {
       try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
         .filter(_.startsWith(partCol + "=")).toSeq
       finally s.close()
+    // a typo'd/stale dropParts entry would be silently ignored by
+    // `prev -- dropParts` — the old bytes staying live is exactly the
+    // hazard dropParts exists to prevent, so an unknown name fails loudly
+    if (!dropParts.subsetOf(prev.keySet)) {
+      deleteRecursively(staging)
+      throw new IllegalArgumentException(
+        s"dropParts ${dropParts -- prev.keySet} not present in the " +
+          s"committed manifest (${prev.keySet.toSeq.sorted.take(5).mkString(", ")}…)")
+    }
     // a partition both rewritten and dropped is a contradictory request
     // (only detectable after the write reveals which dirs `next` produced)
     if (dropParts.intersect(written.toSet).nonEmpty) {
@@ -497,7 +506,21 @@ object Storage {
       carried = DeltaInterop.carriedAdds(next.sparkSession, table, base, manifest,
         rewritten = written.toSet, partCol))
     casPromote(table, staging, v)
-    vacuum(table, v, keepVersions, referenced = manifest.values.toSet)
+    // protect every version referenced by ANY retained manifest, not just
+    // the new one: a retained version w is promised readable
+    // (readPartitionedVersionAt / changeDataFeed's fromV side), and its
+    // carried buckets live in versions ONLY w's manifest still names —
+    // vacuuming by the new manifest alone would delete those bytes the
+    // first time a long-carried bucket is finally rewritten
+    val retainedRefs = (math.max(0L, v - keepVersions) to v).flatMap { w =>
+      if (w == v) manifest.values
+      else {
+        val m = table.resolve(s"v$w").resolve(PartsManifest)
+        if (Files.exists(m)) readPartsManifest(table.resolve(s"v$w")).values
+        else Nil
+      }
+    }.toSet
+    vacuum(table, v, keepVersions, referenced = retainedRefs)
     v
   }
 

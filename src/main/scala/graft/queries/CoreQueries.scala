@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{Extract, Facts, MergeOps, Scd2}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Reference-parity operators (SURVEY.md §2), each re-expressed over the
@@ -17,6 +18,62 @@ object CoreQueries {
   private val CutoffEpoch = 1705276800L
   private val RunTs = "2024-02-01 00:00:00"
   private val RunEpoch = 1706745600L
+
+  /** Shared fixture for the pruned-upsert family (m1b/io2/io3/m8/m9): the
+    * same two incremental loads — pre-cutoff bootstrap at [[CutoffTs]],
+    * then the full snapshot at [[RunTs]] — into a fresh PK-bucketed
+    * partition-manifested table. `body` receives (table, v0, v1) and its
+    * result is materialized before the tempdir is deleted. */
+  private def withTwoLoadUpsert(s: SparkSession, d: String)(
+      body: (java.nio.file.Path, Long, Long) => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("upsert2")
+    val table = dir.resolve("stg_events")
+    val ev = Tables.events(s, d).withColumn("ts", col("ts").cast("timestamp"))
+    def load(df: DataFrame, ts: String) =
+      MergeOps.prunedConditionalUpsert(table,
+        MergeOps.latestByKey(df, Seq("user_id"), Seq(col("ts"), col("event_id")))
+          .select(col("user_id"), col("event_type"), col("value"),
+            lit(null).cast("timestamp").as("loaded_at"),
+            lit(null).cast("timestamp").as("last_upd_at")),
+        pk = Seq("user_id"), tracked = Seq("event_type", "value"),
+        runTs = lit(ts).cast("timestamp"), nParts = 16)
+    try {
+      val v0 = load(ev.filter(col("ts") < lit(CutoffTs).cast("timestamp")), CutoffTs)
+      val v1 = load(ev, RunTs)
+      body(table, v0, v1).localCheckpoint()
+    } finally graft.ops.Storage.deleteRecursively(dir)
+  }
+
+  /** m1b and io2 read back the SAME final upsert state — one oracle text
+    * (the relational full-outer merge of the pre-cutoff and full
+    * latest-by-key snapshots). */
+  private val UpsertStateOracle =
+    s"""WITH o AS (SELECT user_id, event_type, value FROM (
+       |    SELECT user_id, event_type, value,
+       |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+       |    FROM events WHERE ts < TIMESTAMP '$CutoffTs') t WHERE rn = 1),
+       |n AS (SELECT user_id, event_type, value FROM (
+       |    SELECT user_id, event_type, value,
+       |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+       |    FROM events) t WHERE rn = 1)
+       |SELECT coalesce(n.user_id, o.user_id) AS user_id,
+       |  CASE WHEN o.user_id IS NULL OR (n.user_id IS NOT NULL
+       |         AND (o.event_type IS DISTINCT FROM n.event_type OR o.value IS DISTINCT FROM n.value))
+       |       THEN n.event_type ELSE o.event_type END AS event_type,
+       |  CASE WHEN o.user_id IS NULL OR (n.user_id IS NOT NULL
+       |         AND (o.event_type IS DISTINCT FROM n.event_type OR o.value IS DISTINCT FROM n.value))
+       |       THEN n.value ELSE o.value END AS value,
+       |  CASE WHEN o.user_id IS NULL THEN $RunEpoch ELSE $CutoffEpoch END AS loaded_epoch,
+       |  CASE WHEN o.user_id IS NULL OR (n.user_id IS NOT NULL
+       |         AND (o.event_type IS DISTINCT FROM n.event_type OR o.value IS DISTINCT FROM n.value))
+       |       THEN $RunEpoch ELSE $CutoffEpoch END AS upd_epoch
+       |FROM o FULL JOIN n ON o.user_id = n.user_id""".stripMargin
+
+  /** The five final projection columns every upsert-family query emits. */
+  private def upsertStateCols(df: DataFrame): DataFrame =
+    df.select(col("user_id"), col("event_type"), col("value"),
+      epochS(col("loaded_at")).as("loaded_epoch"),
+      epochS(col("last_upd_at")).as("upd_epoch"))
 
   def all: Seq[Q] = Seq(
 
@@ -414,54 +471,11 @@ object CoreQueries {
     // in PartitionedStorageSpec). Result hash-equals m1's oracle: the
     // pruned path changes write amplification, not semantics.
     Q("m1b_partitioned_upsert",
-      (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("m1b_upsert")
-        val table = dir.resolve("stg_events")
-        val ev = Tables.events(s, d).withColumn("ts", col("ts").cast("timestamp"))
-        def latest(df: org.apache.spark.sql.DataFrame) =
-          MergeOps.latestByKey(df, Seq("user_id"), Seq(col("ts"), col("event_id")))
-            .select(col("user_id"), col("event_type"), col("value"),
-              lit(null).cast("timestamp").as("loaded_at"),
-              lit(null).cast("timestamp").as("last_upd_at"))
-        try {
-          // load 1 (bootstrap): pre-cutoff snapshot at CutoffTs → every row
-          // inserted with loaded_at = last_upd_at = CutoffTs, same as m1's old
-          MergeOps.prunedConditionalUpsert(table,
-            latest(ev.filter(col("ts") < lit(CutoffTs).cast("timestamp"))),
-            pk = Seq("user_id"), tracked = Seq("event_type", "value"),
-            runTs = lit(CutoffTs).cast("timestamp"), nParts = 16)
-          // load 2 (incremental): current snapshot at RunTs
-          MergeOps.prunedConditionalUpsert(table, latest(ev),
-            pk = Seq("user_id"), tracked = Seq("event_type", "value"),
-            runTs = lit(RunTs).cast("timestamp"), nParts = 16)
-          graft.ops.Storage.readPartitionedVersion(s, table).drop("pbucket")
-            .select(col("user_id"), col("event_type"), col("value"),
-              epochS(col("loaded_at")).as("loaded_epoch"),
-              epochS(col("last_upd_at")).as("upd_epoch"))
-            // materialize before the temp table is deleted (lazy otherwise)
-            .localCheckpoint()
-        } finally graft.ops.Storage.deleteRecursively(dir)
+      (s, d) => withTwoLoadUpsert(s, d) { (table, _, _) =>
+        upsertStateCols(
+          graft.ops.Storage.readPartitionedVersion(s, table).drop("pbucket"))
       },
-      Some(s"""WITH o AS (SELECT user_id, event_type, value FROM (
-             |    SELECT user_id, event_type, value,
-             |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
-             |    FROM events WHERE ts < TIMESTAMP '$CutoffTs') t WHERE rn = 1),
-             |n AS (SELECT user_id, event_type, value FROM (
-             |    SELECT user_id, event_type, value,
-             |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
-             |    FROM events) t WHERE rn = 1)
-             |SELECT coalesce(n.user_id, o.user_id) AS user_id,
-             |  CASE WHEN o.user_id IS NULL OR (n.user_id IS NOT NULL
-             |         AND (o.event_type IS DISTINCT FROM n.event_type OR o.value IS DISTINCT FROM n.value))
-             |       THEN n.event_type ELSE o.event_type END AS event_type,
-             |  CASE WHEN o.user_id IS NULL OR (n.user_id IS NOT NULL
-             |         AND (o.event_type IS DISTINCT FROM n.event_type OR o.value IS DISTINCT FROM n.value))
-             |       THEN n.value ELSE o.value END AS value,
-             |  CASE WHEN o.user_id IS NULL THEN $RunEpoch ELSE $CutoffEpoch END AS loaded_epoch,
-             |  CASE WHEN o.user_id IS NULL OR (n.user_id IS NOT NULL
-             |         AND (o.event_type IS DISTINCT FROM n.event_type OR o.value IS DISTINCT FROM n.value))
-             |       THEN $RunEpoch ELSE $CutoffEpoch END AS upd_epoch
-             |FROM o FULL JOIN n ON o.user_id = n.user_id""".stripMargin)),
+      Some(UpsertStateOracle)),
 
     // Delta interop × pruned writes — the SHALLOW-CLONE read driver-checked:
     // the same two incremental loads as m1b, but the final state is read
@@ -472,51 +486,12 @@ object CoreQueries {
     // each add's partitionValues — hash-matching m1b's oracle proves the
     // carry chain end-to-end through the driver gate, not just the spec.
     Q("io2_delta_shallow_clone",
-      (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("io2_delta")
-        val table = dir.resolve("stg_events")
-        val ev = Tables.events(s, d).withColumn("ts", col("ts").cast("timestamp"))
-        def latest(df: org.apache.spark.sql.DataFrame) =
-          MergeOps.latestByKey(df, Seq("user_id"), Seq(col("ts"), col("event_id")))
-            .select(col("user_id"), col("event_type"), col("value"),
-              lit(null).cast("timestamp").as("loaded_at"),
-              lit(null).cast("timestamp").as("last_upd_at"))
-        try {
-          MergeOps.prunedConditionalUpsert(table,
-            latest(ev.filter(col("ts") < lit(CutoffTs).cast("timestamp"))),
-            pk = Seq("user_id"), tracked = Seq("event_type", "value"),
-            runTs = lit(CutoffTs).cast("timestamp"), nParts = 16)
-          val v = MergeOps.prunedConditionalUpsert(table, latest(ev),
-            pk = Seq("user_id"), tracked = Seq("event_type", "value"),
-            runTs = lit(RunTs).cast("timestamp"), nParts = 16)
-          graft.ops.DeltaInterop.readSnapshot(s, table.resolve(s"v$v"))
-            .drop("pbucket")
-            .select(col("user_id"), col("event_type"), col("value"),
-              epochS(col("loaded_at")).as("loaded_epoch"),
-              epochS(col("last_upd_at")).as("upd_epoch"))
-            .localCheckpoint()
-        } finally graft.ops.Storage.deleteRecursively(dir)
+      (s, d) => withTwoLoadUpsert(s, d) { (table, _, v1) =>
+        upsertStateCols(
+          graft.ops.DeltaInterop.readSnapshot(s, table.resolve(s"v$v1"))
+            .drop("pbucket"))
       },
-      Some(s"""WITH o AS (SELECT user_id, event_type, value FROM (
-             |    SELECT user_id, event_type, value,
-             |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
-             |    FROM events WHERE ts < TIMESTAMP '$CutoffTs') t WHERE rn = 1),
-             |n AS (SELECT user_id, event_type, value FROM (
-             |    SELECT user_id, event_type, value,
-             |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
-             |    FROM events) t WHERE rn = 1)
-             |SELECT coalesce(n.user_id, o.user_id) AS user_id,
-             |  CASE WHEN o.user_id IS NULL OR (n.user_id IS NOT NULL
-             |         AND (o.event_type IS DISTINCT FROM n.event_type OR o.value IS DISTINCT FROM n.value))
-             |       THEN n.event_type ELSE o.event_type END AS event_type,
-             |  CASE WHEN o.user_id IS NULL OR (n.user_id IS NOT NULL
-             |         AND (o.event_type IS DISTINCT FROM n.event_type OR o.value IS DISTINCT FROM n.value))
-             |       THEN n.value ELSE o.value END AS value,
-             |  CASE WHEN o.user_id IS NULL THEN $RunEpoch ELSE $CutoffEpoch END AS loaded_epoch,
-             |  CASE WHEN o.user_id IS NULL OR (n.user_id IS NOT NULL
-             |         AND (o.event_type IS DISTINCT FROM n.event_type OR o.value IS DISTINCT FROM n.value))
-             |       THEN $RunEpoch ELSE $CutoffEpoch END AS upd_epoch
-             |FROM o FULL JOIN n ON o.user_id = n.user_id""".stripMargin)),
+      Some(UpsertStateOracle)),
 
     // CDF generation — table_changes(fromV, toV) computed AFTER the fact
     // from two committed versions, the inverse of m6's changelog APPLY.
@@ -528,27 +503,9 @@ object CoreQueries {
     // of the two upsert states (insert/update only: upsert loads never
     // delete; the delete branch is spec-covered in CdfSpec).
     Q("m8_change_data_feed",
-      (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("m8_cdf")
-        val table = dir.resolve("stg_events")
-        val ev = Tables.events(s, d).withColumn("ts", col("ts").cast("timestamp"))
-        def latest(df: org.apache.spark.sql.DataFrame) =
-          MergeOps.latestByKey(df, Seq("user_id"), Seq(col("ts"), col("event_id")))
-            .select(col("user_id"), col("event_type"), col("value"),
-              lit(null).cast("timestamp").as("loaded_at"),
-              lit(null).cast("timestamp").as("last_upd_at"))
-        try {
-          val v0 = MergeOps.prunedConditionalUpsert(table,
-            latest(ev.filter(col("ts") < lit(CutoffTs).cast("timestamp"))),
-            pk = Seq("user_id"), tracked = Seq("event_type", "value"),
-            runTs = lit(CutoffTs).cast("timestamp"), nParts = 16)
-          val v1 = MergeOps.prunedConditionalUpsert(table, latest(ev),
-            pk = Seq("user_id"), tracked = Seq("event_type", "value"),
-            runTs = lit(RunTs).cast("timestamp"), nParts = 16)
-          graft.ops.Cdc.changeDataFeed(s, table, v0, v1,
-            pk = Seq("user_id"), compareCols = Seq("event_type", "value"))
-            .localCheckpoint()
-        } finally graft.ops.Storage.deleteRecursively(dir)
+      (s, d) => withTwoLoadUpsert(s, d) { (table, v0, v1) =>
+        graft.ops.Cdc.changeDataFeed(s, table, v0, v1,
+          pk = Seq("user_id"), compareCols = Seq("event_type", "value"))
       },
       Some(s"""WITH o AS (SELECT user_id, event_type, value FROM (
              |    SELECT user_id, event_type, value,
@@ -571,30 +528,10 @@ object CoreQueries {
     // and vacuum keeps referenced versions, so history is a metadata
     // lookup, not a restore. Oracle = the pre-cutoff relational state.
     Q("io3_time_travel",
-      (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("io3_tt")
-        val table = dir.resolve("stg_events")
-        val ev = Tables.events(s, d).withColumn("ts", col("ts").cast("timestamp"))
-        def latest(df: org.apache.spark.sql.DataFrame) =
-          MergeOps.latestByKey(df, Seq("user_id"), Seq(col("ts"), col("event_id")))
-            .select(col("user_id"), col("event_type"), col("value"),
-              lit(null).cast("timestamp").as("loaded_at"),
-              lit(null).cast("timestamp").as("last_upd_at"))
-        try {
-          val v0 = MergeOps.prunedConditionalUpsert(table,
-            latest(ev.filter(col("ts") < lit(CutoffTs).cast("timestamp"))),
-            pk = Seq("user_id"), tracked = Seq("event_type", "value"),
-            runTs = lit(CutoffTs).cast("timestamp"), nParts = 16)
-          MergeOps.prunedConditionalUpsert(table, latest(ev),
-            pk = Seq("user_id"), tracked = Seq("event_type", "value"),
-            runTs = lit(RunTs).cast("timestamp"), nParts = 16)
+      (s, d) => withTwoLoadUpsert(s, d) { (table, v0, _) =>
+        upsertStateCols(
           graft.ops.Storage.readPartitionedVersionAt(s, table, v0)
-            .drop("pbucket")
-            .select(col("user_id"), col("event_type"), col("value"),
-              epochS(col("loaded_at")).as("loaded_epoch"),
-              epochS(col("last_upd_at")).as("upd_epoch"))
-            .localCheckpoint()
-        } finally graft.ops.Storage.deleteRecursively(dir)
+            .drop("pbucket"))
       },
       Some(s"""SELECT user_id, event_type, value,
              |       $CutoffEpoch AS loaded_epoch, $CutoffEpoch AS upd_epoch
@@ -612,43 +549,25 @@ object CoreQueries {
     // DECIMAL so incremental == recompute exactly (order-independent);
     // one double cast at the edge per Registry convention.
     Q("m9_cdf_driven_agg",
-      (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("m9_cdf_agg")
-        val table = dir.resolve("stg_events")
-        val ev = Tables.events(s, d).withColumn("ts", col("ts").cast("timestamp"))
-        def latest(df: org.apache.spark.sql.DataFrame) =
-          MergeOps.latestByKey(df, Seq("user_id"), Seq(col("ts"), col("event_id")))
-            .select(col("user_id"), col("event_type"), col("value"),
-              lit(null).cast("timestamp").as("loaded_at"),
-              lit(null).cast("timestamp").as("last_upd_at"))
+      (s, d) => withTwoLoadUpsert(s, d) { (table, v0, v1) =>
         def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
-        try {
-          val v0 = MergeOps.prunedConditionalUpsert(table,
-            latest(ev.filter(col("ts") < lit(CutoffTs).cast("timestamp"))),
-            pk = Seq("user_id"), tracked = Seq("event_type", "value"),
-            runTs = lit(CutoffTs).cast("timestamp"), nParts = 16)
-          val v1 = MergeOps.prunedConditionalUpsert(table, latest(ev),
-            pk = Seq("user_id"), tracked = Seq("event_type", "value"),
-            runTs = lit(RunTs).cast("timestamp"), nParts = 16)
-          // the materialized state as of v0 (bootstrap recompute, once)
-          val state0 = graft.ops.Storage.readPartitionedVersionAt(s, table, v0)
-            .groupBy(col("event_type"))
-            .agg(count(lit(1)).as("count_rows"), sum(dec(col("value"))).as("sum_value"))
-          // ...rolled forward by the feed alone
-          val cdf = graft.ops.Cdc.changeDataFeed(s, table, v0, v1,
-            pk = Seq("user_id"), compareCols = Seq("event_type", "value"),
-            preImages = true)
-          val sign = when(col("change_type").isin("insert", "update_postimage"), 1)
-            .otherwise(-1)
-          val deltaAgg = cdf.groupBy(col("event_type"))
-            .agg(sum(sign.cast("long")).as("count_rows"),
-              sum(sign * dec(col("value"))).as("sum_value"))
-          graft.ops.AggMaintain.applyDelta(state0, deltaAgg,
-            keys = Seq("event_type"), sumCols = Seq("sum_value"))
-            .select(col("event_type"), col("count_rows").as("cnt"),
-              col("sum_value").cast("double").as("sum_value"))
-            .localCheckpoint()
-        } finally graft.ops.Storage.deleteRecursively(dir)
+        // the materialized state as of v0 (bootstrap recompute, once)
+        val state0 = graft.ops.Storage.readPartitionedVersionAt(s, table, v0)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("count_rows"), sum(dec(col("value"))).as("sum_value"))
+        // ...rolled forward by the feed alone
+        val cdf = graft.ops.Cdc.changeDataFeed(s, table, v0, v1,
+          pk = Seq("user_id"), compareCols = Seq("event_type", "value"),
+          preImages = true)
+        val sign = when(col("change_type").isin("insert", "update_postimage"), 1)
+          .otherwise(-1)
+        val deltaAgg = cdf.groupBy(col("event_type"))
+          .agg(sum(sign.cast("long")).as("count_rows"),
+            sum(sign * dec(col("value"))).as("sum_value"))
+        graft.ops.AggMaintain.applyDelta(state0, deltaAgg,
+          keys = Seq("event_type"), sumCols = Seq("sum_value"))
+          .select(col("event_type"), col("count_rows").as("cnt"),
+            col("sum_value").cast("double").as("sum_value"))
       },
       Some(s"""SELECT event_type, count(*) AS cnt,
              |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value

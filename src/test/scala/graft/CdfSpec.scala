@@ -168,6 +168,34 @@ class CdfSpec extends SparkTestBase {
     } finally Storage.deleteRecursively(dir)
   }
 
+  test("vacuum keeps versions referenced by ANY retained manifest") {
+    // v1 rewrites ONE bucket; v2 rewrites every other bucket. The new
+    // (v2) manifest then references only {v1, v2} — but v1 is retained
+    // (keepVersions=1) and ITS manifest still maps the late-rewritten
+    // buckets to v0, so v0's bytes must survive v2's vacuum or both
+    // readPartitionedVersionAt(v1) and the routine feed(v1, v2) crash.
+    val dir = Files.createTempDirectory("cdf_vacuum")
+    val table = dir.resolve("t")
+    try {
+      val base = (1 to 200).map(i => (i, s"n$i", i.toDouble))
+      val v0 = load(table, base, "2024-01-01 00:00:00")
+      assert(Storage.committedPartitions(table).size == NParts)
+      val bucketOf = Storage.readPartitionedVersion(spark, table)
+        .select(col("id"), col("pbucket")).as[(Int, Int)].collect().toMap
+      val x = bucketOf(1)
+      val v1 = load(table, Seq((1, "x", 9.9)), "2024-01-02 00:00:00")
+      val others = base.filter { case (i, _, _) => bucketOf(i) != x }
+        .map { case (i, n, s0) => (i, n + "-v2", s0) }
+      val v2 = load(table, others, "2024-01-03 00:00:00")
+
+      assert(Files.exists(table.resolve("v0")), "v0 carried buckets for retained v1")
+      val asOfV1 = Storage.readPartitionedVersionAt(spark, table, v1)
+      assert(asOfV1.count() == 200)
+      assert(asOfV1.filter(col("name").endsWith("-v2")).count() == 0)
+      assert(feed(table, v1, v2).size == others.size)
+    } finally Storage.deleteRecursively(dir)
+  }
+
   test("time travel: the state AS OF an old version reads exactly") {
     val dir = Files.createTempDirectory("cdf_tt")
     val table = dir.resolve("t")

@@ -281,10 +281,20 @@ class PartitionedStorageSpec extends SparkTestBase {
     val after = Storage.readPartitionedVersion(spark, table).collect()
       .map(_.toString).sorted.toSeq
     assert(after == before, "compaction must preserve the composed state")
-    // the compacted version owns every partition; v0 is unreferenced and
-    // vacuumed, v1 stays inside the keep window
-    assert(!F.exists(table.resolve("v0")), "v0 should vacuum after full compaction")
+    // the compacted version owns every partition, but v0 must SURVIVE this
+    // commit: v1 is still retained (keepVersions=1) and v1's manifest maps
+    // its carried buckets to v0 — vacuuming v0 here would break
+    // readPartitionedVersionAt(v1) and feed(v1, v2). Only after the NEXT
+    // commit pushes v1 out of the keep window does v0 become vacuumable.
+    assert(F.exists(table.resolve("v0")), "v0 carries buckets for retained v1")
     assert(F.exists(table.resolve("v1")))
+    assert(Storage.readPartitionedVersionAt(spark, table, 1L).count() == 100)
+    MergeOps.prunedConditionalUpsert(table,
+      withAudit(Seq(7L -> "Y").toDF("k", "attr")),
+      pk = Seq("k"), tracked = Seq("attr"), runTs = t1, nParts = 8)
+    assert(!F.exists(table.resolve("v0")),
+      "v0 vacuums once no retained manifest references it")
+    assert(!F.exists(table.resolve("v1")), "v1 left the keep window")
     // and the Delta log of the compacted version is fully self-contained
     // (all adds relative — nothing carried)
     val log = graft.ops.DeltaInterop.readLog(
