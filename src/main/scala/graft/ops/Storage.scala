@@ -563,12 +563,28 @@ object Storage {
     val selected = manifest.filter { case (p, _) => onlyParts.forall(_.contains(p)) }
     if (selected.isEmpty)
       readPartitionedVersionAt(spark, table, v, None).limit(0)
-    else
-      selected.groupBy(_._2).toSeq.sortBy(_._1).map { case (ver, parts) =>
+    else {
+      // allowMissingColumns + align to the commit's DECLARED schema (the
+      // Delta log's) = add-column evolution: buckets carried from before
+      // the column existed read null for it, exactly as readSnapshot and
+      // any external Delta engine resolve the same mixed adds. Without
+      // the log (no such table exists post-interop) fall back to the
+      // strict union, which fails loudly on a schema mismatch.
+      val composed = selected.groupBy(_._2).toSeq.sortBy(_._1).map { case (ver, parts) =>
         val vdir = table.resolve(s"v$ver")
         spark.read.option("basePath", vdir.toString)
           .parquet(parts.keys.toSeq.sorted.map(p => vdir.resolve(p).toString): _*)
-      }.reduce(_.unionByName(_))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      val lf = DeltaInterop.logFile(vdir)
+      if (!Files.exists(lf)) composed
+      else {
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(DeltaInterop.readLog(lf).schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        composed.select(schema.map(f =>
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
+      }
+    }
   }
 
   /** The partition-dir names whose BYTES differ between retained versions

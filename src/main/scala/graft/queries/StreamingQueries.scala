@@ -380,6 +380,66 @@ object StreamingQueries {
            |       ${cutoffEpochCase("a.loaded_b")} AS loaded_epoch,
            |       ${cutoffEpochCase("a.upd_b")} AS upd_epoch
            |FROM agg a JOIN snap s ON s.user_id = a.user_id AND s.b = a.last_b""".stripMargin
-      })
+      }),
+
+    // CDF-driven incremental VIEW MAINTENANCE under a real streaming
+    // query: the base table takes five pruned-upsert loads; the stream is
+    // a commit-log tail (one version number per commit), and each
+    // micro-batch rolls a per-type aggregate forward — bootstrap snapshot
+    // once, then ONLY each load's change feed (signed pre/post-image
+    // partials through applyDelta), state durable in the aggregate's own
+    // commit log. Hash-matching the full recompute of the final state
+    // proves five chained incremental steps lose nothing. Batch twin: m9
+    // (one step); this is the continuous form. Per-step cost at 100 TB:
+    // the feed's changed buckets + touched groups — the base table is
+    // scanned exactly once, at bootstrap.
+    Q("stream6_cdf_view_maintenance",
+      (s, d) => withShufflePartitions(s, 4) {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx = s.sqlContext
+        import graft.ops.MergeOps
+
+        val windows = arrivalWindows(Tables.events(s, d)
+          .select(windowTag.as("b"), col("user_id"), col("event_type"), col("value"),
+            unix_micros(col("ts")).as("ts_us"), col("event_id"))
+          .collect()
+          .map(r => (r.getInt(0), (r.getLong(1), r.getString(2), r.getDouble(3),
+            r.getLong(4), r.getLong(5)))).toSeq)
+
+        val dir = java.nio.file.Files.createTempDirectory("stream6_cdf")
+        val base = dir.resolve("stg_events")
+        val agg = dir.resolve("agg_by_type")
+        def dec(c: Column) = c.cast("decimal(38,6)")
+        val input = MemoryStream[Long]
+        val q = StreamingLoads.foreachBatchCdfAggMaintain(
+          input.toDF().toDF("v"), base, agg,
+          pk = Seq("user_id"), compareCols = Seq("event_type", "value"),
+          keys = Seq("event_type"), sums = Map("sum_value" -> dec(col("value"))),
+          trigger = Trigger.ProcessingTime(0)).start()
+        try {
+          try windows.foreach { case (ts, rows) =>
+            val stg = rows.toDF("user_id", "event_type", "value", "ts_us", "event_id")
+            val v = MergeOps.prunedConditionalUpsert(base,
+              MergeOps.latestByKey(stg, Seq("user_id"), Seq(col("ts_us"), col("event_id")))
+                .select(col("user_id"), col("event_type"), col("value"),
+                  lit(null).cast("timestamp").as("loaded_at"),
+                  lit(null).cast("timestamp").as("last_upd_at")),
+              pk = Seq("user_id"), tracked = Seq("event_type", "value"),
+              runTs = lit(ts).cast("timestamp"), nParts = 16)
+            input.addData(v); q.processAllAvailable()
+          } finally q.stop()
+          graft.ops.Storage.readVersion(s, agg)
+            .select(col("event_type"), col("count_rows").as("cnt"),
+              col("sum_value").cast("double").as("sum_value"))
+            .localCheckpoint()
+        } finally graft.ops.Storage.deleteRecursively(dir)
+      },
+      Some("""SELECT event_type, count(*) AS cnt,
+             |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+             |FROM (SELECT event_type, value,
+             |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+             |      FROM events) t
+             |WHERE rn = 1 GROUP BY event_type""".stripMargin))
   )
 }

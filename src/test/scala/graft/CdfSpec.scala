@@ -196,6 +196,25 @@ class CdfSpec extends SparkTestBase {
     } finally Storage.deleteRecursively(dir)
   }
 
+  test("compaction is invisible to the feed: rewritten bytes, unchanged state") {
+    val dir = Files.createTempDirectory("cdf_compact")
+    val table = dir.resolve("t")
+    try {
+      val base = (1 to 120).map(i => (i, s"n$i", i.toDouble))
+      load(table, base, "2024-01-01 00:00:00")
+      load(table, Seq((3, "upd", 0.5)), "2024-01-02 00:00:00")
+      val vPre = Storage.currentVersion(table).get
+      Storage.compact(spark, table, targetBytes = 1L << 30)
+      val vPost = Storage.currentVersion(table).get
+      assert(vPost == vPre + 1)
+      // every bucket's bytes moved, so the manifest diff names them all —
+      // but the value compare drops every row: a maintenance rewrite must
+      // never masquerade as data change to downstream consumers
+      assert(Storage.partitionsChangedBetween(table, vPre, vPost).size == NParts)
+      assert(feed(table, vPre, vPost).isEmpty)
+    } finally Storage.deleteRecursively(dir)
+  }
+
   test("time travel: the state AS OF an old version reads exactly") {
     val dir = Files.createTempDirectory("cdf_tt")
     val table = dir.resolve("t")

@@ -302,6 +302,35 @@ class PartitionedStorageSpec extends SparkTestBase {
     assert(log.adds.nonEmpty && log.adds.forall(a => !a.path.startsWith("file:")))
   }
 
+  test("add-column evolution: carried buckets read null for the new column, like Delta") {
+    import org.apache.spark.sql.functions.{pmod, xxhash64}
+    import spark.implicits._
+    val table = Files.createTempDirectory("parts_evolve").resolve("t")
+    def bucketed(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("pbucket", pmod(xxhash64(col("k")), lit(4)).cast("int"))
+    Storage.commitPartitions(
+      bucketed((1L to 40L).toDF("k").withColumn("a", col("k") * 2)),
+      table, "pbucket")
+    // second load rewrites ONE full bucket and ADDS a column
+    val st = Storage.readPartitionedVersion(spark, table)
+    val bkt = st.filter(col("k") === 1L).select("pbucket").as[Int].head()
+    val evolved = st.filter(col("pbucket") === bkt)
+      .withColumn("b", when(col("k") === 1L, lit("fresh")))
+    Storage.commitPartitions(evolved, table, "pbucket")
+
+    val composed = Storage.readPartitionedVersion(spark, table)
+    assert(composed.columns.toSet == Set("k", "a", "b", "pbucket"))
+    assert(composed.count() == 40)
+    // carried rows resolve the later-added column as null; the rewritten
+    // bucket's rows carry it — and the Delta read agrees exactly
+    assert(composed.filter(col("b").isNull).count() == 39)
+    assert(composed.filter(col("k") === 1L).select("b").as[String].head() == "fresh")
+    val delta = graft.ops.DeltaInterop.readSnapshot(
+      spark, table.resolve(s"v${Storage.currentVersion(table).get}"))
+    assert(delta.select("k", "a", "b").collect().map(_.toString).sorted.toSeq ==
+      composed.select("k", "a", "b").collect().map(_.toString).sorted.toSeq)
+  }
+
   test("empty bootstrap commit does not wedge the table: reads type from the Delta log, next load succeeds") {
     import graft.ops.MergeOps
     import spark.implicits._

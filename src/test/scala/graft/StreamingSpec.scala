@@ -267,6 +267,56 @@ class StreamingSpec extends SparkTestBase {
 
   private def epoch(t: java.sql.Timestamp): Long = t.getTime / 1000
 
+  test("CDF view maintenance resumes from committed state after a restart") {
+    import graft.ops.{MergeOps, Storage}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = Files.createTempDirectory("cdf_maintain")
+    val base = dir.resolve("t")
+    val agg = dir.resolve("agg")
+    def load(rows: Seq[(Long, String, Double)], ts: String) =
+      MergeOps.prunedConditionalUpsert(base,
+        rows.toDF("id", "grp", "x")
+          .withColumn("loaded_at", lit(null).cast("timestamp"))
+          .withColumn("last_upd_at", lit(null).cast("timestamp")),
+        pk = Seq("id"), tracked = Seq("grp", "x"),
+        runTs = lit(ts).cast("timestamp"), nParts = 4)
+    def consumer(input: MemoryStream[Long]) =
+      StreamingLoads.foreachBatchCdfAggMaintain(
+        input.toDF().toDF("v"), base, agg,
+        pk = Seq("id"), compareCols = Seq("grp", "x"), keys = Seq("grp"),
+        sums = Map("sum_x" -> col("x").cast("decimal(38,6)")),
+        trigger = Trigger.ProcessingTime(0)).start()
+
+    // first consumer processes the bootstrap…
+    val v0 = load(Seq((1L, "a", 1.0), (2L, "b", 2.0)), "2024-01-01 00:00:00")
+    val in1 = MemoryStream[Long]
+    in1.addData(v0)
+    val q1 = consumer(in1)
+    try q1.processAllAvailable() finally q1.stop()
+    // …gets killed, and a FRESH query (new stream, same tables) takes
+    // over for the remaining loads, resuming from the committed aggregate
+    val v1 = load(Seq((1L, "a", 5.0), (3L, "b", 3.0)), "2024-01-02 00:00:00")
+    val in2 = MemoryStream[Long]
+    in2.addData(v1)
+    val q2 = consumer(in2)
+    try {
+      val v2 = load(Seq((2L, "a", 2.5)), "2024-01-03 00:00:00") // b→a move
+      in2.addData(v2); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = Storage.readVersion(spark, agg)
+      .select(col("grp"), col("count_rows"), col("sum_x").cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    // final base state: 1→(a,5.0), 2→(a,2.5), 3→(b,3.0)
+    assert(got == Seq(("a", 2L, 7.5), ("b", 1L, 3.0)), got.toString)
+    // three versions consumed → three aggregate commits, none replayed
+    assert(Storage.currentVersion(agg).contains(2L))
+  }
+
   test("foreachBatch streaming upsert lands the latest value per key") {
     val stateSchema = StructType(Seq(
       StructField("user_id", LongType), StructField("event_type", StringType),
