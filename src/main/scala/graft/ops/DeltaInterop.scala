@@ -56,6 +56,28 @@ object DeltaInterop {
 
   def logFile(versionDir: Path): Path = versionDir.resolve(LogDirName).resolve(Commit0)
 
+  /** The commit's DECLARED schema (metaData.schemaString) without parsing
+    * add actions — the cheap read for schema alignment on the composed-read
+    * path (a large commit's log is mostly adds; alignment only needs the
+    * one metaData line). None when the version carries no log. */
+  def declaredSchema(versionDir: Path): Option[org.apache.spark.sql.types.StructType] = {
+    val log = logFile(versionDir)
+    if (!Files.exists(log)) None
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      new String(Files.readAllBytes(log), "UTF-8").split("\n").iterator
+        .filter(_.contains("\"metaData\""))
+        .map(JsonMethods.parse(_))
+        .collectFirst { case JObject(fields) if fields.exists(_._1 == "metaData") =>
+          val md = fields.collectFirst { case ("metaData", m) => m }.get
+          org.apache.spark.sql.types.DataType
+            .fromJson((md \ "schemaString").asInstanceOf[JString].s)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+        }
+    }
+  }
+
   /** One `add` action: `path` is a relative path inside the version dir or
     * an absolute `file:` URI (the shallow-clone carry). `stats` is the
     * protocol's JSON-as-string per-file stats payload. */

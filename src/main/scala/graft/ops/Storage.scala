@@ -126,8 +126,15 @@ object Storage {
     * readers before vacuum. Fails with `ConcurrentModificationException`
     * if another writer commits the same version first (see the CAS notes
     * above). Also writes the per-file min/max stats manifest consulted by
-    * [[readVersionPruned]]. */
-  def commitVersion(next: DataFrame, table: Path, keepVersions: Int = 1): Long = {
+    * [[readVersionPruned]].
+    *
+    * `extraFiles` (name → content, names must be hidden: `_`/`.` prefix)
+    * land INSIDE the staging dir before the atomic promote — transaction
+    * metadata that commits or vanishes WITH the data (the Delta `txn`
+    * action's role: e.g. the applied-source-version marker that makes a
+    * change-feed consumer's apply idempotent). */
+  def commitVersion(next: DataFrame, table: Path, keepVersions: Int = 1,
+      extraFiles: Map[String, String] = Map.empty): Long = {
     require(keepVersions >= 1, s"keepVersions must be >= 1 (got $keepVersions)")
     Files.createDirectories(table)
     requireVersionedLayout(table) // same guard as readVersionOr, write side
@@ -139,10 +146,21 @@ object Storage {
     writeStatsManifest(next.sparkSession, staging, Some(footerStats))
     DeltaInterop.writeCommit0(next.sparkSession, staging, next.schema, Nil,
       footerStats = Some(footerStats))
+    extraFiles.foreach { case (name, content) =>
+      require(name.startsWith("_") || name.startsWith("."),
+        s"extra file '$name' must be hidden ('_'/'.' prefix) or Spark would list it as data")
+      Files.write(staging.resolve(name), content.getBytes("UTF-8"))
+    }
     casPromote(table, staging, v)
     vacuum(table, v, keepVersions, referenced = Set.empty)
     v
   }
+
+  /** Whether retained version `v` of a partition-manifested table can still
+    * serve as a change-feed base (its manifest survives vacuum). A consumer
+    * that lagged past retention gets `false` and must re-bootstrap. */
+  def partitionManifestRetained(table: Path, v: Long): Boolean =
+    v >= 0 && Files.exists(table.resolve(s"v$v").resolve(PartsManifest))
 
   /** Atomic staging→`v<N>` promote + pointer swap. The rename is the
     * compare-and-swap: it fails if `v<N>` already exists, so a racing
@@ -499,10 +517,25 @@ object Storage {
       JsonMethods.compact(JsonMethods.render(JObject(
         manifest.toSeq.sortBy(_._1).map { case (k, ver) => k -> JLong(ver) }.toList
       ))).getBytes("UTF-8"))
+    // The DECLARED schema carries forward (add-only evolution): a partial
+    // rewrite whose frame lacks a previously-declared column must not
+    // undeclare it — the carried buckets still hold that column's bytes,
+    // and readers align to the declaration (Delta metaData persists until
+    // explicitly changed). Dropping a column requires a fresh table.
+    val declared = base.flatMap(b => DeltaInterop.declaredSchema(table.resolve(s"v$b"))) match {
+      case None => next.schema
+      case Some(p) =>
+        val newTypes = next.schema.map(f => f.name -> f.dataType).toMap
+        p.foreach(f => newTypes.get(f.name).foreach(t => require(t == f.dataType,
+          s"column ${f.name} changes type ${f.dataType} -> $t; " +
+            "type evolution is not supported — use a fresh table")))
+        org.apache.spark.sql.types.StructType(
+          p ++ next.schema.filterNot(f => p.exists(_.name == f.name)))
+    }
     // Delta interop: rewritten partitions as relative adds, untouched ones
     // carried as absolute-URI adds (shallow-clone shape) from the previous
     // version's log — still metadata-only, still never listing their bytes
-    DeltaInterop.writeCommit0(next.sparkSession, staging, next.schema, Seq(partCol),
+    DeltaInterop.writeCommit0(next.sparkSession, staging, declared, Seq(partCol),
       carried = DeltaInterop.carriedAdds(next.sparkSession, table, base, manifest,
         rewritten = written.toSet, partCol))
     casPromote(table, staging, v)
@@ -564,25 +597,29 @@ object Storage {
     if (selected.isEmpty)
       readPartitionedVersionAt(spark, table, v, None).limit(0)
     else {
-      // allowMissingColumns + align to the commit's DECLARED schema (the
-      // Delta log's) = add-column evolution: buckets carried from before
-      // the column existed read null for it, exactly as readSnapshot and
-      // any external Delta engine resolve the same mixed adds. Without
-      // the log (no such table exists post-interop) fall back to the
-      // strict union, which fails loudly on a schema mismatch.
+      // align to the commit's DECLARED schema (the Delta log's) =
+      // add-column evolution: buckets carried from before the column
+      // existed read null for it — including a PRUNED read whose selected
+      // buckets ALL predate the column (lit(null) fills a column no
+      // branch carries) — exactly as readSnapshot and any external Delta
+      // engine resolve the same mixed adds. A log-less version dir (no
+      // such table exists post-interop) keeps the strict union, which
+      // fails loudly on a schema mismatch instead of fabricating nulls.
+      val declared = DeltaInterop.declaredSchema(vdir)
       val composed = selected.groupBy(_._2).toSeq.sortBy(_._1).map { case (ver, parts) =>
-        val vdir = table.resolve(s"v$ver")
-        spark.read.option("basePath", vdir.toString)
-          .parquet(parts.keys.toSeq.sorted.map(p => vdir.resolve(p).toString): _*)
-      }.reduce(_.unionByName(_, allowMissingColumns = true))
-      val lf = DeltaInterop.logFile(vdir)
-      if (!Files.exists(lf)) composed
-      else {
-        val schema = org.apache.spark.sql.types.DataType
-          .fromJson(DeltaInterop.readLog(lf).schemaJson)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-        composed.select(schema.map(f =>
-          org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
+        val ownerDir = table.resolve(s"v$ver")
+        spark.read.option("basePath", ownerDir.toString)
+          .parquet(parts.keys.toSeq.sorted.map(p => ownerDir.resolve(p).toString): _*)
+      }.reduce(_.unionByName(_, allowMissingColumns = declared.isDefined))
+      declared match {
+        case None => composed
+        case Some(schema) =>
+          val present = composed.columns.toSet
+          import org.apache.spark.sql.functions.{col => c, lit => l}
+          composed.select(schema.map { f =>
+            if (present.contains(f.name)) c(f.name).cast(f.dataType).as(f.name)
+            else l(null).cast(f.dataType).as(f.name)
+          }: _*)
       }
     }
   }

@@ -136,15 +136,21 @@ object StreamingLoads {
     * itself commits through the versioned log, so a restart resumes from
     * the last committed state. Per-version cost after bootstrap: the
     * feed's changed buckets + touched groups — the base table is never
-    * rescanned. `sums` maps output column → source expression over the
-    * base/feed rows (fold in DECIMAL for exactness).
+    * rescanned while the consumer keeps up. `sums` maps output column →
+    * source expression over the base/feed rows (fold in DECIMAL for
+    * exactness).
     *
-    * Delivery contract: each version number must arrive exactly once (the
-    * replay harness guarantees it; a re-delivered version would re-apply
-    * its delta). At deploy the applied base version rides IN the
-    * aggregate's own commit — the Delta `txn` action (appId, version) —
-    * making the apply idempotent; the versioned log here is the slot
-    * where that check belongs. */
+    * Failure semantics, both through the aggregate's own commit log:
+    *  - EXACTLY-ONCE APPLY: the applied base version rides inside each
+    *    aggregate commit (`_APPLIED_BASE_V`, the Delta `txn` action's
+    *    role) — atomic with the state, so a foreachBatch retry or any
+    *    re-delivered version number SKIPS instead of double-applying.
+    *  - LAG PAST RETENTION: the feed needs the last-applied version's
+    *    manifest; if base-table vacuum already swept it (consumer fell
+    *    more than the base's keepVersions behind), the consumer
+    *    self-heals with a one-time snapshot recompute at the delivered
+    *    version — correct at O(table) cost, the price of lagging. Size
+    *    the base's keepVersions to the worst consumer lag to avoid it. */
   def foreachBatchCdfAggMaintain(
       versions: DataFrame,
       base: java.nio.file.Path,
@@ -156,6 +162,7 @@ object StreamingLoads {
       trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] = {
     graft.ops.Storage.repairOrphans(agg) // same startup contract as Scd2Table
     import org.apache.spark.sql.functions.when
+    val AppliedMarker = "_APPLIED_BASE_V"
     versions.writeStream
       .outputMode(OutputMode.Append)
       .trigger(trigger)
@@ -164,27 +171,37 @@ object StreamingLoads {
         // a batch holds a handful of version NUMBERS — driver-side by design
         val vs = batch.select(col("v").cast("long")).collect().map(_.getLong(0)).sorted
         vs.foreach { v =>
-          val next =
-            if (graft.ops.Storage.currentVersion(agg).isEmpty)
-              graft.ops.Storage.readPartitionedVersionAt(spark, base, v)
-                .groupBy(keys.map(col): _*)
-                .agg(count(lit(1)).as("count_rows"),
-                  sums.map { case (n, c) => sum(c).as(n) }.toSeq: _*)
-            else {
+          val applied = graft.ops.Storage.currentVersion(agg).flatMap { av =>
+            val f = agg.resolve(s"v$av").resolve(AppliedMarker)
+            if (java.nio.file.Files.exists(f))
+              Some(new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong)
+            else None
+          }
+          def snapshotAgg = graft.ops.Storage.readPartitionedVersionAt(spark, base, v)
+            .groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("count_rows"),
+              sums.map { case (n, c) => sum(c).as(n) }.toSeq: _*)
+          val next = applied match {
+            case Some(a) if v <= a => None // duplicate delivery: already applied
+            case Some(a) if graft.ops.Storage.partitionManifestRetained(base, a) =>
+              // feed from the last APPLIED version (not v-1): a batch of
+              // several versions, or a skipped no-op, rolls up in one diff
               val cdf = graft.ops.Cdc.changeDataFeed(
-                spark, base, v - 1, v, pk, compareCols, preImages = true)
+                spark, base, a, v, pk, compareCols, preImages = true)
               val sign = when(
                 col("change_type").isin("insert", "update_postimage"), 1)
                 .otherwise(-1)
               val delta = cdf.groupBy(keys.map(col): _*)
                 .agg(sum(sign.cast("long")).as("count_rows"),
                   sums.map { case (n, c) => sum(sign * c).as(n) }.toSeq: _*)
-              graft.ops.AggMaintain.applyDelta(
+              Some(graft.ops.AggMaintain.applyDelta(
                 graft.ops.Storage.readVersion(spark, agg), delta,
-                keys, sums.keys.toSeq)
-            }
-          graft.ops.Storage.commitVersion(next, agg)
-          ()
+                keys, sums.keys.toSeq))
+            case Some(_) => Some(snapshotAgg) // lagged past retention: re-bootstrap
+            case None => Some(snapshotAgg)    // first ever version: bootstrap
+          }
+          next.foreach(n => graft.ops.Storage.commitVersion(n, agg,
+            extraFiles = Map(AppliedMarker -> v.toString)))
         }
         ()
       }

@@ -329,6 +329,22 @@ class PartitionedStorageSpec extends SparkTestBase {
       spark, table.resolve(s"v${Storage.currentVersion(table).get}"))
     assert(delta.select("k", "a", "b").collect().map(_.toString).sorted.toSeq ==
       composed.select("k", "a", "b").collect().map(_.toString).sorted.toSeq)
+
+    // a PRUNED read whose selected buckets ALL predate the column must
+    // still resolve it (as null) — no branch of the union carries it
+    val carriedOnly = Storage.committedPartitions(table) - s"pbucket=$bkt"
+    val pruned = Storage.readPartitionedVersion(spark, table, Some(carriedOnly))
+    assert(pruned.columns.contains("b") && pruned.filter(col("b").isNotNull).count() == 0)
+
+    // a LATER partial rewrite whose frame lacks b must not undeclare it:
+    // the declared schema carries forward, so b survives for the buckets
+    // that still hold its bytes
+    val otherBkt = carriedOnly.head
+    val narrower = st.filter(col("pbucket") === otherBkt.stripPrefix("pbucket=").toInt)
+    Storage.commitPartitions(narrower, table, "pbucket")
+    val after = Storage.readPartitionedVersion(spark, table)
+    assert(after.columns.contains("b"), "declared column must survive a narrower commit")
+    assert(after.filter(col("k") === 1L).select("b").as[String].head() == "fresh")
   }
 
   test("empty bootstrap commit does not wedge the table: reads type from the Delta log, next load succeeds") {

@@ -315,6 +315,70 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Seq(("a", 2L, 7.5), ("b", 1L, 3.0)), got.toString)
     // three versions consumed → three aggregate commits, none replayed
     assert(Storage.currentVersion(agg).contains(2L))
+
+    // duplicate delivery (a foreachBatch retry re-sends versions 0..2):
+    // the applied-version marker inside the aggregate commit skips them —
+    // no new commit, no double-applied deltas
+    val in3 = MemoryStream[Long]
+    in3.addData(0L, 1L, 2L)
+    val q3 = consumer(in3)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(Storage.currentVersion(agg).contains(2L), "duplicates must not commit")
+    val after = Storage.readVersion(spark, agg)
+      .select(col("grp"), col("count_rows"), col("sum_x").cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(after == got, "duplicates must not change the state")
+  }
+
+  test("CDF view maintenance self-heals when the consumer lags past base retention") {
+    import graft.ops.{MergeOps, Storage}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = Files.createTempDirectory("cdf_lag")
+    val base = dir.resolve("t")
+    val agg = dir.resolve("agg")
+    // every load rewrites EVERY row → all buckets churn each commit, so
+    // old versions become unreferenced and vacuum (keepVersions=1) sweeps
+    // them as fast as the producer commits
+    def load(mult: Double, ts: String) =
+      MergeOps.prunedConditionalUpsert(base,
+        (1L to 8L).map(i => (i, s"g${i % 2}", i * mult)).toDF("id", "grp", "x")
+          .withColumn("loaded_at", lit(null).cast("timestamp"))
+          .withColumn("last_upd_at", lit(null).cast("timestamp")),
+        pk = Seq("id"), tracked = Seq("grp", "x"),
+        runTs = lit(ts).cast("timestamp"), nParts = 4)
+    def consumer(input: MemoryStream[Long]) =
+      StreamingLoads.foreachBatchCdfAggMaintain(
+        input.toDF().toDF("v"), base, agg,
+        pk = Seq("id"), compareCols = Seq("grp", "x"), keys = Seq("grp"),
+        sums = Map("sum_x" -> col("x").cast("decimal(38,6)")),
+        trigger = Trigger.ProcessingTime(0)).start()
+
+    // consumer applies the bootstrap, then falls asleep…
+    val v0 = load(1.0, "2024-01-01 00:00:00")
+    val in1 = MemoryStream[Long]; in1.addData(v0)
+    val q1 = consumer(in1)
+    try q1.processAllAvailable() finally q1.stop()
+    // …while the producer commits three full-churn loads; v0's manifest
+    // is vacuumed out from under the last-applied marker
+    load(2.0, "2024-01-02 00:00:00")
+    load(3.0, "2024-01-03 00:00:00")
+    val v3 = load(4.0, "2024-01-04 00:00:00")
+    assert(!Storage.partitionManifestRetained(base, v0), "fixture: v0 must be swept")
+
+    // the woken consumer cannot diff against v0 — it re-bootstraps at v3
+    val in2 = MemoryStream[Long]; in2.addData(v3)
+    val q2 = consumer(in2)
+    try q2.processAllAvailable() finally q2.stop()
+    val got = Storage.readVersion(spark, agg)
+      .select(col("grp"), col("count_rows"), col("sum_x").cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    // recompute of the final state: odd ids → g1, even → g0, x = i*4
+    assert(got == Seq(("g0", 4L, 4.0 * (2 + 4 + 6 + 8)), ("g1", 4L, 4.0 * (1 + 3 + 5 + 7))),
+      got.toString)
   }
 
   test("foreachBatch streaming upsert lands the latest value per key") {
