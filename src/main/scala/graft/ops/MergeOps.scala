@@ -185,6 +185,45 @@ object MergeOps {
     Storage.commitPartitions(next.withColumn("pbucket", bucket), table, "pbucket")
   }
 
+  /** Row-level DELETE at the 100 TB design point — the takedown/GDPR shape
+    * a training-data store cannot avoid: remove the named keys, touching
+    * ONLY the PK-hash buckets that contain them. Survivor buckets rewrite
+    * without the doomed rows; buckets left EMPTY are dropped explicitly
+    * through `dropParts` (an empty rewrite writes no partition dir, so
+    * without the explicit drop their old bytes would stay live — the
+    * [[Storage.commitPartitions]] contract). Untouched buckets carry by
+    * manifest reference, bytes unmoved. Downstream consumers see the
+    * removals as ordinary `delete` rows in [[Cdc.changeDataFeed]].
+    *
+    * `doomed` needs only the `pk` columns (extra columns are ignored);
+    * keys absent from the table are no-ops. Returns the new version. */
+  def prunedDelete(
+      table: java.nio.file.Path,
+      doomed: DataFrame,
+      pk: Seq[String],
+      nParts: Int = 64): Long = {
+    val spark = doomed.sparkSession
+    val candidate = affectedBuckets(doomed, pk, nParts)
+    val old = Storage.readPartitionedVersion(spark, table, Some(candidate))
+    // null-safe joins: a NULL PK is a key like any other (MergeSpec)
+    val keys = doomed.select(pk.map(col): _*).dropDuplicates(pk).alias("k")
+    def matchCond = pk.map(c => col(s"o.$c") <=> col(s"k.$c")).reduce(_ && _)
+    // only buckets that actually LOSE a row rewrite — deleting absent
+    // keys rewrites zero, the same change-pruning contract as the upsert.
+    // O(nParts) driver rows, never data.
+    val hit = old.alias("o").join(keys, matchCond, "left_semi")
+      .select(col("pbucket")).distinct()
+      .collect().map(r => s"pbucket=${r.getInt(0)}").toSet
+    if (hit.isEmpty) // nothing stored matches: everything carries by reference
+      return Storage.commitPartitions(old.limit(0), table, "pbucket")
+    val hitIds = hit.map(_.stripPrefix("pbucket=").toInt).toSeq
+    val survivors = old.filter(col("pbucket").isin(hitIds: _*)).alias("o")
+      .join(keys, matchCond, "left_anti")
+    val surviving = survivors.select(col("pbucket")).distinct()
+      .collect().map(r => s"pbucket=${r.getInt(0)}").toSet
+    Storage.commitPartitions(survivors, table, "pbucket", dropParts = hit -- surviving)
+  }
+
   /** S3: last-writer-wins keyed snapshot (ref: extract_api_operator.py:36-43,
     * ON CONFLICT DO UPDATE). Keeps, per PK, the row that sorts LAST by
     * `versionCols`.

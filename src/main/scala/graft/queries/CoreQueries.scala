@@ -576,6 +576,22 @@ object CoreQueries {
              |      FROM events) t
              |WHERE rn = 1 GROUP BY event_type""".stripMargin)),
 
+    // Row-level DELETE at scale — the takedown/GDPR operation a training
+    // corpus cannot avoid: remove the named keys touching ONLY the buckets
+    // that contain them (survivors rewrite, emptied buckets drop
+    // explicitly, the rest carries by manifest reference). Oracle = the
+    // upsert state minus the doomed keys. The bucket-level pruning and
+    // no-op-delete contracts are spec-covered in CdfSpec.
+    Q("m10_pruned_delete",
+      (s, d) => withTwoLoadUpsert(s, d) { (table, _, _) =>
+        val doomed = Tables.events(s, d).select(col("user_id")).distinct()
+          .filter(col("user_id") % 7 === 0)
+        MergeOps.prunedDelete(table, doomed, pk = Seq("user_id"), nParts = 16)
+        upsertStateCols(
+          graft.ops.Storage.readPartitionedVersion(s, table).drop("pbucket"))
+      },
+      Some(s"SELECT * FROM ($UpsertStateOracle\n) z WHERE z.user_id % 7 <> 0")),
+
     // M3/M5 — SCD2 version history from a change log: consecutive-dup drop,
     // valid_from/valid_to chaining, is_current, deterministic version numbers
     // (ref: dwh_dim_character.py:49-118 collapsed into one declarative pass).

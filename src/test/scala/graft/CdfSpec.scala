@@ -196,6 +196,41 @@ class CdfSpec extends SparkTestBase {
     } finally Storage.deleteRecursively(dir)
   }
 
+  test("prunedDelete: only losing buckets rewrite; emptied buckets drop; absent keys no-op") {
+    val dir = Files.createTempDirectory("cdf_pdelete")
+    val table = dir.resolve("t")
+    try {
+      val base = (1 to 40).map(i => (i, s"n$i", i.toDouble))
+      val v0 = load(table, base, "2024-01-01 00:00:00")
+      val st = Storage.readPartitionedVersion(spark, table)
+      val bucketOf = st.select(col("id"), col("pbucket")).as[(Int, Int)]
+        .collect().toMap
+      // victims: ONE row of a multi-row bucket + EVERY row of another
+      val multi = bucketOf.groupBy(_._2).filter(_._2.size >= 2)
+      val b1 = multi.keys.min
+      val partial = multi(b1).keys.min
+      val b2 = bucketOf.values.toSet.filter(_ != b1).min
+      val wiped = bucketOf.filter(_._2 == b2).keys.toSeq.sorted
+      val victims = (partial +: wiped).toDF("id")
+
+      val v1 = MergeOps.prunedDelete(table, victims, pk = Seq("id"), nParts = NParts)
+      val after = Storage.readPartitionedVersion(spark, table)
+        .select(col("id")).as[Int].collect().sorted.toSeq
+      assert(after == (1 to 40).filterNot((partial +: wiped).contains(_)))
+      // exactly the two losing buckets changed; the wiped one is GONE
+      assert(Storage.partitionsChangedBetween(table, v0, v1) ==
+        Set(s"pbucket=$b1", s"pbucket=$b2"))
+      assert(!Storage.committedPartitions(table).contains(s"pbucket=$b2"))
+      // downstream consumers see the removals as ordinary feed deletes
+      assert(feed(table, v0, v1).map(r => (r._1, r._4)) ==
+        (partial +: wiped).sorted.map(i => (i, "delete")))
+
+      // deleting absent keys rewrites ZERO buckets (idempotent re-delivery)
+      val v2 = MergeOps.prunedDelete(table, victims, pk = Seq("id"), nParts = NParts)
+      assert(Storage.partitionsChangedBetween(table, v1, v2).isEmpty)
+    } finally Storage.deleteRecursively(dir)
+  }
+
   test("compaction is invisible to the feed: rewritten bytes, unchanged state") {
     val dir = Files.createTempDirectory("cdf_compact")
     val table = dir.resolve("t")
