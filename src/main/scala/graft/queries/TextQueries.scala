@@ -264,6 +264,57 @@ object TextQueries {
              |FROM dots JOIN n na ON vec_a = na.vec_id JOIN n nb ON vec_b = nb.vec_id
              |WHERE dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0.0) >= 0.4""".stripMargin)),
 
+    // SEMANTIC dedup end-to-end: d6's embedding-cosine pair graph →
+    // connected components (transitive closure: A≈B, B≈C ⇒ one cluster)
+    // → deterministic survivor per cluster (the min vec_id, = the
+    // component label). This is the "near-duplicates by meaning" pipeline
+    // a training corpus runs after exact/shingle dedup; at scale the
+    // label-blocking bounds the pair graph exactly as LSH buckets would,
+    // and the component loop runs over the tiny edge list, never the
+    // vectors. Oracle: the same graph closed by a recursive CTE.
+    Q("d12_semantic_dedup",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"),
+            Similarity.dotUnits(col("embedding"), col("embedding"))
+              .cast("double").as("n2"))
+        val pairs = e.as("a").join(e.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            (Similarity.dotUnits(col("a.embedding"), col("b.embedding")).cast("double") /
+              nullif(sqrt(col("a.n2")) * sqrt(col("b.n2")), lit(0.0))).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.4)
+          .select(col("vec_a"), col("vec_b"))
+        Components.connectedComponents(
+            Tables.embeddings(s, d).select(col("vec_id").as("id")),
+            pairs, "vec_a", "vec_b")
+          .select(col("id").as("vec_id"), col("component"),
+            (col("id") === col("component")).as("survivor"))
+      },
+      Some("""WITH RECURSIVE ex AS (SELECT vec_id, label,
+             |        CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e10) AS HUGEINT) AS u,
+             |        unnest(range(len(embedding))) AS i
+             |      FROM embeddings),
+             |n AS (SELECT vec_id, CAST(CAST(SUM(u*u) AS VARCHAR) AS DOUBLE) AS n2 FROM ex GROUP BY vec_id),
+             |dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |    CAST(CAST(SUM(a.u * b.u) AS VARCHAR) AS DOUBLE) AS dot
+             |  FROM ex a JOIN ex b ON a.label = b.label AND a.vec_id < b.vec_id AND a.i = b.i
+             |  GROUP BY 1, 2),
+             |pairs AS (SELECT vec_a, vec_b FROM dots
+             |  JOIN n na ON vec_a = na.vec_id JOIN n nb ON vec_b = nb.vec_id
+             |  WHERE dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0.0) >= 0.4),
+             |edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+             |          UNION SELECT vec_b, vec_a FROM pairs),
+             |reach AS (
+             |  SELECT a AS src, b AS dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+             |SELECT v.vec_id,
+             |  LEAST(v.vec_id, coalesce(MIN(r.dst), v.vec_id)) AS component,
+             |  (v.vec_id = LEAST(v.vec_id, coalesce(MIN(r.dst), v.vec_id))) AS survivor
+             |FROM embeddings v LEFT JOIN reach r ON r.src = v.vec_id
+             |GROUP BY v.vec_id""".stripMargin)),
+
     // MinHash + LSH banding: the sub-quadratic near-dup path. Signature of
     // k=16 universal hashes over one 60-bit shingle hash; 4 bands × 4
     // rows; pairs sharing ≥1 band are candidates. The candidate set's
