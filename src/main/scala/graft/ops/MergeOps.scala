@@ -196,32 +196,41 @@ object MergeOps {
     * removals as ordinary `delete` rows in [[Cdc.changeDataFeed]].
     *
     * `doomed` needs only the `pk` columns (extra columns are ignored);
-    * keys absent from the table are no-ops. Returns the new version. */
+    * keys absent from the table are no-ops, and a table with no committed
+    * version returns -1 without committing (nothing exists to delete).
+    * Returns the committed version. */
   def prunedDelete(
       table: java.nio.file.Path,
       doomed: DataFrame,
       pk: Seq[String],
       nParts: Int = 64): Long = {
+    if (Storage.currentVersion(table).isEmpty) return -1L
     val spark = doomed.sparkSession
     val candidate = affectedBuckets(doomed, pk, nParts)
     val old = Storage.readPartitionedVersion(spark, table, Some(candidate))
     // null-safe joins: a NULL PK is a key like any other (MergeSpec)
     val keys = doomed.select(pk.map(col): _*).dropDuplicates(pk).alias("k")
     def matchCond = pk.map(c => col(s"o.$c") <=> col(s"k.$c")).reduce(_ && _)
-    // only buckets that actually LOSE a row rewrite — deleting absent
-    // keys rewrites zero, the same change-pruning contract as the upsert.
-    // O(nParts) driver rows, never data.
-    val hit = old.alias("o").join(keys, matchCond, "left_semi")
-      .select(col("pbucket")).distinct()
-      .collect().map(r => s"pbucket=${r.getInt(0)}").toSet
-    if (hit.isEmpty) // nothing stored matches: everything carries by reference
+    // ONE pass over the candidate buckets decides all the bookkeeping:
+    // per-bucket (total, doomed) counts → buckets that LOSE a row rewrite
+    // (deleting absent keys rewrites zero, the upsert's change-pruning
+    // contract), buckets losing EVERY row drop explicitly. O(nParts)
+    // driver rows, never data. PK uniqueness means the left join cannot
+    // fan out.
+    val counts = old.alias("o")
+      .join(keys.withColumn("__doomed", lit(true)), matchCond, "left")
+      .groupBy(col("o.pbucket"))
+      .agg(count(lit(1)).as("total"), count(col("__doomed")).as("hits"))
+      .filter(col("hits") > 0)
+      .select(col("pbucket"), (col("hits") === col("total")).as("wiped"))
+      .collect().map(r => (r.getInt(0), r.getBoolean(1)))
+    if (counts.isEmpty) // nothing stored matches: everything carries by reference
       return Storage.commitPartitions(old.limit(0), table, "pbucket")
-    val hitIds = hit.map(_.stripPrefix("pbucket=").toInt).toSeq
-    val survivors = old.filter(col("pbucket").isin(hitIds: _*)).alias("o")
+    val wiped = counts.collect { case (b, true) => s"pbucket=$b" }.toSet
+    val rewriteIds = counts.collect { case (b, false) => b }.toSeq
+    val survivors = old.filter(col("pbucket").isin(rewriteIds: _*)).alias("o")
       .join(keys, matchCond, "left_anti")
-    val surviving = survivors.select(col("pbucket")).distinct()
-      .collect().map(r => s"pbucket=${r.getInt(0)}").toSet
-    Storage.commitPartitions(survivors, table, "pbucket", dropParts = hit -- surviving)
+    Storage.commitPartitions(survivors, table, "pbucket", dropParts = wiped)
   }
 
   /** S3: last-writer-wins keyed snapshot (ref: extract_api_operator.py:36-43,

@@ -487,6 +487,27 @@ object Storage {
     val base = currentVersion(table)
     val v = base.getOrElse(-1L) + 1
     val prev = base.map(b => readPartsManifest(table.resolve(s"v$b"))).getOrElse(Map.empty)
+    // The DECLARED schema evolves add-only: new columns append; the frame
+    // must COVER every declared column (a rewrite omitting one would
+    // silently null that column's values in the rewritten partitions —
+    // data loss for what is a caller bug, so it fails loudly instead);
+    // type changes fail loudly. Dropping a column requires a fresh table.
+    // Validated BEFORE the write: both schemas are known without running it.
+    val declared = base.flatMap(b => DeltaInterop.declaredSchema(table.resolve(s"v$b"))) match {
+      case None => next.schema
+      case Some(p) =>
+        val newTypes = next.schema.map(f => f.name -> f.dataType).toMap
+        val missing = p.map(_.name).filterNot(newTypes.contains)
+        require(missing.isEmpty,
+          s"frame omits declared column(s) ${missing.mkString(", ")}: rewriting " +
+            "partitions without them would null their data — evolution is " +
+            "add-only (project the columns through, or use a fresh table to drop)")
+        p.foreach(f => require(newTypes(f.name) == f.dataType,
+          s"column ${f.name} changes type ${f.dataType} -> ${newTypes(f.name)}; " +
+            "type evolution is not supported — use a fresh table"))
+        org.apache.spark.sql.types.StructType(
+          p ++ next.schema.filterNot(f => p.exists(_.name == f.name)))
+    }
     val staging = newStaging(table, v)
     next.write.partitionBy(partCol).mode("overwrite").parquet(staging.toString)
     val s = Files.list(staging)
@@ -517,21 +538,6 @@ object Storage {
       JsonMethods.compact(JsonMethods.render(JObject(
         manifest.toSeq.sortBy(_._1).map { case (k, ver) => k -> JLong(ver) }.toList
       ))).getBytes("UTF-8"))
-    // The DECLARED schema carries forward (add-only evolution): a partial
-    // rewrite whose frame lacks a previously-declared column must not
-    // undeclare it — the carried buckets still hold that column's bytes,
-    // and readers align to the declaration (Delta metaData persists until
-    // explicitly changed). Dropping a column requires a fresh table.
-    val declared = base.flatMap(b => DeltaInterop.declaredSchema(table.resolve(s"v$b"))) match {
-      case None => next.schema
-      case Some(p) =>
-        val newTypes = next.schema.map(f => f.name -> f.dataType).toMap
-        p.foreach(f => newTypes.get(f.name).foreach(t => require(t == f.dataType,
-          s"column ${f.name} changes type ${f.dataType} -> $t; " +
-            "type evolution is not supported — use a fresh table")))
-        org.apache.spark.sql.types.StructType(
-          p ++ next.schema.filterNot(f => p.exists(_.name == f.name)))
-    }
     // Delta interop: rewritten partitions as relative adds, untouched ones
     // carried as absolute-URI adds (shallow-clone shape) from the previous
     // version's log — still metadata-only, still never listing their bytes

@@ -42,6 +42,35 @@ object TextQueries {
        |fp AS (SELECT d.doc_id, COALESCE(fp0.simhash, 0) AS simhash
        |  FROM documents d LEFT JOIN fp0 ON d.doc_id = fp0.doc_id)""".stripMargin
 
+  /** d6/d12's shared pair graph: label-blocked exact fixed-point cosine
+    * pairs at the 0.4 threshold, NULLIF-guarded on both engines (see the
+    * d6 comment for the zero-norm/ANSI rationale). One definition so the
+    * two queries cannot diverge. */
+  private def cosinePairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        Similarity.dotUnits(col("embedding"), col("embedding"))
+          .cast("double").as("n2"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (Similarity.dotUnits(col("a.embedding"), col("b.embedding")).cast("double") /
+          nullif(sqrt(col("a.n2")) * sqrt(col("b.n2")), lit(0.0))).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+  }
+
+  /** The matching DuckDB CTEs (`ex`/`n`/`dots`), shared by both oracles. */
+  private val cosineCte =
+    """ex AS (SELECT vec_id, label,
+      |        CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e10) AS HUGEINT) AS u,
+      |        unnest(range(len(embedding))) AS i
+      |      FROM embeddings),
+      |n AS (SELECT vec_id, CAST(CAST(SUM(u*u) AS VARCHAR) AS DOUBLE) AS n2 FROM ex GROUP BY vec_id),
+      |dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    CAST(CAST(SUM(a.u * b.u) AS VARCHAR) AS DOUBLE) AS dot
+      |  FROM ex a JOIN ex b ON a.label = b.label AND a.vec_id < b.vec_id AND a.i = b.i
+      |  GROUP BY 1, 2)""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // Token counting + document fingerprint (rolling-hash analog: md5 of the
@@ -238,28 +267,8 @@ object TextQueries {
     // would KEEP such pairs, not drop them). With the shared NULLIF,
     // zero-norm pairs get NULL cosine and drop identically.
     Q("d6_embedding_neardup_pairs",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("label"), col("embedding"),
-            Similarity.dotUnits(col("embedding"), col("embedding"))
-              .cast("double").as("n2"))
-        val pairs = e.as("a").join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        pairs.select(
-            col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            (Similarity.dotUnits(col("a.embedding"), col("b.embedding")).cast("double") /
-              nullif(sqrt(col("a.n2")) * sqrt(col("b.n2")), lit(0.0))).as("cos_sim"))
-          .filter(col("cos_sim") >= 0.4)
-      },
-      Some("""WITH ex AS (SELECT vec_id, label,
-             |        CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e10) AS HUGEINT) AS u,
-             |        unnest(range(len(embedding))) AS i
-             |      FROM embeddings),
-             |n AS (SELECT vec_id, CAST(CAST(SUM(u*u) AS VARCHAR) AS DOUBLE) AS n2 FROM ex GROUP BY vec_id),
-             |dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             |    CAST(CAST(SUM(a.u * b.u) AS VARCHAR) AS DOUBLE) AS dot
-             |  FROM ex a JOIN ex b ON a.label = b.label AND a.vec_id < b.vec_id AND a.i = b.i
-             |  GROUP BY 1, 2)
+      (s, d) => cosinePairs(s, d),
+      Some(s"""WITH $cosineCte
              |SELECT vec_a, vec_b, dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0.0) AS cos_sim
              |FROM dots JOIN n na ON vec_a = na.vec_id JOIN n nb ON vec_b = nb.vec_id
              |WHERE dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0.0) >= 0.4""".stripMargin)),
@@ -273,33 +282,13 @@ object TextQueries {
     // and the component loop runs over the tiny edge list, never the
     // vectors. Oracle: the same graph closed by a recursive CTE.
     Q("d12_semantic_dedup",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("label"), col("embedding"),
-            Similarity.dotUnits(col("embedding"), col("embedding"))
-              .cast("double").as("n2"))
-        val pairs = e.as("a").join(e.as("b"),
-            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            (Similarity.dotUnits(col("a.embedding"), col("b.embedding")).cast("double") /
-              nullif(sqrt(col("a.n2")) * sqrt(col("b.n2")), lit(0.0))).as("cos_sim"))
-          .filter(col("cos_sim") >= 0.4)
-          .select(col("vec_a"), col("vec_b"))
-        Components.connectedComponents(
-            Tables.embeddings(s, d).select(col("vec_id").as("id")),
-            pairs, "vec_a", "vec_b")
-          .select(col("id").as("vec_id"), col("component"),
-            (col("id") === col("component")).as("survivor"))
-      },
-      Some("""WITH RECURSIVE ex AS (SELECT vec_id, label,
-             |        CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e10) AS HUGEINT) AS u,
-             |        unnest(range(len(embedding))) AS i
-             |      FROM embeddings),
-             |n AS (SELECT vec_id, CAST(CAST(SUM(u*u) AS VARCHAR) AS DOUBLE) AS n2 FROM ex GROUP BY vec_id),
-             |dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             |    CAST(CAST(SUM(a.u * b.u) AS VARCHAR) AS DOUBLE) AS dot
-             |  FROM ex a JOIN ex b ON a.label = b.label AND a.vec_id < b.vec_id AND a.i = b.i
-             |  GROUP BY 1, 2),
+      (s, d) => Components.connectedComponents(
+          Tables.embeddings(s, d).select(col("vec_id").as("id")),
+          cosinePairs(s, d).select(col("vec_a"), col("vec_b")),
+          "vec_a", "vec_b")
+        .select(col("id").as("vec_id"), col("component"),
+          (col("id") === col("component")).as("survivor")),
+      Some(s"""WITH RECURSIVE $cosineCte,
              |pairs AS (SELECT vec_a, vec_b FROM dots
              |  JOIN n na ON vec_a = na.vec_id JOIN n nb ON vec_b = nb.vec_id
              |  WHERE dot / NULLIF(sqrt(na.n2) * sqrt(nb.n2), 0.0) >= 0.4),

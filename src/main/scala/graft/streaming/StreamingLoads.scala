@@ -181,22 +181,33 @@ object StreamingLoads {
             .groupBy(keys.map(col): _*)
             .agg(count(lit(1)).as("count_rows"),
               sums.map { case (n, c) => sum(c).as(n) }.toSeq: _*)
+          def feedDelta(a: Long) = {
+            // feed from the last APPLIED version (not v-1): a batch of
+            // several versions, or a skipped no-op, rolls up in one diff
+            val cdf = graft.ops.Cdc.changeDataFeed(
+              spark, base, a, v, pk, compareCols, preImages = true)
+            val sign = when(
+              col("change_type").isin("insert", "update_postimage"), 1)
+              .otherwise(-1)
+            val delta = cdf.groupBy(keys.map(col): _*)
+              .agg(sum(sign.cast("long")).as("count_rows"),
+                sums.map { case (n, c) => sum(sign * c).as(n) }.toSeq: _*)
+            graft.ops.AggMaintain.applyDelta(
+              graft.ops.Storage.readVersion(spark, agg), delta,
+              keys, sums.keys.toSeq)
+          }
           val next = applied match {
             case Some(a) if v <= a => None // duplicate delivery: already applied
+            case _ if !graft.ops.Storage.partitionManifestRetained(base, v) =>
+              None // v itself already vacuumed (replay of a stale backlog):
+                   // superseded — a later retained delivery re-bootstraps
             case Some(a) if graft.ops.Storage.partitionManifestRetained(base, a) =>
-              // feed from the last APPLIED version (not v-1): a batch of
-              // several versions, or a skipped no-op, rolls up in one diff
-              val cdf = graft.ops.Cdc.changeDataFeed(
-                spark, base, a, v, pk, compareCols, preImages = true)
-              val sign = when(
-                col("change_type").isin("insert", "update_postimage"), 1)
-                .otherwise(-1)
-              val delta = cdf.groupBy(keys.map(col): _*)
-                .agg(sum(sign.cast("long")).as("count_rows"),
-                  sums.map { case (n, c) => sum(sign * c).as(n) }.toSeq: _*)
-              Some(graft.ops.AggMaintain.applyDelta(
-                graft.ops.Storage.readVersion(spark, agg), delta,
-                keys, sums.keys.toSeq))
+              // the retained check races a concurrent producer's vacuum
+              // (separate processes by design): if the manifest vanishes
+              // between check and read, fall back to the re-bootstrap
+              // instead of failing the micro-batch
+              try Some(feedDelta(a))
+              catch { case _: IllegalArgumentException => Some(snapshotAgg) }
             case Some(_) => Some(snapshotAgg) // lagged past retention: re-bootstrap
             case None => Some(snapshotAgg)    // first ever version: bootstrap
           }

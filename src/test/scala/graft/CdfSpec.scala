@@ -228,6 +228,8 @@ class CdfSpec extends SparkTestBase {
       // deleting absent keys rewrites ZERO buckets (idempotent re-delivery)
       val v2 = MergeOps.prunedDelete(table, victims, pk = Seq("id"), nParts = NParts)
       assert(Storage.partitionsChangedBetween(table, v1, v2).isEmpty)
+      // a never-committed table is the documented -1 no-op, not a crash
+      assert(MergeOps.prunedDelete(dir.resolve("nope"), victims, Seq("id"), NParts) == -1L)
     } finally Storage.deleteRecursively(dir)
   }
 

@@ -336,14 +336,20 @@ class PartitionedStorageSpec extends SparkTestBase {
     val pruned = Storage.readPartitionedVersion(spark, table, Some(carriedOnly))
     assert(pruned.columns.contains("b") && pruned.filter(col("b").isNotNull).count() == 0)
 
-    // a LATER partial rewrite whose frame lacks b must not undeclare it:
-    // the declared schema carries forward, so b survives for the buckets
-    // that still hold its bytes
+    // a LATER rewrite whose frame OMITS the declared column is refused:
+    // writing a partition without it would null its values there — silent
+    // data loss for a caller bug (evolution is add-only, never narrowing)
     val otherBkt = carriedOnly.head
     val narrower = st.filter(col("pbucket") === otherBkt.stripPrefix("pbucket=").toInt)
-    Storage.commitPartitions(narrower, table, "pbucket")
+    val e = intercept[IllegalArgumentException] {
+      Storage.commitPartitions(narrower, table, "pbucket")
+    }
+    assert(e.getMessage.contains("omits declared column"))
+    // a COVERING partial rewrite commits fine and the evolved value survives
+    Storage.commitPartitions(
+      narrower.withColumn("b", lit(null).cast("string")), table, "pbucket")
     val after = Storage.readPartitionedVersion(spark, table)
-    assert(after.columns.contains("b"), "declared column must survive a narrower commit")
+    assert(after.columns.contains("b"))
     assert(after.filter(col("k") === 1L).select("b").as[String].head() == "fresh")
   }
 
