@@ -29,17 +29,30 @@ object CoreQueries {
     val dir = java.nio.file.Files.createTempDirectory("upsert2")
     val table = dir.resolve("stg_events")
     val ev = Tables.events(s, d).withColumn("ts", col("ts").cast("timestamp"))
-    def load(df: DataFrame, ts: String) =
+    // ONE aggregation computes both load snapshots: max_by skips rows
+    // whose ordering expression is NULL, so the conditional ordering
+    // yields the pre-cutoff latest alongside the overall latest in the
+    // same map-side-combinable pass (two latestByKey runs would scan and
+    // shuffle the event log twice); localCheckpoint materializes it once
+    // for both loads.
+    val snap = struct(col("event_type"), col("value"))
+    val packed = ev.groupBy(col("user_id")).agg(
+        max_by(snap, struct(col("ts"), col("event_id"))).as("cur"),
+        max_by(snap, when(col("ts") < lit(CutoffTs).cast("timestamp"),
+          struct(col("ts"), col("event_id")))).as("pre"))
+      .localCheckpoint()
+    def load(c: String, ts: String) =
       MergeOps.prunedConditionalUpsert(table,
-        MergeOps.latestByKey(df, Seq("user_id"), Seq(col("ts"), col("event_id")))
-          .select(col("user_id"), col("event_type"), col("value"),
+        packed.filter(col(c).isNotNull)
+          .select(col("user_id"), col(s"$c.event_type").as("event_type"),
+            col(s"$c.value").as("value"),
             lit(null).cast("timestamp").as("loaded_at"),
             lit(null).cast("timestamp").as("last_upd_at")),
         pk = Seq("user_id"), tracked = Seq("event_type", "value"),
         runTs = lit(ts).cast("timestamp"), nParts = 16)
     try {
-      val v0 = load(ev.filter(col("ts") < lit(CutoffTs).cast("timestamp")), CutoffTs)
-      val v1 = load(ev, RunTs)
+      val v0 = load("pre", CutoffTs)
+      val v1 = load("cur", RunTs)
       body(table, v0, v1).localCheckpoint()
     } finally graft.ops.Storage.deleteRecursively(dir)
   }
