@@ -248,8 +248,30 @@ object MergeOps {
     * tie-break) — otherwise max_by picks an arbitrary maximal row. */
   def latestByKey(df: DataFrame, pk: Seq[String], versionCols: Seq[Column]): DataFrame = {
     val dataCols = df.columns.filterNot(pk.contains).toSeq
-    val packed = df.groupBy(pk.map(col): _*)
-      .agg(max_by(struct(dataCols.map(col): _*), struct(versionCols: _*)).as("__row"))
-    packed.select(pk.map(col) ++ dataCols.map(c => col(s"__row.$c").as(c)): _*)
+    latestSnapshots(df, pk, versionCols, Seq("__row" -> lit(true)))
+      .select(pk.map(col) ++ dataCols.map(c => col(s"__row.$c").as(c)): _*)
+  }
+
+  /** SEVERAL latest-per-key snapshots in ONE map-side-combinable pass:
+    * for each (name, include) the latest row — by `versionCols`, same
+    * total-order contract as [[latestByKey]] — among the rows where
+    * `include` holds (`max_by` skips rows whose ordering is NULL, which
+    * is what the `when` produces for excluded rows). Output: pk ++ one
+    * STRUCT column of the data cols per snapshot, NULL when a key has no
+    * qualifying row. The point is the single shuffle: an incremental
+    * fixture needing "state as of the cutoff" AND "current state" scans
+    * and shuffles the log once, not once per snapshot. */
+  def latestSnapshots(
+      df: DataFrame,
+      pk: Seq[String],
+      versionCols: Seq[Column],
+      snapshots: Seq[(String, Column)]): DataFrame = {
+    require(snapshots.nonEmpty, "at least one snapshot predicate required")
+    val dataCols = df.columns.filterNot(pk.contains).toSeq
+    val aggs = snapshots.map { case (name, include) =>
+      max_by(struct(dataCols.map(col): _*),
+        when(include, struct(versionCols: _*))).as(name)
+    }
+    df.groupBy(pk.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 }

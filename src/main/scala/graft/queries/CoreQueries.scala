@@ -29,17 +29,15 @@ object CoreQueries {
     val dir = java.nio.file.Files.createTempDirectory("upsert2")
     val table = dir.resolve("stg_events")
     val ev = Tables.events(s, d).withColumn("ts", col("ts").cast("timestamp"))
-    // ONE aggregation computes both load snapshots: max_by skips rows
-    // whose ordering expression is NULL, so the conditional ordering
-    // yields the pre-cutoff latest alongside the overall latest in the
-    // same map-side-combinable pass (two latestByKey runs would scan and
-    // shuffle the event log twice); localCheckpoint materializes it once
-    // for both loads.
-    val snap = struct(col("event_type"), col("value"))
-    val packed = ev.groupBy(col("user_id")).agg(
-        max_by(snap, struct(col("ts"), col("event_id"))).as("cur"),
-        max_by(snap, when(col("ts") < lit(CutoffTs).cast("timestamp"),
-          struct(col("ts"), col("event_id")))).as("pre"))
+    // ONE aggregation computes both load snapshots (two latestByKey runs
+    // would scan and shuffle the event log twice); localCheckpoint
+    // materializes it once for both loads.
+    val packed = MergeOps.latestSnapshots(
+        ev.select(col("user_id"), col("event_type"), col("value"),
+          col("ts"), col("event_id")),
+        pk = Seq("user_id"), versionCols = Seq(col("ts"), col("event_id")),
+        snapshots = Seq("cur" -> lit(true),
+          "pre" -> (col("ts") < lit(CutoffTs).cast("timestamp"))))
       .localCheckpoint()
     def load(c: String, ts: String) =
       MergeOps.prunedConditionalUpsert(table,

@@ -69,6 +69,16 @@ class MergeSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1, "new"), (2, "only")))
   }
 
+  test("latestSnapshots: several conditional latests in one pass; NULL when none qualify") {
+    val df = Seq((1, 1, "a"), (1, 5, "b"), (2, 2, "c"), (3, 9, "late"))
+      .toDF("k", "ver", "v")
+    val out = MergeOps.latestSnapshots(df, Seq("k"), Seq(col("ver")),
+        Seq("cur" -> lit(true), "early" -> (col("ver") <= 2)))
+      .select(col("k"), col("cur.v").as("cv"), col("early.v").as("ev"))
+      .as[(Int, String, Option[String])].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1, "b", Some("a")), (2, "c", Some("c")), (3, "late", None)))
+  }
+
   test("M1: a NULL-PK row upserts like any other key (presence ≠ key nullness)") {
     // the null-safe join matches NULL = NULL, so an unchanged NULL-key row
     // must keep BOTH audit columns — misreading `o.pk IS NULL` as "absent"
