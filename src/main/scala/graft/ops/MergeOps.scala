@@ -135,7 +135,8 @@ object MergeOps {
       nParts: Int = 64,
       loadedAtCol: String = "loaded_at",
       lastUpdCol: String = "last_upd_at",
-      tieBreak: Seq[Column] = Nil): Long = {
+      tieBreak: Seq[Column] = Nil,
+      fileStats: Boolean = true): Long = {
     val spark = incoming.sparkSession
     val bucket = pkBucket(pk, nParts)
 
@@ -146,7 +147,8 @@ object MergeOps {
         .limit(0)
       val next = conditionalUpsert(emptyOld, incoming, pk, tracked, runTs,
         loadedAtCol, lastUpdCol, tieBreak)
-      return Storage.commitPartitions(next.withColumn("pbucket", bucket), table, "pbucket")
+      return Storage.commitPartitions(next.withColumn("pbucket", bucket), table,
+        "pbucket", fileStats = fileStats)
     }
 
     // prune by CHANGE, not by presence: an incoming row equal to its
@@ -171,7 +173,8 @@ object MergeOps {
     val affected = affectedBuckets(changedKeys, pk, nParts)
     if (affected.isEmpty) // nothing changed: everything carries by reference
       return Storage.commitPartitions(
-        old.limit(0).withColumn("pbucket", bucket), table, "pbucket")
+        old.limit(0).withColumn("pbucket", bucket), table, "pbucket",
+        fileStats = fileStats)
     val oldAffected =
       Storage.readPartitionedVersion(spark, table, Some(affected)).drop("pbucket")
     val affectedIds = affected.map(_.stripPrefix("pbucket=").toInt).toSeq
@@ -182,7 +185,8 @@ object MergeOps {
     val next = conditionalUpsert(
       oldAffected, one.filter(bucket.isin(affectedIds: _*)),
       pk, tracked, runTs, loadedAtCol, lastUpdCol, tieBreak)
-    Storage.commitPartitions(next.withColumn("pbucket", bucket), table, "pbucket")
+    Storage.commitPartitions(next.withColumn("pbucket", bucket), table, "pbucket",
+      fileStats = fileStats)
   }
 
   /** Row-level DELETE at the 100 TB design point — the takedown/GDPR shape

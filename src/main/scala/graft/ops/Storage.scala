@@ -132,9 +132,17 @@ object Storage {
     * land INSIDE the staging dir before the atomic promote — transaction
     * metadata that commits or vanishes WITH the data (the Delta `txn`
     * action's role: e.g. the applied-source-version marker that makes a
-    * change-feed consumer's apply idempotent). */
+    * change-feed consumer's apply idempotent).
+    *
+    * `fileStats = false` skips the per-file min/max footer pass (no
+    * `_STATS.json`; Delta adds carry no stats — protocol-legal): stats
+    * exist for FILE SKIPPING, which buys nothing on a small hot table
+    * committed every micro-batch; readers conservatively keep statless
+    * files, and scheduled compaction (which commits with stats) restores
+    * skipping. Leave it on for any table a selective scan reads. */
   def commitVersion(next: DataFrame, table: Path, keepVersions: Int = 1,
-      extraFiles: Map[String, String] = Map.empty): Long = {
+      extraFiles: Map[String, String] = Map.empty,
+      fileStats: Boolean = true): Long = {
     require(keepVersions >= 1, s"keepVersions must be >= 1 (got $keepVersions)")
     Files.createDirectories(table)
     requireVersionedLayout(table) // same guard as readVersionOr, write side
@@ -142,10 +150,14 @@ object Storage {
     val staging = newStaging(table, v)
     next.write.mode("overwrite").parquet(staging.toString)
     // one footer pass feeds both the skipping manifest and the Delta log
-    val footerStats = readFooterStats(next.sparkSession, staging)
-    writeStatsManifest(next.sparkSession, staging, Some(footerStats))
+    // (Some(Map.empty) tells writeCommit0 "no stats" — None would make it
+    // run its own footer pass)
+    val footerStats =
+      if (fileStats) Some(readFooterStats(next.sparkSession, staging))
+      else Some(Map.empty[String, (Long, Map[String, (String, String, String)])])
+    if (fileStats) writeStatsManifest(next.sparkSession, staging, footerStats)
     DeltaInterop.writeCommit0(next.sparkSession, staging, next.schema, Nil,
-      footerStats = Some(footerStats))
+      footerStats = footerStats)
     extraFiles.foreach { case (name, content) =>
       require(name.startsWith("_") || name.startsWith("."),
         s"extra file '$name' must be hidden ('_'/'.' prefix) or Spark would list it as data")
@@ -476,7 +488,8 @@ object Storage {
     * must name the emptied partitions explicitly or their old bytes stay
     * live. */
   def commitPartitions(next: DataFrame, table: Path, partCol: String,
-      keepVersions: Int = 1, dropParts: Set[String] = Set.empty): Long = {
+      keepVersions: Int = 1, dropParts: Set[String] = Set.empty,
+      fileStats: Boolean = true): Long = {
     require(keepVersions >= 1, s"keepVersions must be >= 1 (got $keepVersions)")
     // a leading _/. would write partition dirs Spark's listing treats as
     // hidden — silently invisible data
@@ -540,10 +553,14 @@ object Storage {
       ))).getBytes("UTF-8"))
     // Delta interop: rewritten partitions as relative adds, untouched ones
     // carried as absolute-URI adds (shallow-clone shape) from the previous
-    // version's log — still metadata-only, still never listing their bytes
+    // version's log — still metadata-only, still never listing their bytes.
+    // fileStats=false (streaming micro-batch sinks) skips the footer pass —
+    // same contract as commitVersion's flag.
     DeltaInterop.writeCommit0(next.sparkSession, staging, declared, Seq(partCol),
       carried = DeltaInterop.carriedAdds(next.sparkSession, table, base, manifest,
-        rewritten = written.toSet, partCol))
+        rewritten = written.toSet, partCol),
+      footerStats = if (fileStats) None
+        else Some(Map.empty[String, (Long, Map[String, (String, String, String)])]))
     casPromote(table, staging, v)
     // protect every version referenced by ANY retained manifest, not just
     // the new one: a retained version w is promised readable

@@ -98,8 +98,10 @@ object StreamingLoads {
           .select((pk ++ tracked).map(col): _*)
           .withColumn("loaded_at", lit(null).cast("timestamp"))
           .withColumn("last_upd_at", lit(null).cast("timestamp"))
+        // fileStats=false: a per-micro-batch footer pass buys no skipping
+        // on a small hot table; scheduled compaction restores stats
         MergeOps.prunedConditionalUpsert(table, stg, pk, tracked,
-          lit(runTsOf(batchId)), nParts)
+          lit(runTsOf(batchId)), nParts, fileStats = false)
         ()
       }
   }
@@ -212,7 +214,8 @@ object StreamingLoads {
             case None => Some(snapshotAgg)    // first ever version: bootstrap
           }
           next.foreach(n => graft.ops.Storage.commitVersion(n, agg,
-            extraFiles = Map(AppliedMarker -> v.toString)))
+            extraFiles = Map(AppliedMarker -> v.toString),
+            fileStats = false)) // tiny hot table: skip the footer pass
         }
         ()
       }
@@ -254,7 +257,8 @@ object StreamingLoads {
     def merge(stg: DataFrame, bkCol: String, trackedCols: Seq[String],
         runTs: org.apache.spark.sql.Column): Unit = synchronized {
       val next = Scd2.closeAndInsert(snapshot, stg, bkCol, trackedCols, runTs, "sk")
-      graft.ops.Storage.commitVersion(next, table, keepVersions = 8)
+      graft.ops.Storage.commitVersion(next, table, keepVersions = 8,
+        fileStats = false) // per-micro-batch stats are wasted on a hot dim
     }
   }
 
@@ -279,7 +283,8 @@ object StreamingLoads {
       val cols = schema.fieldNames.toSeq
       val next = MergeOps.conditionalUpsert(
         snapshot, batch.select(cols.map(col): _*), pk, tracked, runTs)
-      graft.ops.Storage.commitVersion(next.select(cols.map(col): _*), table)
+      graft.ops.Storage.commitVersion(next.select(cols.map(col): _*), table,
+        fileStats = false) // per-micro-batch stats are wasted on a hot table
     }
   }
 }
