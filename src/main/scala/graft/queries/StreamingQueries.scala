@@ -440,6 +440,40 @@ object StreamingQueries {
              |FROM (SELECT event_type, value,
              |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
              |      FROM events) t
-             |WHERE rn = 1 GROUP BY event_type""".stripMargin))
+             |WHERE rn = 1 GROUP BY event_type""".stripMargin)),
+
+    // Streaming exact dedup — d1's streaming twin driver-checked: the
+    // corpus replays in doc_id order (synthetic event time = doc_id
+    // seconds) through dropDuplicatesWithinWatermark on the content
+    // fingerprint; the watermark horizon exceeds the replay span, so the
+    // kept row per text is the FIRST to arrive = min doc_id — exactly
+    // the batch survivor rule. Dedup state is BOUNDED by the watermark
+    // (the 100 TB/day property an unbounded dropDuplicates lacks); each
+    // replay chunk is one MemoryStream block, so within-batch arrival
+    // order is the block's row order and the kept doc_id deterministic.
+    Q("stream7_dedup_equiv",
+      (s, d) => withShufflePartitions(s, 4) {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx = s.sqlContext
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .orderBy(col("doc_id")).as[(Long, String)].collect().toSeq
+        val input = MemoryStream[(Long, String)]
+        val stream = input.toDF().toDF("doc_id", "text")
+          .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+        val sink = s"stream7_out_${System.identityHashCode(input)}"
+        val q = StreamingLoads.streamingExactDedup(
+            stream, md5(col("text")), "ts", watermark = "30 days")
+          .writeStream.outputMode("append").format("memory").queryName(sink)
+          .trigger(Trigger.ProcessingTime(0)).start()
+        try {
+          val chunkLen = math.max(1, (docs.length + 2) / 3)
+          docs.grouped(chunkLen).foreach { c =>
+            input.addData(c); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table(sink).select(col("doc_id")).localCheckpoint()
+      },
+      Some("SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"))
   )
 }
