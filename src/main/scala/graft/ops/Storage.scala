@@ -109,6 +109,12 @@ object Storage {
   private val Latest = "_LATEST"
   private val PartsManifest = "_PARTS.json"
   private val StatsManifest = "_STATS.json"
+  // "skip the footer pass" sentinel for DeltaInterop.writeCommit0, whose
+  // footerStats param treats None as "compute it yourself" — Some(empty)
+  // is the only way to say "no stats" (protocol-legal: Delta adds may
+  // omit stats; readers conservatively keep statless files)
+  private val NoFileStats =
+    Some(Map.empty[String, (Long, Map[String, (String, String, String)])])
   // vacuum sweeps only this many version slots below the keep window, so a
   // commit's filesystem work is O(keepVersions + window), not O(history)
   private val VacuumSweep = 64L
@@ -150,11 +156,9 @@ object Storage {
     val staging = newStaging(table, v)
     next.write.mode("overwrite").parquet(staging.toString)
     // one footer pass feeds both the skipping manifest and the Delta log
-    // (Some(Map.empty) tells writeCommit0 "no stats" — None would make it
-    // run its own footer pass)
     val footerStats =
       if (fileStats) Some(readFooterStats(next.sparkSession, staging))
-      else Some(Map.empty[String, (Long, Map[String, (String, String, String)])])
+      else NoFileStats
     if (fileStats) writeStatsManifest(next.sparkSession, staging, footerStats)
     DeltaInterop.writeCommit0(next.sparkSession, staging, next.schema, Nil,
       footerStats = footerStats)
@@ -559,8 +563,7 @@ object Storage {
     DeltaInterop.writeCommit0(next.sparkSession, staging, declared, Seq(partCol),
       carried = DeltaInterop.carriedAdds(next.sparkSession, table, base, manifest,
         rewritten = written.toSet, partCol),
-      footerStats = if (fileStats) None
-        else Some(Map.empty[String, (Long, Map[String, (String, String, String)])]))
+      footerStats = if (fileStats) None else NoFileStats)
     casPromote(table, staging, v)
     // protect every version referenced by ANY retained manifest, not just
     // the new one: a retained version w is promised readable

@@ -458,6 +458,12 @@ object StreamingQueries {
         implicit val sqlCtx = s.sqlContext
         val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
           .orderBy(col("doc_id")).as[(Long, String)].collect().toSeq
+        // the equivalence REQUIRES the replay span to fit inside the dedup
+        // horizon — beyond it, state eviction would re-emit late duplicates
+        // and the divergence would look like an operator bug, not a
+        // fixture one; fail at the real cause
+        require(docs.isEmpty || docs.last._1 - docs.head._1 < 30L * 86400,
+          s"doc_id span ${docs.last._1 - docs.head._1}s exceeds the 30-day dedup horizon")
         val input = MemoryStream[(Long, String)]
         val stream = input.toDF().toDF("doc_id", "text")
           .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
