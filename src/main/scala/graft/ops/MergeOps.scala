@@ -125,7 +125,10 @@ object MergeOps {
     *      untouched bucket forward by reference, bytes unmoved.
     *
     * `nParts` is fixed at table creation (it's the on-disk layout).
-    * Returns the committed version. */
+    * `keepVersions` sizes the change-feed tail: a downstream consumer
+    * ([[Cdc.changeDataFeed]], the streaming view maintenance) can only
+    * diff against versions whose manifests survive vacuum — set it to
+    * the worst consumer lag in commits. Returns the committed version. */
   def prunedConditionalUpsert(
       table: java.nio.file.Path,
       incoming: DataFrame,
@@ -136,7 +139,8 @@ object MergeOps {
       loadedAtCol: String = "loaded_at",
       lastUpdCol: String = "last_upd_at",
       tieBreak: Seq[Column] = Nil,
-      fileStats: Boolean = true): Long = {
+      fileStats: Boolean = true,
+      keepVersions: Int = 1): Long = {
     val spark = incoming.sparkSession
     val bucket = pkBucket(pk, nParts)
 
@@ -148,7 +152,7 @@ object MergeOps {
       val next = conditionalUpsert(emptyOld, incoming, pk, tracked, runTs,
         loadedAtCol, lastUpdCol, tieBreak)
       return Storage.commitPartitions(next.withColumn("pbucket", bucket), table,
-        "pbucket", fileStats = fileStats)
+        "pbucket", keepVersions = keepVersions, fileStats = fileStats)
     }
 
     // prune by CHANGE, not by presence: an incoming row equal to its
@@ -174,7 +178,7 @@ object MergeOps {
     if (affected.isEmpty) // nothing changed: everything carries by reference
       return Storage.commitPartitions(
         old.limit(0).withColumn("pbucket", bucket), table, "pbucket",
-        fileStats = fileStats)
+        keepVersions = keepVersions, fileStats = fileStats)
     val oldAffected =
       Storage.readPartitionedVersion(spark, table, Some(affected)).drop("pbucket")
     val affectedIds = affected.map(_.stripPrefix("pbucket=").toInt).toSeq
@@ -186,7 +190,7 @@ object MergeOps {
       oldAffected, one.filter(bucket.isin(affectedIds: _*)),
       pk, tracked, runTs, loadedAtCol, lastUpdCol, tieBreak)
     Storage.commitPartitions(next.withColumn("pbucket", bucket), table, "pbucket",
-      fileStats = fileStats)
+      keepVersions = keepVersions, fileStats = fileStats)
   }
 
   /** Row-level DELETE at the 100 TB design point — the takedown/GDPR shape
@@ -207,7 +211,8 @@ object MergeOps {
       table: java.nio.file.Path,
       doomed: DataFrame,
       pk: Seq[String],
-      nParts: Int = 64): Long = {
+      nParts: Int = 64,
+      keepVersions: Int = 1): Long = {
     if (Storage.currentVersion(table).isEmpty) return -1L
     val spark = doomed.sparkSession
     val candidate = affectedBuckets(doomed, pk, nParts)
@@ -229,12 +234,14 @@ object MergeOps {
       .select(col("pbucket"), (col("hits") === col("total")).as("wiped"))
       .collect().map(r => (r.getInt(0), r.getBoolean(1)))
     if (counts.isEmpty) // nothing stored matches: everything carries by reference
-      return Storage.commitPartitions(old.limit(0), table, "pbucket")
+      return Storage.commitPartitions(old.limit(0), table, "pbucket",
+        keepVersions = keepVersions)
     val wiped = counts.collect { case (b, true) => s"pbucket=$b" }.toSet
     val rewriteIds = counts.collect { case (b, false) => b }.toSeq
     val survivors = old.filter(col("pbucket").isin(rewriteIds: _*)).alias("o")
       .join(keys, matchCond, "left_anti")
-    Storage.commitPartitions(survivors, table, "pbucket", dropParts = wiped)
+    Storage.commitPartitions(survivors, table, "pbucket",
+      keepVersions = keepVersions, dropParts = wiped)
   }
 
   /** S3: last-writer-wins keyed snapshot (ref: extract_api_operator.py:36-43,

@@ -252,6 +252,52 @@ class CdfSpec extends SparkTestBase {
     } finally Storage.deleteRecursively(dir)
   }
 
+  test("randomized: feed(vi, vj) ≡ the naive snapshot diff for EVERY version pair") {
+    val dir = Files.createTempDirectory("cdf_random")
+    val table = dir.resolve("t")
+    try {
+      val rnd = new scala.util.Random(7) // fixed seed: deterministic replay
+      val Keep = 20 // retain every version so all pairs stay feedable
+      def randomRows(ids: Seq[Int]) =
+        ids.map(i => (i, s"n${rnd.nextInt(5)}", rnd.nextInt(10).toDouble))
+      var versions = Vector(load(table, randomRows(1 to 30), "2024-01-01 00:00:00"))
+      // interleave random upserts and deletes (the load helper uses
+      // keepVersions=1, so re-commit through the APIs directly here)
+      for (step <- 1 to 7) {
+        val ids = rnd.shuffle((1 to 34).toList).take(rnd.nextInt(8) + 1)
+        val v =
+          if (step % 3 == 0)
+            MergeOps.prunedDelete(table, ids.toDF("id"), pk = Seq("id"),
+              nParts = NParts, keepVersions = Keep)
+          else
+            MergeOps.prunedConditionalUpsert(table,
+              randomRows(ids).toDF("id", "name", "score")
+                .withColumn("loaded_at", lit(null).cast("timestamp"))
+                .withColumn("last_upd_at", lit(null).cast("timestamp")),
+              pk = Seq("id"), tracked = Seq("name", "score"),
+              runTs = lit(s"2024-01-0${step + 1} 00:00:00").cast("timestamp"),
+              nParts = NParts, keepVersions = Keep)
+        versions :+= v
+      }
+      val snaps = versions.map { v =>
+        v -> Storage.readPartitionedVersionAt(spark, table, v)
+          .select(col("id"), col("name"), col("score"))
+          .as[(Int, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      }.toMap
+      for (i <- versions; j <- versions if i < j) {
+        val (a, b) = (snaps(i), snaps(j))
+        val expected =
+          b.filterNot { case (k, _) => a.contains(k) }
+            .map { case (k, (n, s0)) => (k, n, s0, "insert") } ++
+          a.filterNot { case (k, _) => b.contains(k) }
+            .map { case (k, (n, s0)) => (k, n, s0, "delete") } ++
+          b.collect { case (k, (n, s0)) if a.get(k).exists(_ != (n, s0)) =>
+            (k, n, s0, "update") }
+        assert(feed(table, i, j).toSet == expected.toSet, s"pair ($i, $j)")
+      }
+    } finally Storage.deleteRecursively(dir)
+  }
+
   test("time travel: the state AS OF an old version reads exactly") {
     val dir = Files.createTempDirectory("cdf_tt")
     val table = dir.resolve("t")
