@@ -88,7 +88,8 @@ object StreamingLoads {
       versionCols: Seq[String],
       runTsOf: Long => java.sql.Timestamp,
       nParts: Int,
-      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      keepVersions: Int = 1): DataStreamWriter[Row] = {
     graft.ops.Storage.repairOrphans(table) // same startup contract as Scd2Table
     incoming.writeStream
       .outputMode(OutputMode.Append)
@@ -99,9 +100,12 @@ object StreamingLoads {
           .withColumn("loaded_at", lit(null).cast("timestamp"))
           .withColumn("last_upd_at", lit(null).cast("timestamp"))
         // fileStats=false: a per-micro-batch footer pass buys no skipping
-        // on a small hot table; scheduled compaction restores stats
+        // on a small hot table; scheduled compaction restores stats.
+        // keepVersions sizes the change-feed tail for downstream
+        // consumers (foreachBatchCdfAggMaintain's lag window).
         MergeOps.prunedConditionalUpsert(table, stg, pk, tracked,
-          lit(runTsOf(batchId)), nParts, fileStats = false)
+          lit(runTsOf(batchId)), nParts, fileStats = false,
+          keepVersions = keepVersions)
         ()
       }
   }
