@@ -115,9 +115,44 @@ object Storage {
   // omit stats; readers conservatively keep statless files)
   private val NoFileStats =
     Some(Map.empty[String, (Long, Map[String, (String, String, String)])])
+  private val Retention = "_RETENTION"
   // vacuum sweeps only this many version slots below the keep window, so a
   // commit's filesystem work is O(keepVersions + window), not O(history)
   private val VacuumSweep = 64L
+
+  // ---- table-level retention ---------------------------------------------
+  //
+  // Retention is a TABLE property, not a per-commit argument: the
+  // effective keep-window of every commit is max(its keepVersions, the
+  // persisted high-water mark). Without this, one commit through any
+  // path still defaulting keepVersions=1 (a GDPR delete, a manual
+  // compaction) would sweep the change-feed tail every other writer was
+  // paying to retain — the destructive case must not be the silent
+  // default path. The mark only ratchets UP implicitly; lowering it is
+  // the explicit [[setRetention]] call.
+
+  /** The table's persisted keep-window high-water mark (1 if never set). */
+  def tableRetention(table: Path): Int = {
+    val p = table.resolve(Retention)
+    if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8").trim.toInt else 1
+  }
+
+  /** Persist the table's keep-window (also settable by passing
+    * `keepVersions` to any commit — commits ratchet it up, never down). */
+  def setRetention(table: Path, keepVersions: Int): Unit = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1 (got $keepVersions)")
+    Files.createDirectories(table)
+    val tmp = table.resolve(Retention + ".tmp")
+    Files.write(tmp, keepVersions.toString.getBytes("UTF-8"))
+    Files.move(tmp, table.resolve(Retention), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def effectiveKeep(table: Path, keepVersions: Int): Int = {
+    val t = tableRetention(table)
+    if (keepVersions > t) { setRetention(table, keepVersions); keepVersions }
+    else t
+  }
 
   /** The committed version number, or None for an empty/new table. */
   def currentVersion(table: Path): Option[Long] = {
@@ -152,6 +187,7 @@ object Storage {
     require(keepVersions >= 1, s"keepVersions must be >= 1 (got $keepVersions)")
     Files.createDirectories(table)
     requireVersionedLayout(table) // same guard as readVersionOr, write side
+    val keep = effectiveKeep(table, keepVersions)
     val v = currentVersion(table).getOrElse(-1L) + 1
     val staging = newStaging(table, v)
     next.write.mode("overwrite").parquet(staging.toString)
@@ -168,7 +204,7 @@ object Storage {
       Files.write(staging.resolve(name), content.getBytes("UTF-8"))
     }
     casPromote(table, staging, v)
-    vacuum(table, v, keepVersions, referenced = Set.empty)
+    vacuum(table, v, keep, referenced = Set.empty)
     v
   }
 
@@ -241,7 +277,7 @@ object Storage {
       val foreign =
         try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
           .filterNot(n => n.matches("v\\d+") || n.startsWith(Latest) ||
-            n.startsWith(".staging-"))
+            n.startsWith(Retention) || n.startsWith(".staging-"))
         finally s.close()
       require(foreign.isEmpty,
         s"$table exists but is not a versioned table (found: " +
@@ -281,7 +317,8 @@ object Storage {
           val s = Files.list(table)
           val foreign =
             try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
-              .filterNot(n => n.matches("v\\d+") || n.startsWith(Latest))
+              .filterNot(n => n.matches("v\\d+") || n.startsWith(Latest) ||
+                n.startsWith(Retention))
             finally s.close()
           require(foreign.isEmpty,
             s"$table exists but is not a versioned table (found: " +
@@ -501,6 +538,7 @@ object Storage {
       s"partition column '$partCol' must not start with '_' or '.'")
     Files.createDirectories(table)
     requireVersionedLayout(table)
+    val keep = effectiveKeep(table, keepVersions)
     val base = currentVersion(table)
     val v = base.getOrElse(-1L) + 1
     val prev = base.map(b => readPartsManifest(table.resolve(s"v$b"))).getOrElse(Map.empty)
@@ -571,7 +609,7 @@ object Storage {
     // carried buckets live in versions ONLY w's manifest still names —
     // vacuuming by the new manifest alone would delete those bytes the
     // first time a long-carried bucket is finally rewritten
-    val retainedRefs = (math.max(0L, v - keepVersions) to v).flatMap { w =>
+    val retainedRefs = (math.max(0L, v - keep) to v).flatMap { w =>
       if (w == v) manifest.values
       else {
         val m = table.resolve(s"v$w").resolve(PartsManifest)
@@ -579,7 +617,7 @@ object Storage {
         else Nil
       }
     }.toSet
-    vacuum(table, v, keepVersions, referenced = retainedRefs)
+    vacuum(table, v, keep, referenced = retainedRefs)
     v
   }
 

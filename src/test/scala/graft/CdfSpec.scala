@@ -298,6 +298,38 @@ class CdfSpec extends SparkTestBase {
     } finally Storage.deleteRecursively(dir)
   }
 
+  test("retention is a table property: default-keep commits cannot sweep the feed tail") {
+    val dir = Files.createTempDirectory("cdf_retention")
+    val table = dir.resolve("t")
+    try {
+      def churn(mult: Double, ts: String, keep: Int = 1) =
+        MergeOps.prunedConditionalUpsert(table,
+          (1 to 24).map(i => (i, s"n$i", i * mult)).toDF("id", "name", "score")
+            .withColumn("loaded_at", lit(null).cast("timestamp"))
+            .withColumn("last_upd_at", lit(null).cast("timestamp")),
+          pk = Seq("id"), tracked = Seq("name", "score"),
+          runTs = lit(ts).cast("timestamp"), nParts = NParts,
+          keepVersions = keep)
+      // ONE writer declares the feed tail (ratchets the table property)…
+      val v0 = churn(1.0, "2024-01-01 00:00:00", keep = 3)
+      assert(Storage.tableRetention(table) == 3)
+      // …then every other commit uses the DEFAULT keep: each churns every
+      // bucket, so under per-commit retention v0 would be swept by v2
+      val v3 = Seq(2.0, 3.0, 4.0)
+        .zipWithIndex.map { case (m, i) => churn(m, s"2024-01-0${i + 2} 00:00:00") }.last
+      assert(Storage.partitionManifestRetained(table, v0),
+        "the table-level window must protect v0 from default-keep commits")
+      assert(feed(table, v0, v3).size == 24)
+
+      // beyond the declared window the tail DOES age out, as contracted
+      churn(5.0, "2024-01-05 00:00:00")
+      val v5 = churn(6.0, "2024-01-06 00:00:00")
+      assert(!Storage.partitionManifestRetained(table, v0))
+      intercept[IllegalArgumentException] { feed(table, v0, v5) }
+      assert(feed(table, v3 - 1, v5).size == 24) // in-window bases still serve
+    } finally Storage.deleteRecursively(dir)
+  }
+
   test("time travel: the state AS OF an old version reads exactly") {
     val dir = Files.createTempDirectory("cdf_tt")
     val table = dir.resolve("t")
