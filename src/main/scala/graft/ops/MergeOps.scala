@@ -206,7 +206,14 @@ object MergeOps {
     * `doomed` needs only the `pk` columns (extra columns are ignored);
     * keys absent from the table are no-ops, and a table with no committed
     * version returns -1 without committing (nothing exists to delete).
-    * Returns the committed version. */
+    * Returns the committed version.
+    *
+    * COMPLIANCE NOTE: this removes the rows from the CURRENT state only —
+    * retained versions (the table's retention window) keep serving them
+    * through time travel and the change feed until vacuum passes them.
+    * A hard takedown is this delete followed by
+    * [[Storage.purgeHistory]], which drops retention and sweeps every
+    * pre-delete version's bytes. */
   def prunedDelete(
       table: java.nio.file.Path,
       doomed: DataFrame,

@@ -131,27 +131,46 @@ object Storage {
   // default path. The mark only ratchets UP implicitly; lowering it is
   // the explicit [[setRetention]] call.
 
-  /** The table's persisted keep-window high-water mark (1 if never set). */
-  def tableRetention(table: Path): Int = {
-    val p = table.resolve(Retention)
-    if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8").trim.toInt else 1
-  }
+  // The mark is the MAX over `_RETENTION.<k>` marker files. Ratcheting UP
+  // is ONE atomic file create — no read-modify-write for concurrent
+  // writers (explicitly supported by the CAS commit design) to race: two
+  // commits declaring 8 and 5 leave both markers and every reader sees 8.
+  // Only the explicit [[setRetention]] deletes higher markers to lower it.
 
-  /** Persist the table's keep-window (also settable by passing
-    * `keepVersions` to any commit — commits ratchet it up, never down). */
+  private def retentionMarks(table: Path): Seq[Int] =
+    if (!Files.isDirectory(table)) Nil
+    else {
+      val s = Files.list(table)
+      try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
+        .collect { case n if n.startsWith(Retention + ".") =>
+          n.stripPrefix(Retention + ".").toInt }.toSeq
+      finally s.close()
+    }
+
+  /** The table's keep-window high-water mark (1 if never set). */
+  def tableRetention(table: Path): Int = retentionMarks(table).maxOption.getOrElse(1)
+
+  /** Set the table's keep-window. RAISING it is what any commit's
+    * `keepVersions` does implicitly (atomic marker create — monotone
+    * under concurrency); LOWERING it deletes the higher markers and is
+    * only legitimate from this explicit call (e.g. [[purgeHistory]]). */
   def setRetention(table: Path, keepVersions: Int): Unit = {
     require(keepVersions >= 1, s"keepVersions must be >= 1 (got $keepVersions)")
     Files.createDirectories(table)
-    val tmp = table.resolve(Retention + ".tmp")
-    Files.write(tmp, keepVersions.toString.getBytes("UTF-8"))
-    Files.move(tmp, table.resolve(Retention), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    writeRetentionMark(table, keepVersions)
+    retentionMarks(table).filter(_ > keepVersions)
+      .foreach(k => Files.deleteIfExists(table.resolve(s"$Retention.$k")))
   }
 
+  private def writeRetentionMark(table: Path, k: Int): Unit =
+    if (k > 1)
+      try Files.write(table.resolve(s"$Retention.$k"), Array.empty[Byte],
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+
   private def effectiveKeep(table: Path, keepVersions: Int): Int = {
-    val t = tableRetention(table)
-    if (keepVersions > t) { setRetention(table, keepVersions); keepVersions }
-    else t
+    writeRetentionMark(table, keepVersions)
+    math.max(keepVersions, tableRetention(table))
   }
 
   /** The committed version number, or None for an empty/new table. */
@@ -204,7 +223,10 @@ object Storage {
       Files.write(staging.resolve(name), content.getBytes("UTF-8"))
     }
     casPromote(table, staging, v)
-    vacuum(table, v, keep, referenced = Set.empty)
+    // re-read the mark: an operator may have RAISED retention while the
+    // (slow) data write ran — vacuuming with the stale value would sweep
+    // the newly-declared window
+    vacuum(table, v, math.max(keep, tableRetention(table)), referenced = Set.empty)
     v
   }
 
@@ -609,7 +631,10 @@ object Storage {
     // carried buckets live in versions ONLY w's manifest still names —
     // vacuuming by the new manifest alone would delete those bytes the
     // first time a long-carried bucket is finally rewritten
-    val retainedRefs = (math.max(0L, v - keep) to v).flatMap { w =>
+    // re-read the mark: an operator may have RAISED retention while the
+    // (slow) data write ran — the stale value would sweep the new window
+    val keepNow = math.max(keep, tableRetention(table))
+    val retainedRefs = (math.max(0L, v - keepNow) to v).flatMap { w =>
       if (w == v) manifest.values
       else {
         val m = table.resolve(s"v$w").resolve(PartsManifest)
@@ -617,7 +642,7 @@ object Storage {
         else Nil
       }
     }.toSet
-    vacuum(table, v, keep, referenced = retainedRefs)
+    vacuum(table, v, keepNow, referenced = retainedRefs)
     v
   }
 
@@ -760,6 +785,35 @@ object Storage {
         atomicReplace(spark.read.parquet(table.toString).coalesce(n), table)
         n
     }
+
+  /** Hard-purge retained history — the COMPLIANCE companion to a row
+    * delete: [[MergeOps.prunedDelete]] removes rows from the CURRENT
+    * state, but retained versions keep serving them through time travel
+    * and the change feed until vacuum passes them (indefinitely on a
+    * low-traffic table). This drops retention to 1, compacts the current
+    * state into a fresh version, and pushes the pre-purge version out of
+    * the keep window with one metadata-only (partitioned) or one rewrite
+    * (plain) commit — after it returns, only the current state's bytes
+    * remain on disk. Irreversible by design. */
+  def purgeHistory(spark: SparkSession, table: Path): Unit = {
+    setRetention(table, 1)
+    compact(spark, table)
+    currentVersion(table).foreach { v =>
+      val vdir = table.resolve(s"v$v")
+      if (Files.exists(vdir.resolve(PartsManifest))) {
+        val manifest = readPartsManifest(vdir)
+        // empty-manifest bootstrap: compact was a no-op, nothing to purge
+        if (manifest.nonEmpty) {
+          val partCol = manifest.keys.head.split("=", 2)(0)
+          commitPartitions(
+            readPartitionedVersion(spark, table).limit(0), table, partCol)
+        }
+      } else
+        // plain versioned table: one more same-state commit pushes the
+        // pre-purge version out of the window; its vacuum sweeps it
+        commitVersion(spark.read.parquet(vdir.toString), table)
+    }
+  }
 
   private def dirBytes(dir: Path): Long = {
     val s = Files.walk(dir)

@@ -327,6 +327,42 @@ class CdfSpec extends SparkTestBase {
       assert(!Storage.partitionManifestRetained(table, v0))
       intercept[IllegalArgumentException] { feed(table, v0, v5) }
       assert(feed(table, v3 - 1, v5).size == 24) // in-window bases still serve
+      // a commit declaring LESS cannot regress the mark (monotone ratchet)
+      churn(7.0, "2024-01-07 00:00:00", keep = 2)
+      assert(Storage.tableRetention(table) == 3)
+    } finally Storage.deleteRecursively(dir)
+  }
+
+  test("purgeHistory: after a takedown no retained version serves the deleted rows") {
+    val dir = Files.createTempDirectory("cdf_purge")
+    val table = dir.resolve("t")
+    try {
+      val v0 = MergeOps.prunedConditionalUpsert(table,
+        (1 to 20).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "score")
+          .withColumn("loaded_at", lit(null).cast("timestamp"))
+          .withColumn("last_upd_at", lit(null).cast("timestamp")),
+        pk = Seq("id"), tracked = Seq("name", "score"),
+        runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = NParts,
+        keepVersions = 4)
+      val v1 = MergeOps.prunedDelete(table, Seq(3, 7).toDF("id"),
+        pk = Seq("id"), nParts = NParts)
+      // the delete alone is NOT a takedown: the retained bootstrap still
+      // serves the doomed rows through time travel
+      assert(Storage.readPartitionedVersionAt(spark, table, v0)
+        .filter(col("id").isin(3, 7)).count() == 2)
+
+      Storage.purgeHistory(spark, table)
+      // history gone: pre-purge versions unreadable, bytes swept
+      assert(!Storage.partitionManifestRetained(table, v0))
+      assert(!Files.exists(table.resolve(s"v$v0")) && !Files.exists(table.resolve(s"v$v1")))
+      intercept[IllegalArgumentException] {
+        Storage.readPartitionedVersionAt(spark, table, v1)
+      }
+      // the current state survives intact, minus the doomed rows
+      val now = Storage.readPartitionedVersion(spark, table)
+        .select(col("id")).as[Int].collect().sorted.toSeq
+      assert(now == (1 to 20).filterNot(Set(3, 7)))
+      assert(Storage.tableRetention(table) == 1)
     } finally Storage.deleteRecursively(dir)
   }
 
