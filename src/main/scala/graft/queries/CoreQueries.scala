@@ -55,6 +55,62 @@ object CoreQueries {
     } finally graft.ops.Storage.deleteRecursively(dir)
   }
 
+  /** Fixture for cross-table incremental view maintenance (m11): TWO
+    * PK-bucketed partition-manifested tables — a customer dimension and an
+    * orders fact — each loaded twice so that BOTH sides change between the
+    * view's refresh points. The bootstrap states are deterministic
+    * perturbations of the true tables (keys withheld → later inserts,
+    * values skewed → later updates); the second load restores the truth,
+    * and a pruned DELETE removes `o_orderkey % 13 == 0` from orders — so
+    * the two change feeds together carry inserts, updates (including
+    * group-key moves: `c_nationkey` changes) and deletes. `body` receives
+    * (custTable, custV0, custV1, ordTable, ordV0, ordVFinal). */
+  private def withJoinViewTables(s: SparkSession, d: String)(
+      body: (java.nio.file.Path, Long, Long, java.nio.file.Path, Long, Long) => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("ivm2")
+    val cust = dir.resolve("dim_customer")
+    val ord = dir.resolve("fct_orders")
+    val cTrue = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val oTrue = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    def stamp(df: DataFrame) = df
+      .withColumn("loaded_at", lit(null).cast("timestamp"))
+      .withColumn("last_upd_at", lit(null).cast("timestamp"))
+    def loadCust(df: DataFrame, ts: String) =
+      MergeOps.prunedConditionalUpsert(cust, stamp(df),
+        pk = Seq("c_custkey"), tracked = Seq("c_nationkey"),
+        runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+    def loadOrd(df: DataFrame, ts: String) =
+      MergeOps.prunedConditionalUpsert(ord, stamp(df),
+        pk = Seq("o_orderkey"), tracked = Seq("o_custkey", "o_totalprice"),
+        runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+    try {
+      // bootstrap: customers missing the %7 keys, nation skewed for %10;
+      // orders restricted to even keys, price skewed for %11
+      val cv0 = loadCust(
+        cTrue.filter(col("c_custkey") % 7 =!= 0)
+          .withColumn("c_nationkey",
+            when(col("c_custkey") % 10 === 0,
+              ((col("c_nationkey") + 1) % 25).cast("int"))
+              .otherwise(col("c_nationkey"))),
+        CutoffTs)
+      val ov0 = loadOrd(
+        oTrue.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 42.0)
+              .otherwise(col("o_totalprice"))),
+        CutoffTs)
+      // refresh interval: truth restored on both sides…
+      val cv1 = loadCust(cTrue, RunTs)
+      loadOrd(oTrue, RunTs)
+      // …plus a takedown on the fact side (delete branch of the feed)
+      val doomed = oTrue.select(col("o_orderkey")).filter(col("o_orderkey") % 13 === 0)
+      val ovF = MergeOps.prunedDelete(ord, doomed, pk = Seq("o_orderkey"),
+        nParts = 8, keepVersions = 4)
+      body(cust, cv0, cv1, ord, ov0, ovF).localCheckpoint()
+    } finally graft.ops.Storage.deleteRecursively(dir)
+  }
+
   /** m1b and io2 read back the SAME final upsert state — one oracle text
     * (the relational full-outer merge of the pre-cutoff and full
     * latest-by-key snapshots). */
@@ -865,5 +921,59 @@ object CoreQueries {
              |  COUNT(*) AS count_rows,
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
              |  MIN(value) AS min_value, MAX(value) AS max_value
-             |FROM events GROUP BY 1, 2""".stripMargin)))
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // Cross-table incremental view maintenance — a materialized JOIN view
+    // (per-nation revenue over orders ⋈ customer) rolled forward from BOTH
+    // tables' change feeds via the delta-join rule Δ(A⋈B) = ΔA⋈B₁ ∪ A₀⋈ΔB
+    // (ViewMaintain.joinDelta), the signed joined rows folded into the
+    // aggregate state by AggMaintain.applyDelta. Generalizes m7 (own-table
+    // deltas) and m9 (own-table CDF): here the view's BASE is a join, and
+    // a refresh never recomputes it — each delta term joins one broadcast
+    // change feed against one base table, so per refresh the work is
+    // O(|ΔA| + |ΔB| + touched groups), never |orders|. The interval
+    // exercises every feed shape at once: inserts on both sides, updates
+    // including GROUP-KEY moves (c_nationkey changes retract from the old
+    // nation and add to the new), and fact-side deletes. Hash-matches the
+    // full recompute of the final state (the oracle). Mirrors the
+    // reference's hand-rolled incremental fact joins
+    // (dwh_fact_character_episode.py:102-107) as a general operator.
+    Q("m11_join_view_maintenance",
+      (s, d) => withJoinViewTables(s, d) { (cust, cv0, cv1, ord, ov0, ovF) =>
+        import graft.ops.{Cdc, Storage, ViewMaintain}
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+        def custAt(v: Long) = Storage.readPartitionedVersionAt(s, cust, v)
+          .select(col("c_custkey"), col("c_nationkey"))
+        def ordAt(v: Long) = Storage.readPartitionedVersionAt(s, ord, v)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val a0 = custAt(cv0)
+        val bNew = ordAt(ovF)
+        // materialized state as of (cv0, ov0): the ONE bootstrap recompute
+        val state0 = a0.alias("c")
+          .join(ordAt(ov0).alias("o"), col("c.c_custkey") === col("o.o_custkey"))
+          .groupBy(col("c.c_nationkey").as("c_nationkey"))
+          .agg(count(lit(1)).as("count_rows"),
+            sum(dec(col("o.o_totalprice"))).as("sum_rev"))
+        // …rolled forward by the two change feeds alone
+        val dA = ViewMaintain.signed(Cdc.changeDataFeed(s, cust, cv0, cv1,
+          pk = Seq("c_custkey"), compareCols = Seq("c_nationkey"), preImages = true))
+        val dB = ViewMaintain.signed(Cdc.changeDataFeed(s, ord, ov0, ovF,
+          pk = Seq("o_orderkey"), compareCols = Seq("o_custkey", "o_totalprice"),
+          preImages = true))
+        val viewDelta = ViewMaintain.joinDelta(a0, dA, bNew, dB,
+          keysA = Seq("c_custkey"), keysB = Seq("o_custkey"))
+        val deltaAgg = viewDelta.groupBy(col("c_nationkey"))
+          .agg(sum(col("sign").cast("long")).as("count_rows"),
+            sum(col("sign") * dec(col("o_totalprice"))).as("sum_rev"))
+        graft.ops.AggMaintain.applyDelta(state0, deltaAgg,
+            keys = Seq("c_nationkey"), sumCols = Seq("sum_rev"),
+            assumeKeysNonNull = true)
+          .select(col("c_nationkey"), col("count_rows").as("cnt"),
+            col("sum_rev").cast("double").as("sum_rev"))
+      },
+      Some("""SELECT c_nationkey, count(*) AS cnt,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_rev
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_orderkey % 13 <> 0
+             |GROUP BY c_nationkey""".stripMargin)))
 }
