@@ -25,16 +25,29 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native type
-    * for. Sessions set `spark.sql.legacy.parquet.nanosAsLong=true`; here the
-    * long nanos become an epoch-micros TIMESTAMP (integer `div`, no
-    * double-precision loss), matching DuckDB's nanos→micros truncation. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+  /** Normalize the fixture's `ts` column to a zoned TIMESTAMP no matter
+    * which physical encoding the generator produced:
+    *   - parquet TIMESTAMP(NANOS) read as long under the session's
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` — integer `div` to
+    *     micros (no double-precision loss), matching DuckDB's truncation;
+    *   - plain `timestamp[us]` (no timezone), which Spark reads as
+    *     TIMESTAMP_NTZ — cast to TIMESTAMP, a no-op reinterpretation under
+    *     the UTC session;
+    *   - an already-zoned TIMESTAMP — pass through.
+    * Centralized here so every consumer (batch queries, streaming fixtures,
+    * `unix_micros` call sites) is fixture-schema-proof. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
   }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

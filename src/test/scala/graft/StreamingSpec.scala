@@ -18,11 +18,14 @@ class StreamingSpec extends SparkTestBase {
     dir.toString
   }
 
-  // matches the nanosAsLong session conf: ts arrives as long nanos
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  // the generator has shipped several physical encodings for events.ts
+  // (long nanos, timestamp[us]/NTZ); read the schema off the actual parquet
+  // footer and let Tables.normalizeEventTs handle whichever arrived
+  private lazy val rawSchema: StructType =
+    spark.read.parquet(s"$Sf001/events.parquet").schema
+
+  private def eventsStream(dir: String) =
+    Tables.normalizeEventTs(spark.readStream.schema(rawSchema).parquet(dir))
 
   test("watermark drops late data: an event older than the watermark never lands in its window") {
     import spark.implicits._
@@ -53,8 +56,7 @@ class StreamingSpec extends SparkTestBase {
   }
 
   test("streaming windowed aggregation matches the batch e2 query") {
-    val stream = spark.readStream.schema(rawSchema).parquet(eventsStreamDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = eventsStream(eventsStreamDir)
     val q = StreamingLoads.windowedEventCounts(stream)
       .writeStream.outputMode("complete")
       .format("memory").queryName("e2_stream").start()
@@ -74,8 +76,7 @@ class StreamingSpec extends SparkTestBase {
     // duplicate the source file → every event arrives twice
     Files.copy(java.nio.file.Paths.get(s"$Sf001/events.parquet"),
       java.nio.file.Paths.get(dir).resolve("part-1.parquet"))
-    val stream = spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = eventsStream(dir)
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
     val q = stream.writeStream.outputMode("append")
@@ -90,8 +91,7 @@ class StreamingSpec extends SparkTestBase {
     val dir = eventsStreamDir
     Files.copy(java.nio.file.Paths.get(s"$Sf001/events.parquet"),
       java.nio.file.Paths.get(dir).resolve("part-1.parquet"))
-    val stream = spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = eventsStream(dir)
     val deduped = StreamingLoads.streamingExactDedup(
       stream, fingerprint = md5(concat_ws("|", col("event_id"), col("event_type"))),
       tsCol = "ts")
@@ -110,9 +110,7 @@ class StreamingSpec extends SparkTestBase {
     // sides watermarked so the join state is bounded (Spark requires the
     // time-interval condition + watermarks to age out buffered rows)
     val dir = eventsStreamDir
-    def side(tpe: String, tsName: String) = spark.readStream
-      .schema(rawSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def side(tpe: String, tsName: String) = eventsStream(dir)
       .filter(col("event_type") === tpe)
       .select(col("user_id"), col("event_id").as(s"${tsName}_id"), col("ts").as(tsName))
       .withWatermark(tsName, "2 hours")
@@ -389,8 +387,7 @@ class StreamingSpec extends SparkTestBase {
     val stateDir = Files.createTempDirectory("stream_state")
     val state = new StreamingLoads.StreamingTableState(spark, stateSchema, stateDir)
 
-    val stream = spark.readStream.schema(rawSchema).parquet(eventsStreamDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = eventsStream(eventsStreamDir)
       .select(col("user_id"), col("event_type"), col("value"),
         lit(null).cast("timestamp").as("loaded_at"),
         lit(null).cast("timestamp").as("last_upd_at"))
