@@ -215,14 +215,16 @@ object Storage {
       if (fileStats) Some(readFooterStats(next.sparkSession, staging))
       else NoFileStats
     if (fileStats) writeStatsManifest(next.sparkSession, staging, footerStats)
-    DeltaInterop.writeCommit0(next.sparkSession, staging, next.schema, Nil,
+    val adds = DeltaInterop.writeCommit0(next.sparkSession, staging, next.schema, Nil,
       footerStats = footerStats)
     extraFiles.foreach { case (name, content) =>
       require(name.startsWith("_") || name.startsWith("."),
         s"extra file '$name' must be hidden ('_'/'.' prefix) or Spark would list it as data")
       Files.write(staging.resolve(name), content.getBytes("UTF-8"))
     }
-    casPromote(table, staging, v)
+    casPromote(table, staging, v, beforePointerSwap = () =>
+      DeltaInterop.appendTableCommit(next.sparkSession, table, v, next.schema, Nil,
+        adds.map(a => a.copy(path = s"v$v/${a.path}"))))
     // re-read the mark: an operator may have RAISED retention while the
     // (slow) data write ran — vacuuming with the stale value would sweep
     // the newly-declared window
@@ -238,8 +240,12 @@ object Storage {
 
   /** Atomic staging→`v<N>` promote + pointer swap. The rename is the
     * compare-and-swap: it fails if `v<N>` already exists, so a racing
-    * writer loses loudly instead of clobbering. */
-  private def casPromote(table: Path, staging: Path, v: Long): Unit = {
+    * writer loses loudly instead of clobbering. `beforePointerSwap` runs
+    * between the two (the table-level Delta-log append): writers serialize
+    * through the pointer, so at most one in-flight log entry can sit above
+    * the committed pointer after a crash — repairOrphans truncates it. */
+  private def casPromote(table: Path, staging: Path, v: Long,
+      beforePointerSwap: () => Unit = () => ()): Unit = {
     val dir = table.resolve(s"v$v")
     try Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
     catch {
@@ -251,6 +257,7 @@ object Storage {
             "commit left an unpointed orphan (single-writer recovery: " +
             "Storage.repairOrphans(table))", e)
     }
+    beforePointerSwap()
     val tmp = table.resolve(Latest + ".tmp")
     Files.write(tmp, s"v$v".getBytes("UTF-8"))
     Files.move(tmp, table.resolve(Latest), StandardCopyOption.ATOMIC_MOVE,
@@ -287,6 +294,27 @@ object Storage {
           deleteRecursively(table.resolve(n))
         case _ => ()
       }
+      // table-level Delta log: truncate entries describing orphan versions
+      // (the append runs before the pointer swap, so a crash can leave at
+      // most the in-flight commit's entry — and its checkpoint — ahead)
+      val logDir = DeltaInterop.tableLogDir(table)
+      if (Files.isDirectory(logDir)) {
+        val ls = Files.list(logDir)
+        val logNames =
+          try ls.toArray.map(_.asInstanceOf[Path].getFileName.toString).toSeq
+          finally ls.close()
+        logNames.foreach {
+          case n if n.matches("\\d{20}\\.json") && n.stripSuffix(".json").toLong > cur =>
+            Files.deleteIfExists(logDir.resolve(n))
+          case n if n.matches("\\d{20}\\.checkpoint\\.parquet") &&
+              n.stripSuffix(".checkpoint.parquet").toLong > cur =>
+            Files.deleteIfExists(logDir.resolve(n))
+          case n if n.startsWith(".") => deleteRecursively(logDir.resolve(n))
+          case _ => ()
+        }
+        if (DeltaInterop.lastCheckpointVersion(table).exists(_ > cur))
+          Files.deleteIfExists(DeltaInterop.lastCheckpointFile(table))
+      }
     }
 
   /** Refuse to commit into a directory that exists but is not a versioned
@@ -299,7 +327,8 @@ object Storage {
       val foreign =
         try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
           .filterNot(n => n.matches("v\\d+") || n.startsWith(Latest) ||
-            n.startsWith(Retention) || n.startsWith(".staging-"))
+            n.startsWith(Retention) || n.startsWith(".staging-") ||
+            n == "_delta_log")
         finally s.close()
       require(foreign.isEmpty,
         s"$table exists but is not a versioned table (found: " +
@@ -340,7 +369,7 @@ object Storage {
           val foreign =
             try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
               .filterNot(n => n.matches("v\\d+") || n.startsWith(Latest) ||
-                n.startsWith(Retention))
+                n.startsWith(Retention) || n == "_delta_log")
             finally s.close()
           require(foreign.isEmpty,
             s"$table exists but is not a versioned table (found: " +
@@ -620,11 +649,30 @@ object Storage {
     // version's log — still metadata-only, still never listing their bytes.
     // fileStats=false (streaming micro-batch sinks) skips the footer pass —
     // same contract as commitVersion's flag.
-    DeltaInterop.writeCommit0(next.sparkSession, staging, declared, Seq(partCol),
-      carried = DeltaInterop.carriedAdds(next.sparkSession, table, base, manifest,
-        rewritten = written.toSet, partCol),
-      footerStats = if (fileStats) None else NoFileStats)
-    casPromote(table, staging, v)
+    val carried = DeltaInterop.carriedAdds(next.sparkSession, table, base, manifest,
+      rewritten = written.toSet, partCol)
+    val adds = DeltaInterop.writeCommit0(next.sparkSession, staging, declared,
+      Seq(partCol), carried = carried, footerStats = if (fileStats) None else NoFileStats)
+    // table-level log: own (rewritten-bucket) adds become table-root
+    // relative `v<N>/…`. Carried adds arrive as absolute `file:` URIs (the
+    // per-version log's shallow-clone shape) — canonicalize them to the
+    // SAME root-relative form, or replay would see `v0/x` and
+    // `file:…/v0/x` as different files and re-add every carry (the
+    // incremental entry must stay O(rewritten buckets))
+    val carriedPaths = carried.map(_.path).toSet
+    val tableAbs = table.toAbsolutePath
+    def tableRel(a: DeltaInterop.Add): DeltaInterop.Add =
+      if (!carriedPaths.contains(a.path)) a.copy(path = s"v$v/${a.path}")
+      else if (a.path.startsWith("file:")) {
+        val p = java.nio.file.Paths.get(java.net.URI.create(a.path))
+        if (p.startsWith(tableAbs))
+          a.copy(path = (0 until tableAbs.relativize(p).getNameCount)
+            .map(tableAbs.relativize(p).getName(_).toString).mkString("/"))
+        else a
+      } else a
+    casPromote(table, staging, v, beforePointerSwap = () =>
+      DeltaInterop.appendTableCommit(next.sparkSession, table, v, declared, Seq(partCol),
+        adds.map(tableRel)))
     // protect every version referenced by ANY retained manifest, not just
     // the new one: a retained version w is promised readable
     // (readPartitionedVersionAt / changeDataFeed's fromV side), and its

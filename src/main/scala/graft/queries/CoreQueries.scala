@@ -607,6 +607,41 @@ object CoreQueries {
              |      FROM events WHERE ts < TIMESTAMP '$CutoffTs') t
              |WHERE rn = 1""".stripMargin)),
 
+    // Table-level Delta log + protocol checkpoint, driver-checked: twelve
+    // full-replace commits of a growing aggregate cross CheckpointInterval
+    // (10), then the final state is read back the way an external engine
+    // follows a LIVE table — `_last_checkpoint` → ONE checkpoint parquet →
+    // trailing JSON commits only — O(trailing) per read, never O(history)
+    // replay (DeltaInteropSpec proves pre-checkpoint JSONs are never even
+    // opened by corrupting them). Slice 12 covers every event, so the
+    // final committed aggregate hash-matches the plain recompute oracle.
+    Q("io4_delta_checkpoint_read",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("iockpt")
+        val table = dir.resolve("agg")
+        try {
+          val ev = Tables.events(s, d)
+            .select(col("event_type"), col("value"),
+              pmod(col("event_id"), lit(12L)).as("slice"))
+            .localCheckpoint()
+          (0 until 12).foreach { k =>
+            graft.ops.Storage.commitVersion(
+              ev.filter(col("slice") <= k)
+                .groupBy(col("event_type"))
+                .agg(count(lit(1)).as("cnt"),
+                  sum(col("value").cast("decimal(38,6)")).as("sum_value")),
+              table)
+          }
+          graft.ops.DeltaInterop.readTableSnapshot(s, table)
+            .select(col("event_type"), col("cnt"),
+              col("sum_value").cast("double").as("sum_value"))
+            .localCheckpoint()
+        } finally graft.ops.Storage.deleteRecursively(dir)
+      },
+      Some("""SELECT event_type, count(*) AS cnt,
+             |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     // M7 closed end-to-end by M8: a materialized per-type aggregate is
     // kept fresh by consuming the table's OWN change feed — preimages
     // retract (sign -1), postimages/inserts add (sign +1), applyDelta
@@ -960,8 +995,14 @@ object CoreQueries {
         val dB = ViewMaintain.signed(Cdc.changeDataFeed(s, ord, ov0, ovF,
           pk = Seq("o_orderkey"), compareCols = Seq("o_custkey", "o_totalprice"),
           preImages = true))
+        // this fixture's orders feed is a bulk backfill (the bootstrap holds
+        // only even o_orderkey rows, so the feed carries well over half the
+        // fact table) — exactly the case joinDelta's contract says NOT to
+        // broadcast; a routine refresh with a genuinely small feed would
+        // keep the default broadcastDeltas=true
         val viewDelta = ViewMaintain.joinDelta(a0, dA, bNew, dB,
-          keysA = Seq("c_custkey"), keysB = Seq("o_custkey"))
+          keysA = Seq("c_custkey"), keysB = Seq("o_custkey"),
+          broadcastDeltas = false)
         val deltaAgg = viewDelta.groupBy(col("c_nationkey"))
           .agg(sum(col("sign").cast("long")).as("count_rows"),
             sum(col("sign") * dec(col("o_totalprice"))).as("sum_rev"))

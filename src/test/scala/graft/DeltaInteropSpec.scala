@@ -178,4 +178,102 @@ class DeltaInteropSpec extends SparkTestBase {
     assert(e.exceptAll(own).isEmpty && own.exceptAll(e).isEmpty)
     assert(ext.count() == 100)
   }
+
+  // ---- table-level continuous log + checkpoints ---------------------------
+
+  test("table log: incremental entries — a full-replace commit removes every prior file") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("tlog_incr").resolve("t")
+    Storage.commitVersion(spark.range(10).select($"id".as("k")), table, keepVersions = 4)
+    Storage.commitVersion(spark.range(20).select($"id".as("k")), table, keepVersions = 4)
+    val logDir = DeltaInterop.tableLogDir(table)
+    assert(Files.exists(logDir.resolve(f"${0L}%020d.json")))
+    val c1 = new String(Files.readAllBytes(logDir.resolve(f"${1L}%020d.json")), "UTF-8")
+      .split("\n").toSeq.map(JsonMethods.parse(_))
+    val removes = c1.flatMap(l => (l \ "remove" \ "path") match {
+      case JString(p) => Some(p); case _ => None })
+    val adds = c1.flatMap(l => (l \ "add" \ "path") match {
+      case JString(p) => Some(p); case _ => None })
+    assert(removes.nonEmpty && removes.forall(_.startsWith("v0/")),
+      s"commit 1 must remove v0's files: $removes")
+    assert(adds.nonEmpty && adds.forall(_.startsWith("v1/")),
+      s"commit 1 must add v1's files: $adds")
+    // live-table read equals the engine's own read
+    val ext = DeltaInterop.readTableSnapshot(spark, table)
+    assert(ext.as[Long].collect().sorted.toSeq == (0L until 20L))
+  }
+
+  test("table log: checkpoint cut at interval; reader never opens pre-checkpoint JSONs") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("tlog_ckpt").resolve("t")
+    // 12 commits crosses CheckpointInterval (10); keepVersions=1 also
+    // proves vacuumed version dirs never break the replay
+    (0 until 12).foreach { k =>
+      Storage.commitVersion(
+        spark.range(k + 1).select($"id".as("k"), lit(k).as("commit_no")), table)
+    }
+    assert(DeltaInterop.lastCheckpointVersion(table).contains(10L))
+    assert(Files.exists(DeltaInterop.checkpointFile(table, 10L)))
+    val logDir = DeltaInterop.tableLogDir(table)
+    // corrupt EVERY pre-checkpoint JSON — a reader that touches any of
+    // them dies on parse, so surviving this proves O(trailing) replay
+    (0L to 10L).foreach { v =>
+      Files.write(logDir.resolve(f"$v%020d.json"), "NOT JSON".getBytes("UTF-8"))
+    }
+    val ext = DeltaInterop.readTableSnapshot(spark, table)
+    val own = Storage.readVersion(spark, table)
+    assert(ext.select("k", "commit_no").exceptAll(own.select("k", "commit_no")).isEmpty &&
+      own.select("k", "commit_no").exceptAll(ext.select("k", "commit_no")).isEmpty)
+    assert(ext.count() == 12 && ext.agg(max($"commit_no")).head.getInt(0) == 11)
+  }
+
+  test("table log: commitPartitions entries add only rewritten buckets; carried buckets stay silent") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("tlog_parts").resolve("t")
+    def withAudit(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("loaded_at", lit(null).cast("timestamp"))
+      .withColumn("last_upd_at", lit(null).cast("timestamp"))
+    MergeOps.prunedConditionalUpsert(table,
+      withAudit(spark.range(200).select($"id".as("k"), ($"id" % 7).cast("string").as("attr"))),
+      pk = Seq("k"), tracked = Seq("attr"),
+      runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 8)
+    MergeOps.prunedConditionalUpsert(table,
+      withAudit(Seq(0L -> "X").toDF("k", "attr")),
+      pk = Seq("k"), tracked = Seq("attr"),
+      runTs = lit("2024-02-01 00:00:00").cast("timestamp"), nParts = 8)
+    val c1 = new String(Files.readAllBytes(
+      DeltaInterop.tableLogDir(table).resolve(f"${1L}%020d.json")), "UTF-8")
+      .split("\n").toSeq.map(JsonMethods.parse(_))
+    val adds = c1.flatMap(l => (l \ "add" \ "path") match {
+      case JString(p) => Some(p); case _ => None })
+    val removes = c1.flatMap(l => (l \ "remove" \ "path") match {
+      case JString(p) => Some(p); case _ => None })
+    // one bucket rewritten: only its v1 files add, only its v0 files
+    // remove — untouched buckets appear in NEITHER list (that's the
+    // incremental shape; re-adding carries would make replay O(table))
+    assert(adds.nonEmpty && adds.forall(_.startsWith("v1/")), adds.toString)
+    assert(removes.nonEmpty && removes.forall(_.startsWith("v0/")), removes.toString)
+    val buckets = (adds ++ removes).flatMap(_.split("/").find(_.startsWith("pbucket=")))
+    assert(buckets.toSet.size == 1, s"exactly one bucket should churn: $buckets")
+
+    val ext = DeltaInterop.readTableSnapshot(spark, table)
+    val own = Storage.readPartitionedVersion(spark, table)
+    val e = ext.select(own.columns.map(col).toIndexedSeq: _*)
+    assert(e.exceptAll(own).isEmpty && own.exceptAll(e).isEmpty)
+  }
+
+  test("table log: repairOrphans truncates an above-pointer entry") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("tlog_repair").resolve("t")
+    Storage.commitVersion(spark.range(5).select($"id".as("k")), table)
+    // simulate the crash window: v1 promoted + log appended, pointer not
+    // yet swapped → on restart the pointer still says v0
+    val logDir = DeltaInterop.tableLogDir(table)
+    Files.copy(logDir.resolve(f"${0L}%020d.json"), logDir.resolve(f"${1L}%020d.json"))
+    Storage.repairOrphans(table)
+    assert(!Files.exists(logDir.resolve(f"${1L}%020d.json")),
+      "orphan table-log entry must be truncated with its version dir")
+    assert(DeltaInterop.latestTableCommit(table).contains(0L))
+    assert(DeltaInterop.readTableSnapshot(spark, table).count() == 5)
+  }
 }
