@@ -246,23 +246,59 @@ object Storage {
     * the committed pointer after a crash — repairOrphans truncates it. */
   private def casPromote(table: Path, staging: Path, v: Long,
       beforePointerSwap: () => Unit = () => ()): Unit = {
-    val dir = table.resolve(s"v$v")
-    try Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case e: java.nio.file.FileSystemException if Files.exists(dir) =>
-        deleteRecursively(staging)
-        throw new java.util.ConcurrentModificationException(
-          s"lost update committing v$v at $table: the version directory " +
-            "already exists — another writer won the race, or a crashed " +
-            "commit left an unpointed orphan (single-writer recovery: " +
-            "Storage.repairOrphans(table))", e)
+    if (!tryRename(table, staging, v)) {
+      deleteRecursively(staging)
+      throw new java.util.ConcurrentModificationException(
+        s"lost update committing v$v at $table: the version directory " +
+          "already exists — another writer won the race, or a crashed " +
+          "commit left an unpointed orphan (single-writer recovery: " +
+          "Storage.repairOrphans(table))")
     }
     beforePointerSwap()
-    val tmp = table.resolve(Latest + ".tmp")
+    swapPointer(table, v)
+  }
+
+  /** The CAS half alone: staging→`v<N>`, false when the slot is already
+    * taken — the STAGING DIRECTORY IS KEPT so the caller can re-finalize
+    * and retry the next slot (the disjoint-writer path). */
+  private def tryRename(table: Path, staging: Path, v: Long): Boolean = {
+    val dir = table.resolve(s"v$v")
+    try { Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE); true }
+    catch {
+      case _: java.nio.file.FileSystemException if Files.exists(dir) => false
+    }
+  }
+
+  private def swapPointer(table: Path, v: Long): Unit = {
+    val tmp = table.resolve(s"$Latest.tmp-${java.util.UUID.randomUUID}")
     Files.write(tmp, s"v$v".getBytes("UTF-8"))
     Files.move(tmp, table.resolve(Latest), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** Block until `_LATEST` reaches `v` — a rename loser knows `v<N>` exists,
+    * and its owner swaps the pointer right after the table-log append, so
+    * the wait is normally milliseconds. A pointer that never arrives means
+    * a crashed commit's unpointed orphan: fail loudly toward repairOrphans
+    * rather than guess. */
+  private def awaitPointerAtLeast(table: Path, v: Long): Long = {
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var cur = currentVersion(table)
+    while (!cur.exists(_ >= v)) {
+      if (System.nanoTime() > deadline)
+        throw new java.util.ConcurrentModificationException(
+          s"v$v exists at $table but _LATEST never reached it — a crashed " +
+            "commit left an unpointed orphan (single-writer recovery: " +
+            "Storage.repairOrphans(table))")
+      Thread.sleep(10)
+      cur = currentVersion(table)
+    }
+    cur.get
+  }
+
+  /** Bound on disjoint-writer retry rounds before giving up (each round is
+    * one lost CAS + one metadata re-finalize — data is never rewritten). */
+  private val MaxCommitAttempts = 10
 
   private def newStaging(table: Path, v: Long): Path =
     table.resolve(s".staging-v$v-${java.util.UUID.randomUUID}")
@@ -543,7 +579,7 @@ object Storage {
   // any version the live manifest still references. Same CAS promote and
   // crash contract as commitVersion.
 
-  private def readPartsManifest(versionDir: Path): Map[String, Long] = {
+  private[graft] def readPartsManifest(versionDir: Path): Map[String, Long] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val p = versionDir.resolve(PartsManifest)
@@ -599,21 +635,25 @@ object Storage {
     // data loss for what is a caller bug, so it fails loudly instead);
     // type changes fail loudly. Dropping a column requires a fresh table.
     // Validated BEFORE the write: both schemas are known without running it.
-    val declared = base.flatMap(b => DeltaInterop.declaredSchema(table.resolve(s"v$b"))) match {
-      case None => next.schema
-      case Some(p) =>
-        val newTypes = next.schema.map(f => f.name -> f.dataType).toMap
-        val missing = p.map(_.name).filterNot(newTypes.contains)
-        require(missing.isEmpty,
-          s"frame omits declared column(s) ${missing.mkString(", ")}: rewriting " +
-            "partitions without them would null their data — evolution is " +
-            "add-only (project the columns through, or use a fresh table to drop)")
-        p.foreach(f => require(newTypes(f.name) == f.dataType,
-          s"column ${f.name} changes type ${f.dataType} -> ${newTypes(f.name)}; " +
-            "type evolution is not supported — use a fresh table"))
-        org.apache.spark.sql.types.StructType(
-          p ++ next.schema.filterNot(f => p.exists(_.name == f.name)))
-    }
+    // (Re-run against the new base on a disjoint-writer retry: the winner
+    // may itself have evolved the declared schema.)
+    def declareAgainst(b: Option[Long]): org.apache.spark.sql.types.StructType =
+      b.flatMap(bb => DeltaInterop.declaredSchema(table.resolve(s"v$bb"))) match {
+        case None => next.schema
+        case Some(p) =>
+          val newTypes = next.schema.map(f => f.name -> f.dataType).toMap
+          val missing = p.map(_.name).filterNot(newTypes.contains)
+          require(missing.isEmpty,
+            s"frame omits declared column(s) ${missing.mkString(", ")}: rewriting " +
+              "partitions without them would null their data — evolution is " +
+              "add-only (project the columns through, or use a fresh table to drop)")
+          p.foreach(f => require(newTypes(f.name) == f.dataType,
+            s"column ${f.name} changes type ${f.dataType} -> ${newTypes(f.name)}; " +
+              "type evolution is not supported — use a fresh table"))
+          org.apache.spark.sql.types.StructType(
+            p ++ next.schema.filterNot(f => p.exists(_.name == f.name)))
+      }
+    val declared = declareAgainst(base)
     val staging = newStaging(table, v)
     next.write.partitionBy(partCol).mode("overwrite").parquet(staging.toString)
     val s = Files.list(staging)
@@ -637,42 +677,92 @@ object Storage {
       throw new IllegalArgumentException(
         s"dropParts ${dropParts.intersect(written.toSet)} also present in `next`")
     }
-    val manifest = (prev -- dropParts) ++ written.map(_ -> v)
+    // ---- promote with OPTIMISTIC CONCURRENCY -----------------------------
+    //
+    // The reference runs its dimension loads as parallel DAGs
+    // (configure.py:387-398): writers touching DISJOINT partition sets must
+    // BOTH land. The CAS rename still serializes version numbers, but a
+    // rename loser no longer aborts outright: it waits for the winner's
+    // pointer, diffs the winner's manifest against the base it loaded from,
+    // and if the winner touched none of its own written/dropped partitions,
+    // re-finalizes the SAME staged data (metadata only — manifest, Delta
+    // log, table-log entry; the parquet is never rewritten) against the new
+    // base and retries the next slot. Overlap aborts loudly: last-writer-
+    // wins on a shared partition would silently drop the loser's rows.
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    Files.write(staging.resolve(PartsManifest),
-      JsonMethods.compact(JsonMethods.render(JObject(
-        manifest.toSeq.sortBy(_._1).map { case (k, ver) => k -> JLong(ver) }.toList
-      ))).getBytes("UTF-8"))
-    // Delta interop: rewritten partitions as relative adds, untouched ones
-    // carried as absolute-URI adds (shallow-clone shape) from the previous
-    // version's log — still metadata-only, still never listing their bytes.
-    // fileStats=false (streaming micro-batch sinks) skips the footer pass —
-    // same contract as commitVersion's flag.
-    val carried = DeltaInterop.carriedAdds(next.sparkSession, table, base, manifest,
-      rewritten = written.toSet, partCol)
-    val adds = DeltaInterop.writeCommit0(next.sparkSession, staging, declared,
-      Seq(partCol), carried = carried, footerStats = if (fileStats) None else NoFileStats)
-    // table-level log: own (rewritten-bucket) adds become table-root
-    // relative `v<N>/…`. Carried adds arrive as absolute `file:` URIs (the
-    // per-version log's shallow-clone shape) — canonicalize them to the
-    // SAME root-relative form, or replay would see `v0/x` and
-    // `file:…/v0/x` as different files and re-add every carry (the
-    // incremental entry must stay O(rewritten buckets))
-    val carriedPaths = carried.map(_.path).toSet
     val tableAbs = table.toAbsolutePath
-    def tableRel(a: DeltaInterop.Add): DeltaInterop.Add =
-      if (!carriedPaths.contains(a.path)) a.copy(path = s"v$v/${a.path}")
-      else if (a.path.startsWith("file:")) {
-        val p = java.nio.file.Paths.get(java.net.URI.create(a.path))
-        if (p.startsWith(tableAbs))
-          a.copy(path = (0 until tableAbs.relativize(p).getNameCount)
-            .map(tableAbs.relativize(p).getName(_).toString).mkString("/"))
-        else a
-      } else a
-    casPromote(table, staging, v, beforePointerSwap = () =>
-      DeltaInterop.appendTableCommit(next.sparkSession, table, v, declared, Seq(partCol),
-        adds.map(tableRel)))
+    var curBase = base
+    var curPrev = prev
+    var curV = v
+    var curDeclared = declared
+    var attempts = 0
+    var committedV = -1L
+    var committedManifest = Map.empty[String, Long]
+    while (committedV < 0) {
+      val manifest = (curPrev -- dropParts) ++ written.map(_ -> curV)
+      Files.write(staging.resolve(PartsManifest),
+        JsonMethods.compact(JsonMethods.render(JObject(
+          manifest.toSeq.sortBy(_._1).map { case (k, ver) => k -> JLong(ver) }.toList
+        ))).getBytes("UTF-8"))
+      // Delta interop: rewritten partitions as relative adds, untouched ones
+      // carried as absolute-URI adds (shallow-clone shape) from the previous
+      // version's log — still metadata-only, still never listing their bytes.
+      // fileStats=false (streaming micro-batch sinks) skips the footer pass —
+      // same contract as commitVersion's flag.
+      val carried = DeltaInterop.carriedAdds(next.sparkSession, table, curBase, manifest,
+        rewritten = written.toSet, partCol)
+      val adds = DeltaInterop.writeCommit0(next.sparkSession, staging, curDeclared,
+        Seq(partCol), carried = carried, footerStats = if (fileStats) None else NoFileStats)
+      // table-level log: own (rewritten-bucket) adds become table-root
+      // relative `v<N>/…`. Carried adds arrive as absolute `file:` URIs (the
+      // per-version log's shallow-clone shape) — canonicalize them to the
+      // SAME root-relative form, or replay would see `v0/x` and
+      // `file:…/v0/x` as different files and re-add every carry (the
+      // incremental entry must stay O(rewritten buckets))
+      val carriedPaths = carried.map(_.path).toSet
+      val vNow = curV
+      def tableRel(a: DeltaInterop.Add): DeltaInterop.Add =
+        if (!carriedPaths.contains(a.path)) a.copy(path = s"v$vNow/${a.path}")
+        else if (a.path.startsWith("file:")) {
+          val p = java.nio.file.Paths.get(java.net.URI.create(a.path))
+          if (p.startsWith(tableAbs))
+            a.copy(path = (0 until tableAbs.relativize(p).getNameCount)
+              .map(tableAbs.relativize(p).getName(_).toString).mkString("/"))
+          else a
+        } else a
+      if (tryRename(table, staging, curV)) {
+        DeltaInterop.appendTableCommit(next.sparkSession, table, curV, curDeclared,
+          Seq(partCol), adds.map(tableRel))
+        swapPointer(table, curV)
+        committedV = curV
+        committedManifest = manifest
+      } else {
+        attempts += 1
+        try {
+          val newBase = awaitPointerAtLeast(table, curV)
+          val newPrev = readPartsManifest(table.resolve(s"v$newBase"))
+          val touched = (curPrev.keySet ++ newPrev.keySet)
+            .filter(p => curPrev.get(p) != newPrev.get(p))
+          val overlap = touched.intersect(written.toSet ++ dropParts)
+          if (overlap.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"conflicting concurrent commit at $table: partition(s) " +
+                s"${overlap.toSeq.sorted.take(5).mkString(", ")} touched by " +
+                "both writers — rerun this load against the new base")
+          if (attempts >= MaxCommitAttempts)
+            throw new java.util.ConcurrentModificationException(
+              s"gave up after $attempts disjoint-retry rounds at $table " +
+                "(writer storm) — rerun this load")
+          curDeclared = declareAgainst(Some(newBase))
+          curBase = Some(newBase)
+          curPrev = newPrev
+          curV = newBase + 1
+        } catch {
+          case e: Throwable => deleteRecursively(staging); throw e
+        }
+      }
+    }
     // protect every version referenced by ANY retained manifest, not just
     // the new one: a retained version w is promised readable
     // (readPartitionedVersionAt / changeDataFeed's fromV side), and its
@@ -682,16 +772,16 @@ object Storage {
     // re-read the mark: an operator may have RAISED retention while the
     // (slow) data write ran — the stale value would sweep the new window
     val keepNow = math.max(keep, tableRetention(table))
-    val retainedRefs = (math.max(0L, v - keepNow) to v).flatMap { w =>
-      if (w == v) manifest.values
+    val retainedRefs = (math.max(0L, committedV - keepNow) to committedV).flatMap { w =>
+      if (w == committedV) committedManifest.values
       else {
         val m = table.resolve(s"v$w").resolve(PartsManifest)
         if (Files.exists(m)) readPartsManifest(table.resolve(s"v$w")).values
         else Nil
       }
     }.toSet
-    vacuum(table, v, keepNow, referenced = retainedRefs)
-    v
+    vacuum(table, committedV, keepNow, referenced = retainedRefs)
+    committedV
   }
 
   /** Read the committed state of a partition-manifested table, optionally
@@ -833,6 +923,40 @@ object Storage {
         atomicReplace(spark.read.parquet(table.toString).coalesce(n), table)
         n
     }
+
+  /** Re-hash a `pbucket`-manifested table to `newN` buckets in ONE commit —
+    * bucket-count evolution for a layout whose `nParts` was frozen at table
+    * creation (MergeOps.prunedConditionalUpsert's geometry). The commit is
+    * state-identical and FEED-INVISIBLE: every row passes through unchanged
+    * (audit columns included), so the pk-level change feed across the
+    * rebucket version is EMPTY and downstream incremental consumers see
+    * nothing happen. Old partition names the new hash does not reproduce
+    * are dropped in the same commit — a sparse new geometry must not leave
+    * a stale old directory silently carried. One shuffle on the new bucket
+    * key sizes output files to one-plus per bucket; the full-table rewrite
+    * IS the operation, not overhead, and runs at O(table)/newN parallelism.
+    * Callers must pass `newN` as `nParts` to subsequent pruned upserts:
+    * the layout does not (yet) self-describe its geometry. */
+  def rebucket(spark: SparkSession, table: Path, pk: Seq[String], newN: Int,
+      keepVersions: Int = 1, fileStats: Boolean = true): Long = {
+    require(newN >= 1, s"newN must be >= 1 (got $newN)")
+    val v = currentVersion(table).getOrElse(
+      throw new IllegalStateException(s"no committed version at $table"))
+    require(Files.exists(table.resolve(s"v$v").resolve(PartsManifest)),
+      s"$table is not partition-manifested — rebucket applies to pbucket layouts")
+    val prev = readPartsManifest(table.resolve(s"v$v"))
+    val composed = readPartitionedVersion(spark, table).drop("pbucket")
+    val bucket = MergeOps.pkBucket(pk, newN)
+    // the names this geometry actually produces — O(newN) driver rows;
+    // anything else in the old manifest must be dropped, not carried
+    val produced = composed.select(bucket.as("pbucket")).distinct()
+      .collect().map(r => s"pbucket=${r.getInt(0)}").toSet
+    commitPartitions(
+      composed.withColumn("pbucket", bucket)
+        .repartition(newN, org.apache.spark.sql.functions.col("pbucket")),
+      table, "pbucket", keepVersions = keepVersions,
+      dropParts = prev.keySet -- produced, fileStats = fileStats)
+  }
 
   /** Hard-purge retained history — the COMPLIANCE companion to a row
     * delete: [[MergeOps.prunedDelete]] removes rows from the CURRENT

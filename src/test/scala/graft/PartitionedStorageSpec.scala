@@ -397,4 +397,186 @@ class PartitionedStorageSpec extends SparkTestBase {
     assert(n == 1 && parquetFiles() == 1, "tiny table must compact to one file")
     assert(Storage.read(spark, table).count() == orders.count())
   }
+
+  test("rebucket: state identity, EMPTY change feed, pruning works at the new geometry") {
+    import graft.ops.{Cdc, MergeOps}
+    import spark.implicits._
+    val table = Files.createTempDirectory("rebucket").resolve("t")
+    def withAudit(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("loaded_at", lit(null).cast("timestamp"))
+      .withColumn("last_upd_at", lit(null).cast("timestamp"))
+    MergeOps.prunedConditionalUpsert(table,
+      withAudit(spark.range(200).select($"id".as("k"), ($"id" % 7).cast("string").as("attr"))),
+      pk = Seq("k"), tracked = Seq("attr"),
+      runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 8,
+      keepVersions = 4)
+    val v0 = Storage.currentVersion(table).get
+    val before = Storage.readPartitionedVersion(spark, table).drop("pbucket")
+      .collect().map(_.toSeq).toSet
+
+    val v1 = Storage.rebucket(spark, table, pk = Seq("k"), newN = 16, keepVersions = 4)
+    assert(v1 == v0 + 1)
+
+    // state identity: same rows, audit columns included
+    val after = Storage.readPartitionedVersion(spark, table).drop("pbucket")
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "rebucket must not change a single row")
+    // the new geometry really is 16-way (200 keys fill all 16 buckets)
+    val m1 = Storage.readPartsManifest(table.resolve(s"v$v1"))
+    assert(m1.keySet == (0 until 16).map(b => s"pbucket=$b").toSet, m1.toString)
+    assert(m1.values.forall(_ == v1), "every partition must be owned by the rebucket commit")
+
+    // FEED-INVISIBLE: the pk-level change feed across the commit is empty
+    assert(Cdc.changeDataFeed(spark, table, v0, v1,
+      pk = Seq("k"), compareCols = Seq("attr")).isEmpty)
+    // time travel to the pre-rebucket version still reads the old geometry
+    assert(Storage.readPartitionedVersionAt(spark, table, v0)
+      .drop("pbucket").collect().map(_.toSeq).toSet == before)
+
+    // a follow-up pruned upsert AT THE NEW GEOMETRY prunes: one incoming
+    // key rewrites exactly its one 16-way bucket, the rest carry
+    val v2 = MergeOps.prunedConditionalUpsert(table,
+      withAudit(Seq(5L -> "CHANGED").toDF("k", "attr")),
+      pk = Seq("k"), tracked = Seq("attr"),
+      runTs = lit("2024-02-01 00:00:00").cast("timestamp"), nParts = 16,
+      keepVersions = 4)
+    val m2 = Storage.readPartsManifest(table.resolve(s"v$v2"))
+    assert(m2.values.count(_ == v2) == 1, s"exactly one bucket rewrites: $m2")
+    assert(Storage.readPartitionedVersion(spark, table)
+      .filter(col("k") === 5L).select("attr").head.getString(0) == "CHANGED")
+  }
+
+  test("rebucket shrink: old bucket names beyond the new geometry are dropped, not carried") {
+    import graft.ops.MergeOps
+    import spark.implicits._
+    val table = Files.createTempDirectory("rebucket_shrink").resolve("t")
+    def withAudit(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("loaded_at", lit(null).cast("timestamp"))
+      .withColumn("last_upd_at", lit(null).cast("timestamp"))
+    MergeOps.prunedConditionalUpsert(table,
+      withAudit(spark.range(100).select($"id".as("k"), lit("x").as("attr"))),
+      pk = Seq("k"), tracked = Seq("attr"),
+      runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 16)
+    val before = Storage.readPartitionedVersion(spark, table).drop("pbucket")
+      .collect().map(_.toSeq).toSet
+    val v1 = Storage.rebucket(spark, table, pk = Seq("k"), newN = 4)
+    val m = Storage.readPartsManifest(table.resolve(s"v$v1"))
+    assert(m.keySet == (0 until 4).map(b => s"pbucket=$b").toSet,
+      s"shrunk manifest must not carry stale 16-way names: $m")
+    assert(Storage.readPartitionedVersion(spark, table).drop("pbucket")
+      .collect().map(_.toSeq).toSet == before)
+  }
+
+  // ---- optimistic concurrency: disjoint writers ---------------------------
+
+  /** A frame whose data write parks on a named gate until the test opens
+    * it — the deterministic way to hold writer A mid-commit while writer B
+    * races past it (gates live in a static map: local-mode tasks run
+    * in-JVM but closures still serialize, so the latch can't be captured). */
+  private def gated(df: org.apache.spark.sql.DataFrame, key: String): org.apache.spark.sql.DataFrame = {
+    PartitionedStorageSpec.gates.putIfAbsent(key, new java.util.concurrent.CountDownLatch(1))
+    df.mapPartitions { it =>
+      PartitionedStorageSpec.gates.get(key).await()
+      it
+    }(org.apache.spark.sql.Encoders.row(df.schema))
+  }
+
+  private def bucketRows(pairs: (Long, String, Int)*) = {
+    import spark.implicits._
+    pairs.toSeq.toDF("k", "attr", "pbucket")
+  }
+
+  private def awaitStaging(table: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files => F}
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var seen = false
+    while (!seen) {
+      assert(System.nanoTime() < deadline, "writer A never reached its staging write")
+      if (F.isDirectory(table)) {
+        val s = F.list(table)
+        try seen = s.toArray.exists(_.asInstanceOf[java.nio.file.Path]
+          .getFileName.toString.startsWith(".staging-"))
+        finally s.close()
+      }
+      Thread.sleep(20)
+    }
+  }
+
+  test("disjoint concurrent commitPartitions: the rename loser retries and BOTH writers land") {
+    val table = Files.createTempDirectory("occ_disjoint").resolve("t")
+    Storage.commitPartitions(
+      bucketRows((1L, "a", 0), (2L, "b", 1), (3L, "c", 2), (4L, "d", 3)),
+      table, "pbucket", keepVersions = 4)
+
+    // writer A (bucket 2) parks inside its data write…
+    val gate = s"occ_disjoint_${System.nanoTime()}"
+    @volatile var aError: Throwable = null
+    @volatile var aVersion = -1L
+    val a = new Thread(() => {
+      try aVersion = Storage.commitPartitions(
+        gated(bucketRows((3L, "C2", 2)), gate), table, "pbucket", keepVersions = 4)
+      catch { case t: Throwable => aError = t }
+    })
+    a.start()
+    awaitStaging(table)
+    // …while writer B (bucket 1) commits v1 end-to-end…
+    val bVersion = Storage.commitPartitions(
+      bucketRows((2L, "B2", 1)), table, "pbucket", keepVersions = 4)
+    assert(bVersion == 1L)
+    // …then A resumes, loses the v1 rename, sees B only touched bucket 1,
+    // and retries onto v2 without rewriting its data
+    PartitionedStorageSpec.gates.get(gate).countDown()
+    a.join(60000)
+    assert(aError == null, s"writer A must land, got: $aError")
+    assert(aVersion == 2L, s"loser must retry onto the next slot, got v$aVersion")
+
+    assert(Storage.currentVersion(table).contains(2L))
+    val fin = Storage.readPartitionedVersion(spark, table)
+      .select("k", "attr").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fin == Map(1L -> "a", 2L -> "B2", 3L -> "C2", 4L -> "d"),
+      s"both writers' buckets must land: $fin")
+    // manifest owners: A's bucket at v2, B's at v1, untouched at v0
+    val m = Storage.readPartsManifest(table.resolve("v2"))
+    assert(m == Map("pbucket=0" -> 0L, "pbucket=1" -> 1L,
+      "pbucket=2" -> 2L, "pbucket=3" -> 0L), m.toString)
+    // time travel across the interleave still reads B's snapshot
+    assert(Storage.readPartitionedVersionAt(spark, table, 1L)
+      .filter(col("k") === 3L).select("attr").head.getString(0) == "c")
+  }
+
+  test("overlapping concurrent commitPartitions: the rename loser aborts loudly, no silent clobber") {
+    import java.nio.file.{Files => F}
+    val table = Files.createTempDirectory("occ_overlap").resolve("t")
+    Storage.commitPartitions(
+      bucketRows((1L, "a", 0), (2L, "b", 1)), table, "pbucket", keepVersions = 4)
+
+    val gate = s"occ_overlap_${System.nanoTime()}"
+    @volatile var aError: Throwable = null
+    val a = new Thread(() => {
+      try Storage.commitPartitions(
+        gated(bucketRows((2L, "FROM_A", 1)), gate), table, "pbucket", keepVersions = 4)
+      catch { case t: Throwable => aError = t }
+    })
+    a.start()
+    awaitStaging(table)
+    assert(Storage.commitPartitions(
+      bucketRows((2L, "FROM_B", 1)), table, "pbucket", keepVersions = 4) == 1L)
+    PartitionedStorageSpec.gates.get(gate).countDown()
+    a.join(60000)
+    assert(aError.isInstanceOf[java.util.ConcurrentModificationException],
+      s"overlap must abort the loser, got: $aError")
+    // winner's write is intact, loser left no version and no staging litter
+    assert(Storage.currentVersion(table).contains(1L))
+    assert(Storage.readPartitionedVersion(spark, table)
+      .filter(col("k") === 2L).select("attr").head.getString(0) == "FROM_B")
+    val s = F.list(table)
+    try assert(!s.toArray.exists(_.asInstanceOf[java.nio.file.Path]
+      .getFileName.toString.startsWith(".staging-")), "staging must be cleaned")
+    finally s.close()
+  }
+}
+
+object PartitionedStorageSpec {
+  val gates = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CountDownLatch]()
 }
