@@ -248,6 +248,176 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic product-quantization codebooks: the d-dim space splits
+    * into `m` contiguous d/m-dim subspaces; each gets a `ksub`-entry
+    * codebook trained by Lloyd iterations under EXACT fixed-point L2
+    * (‖v−c‖² = vv − 2vc + cc over the 1e-10 unit integers — the argmin is
+    * exact decimal arithmetic, ties break on the smaller code id, so
+    * training is bit-reproducible under any partitioning). Seeds = the
+    * first `ksub` vectors in `idCol` order, sliced per subspace
+    * (data-derived, no RNG — same convention as [[kmeansCentroids]]).
+    *
+    * Scale shape: ONE scan per iteration trains every subspace at once
+    * (subspaces explode to rows, assignment is a broadcast join + argmin
+    * aggregate, update is a (sub, code, dim)-grouped exact sum); only the
+    * m·ksub·(d/m) codebook — the same size as the input dimensionality —
+    * ever reaches the driver. Returns (sub, code, cvec). */
+  def pqCodebooks(
+      embeddings: DataFrame,
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && ksub > 0 && iters >= 0,
+      s"need m > 0, ksub > 0, iters >= 0 (got m=$m, ksub=$ksub, iters=$iters)")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val d = embeddings.select(size(col(vecCol)).as("d")).head.getInt(0)
+    require(d % m == 0, s"dimension $d not divisible into m=$m subspaces")
+    val subd = d / m
+
+    def toDf(b: Seq[(Int, Int, Seq[Double])]): DataFrame =
+      b.toDF("sub", "code", "cvec")
+        .select(col("sub"), col("code"), col("cvec").cast("array<double>"))
+
+    // one materialized (id, sub, svec) projection feeds every iteration
+    val subs = subVectors(embeddings, m, subd, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val seeds = embeddings.orderBy(col(idCol)).limit(ksub)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0))
+    var books: Seq[(Int, Int, Seq[Double])] =
+      for { s <- 0 until m; (v, c) <- seeds.zipWithIndex.toSeq }
+        yield (s, c, v.slice(s * subd, (s + 1) * subd))
+
+    for (_ <- 1 to iters) {
+      val assigned = subs.join(broadcast(toDf(books)), Seq("sub"))
+        .withColumn("__d2", l2Units(col("svec"), col("cvec")))
+        .groupBy(col(idCol), col("sub"))
+        .agg(min_by(struct(col("svec").as("v"), col("code").as("c")),
+          struct(col("__d2"), col("code"))).as("__best"))
+        .select(col("sub"), col("__best.c").as("code"), col("__best.v").as("v"))
+      val sums = assigned
+        .select(col("sub"), col("code"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(sum(units(col("x"))).cast(AccDec).as("su"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = books.map { case (s, c, prev) =>
+        sums.get((s, c)) match {
+          case Some(rows) =>
+            (s, c, rows.sortBy(_.getInt(2)).map(r =>
+              r.getDecimal(3).doubleValue / r.getLong(4) / Scale).toSeq)
+          case None => (s, c, prev) // empty code: keep the old entry
+        }
+      }
+    }
+    subs.unpersist(blocking = false)
+    toDf(books)
+  }
+
+  /** Exact fixed-point squared L2 distance in units². */
+  private def l2Units(a: Column, b: Column): Column =
+    dotUnits(a, a) - lit(2) * dotUnits(a, b) + dotUnits(b, b)
+
+  /** (id, sub, svec) rows: each vector split into m contiguous subvectors. */
+  private def subVectors(
+      df: DataFrame, m: Int, subd: Int, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(transform(sequence(lit(0), lit(m - 1)),
+          i => struct(i.as("sub"),
+            slice(col(vecCol), i * lit(subd) + 1, lit(subd)).as("svec")))).as("e"))
+      .select(col(idCol), col("e.sub").as("sub"), col("e.svec").as("svec"))
+
+  /** IVF+PQ compressed ANN — the billion-scale memory story next to
+    * [[ivfTopK]]'s exact lists. IVF restricts the scan to the query's
+    * `nprobe` lists (same codebook and metric as [[ivfTopK]], so both
+    * paths probe identical lists); inside them every candidate is scored
+    * from its PRODUCT-QUANTIZED code under asymmetric distance: the query
+    * precomputes an m×ksub lookup table of exact unit dot products, and a
+    * candidate's approximate dot is m lookup-adds over its m small codes —
+    * O(m) per candidate instead of O(d), and an index that stores m codes
+    * per vector instead of d doubles (the two-stage IVFADC shape of Jégou
+    * et al., "Product Quantization for Nearest Neighbor Search", 2011).
+    * Approximate cosine uses the code centroids' norms. The top-`rerank`
+    * ADC candidates re-score EXACTLY and the pool's true top-k returns:
+    * with a pool comfortably wider than k, recall is the ADC stage's
+    * recall@rerank — SimilarityPqSpec measures it at 1.0 on the fixture,
+    * which is what lets the sim6 row hash-match the exact oracle. */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      queryVec: DataFrame,
+      centroids: DataFrame, // (centroid_id, cvec)
+      codebooks: DataFrame, // (sub, code, cvec)
+      m: Int,
+      k: Int,
+      nprobe: Int,
+      rerank: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank pool $rerank must cover k=$k")
+    val books = codebooks.select(col("sub"), col("code"), col("cvec").as("bvec"))
+    val subd = books.select(size(col("bvec")).as("sd")).head.getInt(0)
+
+    // IVF side: identical assignment + probe-list selection to ivfTopK
+    val cnorm = sqrt(dotUnits(col("cvec"), col("cvec")).cast("double"))
+    val assigned = embeddings.crossJoin(broadcast(centroids))
+      .withColumn("__csim",
+        when(cnorm > 0, dotUnits(col(vecCol), col("cvec")).cast("double") / cnorm)
+          .otherwise(lit(Double.NegativeInfinity)))
+      .groupBy(col(idCol))
+      .agg(max_by(
+        struct(col(vecCol).as("v"), col("centroid_id").as("c")),
+        struct(col("__csim"), (-col("centroid_id")).as("nc"))).as("__best"))
+      .select(col(idCol), col("__best.v").as(vecCol), col("__best.c").as("centroid_id"))
+    val probeLists = queryVec.crossJoin(broadcast(centroids))
+      .withColumn("__qsim",
+        when(cnorm > 0, dotUnits(col("qe"), col("cvec")).cast("double") / cnorm)
+          .otherwise(lit(Double.NegativeInfinity)))
+      .orderBy(col("__qsim").desc, col("centroid_id"))
+      .limit(nprobe)
+      .select(col("centroid_id"))
+    val cand = assigned.join(broadcast(probeLists), Seq("centroid_id"))
+      .select(col(idCol), col(vecCol))
+
+    // PQ encode: argmin-L2 code per (candidate, subspace) — in a real
+    // deployment the codes are precomputed at ingest and this join reads
+    // the m-byte codes column; the scoring path below is unchanged
+    val coded = subVectors(cand, m, subd, idCol, vecCol)
+      .join(broadcast(books), Seq("sub"))
+      .withColumn("__d2", l2Units(col("svec"), col("bvec")))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min_by(col("code"), struct(col("__d2"), col("code"))).as("code"))
+
+    // ADC: the query's per-(sub, code) lookup table, then m lookup-adds
+    val lut = books.crossJoin(broadcast(queryVec))
+      .select(col("sub"), col("code"),
+        dotUnits(slice(col("qe"), col("sub") * lit(subd) + 1, lit(subd)),
+          col("bvec")).as("qd"),
+        dotUnits(col("bvec"), col("bvec")).as("cc"))
+    val qn2 = queryVec.select(dotUnits(col("qe"), col("qe")).as("qn2"))
+    val pool = coded.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col(idCol))
+      .agg(sum(col("qd")).as("adot"), sum(col("cc")).as("an2"))
+      .crossJoin(broadcast(qn2))
+      .select(col(idCol),
+        when(col("an2") > 0 && col("qn2") > 0,
+          col("adot").cast("double") /
+            (sqrt(col("an2").cast("double")) * sqrt(col("qn2").cast("double"))))
+          .otherwise(lit(null).cast("double")).as("approx_sim"))
+      .orderBy(col("approx_sim").desc, col(idCol))
+      .limit(rerank)
+
+    // exact re-rank of the ADC pool only — O(rerank · d), not O(n · d)
+    cand.join(broadcast(pool.select(col(idCol))), Seq(idCol))
+      .crossJoin(broadcast(queryVec))
+      .select(col(idCol), cosine(col(vecCol), col("qe")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Bucketed ANN top-k: restrict the scan to the query's LSH bucket(s),
     * then exact cosine within them. Returns (vec_id, cos_sim).
     *
