@@ -142,6 +142,7 @@ object MergeOps {
       fileStats: Boolean = true,
       keepVersions: Int = 1): Long = {
     val spark = incoming.sparkSession
+    Storage.validateGeometry(table, nParts) // wrong nParts = wrong buckets read
     val bucket = pkBucket(pk, nParts)
 
     if (Storage.currentVersion(table).isEmpty) { // bootstrap: full load
@@ -222,6 +223,7 @@ object MergeOps {
       keepVersions: Int = 1): Long = {
     if (Storage.currentVersion(table).isEmpty) return -1L
     val spark = doomed.sparkSession
+    Storage.validateGeometry(table, nParts) // wrong nParts = wrong buckets read
     val candidate = affectedBuckets(doomed, pk, nParts)
     val old = Storage.readPartitionedVersion(spark, table, Some(candidate))
     // null-safe joins: a NULL PK is a key like any other (MergeSpec)

@@ -239,6 +239,7 @@ object Scd2 {
       nParts: Int = 64,
       tieBreak: Seq[Column] = Nil): Long = {
     val spark = stgDelta.sparkSession
+    Storage.validateGeometry(table, nParts) // wrong nParts = wrong buckets read
     val bucket = MergeOps.pkBucket(Seq(bk), nParts)
 
     if (Storage.currentVersion(table).isEmpty) { // bootstrap: full load

@@ -173,6 +173,56 @@ object Storage {
     math.max(keepVersions, tableRetention(table))
   }
 
+  // ---- bucket-geometry marker --------------------------------------------
+  //
+  // Every pruned operator (upsert/delete/SCD2) derives its candidate
+  // buckets from `nParts`; a call with a DIFFERENT value than the table
+  // was laid out with hashes keys into the wrong buckets, reads the wrong
+  // files, concludes rows are absent, and silently duplicates them. The
+  // layout therefore self-describes: the first pruned write records its
+  // geometry in `_GEOMETRY.json`, every later call validates against it,
+  // and [[rebucket]] is the one legitimate writer of a new value.
+
+  private val GeometryFile = "_GEOMETRY.json"
+
+  /** The table's recorded bucket geometry, if any pruned write declared it. */
+  def declaredGeometry(table: Path): Option[Int] = {
+    val f = table.resolve(GeometryFile)
+    if (!Files.exists(f)) None
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.parse(new String(Files.readAllBytes(f), "UTF-8")) \ "nParts" match {
+        case JInt(n)  => Some(n.toInt)
+        case JLong(n) => Some(n.toInt)
+        case _        => None
+      }
+    }
+  }
+
+  /** Validate the caller's `nParts` against the recorded geometry, or —
+    * for a table that predates the marker or is brand-new — adopt it. */
+  private[graft] def validateGeometry(table: Path, nParts: Int): Unit =
+    declaredGeometry(table) match {
+      case Some(n) => require(n == nParts,
+        s"$table is laid out with nParts=$n but this call passed " +
+          s"nParts=$nParts — pruning would read the wrong buckets and " +
+          "silently duplicate keys; pass the recorded geometry or run " +
+          "Storage.rebucket to change it")
+      case None => setGeometry(table, nParts)
+    }
+
+  private[graft] def setGeometry(table: Path, nParts: Int): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    Files.createDirectories(table)
+    val tmp = table.resolve(s".$GeometryFile-${java.util.UUID.randomUUID}.tmp")
+    Files.write(tmp, JsonMethods.compact(JsonMethods.render(
+      JObject("nParts" -> JInt(nParts)))).getBytes("UTF-8"))
+    Files.move(tmp, table.resolve(GeometryFile), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** The committed version number, or None for an empty/new table. */
   def currentVersion(table: Path): Option[Long] = {
     val ptr = table.resolve(Latest)
@@ -364,7 +414,7 @@ object Storage {
         try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
           .filterNot(n => n.matches("v\\d+") || n.startsWith(Latest) ||
             n.startsWith(Retention) || n.startsWith(".staging-") ||
-            n == "_delta_log")
+            n == "_delta_log" || n.contains(GeometryFile))
         finally s.close()
       require(foreign.isEmpty,
         s"$table exists but is not a versioned table (found: " +
@@ -405,7 +455,8 @@ object Storage {
           val foreign =
             try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
               .filterNot(n => n.matches("v\\d+") || n.startsWith(Latest) ||
-                n.startsWith(Retention) || n == "_delta_log")
+                n.startsWith(Retention) || n == "_delta_log" ||
+                n.contains(GeometryFile))
             finally s.close()
           require(foreign.isEmpty,
             s"$table exists but is not a versioned table (found: " +
@@ -935,8 +986,9 @@ object Storage {
     * a stale old directory silently carried. One shuffle on the new bucket
     * key sizes output files to one-plus per bucket; the full-table rewrite
     * IS the operation, not overhead, and runs at O(table)/newN parallelism.
-    * Callers must pass `newN` as `nParts` to subsequent pruned upserts:
-    * the layout does not (yet) self-describe its geometry. */
+    * Records the new geometry in the table's `_GEOMETRY.json` marker, so a
+    * later pruned write still passing the OLD `nParts` fails loudly
+    * instead of silently duplicating keys. */
   def rebucket(spark: SparkSession, table: Path, pk: Seq[String], newN: Int,
       keepVersions: Int = 1, fileStats: Boolean = true): Long = {
     require(newN >= 1, s"newN must be >= 1 (got $newN)")
@@ -951,11 +1003,13 @@ object Storage {
     // anything else in the old manifest must be dropped, not carried
     val produced = composed.select(bucket.as("pbucket")).distinct()
       .collect().map(r => s"pbucket=${r.getInt(0)}").toSet
-    commitPartitions(
+    val committed = commitPartitions(
       composed.withColumn("pbucket", bucket)
         .repartition(newN, org.apache.spark.sql.functions.col("pbucket")),
       table, "pbucket", keepVersions = keepVersions,
       dropParts = prev.keySet -- produced, fileStats = fileStats)
+    setGeometry(table, newN) // pruned writers validate against this
+    committed
   }
 
   /** Hard-purge retained history — the COMPLIANCE companion to a row

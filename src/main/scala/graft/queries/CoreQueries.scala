@@ -1016,5 +1016,53 @@ object CoreQueries {
              |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_rev
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |WHERE o_orderkey % 13 <> 0
+             |GROUP BY c_nationkey""".stripMargin)),
+
+    // m11's CONTINUOUS form: the same two-table view maintained by a real
+    // Structured Streaming query consuming the MERGED commit-log tail of
+    // both base tables — bootstrap join once, then four micro-batches
+    // (customer interval / orders restore / orders delete / duplicate
+    // redelivery) each roll the view forward by the delta-join rule from
+    // the change feeds alone. The applied (vA, vB) pair commits WITH the
+    // view, so the duplicate batch provably applies nothing. Final state
+    // hash-matches m11's oracle — five chained increments across two
+    // tables lose nothing. Per batch at 100 TB: the feeds' changed
+    // buckets + touched groups; neither base is rescanned after bootstrap.
+    Q("stream8_join_view_maintenance",
+      (s, d) => withJoinViewTables(s, d) { (cust, cv0, cv1, ord, ov0, ovF) =>
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import org.apache.spark.sql.streaming.Trigger
+        implicit val sqlCtx = s.sqlContext
+        val dir = java.nio.file.Files.createTempDirectory("stream8_view")
+        val view = dir.resolve("rev_by_nation")
+        try {
+          def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+          val input = MemoryStream[(String, Long)]
+          val q = graft.streaming.StreamingLoads.foreachBatchJoinViewMaintain(
+            input.toDF().toDF("tbl", "v"), cust, ord, view,
+            pkA = Seq("c_custkey"), compareA = Seq("c_nationkey"),
+            pkB = Seq("o_orderkey"), compareB = Seq("o_custkey", "o_totalprice"),
+            joinKeysA = Seq("c_custkey"), joinKeysB = Seq("o_custkey"),
+            groupKeys = Seq("c_nationkey"),
+            sums = Map("sum_rev" -> dec(col("o_totalprice"))),
+            trigger = Trigger.ProcessingTime(0)).start()
+          try {
+            input.addData(("a", cv0), ("b", ov0)); q.processAllAvailable()
+            input.addData(("a", cv1)); q.processAllAvailable()
+            input.addData(("b", ovF - 1)); q.processAllAvailable()
+            input.addData(("b", ovF)); q.processAllAvailable()
+            input.addData(("a", cv1), ("b", ovF)); q.processAllAvailable()
+          } finally q.stop()
+          graft.ops.Storage.readVersion(s, view)
+            .select(col("c_nationkey"), col("count_rows").as("cnt"),
+              col("sum_rev").cast("double").as("sum_rev"))
+            .localCheckpoint()
+        } finally graft.ops.Storage.deleteRecursively(dir)
+      },
+      Some("""SELECT c_nationkey, count(*) AS cnt,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_rev
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_orderkey % 13 <> 0
              |GROUP BY c_nationkey""".stripMargin)))
 }

@@ -225,6 +225,123 @@ object StreamingLoads {
       }
   }
 
+  /** Continuous CROSS-TABLE view maintenance — the streaming form of
+    * [[graft.ops.ViewMaintain.joinDelta]] (batch twin: the m11 row) and
+    * the two-table generalization of [[foreachBatchCdfAggMaintain]].
+    *
+    * The input stream is the MERGED commit-log tail of BOTH base tables:
+    * one (tbl, v) row per commit, `tbl` ∈ {"a", "b"}. Each micro-batch
+    * rolls the per-key aggregate view over A ⋈ B forward by the delta-join
+    * rule — Δ(A⋈B) = ΔA⋈B₁ ∪ A₀⋈ΔB, change feeds signed, folded through
+    * [[graft.ops.AggMaintain.applyDelta]] — so per batch the work is the
+    * two feeds' changed buckets + touched groups; the base tables are
+    * joined in full exactly once, at bootstrap. A batch that carries
+    * several commits (or commits for only one side) rolls them up into ONE
+    * two-sided interval. The applied (vA, vB) pair commits WITH the view
+    * state, so duplicate delivery is a no-op and a fresh query resumes
+    * from the marker; lagging past either base's retention re-bootstraps,
+    * same contract as the single-table form.
+    *
+    * `pkX`/`compareX` define each side's change feed; the view's columns
+    * are pkA++compareA and pkB++compareB (must be disjoint across sides —
+    * joinDelta's flat-row contract). `groupKeys` and `sums` shape the
+    * maintained aggregate. */
+  def foreachBatchJoinViewMaintain(
+      versions: DataFrame,
+      tableA: java.nio.file.Path,
+      tableB: java.nio.file.Path,
+      view: java.nio.file.Path,
+      pkA: Seq[String], compareA: Seq[String],
+      pkB: Seq[String], compareB: Seq[String],
+      joinKeysA: Seq[String], joinKeysB: Seq[String],
+      groupKeys: Seq[String],
+      sums: Map[String, Column],
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] = {
+    import graft.ops.{AggMaintain, Cdc, Storage, ViewMaintain}
+    val colsA = pkA ++ compareA
+    val colsB = pkB ++ compareB
+    require(colsA.intersect(colsB).isEmpty,
+      s"A and B columns must be disjoint (shared: ${colsA.intersect(colsB)})")
+    Storage.repairOrphans(view) // single-writer startup contract
+    val Marker = "_APPLIED_AB_V"
+    versions.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // a batch holds a handful of (tbl, version) EVENTS — driver-sized
+        val evs = batch.select(col("tbl"), col("v").cast("long")).collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        val evA = evs.collect { case ("a", v) => v }.maxOption
+        val evB = evs.collect { case ("b", v) => v }.maxOption
+        if (evA.nonEmpty || evB.nonEmpty) {
+          val applied: Option[(Long, Long)] = Storage.currentVersion(view).flatMap { vv =>
+            val f = view.resolve(s"v$vv").resolve(Marker)
+            if (java.nio.file.Files.exists(f)) {
+              val Array(a, b) = new String(
+                java.nio.file.Files.readAllBytes(f), "UTF-8").trim.split(",")
+              Some((a.toLong, b.toLong))
+            } else None
+          }
+          // roll every delivered commit up into one two-sided interval;
+          // a side with no event (or a stale duplicate) keeps its mark
+          val tA = (applied.map(_._1).toSeq ++ evA.toSeq).max
+          val tB = (applied.map(_._2).toSeq ++ evB.toSeq).max
+          def proj(df: DataFrame, cols: Seq[String]) = df.select(cols.map(col): _*)
+          def snapshotAgg = proj(
+              Storage.readPartitionedVersionAt(spark, tableA, tA), colsA).alias("a")
+            .join(proj(Storage.readPartitionedVersionAt(spark, tableB, tB), colsB).alias("b"),
+              joinKeysA.zip(joinKeysB)
+                .map { case (ka, kb) => col(s"a.$ka") === col(s"b.$kb") }
+                .reduce(_ && _))
+            .groupBy(groupKeys.map(col): _*)
+            .agg(count(lit(1)).as("count_rows"),
+              sums.map { case (n, c) => sum(c).as(n) }.toSeq: _*)
+          def feedDelta(a: Long, b: Long) = {
+            val aOld = proj(Storage.readPartitionedVersionAt(spark, tableA, a), colsA)
+            val bNew = proj(Storage.readPartitionedVersionAt(spark, tableB, tB), colsB)
+            def signedFeed(tbl: java.nio.file.Path, from: Long, to: Long,
+                pk: Seq[String], cmp: Seq[String], unchanged: DataFrame) =
+              if (to == from)
+                unchanged.limit(0).withColumn("sign", lit(1).cast("int"))
+              else ViewMaintain.signed(Cdc.changeDataFeed(
+                spark, tbl, from, to, pk, cmp, preImages = true))
+            val dA = signedFeed(tableA, a, tA, pkA, compareA, aOld)
+            val dB = signedFeed(tableB, b, tB, pkB, compareB, bNew)
+            val viewDelta = ViewMaintain.joinDelta(aOld, dA, bNew, dB,
+              joinKeysA, joinKeysB)
+            val deltaAgg = viewDelta.groupBy(groupKeys.map(col): _*)
+              .agg(sum(col("sign").cast("long")).as("count_rows"),
+                sums.map { case (n, c) => sum(col("sign") * c).as(n) }.toSeq: _*)
+            AggMaintain.applyDelta(Storage.readVersion(spark, view), deltaAgg,
+              groupKeys, sums.keys.toSeq)
+          }
+          val bothCommitted = Storage.currentVersion(tableA).nonEmpty &&
+            Storage.currentVersion(tableB).nonEmpty
+          val next = applied match {
+            case _ if !bothCommitted => None // cannot join a missing side yet
+            case Some((a, b)) if tA == a && tB == b =>
+              None // duplicate delivery: already applied
+            case _ if !Storage.partitionManifestRetained(tableA, tA) ||
+                !Storage.partitionManifestRetained(tableB, tB) =>
+              None // stale backlog: targets vacuumed, a later delivery supersedes
+            case Some((a, b)) if Storage.partitionManifestRetained(tableA, a) &&
+                Storage.partitionManifestRetained(tableB, b) =>
+              // the retained checks race a concurrent producer's vacuum —
+              // fall back to the re-bootstrap instead of failing the batch
+              try Some(feedDelta(a, b))
+              catch { case _: IllegalArgumentException => Some(snapshotAgg) }
+            case Some(_) => Some(snapshotAgg) // lagged past retention
+            case None => Some(snapshotAgg)    // first delivery: bootstrap
+          }
+          next.foreach(n => Storage.commitVersion(n, view,
+            extraFiles = Map(Marker -> s"$tA,$tB"),
+            fileStats = false)) // tiny hot table: skip the footer pass
+        }
+        ()
+      }
+  }
+
   /** Parquet-backed SCD2 dimension for streaming merges. */
   final class Scd2Table(
       spark: SparkSession,

@@ -446,6 +446,37 @@ class PartitionedStorageSpec extends SparkTestBase {
       .filter(col("k") === 5L).select("attr").head.getString(0) == "CHANGED")
   }
 
+  test("geometry marker: a pruned write with the wrong nParts fails loudly; rebucket re-records it") {
+    import graft.ops.MergeOps
+    import spark.implicits._
+    val table = Files.createTempDirectory("geometry").resolve("t")
+    def withAudit(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("loaded_at", lit(null).cast("timestamp"))
+      .withColumn("last_upd_at", lit(null).cast("timestamp"))
+    def load(rows: Seq[(Long, String)], n: Int) =
+      MergeOps.prunedConditionalUpsert(table, withAudit(rows.toDF("k", "attr")),
+        pk = Seq("k"), tracked = Seq("attr"),
+        runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = n)
+    load(Seq(1L -> "a", 2L -> "b"), 8)
+    assert(Storage.declaredGeometry(table).contains(8))
+    // the silent-duplicate hazard, now a loud failure: nParts=16 would
+    // hash key 1 into a different bucket, read the wrong files, conclude
+    // the key is absent, and write it twice
+    val e = intercept[IllegalArgumentException] { load(Seq(1L -> "X"), 16) }
+    assert(e.getMessage.contains("nParts=8"), e.getMessage)
+    // deletes validate too
+    intercept[IllegalArgumentException] {
+      MergeOps.prunedDelete(table, Seq(1L).toDF("k"), pk = Seq("k"), nParts = 16)
+    }
+    // rebucket is the legitimate writer of a new value
+    Storage.rebucket(spark, table, pk = Seq("k"), newN = 16)
+    assert(Storage.declaredGeometry(table).contains(16))
+    assert(load(Seq(1L -> "X"), 16) > 0)
+    intercept[IllegalArgumentException] { load(Seq(2L -> "Y"), 8) }
+    assert(Storage.readPartitionedVersion(spark, table)
+      .filter(col("k") === 1L).select("attr").head.getString(0) == "X")
+  }
+
   test("rebucket shrink: old bucket names beyond the new geometry are dropped, not carried") {
     import graft.ops.MergeOps
     import spark.implicits._

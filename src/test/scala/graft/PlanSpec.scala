@@ -72,6 +72,7 @@ class PlanSpec extends SparkTestBase {
     // global-aggregate scalar) is the one legitimate BNLJ shape — the
     // "loop" runs over one row; everything else must hash-join
     val allowed = Set("sim1_cosine_topk", "sim2_lsh_topk", "sim4_ivf_topk",
+      "sim6_ivfpq_topk",
       "q22_dormant_rich_customers", "q11_important_parts", "q15_top_supplier",
       "tfidf1_top_terms", "mix1_mixture_weights")
     Registry.all.filterNot(q => allowed(q.name)).foreach { q =>

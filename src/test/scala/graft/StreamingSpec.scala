@@ -328,6 +328,73 @@ class StreamingSpec extends SparkTestBase {
     assert(after == got, "duplicates must not change the state")
   }
 
+  test("join-view maintenance resumes from the committed (vA, vB) marker; duplicates apply nothing") {
+    import graft.ops.{MergeOps, Storage}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = Files.createTempDirectory("join_view")
+    val a = dir.resolve("dim")
+    val b = dir.resolve("fact")
+    val view = dir.resolve("view")
+    def stamp(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("loaded_at", lit(null).cast("timestamp"))
+      .withColumn("last_upd_at", lit(null).cast("timestamp"))
+    def loadA(rows: Seq[(Long, String)], ts: String) =
+      MergeOps.prunedConditionalUpsert(a, stamp(rows.toDF("id", "grp")),
+        pk = Seq("id"), tracked = Seq("grp"),
+        runTs = lit(ts).cast("timestamp"), nParts = 4, keepVersions = 4)
+    def loadB(rows: Seq[(Long, Long, Double)], ts: String) =
+      MergeOps.prunedConditionalUpsert(b, stamp(rows.toDF("bid", "aid", "x")),
+        pk = Seq("bid"), tracked = Seq("aid", "x"),
+        runTs = lit(ts).cast("timestamp"), nParts = 4, keepVersions = 4)
+    def consumer(input: MemoryStream[(String, Long)]) =
+      StreamingLoads.foreachBatchJoinViewMaintain(
+        input.toDF().toDF("tbl", "v"), a, b, view,
+        pkA = Seq("id"), compareA = Seq("grp"),
+        pkB = Seq("bid"), compareB = Seq("aid", "x"),
+        joinKeysA = Seq("id"), joinKeysB = Seq("aid"),
+        groupKeys = Seq("grp"),
+        sums = Map("sum_x" -> col("x").cast("decimal(38,6)")),
+        trigger = Trigger.ProcessingTime(0)).start()
+    def state() = Storage.readVersion(spark, view)
+      .select(col("grp"), col("count_rows"), col("sum_x").cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+
+    // consumer 1 bootstraps the joined view, then "crashes"
+    val va0 = loadA(Seq(1L -> "g1", 2L -> "g2"), "2024-01-01 00:00:00")
+    val vb0 = loadB(Seq((10L, 1L, 1.0), (11L, 2L, 2.0)), "2024-01-01 00:00:00")
+    val in1 = MemoryStream[(String, Long)]
+    in1.addData(("a", va0), ("b", vb0))
+    val q1 = consumer(in1)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(state() == Seq(("g1", 1L, 1.0), ("g2", 1L, 2.0)))
+
+    // a FRESH query resumes from the marker and applies ONE mixed
+    // two-sided interval: a group move on A plus a re-parent + value
+    // change on B — the cross-term case the A₀/B₁ asymmetry exists for
+    val va1 = loadA(Seq(1L -> "g2"), "2024-01-02 00:00:00")
+    val vb1 = loadB(Seq((10L, 2L, 5.0)), "2024-01-02 00:00:00")
+    val in2 = MemoryStream[(String, Long)]
+    in2.addData(("a", va1), ("b", vb1))
+    val q2 = consumer(in2)
+    try q2.processAllAvailable() finally q2.stop()
+    // recompute: b10⋈a2 (g2, 5.0), b11⋈a2 (g2, 2.0); g1 fully retracted
+    assert(state() == Seq(("g2", 2L, 7.0)), state().toString)
+    val vAfter = Storage.currentVersion(view)
+
+    // duplicate redelivery of everything: the marker skips it — no new
+    // commit, no double-applied delta
+    val in3 = MemoryStream[(String, Long)]
+    in3.addData(("a", va0), ("b", vb0), ("a", va1), ("b", vb1))
+    val q3 = consumer(in3)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(Storage.currentVersion(view) == vAfter, "duplicates must not commit")
+    assert(state() == Seq(("g2", 2L, 7.0)))
+  }
+
   test("CDF view maintenance self-heals when the consumer lags past base retention") {
     import graft.ops.{MergeOps, Storage}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
