@@ -283,10 +283,17 @@ object StreamingLoads {
               Some((a.toLong, b.toLong))
             } else None
           }
-          // roll every delivered commit up into one two-sided interval;
-          // a side with no event (or a stale duplicate) keeps its mark
-          val tA = (applied.map(_._1).toSeq ++ evA.toSeq).max
-          val tB = (applied.map(_._2).toSeq ++ evB.toSeq).max
+          // roll every delivered commit up into one two-sided interval; a
+          // side with no event (or a stale duplicate) keeps its mark — and
+          // on a FIRST delivery that names only one side, the other side
+          // bootstraps at its current committed version
+          def target(mark: Option[Long], ev: Option[Long], tbl: java.nio.file.Path) =
+            (mark.toSeq ++ ev.toSeq) match {
+              case Seq() => Storage.currentVersion(tbl).getOrElse(-1L)
+              case xs    => xs.max
+            }
+          val tA = target(applied.map(_._1), evA, tableA)
+          val tB = target(applied.map(_._2), evB, tableB)
           def proj(df: DataFrame, cols: Seq[String]) = df.select(cols.map(col): _*)
           def snapshotAgg = proj(
               Storage.readPartitionedVersionAt(spark, tableA, tA), colsA).alias("a")

@@ -395,6 +395,67 @@ class StreamingSpec extends SparkTestBase {
     assert(state() == Seq(("g2", 2L, 7.0)))
   }
 
+  test("join-view maintenance self-heals when the consumer lags past a base's retention") {
+    import graft.ops.{MergeOps, Storage}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = Files.createTempDirectory("join_view_lag")
+    val a = dir.resolve("dim")
+    val b = dir.resolve("fact")
+    val view = dir.resolve("view")
+    def stamp(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("loaded_at", lit(null).cast("timestamp"))
+      .withColumn("last_upd_at", lit(null).cast("timestamp"))
+    // B's loads rewrite EVERY row (full churn) at keepVersions=1, so old
+    // manifests vacuum as fast as the producer commits
+    def loadB(mult: Double, ts: String) =
+      MergeOps.prunedConditionalUpsert(b,
+        stamp((1L to 6L).map(i => (i, i % 2 + 1, i * mult)).toDF("bid", "aid", "x")),
+        pk = Seq("bid"), tracked = Seq("aid", "x"),
+        runTs = lit(ts).cast("timestamp"), nParts = 4)
+    def consumer(input: MemoryStream[(String, Long)]) =
+      StreamingLoads.foreachBatchJoinViewMaintain(
+        input.toDF().toDF("tbl", "v"), a, b, view,
+        pkA = Seq("id"), compareA = Seq("grp"),
+        pkB = Seq("bid"), compareB = Seq("aid", "x"),
+        joinKeysA = Seq("id"), joinKeysB = Seq("aid"),
+        groupKeys = Seq("grp"),
+        sums = Map("sum_x" -> col("x").cast("decimal(38,6)")),
+        trigger = Trigger.ProcessingTime(0)).start()
+
+    val va0 = MergeOps.prunedConditionalUpsert(a,
+      stamp(Seq(1L -> "g1", 2L -> "g2").toDF("id", "grp")),
+      pk = Seq("id"), tracked = Seq("grp"),
+      runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 4, keepVersions = 4)
+    val vb0 = loadB(1.0, "2024-01-01 00:00:00")
+    val in1 = MemoryStream[(String, Long)]
+    in1.addData(("a", va0), ("b", vb0))
+    val q1 = consumer(in1)
+    try q1.processAllAvailable() finally q1.stop()
+
+    // consumer sleeps while B churns three full rewrites — vb0's manifest
+    // is vacuumed out from under the applied marker
+    loadB(2.0, "2024-01-02 00:00:00")
+    loadB(3.0, "2024-01-03 00:00:00")
+    val vb3 = loadB(4.0, "2024-01-04 00:00:00")
+    assert(!Storage.partitionManifestRetained(b, vb0), "fixture: vb0 must be swept")
+
+    // the woken consumer cannot diff b against vb0 — it re-bootstraps
+    val in2 = MemoryStream[(String, Long)]
+    in2.addData(("b", vb3))
+    val q2 = consumer(in2)
+    try q2.processAllAvailable() finally q2.stop()
+    val got = Storage.readVersion(spark, view)
+      .select(col("grp"), col("count_rows"), col("sum_x").cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    // recompute at x = i*4: aid = i%2+1 → g1 gets even i (2,4,6), g2 odd (1,3,5)
+    assert(got == Seq(("g1", 3L, 4.0 * (2 + 4 + 6)), ("g2", 3L, 4.0 * (1 + 3 + 5))),
+      got.toString)
+  }
+
   test("CDF view maintenance self-heals when the consumer lags past base retention") {
     import graft.ops.{MergeOps, Storage}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
