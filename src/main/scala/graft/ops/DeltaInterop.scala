@@ -348,11 +348,14 @@ object DeltaInterop {
   /** Append commit `v` to the table-level log. `fullAdds` is the COMPLETE
     * current file set (the per-version log's own ++ carried adds, own paths
     * already prefixed `v<N>/`); the incremental entry is computed against
-    * the replayed previous state, then a checkpoint is cut when due. */
+    * the replayed previous state. Returns the checkpoint cut, deferred,
+    * when one is due: this append runs INSIDE the rename→pointer-swap
+    * window, and a Spark job there would stall every waiting writer —
+    * the caller invokes the thunk after the pointer lands. */
   private[graft] def appendTableCommit(
       spark: SparkSession, table: Path, v: Long,
       schema: StructType, partitionColumns: Seq[String],
-      fullAdds: Seq[Add]): Unit = {
+      fullAdds: Seq[Add]): Option[() => Unit] = {
     val logDir = tableLogDir(table)
     Files.createDirectories(logDir)
     val prev = replayState(spark, table, v - 1)
@@ -387,8 +390,9 @@ object DeltaInterop {
     Files.move(tmp, tableCommitFile(table, v),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     if (v > 0 && v % CheckpointInterval == 0)
-      writeCheckpoint(spark, table, v, schema, partitionColumns,
-        fullAdds.sortBy(_.path))
+      Some(() => writeCheckpoint(spark, table, v, schema, partitionColumns,
+        fullAdds.sortBy(_.path)))
+    else None
   }
 
   /** The protocol checkpoint for version `v`: ONE parquet file holding the
@@ -443,6 +447,44 @@ object DeltaInterop {
     Files.move(lcTmp, lastCheckpointFile(table),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** After orphan truncation: re-point `_last_checkpoint` at the newest
+    * SURVIVING checkpoint ≤ `cur`, or remove it only when none survives.
+    * Deleting it outright would silently demote every later read (and the
+    * next commit's replay) to O(history) JSON replay — and fail outright
+    * if any pre-checkpoint JSON has been corrupted or aged out, a state
+    * the checkpoint contract explicitly tolerates. */
+  private[graft] def demoteLastCheckpoint(table: Path, cur: Long): Unit = {
+    if (lastCheckpointVersion(table).forall(_ <= cur)) return
+    val dir = tableLogDir(table)
+    val s = Files.list(dir)
+    val surviving =
+      try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
+        .collect { case n if n.matches("\\d{20}\\.checkpoint\\.parquet") =>
+          n.stripSuffix(".checkpoint.parquet").toLong }
+        .filter(_ <= cur).maxOption
+      finally s.close()
+    surviving match {
+      case Some(v) =>
+        // the protocol's `size` = checkpoint row count, read off the footer
+        val rows = parquetRowCount(checkpointFile(table, v))
+        val tmp = dir.resolve(s".$LastCheckpoint-${java.util.UUID.randomUUID}.tmp")
+        Files.write(tmp, JsonMethods.compact(JsonMethods.render(JObject(
+          "version" -> JLong(v), "size" -> JLong(rows)))).getBytes("UTF-8"))
+        Files.move(tmp, lastCheckpointFile(table),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      case None => Files.deleteIfExists(lastCheckpointFile(table))
+    }
+  }
+
+  private def parquetRowCount(f: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
   }
 
   /** `_last_checkpoint`'s version, if a checkpoint exists. */

@@ -185,9 +185,19 @@ object Storage {
 
   private val GeometryFile = "_GEOMETRY.json"
 
-  /** The table's recorded bucket geometry, if any pruned write declared it. */
+  /** The table's recorded bucket geometry. The CURRENT version directory's
+    * in-commit marker wins (it changed atomically with the data — rebucket
+    * installs it, every later commit carries it forward); the table-root
+    * marker is the bootstrap/legacy fallback. */
   def declaredGeometry(table: Path): Option[Int] = {
-    val f = table.resolve(GeometryFile)
+    val inCommit = currentVersion(table)
+      .map(v => table.resolve(s"v$v").resolve(GeometryFile))
+      .filter(Files.exists(_))
+      .flatMap(parseGeometry)
+    inCommit.orElse(parseGeometry(table.resolve(GeometryFile)))
+  }
+
+  private def parseGeometry(f: Path): Option[Int] =
     if (!Files.exists(f)) None
     else {
       import org.json4s._
@@ -198,10 +208,21 @@ object Storage {
         case _        => None
       }
     }
+
+  private[graft] def geometryJson(nParts: Int): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.compact(JsonMethods.render(JObject("nParts" -> JInt(nParts))))
   }
 
   /** Validate the caller's `nParts` against the recorded geometry, or —
-    * for a table that predates the marker or is brand-new — adopt it. */
+    * for a table that predates the marker or is brand-new — adopt it.
+    * Adoption on a table with committed state sanity-checks the manifest:
+    * a bucket id at or beyond the claimed geometry proves the claim wrong
+    * (the reverse direction — claiming MORE buckets than the true layout —
+    * is undetectable from names alone; adoption necessarily trusts the
+    * caller there, which is still strictly safer than the pre-marker
+    * status quo of trusting every call). */
   private[graft] def validateGeometry(table: Path, nParts: Int): Unit =
     declaredGeometry(table) match {
       case Some(n) => require(n == nParts,
@@ -209,7 +230,22 @@ object Storage {
           s"nParts=$nParts — pruning would read the wrong buckets and " +
           "silently duplicate keys; pass the recorded geometry or run " +
           "Storage.rebucket to change it")
-      case None => setGeometry(table, nParts)
+      case None =>
+        currentVersion(table).map(v => table.resolve(s"v$v"))
+          .filter(d => Files.exists(d.resolve(PartsManifest)))
+          .foreach { vdir =>
+            val ids = readPartsManifest(vdir).keySet
+              .flatMap(_.split("=", 2) match {
+                case Array(_, i) => i.toIntOption
+                case _ => None
+              })
+            val tooBig = ids.filter(_ >= nParts)
+            require(tooBig.isEmpty,
+              s"adopting nParts=$nParts at $table, but the committed " +
+                s"manifest holds bucket id(s) ${tooBig.toSeq.sorted.take(3).mkString(", ")} " +
+                s">= $nParts — the table was laid out with a larger geometry")
+          }
+        setGeometry(table, nParts)
     }
 
   private[graft] def setGeometry(table: Path, nParts: Int): Unit = {
@@ -272,9 +308,13 @@ object Storage {
         s"extra file '$name' must be hidden ('_'/'.' prefix) or Spark would list it as data")
       Files.write(staging.resolve(name), content.getBytes("UTF-8"))
     }
+    var deferredCkpt: Option[() => Unit] = None
     casPromote(table, staging, v, beforePointerSwap = () =>
-      DeltaInterop.appendTableCommit(next.sparkSession, table, v, next.schema, Nil,
-        adds.map(a => a.copy(path = s"v$v/${a.path}"))))
+      deferredCkpt = DeltaInterop.appendTableCommit(next.sparkSession, table, v,
+        next.schema, Nil, adds.map(a => a.copy(path = s"v$v/${a.path}"))))
+    // checkpoint cut AFTER the pointer lands: it is a Spark job, and inside
+    // the swap window it would stall every concurrent writer's wait loop
+    deferredCkpt.foreach(_.apply())
     // re-read the mark: an operator may have RAISED retention while the
     // (slow) data write ran — vacuuming with the stale value would sweep
     // the newly-declared window
@@ -296,13 +336,18 @@ object Storage {
     * the committed pointer after a crash — repairOrphans truncates it. */
   private def casPromote(table: Path, staging: Path, v: Long,
       beforePointerSwap: () => Unit = () => ()): Unit = {
-    if (!tryRename(table, staging, v)) {
-      deleteRecursively(staging)
-      throw new java.util.ConcurrentModificationException(
-        s"lost update committing v$v at $table: the version directory " +
-          "already exists — another writer won the race, or a crashed " +
-          "commit left an unpointed orphan (single-writer recovery: " +
-          "Storage.repairOrphans(table))")
+    val dir = table.resolve(s"v$v")
+    // inline move (not tryRename) so the CME carries the filesystem-level
+    // cause — the message on this path is operator-facing diagnostics
+    try Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileSystemException if Files.exists(dir) =>
+        deleteRecursively(staging)
+        throw new java.util.ConcurrentModificationException(
+          s"lost update committing v$v at $table: the version directory " +
+            "already exists — another writer won the race, or a crashed " +
+            "commit left an unpointed orphan (single-writer recovery: " +
+            "Storage.repairOrphans(table))", e)
     }
     beforePointerSwap()
     swapPointer(table, v)
@@ -378,6 +423,8 @@ object Storage {
         case n if n.startsWith(".staging-") => deleteRecursively(table.resolve(n))
         case n if n.matches("v\\d+") && n.drop(1).toLong > cur =>
           deleteRecursively(table.resolve(n))
+        case n if n.startsWith(s"$Latest.tmp") => // crashed pointer-swap litter
+          Files.deleteIfExists(table.resolve(n))
         case _ => ()
       }
       // table-level Delta log: truncate entries describing orphan versions
@@ -398,8 +445,7 @@ object Storage {
           case n if n.startsWith(".") => deleteRecursively(logDir.resolve(n))
           case _ => ()
         }
-        if (DeltaInterop.lastCheckpointVersion(table).exists(_ > cur))
-          Files.deleteIfExists(DeltaInterop.lastCheckpointFile(table))
+        DeltaInterop.demoteLastCheckpoint(table, cur)
       }
     }
 
@@ -668,7 +714,11 @@ object Storage {
     * live. */
   def commitPartitions(next: DataFrame, table: Path, partCol: String,
       keepVersions: Int = 1, dropParts: Set[String] = Set.empty,
-      fileStats: Boolean = true): Long = {
+      fileStats: Boolean = true,
+      extraFiles: Map[String, String] = Map.empty,
+      dropAbsent: Boolean = false): Long = {
+    require(!dropAbsent || dropParts.isEmpty,
+      "dropAbsent replaces dropParts — passing both is contradictory")
     require(keepVersions >= 1, s"keepVersions must be >= 1 (got $keepVersions)")
     // a leading _/. would write partition dirs Spark's listing treats as
     // hidden — silently invisible data
@@ -707,6 +757,19 @@ object Storage {
     val declared = declareAgainst(base)
     val staging = newStaging(table, v)
     next.write.partitionBy(partCol).mode("overwrite").parquet(staging.toString)
+    extraFiles.foreach { case (name, content) =>
+      require(name.startsWith("_") || name.startsWith("."),
+        s"extra file '$name' must be hidden ('_'/'.' prefix) or Spark would list it as data")
+      Files.write(staging.resolve(name), content.getBytes("UTF-8"))
+    }
+    // geometry travels WITH the commit: carry the current version's marker
+    // forward unless this commit installs a new one (rebucket via
+    // extraFiles) — the in-commit copy is the atomic truth a crash or a
+    // concurrent writer can never observe half-applied
+    if (!extraFiles.contains(GeometryFile))
+      base.map(b => table.resolve(s"v$b").resolve(GeometryFile))
+        .filter(Files.exists(_))
+        .foreach(g => Files.copy(g, staging.resolve(GeometryFile)))
     val s = Files.list(staging)
     val written =
       try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
@@ -715,7 +778,7 @@ object Storage {
     // a typo'd/stale dropParts entry would be silently ignored by
     // `prev -- dropParts` — the old bytes staying live is exactly the
     // hazard dropParts exists to prevent, so an unknown name fails loudly
-    if (!dropParts.subsetOf(prev.keySet)) {
+    if (!dropAbsent && !dropParts.subsetOf(prev.keySet)) {
       deleteRecursively(staging)
       throw new IllegalArgumentException(
         s"dropParts ${dropParts -- prev.keySet} not present in the " +
@@ -751,7 +814,11 @@ object Storage {
     var committedV = -1L
     var committedManifest = Map.empty[String, Long]
     while (committedV < 0) {
-      val manifest = (curPrev -- dropParts) ++ written.map(_ -> curV)
+      // dropAbsent = full-replace semantics per partition (the rebucket
+      // shape): every previous name this write did not reproduce drops
+      val effDrop =
+        if (dropAbsent) curPrev.keySet -- written.toSet else dropParts
+      val manifest = (curPrev -- effDrop) ++ written.map(_ -> curV)
       Files.write(staging.resolve(PartsManifest),
         JsonMethods.compact(JsonMethods.render(JObject(
           manifest.toSeq.sortBy(_._1).map { case (k, ver) => k -> JLong(ver) }.toList
@@ -783,9 +850,10 @@ object Storage {
           else a
         } else a
       if (tryRename(table, staging, curV)) {
-        DeltaInterop.appendTableCommit(next.sparkSession, table, curV, curDeclared,
-          Seq(partCol), adds.map(tableRel))
+        val deferredCkpt = DeltaInterop.appendTableCommit(next.sparkSession, table,
+          curV, curDeclared, Seq(partCol), adds.map(tableRel))
         swapPointer(table, curV)
+        deferredCkpt.foreach(_.apply()) // Spark job: outside the swap window
         committedV = curV
         committedManifest = manifest
       } else {
@@ -795,7 +863,7 @@ object Storage {
           val newPrev = readPartsManifest(table.resolve(s"v$newBase"))
           val touched = (curPrev.keySet ++ newPrev.keySet)
             .filter(p => curPrev.get(p) != newPrev.get(p))
-          val overlap = touched.intersect(written.toSet ++ dropParts)
+          val overlap = touched.intersect(written.toSet ++ effDrop)
           if (overlap.nonEmpty)
             throw new java.util.ConcurrentModificationException(
               s"conflicting concurrent commit at $table: partition(s) " +
@@ -996,19 +1064,20 @@ object Storage {
       throw new IllegalStateException(s"no committed version at $table"))
     require(Files.exists(table.resolve(s"v$v").resolve(PartsManifest)),
       s"$table is not partition-manifested — rebucket applies to pbucket layouts")
-    val prev = readPartsManifest(table.resolve(s"v$v"))
     val composed = readPartitionedVersion(spark, table).drop("pbucket")
     val bucket = MergeOps.pkBucket(pk, newN)
-    // the names this geometry actually produces — O(newN) driver rows;
-    // anything else in the old manifest must be dropped, not carried
-    val produced = composed.select(bucket.as("pbucket")).distinct()
-      .collect().map(r => s"pbucket=${r.getInt(0)}").toSet
+    // dropAbsent: every old partition name the new hash does not reproduce
+    // drops in the SAME commit (computed from the staged write — no extra
+    // pre-scan); the in-commit _GEOMETRY marker makes the new nParts land
+    // atomically WITH the layout, so no crash or concurrent-writer window
+    // can observe 16-way data under an 8-way marker or vice versa
     val committed = commitPartitions(
       composed.withColumn("pbucket", bucket)
         .repartition(newN, org.apache.spark.sql.functions.col("pbucket")),
       table, "pbucket", keepVersions = keepVersions,
-      dropParts = prev.keySet -- produced, fileStats = fileStats)
-    setGeometry(table, newN) // pruned writers validate against this
+      fileStats = fileStats, dropAbsent = true,
+      extraFiles = Map(GeometryFile -> geometryJson(newN)))
+    setGeometry(table, newN) // best-effort root sync for the legacy fallback
     committed
   }
 

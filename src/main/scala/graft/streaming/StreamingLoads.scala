@@ -325,6 +325,18 @@ object StreamingLoads {
           }
           val bothCommitted = Storage.currentVersion(tableA).nonEmpty &&
             Storage.currentVersion(tableB).nonEmpty
+          // a plain commitVersion base has no partition manifests: every
+          // retained-check below would be false forever and the maintainer
+          // would consume events while committing NOTHING — fail loudly at
+          // the first delivery instead of silently no-opping
+          if (bothCommitted)
+            Seq(("A", tableA), ("B", tableB)).foreach { case (tag, t) =>
+              require(Storage.currentVersion(t)
+                  .exists(v => Storage.partitionManifestRetained(t, v)),
+                s"join-view maintenance base $tag ($t) is not " +
+                  "partition-manifested — commit it with commitPartitions/" +
+                  "prunedConditionalUpsert, not commitVersion")
+            }
           val next = applied match {
             case _ if !bothCommitted => None // cannot join a missing side yet
             case Some((a, b)) if tA == a && tB == b =>

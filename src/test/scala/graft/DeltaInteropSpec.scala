@@ -262,6 +262,34 @@ class DeltaInteropSpec extends SparkTestBase {
     assert(e.exceptAll(own).isEmpty && own.exceptAll(e).isEmpty)
   }
 
+  test("table log: repairOrphans DEMOTES _last_checkpoint to the newest surviving checkpoint") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("tlog_demote").resolve("t")
+    (0 until 12).foreach { k =>
+      Storage.commitVersion(spark.range(k + 1).select($"id".as("k")), table)
+    }
+    assert(DeltaInterop.lastCheckpointVersion(table).contains(10L))
+    // crash simulation: v12 promoted, its log entry + checkpoint + pointer
+    // update all written, _LATEST never swapped
+    val logDir = DeltaInterop.tableLogDir(table)
+    Files.copy(logDir.resolve(f"${11L}%020d.json"), logDir.resolve(f"${12L}%020d.json"))
+    Files.copy(DeltaInterop.checkpointFile(table, 10L),
+      DeltaInterop.checkpointFile(table, 12L))
+    Files.write(DeltaInterop.lastCheckpointFile(table),
+      """{"version":12,"size":3}""".getBytes("UTF-8"))
+    Storage.repairOrphans(table)
+    // the pointer must fall BACK to 10, not vanish: deleting it would
+    // demote every read to O(history) JSON replay — prove it by corrupting
+    // the pre-checkpoint JSONs and reading anyway
+    assert(DeltaInterop.lastCheckpointVersion(table).contains(10L),
+      "must demote to the surviving checkpoint, not delete the pointer")
+    assert(!Files.exists(DeltaInterop.checkpointFile(table, 12L)))
+    (0L to 10L).foreach { v =>
+      Files.write(logDir.resolve(f"$v%020d.json"), "NOT JSON".getBytes("UTF-8"))
+    }
+    assert(DeltaInterop.readTableSnapshot(spark, table).count() == 12)
+  }
+
   test("table log: repairOrphans truncates an above-pointer entry") {
     import spark.implicits._
     val table = Files.createTempDirectory("tlog_repair").resolve("t")

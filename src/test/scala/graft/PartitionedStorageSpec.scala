@@ -475,6 +475,37 @@ class PartitionedStorageSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { load(Seq(2L -> "Y"), 8) }
     assert(Storage.readPartitionedVersion(spark, table)
       .filter(col("k") === 1L).select("attr").head.getString(0) == "X")
+    // the marker travels WITH the commits (rebucket installs it in its
+    // version dir, later commits carry it forward) — the root copy is only
+    // the legacy fallback: delete it and resolution must still say 16
+    Files.delete(table.resolve("_GEOMETRY.json"))
+    assert(Storage.declaredGeometry(table).contains(16),
+      "in-commit geometry marker must survive without the root fallback")
+    intercept[IllegalArgumentException] { load(Seq(3L -> "Z"), 8) }
+  }
+
+  test("geometry adoption on a pre-marker table rejects an nParts smaller than the laid-out ids") {
+    import graft.ops.MergeOps
+    import spark.implicits._
+    // simulate a legacy table: committed directly (no validate, no marker)
+    // with a 16-way layout
+    val table = Files.createTempDirectory("geometry_adopt").resolve("t")
+    Storage.commitPartitions(
+      spark.range(100).select($"id".as("k"), lit("x").as("attr"),
+        lit(null).cast("timestamp").as("loaded_at"),
+        lit(null).cast("timestamp").as("last_upd_at"),
+        pmod(xxhash64($"id"), lit(16)).cast("int").as("pbucket")),
+      table, "pbucket")
+    assert(Storage.declaredGeometry(table).isEmpty)
+    // adopting nParts=8 would read the wrong buckets — the manifest's ids
+    // 8..15 prove the claim wrong, so adoption fails loudly
+    val e = intercept[IllegalArgumentException] {
+      MergeOps.prunedDelete(table, Seq(1L).toDF("k"), pk = Seq("k"), nParts = 8)
+    }
+    assert(e.getMessage.contains(">= 8"), e.getMessage)
+    // the true geometry adopts cleanly
+    MergeOps.prunedDelete(table, Seq(1L).toDF("k"), pk = Seq("k"), nParts = 16)
+    assert(Storage.declaredGeometry(table).contains(16))
   }
 
   test("rebucket shrink: old bucket names beyond the new geometry are dropped, not carried") {

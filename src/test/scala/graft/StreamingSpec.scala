@@ -395,6 +395,39 @@ class StreamingSpec extends SparkTestBase {
     assert(state() == Seq(("g2", 2L, 7.0)))
   }
 
+  test("join-view maintenance fails loudly on a non-manifested base instead of no-opping forever") {
+    import graft.ops.Storage
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("join_view_plain")
+    val a = dir.resolve("dim")
+    val b = dir.resolve("fact")
+    // WRONG layout: plain commitVersion tables have no partition manifests,
+    // so no change feed exists to maintain from
+    Storage.commitVersion(Seq(1L -> "g1").toDF("id", "grp"), a)
+    Storage.commitVersion(Seq((10L, 1L, 1.0)).toDF("bid", "aid", "x"), b)
+    val in = MemoryStream[(String, Long)]
+    in.addData(("a", 0L), ("b", 0L))
+    val q = StreamingLoads.foreachBatchJoinViewMaintain(
+      in.toDF().toDF("tbl", "v"), a, b, dir.resolve("view"),
+      pkA = Seq("id"), compareA = Seq("grp"),
+      pkB = Seq("bid"), compareB = Seq("aid", "x"),
+      joinKeysA = Seq("id"), joinKeysB = Seq("aid"),
+      groupKeys = Seq("grp"),
+      sums = Map("sum_x" -> col("x").cast("decimal(38,6)")),
+      trigger = Trigger.ProcessingTime(0)).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => Option(c.getMessage).exists(_.contains("not partition-manifested"))),
+      s"expected the loud layout diagnosis, got: $e")
+  }
+
   test("join-view maintenance self-heals when the consumer lags past a base's retention") {
     import graft.ops.{MergeOps, Storage}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
