@@ -257,6 +257,52 @@ object TextQueries {
              |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
              |GROUP BY d.doc_id""".stripMargin)),
 
+    // Leakage-free train/test split — the dedup-aware form of split1: a
+    // near-dup CLUSTER lands wholly in one split, or test examples leak
+    // into training through their duplicates (the contamination path that
+    // doc-level splitting cannot close). Split key = the connected
+    // component (d7's clusters) instead of the doc id, through the same
+    // engine-portable md5-bucket rule as split1, so the oracle replicates
+    // the assignment exactly. Scale: the components build is d7's
+    // banded-candidate plan; the split itself stays map-only.
+    Q("split2_leakage_free_split",
+      (s, d) => {
+        val comps = Components.connectedComponents(
+            Tables.documents(s, d).select(col("doc_id").as("id")),
+            NearDup.jaccardPairs(Tables.documents(s, d), 3, 0.2)
+              .select(col("doc_a"), col("doc_b")),
+            "doc_a", "doc_b")
+          .select(col("id").as("doc_id"), col("component"))
+        Sampling.deterministicSplit(comps, col("component"), test256 = 26, val256 = 25)
+          .select(col("doc_id"), col("component"), col("split"))
+      },
+      Some(s"""WITH RECURSIVE docs AS (SELECT doc_id, ${wordsSql} AS ws FROM documents),
+             |grams AS (SELECT doc_id,
+             |    unnest(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) AS g
+             |  FROM docs),
+             |sh AS (SELECT DISTINCT doc_id, g FROM grams),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+             |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |pairs AS (SELECT doc_a, doc_b FROM inter
+             |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+             |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.2),
+             |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+             |          UNION SELECT doc_b, doc_a FROM pairs),
+             |reach AS (
+             |  SELECT a AS src, b AS dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+             |comp AS (SELECT d.doc_id,
+             |    LEAST(d.doc_id, coalesce(MIN(r.dst), d.doc_id)) AS component
+             |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+             |  GROUP BY d.doc_id)
+             |SELECT doc_id, component,
+             |  CASE WHEN substring(md5(CAST(component AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+             |       WHEN substring(md5(CAST(component AS VARCHAR)), 1, 2) < '33' THEN 'validation'
+             |       ELSE 'train' END AS split
+             |FROM comp""".stripMargin)),
+
     // Embedding-cosine near-dup pairs, label-blocked (the blocking key
     // bounds the candidate set the way LSH buckets do at scale); exact
     // fixed-point cosine so the oracle matches bit-for-bit. The
@@ -607,23 +653,27 @@ object TextQueries {
              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
 
     // IVF+PQ compressed ANN (VERDICT r9 item 8): same IVF lists as sim4,
-    // but candidates are ranked from product-quantized codes (m=8
+    // but candidates are ranked from product-quantized codes (m=16
     // subspaces × 16-entry codebooks, exact fixed-point L2 training)
     // under asymmetric distance — O(m) lookup-adds per candidate, m codes
-    // per vector in the index — then the top-100 ADC pool re-scores
-    // exactly. ORACLE-CHECKED against the exact top-10 (sim1's SQL): the
-    // ADC pool's recall@10 is 1.0 at this geometry on the weakly-
-    // clustered fixture (grid-measured; SimilarityPqSpec pins it), so the
-    // re-ranked output must be bit-identical to brute force — the recall
-    // IS the hash check, as with sim4.
+    // per vector in the index — then the ADC pool re-scores exactly. The
+    // pool SCALES WITH THE CORPUS (max(100, n/10)): a fixed pool that
+    // reached recall 1.0 at 500 vectors measurably lost true neighbors at
+    // the 2000-vector sf0.1 fixture (caught by an off-gate sf0.1 oracle
+    // sweep; geometry re-gridded there — m=8 was too coarse at any pool
+    // width, m=16 + the scaled pool restores 1.0 at every SF).
+    // ORACLE-CHECKED against the exact top-10 (sim1's SQL): recall 1.0
+    // means the re-ranked output is bit-identical to brute force — the
+    // recall IS the hash check, as with sim4.
     Q("sim6_ivfpq_topk",
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
         val centroids = Similarity.kmeansCentroids(e, c = 8, iters = 3)
-        val books = Similarity.pqCodebooks(e, m = 8, ksub = 16, iters = 2)
+        val books = Similarity.pqCodebooks(e, m = 16, ksub = 16, iters = 2)
         Similarity.ivfPqTopK(e, q, centroids, books,
-          m = 8, k = 10, nprobe = 4, rerank = 100)
+          m = 16, k = 10, nprobe = 4,
+          rerank = math.max(100L, e.count() / 10).toInt)
       },
       Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
              |q AS (SELECT embedding AS qe FROM e WHERE vec_id = 0),
