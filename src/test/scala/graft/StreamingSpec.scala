@@ -395,6 +395,46 @@ class StreamingSpec extends SparkTestBase {
     assert(state() == Seq(("g2", 2L, 7.0)))
   }
 
+  test("join-view maintenance: a first delivery naming only ONE side bootstraps the other at its current version") {
+    import graft.ops.{MergeOps, Storage}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("join_view_oneside")
+    val a = dir.resolve("dim")
+    val b = dir.resolve("fact")
+    val view = dir.resolve("view")
+    def stamp(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("loaded_at", lit(null).cast("timestamp"))
+      .withColumn("last_upd_at", lit(null).cast("timestamp"))
+    val va0 = MergeOps.prunedConditionalUpsert(a,
+      stamp(Seq(1L -> "g1", 2L -> "g2").toDF("id", "grp")),
+      pk = Seq("id"), tracked = Seq("grp"),
+      runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 4, keepVersions = 4)
+    MergeOps.prunedConditionalUpsert(b,
+      stamp(Seq((10L, 1L, 1.0), (11L, 2L, 2.0)).toDF("bid", "aid", "x")),
+      pk = Seq("bid"), tracked = Seq("aid", "x"),
+      runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 4, keepVersions = 4)
+    // only A's commit event arrives — B's side must fall back to its
+    // current committed version instead of failing on an empty max
+    val in = MemoryStream[(String, Long)]
+    in.addData(("a", va0))
+    val q = StreamingLoads.foreachBatchJoinViewMaintain(
+      in.toDF().toDF("tbl", "v"), a, b, view,
+      pkA = Seq("id"), compareA = Seq("grp"),
+      pkB = Seq("bid"), compareB = Seq("aid", "x"),
+      joinKeysA = Seq("id"), joinKeysB = Seq("aid"),
+      groupKeys = Seq("grp"),
+      sums = Map("sum_x" -> col("x").cast("decimal(38,6)")),
+      trigger = Trigger.ProcessingTime(0)).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = Storage.readVersion(spark, view)
+      .select(col("grp"), col("count_rows"), col("sum_x").cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("g1", 1L, 1.0), ("g2", 1L, 2.0)), got.toString)
+  }
+
   test("join-view maintenance fails loudly on a non-manifested base instead of no-opping forever") {
     import graft.ops.Storage
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

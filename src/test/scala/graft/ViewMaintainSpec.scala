@@ -129,6 +129,24 @@ class ViewMaintainSpec extends SparkTestBase {
     }
   }
 
+  test("broadcastDeltas=false (bulk-backfill plan) computes the identical delta") {
+    val a0: ARel = Map(1L -> 10L, 2L -> 20L, 3L -> 30L)
+    val b0: BRel = Map(100L -> (1L, 5L), 101L -> (2L, 6L), 102L -> (3L, 7L))
+    val a1 = a0.updated(1L, 11L).removed(3L)
+    val b1 = b0.updated(100L, (2L, 9L)) + (103L -> (1L, 8L))
+    val dA = Seq((1L, 10L, -1), (1L, 11L, 1), (3L, 30L, -1))
+    val dB = Seq((100L, 1L, 5L, -1), (100L, 2L, 9L, 1), (103L, 1L, 8L, 1))
+    val broadcasted = collectDelta(joinDelta(
+      aDF(a0), dADF(dA), bDF(b1), dBDF(dB), Seq("ak"), Seq("bfk")))
+    val shuffled = collectDelta(joinDelta(
+      aDF(a0), dADF(dA), bDF(b1), dBDF(dB), Seq("ak"), Seq("bfk"),
+      broadcastDeltas = false))
+    assert(shuffled.groupBy(identity).view.mapValues(_.size).toMap ==
+      broadcasted.groupBy(identity).view.mapValues(_.size).toMap,
+      "the broadcast knob is a physical-plan choice, never a semantic one")
+    assert(fold(recompute(a0, b0), shuffled) == recompute(a1, b1))
+  }
+
   test("empty deltas: one side unchanged, and both unchanged, are exact no-ops") {
     val a: ARel = Map(1L -> 10L, 2L -> 20L)
     val b: BRel = Map(100L -> (1L, 5L), 101L -> (2L, 6L), 102L -> (1L, 7L))
