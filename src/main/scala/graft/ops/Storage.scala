@@ -706,6 +706,13 @@ object Storage {
     * table. Partitions absent from `next` keep their existing bytes and are
     * carried forward by manifest reference. Returns the new version.
     *
+    * `extraFiles` (name → content, hidden `_`/`.` names only) land inside
+    * the staging dir and so commit or vanish WITH the data — same contract
+    * as commitVersion's (rebucket's atomic `_GEOMETRY.json` rides here).
+    * `dropAbsent` switches to full-replace-per-partition semantics: every
+    * previous name this write did not reproduce drops in the same commit
+    * (mutually exclusive with `dropParts`; the rebucket shape).
+    *
     * `dropParts` removes partitions from the table without rewriting
     * anything (the Delta `remove`-action shape): a partition whose next
     * state is EMPTY writes no directory at all, so "absent from `next`"

@@ -606,6 +606,30 @@ class PartitionedStorageSpec extends SparkTestBase {
       .filter(col("k") === 3L).select("attr").head.getString(0) == "c")
   }
 
+  test("three unsynchronized disjoint writers all land, any interleaving") {
+    // no gates: the threads race freely — whatever CAS order the host
+    // produces, the disjoint-retry path must land all three (retries up
+    // to MaxCommitAttempts absorb repeated losses)
+    val table = Files.createTempDirectory("occ_three").resolve("t")
+    Storage.commitPartitions(
+      bucketRows((1L, "a", 0), (2L, "b", 1), (3L, "c", 2), (4L, "d", 3)),
+      table, "pbucket", keepVersions = 8)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(1, 2, 3).map { b =>
+      new Thread(() => {
+        try Storage.commitPartitions(
+          bucketRows((b + 1L, s"W$b", b)), table, "pbucket", keepVersions = 8)
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"all disjoint writers must land: ${errs.peek()}")
+    assert(Storage.currentVersion(table).contains(3L), "three commits expected")
+    val fin = Storage.readPartitionedVersion(spark, table)
+      .select("k", "attr").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fin == Map(1L -> "a", 2L -> "W1", 3L -> "W2", 4L -> "W3"), fin.toString)
+  }
+
   test("overlapping concurrent commitPartitions: the rename loser aborts loudly, no silent clobber") {
     import java.nio.file.{Files => F}
     val table = Files.createTempDirectory("occ_overlap").resolve("t")
