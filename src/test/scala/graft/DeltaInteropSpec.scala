@@ -262,6 +262,31 @@ class DeltaInteropSpec extends SparkTestBase {
     assert(e.exceptAll(own).isEmpty && own.exceptAll(e).isEmpty)
   }
 
+  test("table log: a 25-commit history crosses TWO checkpoints; replay always starts at the newest") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("tlog_two_ckpt").resolve("t")
+    (0 until 25).foreach { k =>
+      Storage.commitVersion(
+        spark.range(k + 1).select($"id".as("k"), lit(k).as("commit_no")), table)
+    }
+    // checkpoints cut at 10 and 20; the pointer tracks the newest
+    assert(Files.exists(DeltaInterop.checkpointFile(table, 10L)))
+    assert(Files.exists(DeltaInterop.checkpointFile(table, 20L)))
+    assert(DeltaInterop.lastCheckpointVersion(table).contains(20L))
+    // replay must ignore EVERYTHING at or below 20 — including the older
+    // checkpoint and the JSONs between the two checkpoints
+    val logDir = DeltaInterop.tableLogDir(table)
+    (0L to 20L).foreach { v =>
+      Files.write(logDir.resolve(f"$v%020d.json"), "NOT JSON".getBytes("UTF-8"))
+    }
+    Files.write(DeltaInterop.checkpointFile(table, 10L), "NOT PARQUET".getBytes("UTF-8"))
+    val ext = DeltaInterop.readTableSnapshot(spark, table)
+    assert(ext.count() == 25 && ext.agg(max($"commit_no")).head.getInt(0) == 24)
+    val own = Storage.readVersion(spark, table)
+    assert(ext.select("k", "commit_no").exceptAll(own.select("k", "commit_no")).isEmpty &&
+      own.select("k", "commit_no").exceptAll(ext.select("k", "commit_no")).isEmpty)
+  }
+
   test("table log: repairOrphans DEMOTES _last_checkpoint to the newest surviving checkpoint") {
     import spark.implicits._
     val table = Files.createTempDirectory("tlog_demote").resolve("t")
