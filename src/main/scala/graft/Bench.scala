@@ -65,7 +65,14 @@ object Bench {
     // nothing is cached between reps (no persist anywhere; a fresh
     // DataFrame per rep would also defeat Spark's per-DataFrame plan
     // reuse).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-loop filter: SPARK_GRAFT_ONLY="m11,stream6" times just those
+    // queries — the full artifact (bench_full.json) is only meaningful
+    // from an unfiltered run, so a filtered run skips the overwrite below
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         // toRdd.count() forces EVERY output column to be computed; a bare
@@ -135,7 +142,7 @@ object Bench {
     // Full per-query breakdown → file (the consumer of stdout keeps only the
     // last ~2000 chars, which an 82-entry map overflows).
     val full = line(results, regressions)
-    try {
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }

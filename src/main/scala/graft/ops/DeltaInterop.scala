@@ -51,9 +51,17 @@ import org.json4s.jackson.JsonMethods
   *
   * Limitations (documented, not hidden): partition values are written raw
   * (the tables here use numeric bucket values — no special-character
-  * escaping); the table-level log entry can trail the `_LATEST` pointer by
-  * at most the one in-flight commit after a crash
-  * ([[Storage.repairOrphans]] reconciles).
+  * escaping); the table-level log entry for v is written BEFORE the
+  * `_LATEST` pointer swap, so the log LEADS the pointer by at most one
+  * in-flight commit — an external follower replaying the raw log can
+  * observe a version that a crash subsequently retracts
+  * ([[Storage.repairOrphans]] truncates it; [[readTableSnapshot]] caps
+  * replay at the committed pointer and never serves it); protocol
+  * checkpoints carry protocol/metaData/add rows only — `remove`
+  * tombstones are dropped at the checkpoint boundary (fine for
+  * current-state reads, a deviation for tombstone-aware external
+  * behaviors such as vacuum coordination or incremental readers that
+  * resume from before the cut).
   */
 object DeltaInterop {
 
@@ -348,17 +356,19 @@ object DeltaInterop {
   /** Append commit `v` to the table-level log. `fullAdds` is the COMPLETE
     * current file set (the per-version log's own ++ carried adds, own paths
     * already prefixed `v<N>/`); the incremental entry is computed against
-    * the replayed previous state. Returns the checkpoint cut, deferred,
-    * when one is due: this append runs INSIDE the rename→pointer-swap
-    * window, and a Spark job there would stall every waiting writer —
-    * the caller invokes the thunk after the pointer lands. */
+    * `prev`, the replayed previous state — the CALLER computes it (via
+    * [[replayState]]`(table, v-1)`) BEFORE entering the rename→pointer-swap
+    * window, so the only work inside the window is this one JSON write.
+    * Returns the checkpoint cut, deferred, when one is due: the checkpoint
+    * is a driver-side parquet write of the full live-file state — cheap but
+    * O(live files), so the caller invokes the thunk after the pointer
+    * lands to keep the swap window minimal for waiting writers. */
   private[graft] def appendTableCommit(
-      spark: SparkSession, table: Path, v: Long,
+      table: Path, v: Long,
       schema: StructType, partitionColumns: Seq[String],
-      fullAdds: Seq[Add]): Option[() => Unit] = {
+      fullAdds: Seq[Add], prev: Map[String, Add]): Option[() => Unit] = {
     val logDir = tableLogDir(table)
     Files.createDirectories(logDir)
-    val prev = replayState(spark, table, v - 1)
     val curPaths = fullAdds.map(_.path).toSet
     val removes = prev.valuesIterator.filterNot(a => curPaths.contains(a.path))
       .toSeq.sortBy(_.path)
@@ -390,60 +400,119 @@ object DeltaInterop {
     Files.move(tmp, tableCommitFile(table, v),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     if (v > 0 && v % CheckpointInterval == 0)
-      Some(() => writeCheckpoint(spark, table, v, schema, partitionColumns,
+      Some(() => writeCheckpoint(table, v, schema, partitionColumns,
         fullAdds.sortBy(_.path)))
     else None
   }
 
+  /** The checkpoint's parquet schema (protocol + metaData + add columns,
+    * standard 3-level LIST/MAP so Spark, Trino, or DuckDB read it as the
+    * struct shape the Delta protocol prescribes). Kept as a parsed
+    * MessageType because the checkpoint is written and read with the
+    * parquet-hadoop Group API on the DRIVER — it is one metadata-sized
+    * file, and routing it through a Spark job (the old shape:
+    * `parallelize(rows,1).coalesce(1).write`) charged every commit-heavy
+    * workload a full job-launch fee for a driver-sized write. */
+  private lazy val ckptMessageType: org.apache.parquet.schema.MessageType =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message delta_checkpoint {
+        |  optional group protocol {
+        |    optional int32 minReaderVersion;
+        |    optional int32 minWriterVersion;
+        |  }
+        |  optional group metaData {
+        |    optional binary id (UTF8);
+        |    optional group format {
+        |      optional binary provider (UTF8);
+        |    }
+        |    optional binary schemaString (UTF8);
+        |    optional group partitionColumns (LIST) {
+        |      repeated group list {
+        |        optional binary element (UTF8);
+        |      }
+        |    }
+        |    optional int64 createdTime;
+        |  }
+        |  optional group add {
+        |    optional binary path (UTF8);
+        |    optional group partitionValues (MAP) {
+        |      repeated group key_value {
+        |        required binary key (UTF8);
+        |        optional binary value (UTF8);
+        |      }
+        |    }
+        |    optional int64 size;
+        |    optional int64 modificationTime;
+        |    optional boolean dataChange;
+        |    optional binary stats (UTF8);
+        |  }
+        |}""".stripMargin)
+
   /** The protocol checkpoint for version `v`: ONE parquet file holding the
     * reconciled state (protocol + metaData + every live add), then the
-    * `_last_checkpoint` pointer. Spark writes a directory, so the single
-    * part-file is moved onto the protocol's `<v>.checkpoint.parquet` name. */
+    * `_last_checkpoint` pointer. Written entirely on the driver with the
+    * parquet-hadoop Group API — no Spark job, no task scheduling: the
+    * state is already in memory and the file is metadata-sized, so the
+    * checkpoint fee per [[CheckpointInterval]] commits is a local file
+    * write.
+    *
+    * Limitation (deliberate, documented): only protocol/metaData/add rows
+    * are written — `remove` tombstones are not carried across the
+    * checkpoint boundary. Current-state readers (this module's
+    * [[readTableSnapshot]] and typical external snapshot reads) are
+    * unaffected; tombstone-aware behaviors spanning the checkpoint
+    * (vacuum coordination, incremental readers resuming from before the
+    * cut) deviate from the reference Delta checkpoint format. */
   private def writeCheckpoint(
-      spark: SparkSession, table: Path, v: Long,
+      table: Path, v: Long,
       schema: StructType, partitionColumns: Seq[String], state: Seq[Add]): Unit = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    val ckptSchema = StructType(Seq(
-      StructField("protocol", StructType(Seq(
-        StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType))), nullable = true),
-      StructField("metaData", StructType(Seq(
-        StructField("id", StringType),
-        StructField("format", StructType(Seq(StructField("provider", StringType)))),
-        StructField("schemaString", StringType),
-        StructField("partitionColumns", ArrayType(StringType)),
-        StructField("createdTime", LongType))), nullable = true),
-      StructField("add", StructType(Seq(
-        StructField("path", StringType),
-        StructField("partitionValues", MapType(StringType, StringType)),
-        StructField("size", LongType),
-        StructField("modificationTime", LongType),
-        StructField("dataChange", BooleanType),
-        StructField("stats", StringType))), nullable = true)))
-    val rows: Seq[Row] =
-      Row(Row(1, 2), null, null) ::
-      Row(null, Row(tableId(table), Row("parquet"), schema.json,
-        partitionColumns, System.currentTimeMillis()), null) ::
-      state.map(a => Row(null, null,
-        Row(a.path, a.partitionValues, a.size, a.modificationTime, true,
-          a.stats.orNull))).toList
-    val tmpDir = tableLogDir(table).resolve(s".ckpt-$v-${java.util.UUID.randomUUID}")
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), ckptSchema)
-      .coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
-    val s = Files.list(tmpDir)
-    val part =
-      try s.toArray.map(_.asInstanceOf[Path])
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no part file in $tmpDir"))
-      finally s.close()
-    Files.move(part, checkpointFile(table, v),
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    val factory = new SimpleGroupFactory(ckptMessageType)
+    val tmp = tableLogDir(table).resolve(s".ckpt-$v-${java.util.UUID.randomUUID}.parquet")
+    val writer = ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(tmp.toUri),
+        new org.apache.hadoop.conf.Configuration()))
+      .withType(ckptMessageType)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    var rows = 0L
+    try {
+      val proto = factory.newGroup()
+      proto.addGroup("protocol").append("minReaderVersion", 1).append("minWriterVersion", 2)
+      writer.write(proto); rows += 1
+      val meta = factory.newGroup()
+      val md = meta.addGroup("metaData")
+      md.append("id", tableId(table))
+      md.addGroup("format").append("provider", "parquet")
+      md.append("schemaString", schema.json)
+      val pcs = md.addGroup("partitionColumns")
+      partitionColumns.foreach(c => pcs.addGroup("list").append("element", c))
+      md.append("createdTime", System.currentTimeMillis())
+      writer.write(meta); rows += 1
+      state.foreach { a =>
+        val g = factory.newGroup()
+        val ad = g.addGroup("add")
+        ad.append("path", a.path)
+        val pv = ad.addGroup("partitionValues")
+        a.partitionValues.toSeq.sortBy(_._1).foreach { case (k, vv) =>
+          pv.addGroup("key_value").append("key", k).append("value", vv)
+        }
+        ad.append("size", a.size)
+        ad.append("modificationTime", a.modificationTime)
+        ad.append("dataChange", true)
+        a.stats.foreach(st => ad.append("stats", st))
+        writer.write(g); rows += 1
+      }
+    } finally writer.close()
+    Files.move(tmp, checkpointFile(table, v),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    Storage.deleteRecursively(tmpDir)
     val lcTmp = tableLogDir(table).resolve(s".$LastCheckpoint-${java.util.UUID.randomUUID}.tmp")
     Files.write(lcTmp, JsonMethods.compact(JsonMethods.render(JObject(
-      "version" -> JLong(v), "size" -> JLong(rows.size.toLong)))).getBytes("UTF-8"))
+      "version" -> JLong(v), "size" -> JLong(rows)))).getBytes("UTF-8"))
     Files.move(lcTmp, lastCheckpointFile(table),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -500,39 +569,75 @@ object DeltaInterop {
 
   /** Live file set as of table-log commit `upTo`, replayed the protocol
     * way: the newest checkpoint at or below `upTo` seeds the state (one
-    * parquet read), then ONLY the trailing `<v>.json` commits apply —
-    * pre-checkpoint JSONs are never opened (DeltaInteropSpec corrupts them
-    * and this path must not notice). */
-  private[graft] def replayState(
-      spark: SparkSession, table: Path, upTo: Long): Map[String, Add] = {
+    * driver-side parquet read), then ONLY the trailing `<v>.json` commits
+    * apply — pre-checkpoint JSONs are never opened (DeltaInteropSpec
+    * corrupts them and this path must not notice). The trailing commits
+    * come from ONE directory listing, not per-version existence probes.
+    * Pure driver I/O end-to-end: this runs inside the commit path's
+    * rename→pointer-swap window, where a Spark job would stall every
+    * concurrently-waiting writer. */
+  private[graft] def replayState(table: Path, upTo: Long): Map[String, Add] = {
     if (upTo < 0) return Map.empty
     val state = scala.collection.mutable.LinkedHashMap.empty[String, Add]
     val ckpt = lastCheckpointVersion(table).filter(_ <= upTo)
     ckpt.foreach { c =>
-      readCheckpointAdds(spark, table, c).foreach(a => state(a.path) = a)
+      readCheckpointAdds(table, c).foreach(a => state(a.path) = a)
     }
-    (ckpt.map(_ + 1).getOrElse(0L) to upTo).foreach { v =>
-      val f = tableCommitFile(table, v)
-      if (Files.exists(f)) {
-        val (adds, removePaths) = parseTableCommit(f)
-        removePaths.foreach(state.remove)
-        adds.foreach(a => state(a.path) = a)
-      }
+    val lo = ckpt.map(_ + 1).getOrElse(0L)
+    trailingCommitVersions(table, lo, upTo).foreach { v =>
+      val (adds, removePaths) = parseTableCommit(tableCommitFile(table, v))
+      removePaths.foreach(state.remove)
+      adds.foreach(a => state(a.path) = a)
     }
     state.toMap
   }
 
-  private def readCheckpointAdds(
-      spark: SparkSession, table: Path, v: Long): Seq[Add] = {
-    import org.apache.spark.sql.Row
-    spark.read.parquet(checkpointFile(table, v).toString)
-      .filter("add IS NOT NULL").select("add.*")
-      .collect().toSeq.map { r =>
-        Add(r.getAs[String]("path"),
-          Option(r.getAs[Map[String, String]]("partitionValues")).getOrElse(Map.empty),
-          r.getAs[Long]("size"), r.getAs[Long]("modificationTime"),
-          Option(r.getAs[String]("stats")))
+  /** Existing `<v>.json` commit versions in `[lo, hi]`, ascending — one
+    * listing of the log dir instead of a `Files.exists` probe per slot. */
+  private def trailingCommitVersions(table: Path, lo: Long, hi: Long): Seq[Long] = {
+    if (hi < lo) return Nil
+    val dir = tableLogDir(table)
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
+      .collect { case n if n.matches("\\d{20}\\.json") => n.stripSuffix(".json").toLong }
+      .filter(v => v >= lo && v <= hi).sorted.toSeq
+    finally s.close()
+  }
+
+  /** Driver-side checkpoint read (parquet-hadoop Group API) — the mirror
+    * of [[writeCheckpoint]]; no Spark job for a metadata-sized file. */
+  private def readCheckpointAdds(table: Path, v: Long): Seq[Add] = {
+    import org.apache.parquet.example.data.Group
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val reader = ParquetReader
+      .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(
+        checkpointFile(table, v).toUri))
+      .build()
+    val out = Seq.newBuilder[Add]
+    try {
+      var g: Group = reader.read()
+      while (g != null) {
+        if (g.getFieldRepetitionCount("add") > 0) {
+          val ad = g.getGroup("add", 0)
+          def optStr(field: String): Option[String] =
+            if (ad.getFieldRepetitionCount(field) > 0) Some(ad.getString(field, 0)) else None
+          val pv =
+            if (ad.getFieldRepetitionCount("partitionValues") > 0) {
+              val m = ad.getGroup("partitionValues", 0)
+              (0 until m.getFieldRepetitionCount("key_value")).map { i =>
+                val kv = m.getGroup("key_value", i)
+                kv.getString("key", 0) -> kv.getString("value", 0)
+              }.toMap
+            } else Map.empty[String, String]
+          out += Add(ad.getString("path", 0), pv,
+            ad.getLong("size", 0), ad.getLong("modificationTime", 0), optStr("stats"))
+        }
+        g = reader.read()
       }
+    } finally reader.close()
+    out.result()
   }
 
   private def parseTableCommit(log: Path): (Seq[Add], Seq[String]) = {
@@ -579,12 +684,18 @@ object DeltaInterop {
     * JSON commits, and materialize the resulting file set. The `io4` row
     * drives this against a >CheckpointInterval commit history. */
   def readTableSnapshot(spark: SparkSession, table: Path): DataFrame = {
-    val vMax = latestTableCommit(table).getOrElse(
+    val logMax = latestTableCommit(table).getOrElse(
       throw new IllegalStateException(s"no table-level Delta log at $table"))
+    // The log entry for v is written BEFORE the _LATEST pointer swap (it
+    // leads the pointer by at most the one in-flight commit), so replay is
+    // capped at the committed pointer: without the cap this read could
+    // serve a version that is not yet — and, after a crash, never will
+    // be — committed (repairOrphans would later truncate it).
+    val vMax = Storage.currentVersion(table).fold(logMax)(math.min(logMax, _))
     // schema + partition columns from the newest commit's metaData (written
     // every commit), falling back to the checkpoint's copy
     val meta = declaredTableMeta(table, vMax)
-    val state = replayState(spark, table, vMax).values.toSeq.sortBy(_.path)
+    val state = replayState(table, vMax).values.toSeq.sortBy(_.path)
     buildFrame(spark, table, meta._1, meta._2, state)
   }
 

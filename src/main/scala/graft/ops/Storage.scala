@@ -109,6 +109,7 @@ object Storage {
   private val Latest = "_LATEST"
   private val PartsManifest = "_PARTS.json"
   private val StatsManifest = "_STATS.json"
+  private[graft] val DvFile = "_DV.json"
   // "skip the footer pass" sentinel for DeltaInterop.writeCommit0, whose
   // footerStats param treats None as "compute it yourself" — Some(empty)
   // is the only way to say "no stats" (protocol-legal: Delta adds may
@@ -245,8 +246,37 @@ object Storage {
                 s"manifest holds bucket id(s) ${tooBig.toSeq.sorted.take(3).mkString(", ")} " +
                 s">= $nParts — the table was laid out with a larger geometry")
           }
-        setGeometry(table, nParts)
+        adoptGeometry(table, nParts)
     }
+
+  /** First-write adoption of the table-root marker, made ATOMIC: the move
+    * deliberately omits REPLACE_EXISTING, so of two concurrent first
+    * writers racing to adopt DIFFERENT geometries exactly one install
+    * wins — the loser re-reads the winner's value and fails the same
+    * mismatch check a later writer would have hit. Without this the race
+    * was check-then-set: both read None, both adopted, and (their bucket
+    * names being disjoint under different hash geometries) both commits
+    * landed — the mixed-geometry silent key duplication the marker exists
+    * to prevent. [[setGeometry]] (REPLACE_EXISTING) remains the separate
+    * path for [[rebucket]], the one legitimate overwriter. */
+  private def adoptGeometry(table: Path, nParts: Int): Unit = {
+    Files.createDirectories(table)
+    val tmp = table.resolve(s".$GeometryFile-${java.util.UUID.randomUUID}.tmp")
+    Files.write(tmp, geometryJson(nParts).getBytes("UTF-8"))
+    try Files.move(tmp, table.resolve(GeometryFile), StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException
+          | _: java.nio.file.FileSystemException
+          if Files.exists(table.resolve(GeometryFile)) =>
+        Files.deleteIfExists(tmp)
+        val won = parseGeometry(table.resolve(GeometryFile))
+        require(won.contains(nParts),
+          s"$table adopted nParts=${won.getOrElse("?")} from a concurrent " +
+            s"first writer while this call passed nParts=$nParts — mixed " +
+            "geometries would silently duplicate keys; pass the adopted " +
+            "geometry or run Storage.rebucket to change it")
+    }
+  }
 
   private[graft] def setGeometry(table: Path, nParts: Int): Unit = {
     import org.json4s._
@@ -308,12 +338,16 @@ object Storage {
         s"extra file '$name' must be hidden ('_'/'.' prefix) or Spark would list it as data")
       Files.write(staging.resolve(name), content.getBytes("UTF-8"))
     }
+    // replay the previous table-log state BEFORE the CAS window: the only
+    // work between rename and pointer swap is then one JSON write, so a
+    // waiting rename loser is never stalled behind state reconstruction
+    val prevState = DeltaInterop.replayState(table, v - 1)
     var deferredCkpt: Option[() => Unit] = None
     casPromote(table, staging, v, beforePointerSwap = () =>
-      deferredCkpt = DeltaInterop.appendTableCommit(next.sparkSession, table, v,
-        next.schema, Nil, adds.map(a => a.copy(path = s"v$v/${a.path}"))))
-    // checkpoint cut AFTER the pointer lands: it is a Spark job, and inside
-    // the swap window it would stall every concurrent writer's wait loop
+      deferredCkpt = DeltaInterop.appendTableCommit(table, v,
+        next.schema, Nil, adds.map(a => a.copy(path = s"v$v/${a.path}")), prevState))
+    // checkpoint cut AFTER the pointer lands: a driver-side parquet write,
+    // but O(live files) — outside the swap window writers wait on
     deferredCkpt.foreach(_.apply())
     // re-read the mark: an operator may have RAISED retention while the
     // (slow) data write ran — vacuuming with the stale value would sweep
@@ -371,20 +405,36 @@ object Storage {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** How long a rename loser waits for the winner's `_LATEST` swap before
+    * concluding the winner crashed. The winner's rename→swap window is one
+    * JSON write (state replay and the checkpoint cut both run OUTSIDE it),
+    * so the swap normally lands in milliseconds — but the deadline is
+    * deliberately generous and overridable (`graft.storage.pointerWaitMs`):
+    * a spurious timeout's error message points the operator at
+    * repairOrphans, and running THAT while the winner is merely slow would
+    * delete the winner's live commit. */
+  private def pointerWaitMs: Long =
+    sys.props.get("graft.storage.pointerWaitMs").flatMap(_.toLongOption)
+      .getOrElse(60000L)
+
   /** Block until `_LATEST` reaches `v` — a rename loser knows `v<N>` exists,
-    * and its owner swaps the pointer right after the table-log append, so
-    * the wait is normally milliseconds. A pointer that never arrives means
-    * a crashed commit's unpointed orphan: fail loudly toward repairOrphans
-    * rather than guess. */
+    * and its owner swaps the pointer right after the (single-JSON-write)
+    * table-log append, so the wait is normally milliseconds. A pointer that
+    * never arrives means a crashed commit's unpointed orphan: fail loudly
+    * toward repairOrphans rather than guess. */
   private def awaitPointerAtLeast(table: Path, v: Long): Long = {
-    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    val deadline = System.nanoTime() + pointerWaitMs * 1000 * 1000
     var cur = currentVersion(table)
     while (!cur.exists(_ >= v)) {
       if (System.nanoTime() > deadline)
         throw new java.util.ConcurrentModificationException(
-          s"v$v exists at $table but _LATEST never reached it — a crashed " +
-            "commit left an unpointed orphan (single-writer recovery: " +
-            "Storage.repairOrphans(table))")
+          s"v$v exists at $table but _LATEST did not reach it within " +
+            s"${pointerWaitMs}ms — EITHER a crashed commit's unpointed " +
+            "orphan, OR a live writer slower than the deadline (raise " +
+            "-Dgraft.storage.pointerWaitMs). Storage.repairOrphans(table) " +
+            "recovers the crash case but is ONLY safe when no writer is " +
+            "live: it deletes any version above the pointer, including a " +
+            "slow winner's just-renamed commit")
       Thread.sleep(10)
       cur = currentVersion(table)
     }
@@ -691,6 +741,66 @@ object Storage {
     }
   }
 
+  // ---- deletion vectors (merge-on-read deletes) --------------------------
+  //
+  // A k-row takedown that rewrites every bucket containing a hit pays
+  // O(hit buckets) data writes for O(k) logical deletes. The deletion
+  // vector is the Delta/Iceberg answer: a per-version `_DV.json` sidecar
+  // mapping table-root-relative data-file path → sorted row positions
+  // (parquet `_metadata.row_index`) that are DELETED from that file. The
+  // commit is O(k) metadata; EVERY read of the version (readPartitioned-
+  // VersionAt and everything built on it — upserts, CDF snapshots, time
+  // travel) applies the vector as a broadcast anti-join on
+  // (file, row_index), so deleted rows are invisible table-wide without a
+  // byte of data rewritten. Later rewrites of a bucket materialize its
+  // deletions and the carry-forward prunes those entries; scheduled
+  // [[MergeOps.compactDeletionVectors]] clears the rest.
+  //
+  // External-reader caveat (documented, not hidden): the per-version Delta
+  // log still lists the un-tombstoned data files without the protocol's
+  // `add.deletionVector` payload, so an external engine reading a
+  // DV-carrying version sees the pre-delete rows until compaction.
+
+  /** The deletion vector committed WITH version dir `versionDir`: relative
+    * file path → ascending deleted row positions. Empty when none. */
+  private[graft] def readDeletionVector(versionDir: Path): Map[String, Seq[Long]] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val p = versionDir.resolve(DvFile)
+    if (!Files.exists(p)) Map.empty
+    else JsonMethods.parse(new String(Files.readAllBytes(p), "UTF-8")) match {
+      case JObject(fields) => fields.map {
+        case (f, JArray(ids)) => f -> ids.map {
+          case JInt(n) => n.toLong
+          case JLong(n) => n
+          case other => throw new IllegalStateException(s"bad DV position $other in $p")
+        }
+        case (f, other) => throw new IllegalStateException(s"bad DV entry $f -> $other")
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  private[graft] def deletionVectorJson(dv: Map[String, Seq[Long]]): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.compact(JsonMethods.render(JObject(
+      dv.toSeq.sortBy(_._1).map { case (f, ids) =>
+        f -> (JArray(ids.sorted.map(JLong(_)).toList): JValue)
+      }.toList)))
+  }
+
+  /** The CURRENT version's deletion vector (empty when none). */
+  def deletionVector(table: Path): Map[String, Seq[Long]] =
+    currentVersion(table)
+      .map(v => readDeletionVector(table.resolve(s"v$v")))
+      .getOrElse(Map.empty)
+
+  /** The `col=value` partition-dir segment of a table-relative data-file
+    * path (`v3/pbucket=5/part-….parquet` → `pbucket=5`). */
+  private[graft] def dvBucketOf(relPath: String): Option[String] =
+    relPath.split("/").find(_.contains("="))
+
   /** Partition-dir names (`col=value`) of the committed version of a
     * partition-manifested table; empty for an uncommitted table or an
     * empty bootstrap commit. Lets callers detect partition collisions
@@ -856,11 +966,14 @@ object Storage {
               .map(tableAbs.relativize(p).getName(_).toString).mkString("/"))
           else a
         } else a
+      // replayed previous table-log state, computed BEFORE the CAS: the
+      // rename→pointer-swap window then holds only one JSON write
+      val prevState = DeltaInterop.replayState(table, curV - 1)
       if (tryRename(table, staging, curV)) {
-        val deferredCkpt = DeltaInterop.appendTableCommit(next.sparkSession, table,
-          curV, curDeclared, Seq(partCol), adds.map(tableRel))
+        val deferredCkpt = DeltaInterop.appendTableCommit(table,
+          curV, curDeclared, Seq(partCol), adds.map(tableRel), prevState)
         swapPointer(table, curV)
-        deferredCkpt.foreach(_.apply()) // Spark job: outside the swap window
+        deferredCkpt.foreach(_.apply()) // O(live files) write: outside the swap window
         committedV = curV
         committedManifest = manifest
       } else {

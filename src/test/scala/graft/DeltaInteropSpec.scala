@@ -225,6 +225,23 @@ class DeltaInteropSpec extends SparkTestBase {
     assert(ext.select("k", "commit_no").exceptAll(own.select("k", "commit_no")).isEmpty &&
       own.select("k", "commit_no").exceptAll(ext.select("k", "commit_no")).isEmpty)
     assert(ext.count() == 12 && ext.agg(max($"commit_no")).head.getInt(0) == 11)
+    // external-engine fidelity: the driver-written checkpoint parquet is
+    // readable by a STANDARD engine (Spark here) with the protocol's
+    // struct shape — path under add, partitionValues as a map, the
+    // metaData row carrying the declared schema
+    val ckpt = spark.read.parquet(DeltaInterop.checkpointFile(table, 10L).toString)
+    assert(ckpt.columns.toSet == Set("protocol", "metaData", "add"))
+    val ckptAdds = ckpt.filter("add IS NOT NULL").select("add.path")
+      .as[String].collect().toSeq
+    assert(ckptAdds.nonEmpty && ckptAdds.forall(_.startsWith("v10/")),
+      s"checkpoint at v10 (full-replace commits) must hold exactly v10's adds: $ckptAdds")
+    val mdSchema = ckpt.filter("metaData IS NOT NULL")
+      .select("metaData.schemaString").as[String].head()
+    assert(org.apache.spark.sql.types.DataType.fromJson(mdSchema)
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq ==
+      Seq("k", "commit_no"))
+    assert(ckpt.filter("protocol IS NOT NULL")
+      .select("protocol.minReaderVersion").head.getInt(0) == 1)
   }
 
   test("table log: commitPartitions entries add only rewritten buckets; carried buckets stay silent") {
