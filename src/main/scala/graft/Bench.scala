@@ -134,10 +134,26 @@ object Bench {
     def regsJson(regs: Seq[(String, Double, Double)]): String = regs
       .map { case (q, p, n) => s"""{"q":"$q","prev":${r3(p)},"now":${r3(n)}}""" }
       .mkString("[", ",", "]")
+    // harness/non-harness split (VERDICT r10 item 1c): the replay/
+    // maintenance harness rows — structured-streaming micro-batch replay
+    // fixtures and the two-table IVM fixture — time fixture CONSTRUCTION
+    // by design (multi-version loads, commit-log tails); their cost is
+    // the harness, not the operator under test. Splitting them out in the
+    // artifact makes the contract metric (core mean sec/query) auditable
+    // without re-deriving the decomposition each round.
+    def isHarness(n: String): Boolean =
+      n.startsWith("stream") || n == "m11_join_view_maintenance"
+    val (harnessRows, coreRows) = results.partition { case (n, _) => isHarness(n) }
+    def mean(rows: Seq[(String, Double)]): Double =
+      if (rows.isEmpty) 0.0 else rows.map(_._2).sum / rows.size
+    val split =
+      s""""core_total":${r3(coreRows.map(_._2).sum)},"core_count":${coreRows.size},""" +
+      s""""core_mean":${r3(mean(coreRows))},""" +
+      s""""harness_total":${r3(harnessRows.map(_._2).sum)},"harness_count":${harnessRows.size}"""
     def line(entries: Seq[(String, Double)], regs: Seq[(String, Double, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"regressions":${regsJson(regs)},"reps":3,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_warning":$busy,"calib_ms":${r3(calibMs)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",$split,"queries":$qs,"failed":$failedJson,"regressions":${regsJson(regs)},"reps":3,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_warning":$busy,"calib_ms":${r3(calibMs)},"sf":"$sfDir"}"""
     }
     // Full per-query breakdown → file (the consumer of stdout keeps only the
     // last ~2000 chars, which an 82-entry map overflows).

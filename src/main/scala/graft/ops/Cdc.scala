@@ -110,7 +110,10 @@ object Cdc {
       s"pk and compareCols must be non-empty and pairwise disjoint (got $roles)")
     require(!roles.contains("__present") && !roles.contains("change_type"),
       "'__present' and 'change_type' are reserved by changeDataFeed")
-    val changed = Storage.partitionsChangedBetween(table, fromV, toV)
+    // manifest diff alone misses merge-on-read deletes: a deletion-vector
+    // commit moves no manifest entry, yet its buckets' visible rows shrank
+    val changed = Storage.partitionsChangedBetween(table, fromV, toV) ++
+      Storage.dvChangedBuckets(table, fromV, toV)
     val cols = pk ++ compareCols
     def snap(v: Long) =
       Storage.readPartitionedVersionAt(spark, table, v, Some(changed))

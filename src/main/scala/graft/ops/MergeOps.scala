@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Upsert / merge machinery (SURVEY.md §2.7) on immutable columnar storage.
@@ -190,8 +190,24 @@ object MergeOps {
     val next = conditionalUpsert(
       oldAffected, one.filter(bucket.isin(affectedIds: _*)),
       pk, tracked, runTs, loadedAtCol, lastUpdCol, tieBreak)
+    // OVERLAPPING concurrent loads rebase instead of aborting: the merge
+    // is per-key, so re-running it for just the conflicting buckets on the
+    // winner's committed state is the serial outcome (loser's merge
+    // strictly after the winner's) — the reference's parallel dimension
+    // DAGs landing on a shared table
+    val rebase = new Storage.OverlapResolver {
+      def recompute(sp: org.apache.spark.sql.SparkSession, t: java.nio.file.Path,
+          newBase: Long, conflicting: Set[String]): DataFrame = {
+        val ids = conflicting.map(_.stripPrefix("pbucket=").toInt).toSeq
+        val cur = Storage.readPartitionedVersionAt(sp, t, newBase, Some(conflicting))
+          .drop("pbucket")
+        conditionalUpsert(cur, one.filter(bucket.isin(ids: _*)),
+          pk, tracked, runTs, loadedAtCol, lastUpdCol, tieBreak)
+          .withColumn("pbucket", bucket)
+      }
+    }
     Storage.commitPartitions(next.withColumn("pbucket", bucket), table, "pbucket",
-      keepVersions = keepVersions, fileStats = fileStats)
+      keepVersions = keepVersions, fileStats = fileStats, onOverlap = Some(rebase))
   }
 
   /** Row-level DELETE at the 100 TB design point — the takedown/GDPR shape
@@ -251,6 +267,77 @@ object MergeOps {
       .join(keys, matchCond, "left_anti")
     Storage.commitPartitions(survivors, table, "pbucket",
       keepVersions = keepVersions, dropParts = wiped)
+  }
+
+  /** [[prunedDelete]]'s takedown with MERGE-ON-READ deletion vectors (the
+    * Delta/Iceberg DV shape): instead of rewriting every bucket that loses
+    * a row, commit an O(k) `_DV.json` sidecar naming the doomed rows'
+    * (file, row-index) coordinates. Every read of the version — upserts,
+    * CDF snapshots, time travel — subtracts them via a broadcast anti-join
+    * inside [[Storage.readPartitionedVersionAt]], so the rows vanish
+    * table-wide with ZERO data files rewritten: a k-row GDPR takedown
+    * costs one pruned coordinate-locating scan plus one metadata commit,
+    * not O(hit buckets) of data writes.
+    *
+    * The k coordinates are collected to the driver — this is the
+    * takedown-scale path (k ≪ table); a bulk delete should keep using
+    * [[prunedDelete]], which rewrites. Tombstones ride along carried
+    * buckets until [[compactDeletionVectors]] (or any organic rewrite of
+    * the bucket) materializes them; until then external engines reading
+    * the raw Delta log see pre-delete bytes (the documented
+    * [[Storage]] DV caveat). Same no-op contract as prunedDelete: absent
+    * keys tombstone nothing, a table with no committed version returns -1.
+    * Returns the committed version. */
+  def deleteWithVectors(
+      table: java.nio.file.Path,
+      doomed: DataFrame,
+      pk: Seq[String],
+      nParts: Int = 64,
+      keepVersions: Int = 1): Long = {
+    if (Storage.currentVersion(table).isEmpty) return -1L
+    val spark = doomed.sparkSession
+    Storage.validateGeometry(table, nParts)
+    val candidate = affectedBuckets(doomed, pk, nParts)
+    val lineage = Storage.readPartitionedLineage(spark, table, Some(candidate)).alias("o")
+    val keys = doomed.select(pk.map(col): _*).dropDuplicates(pk).alias("k")
+    val matchCond = pk.map(c => col(s"o.$c") <=> col(s"k.$c")).reduce(_ && _)
+    val hits = lineage.join(keys, matchCond, "left_semi")
+      .select(col("__dv_file"), col("__dv_pos")).collect()
+    val tableAbs = table.toAbsolutePath
+    val dv = hits.groupBy(_.getString(0)).map { case (abs, rows) =>
+      val rel = tableAbs.relativize(java.nio.file.Paths.get(abs))
+      (0 until rel.getNameCount).map(rel.getName(_).toString).mkString("/") ->
+        rows.map(_.getLong(1)).toSeq.sorted
+    }.toMap
+    // empty delta frame: every bucket carries by reference; the commit is
+    // the sidecar + manifest + log — the whole point
+    Storage.commitPartitions(
+      Storage.readPartitionedVersion(spark, table).limit(0), table, "pbucket",
+      keepVersions = keepVersions, deletionVector = dv)
+  }
+
+  /** Materialize a table's deletion vectors: rewrite ONLY the tombstoned
+    * buckets (the DV-applying read path hands back post-delete rows),
+    * dropping buckets whose every row is tombstoned, so the committed DV
+    * empties and external raw-file readers see post-delete bytes again.
+    * O(tombstoned buckets) data writes — scheduled maintenance, like
+    * [[Storage.compact]]. No-op (returns the current version) without a
+    * DV. */
+  def compactDeletionVectors(
+      spark: SparkSession,
+      table: java.nio.file.Path,
+      keepVersions: Int = 1): Long = {
+    val cur = Storage.currentVersion(table).getOrElse(return -1L)
+    val dv = Storage.deletionVector(table)
+    if (dv.isEmpty) return cur
+    val buckets = dv.keys.flatMap(Storage.dvBucketOf).toSet
+    val rows = Storage.readPartitionedVersion(spark, table, Some(buckets))
+    // a fully-tombstoned bucket writes no dir — name it dropped explicitly
+    // (the commitPartitions empty-rewrite contract)
+    val live = rows.select(col("pbucket")).distinct()
+      .collect().map(r => s"pbucket=${r.get(0)}").toSet
+    Storage.commitPartitions(rows, table, "pbucket",
+      keepVersions = keepVersions, dropParts = buckets -- live)
   }
 
   /** S3: last-writer-wins keyed snapshot (ref: extract_api_operator.py:36-43,

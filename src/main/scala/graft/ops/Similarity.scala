@@ -331,6 +331,88 @@ object Similarity {
             slice(col(vecCol), i * lit(subd) + 1, lit(subd)).as("svec")))).as("e"))
       .select(col(idCol), col("e.sub").as("sub"), col("e.svec").as("svec"))
 
+  /** PQ-encode every vector into its persisted ANN index row: IVF list
+    * assignment plus its `m` subspace codes, ordered by subspace —
+    * `(idCol, centroid_id, codes)`. Stored at ingest (m small ints per
+    * vector instead of d doubles), this is the table [[adcPool]] scans at
+    * query time; [[ivfPqTopK]] computes the same rows on the fly for its
+    * probed candidates. Assignment and code argmin are the exact
+    * fixed-point forms, so encode-at-ingest and encode-at-query are
+    * bit-identical — the equivalence [[graft.ops.AnnIndex]] relies on. */
+  def encodePq(
+      embeddings: DataFrame,
+      centroids: DataFrame,
+      codebooks: DataFrame,
+      m: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val books = codebooks.select(col("sub"), col("code"), col("cvec").as("bvec"))
+    val subd = books.select(size(col("bvec")).as("sd")).head.getInt(0)
+    val cnorm = sqrt(dotUnits(col("cvec"), col("cvec")).cast("double"))
+    val assigned = embeddings.crossJoin(broadcast(centroids))
+      .withColumn("__csim",
+        when(cnorm > 0, dotUnits(col(vecCol), col("cvec")).cast("double") / cnorm)
+          .otherwise(lit(Double.NegativeInfinity)))
+      .groupBy(col(idCol))
+      .agg(max_by(
+        struct(col(vecCol).as("v"), col("centroid_id").as("c")),
+        struct(col("__csim"), (-col("centroid_id")).as("nc"))).as("__best"))
+      .select(col(idCol), col("__best.v").as(vecCol), col("__best.c").as("centroid_id"))
+    assigned.select(col(idCol), col("centroid_id"))
+      .join(pqCodes(assigned.select(col(idCol), col(vecCol)), books, m, subd, idCol, vecCol),
+        Seq(idCol))
+  }
+
+  /** Argmin-L2 PQ codes per vector, grouped into one subspace-ordered
+    * array — the `codes` column of the index row. */
+  private def pqCodes(
+      vectors: DataFrame, books: DataFrame, m: Int, subd: Int,
+      idCol: String, vecCol: String): DataFrame =
+    subVectors(vectors, m, subd, idCol, vecCol)
+      .join(broadcast(books), Seq("sub"))
+      .withColumn("__d2", l2Units(col("svec"), col("bvec")))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min_by(col("code"), struct(col("__d2"), col("code"))).as("code"))
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("codes"))
+
+  /** The ADC candidate pool from STORED codes alone: every index row
+    * `(idCol, codes)` scores against the query's per-(sub, code) lookup
+    * table — m lookup-adds per candidate — and the top `rerank` by
+    * approximate cosine return. Takes NO embeddings argument: the
+    * type-level statement that a persisted-index scan reads m small codes
+    * per vector and nothing else (the exact re-rank joining raw vectors
+    * for the pool ids happens in the caller). */
+  def adcPool(
+      index: DataFrame,
+      queryVec: DataFrame,
+      codebooks: DataFrame,
+      rerank: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val books = codebooks.select(col("sub"), col("code"), col("cvec").as("bvec"))
+    val subd = books.select(size(col("bvec")).as("sd")).head.getInt(0)
+    val lut = books.crossJoin(broadcast(queryVec))
+      .select(col("sub"), col("code"),
+        dotUnits(slice(col("qe"), col("sub") * lit(subd) + 1, lit(subd)),
+          col("bvec")).as("qd"),
+        dotUnits(col("bvec"), col("bvec")).as("cc"))
+    val qn2 = queryVec.select(dotUnits(col("qe"), col("qe")).as("qn2"))
+    index
+      .select(col(idCol), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col(idCol))
+      .agg(sum(col("qd")).as("adot"), sum(col("cc")).as("an2"))
+      .crossJoin(broadcast(qn2))
+      .select(col(idCol),
+        when(col("an2") > 0 && col("qn2") > 0,
+          col("adot").cast("double") /
+            (sqrt(col("an2").cast("double")) * sqrt(col("qn2").cast("double"))))
+          .otherwise(lit(null).cast("double")).as("approx_sim"))
+      .orderBy(col("approx_sim").desc, col(idCol))
+      .limit(rerank)
+  }
+
   /** IVF+PQ compressed ANN — the billion-scale memory story next to
     * [[ivfTopK]]'s exact lists. IVF restricts the scan to the query's
     * `nprobe` lists (same codebook and metric as [[ivfTopK]], so both
@@ -382,33 +464,12 @@ object Similarity {
     val cand = assigned.join(broadcast(probeLists), Seq("centroid_id"))
       .select(col(idCol), col(vecCol))
 
-    // PQ encode: argmin-L2 code per (candidate, subspace) — in a real
-    // deployment the codes are precomputed at ingest and this join reads
-    // the m-byte codes column; the scoring path below is unchanged
-    val coded = subVectors(cand, m, subd, idCol, vecCol)
-      .join(broadcast(books), Seq("sub"))
-      .withColumn("__d2", l2Units(col("svec"), col("bvec")))
-      .groupBy(col(idCol), col("sub"))
-      .agg(min_by(col("code"), struct(col("__d2"), col("code"))).as("code"))
-
-    // ADC: the query's per-(sub, code) lookup table, then m lookup-adds
-    val lut = books.crossJoin(broadcast(queryVec))
-      .select(col("sub"), col("code"),
-        dotUnits(slice(col("qe"), col("sub") * lit(subd) + 1, lit(subd)),
-          col("bvec")).as("qd"),
-        dotUnits(col("bvec"), col("bvec")).as("cc"))
-    val qn2 = queryVec.select(dotUnits(col("qe"), col("qe")).as("qn2"))
-    val pool = coded.join(broadcast(lut), Seq("sub", "code"))
-      .groupBy(col(idCol))
-      .agg(sum(col("qd")).as("adot"), sum(col("cc")).as("an2"))
-      .crossJoin(broadcast(qn2))
-      .select(col(idCol),
-        when(col("an2") > 0 && col("qn2") > 0,
-          col("adot").cast("double") /
-            (sqrt(col("an2").cast("double")) * sqrt(col("qn2").cast("double"))))
-          .otherwise(lit(null).cast("double")).as("approx_sim"))
-      .orderBy(col("approx_sim").desc, col(idCol))
-      .limit(rerank)
+    // PQ encode the probed candidates on the fly ([[encodePq]]'s code
+    // stage — a persisted deployment reads the same rows from
+    // [[AnnIndex]]'s stored codes table instead), then the shared ADC
+    // scorer: per-(sub, code) lookup table, m lookup-adds per candidate
+    val coded = pqCodes(cand, books, m, subd, idCol, vecCol)
+    val pool = adcPool(coded, queryVec, codebooks, rerank, idCol)
 
     // exact re-rank of the ADC pool only — O(rerank · d), not O(n · d)
     cand.join(broadcast(pool.select(col(idCol))), Seq(idCol))

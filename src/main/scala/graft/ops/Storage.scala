@@ -811,6 +811,23 @@ object Storage {
       case None => Set.empty
     }
 
+  /** Rebase rule for OVERLAPPING concurrent writers (VERDICT r10 item 4;
+    * the reference runs its dimension loads as parallel DAGs,
+    * configure.py:387-398). When a [[commitPartitions]] rename loser finds
+    * the winner touched partitions it also wrote, the resolver recomputes
+    * the loser's NEXT STATE for exactly those partitions against the
+    * winner's committed base — typically re-applying the caller's merge
+    * delta on the fresh state (what [[MergeOps.prunedConditionalUpsert]]
+    * wires in) — and the commit retries with those partitions' staged
+    * bytes swapped. Serializable outcome: the loser's merge runs strictly
+    * after the winner's. Bounded by the same MaxCommitAttempts budget as
+    * the disjoint retry; conflicts on drops or tombstones still abort
+    * (they have no merge story). */
+  trait OverlapResolver {
+    def recompute(spark: SparkSession, table: Path, newBase: Long,
+        conflicting: Set[String]): DataFrame
+  }
+
   /** Commit `next` — which carries ONLY the partitions to rewrite, with
     * `partCol` as a column — as the new version of a partition-manifested
     * table. Partitions absent from `next` keep their existing bytes and are
@@ -828,14 +845,28 @@ object Storage {
     * state is EMPTY writes no directory at all, so "absent from `next`"
     * cannot distinguish carry-forward from delete-everything — the caller
     * must name the emptied partitions explicitly or their old bytes stay
-    * live. */
+    * live.
+    *
+    * `deletionVector` adds merge-on-read tombstones: table-root-relative
+    * data-file path → row indexes DELETED from it, committed as the
+    * version's `_DV.json` sidecar and merged with the surviving previous
+    * tombstones. New entries must target files in buckets this commit
+    * CARRIES (a bucket being rewritten materializes its deletions through
+    * the DV-applying read path instead); previous entries are shed exactly
+    * when their bucket's bytes are — rewritten or dropped here. A
+    * concurrent winner touching a tombstoned bucket is an overlap
+    * conflict, same as touching a written one. */
   def commitPartitions(next: DataFrame, table: Path, partCol: String,
       keepVersions: Int = 1, dropParts: Set[String] = Set.empty,
       fileStats: Boolean = true,
       extraFiles: Map[String, String] = Map.empty,
-      dropAbsent: Boolean = false): Long = {
+      dropAbsent: Boolean = false,
+      deletionVector: Map[String, Seq[Long]] = Map.empty,
+      onOverlap: Option[OverlapResolver] = None): Long = {
     require(!dropAbsent || dropParts.isEmpty,
       "dropAbsent replaces dropParts — passing both is contradictory")
+    require(!extraFiles.contains(DvFile),
+      s"$DvFile is managed by the deletionVector parameter, not extraFiles")
     require(keepVersions >= 1, s"keepVersions must be >= 1 (got $keepVersions)")
     // a leading _/. would write partition dirs Spark's listing treats as
     // hidden — silently invisible data
@@ -936,6 +967,34 @@ object Storage {
       val effDrop =
         if (dropAbsent) curPrev.keySet -- written.toSet else dropParts
       val manifest = (curPrev -- effDrop) ++ written.map(_ -> curV)
+      // deletion vectors: new tombstones must name live files in buckets
+      // this commit carries (a stale file ref — the bucket rewritten since
+      // the caller located its coordinates — would tombstone nothing,
+      // silently resurrecting the rows, so it fails loudly); previous
+      // tombstones survive exactly while their bucket's bytes do
+      val touchedHere = written.toSet ++ effDrop
+      deletionVector.keys.foreach { f =>
+        val b = dvBucketOf(f).getOrElse(throw new IllegalArgumentException(
+          s"deletionVector path '$f' has no col=value partition segment"))
+        require(!touchedHere.contains(b),
+          s"deletionVector targets '$f' in bucket $b which this commit " +
+            "rewrites/drops — the rewrite materializes deletions instead")
+        require(manifest.get(b).exists(owner => f.startsWith(s"v$owner/")),
+          s"deletionVector targets '$f' but bucket $b is " +
+            manifest.get(b).fold("not in the manifest")(o => s"owned by v$o") +
+            " — stale coordinates, relocate against the current version")
+      }
+      val prevDv = curBase.map(bb => readDeletionVector(table.resolve(s"v$bb")))
+        .getOrElse(Map.empty)
+      val carriedDv = prevDv.filter { case (f, _) =>
+        dvBucketOf(f).exists(b => !touchedHere.contains(b) && manifest.contains(b)) }
+      val mergedDv = (carriedDv.keySet ++ deletionVector.keySet).map { f =>
+        f -> (carriedDv.getOrElse(f, Seq.empty) ++ deletionVector.getOrElse(f, Seq.empty))
+          .distinct.sorted
+      }.toMap.filter(_._2.nonEmpty)
+      if (mergedDv.nonEmpty)
+        Files.write(staging.resolve(DvFile), deletionVectorJson(mergedDv).getBytes("UTF-8"))
+      else Files.deleteIfExists(staging.resolve(DvFile))
       Files.write(staging.resolve(PartsManifest),
         JsonMethods.compact(JsonMethods.render(JObject(
           manifest.toSeq.sortBy(_._1).map { case (k, ver) => k -> JLong(ver) }.toList
@@ -983,12 +1042,50 @@ object Storage {
           val newPrev = readPartsManifest(table.resolve(s"v$newBase"))
           val touched = (curPrev.keySet ++ newPrev.keySet)
             .filter(p => curPrev.get(p) != newPrev.get(p))
-          val overlap = touched.intersect(written.toSet ++ effDrop)
-          if (overlap.nonEmpty)
-            throw new java.util.ConcurrentModificationException(
-              s"conflicting concurrent commit at $table: partition(s) " +
-                s"${overlap.toSeq.sorted.take(5).mkString(", ")} touched by " +
-                "both writers — rerun this load against the new base")
+          // a tombstoned bucket the winner rewrote is an overlap too: the
+          // caller's (file, row) coordinates name files that no longer
+          // exist, and committing them would silently resurrect the rows
+          val dvBuckets = deletionVector.keys.flatMap(dvBucketOf).toSet
+          val overlap = touched.intersect(written.toSet ++ effDrop ++ dvBuckets)
+          if (overlap.nonEmpty) {
+            // rebase path: only DATA-REWRITE conflicts have a recompute
+            // story (a conflicting drop or tombstone has no merge), and
+            // only while attempts remain
+            if (onOverlap.isEmpty || !overlap.subsetOf(written.toSet) ||
+                attempts >= MaxCommitAttempts)
+              throw new java.util.ConcurrentModificationException(
+                s"conflicting concurrent commit at $table: partition(s) " +
+                  s"${overlap.toSeq.sorted.take(5).mkString(", ")} touched by " +
+                  "both writers — rerun this load against the new base")
+            // recompute ONLY the conflicting partitions on the winner's
+            // state and swap their staged bytes; the disjoint remainder of
+            // the staging is untouched (its data is not rewritten) and the
+            // CAS retries the next slot with everything re-finalized there
+            val fresh = onOverlap.get.recompute(next.sparkSession, table, newBase, overlap)
+            require(fresh.schema.map(f => (f.name, f.dataType)).toSet ==
+              next.schema.map(f => (f.name, f.dataType)).toSet,
+              s"overlap recompute must return the original frame's schema " +
+                s"(got ${fresh.schema.map(_.name).mkString(",")})")
+            val tmp = Files.createTempDirectory(table, ".rebase-")
+            try {
+              fresh.write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
+              val fs = Files.list(tmp)
+              val freshDirs =
+                try fs.toArray.map(_.asInstanceOf[Path].getFileName.toString)
+                  .filter(_.startsWith(partCol + "=")).toSet
+                finally fs.close()
+              // covering MORE partitions would silently widen the write
+              // set mid-commit; covering FEWER (an emptied conflicting
+              // partition) has no rebase story — both abort
+              require(freshDirs == overlap,
+                s"overlap recompute must produce exactly $overlap, got $freshDirs")
+              freshDirs.foreach { p =>
+                deleteRecursively(staging.resolve(p))
+                Files.move(tmp.resolve(p), staging.resolve(p),
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              }
+            } finally deleteRecursively(tmp)
+          }
           if (attempts >= MaxCommitAttempts)
             throw new java.util.ConcurrentModificationException(
               s"gave up after $attempts disjoint-retry rounds at $table " +
@@ -1041,7 +1138,27 @@ object Storage {
     * version, so the historical composition reads exactly like the live one. */
   def readPartitionedVersionAt(
       spark: SparkSession, table: Path, v: Long,
-      onlyParts: Option[Set[String]] = None): DataFrame = {
+      onlyParts: Option[Set[String]] = None): DataFrame =
+    readPartitionedAt0(spark, table, v, onlyParts, lineage = false)
+
+  /** [[readPartitionedVersion]] with two extra columns exposing physical
+    * row identity: `__dv_file` (absolute data-file path, URI scheme
+    * stripped) and `__dv_pos` (parquet row index within that file) — the
+    * coordinates a deletion-vector commit tombstones. Vectors already
+    * committed are applied FIRST, so every coordinate returned names a
+    * live row. */
+  private[graft] def readPartitionedLineage(
+      spark: SparkSession, table: Path,
+      onlyParts: Option[Set[String]] = None): DataFrame =
+    readPartitionedAt0(spark, table,
+      currentVersion(table).getOrElse(
+        throw new IllegalStateException(s"no committed version at $table")),
+      onlyParts, lineage = true)
+
+  private def readPartitionedAt0(
+      spark: SparkSession, table: Path, v: Long,
+      onlyParts: Option[Set[String]], lineage: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, regexp_replace, col => c, lit => l}
     val cur = currentVersion(table)
     require(Files.exists(table.resolve(s"v$v")) && cur.exists(v <= _),
       s"version $v not retained at $table (current=$cur)")
@@ -1057,12 +1174,23 @@ object Storage {
     if (manifest.isEmpty) {
       require(Files.exists(DeltaInterop.logFile(vdir)),
         s"$table v$v: empty partition manifest and no Delta log to type it")
-      return DeltaInterop.readSnapshot(spark, vdir)
+      val df = DeltaInterop.readSnapshot(spark, vdir)
+      return if (!lineage) df
+        else df.withColumn("__dv_file", l(null).cast("string"))
+          .withColumn("__dv_pos", l(null).cast("long"))
     }
     val selected = manifest.filter { case (p, _) => onlyParts.forall(_.contains(p)) }
     if (selected.isEmpty)
-      readPartitionedVersionAt(spark, table, v, None).limit(0)
+      readPartitionedAt0(spark, table, v, None, lineage).limit(0)
     else {
+      // the deletion vector rides WITH the version: tombstoned (file,
+      // row-index) coordinates are subtracted from every read — upserts,
+      // CDF snapshots, time travel — so a merge-on-read delete is visible
+      // table-wide without rewriting a byte of data. Restricted to the
+      // selected buckets so the broadcast stays O(pruned tombstones).
+      val dv = readDeletionVector(vdir).filter { case (f, _) =>
+        dvBucketOf(f).exists(selected.contains) }
+      val needMeta = lineage || dv.nonEmpty
       // align to the commit's DECLARED schema (the Delta log's) =
       // add-column evolution: buckets carried from before the column
       // existed read null for it — including a PRUNED read whose selected
@@ -1074,18 +1202,38 @@ object Storage {
       val declared = DeltaInterop.declaredSchema(vdir)
       val composed = selected.groupBy(_._2).toSeq.sortBy(_._1).map { case (ver, parts) =>
         val ownerDir = table.resolve(s"v$ver")
-        spark.read.option("basePath", ownerDir.toString)
+        val base = spark.read.option("basePath", ownerDir.toString)
           .parquet(parts.keys.toSeq.sorted.map(p => ownerDir.resolve(p).toString): _*)
+        if (!needMeta) base
+        // scheme-stripped canonical path: the scan renders file:/… URIs,
+        // the driver holds plain absolute paths — one normalization keeps
+        // the tombstone anti-join a plain equality
+        else base.select(c("*"),
+          regexp_replace(c("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+            .as("__dv_file"),
+          c("_metadata.row_index").as("__dv_pos"))
       }.reduce(_.unionByName(_, allowMissingColumns = declared.isDefined))
+      val masked =
+        if (dv.isEmpty) composed
+        else {
+          val doomed = dv.toSeq.flatMap { case (rel, ps) =>
+            val abs = table.resolve(rel).toAbsolutePath.toString
+            ps.map(p => (abs, p))
+          }
+          import spark.implicits._
+          composed.join(broadcast(doomed.toDF("__dv_file", "__dv_pos")),
+            Seq("__dv_file", "__dv_pos"), "left_anti")
+        }
+      val lineageCols = if (lineage) Seq(c("__dv_file"), c("__dv_pos")) else Seq.empty
       declared match {
-        case None => composed
+        case None =>
+          if (needMeta && !lineage) masked.drop("__dv_file", "__dv_pos") else masked
         case Some(schema) =>
-          val present = composed.columns.toSet
-          import org.apache.spark.sql.functions.{col => c, lit => l}
-          composed.select(schema.map { f =>
+          val present = masked.columns.toSet
+          masked.select(schema.map { f =>
             if (present.contains(f.name)) c(f.name).cast(f.dataType).as(f.name)
             else l(null).cast(f.dataType).as(f.name)
-          }: _*)
+          } ++ lineageCols: _*)
       }
     }
   }
@@ -1106,6 +1254,18 @@ object Storage {
     val from = manifestAt(fromV)
     val to = manifestAt(toV)
     (from.keySet ++ to.keySet).filter(p => from.get(p) != to.get(p))
+  }
+
+  /** The partition-dir names whose VISIBLE rows differ between `fromV` and
+    * `toV` because their deletion vectors differ — invisible to
+    * [[partitionsChangedBetween]] (a DV-only commit carries every byte by
+    * reference, so no manifest entry moves). Any version diff (the change
+    * feed above all) must union both. Metadata-only: two sidecar reads. */
+  def dvChangedBuckets(table: Path, fromV: Long, toV: Long): Set[String] = {
+    require(fromV <= toV, s"fromV $fromV must be <= toV $toV")
+    val a = readDeletionVector(table.resolve(s"v$fromV"))
+    val b = readDeletionVector(table.resolve(s"v$toV"))
+    (a.keySet ++ b.keySet).filter(f => a.get(f) != b.get(f)).flatMap(dvBucketOf)
   }
 
   /** Small-file compaction: rewrite `table` into ⌈bytes/targetBytes⌉

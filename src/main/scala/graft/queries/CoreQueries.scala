@@ -694,6 +694,23 @@ object CoreQueries {
       },
       Some(s"SELECT * FROM ($UpsertStateOracle\n) z WHERE z.user_id % 7 <> 0")),
 
+    // M10's takedown, MERGE-ON-READ: the same doomed keys committed as an
+    // O(k) deletion-vector sidecar — zero data files rewritten
+    // (DeletionVectorSpec asserts the version dir holds no partition
+    // dirs) — and read back THROUGH the tombstone-subtracting path. The
+    // oracle is m10's, verbatim: a reader cannot tell tombstoned from
+    // rewritten, which is the whole contract. Compaction (materializing
+    // the vector back to clean bytes) is spec-covered.
+    Q("m10b_deletion_vectors",
+      (s, d) => withTwoLoadUpsert(s, d) { (table, _, _) =>
+        val doomed = Tables.events(s, d).select(col("user_id")).distinct()
+          .filter(col("user_id") % 7 === 0)
+        MergeOps.deleteWithVectors(table, doomed, pk = Seq("user_id"), nParts = 16)
+        upsertStateCols(
+          graft.ops.Storage.readPartitionedVersion(s, table).drop("pbucket"))
+      },
+      Some(s"SELECT * FROM ($UpsertStateOracle\n) z WHERE z.user_id % 7 <> 0")),
+
     // M3/M5 — SCD2 version history from a change log: consecutive-dup drop,
     // valid_from/valid_to chaining, is_current, deterministic version numbers
     // (ref: dwh_dim_character.py:49-118 collapsed into one declarative pass).

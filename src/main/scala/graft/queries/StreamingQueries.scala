@@ -480,6 +480,86 @@ object StreamingQueries {
         } finally q.stop()
         s.table(sink).select(col("doc_id")).localCheckpoint()
       },
-      Some("SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"))
+      Some("SELECT min(doc_id) AS doc_id FROM documents GROUP BY text")),
+
+    // Continuous maintenance of the PERSISTED ANN index (VERDICT r10
+    // item 7 — sim7's maintainer wired into the stream6/stream8
+    // commit-log-tail machinery): the embeddings corpus evolves through
+    // three committed loads — a perturbed bootstrap (2/3 of vectors, some
+    // later updated), the restored full truth (inserts + list-moving
+    // updates), and a takedown (deletes) — and after EACH commit a
+    // streaming micro-batch rolls the index forward from the change feed
+    // alone (re-encode upserts, pre-image-located removals, one commit
+    // carrying the applied marker; a duplicate delivery no-ops). The
+    // model is trained once on the bootstrap and FROZEN — ingest never
+    // retrains. Oracle: the exact brute-force top-10 over the FINAL
+    // corpus (the %11 takedown applied) — recall 1.0 through three
+    // generations of incremental maintenance IS the hash check.
+    Q("stream9_ann_index_maintain",
+      (s, d) => withShufflePartitions(s, 4) {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx = s.sqlContext
+        import graft.ops.{AnnIndex, MergeOps, Similarity, Storage}
+        val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val dir = java.nio.file.Files.createTempDirectory("stream9")
+        val base = dir.resolve("embeddings")
+        val idx = dir.resolve("annidx")
+        def load(df: org.apache.spark.sql.DataFrame, ts: String): Long =
+          MergeOps.prunedConditionalUpsert(base,
+            df.withColumn("loaded_at", lit(null).cast("timestamp"))
+              .withColumn("last_upd_at", lit(null).cast("timestamp")),
+            pk = Seq("vec_id"), tracked = Seq("embedding"),
+            runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 8)
+        try {
+          val wave1 = e.filter(col("vec_id") % 3 =!= 0)
+            .withColumn("embedding",
+              when(col("vec_id") % 5 === 0,
+                transform(col("embedding"), x => x + lit(0.25)))
+                .otherwise(col("embedding")))
+          val v0 = load(wave1, "2024-01-01 00:00:00")
+          val boot = Storage.readPartitionedVersion(s, base)
+            .select(col("vec_id"), col("embedding"))
+          AnnIndex.bootstrap(idx, boot,
+            Similarity.kmeansCentroids(boot, c = 8, iters = 3),
+            Similarity.pqCodebooks(boot, m = 16, ksub = 16, iters = 2),
+            m = 16)
+          val input = MemoryStream[Long]
+          val q = StreamingLoads.foreachBatchAnnIndexMaintain(
+            input.toDF().toDF("v"), base, idx,
+            trigger = Trigger.ProcessingTime(0)).start()
+          try {
+            input.addData(v0); q.processAllAvailable()
+            val v1 = load(e, "2024-01-15 00:00:00")
+            input.addData(v1); q.processAllAvailable()
+            val v2 = MergeOps.prunedDelete(base,
+              e.select(col("vec_id")).filter(col("vec_id") % 11 === 0),
+              pk = Seq("vec_id"), nParts = 8, keepVersions = 8)
+            input.addData(v2); q.processAllAvailable()
+            input.addData(v2); q.processAllAvailable() // duplicate: must no-op
+          } finally q.stop()
+          AnnIndex.search(s, idx,
+            rerankSource = Storage.readPartitionedVersion(s, base)
+              .select(col("vec_id"), col("embedding")),
+            queryVec = e.filter(col("vec_id") === 0).select(col("embedding").as("qe")),
+            k = 10, nprobe = 4,
+            rerank = math.max(100L, e.count() / 10).toInt)
+            .localCheckpoint()
+        } finally Storage.deleteRecursively(dir)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 11 <> 0),
+             |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+             |ex AS (SELECT vec_id, CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e10) AS HUGEINT) AS u,
+             |       unnest(range(len(embedding))) AS i FROM e),
+             |qx AS (SELECT CAST(FLOOR(CAST(unnest(qe) AS DOUBLE) * 1e10) AS HUGEINT) AS u,
+             |       unnest(range(len(qe))) AS i FROM q),
+             |dots AS (SELECT ex.vec_id,
+             |    CAST(CAST(SUM(ex.u * qx.u) AS VARCHAR) AS DOUBLE) AS dot,
+             |    CAST(CAST(SUM(ex.u * ex.u) AS VARCHAR) AS DOUBLE) AS n2
+             |  FROM ex JOIN qx USING (i) GROUP BY ex.vec_id),
+             |qn AS (SELECT CAST(CAST(SUM(u * u) AS VARCHAR) AS DOUBLE) AS qn2 FROM qx)
+             |SELECT vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cos_sim
+             |FROM dots, qn
+             |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin))
   )
 }

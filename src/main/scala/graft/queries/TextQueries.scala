@@ -690,6 +690,52 @@ object TextQueries {
              |FROM dots, qn
              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // Persisted + incrementally-maintained ANN index (VERDICT r10 item 2):
+    // sim6 re-run the ingest-time way. The model trains ONCE on the
+    // bootstrap corpus (80% of vectors) and freezes; the index table
+    // commits through Storage partitioned BY IVF LIST, so the probe reads
+    // exactly nprobe partitions; the remaining 20% arrives as an
+    // incremental append that encodes only the batch and rewrites only
+    // the lists it touched. The query-time scan is the stored codes table
+    // alone (Similarity.adcPool takes no embeddings argument); raw
+    // vectors are joined back solely for the exact re-rank pool. Oracle:
+    // the exact brute-force top-10 — recall 1.0 IS the hash check, as
+    // with sim4/sim6, now with a frozen-model index instead of a per-run
+    // rebuild.
+    Q("sim7_persisted_ann_index",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val boot = e.filter(col("vec_id") % 5 =!= 0)
+        val batch = e.filter(col("vec_id") % 5 === 0)
+        val dir = java.nio.file.Files.createTempDirectory("annidx")
+        try {
+          graft.ops.AnnIndex.bootstrap(dir, boot,
+            Similarity.kmeansCentroids(boot, c = 8, iters = 3),
+            Similarity.pqCodebooks(boot, m = 16, ksub = 16, iters = 2),
+            m = 16)
+          graft.ops.AnnIndex.append(s, dir, batch)
+          graft.ops.AnnIndex.search(s, dir, rerankSource = e, queryVec = q,
+            k = 10, nprobe = 4,
+            rerank = math.max(100L, e.count() / 10).toInt)
+            .localCheckpoint()
+        } finally graft.ops.Storage.deleteRecursively(dir)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             |q AS (SELECT embedding AS qe FROM e WHERE vec_id = 0),
+             |ex AS (SELECT vec_id, CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e10) AS HUGEINT) AS u,
+             |       unnest(range(len(embedding))) AS i FROM e),
+             |qx AS (SELECT CAST(FLOOR(CAST(unnest(qe) AS DOUBLE) * 1e10) AS HUGEINT) AS u,
+             |       unnest(range(len(qe))) AS i FROM q),
+             |dots AS (SELECT ex.vec_id,
+             |    CAST(CAST(SUM(ex.u * qx.u) AS VARCHAR) AS DOUBLE) AS dot,
+             |    CAST(CAST(SUM(ex.u * ex.u) AS VARCHAR) AS DOUBLE) AS n2
+             |  FROM ex JOIN qx USING (i) GROUP BY ex.vec_id),
+             |qn AS (SELECT CAST(CAST(SUM(u * u) AS VARCHAR) AS DOUBLE) AS qn2 FROM qx)
+             |SELECT vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cos_sim
+             |FROM dots, qn
+             |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
+
     // Multimodal-column plumbing: opaque binary payload + typed metadata.
     // The "decode" is the documented deterministic stub (no image libs in
     // this container); schema, batching, and partitioning are real.

@@ -361,6 +361,88 @@ object StreamingLoads {
       }
   }
 
+  /** Continuous maintenance of the PERSISTED ANN INDEX
+    * ([[graft.ops.AnnIndex]]) from its base embeddings table's commit-log
+    * tail — the [[foreachBatchCdfAggMaintain]] machinery applied to the
+    * index (VERDICT r10 item 7): the index follows the live corpus.
+    *
+    * `versions` streams `v` LONG commit events for `base` (a
+    * partition-manifested table with (idCol, vecCol) among its columns).
+    * Each micro-batch diffs base between the applied marker and the
+    * highest delivered version with the change feed: inserts and update
+    * POST-images re-encode and replace their index rows; deletes and
+    * update PRE-images locate their IVF list from the pre-image vector
+    * and leave it (a list-moving update is thereby handled: old row out
+    * of the old list, new row into the new one). The whole delta lands in
+    * ONE codes-table commit carrying the applied marker
+    * ([[graft.ops.AnnIndex.applyDelta]]), so duplicate delivery no-ops,
+    * a restart resumes from the marker, and a crash between feed and
+    * commit re-applies idempotently. Lagging past base retention
+    * re-bootstraps from the snapshot ([[graft.ops.AnnIndex.rebuild]]).
+    * Per batch the work is O(changed vectors + touched lists) — the
+    * model stays frozen and the index is never rescanned. */
+  def foreachBatchAnnIndexMaintain(
+      versions: DataFrame,
+      base: java.nio.file.Path,
+      indexDir: java.nio.file.Path,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] = {
+    import graft.ops.{AnnIndex, Cdc, Storage}
+    val codes = indexDir.resolve("codes")
+    Storage.repairOrphans(codes) // single-writer startup contract
+    val Marker = "_APPLIED_V"
+    versions.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // a batch holds a handful of version EVENTS — driver-sized
+        val evs = batch.select(col("v").cast("long")).collect().map(_.getLong(0))
+        if (evs.nonEmpty) {
+          val v = evs.max
+          val applied = Storage.currentVersion(codes).flatMap { cv =>
+            val f = codes.resolve(s"v$cv").resolve(Marker)
+            if (java.nio.file.Files.exists(f))
+              Some(new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong)
+            else None
+          }
+          val marker = Map(Marker -> v.toString)
+          def rebuild(): Unit = {
+            AnnIndex.rebuild(spark, indexDir,
+              Storage.readPartitionedVersionAt(spark, base, v)
+                .select(col(idCol), col(vecCol)),
+              marker, idCol, vecCol)
+            ()
+          }
+          def feedStep(a: Long): Unit = {
+            val cdf = Cdc.changeDataFeed(spark, base, a, v,
+              pk = Seq(idCol), compareCols = Seq(vecCol), preImages = true)
+              .localCheckpoint() // one feed computation serves both splits
+            val ups = cdf.filter(col("change_type").isin("insert", "update_postimage"))
+              .select(col(idCol), col(vecCol))
+            val dels = cdf.filter(col("change_type").isin("delete", "update_preimage"))
+              .select(col(idCol), col(vecCol))
+            AnnIndex.applyDelta(spark, indexDir, ups, dels, marker, idCol, vecCol)
+            ()
+          }
+          applied match {
+            case Some(a) if v <= a => () // duplicate delivery: already applied
+            case _ if !Storage.partitionManifestRetained(base, v) =>
+              () // stale backlog: v vacuumed, a later delivery supersedes
+            case Some(a) if Storage.partitionManifestRetained(base, a) =>
+              // the retained check races the producer's vacuum — fall back
+              // to the re-bootstrap instead of failing the micro-batch
+              try feedStep(a)
+              catch { case _: IllegalArgumentException => rebuild() }
+            case Some(_) => rebuild() // lagged past retention
+            case None => rebuild()    // first delivery: bootstrap
+          }
+        }
+        ()
+      }
+  }
+
   /** Parquet-backed SCD2 dimension for streaming merges. */
   final class Scd2Table(
       spark: SparkSession,

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.{AnnIndex, Similarity, Storage}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted IVF+PQ index ([[graft.ops.AnnIndex]]): bootstrap + append
+  * must reproduce exactly what encoding the full corpus against the same
+  * frozen model produces (append is maintenance, not approximation); an
+  * append rewrites ONLY the lists that received vectors and is idempotent;
+  * search over the stored codes equals the on-the-fly
+  * [[Similarity.ivfPqTopK]] given the same model; and raw vectors outside
+  * the probed lists are provably never read (corrupting them cannot change
+  * the result). */
+class AnnIndexSpec extends SparkTestBase {
+
+  private val M = 8
+  private lazy val e = Tables.embeddings(spark, Sf001)
+  private lazy val boot = e.filter(col("vec_id") % 4 =!= 0)
+  private lazy val batch = e.filter(col("vec_id") % 4 === 0)
+  private lazy val cents = Similarity.kmeansCentroids(boot, c = 4, iters = 2).localCheckpoint()
+  private lazy val books = Similarity.pqCodebooks(boot, m = M, ksub = 8, iters = 1).localCheckpoint()
+
+  private def indexRows(df: DataFrame, listCol: String): Set[(Long, Int, Seq[Int])] =
+    df.select(col("vec_id").cast("long"), col(listCol).cast("int"),
+        col("codes").cast("array<int>"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+
+  private def partDirs(vdir: java.nio.file.Path): Set[String] = {
+    val s = Files.list(vdir)
+    try s.toArray.map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .filter(_.startsWith("pcentroid=")).toSet
+    finally s.close()
+  }
+
+  test("bootstrap + append == full-corpus encode; append rewrites only its lists, idempotently") {
+    val dir = Files.createTempDirectory("annidx_spec")
+    try {
+      AnnIndex.bootstrap(dir, boot, cents, books, m = M)
+      val v1 = AnnIndex.append(spark, dir, batch)
+      val stored = indexRows(
+        Storage.readPartitionedVersion(spark, dir.resolve("codes")), "pcentroid")
+      val expected = indexRows(Similarity.encodePq(e, cents, books, M), "centroid_id")
+      assert(stored == expected,
+        "bootstrap+append must equal encoding the whole corpus against the frozen model")
+
+      // the append's version dir holds exactly the lists the batch landed in
+      val batchLists = expected.filter(r => r._1 % 4 == 0).map(r => s"pcentroid=${r._2}")
+      assert(partDirs(dir.resolve("codes").resolve(s"v$v1")) == batchLists)
+
+      // re-delivering the same batch replaces rows, changing nothing
+      AnnIndex.append(spark, dir, batch)
+      val again = indexRows(
+        Storage.readPartitionedVersion(spark, dir.resolve("codes")), "pcentroid")
+      assert(again == expected, "append must be idempotent")
+    } finally Storage.deleteRecursively(dir)
+  }
+
+  test("search == on-the-fly ivfPqTopK; vectors outside the probed lists are never read") {
+    val dir = Files.createTempDirectory("annidx_spec2")
+    try {
+      AnnIndex.bootstrap(dir, boot, cents, books, m = M)
+      AnnIndex.append(spark, dir, batch)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      def rows(df: DataFrame): Seq[(Long, Double)] =
+        df.select(col("vec_id").cast("long"), col("cos_sim"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+      val got = rows(AnnIndex.search(spark, dir, e, q, k = 5, nprobe = 2, rerank = 50))
+      val fly = rows(Similarity.ivfPqTopK(e, q, cents, books,
+        m = M, k = 5, nprobe = 2, rerank = 50))
+      assert(got == fly, s"stored-index search must equal the on-the-fly path: $got vs $fly")
+
+      // corrupt every vector OUTSIDE the probed lists: if search read any
+      // of them the result would change — it must not, because the ADC
+      // stage reads codes only and the re-rank joins just the pool ids
+      // (all from probed lists). Probe rule replicated from AnnIndex.
+      val cnorm = sqrt(Similarity.dotUnits(col("cvec"), col("cvec")).cast("double"))
+      val probed = q.crossJoin(broadcast(cents))
+        .withColumn("__qsim",
+          when(cnorm > 0, Similarity.dotUnits(col("qe"), col("cvec")).cast("double") / cnorm)
+            .otherwise(lit(Double.NegativeInfinity)))
+        .orderBy(col("__qsim").desc, col("centroid_id"))
+        .limit(2).select(col("centroid_id").cast("int"))
+        .collect().map(_.getInt(0)).toSet
+      val assignment = Storage.readPartitionedVersion(spark, dir.resolve("codes"))
+        .select(col("vec_id").cast("long"), col("pcentroid").cast("int")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val outside = assignment.collect { case (id, c) if !probed.contains(c) => id }.toSeq
+      assert(outside.nonEmpty, "fixture must leave some lists unprobed")
+      val d = e.select(size(col("embedding"))).head.getInt(0)
+      val junk = array_repeat(lit(9.9), d)
+      val corrupted = e.withColumn("embedding",
+        when(col("vec_id").isin(outside.map(Long.box): _*), junk)
+          .otherwise(col("embedding")))
+      val gotCorrupted = rows(AnnIndex.search(spark, dir, corrupted, q,
+        k = 5, nprobe = 2, rerank = 50))
+      assert(gotCorrupted == got,
+        "corrupting non-probed vectors changed the result — search read bytes it must not")
+    } finally Storage.deleteRecursively(dir)
+  }
+}

@@ -660,6 +660,108 @@ class PartitionedStorageSpec extends SparkTestBase {
       .getFileName.toString.startsWith(".staging-")), "staging must be cleaned")
     finally s.close()
   }
+
+  test("overlapping writers WITH a resolver rebase: both updates land serially") {
+    val table = Files.createTempDirectory("occ_rebase").resolve("t")
+    Storage.commitPartitions(
+      bucketRows((1L, "a", 1), (2L, "b", 1), (9L, "z", 0)),
+      table, "pbucket", keepVersions = 4)
+
+    // A's intent: k=1 -> FROM_A in bucket 1. Its resolver re-applies that
+    // DELTA on whatever the winner committed for the conflicting bucket.
+    val rebase = new Storage.OverlapResolver {
+      def recompute(sp: org.apache.spark.sql.SparkSession, t: java.nio.file.Path,
+          newBase: Long, conflicting: Set[String]): org.apache.spark.sql.DataFrame =
+        Storage.readPartitionedVersionAt(sp, t, newBase, Some(conflicting))
+          .withColumn("attr", when(col("k") === 1L, "FROM_A").otherwise(col("attr")))
+    }
+    val gate = s"occ_rebase_${System.nanoTime()}"
+    @volatile var aError: Throwable = null
+    @volatile var aVersion = -1L
+    val a = new Thread(() => {
+      try aVersion = Storage.commitPartitions(
+        gated(bucketRows((1L, "FROM_A", 1), (2L, "b", 1)), gate),
+        table, "pbucket", keepVersions = 4, onOverlap = Some(rebase))
+      catch { case t: Throwable => aError = t }
+    })
+    a.start()
+    awaitStaging(table)
+    // winner B updates k=2 in the SAME bucket
+    assert(Storage.commitPartitions(
+      bucketRows((1L, "a", 1), (2L, "FROM_B", 1)),
+      table, "pbucket", keepVersions = 4) == 1L)
+    PartitionedStorageSpec.gates.get(gate).countDown()
+    a.join(60000)
+    assert(aError == null, s"resolver-armed loser must rebase and land, got: $aError")
+    assert(aVersion == 2L, s"rebased commit must take the next slot, got v$aVersion")
+
+    // serial outcome: B's update survived, A's delta applied on top of it
+    val fin = Storage.readPartitionedVersion(spark, table)
+      .select("k", "attr").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fin == Map(1L -> "FROM_A", 2L -> "FROM_B", 9L -> "z"),
+      s"both writers' updates must land: $fin")
+    // intermediate state (v1) is the winner's alone — time travel shows it
+    assert(Storage.readPartitionedVersionAt(spark, table, 1L)
+      .filter(col("k") === 1L).select("attr").head.getString(0) == "a")
+  }
+
+  /** Like [[gated]], but parks ONLY while a `.staging-` dir exists at the
+    * table — i.e. only the evaluation happening inside commitPartitions'
+    * data write, AFTER the commit pinned its base. The upsert evaluates
+    * its incoming frame several times before committing (bucket probes,
+    * change detection); gating those would release the writer BEFORE it
+    * resolves its base, so it would simply read the winner's state and no
+    * conflict would ever occur. */
+  private def gatedWhenStaging(df: org.apache.spark.sql.DataFrame,
+      key: String, tableDir: String): org.apache.spark.sql.DataFrame = {
+    PartitionedStorageSpec.gates.putIfAbsent(key, new java.util.concurrent.CountDownLatch(1))
+    df.mapPartitions { it =>
+      val p = java.nio.file.Paths.get(tableDir)
+      val inStaging = java.nio.file.Files.isDirectory(p) && {
+        val s = java.nio.file.Files.list(p)
+        try s.toArray.exists(_.asInstanceOf[java.nio.file.Path]
+          .getFileName.toString.startsWith(".staging-"))
+        finally s.close()
+      }
+      if (inStaging) PartitionedStorageSpec.gates.get(key).await()
+      it
+    }(org.apache.spark.sql.Encoders.row(df.schema))
+  }
+
+  test("two pruned upserts on the SAME bucket: the built-in rebase merges both") {
+    import graft.ops.MergeOps
+    val table = Files.createTempDirectory("occ_upsert").resolve("t")
+    def load(rows: Seq[(Long, String)], gate: Option[String] = None): Long = {
+      import spark.implicits._
+      val df0 = rows.toDF("user_id", "attr")
+        .withColumn("loaded_at", lit(null).cast("timestamp"))
+        .withColumn("last_upd_at", lit(null).cast("timestamp"))
+      val df = gate.fold(df0)(g => gatedWhenStaging(df0, g, table.toString))
+      MergeOps.prunedConditionalUpsert(table, df, pk = Seq("user_id"),
+        tracked = Seq("attr"), runTs = lit("2024-01-01 00:00:00").cast("timestamp"),
+        nParts = 1, keepVersions = 4) // nParts=1: every key shares ONE bucket
+    }
+    load(Seq(1L -> "a", 2L -> "b"))
+
+    val gate = s"occ_upsert_${System.nanoTime()}"
+    @volatile var aError: Throwable = null
+    val a = new Thread(() => {
+      try load(Seq(1L -> "FROM_A"), gate = Some(gate))
+      catch { case t: Throwable => aError = t }
+    })
+    a.start()
+    awaitStaging(table)
+    load(Seq(2L -> "FROM_B"))
+    PartitionedStorageSpec.gates.get(gate).countDown()
+    a.join(120000)
+    assert(aError == null, s"upsert loser must rebase via its resolver, got: $aError")
+    assert(Storage.currentVersion(table).contains(2L),
+      "loser must land on the slot after the winner's")
+    val fin = Storage.readPartitionedVersion(spark, table)
+      .select("user_id", "attr").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fin == Map(1L -> "FROM_A", 2L -> "FROM_B"),
+      s"concurrent same-bucket upserts must both land: $fin")
+  }
 }
 
 object PartitionedStorageSpec {
