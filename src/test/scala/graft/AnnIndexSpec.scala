@@ -101,4 +101,44 @@ class AnnIndexSpec extends SparkTestBase {
         "corrupting non-probed vectors changed the result — search read bytes it must not")
     } finally Storage.deleteRecursively(dir)
   }
+
+  // The sim7 gate contract, pinned at the gate's own geometry (c=8, m=16,
+  // ksub=16, nprobe=4, rerank=max(100, n/10), 80% bootstrap + 20% append):
+  // (1) stored-index search ≡ on-the-fly ivfPqTopK under the model read
+  // back from the index — bit-exact, the `index_agrees` flag's definition;
+  // (2) a recall FLOOR against brute force. The floor is a canary, not a
+  // promise of exactness: a round-12 grid (c∈{4,6,8}, nprobe→c−1,
+  // iters→10, rerank→n/2) showed a frozen partial-corpus model tops out
+  // at 9/10 on this corpus — true neighbors land in unprobed lists — so
+  // the oracle hash pins the equivalence, and this assertion catches the
+  // silent-degradation mode (a model-handling bug driving recall toward
+  // zero) that an equivalence check alone would miss.
+  test("frozen-model gate geometry: stored ≡ read-back-model fly, recall floor holds") {
+    val dir = Files.createTempDirectory("annidx_spec3")
+    try {
+      val boot80 = e.filter(col("vec_id") % 5 =!= 0)
+      val batch20 = e.filter(col("vec_id") % 5 === 0)
+      AnnIndex.bootstrap(dir, boot80,
+        Similarity.kmeansCentroids(boot80, c = 8, iters = 3),
+        Similarity.pqCodebooks(boot80, m = 16, ksub = 16, iters = 2),
+        m = 16)
+      AnnIndex.append(spark, dir, batch20)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val rerank = math.max(100L, e.count() / 10).toInt
+      def rows(df: DataFrame): Seq[(Long, Double)] =
+        df.select(col("vec_id").cast("long"), col("cos_sim"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val stored = rows(AnnIndex.search(spark, dir, e, q,
+        k = 10, nprobe = 4, rerank = rerank))
+      val fly = rows(Similarity.ivfPqTopK(e, q,
+        Storage.readVersion(spark, dir.resolve("centroids")),
+        Storage.readVersion(spark, dir.resolve("codebooks")),
+        m = 16, k = 10, nprobe = 4, rerank = rerank))
+      assert(stored == fly,
+        s"gate geometry: stored search must be bit-identical to the fly path: $stored vs $fly")
+      val exact = rows(Similarity.bruteForceTopK(e, q, 10)).map(_._1).toSet
+      val recall = stored.map(_._1).toSet.intersect(exact).size
+      assert(recall >= 5, s"frozen-model recall collapsed: $recall/10")
+    } finally Storage.deleteRecursively(dir)
+  }
 }
