@@ -303,11 +303,11 @@ object MergeOps {
     val matchCond = pk.map(c => col(s"o.$c") <=> col(s"k.$c")).reduce(_ && _)
     val hits = lineage.join(keys, matchCond, "left_semi")
       .select(col("__dv_file"), col("__dv_pos")).collect()
-    val tableAbs = table.toAbsolutePath
-    val dv = hits.groupBy(_.getString(0)).map { case (abs, rows) =>
-      val rel = tableAbs.relativize(java.nio.file.Paths.get(abs))
-      (0 until rel.getNameCount).map(rel.getName(_).toString).mkString("/") ->
-        rows.map(_.getLong(1)).toSeq.sorted
+    // __dv_file is already the sidecar's table-relative `v<ver>/<part>/
+    // <file>` form (Storage.readPartitionedAt0) — no path relativize, so
+    // a table root with URI-encodable characters cannot mis-resolve
+    val dv = hits.groupBy(_.getString(0)).map { case (rel, rows) =>
+      rel -> rows.map(_.getLong(1)).toSeq.sorted
     }.toMap
     // empty delta frame: every bucket carries by reference; the commit is
     // the sidecar + manifest + log — the whole point

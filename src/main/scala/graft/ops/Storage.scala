@@ -1046,7 +1046,22 @@ object Storage {
           // caller's (file, row) coordinates name files that no longer
           // exist, and committing them would silently resurrect the rows
           val dvBuckets = deletionVector.keys.flatMap(dvBucketOf).toSet
-          val overlap = touched.intersect(written.toSet ++ effDrop ++ dvBuckets)
+          // ...and the converse (ADVICE r11): a DV-ONLY winner moves no
+          // manifest entry, so the parts diff alone is blind to it. A
+          // loser re-finalizing staged bytes read BEFORE those tombstones
+          // existed — while carriedDv sheds the winner's DV for its
+          // written buckets — would silently resurrect the deleted rows.
+          // Union the buckets whose DV state changed between the two
+          // bases into the conflict set; the rebase read path reads the
+          // winner's version DV-applied, materializing the deletes.
+          val dvOld = curBase.map(b => readDeletionVector(table.resolve(s"v$b")))
+            .getOrElse(Map.empty[String, Seq[Long]])
+          val dvNew = readDeletionVector(table.resolve(s"v$newBase"))
+          val dvChanged = (dvOld.keySet ++ dvNew.keySet)
+            .filter(f => dvOld.get(f) != dvNew.get(f))
+            .flatMap(dvBucketOf)
+          val overlap = (touched ++ dvChanged)
+            .intersect(written.toSet ++ effDrop ++ dvBuckets)
           if (overlap.nonEmpty) {
             // rebase path: only DATA-REWRITE conflicts have a recompute
             // story (a conflicting drop or tombstone has no merge), and
@@ -1142,11 +1157,11 @@ object Storage {
     readPartitionedAt0(spark, table, v, onlyParts, lineage = false)
 
   /** [[readPartitionedVersion]] with two extra columns exposing physical
-    * row identity: `__dv_file` (absolute data-file path, URI scheme
-    * stripped) and `__dv_pos` (parquet row index within that file) — the
-    * coordinates a deletion-vector commit tombstones. Vectors already
-    * committed are applied FIRST, so every coordinate returned names a
-    * live row. */
+    * row identity: `__dv_file` (table-relative `v<ver>/<part>/<file>` —
+    * the deletion-vector sidecar's own path form) and `__dv_pos` (parquet
+    * row index within that file) — the coordinates a deletion-vector
+    * commit tombstones. Vectors already committed are applied FIRST, so
+    * every coordinate returned names a live row. */
   private[graft] def readPartitionedLineage(
       spark: SparkSession, table: Path,
       onlyParts: Option[Set[String]] = None): DataFrame =
@@ -1158,7 +1173,7 @@ object Storage {
   private def readPartitionedAt0(
       spark: SparkSession, table: Path, v: Long,
       onlyParts: Option[Set[String]], lineage: Boolean): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, regexp_replace, col => c, lit => l}
+    import org.apache.spark.sql.functions.{broadcast, substring_index, col => c, lit => l}
     val cur = currentVersion(table)
     require(Files.exists(table.resolve(s"v$v")) && cur.exists(v <= _),
       s"version $v not retained at $table (current=$cur)")
@@ -1205,21 +1220,24 @@ object Storage {
         val base = spark.read.option("basePath", ownerDir.toString)
           .parquet(parts.keys.toSeq.sorted.map(p => ownerDir.resolve(p).toString): _*)
         if (!needMeta) base
-        // scheme-stripped canonical path: the scan renders file:/… URIs,
-        // the driver holds plain absolute paths — one normalization keeps
-        // the tombstone anti-join a plain equality
+        // table-relative canonical coordinates: the scan renders
+        // file:/… URIs whose root prefix is percent-ENCODED for special
+        // characters, while driver-side paths are raw — matching absolute
+        // strings would silently miss tombstones for a table path
+        // containing a space (ADVICE r11). Every DV path is
+        // `v<ver>/<part>/<file>` by construction, and those three
+        // components are encoding-free (version dirs, int-valued bucket
+        // dirs per the pkBucket contract, Spark part filenames), so the
+        // last three path components ARE the sidecar's relative form —
+        // both join sides derive from it and no decode is needed.
         else base.select(c("*"),
-          regexp_replace(c("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
-            .as("__dv_file"),
+          substring_index(c("_metadata.file_path"), "/", -3).as("__dv_file"),
           c("_metadata.row_index").as("__dv_pos"))
       }.reduce(_.unionByName(_, allowMissingColumns = declared.isDefined))
       val masked =
         if (dv.isEmpty) composed
         else {
-          val doomed = dv.toSeq.flatMap { case (rel, ps) =>
-            val abs = table.resolve(rel).toAbsolutePath.toString
-            ps.map(p => (abs, p))
-          }
+          val doomed = dv.toSeq.flatMap { case (rel, ps) => ps.map(p => (rel, p)) }
           import spark.implicits._
           composed.join(broadcast(doomed.toDF("__dv_file", "__dv_pos")),
             Seq("__dv_file", "__dv_pos"), "left_anti")

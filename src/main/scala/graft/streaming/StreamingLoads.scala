@@ -432,9 +432,19 @@ object StreamingLoads {
               () // stale backlog: v vacuumed, a later delivery supersedes
             case Some(a) if Storage.partitionManifestRetained(base, a) =>
               // the retained check races the producer's vacuum — fall back
-              // to the re-bootstrap instead of failing the micro-batch
+              // to the re-bootstrap instead of failing the micro-batch,
+              // but ONLY when the race actually happened (a's manifest is
+              // gone by the time the feed read it): any other
+              // IllegalArgumentException is a genuine caller-contract bug
+              // (reserved-column collision, bad pk/compareCols) and must
+              // surface, not hide as a rebuild-every-batch performance
+              // cliff (ADVICE r11)
               try feedStep(a)
-              catch { case _: IllegalArgumentException => rebuild() }
+              catch {
+                case e: IllegalArgumentException =>
+                  if (Storage.partitionManifestRetained(base, a)) throw e
+                  else rebuild()
+              }
             case Some(_) => rebuild() // lagged past retention
             case None => rebuild()    // first delivery: bootstrap
           }

@@ -147,4 +147,25 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(!Storage.committedPartitions(table).contains(s"pbucket=$victimBucket"),
       "an emptied bucket must leave the manifest, not linger as stale bytes")
   }
+
+  test("DV round trip under a table path containing a space (URI-encodable root)") {
+    // ADVICE r11 (low): the scan renders file_path as a percent-encoded
+    // URI while driver paths are raw — an absolute-string anti-join key
+    // silently fails to subtract tombstones for such roots. Coordinates
+    // are table-relative (`v<ver>/<part>/<file>`) on both sides now.
+    val table = Files.createTempDirectory("dv space dir").resolve("t")
+    loadNation(table, nation)
+    val all = nation.select(col("n_nationkey").cast("long")).collect().map(_.getLong(0)).toSet
+    val doomedKeys = all.filter(_ % 5 == 0)
+    val vd = MergeOps.deleteWithVectors(table,
+      nation.select(col("n_nationkey")).filter(col("n_nationkey") % 5 === 0),
+      pk = Seq("n_nationkey"), nParts = 4, keepVersions = 8)
+    assert(partDirs(table.resolve(s"v$vd")).isEmpty, "DV commit must rewrite no data")
+    assert(Storage.deletionVector(table).values.map(_.size).sum == doomedKeys.size)
+    assert(stateKeys(table) == all -- doomedKeys,
+      "tombstones must subtract under an encodable table root")
+    MergeOps.compactDeletionVectors(spark, table, keepVersions = 8)
+    assert(Storage.deletionVector(table).isEmpty)
+    assert(stateKeys(table) == all -- doomedKeys)
+  }
 }

@@ -762,6 +762,60 @@ class PartitionedStorageSpec extends SparkTestBase {
     assert(fin == Map(1L -> "FROM_A", 2L -> "FROM_B"),
       s"concurrent same-bucket upserts must both land: $fin")
   }
+
+  test("DV-only winner vs data-rewrite loser: conflict detected, deletes survive the rebase") {
+    // ADVICE r11 (high): a DV-only commit moves no manifest entry, so the
+    // parts-diff alone is blind to it — a racing rewriter of the same
+    // bucket would re-finalize bytes read BEFORE the tombstones existed
+    // and shed them via carriedDv, resurrecting GDPR-deleted rows. The
+    // DV-diff must join the conflict set, and the rebase (whose read path
+    // applies the winner's DV) must land the loser's delta WITHOUT the
+    // deleted row.
+    val table = Files.createTempDirectory("occ_dv").resolve("t")
+    Storage.commitPartitions(
+      bucketRows((1L, "a", 0), (2L, "b", 0), (9L, "z", 1)),
+      table, "pbucket", keepVersions = 4)
+
+    // loser A's intent: k=2 -> FROM_A in bucket 0; resolver re-applies
+    // the delta on the winner's state (read DV-applied)
+    val rebase = new Storage.OverlapResolver {
+      def recompute(sp: org.apache.spark.sql.SparkSession, t: java.nio.file.Path,
+          newBase: Long, conflicting: Set[String]): org.apache.spark.sql.DataFrame =
+        Storage.readPartitionedVersionAt(sp, t, newBase, Some(conflicting))
+          .withColumn("attr", when(col("k") === 2L, "FROM_A").otherwise(col("attr")))
+    }
+    val gate = s"occ_dv_${System.nanoTime()}"
+    @volatile var aError: Throwable = null
+    @volatile var aVersion = -1L
+    val a = new Thread(() => {
+      try aVersion = Storage.commitPartitions(
+        gated(bucketRows((1L, "a", 0), (2L, "FROM_A", 0)), gate),
+        table, "pbucket", keepVersions = 4, onOverlap = Some(rebase))
+      catch { case t: Throwable => aError = t }
+    })
+    a.start()
+    awaitStaging(table)
+    // winner: DV-only takedown of k=1 (same bucket, no manifest move) —
+    // coordinates located exactly as deleteWithVectors does
+    val hit = Storage.readPartitionedLineage(spark, table, Some(Set("pbucket=0")))
+      .filter(col("k") === 1L).select(col("__dv_file"), col("__dv_pos")).head
+    assert(Storage.commitPartitions(
+      Storage.readPartitionedVersion(spark, table).limit(0), table, "pbucket",
+      keepVersions = 4, deletionVector = Map(hit.getString(0) -> Seq(hit.getLong(1)))) == 1L)
+    assert(Storage.deletionVector(table).nonEmpty,
+      "fixture must produce a DV-only winner commit")
+    PartitionedStorageSpec.gates.get(gate).countDown()
+    a.join(120000)
+    assert(aError == null, s"loser must detect the DV conflict and rebase, got: $aError")
+    assert(aVersion == 2L, s"rebased commit must take the next slot, got v$aVersion")
+    val fin = Storage.readPartitionedVersion(spark, table)
+      .select("k", "attr").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fin == Map(2L -> "FROM_A", 9L -> "z"),
+      s"the rebase must keep the winner's delete AND apply the loser's update: $fin")
+    // the winner's intermediate state is intact under time travel
+    assert(Storage.readPartitionedVersionAt(spark, table, 1L)
+      .select("k").collect().map(_.getLong(0)).toSet == Set(2L, 9L))
+  }
 }
 
 object PartitionedStorageSpec {
