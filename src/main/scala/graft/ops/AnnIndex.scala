@@ -41,6 +41,30 @@ object AnnIndex {
   private def centroidsT(dir: Path) = dir.resolve("centroids")
   private def codebooksT(dir: Path) = dir.resolve("codebooks")
 
+  /** Cumulative count of rows encoded AGAINST the frozen model since the
+    * last (re)training — the drift odometer. Rides every codes commit as
+    * an extra file, like the streaming maintainer's applied-version
+    * marker; monotone and conservative (a re-upsert of the same id counts
+    * again — it is still a vector value the training never saw). */
+  private val DriftFile = "_DRIFT"
+
+  private def readDrift(dir: Path): Long =
+    Storage.currentVersion(codesT(dir)).flatMap { v =>
+      val f = codesT(dir).resolve(s"v$v").resolve(DriftFile)
+      if (java.nio.file.Files.exists(f))
+        Some(new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong)
+      else None
+    }.getOrElse(0L)
+
+  /** Fraction of the CURRENT index encoded after the model froze — the
+    * quality canary sim7's red round demonstrated the need for: a frozen
+    * partial-corpus model silently degrades recall as the unseen fraction
+    * grows. O(index metadata + one count). */
+  def driftFraction(spark: SparkSession, dir: Path): Double = {
+    val n = Storage.readPartitionedVersion(spark, codesT(dir)).count()
+    if (n == 0L) 0.0 else readDrift(dir).toDouble / n
+  }
+
   /** Train-and-build: commit the model (as given — training stays the
     * caller's choice of corpus/geometry) and the full codes table.
     * Returns the codes table's committed version. */
@@ -56,7 +80,8 @@ object AnnIndex {
     Storage.commitVersion(codebooks, codebooksT(dir))
     val enc = Similarity.encodePq(embeddings, centroids, codebooks, m, idCol, vecCol)
       .withColumnRenamed("centroid_id", "pcentroid")
-    Storage.commitPartitions(enc, codesT(dir), "pcentroid")
+    Storage.commitPartitions(enc, codesT(dir), "pcentroid",
+      extraFiles = Map(DriftFile -> "0"))
   }
 
   /** Fold a new batch into the index: encode it against the FROZEN stored
@@ -107,10 +132,15 @@ object AnnIndex {
     val touched = encU.select(col("pcentroid")).union(encD.select(col("pcentroid")))
       .distinct().collect().map(r => s"pcentroid=${r.get(0)}").toSet // O(lists)
     val codes = codesT(dir)
+    // drift odometer: every upsert row was encoded against a model that
+    // never trained on it; carried forward explicitly (extra files do not
+    // ride commits automatically)
+    def withDrift(added: Long): Map[String, String] =
+      extraFiles + (DriftFile -> (readDrift(dir) + added).toString)
     if (touched.isEmpty) // empty delta: carry everything, still commit the marker
       return Storage.commitPartitions(
         Storage.readPartitionedVersion(spark, codes).limit(0), codes, "pcentroid",
-        extraFiles = extraFiles)
+        extraFiles = withDrift(0L))
     val existing = Storage.readPartitionedVersion(spark, codes, Some(touched))
     val gone = encU.select(col(idCol)).union(encD.select(col(idCol)))
     val next = existing.join(gone, Seq(idCol), "left_anti").unionByName(encU)
@@ -119,7 +149,8 @@ object AnnIndex {
       .collect().map(r => s"pcentroid=${r.get(0)}").toSet
     val prev = Storage.committedPartitions(codes)
     Storage.commitPartitions(next, codes, "pcentroid",
-      dropParts = (touched -- live).intersect(prev), extraFiles = extraFiles)
+      dropParts = (touched -- live).intersect(prev),
+      extraFiles = withDrift(encU.count()))
   }
 
   /** Re-encode a full corpus snapshot against the frozen model and commit
@@ -138,8 +169,44 @@ object AnnIndex {
     val m = codebooks.agg(max(col("sub"))).head.getInt(0) + 1
     val enc = Similarity.encodePq(snapshot, centroids, codebooks, m, idCol, vecCol)
       .withColumnRenamed("centroid_id", "pcentroid")
+    // the model stays FROZEN here (this is the retention-lag recovery, not
+    // a retrain), so re-encoding resets nothing: carry the odometer
     Storage.commitPartitions(enc, codesT(dir), "pcentroid",
-      dropAbsent = true, extraFiles = extraFiles)
+      dropAbsent = true,
+      extraFiles = extraFiles + (DriftFile -> readDrift(dir).toString))
+  }
+
+  /** Quality-triggered re-bootstrap (the fix for the failure mode sim7's
+    * red round demonstrated): RETRAIN the model on the current corpus —
+    * same geometry as the stored model (c from the centroid count, m/ksub
+    * from the codebooks) — commit it, re-encode the full snapshot against
+    * it, and zero the drift odometer. Unlike [[rebuild]], which keeps the
+    * frozen model, this is the one maintenance step that changes list
+    * assignments, so it rewrites the whole index — the amortized cost a
+    * long-lived index pays ONCE per drift threshold, not per batch. */
+  def retrainBootstrap(
+      spark: SparkSession,
+      dir: Path,
+      snapshot: DataFrame,
+      kmeansIters: Int = 3,
+      pqIters: Int = 2,
+      extraFiles: Map[String, String] = Map.empty,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Long = {
+    val oldBooks = Storage.readVersion(spark, codebooksT(dir))
+    val c = Storage.readVersion(spark, centroidsT(dir)).count().toInt
+    val m = oldBooks.agg(max(col("sub"))).head.getInt(0) + 1
+    val ksub = oldBooks.agg(max(col("code"))).head.getInt(0) + 1
+    val centroids = Similarity.kmeansCentroids(snapshot, c, kmeansIters, idCol, vecCol)
+      .localCheckpoint()
+    val codebooks = Similarity.pqCodebooks(snapshot, m, ksub, pqIters, idCol, vecCol)
+      .localCheckpoint()
+    Storage.commitVersion(centroids, centroidsT(dir))
+    Storage.commitVersion(codebooks, codebooksT(dir))
+    val enc = Similarity.encodePq(snapshot, centroids, codebooks, m, idCol, vecCol)
+      .withColumnRenamed("centroid_id", "pcentroid")
+    Storage.commitPartitions(enc, codesT(dir), "pcentroid",
+      dropAbsent = true, extraFiles = extraFiles + (DriftFile -> "0"))
   }
 
   /** Top-k by cosine against the stored index: probe the query's best

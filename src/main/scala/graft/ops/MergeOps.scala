@@ -283,11 +283,12 @@ object MergeOps {
     * takedown-scale path (k ≪ table); a bulk delete should keep using
     * [[prunedDelete]], which rewrites. Tombstones ride along carried
     * buckets until [[compactDeletionVectors]] (or any organic rewrite of
-    * the bucket) materializes them; until then external engines reading
-    * the raw Delta log see pre-delete bytes (the documented
-    * [[Storage]] DV caveat). Same no-op contract as prunedDelete: absent
-    * keys tombstone nothing, a table with no committed version returns -1.
-    * Returns the committed version. */
+    * the bucket) materializes them; external engines see the SAME deletes
+    * meanwhile through the `add.deletionVector` descriptors the commit
+    * writes into both Delta logs ([[graft.ops.DeltaDv]]). Same no-op
+    * contract as prunedDelete: absent keys tombstone nothing, a table
+    * with no committed version returns -1. Returns the committed
+    * version. */
   def deleteWithVectors(
       table: java.nio.file.Path,
       doomed: DataFrame,

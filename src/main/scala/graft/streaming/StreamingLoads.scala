@@ -380,14 +380,25 @@ object StreamingLoads {
     * commit re-applies idempotently. Lagging past base retention
     * re-bootstraps from the snapshot ([[graft.ops.AnnIndex.rebuild]]).
     * Per batch the work is O(changed vectors + touched lists) — the
-    * model stays frozen and the index is never rescanned. */
+    * model stays frozen and the index is never rescanned.
+    *
+    * `rebootstrapAt` is the model-drift guard (VERDICT r11 stretch):
+    * when the fraction of the index encoded since the last training
+    * ([[graft.ops.AnnIndex.driftFraction]]) exceeds the threshold after
+    * a batch applies, the maintainer RETRAINS the model on the current
+    * corpus snapshot and re-encodes ([[graft.ops.AnnIndex
+    * .retrainBootstrap]], same stored geometry) — so a long-lived index
+    * cannot silently degrade toward the frozen-partial-model recall loss
+    * sim7's red round demonstrated. The retrain commit carries the same
+    * applied marker, so exactly-once delivery is unaffected. */
   def foreachBatchAnnIndexMaintain(
       versions: DataFrame,
       base: java.nio.file.Path,
       indexDir: java.nio.file.Path,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      rebootstrapAt: Option[Double] = None): DataStreamWriter[Row] = {
     import graft.ops.{AnnIndex, Cdc, Storage}
     val codes = indexDir.resolve("codes")
     Storage.repairOrphans(codes) // single-writer startup contract
@@ -426,10 +437,10 @@ object StreamingLoads {
             AnnIndex.applyDelta(spark, indexDir, ups, dels, marker, idCol, vecCol)
             ()
           }
-          applied match {
-            case Some(a) if v <= a => () // duplicate delivery: already applied
+          val advanced = applied match {
+            case Some(a) if v <= a => false // duplicate delivery: already applied
             case _ if !Storage.partitionManifestRetained(base, v) =>
-              () // stale backlog: v vacuumed, a later delivery supersedes
+              false // stale backlog: v vacuumed, a later delivery supersedes
             case Some(a) if Storage.partitionManifestRetained(base, a) =>
               // the retained check races the producer's vacuum — fall back
               // to the re-bootstrap instead of failing the micro-batch,
@@ -445,8 +456,20 @@ object StreamingLoads {
                   if (Storage.partitionManifestRetained(base, a)) throw e
                   else rebuild()
               }
-            case Some(_) => rebuild() // lagged past retention
-            case None => rebuild()    // first delivery: bootstrap
+              true
+            case Some(_) => rebuild(); true // lagged past retention
+            case None => rebuild(); true    // first delivery: bootstrap
+          }
+          // drift guard AFTER a delta actually applied (v is readable
+          // then): the check is a no-op unless armed; the retrain
+          // re-commits under the same marker, so a crash straddling it
+          // re-runs idempotently
+          if (advanced) rebootstrapAt.foreach { th =>
+            if (AnnIndex.driftFraction(spark, indexDir) > th)
+              AnnIndex.retrainBootstrap(spark, indexDir,
+                Storage.readPartitionedVersionAt(spark, base, v)
+                  .select(col(idCol), col(vecCol)),
+                extraFiles = marker, idCol = idCol, vecCol = vecCol)
           }
         }
         ()

@@ -141,4 +141,93 @@ class AnnIndexSpec extends SparkTestBase {
       assert(recall >= 5, s"frozen-model recall collapsed: $recall/10")
     } finally Storage.deleteRecursively(dir)
   }
+
+  // VERDICT r11 stretch: the drift odometer and the quality-triggered
+  // retrain — the guard against the silent-degradation mode sim7's red
+  // round demonstrated (a frozen model accumulating vectors it never
+  // trained on).
+  test("drift odometer counts frozen-model encodes; retrainBootstrap retrains and resets") {
+    val dir = Files.createTempDirectory("annidx_drift")
+    try {
+      AnnIndex.bootstrap(dir, boot, cents, books, m = M)
+      assert(AnnIndex.driftFraction(spark, dir) == 0.0, "fresh bootstrap has zero drift")
+
+      AnnIndex.append(spark, dir, batch)
+      val n = e.count().toDouble
+      val frac = AnnIndex.driftFraction(spark, dir)
+      assert(math.abs(frac - batch.count() / n) < 1e-9,
+        s"drift must equal the appended fraction, got $frac")
+      // the model is still the frozen bootstrap model
+      assert(Storage.readVersion(spark, dir.resolve("centroids")).collect().toSet ==
+        cents.collect().toSet, "append must never retrain")
+
+      // rebuild (frozen-model recovery) re-encodes but does NOT reset drift
+      AnnIndex.rebuild(spark, dir, e)
+      assert(math.abs(AnnIndex.driftFraction(spark, dir) - frac) < 1e-9,
+        "rebuild keeps the frozen model, so the odometer must carry")
+
+      AnnIndex.retrainBootstrap(spark, dir, e, kmeansIters = 2, pqIters = 1)
+      assert(AnnIndex.driftFraction(spark, dir) == 0.0, "retrain must reset drift")
+      // the stored model is now the full-corpus training at the SAME geometry
+      val freshCents = Similarity.kmeansCentroids(e, c = 4, iters = 2)
+      assert(Storage.readVersion(spark, dir.resolve("centroids")).collect().toSet ==
+        freshCents.collect().toSet, "retrain must train on the current corpus")
+      // and search under the retrained index still equals the fly path
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      def rows10(df: DataFrame): Seq[(Long, Double)] =
+        df.select(col("vec_id").cast("long"), col("cos_sim"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val stored = rows10(AnnIndex.search(spark, dir, e, q, k = 5, nprobe = 2, rerank = 50))
+      val fly = rows10(Similarity.ivfPqTopK(e, q,
+        Storage.readVersion(spark, dir.resolve("centroids")),
+        Storage.readVersion(spark, dir.resolve("codebooks")),
+        m = M, k = 5, nprobe = 2, rerank = 50))
+      assert(stored == fly, "retrained index must stay search-equivalent")
+    } finally Storage.deleteRecursively(dir)
+  }
+
+  test("streaming maintainer with rebootstrapAt: crossing the drift threshold retrains the model") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.ops.MergeOps
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("annidx_drift_stream")
+    val base = root.resolve("embeddings")
+    val idx = root.resolve("annidx")
+    def load(df: DataFrame, ts: String): Long =
+      MergeOps.prunedConditionalUpsert(base,
+        df.withColumn("loaded_at", lit(null).cast("timestamp"))
+          .withColumn("last_upd_at", lit(null).cast("timestamp")),
+        pk = Seq("vec_id"), tracked = Seq("embedding"),
+        runTs = lit(ts).cast("timestamp"), nParts = 4, keepVersions = 8)
+    try {
+      val sel = e.select(col("vec_id"), col("embedding"))
+      val v0 = load(sel.filter(col("vec_id") % 3 =!= 0), "2024-01-01 00:00:00")
+      val bootDf = Storage.readPartitionedVersion(spark, base)
+        .select(col("vec_id"), col("embedding"))
+      AnnIndex.bootstrap(idx, bootDf,
+        Similarity.kmeansCentroids(bootDf, c = 4, iters = 2),
+        Similarity.pqCodebooks(bootDf, m = M, ksub = 8, iters = 1), m = M)
+      val input = MemoryStream[Long]
+      val q = graft.streaming.StreamingLoads.foreachBatchAnnIndexMaintain(
+        input.toDF().toDF("v"), base, idx,
+        trigger = Trigger.ProcessingTime(0), rebootstrapAt = Some(0.2)).start()
+      try {
+        input.addData(v0); q.processAllAvailable()
+        // no drift yet: the bootstrap model survives batch 1
+        assert(AnnIndex.driftFraction(spark, idx) == 0.0)
+        val v1 = load(sel, "2024-01-15 00:00:00") // +1/3 of the corpus
+        input.addData(v1); q.processAllAvailable()
+      } finally q.stop()
+      // the appended third exceeded the 0.2 threshold: model retrained on
+      // the full corpus, odometer reset
+      assert(AnnIndex.driftFraction(spark, idx) == 0.0,
+        "crossing the threshold must retrain and reset drift")
+      val fullCents = Similarity.kmeansCentroids(sel, c = 4, iters = 3)
+      assert(Storage.readVersion(spark, idx.resolve("centroids")).collect().toSet ==
+        fullCents.collect().toSet,
+        "maintainer retrain must train on the current corpus at the stored geometry")
+    } finally Storage.deleteRecursively(root)
+  }
 }

@@ -1,0 +1,41 @@
+package graft
+
+import graft.ops.DeltaDv
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Delta deletion-vector payload codec: Z85 text round trip with
+  * padding, bitmap round trip across the 32-bit bucket boundary, and the
+  * inline descriptor's declared size/cardinality contract. */
+class DeltaDvSpec extends AnyFunSuite {
+
+  test("Z85 round trip at every padding remainder") {
+    for (len <- 0 to 9) {
+      val bytes = Array.tabulate[Byte](len)(i => ((i * 37 + 11) % 251).toByte)
+      val enc = DeltaDv.z85Encode(bytes)
+      assert(enc.length % 5 == 0)
+      assert(DeltaDv.z85Decode(enc, len).toSeq == bytes.toSeq, s"len=$len")
+    }
+  }
+
+  test("bitmap round trip: dense, sparse, unsigned-low-word and >2^32 indexes") {
+    val rows = Seq(0L, 1L, 2L, 3L, 1000L, 65536L, 0x7fffffffL, 0x80000000L,
+      0xffffffffL, (1L << 32) + 7L, (5L << 32) + 123456L)
+    val got = DeltaDv.deserialize(DeltaDv.serialize(rows))
+    assert(got.sorted == rows.sorted, got.toString)
+  }
+
+  test("inline descriptor: storageType i, true size, cardinality dedupes") {
+    val d = DeltaDv.inline(Seq(3L, 9L, 3L, 42L))
+    assert(d.storageType == "i")
+    assert(d.cardinality == 3L)
+    assert(d.pathOrInlineDv.length % 5 == 0)
+    assert(DeltaDv.rows(d).sorted == Seq(3L, 9L, 42L))
+    intercept[IllegalArgumentException](DeltaDv.rows(d.copy(storageType = "p")))
+  }
+
+  test("empty vector round-trips") {
+    val d = DeltaDv.inline(Nil)
+    assert(d.cardinality == 0L)
+    assert(DeltaDv.rows(d).isEmpty)
+  }
+}

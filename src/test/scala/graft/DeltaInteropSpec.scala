@@ -230,11 +230,25 @@ class DeltaInteropSpec extends SparkTestBase {
     // struct shape — path under add, partitionValues as a map, the
     // metaData row carrying the declared schema
     val ckpt = spark.read.parquet(DeltaInterop.checkpointFile(table, 10L).toString)
-    assert(ckpt.columns.toSet == Set("protocol", "metaData", "add"))
+    assert(ckpt.columns.toSet == Set("protocol", "metaData", "add", "remove"))
     val ckptAdds = ckpt.filter("add IS NOT NULL").select("add.path")
       .as[String].collect().toSeq
     assert(ckptAdds.nonEmpty && ckptAdds.forall(_.startsWith("v10/")),
       s"checkpoint at v10 (full-replace commits) must hold exactly v10's adds: $ckptAdds")
+    // the checkpoint carries the trailing window's unexpired remove
+    // tombstones (reference checkpoint format): the ten full-replace
+    // commits each tombstoned the prior version's files, all within
+    // retention, none live again
+    val ckptRemoves = ckpt.filter("remove IS NOT NULL").select("remove.path")
+      .as[String].collect().toSeq
+    assert(ckptRemoves.nonEmpty, "checkpoint must carry unexpired remove tombstones")
+    assert((0 until 10).forall(v => ckptRemoves.exists(_.startsWith(s"v$v/"))),
+      s"every replaced version's files must be tombstoned in the checkpoint: $ckptRemoves")
+    assert(ckptRemoves.toSet.intersect(ckptAdds.toSet).isEmpty,
+      "a live file must never appear as a checkpoint tombstone")
+    assert(ckpt.filter("remove IS NOT NULL")
+      .select("remove.deletionTimestamp").as[Long].collect()
+      .forall(ts => System.currentTimeMillis() - ts < DeltaInterop.RemoveRetentionMs))
     val mdSchema = ckpt.filter("metaData IS NOT NULL")
       .select("metaData.schemaString").as[String].head()
     assert(org.apache.spark.sql.types.DataType.fromJson(mdSchema)
@@ -345,5 +359,81 @@ class DeltaInteropSpec extends SparkTestBase {
       "orphan table-log entry must be truncated with its version dir")
     assert(DeltaInterop.latestTableCommit(table).contains(0L))
     assert(DeltaInterop.readTableSnapshot(spark, table).count() == 5)
+  }
+
+  test("deletion vectors ride both Delta logs: post-delete state from the log ALONE, zero rewrites") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("delta_dv").resolve("t")
+    def withAudit(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("loaded_at", lit(null).cast("timestamp"))
+      .withColumn("last_upd_at", lit(null).cast("timestamp"))
+    val base = withAudit(spark.range(100).select($"id".as("k"),
+      ($"id" % 7).cast("string").as("attr")))
+    MergeOps.prunedConditionalUpsert(table, base, pk = Seq("k"),
+      tracked = Seq("attr"), runTs = lit("2024-01-01 00:00:00").cast("timestamp"),
+      nParts = 4, keepVersions = 8)
+    def extKeys(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select($"k".cast("long")).as[Long].collect().toSet
+    val all = (0L until 100L).toSet
+
+    val vd = MergeOps.deleteWithVectors(table,
+      spark.range(100).filter($"id" % 10 === 0).select($"id".as("k")),
+      pk = Seq("k"), nParts = 4, keepVersions = 8)
+    val gone1 = all.filter(_ % 10 == 0)
+    // zero data rewrites: the DV version dir holds no partition dirs
+    val s = Files.list(table.resolve(s"v$vd"))
+    try assert(!s.toArray.exists(_.asInstanceOf[Path].getFileName.toString
+      .startsWith("pbucket=")), "DV commit must rewrite no data")
+    finally s.close()
+
+    // per-version log alone sees post-delete rows
+    assert(extKeys(DeltaInterop.readSnapshot(spark, table.resolve(s"v$vd")))
+      == all -- gone1, "readSnapshot must subtract add.deletionVector rows")
+    // table-level log alone (checkpoint/trailing replay) sees them too
+    assert(extKeys(DeltaInterop.readTableSnapshot(spark, table)) == all -- gone1)
+
+    // protocol + descriptor shape, parsed raw like an external engine
+    val lines = logLines(table.resolve(s"v$vd"))
+    val proto = lines.flatMap(l => (l \ "protocol") match {
+      case JNothing => None; case p => Some(p) }).head
+    assert((proto \ "minReaderVersion") == JInt(3) &&
+      (proto \ "minWriterVersion") == JInt(7), "DV commit must bump the protocol")
+    assert((proto \ "readerFeatures") == JArray(List(JString("deletionVectors"))))
+    val dvAdds = addActions(lines).filter(a =>
+      (a \ "deletionVector") != JNothing)
+    assert(dvAdds.nonEmpty, "affected adds must carry the descriptor")
+    dvAdds.foreach { a =>
+      assert((a \ "deletionVector" \ "storageType") == JString("i"))
+    }
+    val card = dvAdds.map(a => (a \ "deletionVector" \ "cardinality") match {
+      case JLong(n) => n; case JInt(n) => n.toLong; case _ => 0L }).sum
+    assert(card == gone1.size.toLong, s"descriptor cardinalities must cover the takedown: $card")
+
+    // a second DV delete merges: the table log swaps the incarnation
+    // (remove with the OLD descriptor + re-add with the merged one) and
+    // the log-alone read reflects both deletes
+    val vd2 = MergeOps.deleteWithVectors(table,
+      spark.range(100).filter($"id" % 7 === 1).select($"id".as("k")),
+      pk = Seq("k"), nParts = 4, keepVersions = 8)
+    val gone2 = gone1 ++ all.filter(_ % 7 == 1)
+    assert(extKeys(DeltaInterop.readTableSnapshot(spark, table)) == all -- gone2)
+    val c2 = new String(Files.readAllBytes(
+      DeltaInterop.tableLogDir(table).resolve(f"$vd2%020d.json")), "UTF-8")
+      .split("\n").toSeq.map(JsonMethods.parse(_))
+    val rmWithDv = c2.filter(l => (l \ "remove") != JNothing &&
+      (l \ "remove" \ "deletionVector") != JNothing)
+    assert(rmWithDv.nonEmpty,
+      "a DV incarnation swap must remove the old (path, DV) before re-adding")
+
+    // an organic rewrite of one bucket sheds its descriptors but keeps
+    // the others; compaction clears every descriptor — log-alone reads
+    // stay state-identical throughout
+    MergeOps.compactDeletionVectors(spark, table, keepVersions = 8)
+    assert(extKeys(DeltaInterop.readTableSnapshot(spark, table)) == all -- gone2)
+    val cur = Storage.currentVersion(table).get
+    assert(extKeys(DeltaInterop.readSnapshot(spark, table.resolve(s"v$cur"))) == all -- gone2)
+    val postLines = logLines(table.resolve(s"v$cur"))
+    assert(addActions(postLines).forall(a => (a \ "deletionVector") == JNothing),
+      "compaction must clear every descriptor from the log")
   }
 }
