@@ -642,6 +642,42 @@ object CoreQueries {
              |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // Merge-on-read deletes THROUGH the external-reader path (round 12):
+    // a deleteWithVectors takedown commits an O(k) sidecar + the Delta
+    // protocol's `add.deletionVector` descriptors (inline Z85 Roaring
+    // bitmaps, graft.ops.DeltaDv) with ZERO data rewrites, and the row
+    // reads the final state back the way an external Delta engine would —
+    // replaying the TABLE-LEVEL `_delta_log` alone (checkpoint + trailing
+    // commits; no graft manifest, no `_DV.json`) and subtracting the
+    // descriptors. The oracle recomputes the post-delete state
+    // relationally, so the hash match proves descriptor emission,
+    // protocol-feature gating, and log-only DV application end-to-end at
+    // the gate, every round — not just in DeltaInteropSpec.
+    Q("io5_dv_delta_export",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("iodv")
+        val table = dir.resolve("cust")
+        try {
+          val cust = Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+            .withColumn("loaded_at", lit(null).cast("timestamp"))
+            .withColumn("last_upd_at", lit(null).cast("timestamp"))
+          graft.ops.MergeOps.prunedConditionalUpsert(table, cust,
+            pk = Seq("c_custkey"), tracked = Seq("c_name", "c_acctbal"),
+            runTs = lit("2024-01-01 00:00:00").cast("timestamp"),
+            nParts = 8, keepVersions = 4)
+          graft.ops.MergeOps.deleteWithVectors(table,
+            Tables.customer(s, d).select(col("c_custkey"))
+              .filter(col("c_custkey") % 10 === 0),
+            pk = Seq("c_custkey"), nParts = 8, keepVersions = 4)
+          graft.ops.DeltaInterop.readTableSnapshot(s, table)
+            .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+            .localCheckpoint()
+        } finally graft.ops.Storage.deleteRecursively(dir)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal
+             |FROM customer WHERE c_custkey % 10 <> 0""".stripMargin)),
+
     // M7 closed end-to-end by M8: a materialized per-type aggregate is
     // kept fresh by consuming the table's OWN change feed — preimages
     // retract (sign -1), postimages/inserts add (sign +1), applyDelta
