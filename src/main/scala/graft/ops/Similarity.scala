@@ -95,6 +95,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact top-k neighbors for a BATCH of queries — the serving shape: a
+    * retrieval tier answers Q queries per scan, not one. `queries` is
+    * (queryIdCol, qe); each query's exact cosine top-k over the corpus
+    * returns as (queryIdCol, idCol, cos_sim, rk).
+    *
+    * Scale shape: ONE corpus scan joined against the broadcast query
+    * batch (Q bounded — a serving micro-batch), then a per-query
+    * rank-limited window. Catalyst turns the `rk <= k` filter into a
+    * WindowGroupLimit (PlanSpec asserts it): every task keeps only its
+    * local top-k per query BEFORE the shuffle, so the exchange moves
+    * O(tasks · Q · k) rows, never the O(n · Q) score matrix — the same
+    * partial-before-shuffle discipline as map-side aggregation. Contrast
+    * [[bruteForceTopK]], whose single global top-k is a TakeOrdered. */
+  def batchedTopK(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      queryIdCol: String = "query_id",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(queryIdCol),
+      col("qe"), sqrt(dotUnits(col("qe"), col("qe")).cast("double")).as("__qnorm"))
+    val denom = sqrt(dotUnits(col(vecCol), col(vecCol)).cast("double")) * col("__qnorm")
+    embeddings
+      .crossJoin(broadcast(q)) // every (candidate, query) pair, one scan
+      .select(col(queryIdCol), col(idCol),
+        when(denom > 0, dotUnits(col(vecCol), col("qe")).cast("double") / denom)
+          .otherwise(lit(null).cast("double")).as("cos_sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(queryIdCol))
+          .orderBy(col("cos_sim").desc_nulls_last, col(idCol))))
+      .filter(col("rk") <= k)
+  }
+
   /** Sign-bucket key over `planes` hyperplane vectors (one-row DataFrame with
     * an array-of-arrays column `planes`): bit i = [dot(v, plane_i) > 0].
     * Vectors in the same bucket are ANN candidates. */

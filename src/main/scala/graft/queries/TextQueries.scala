@@ -760,6 +760,38 @@ object TextQueries {
              |FROM dots, qn
              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // Batched exact top-k — the SERVING shape (round 12): a retrieval
+    // tier answers a micro-batch of queries per corpus scan, not one.
+    // One scan × broadcast query batch, then a per-query rank-limited
+    // window that Catalyst executes as WindowGroupLimit: each task keeps
+    // its local top-k per query BEFORE the shuffle (PlanSpec asserts the
+    // operator), so the exchange moves O(tasks·Q·k) rows, never the
+    // O(n·Q) score matrix. Oracle replicates the exact fixed-point
+    // cosine and the ranking per query.
+    Q("sim8_batched_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        Similarity.batchedTopK(e, qs, k = 5)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < 5),
+             |ex AS (SELECT vec_id, CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e10) AS HUGEINT) AS u,
+             |       unnest(range(len(embedding))) AS i FROM e),
+             |qx AS (SELECT query_id, CAST(FLOOR(CAST(unnest(qe) AS DOUBLE) * 1e10) AS HUGEINT) AS u,
+             |       unnest(range(len(qe))) AS i FROM q),
+             |dots AS (SELECT qx.query_id, ex.vec_id,
+             |    CAST(CAST(SUM(ex.u * qx.u) AS VARCHAR) AS DOUBLE) AS dot,
+             |    CAST(CAST(SUM(ex.u * ex.u) AS VARCHAR) AS DOUBLE) AS n2,
+             |    CAST(CAST(SUM(qx.u * qx.u) AS VARCHAR) AS DOUBLE) AS qn2
+             |  FROM ex JOIN qx USING (i) GROUP BY 1, 2)
+             |SELECT query_id, vec_id, cos_sim, rk FROM (
+             |  SELECT query_id, vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cos_sim,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY dot / (sqrt(n2) * sqrt(qn2)) DESC, vec_id) AS rk
+             |  FROM dots) t WHERE rk <= 5""".stripMargin)),
+
     // Multimodal-column plumbing: opaque binary payload + typed metadata.
     // The "decode" is the documented deterministic stub (no image libs in
     // this container); schema, batching, and partitioning are real.

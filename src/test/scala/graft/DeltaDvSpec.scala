@@ -38,4 +38,22 @@ class DeltaDvSpec extends AnyFunSuite {
     assert(d.cardinality == 0L)
     assert(DeltaDv.rows(d).isEmpty)
   }
+
+  test("descriptor round trip holds for random row-index sets (scalacheck)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // indexes drawn across container regimes: small (array container),
+    // dense runs (run container after runOptimize), high 32-bit buckets
+    val genRows = Gen.listOfN(300, Gen.oneOf(
+      Gen.choose(0L, 1000L),                       // dense low
+      Gen.choose(0L, 0xffffffffL),                 // full unsigned-int range
+      Gen.choose(0L, (8L << 32) - 1)))             // multi-bucket
+    (0 until 16).foreach { i =>
+      val rows = genRows.apply(Gen.Parameters.default, Seed(7L + i)).getOrElse(Nil)
+      val d = DeltaDv.inline(rows)
+      assert(d.cardinality == rows.distinct.size.toLong, s"seed ${7 + i}")
+      assert(DeltaDv.rows(d).sorted == rows.distinct.sorted,
+        s"seed ${7 + i}: decode(encode(rows)) != rows")
+    }
+  }
 }

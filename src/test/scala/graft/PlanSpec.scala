@@ -72,7 +72,7 @@ class PlanSpec extends SparkTestBase {
     // global-aggregate scalar) is the one legitimate BNLJ shape — the
     // "loop" runs over one row; everything else must hash-join
     val allowed = Set("sim1_cosine_topk", "sim2_lsh_topk", "sim4_ivf_topk",
-      "sim6_ivfpq_topk",
+      "sim6_ivfpq_topk", "sim8_batched_topk", // bounded query micro-batch
       "q22_dormant_rich_customers", "q11_important_parts", "q15_top_supplier",
       "tfidf1_top_terms", "mix1_mixture_weights")
     Registry.all.filterNot(q => allowed(q.name)).foreach { q =>
@@ -80,6 +80,19 @@ class PlanSpec extends SparkTestBase {
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"${q.name} plans a nested-loop/cartesian join:\n$p")
     }
+  }
+
+  test("sim8: the batched top-k prunes per-query rank BEFORE the shuffle (WindowGroupLimit)") {
+    // the serving-shape guarantee: with Q queries over n vectors, the
+    // exchange must move O(tasks·Q·k) locally-ranked rows, not the n·Q
+    // score matrix — Catalyst's InferWindowGroupLimit turns the
+    // row_number ≤ k filter into a partial WindowGroupLimit on the map
+    // side; if this operator disappears, sim8 silently shuffles the
+    // whole score matrix at 100 TB
+    val p = plan("sim8_batched_topk")
+    assert(p.contains("WindowGroupLimit"), s"rank limit not pushed below the shuffle:\n$p")
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!schemas.contains("label"), s"sim8 over-wide scan:\n$schemas")
   }
 
   test("j4: incremental load is a first-class anti join") {
