@@ -216,6 +216,61 @@ object AnnIndex {
     * only the pool ids' vectors are compared — the join is a broadcast of
     * `rerank` ids). Output schema matches [[Similarity.ivfPqTopK]]:
     * `(idCol, cos_sim)`. */
+  /** [[search]] for a QUERY BATCH — the serving tier's shape: Q queries
+    * per index pass instead of one. The union of all queries' probe lists
+    * is ONE partition-pruned read (O(corpus · |∪lists| / c) codes, never
+    * the index); each candidate is scored only for the queries that
+    * probed its list (the lazy membership join — no per-query plan);
+    * the ADC cut and the exact re-rank are per-query rank-limited windows
+    * (WindowGroupLimit — local top-k per query before each shuffle).
+    * Returns (queryIdCol, idCol, cos_sim, rk), row-identical per query to
+    * Q single-query [[search]] calls (AnnIndexSpec proves it). */
+  def searchBatch(
+      spark: SparkSession,
+      dir: Path,
+      rerankSource: DataFrame,
+      queries: DataFrame, // (queryIdCol, qe)
+      k: Int,
+      nprobe: Int,
+      rerank: Int,
+      queryIdCol: String = "query_id",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rerank >= k, s"rerank pool $rerank must cover k=$k")
+    val centroids = Storage.readVersion(spark, centroidsT(dir))
+    val codebooks = Storage.readVersion(spark, codebooksT(dir))
+    val cnorm = sqrt(Similarity.dotUnits(col("cvec"), col("cvec")).cast("double"))
+    // per-query probe sets: same rule and tie-break as search(); kept
+    // lazy for the membership join — only the LIST UNION is collected,
+    // because the list names ARE the partition pruning (O(∪lists) rows)
+    val probed = queries.crossJoin(broadcast(centroids))
+      .withColumn("__qsim",
+        when(cnorm > 0, Similarity.dotUnits(col("qe"), col("cvec")).cast("double") / cnorm)
+          .otherwise(lit(Double.NegativeInfinity)))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(queryIdCol))
+          .orderBy(col("__qsim").desc, col("centroid_id"))))
+      .filter(col("__rk") <= nprobe)
+      .select(col(queryIdCol), col("centroid_id").as("pcentroid"))
+      .localCheckpoint()
+    val lists = probed.select(col("pcentroid")).distinct()
+      .collect().map(r => s"pcentroid=${r.get(0)}").toSet
+    val idx = Storage.readPartitionedVersion(spark, codesT(dir), Some(lists))
+    val cand = idx.join(broadcast(probed), Seq("pcentroid"))
+      .select(col(queryIdCol), col(idCol), col("codes"))
+    val pool = Similarity.adcPoolBatched(cand, queries, codebooks, rerank,
+      idCol, queryIdCol)
+    rerankSource.join(broadcast(pool.select(col(queryIdCol), col(idCol))), Seq(idCol))
+      .join(broadcast(queries), Seq(queryIdCol))
+      .select(col(queryIdCol), col(idCol),
+        Similarity.cosine(col(vecCol), col("qe")).as("cos_sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(queryIdCol))
+          .orderBy(col("cos_sim").desc, col(idCol))))
+      .filter(col("rk") <= k)
+  }
+
   def search(
       spark: SparkSession,
       dir: Path,

@@ -448,6 +448,49 @@ object Similarity {
       .limit(rerank)
   }
 
+  /** [[adcPool]] for a QUERY BATCH: `index` carries a `queryIdCol`
+    * restricting each candidate row to the queries whose probe set
+    * includes its list; the per-(query, sub, code) lookup table is one
+    * broadcast of Q·m·ksub rows, and the pool cut is a per-query
+    * rank-limited window (WindowGroupLimit: local top-`rerank` per query
+    * before the shuffle). Ordering matches [[adcPool]] exactly
+    * (approx desc, id — ties on the smaller id), so a batched search is
+    * row-identical to Q single-query searches. */
+  def adcPoolBatched(
+      index: DataFrame,
+      queries: DataFrame,
+      codebooks: DataFrame,
+      rerank: Int,
+      idCol: String = "vec_id",
+      queryIdCol: String = "query_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val books = codebooks.select(col("sub"), col("code"), col("cvec").as("bvec"))
+    val subd = books.select(size(col("bvec")).as("sd")).head.getInt(0)
+    val lut = books.crossJoin(broadcast(queries))
+      .select(col(queryIdCol), col("sub"), col("code"),
+        dotUnits(slice(col("qe"), col("sub") * lit(subd) + 1, lit(subd)),
+          col("bvec")).as("qd"),
+        dotUnits(col("bvec"), col("bvec")).as("cc"))
+    val qn2 = queries.select(col(queryIdCol),
+      dotUnits(col("qe"), col("qe")).as("qn2"))
+    index
+      .select(col(queryIdCol), col(idCol), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(lut), Seq(queryIdCol, "sub", "code"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("qd")).as("adot"), sum(col("cc")).as("an2"))
+      .join(broadcast(qn2), Seq(queryIdCol))
+      .select(col(queryIdCol), col(idCol),
+        when(col("an2") > 0 && col("qn2") > 0,
+          col("adot").cast("double") /
+            (sqrt(col("an2").cast("double")) * sqrt(col("qn2").cast("double"))))
+          .otherwise(lit(null).cast("double")).as("approx_sim"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(queryIdCol))
+          .orderBy(col("approx_sim").desc, col(idCol))))
+      .filter(col("__rk") <= rerank)
+      .drop("__rk")
+  }
+
   /** IVF+PQ compressed ANN — the billion-scale memory story next to
     * [[ivfTopK]]'s exact lists. IVF restricts the scan to the query's
     * `nprobe` lists (same codebook and metric as [[ivfTopK]], so both

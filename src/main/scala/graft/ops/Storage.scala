@@ -1079,8 +1079,14 @@ object Storage {
           val dvChanged = (dvOld.keySet ++ dvNew.keySet)
             .filter(f => dvOld.get(f) != dvNew.get(f))
             .flatMap(dvBucketOf)
-          val overlap = (touched ++ dvChanged)
-            .intersect(written.toSet ++ effDrop ++ dvBuckets)
+          // NOT a conflict: dvChanged ∩ dvBuckets — two concurrent
+          // takedowns tombstoning the same bucket. The DV-only winner
+          // moved no file, so the loser's coordinates still name live
+          // bytes, and the retry's re-staging re-reads carriedDv from the
+          // winner's version and UNIONS both vectors — the serial
+          // outcome, no rebase needed (spec: concurrent takedowns).
+          val overlap = touched.intersect(written.toSet ++ effDrop ++ dvBuckets) ++
+            dvChanged.intersect(written.toSet ++ effDrop)
           if (overlap.nonEmpty) {
             // rebase path: only DATA-REWRITE conflicts have a recompute
             // story (a conflicting drop or tombstone has no merge), and

@@ -142,6 +142,30 @@ class AnnIndexSpec extends SparkTestBase {
     } finally Storage.deleteRecursively(dir)
   }
 
+  test("searchBatch over the stored index is row-identical to Q single-query searches") {
+    val dir = Files.createTempDirectory("annidx_batch")
+    try {
+      AnnIndex.bootstrap(dir, boot, cents, books, m = M)
+      AnnIndex.append(spark, dir, batch)
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val batched = AnnIndex.searchBatch(spark, dir, e, queries,
+        k = 5, nprobe = 2, rerank = 50).localCheckpoint()
+      assert(batched.count() == 15, "3 queries × top-5")
+      (0L until 3L).foreach { qid =>
+        val single = AnnIndex.search(spark, dir, e,
+            e.filter(col("vec_id") === qid).select(col("embedding").as("qe")),
+            k = 5, nprobe = 2, rerank = 50)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val fromBatch = batched.filter(col("query_id") === qid).orderBy(col("rk"))
+          .select(col("vec_id").cast("long"), col("cos_sim"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(fromBatch == single,
+          s"query $qid: batched $fromBatch != single $single")
+      }
+    } finally Storage.deleteRecursively(dir)
+  }
+
   // VERDICT r11 stretch: the drift odometer and the quality-triggered
   // retrain — the guard against the silent-degradation mode sim7's red
   // round demonstrated (a frozen model accumulating vectors it never

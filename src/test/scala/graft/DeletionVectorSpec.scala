@@ -148,6 +148,36 @@ class DeletionVectorSpec extends SparkTestBase {
       "an emptied bucket must leave the manifest, not linger as stale bytes")
   }
 
+  test("two concurrent DV takedowns both land and their tombstones union") {
+    // a DV-only winner moves no data file, so a racing DV-only loser's
+    // coordinates still name live bytes: the conflict set must NOT treat
+    // dv-vs-dv on the same bucket as an overlap — the loser's CAS retry
+    // re-reads the winner's vector via carriedDv and unions both, the
+    // serial outcome (round 12; the converse directions — a rewrite
+    // racing a DV and a DV racing a rewrite — abort or rebase, see
+    // PartitionedStorageSpec).
+    val table = Files.createTempDirectory("dv_race").resolve("t")
+    loadNation(table, nation)
+    val all = nation.select(col("n_nationkey").cast("long")).collect().map(_.getLong(0)).toSet
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(5L -> 0L, 7L -> 1L).map { case (m, r) =>
+      new Thread(() => {
+        try MergeOps.deleteWithVectors(table,
+          nation.select(col("n_nationkey")).filter(col("n_nationkey") % m === r),
+          pk = Seq("n_nationkey"), nParts = 4, keepVersions = 8)
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"concurrent takedowns must both land: ${errs.peek()}")
+    assert(Storage.currentVersion(table).contains(2L), "two DV commits expected")
+    val gone = all.filter(k => k % 5 == 0 || k % 7 == 1)
+    assert(stateKeys(table) == all -- gone,
+      "the surviving state must reflect BOTH takedowns")
+    assert(Storage.deletionVector(table).values.map(_.size).sum == gone.size,
+      "the committed vector must be the union of both takedowns")
+  }
+
   test("DV round trip under a table path containing a space (URI-encodable root)") {
     // ADVICE r11 (low): the scan renders file_path as a percent-encoded
     // URI while driver paths are raw — an absolute-string anti-join key
