@@ -396,6 +396,10 @@ object DeltaInterop {
   // loads ONE parquet, and replays only the trailing JSON commits: O(N)
   // per read on a long-lived table, never O(history). The writer's own
   // incremental-removes computation replays the same bounded window.
+  // Each checkpoint also CLEANS commit JSONs (and superseded checkpoint
+  // parquets) more than one interval behind it — the log directory stays
+  // O(interval) over a lifetime of millions of commits, matching the
+  // reference's aged-log cleanup.
   //
   // Ordering/crash contract: the entry for v<N> is appended AFTER the CAS
   // promote of `v<N>` and BEFORE the `_LATEST` pointer swap, so writers
@@ -421,6 +425,32 @@ object DeltaInterop {
     java.util.UUID.nameUUIDFromBytes(
       table.toAbsolutePath.toString.getBytes("UTF-8")).toString
 
+  /** Whether table-log commit `v` declared the deletion-vectors protocol
+    * feature — the stickiness probe. Falls back to the newest checkpoint
+    * at or below `v` when the JSON is missing or unreadable (pre-
+    * checkpoint commits are allowed to age out or be corrupted); false
+    * when neither source answers. */
+  private def commitDeclaresDv(table: Path, v: Long): Boolean = {
+    def fromJson: Option[Boolean] =
+      try {
+        val f = tableCommitFile(table, v)
+        if (!Files.exists(f)) None
+        else new String(Files.readAllBytes(f), "UTF-8").split("\n")
+          .find(_.contains("\"protocol\"")).map { l =>
+            JsonMethods.parse(l) \ "protocol" \ "minReaderVersion" match {
+              case JInt(n) => n >= 3
+              case JLong(n) => n >= 3
+              case _ => false
+            }
+          }
+      } catch { case _: Throwable => None }
+    def fromCheckpoint: Boolean =
+      try lastCheckpointVersion(table).filter(_ <= v)
+        .exists(cv => checkpointDeclaresDv(table, cv))
+      catch { case _: Throwable => false }
+    fromJson.getOrElse(fromCheckpoint)
+  }
+
   /** Append commit `v` to the table-level log. `fullAdds` is the COMPLETE
     * current file set (the per-version log's own ++ carried adds, own paths
     * already prefixed `v<N>/`); the incremental entry is computed against
@@ -437,6 +467,13 @@ object DeltaInterop {
       fullAdds: Seq[Add], prev: Map[String, Add]): Option[() => Unit] = {
     val logDir = tableLogDir(table)
     Files.createDirectories(logDir)
+    // protocol stickiness: once the deletion-vectors feature is declared,
+    // later DV-free commits keep it — the reference protocol never
+    // downgrades implicitly (dropping a feature is an explicit action),
+    // and a reader capping replay at an older commit must still see the
+    // feature that commit's adds may rely on
+    val dvProtocol = fullAdds.exists(_.dv.nonEmpty) ||
+      (v > 0 && commitDeclaresDv(table, v - 1))
     val curPaths = fullAdds.map(_.path).toSet
     // a deletion-vector change on an unmoved path is an incarnation swap:
     // the protocol's DV-update shape is remove(path, old DV) + add(path,
@@ -454,7 +491,7 @@ object DeltaInterop {
         "operation" -> JString("WRITE"),
         "operationParameters" -> JObject(Nil),
         "engineInfo" -> JString("graft-storage"))) ::
-      protocolAction(fullAdds.exists(_.dv.nonEmpty)) ::
+      protocolAction(dvProtocol) ::
       JObject("metaData" -> JObject(
         "id" -> JString(tableId(table)),
         "format" -> JObject("provider" -> JString("parquet"), "options" -> JObject(Nil)),
@@ -475,7 +512,7 @@ object DeltaInterop {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     if (v > 0 && v % CheckpointInterval == 0)
       Some(() => writeCheckpoint(table, v, schema, partitionColumns,
-        fullAdds.sortBy(_.path)))
+        fullAdds.sortBy(_.path), dvProtocol))
     else None
   }
 
@@ -493,6 +530,16 @@ object DeltaInterop {
         |  optional group protocol {
         |    optional int32 minReaderVersion;
         |    optional int32 minWriterVersion;
+        |    optional group readerFeatures (LIST) {
+        |      repeated group list {
+        |        optional binary element (UTF8);
+        |      }
+        |    }
+        |    optional group writerFeatures (LIST) {
+        |      repeated group list {
+        |        optional binary element (UTF8);
+        |      }
+        |    }
         |  }
         |  optional group metaData {
         |    optional binary id (UTF8);
@@ -549,7 +596,8 @@ object DeltaInterop {
     * reference-format reader would (VERDICT r11 "What's missing #2"). */
   private def writeCheckpoint(
       table: Path, v: Long,
-      schema: StructType, partitionColumns: Seq[String], state: Seq[Add]): Unit = {
+      schema: StructType, partitionColumns: Seq[String], state: Seq[Add],
+      dvProtocol: Boolean): Unit = {
     // unexpired tombstones: previous checkpoint's carries + the trailing
     // commits' remove actions, newest timestamp per path, minus any path
     // that is live again, minus the expired
@@ -578,7 +626,16 @@ object DeltaInterop {
     var rows = 0L
     try {
       val proto = factory.newGroup()
-      proto.addGroup("protocol").append("minReaderVersion", 1).append("minWriterVersion", 2)
+      // the checkpoint must declare the SAME protocol the commit stream
+      // does: a reader seeding from a checkpoint that silently said (1,2)
+      // would replay trailing DV-bearing adds without knowing the feature
+      val pg = proto.addGroup("protocol")
+      if (!dvProtocol) pg.append("minReaderVersion", 1).append("minWriterVersion", 2)
+      else {
+        pg.append("minReaderVersion", 3).append("minWriterVersion", 7)
+        pg.addGroup("readerFeatures").addGroup("list").append("element", "deletionVectors")
+        pg.addGroup("writerFeatures").addGroup("list").append("element", "deletionVectors")
+      }
       writer.write(proto); rows += 1
       val meta = factory.newGroup()
       val md = meta.addGroup("metaData")
@@ -628,6 +685,26 @@ object DeltaInterop {
     Files.move(lcTmp, lastCheckpointFile(table),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // log retention (the reference cleans aged commits once a checkpoint
+    // covers them): at a lifetime of millions of commits an uncleaned
+    // log directory is itself a scale bug — every listing pays O(history).
+    // Keep one full interval behind this checkpoint (a reader at most one
+    // checkpoint behind replays only JSONs ≥ its checkpoint, so nothing
+    // it can touch is removed; replayState/readTableSnapshot always seed
+    // from `_last_checkpoint`), delete strictly older commit JSONs and
+    // superseded checkpoint parquets.
+    val floor = v - CheckpointInterval
+    if (floor > 0) {
+      val s = Files.list(tableLogDir(table))
+      try s.toArray.map(_.asInstanceOf[Path]).foreach { p =>
+        val n = p.getFileName.toString
+        val doomed =
+          (n.matches("\\d{20}\\.json") && n.stripSuffix(".json").toLong < floor) ||
+          (n.matches("\\d{20}\\.checkpoint\\.parquet") &&
+            n.stripSuffix(".checkpoint.parquet").toLong < floor)
+        if (doomed) Files.deleteIfExists(p)
+      } finally s.close()
+    }
   }
 
   /** After orphan truncation: re-point `_last_checkpoint` at the newest
@@ -766,6 +843,20 @@ object DeltaInterop {
       }
     }
     out.result()
+  }
+
+  /** Whether checkpoint `v` declares the deletion-vectors feature. */
+  private def checkpointDeclaresDv(table: Path, v: Long): Boolean = {
+    var found = false
+    foreachCheckpointRow(table, v) { g =>
+      if (g.getType.containsField("protocol") &&
+          g.getFieldRepetitionCount("protocol") > 0) {
+        val p = g.getGroup("protocol", 0)
+        if (p.getFieldRepetitionCount("minReaderVersion") > 0 &&
+            p.getInteger("minReaderVersion", 0) >= 3) found = true
+      }
+    }
+    found
   }
 
   /** The unexpired `remove` tombstones a checkpoint carries. */

@@ -304,9 +304,21 @@ class DeltaInteropSpec extends SparkTestBase {
     assert(Files.exists(DeltaInterop.checkpointFile(table, 10L)))
     assert(Files.exists(DeltaInterop.checkpointFile(table, 20L)))
     assert(DeltaInterop.lastCheckpointVersion(table).contains(20L))
+    // log retention at the v20 cut: commit JSONs more than one interval
+    // behind are cleaned (a reader at most one checkpoint behind never
+    // touches them), the in-window ones survive — the log directory stays
+    // O(interval), not O(lifetime)
+    val logDir = DeltaInterop.tableLogDir(table)
+    (0L until 10L).foreach { v =>
+      assert(!Files.exists(logDir.resolve(f"$v%020d.json")),
+        s"commit $v should be cleaned by the v20 checkpoint")
+    }
+    (10L to 24L).foreach { v =>
+      assert(Files.exists(logDir.resolve(f"$v%020d.json")),
+        s"in-window commit $v must survive retention")
+    }
     // replay must ignore EVERYTHING at or below 20 — including the older
     // checkpoint and the JSONs between the two checkpoints
-    val logDir = DeltaInterop.tableLogDir(table)
     (0L to 20L).foreach { v =>
       Files.write(logDir.resolve(f"$v%020d.json"), "NOT JSON".getBytes("UTF-8"))
     }
@@ -435,5 +447,16 @@ class DeltaInteropSpec extends SparkTestBase {
     val postLines = logLines(table.resolve(s"v$cur"))
     assert(addActions(postLines).forall(a => (a \ "deletionVector") == JNothing),
       "compaction must clear every descriptor from the log")
+    // protocol stickiness: the TABLE log never silently downgrades — the
+    // post-compaction commit is DV-free but keeps the declared feature
+    // (dropping a feature is an explicit protocol action in the
+    // reference, never an implicit side effect of compaction)
+    val postCommit = new String(Files.readAllBytes(
+      DeltaInterop.tableLogDir(table).resolve(f"$cur%020d.json")), "UTF-8")
+      .split("\n").toSeq.map(JsonMethods.parse(_))
+    val postProto = postCommit.flatMap(l => (l \ "protocol") match {
+      case JNothing => None; case p => Some(p) }).head
+    assert((postProto \ "minReaderVersion") == JInt(3),
+      s"table protocol must stay sticky after compaction: $postProto")
   }
 }

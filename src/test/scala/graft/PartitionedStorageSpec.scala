@@ -550,7 +550,9 @@ class PartitionedStorageSpec extends SparkTestBase {
 
   private def awaitStaging(table: java.nio.file.Path): Unit = {
     import java.nio.file.{Files => F}
-    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    // generous: under full-suite parallel execution the gated writer's
+    // Spark jobs compete with every other suite for the shared context
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
     var seen = false
     while (!seen) {
       assert(System.nanoTime() < deadline, "writer A never reached its staging write")
@@ -588,7 +590,7 @@ class PartitionedStorageSpec extends SparkTestBase {
     // …then A resumes, loses the v1 rename, sees B only touched bucket 1,
     // and retries onto v2 without rewriting its data
     PartitionedStorageSpec.gates.get(gate).countDown()
-    a.join(60000)
+    a.join(180000)
     assert(aError == null, s"writer A must land, got: $aError")
     assert(aVersion == 2L, s"loser must retry onto the next slot, got v$aVersion")
 
@@ -648,7 +650,7 @@ class PartitionedStorageSpec extends SparkTestBase {
     assert(Storage.commitPartitions(
       bucketRows((2L, "FROM_B", 1)), table, "pbucket", keepVersions = 4) == 1L)
     PartitionedStorageSpec.gates.get(gate).countDown()
-    a.join(60000)
+    a.join(180000)
     assert(aError.isInstanceOf[java.util.ConcurrentModificationException],
       s"overlap must abort the loser, got: $aError")
     // winner's write is intact, loser left no version and no staging litter
@@ -691,7 +693,7 @@ class PartitionedStorageSpec extends SparkTestBase {
       bucketRows((1L, "a", 1), (2L, "FROM_B", 1)),
       table, "pbucket", keepVersions = 4) == 1L)
     PartitionedStorageSpec.gates.get(gate).countDown()
-    a.join(60000)
+    a.join(180000)
     assert(aError == null, s"resolver-armed loser must rebase and land, got: $aError")
     assert(aVersion == 2L, s"rebased commit must take the next slot, got v$aVersion")
 
