@@ -144,7 +144,7 @@ object DeltaInterop {
         "format" -> JObject("provider" -> JString("parquet"), "options" -> JObject(Nil)),
         "schemaString" -> JString(schema.json),
         "partitionColumns" -> JArray(partitionColumns.map(JString(_)).toList),
-        "configuration" -> JObject(Nil),
+        "configuration" -> dvTableConfig((own ++ carried).exists(_.dv.nonEmpty)),
         "createdTime" -> JLong(now))) ::
       (own ++ carried).map(addAction).toList
     val log = logFile(versionDir)
@@ -187,6 +187,12 @@ object DeltaInterop {
         "minWriterVersion" -> JInt(7),
         "readerFeatures" -> JArray(List(JString("deletionVectors"))),
         "writerFeatures" -> JArray(List(JString("deletionVectors")))))
+
+  /** metaData.configuration: the table property writers check before
+    * producing DVs rides with the feature declaration. */
+  private def dvTableConfig(anyDv: Boolean): JObject =
+    if (anyDv) JObject("delta.enableDeletionVectors" -> JString("true"))
+    else JObject(Nil)
 
   private def addAction(a: Add): JObject =
     JObject("add" -> JObject(
@@ -497,7 +503,7 @@ object DeltaInterop {
         "format" -> JObject("provider" -> JString("parquet"), "options" -> JObject(Nil)),
         "schemaString" -> JString(schema.json),
         "partitionColumns" -> JArray(partitionColumns.map(JString(_)).toList),
-        "configuration" -> JObject(Nil),
+        "configuration" -> dvTableConfig(dvProtocol),
         "createdTime" -> JLong(now))) ::
       (removes.map(r => JObject("remove" -> JObject(
         "path" -> JString(r.path),
