@@ -194,6 +194,17 @@ object DeltaInterop {
     if (anyDv) JObject("delta.enableDeletionVectors" -> JString("true"))
     else JObject(Nil)
 
+  /** Set `tightBounds: false` in a per-file stats JSON — the protocol's
+    * marker that a DV'd file's min/max may describe deleted rows
+    * (numRecords stays physical). Idempotent. */
+  private[graft] def markStatsUntight(stats: String): String =
+    JsonMethods.parse(stats) match {
+      case JObject(fields) =>
+        JsonMethods.compact(JsonMethods.render(JObject(
+          fields.filterNot(_._1 == "tightBounds") :+ ("tightBounds" -> JBool(false)))))
+      case _ => stats
+    }
+
   private def addAction(a: Add): JObject =
     JObject("add" -> JObject(
       "path" -> JString(a.path),

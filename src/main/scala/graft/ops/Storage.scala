@@ -1023,7 +1023,14 @@ object Storage {
         if (mergedDv.isEmpty && carried0.forall(_.dv.isEmpty)) carried0
         else carried0.map { a =>
           val key = a.path.split('/').takeRight(3).mkString("/")
-          a.copy(dv = mergedDv.get(key).map(DeltaDv.inline))
+          val dv = mergedDv.get(key).map(DeltaDv.inline)
+          // protocol: a DV'd file's per-file stats stop being tight
+          // (numRecords stays PHYSICAL — row-index space — but min/max
+          // may describe deleted rows); a file whose vector sheds was
+          // rewritten, so its fresh tight stats arrive as an own add
+          a.copy(dv = dv,
+            stats = if (dv.isEmpty) a.stats
+              else a.stats.map(DeltaInterop.markStatsUntight))
         }
       val adds = DeltaInterop.writeCommit0(next.sparkSession, staging, curDeclared,
         Seq(partCol), carried = carried, footerStats = if (fileStats) None else NoFileStats)

@@ -416,6 +416,11 @@ class DeltaInteropSpec extends SparkTestBase {
     assert(dvAdds.nonEmpty, "affected adds must carry the descriptor")
     dvAdds.foreach { a =>
       assert((a \ "deletionVector" \ "storageType") == JString("i"))
+      (a \ "stats") match { // protocol: DV'd stats stop being tight
+        case JString(st) => assert(st.contains("\"tightBounds\":false"),
+          s"DV'd add must mark stats untight: $st")
+        case _ => ()
+      }
     }
     val card = dvAdds.map(a => (a \ "deletionVector" \ "cardinality") match {
       case JLong(n) => n; case JInt(n) => n.toLong; case _ => 0L }).sum
