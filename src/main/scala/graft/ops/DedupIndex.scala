@@ -1,0 +1,174 @@
+package graft.ops
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, incrementally-maintained cross-corpus DEDUP index — the
+  * stored-side machinery the d10 row's deploy note promises ("at 100 TB
+  * the old side is just its stored fingerprint/shingle index"), made
+  * real the same way [[AnnIndex]] did for ANN (VERDICT r10 item 2's
+  * sibling). Layout under one directory, both tables committed through
+  * [[Storage]] (versioned, snapshot-isolated, time-travelable):
+  *
+  *   - `fp` — DISTINCT whitespace-normalized fingerprints of every
+  *     indexed document, partition-manifested on
+  *     `pbucket = pmod(xxhash64(fp), nBuckets)`: an exact-dup probe for
+  *     a new batch reads ONLY the buckets the batch's fingerprints hash
+  *     into — O(corpus · |touched|/nBuckets) at 100 TB, never the index.
+  *   - `shingles` — the inverted near-dup index: one row per
+  *     (doc_id, shingle-hash g) with the doc's shingle-set size `na`
+  *     denormalized on (join-free Jaccard), partitioned on
+  *     `pbucket = pmod(g, nBuckets)`. A batch probe reads only its
+  *     shingles' buckets and does batch-shingles × stored-postings work —
+  *     no old×old pairs, exactly [[NearDup.jaccardPairsBetween]]'s
+  *     cross-only cost, but against stored postings instead of a
+  *     recompute of the whole old corpus.
+  *
+  * Maintenance: [[append]] encodes ONLY the new batch and rewrites ONLY
+  * the buckets it touches (idempotent: a re-delivered doc_id replaces its
+  * posting rows; fingerprints are set-union). The corpus contract is
+  * APPEND-ONLY — a training set grows; an in-place text update or a
+  * takedown needs [[bootstrap]] over the corrected corpus (same rebuild
+  * contract as the reference dedup pipelines).
+  *
+  * Shingle/fingerprint definitions are [[Text.fingerprint]] and
+  * [[NearDup.hashedShingleSet]] — the SAME column expressions the batch
+  * side uses, so stored-vs-recomputed can never diverge (DedupIndexSpec
+  * proves [[dedupNew]] ≡ the d10 in-memory plan, and that non-probed
+  * buckets are never read). */
+object DedupIndex {
+
+  private def fpT(dir: Path) = dir.resolve("fp")
+  private def shT(dir: Path) = dir.resolve("shingles")
+
+  private def fpBucket(nBuckets: Int): Column =
+    pmod(xxhash64(col("fp")), lit(nBuckets)).cast("int")
+  private def gBucket(nBuckets: Int): Column =
+    pmod(col("g"), lit(nBuckets)).cast("int")
+
+  private def fingerprints(docs: DataFrame, idCol: String, textCol: String) =
+    docs.select(col(idCol), Text.fingerprint(col(textCol)).as("fp"))
+
+  private def postings(docs: DataFrame, n: Int, idCol: String, textCol: String) = {
+    val sh = NearDup.hashedShingleSet(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), n)
+    sh.join(sh.groupBy("doc_id").agg(count(lit(1)).as("na")), "doc_id")
+      .select(col("doc_id").as(idCol), col("g"), col("na"))
+  }
+
+  /** Build the index from the current corpus. */
+  def bootstrap(
+      dir: Path,
+      docs: DataFrame,
+      n: Int = 3,
+      nBuckets: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    // record the bucket geometry at both table roots (Storage's marker
+    // contract: a later call with a different nBuckets fails loudly)
+    Storage.validateGeometry(fpT(dir), nBuckets)
+    Storage.validateGeometry(shT(dir), nBuckets)
+    Storage.commitPartitions(
+      fingerprints(docs, idCol, textCol).select(col("fp")).distinct()
+        .withColumn("pbucket", fpBucket(nBuckets)),
+      fpT(dir), "pbucket")
+    Storage.commitPartitions(
+      postings(docs, n, idCol, textCol).withColumn("pbucket", gBucket(nBuckets)),
+      shT(dir), "pbucket")
+  }
+
+  /** Fold a new batch in: O(batch) encode + O(touched buckets) rewrite,
+    * never the index. Idempotent per doc_id. Returns the two committed
+    * versions (fp, shingles). */
+  def append(
+      spark: SparkSession,
+      dir: Path,
+      newDocs: DataFrame,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): (Long, Long) = {
+    val nBuckets = Storage.declaredGeometry(fpT(dir)).getOrElse(
+      throw new IllegalStateException(s"no dedup index at $dir — bootstrap first"))
+    Storage.validateGeometry(shT(dir), nBuckets)
+
+    val encFp = fingerprints(newDocs, idCol, textCol).select(col("fp")).distinct()
+      .withColumn("pbucket", fpBucket(nBuckets)).localCheckpoint()
+    val fpTouched = encFp.select(col("pbucket")).distinct()
+      .collect().map(r => s"pbucket=${r.get(0)}").toSet // O(buckets)
+    val vFp = if (fpTouched.isEmpty)
+      Storage.commitPartitions(
+        Storage.readPartitionedVersion(spark, fpT(dir)).limit(0), fpT(dir), "pbucket")
+    else {
+      val existing = Storage.readPartitionedVersion(spark, fpT(dir), Some(fpTouched))
+      Storage.commitPartitions(
+        existing.unionByName(encFp).dropDuplicates("fp"), fpT(dir), "pbucket")
+    }
+
+    val encSh = postings(newDocs, n, idCol, textCol)
+      .withColumn("pbucket", gBucket(nBuckets)).localCheckpoint()
+    val shTouched = encSh.select(col("pbucket")).distinct()
+      .collect().map(r => s"pbucket=${r.get(0)}").toSet
+    val vSh = if (shTouched.isEmpty)
+      Storage.commitPartitions(
+        Storage.readPartitionedVersion(spark, shT(dir)).limit(0), shT(dir), "pbucket")
+    else {
+      val existing = Storage.readPartitionedVersion(spark, shT(dir), Some(shTouched))
+      // re-delivered docs replace their postings (na may have changed
+      // only via a text change, which the append-only contract forbids —
+      // but replace-not-accumulate keeps re-delivery a strict no-op)
+      val gone = encSh.select(col(idCol)).distinct()
+      Storage.commitPartitions(
+        existing.join(gone, Seq(idCol), "left_anti").unionByName(encSh),
+        shT(dir), "pbucket")
+    }
+    (vFp, vSh)
+  }
+
+  /** Survivors of `batch` against the STORED corpus only — d10's
+    * semantics (exact fingerprint dup OR near-dup at `minJ` disqualifies)
+    * with the old side read from the index: both probes are
+    * partition-pruned to the buckets the batch actually hashes into, and
+    * the pair work is batch-postings × stored-postings in those buckets.
+    * Batch-internal duplicates are NOT judged here (same as d10) —
+    * dedupe the batch first ([[Text]] d1 exact / [[NearDup]] pair graph),
+    * then append the survivors. */
+  def dedupNew(
+      spark: SparkSession,
+      dir: Path,
+      batch: DataFrame,
+      n: Int = 3,
+      minJ: Double = 0.2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val nBuckets = Storage.declaredGeometry(fpT(dir)).getOrElse(
+      throw new IllegalStateException(s"no dedup index at $dir — bootstrap first"))
+
+    val bFp = fingerprints(batch, idCol, textCol)
+      .withColumn("pbucket", fpBucket(nBuckets)).localCheckpoint()
+    val fpBuckets = bFp.select(col("pbucket")).distinct()
+      .collect().map(r => s"pbucket=${r.get(0)}").toSet
+    val storedFp = Storage.readPartitionedVersion(spark, fpT(dir), Some(fpBuckets))
+    val exactDups = bFp.join(storedFp, Seq("fp", "pbucket"), "left_semi")
+      .select(col(idCol))
+
+    val bSh = postings(batch, n, idCol, textCol)
+      .withColumnRenamed("na", "nb")
+      .withColumn("pbucket", gBucket(nBuckets)).localCheckpoint()
+    val shBuckets = bSh.select(col("pbucket")).distinct()
+      .collect().map(r => s"pbucket=${r.get(0)}").toSet
+    val storedSh = Storage.readPartitionedVersion(spark, shT(dir), Some(shBuckets))
+      .select(col(idCol).as("doc_a"), col("g"), col("na"))
+    val near = storedSh
+      .join(bSh.select(col(idCol).as("doc_b"), col("g"), col("nb")), Seq("g"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .filter(col("c").cast("double") /
+        (col("na") + col("nb") - col("c")).cast("double") >= minJ)
+      .select(col("doc_b").as(idCol))
+
+    batch.select(col(idCol))
+      .join(exactDups.unionByName(near).distinct(), Seq(idCol), "left_anti")
+  }
+}

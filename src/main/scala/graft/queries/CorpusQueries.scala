@@ -195,6 +195,48 @@ object CorpusQueries {
              |SELECT doc_id FROM documents
              |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin)),
 
+    // d10 with the old side read from a PERSISTED index (round 12 — the
+    // deploy note above made real, the AnnIndex pattern applied to
+    // dedup): the fingerprint set and the shingle inverted index commit
+    // through Storage partitioned by hash bucket, built as bootstrap
+    // (doc_id < 150) + one incremental append (150..249) that rewrites
+    // only the buckets it touches; the new batch (≥ 250) then probes
+    // ONLY the buckets its own fingerprints/shingles hash into
+    // (DedupIndexSpec proves non-probed buckets are never read, and that
+    // bootstrap+append ≡ indexing the whole corpus). Same survivors
+    // contract as d10, same oracle — the hash match proves the stored
+    // index path end-to-end at the gate.
+    Q("d13_persisted_dedup_index",
+      (s, d) => {
+        import graft.ops.{DedupIndex, Storage}
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val dir = java.nio.file.Files.createTempDirectory("dedupidx")
+        try {
+          DedupIndex.bootstrap(dir, docs.filter(col("doc_id") < 150), nBuckets = 16)
+          DedupIndex.append(s, dir,
+            docs.filter(col("doc_id") >= 150 && col("doc_id") < 250))
+          DedupIndex.dedupNew(s, dir, docs.filter(col("doc_id") >= 250))
+            .localCheckpoint()
+        } finally Storage.deleteRecursively(dir)
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, $wordsSql AS ws, text FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |    unnest(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) AS g
+             |  FROM docs),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+             |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |near AS (SELECT doc_b AS doc_id FROM inter
+             |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+             |  WHERE doc_a < 250 AND doc_b >= 250
+             |    AND CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.2),
+             |exact AS (SELECT n.doc_id FROM docs n JOIN docs o
+             |  ON array_to_string(n.ws, ' ') = array_to_string(o.ws, ' ')
+             |  AND n.doc_id >= 250 AND o.doc_id < 250),
+             |dups AS (SELECT doc_id FROM near UNION SELECT doc_id FROM exact)
+             |SELECT doc_id FROM documents
+             |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin)),
+
     Q("d9_chunk_dedup",
       (s, d) => Corpus.chunkDedup(Tables.documents(s, d), chunkWords = 10),
       Some(s"""WITH docs AS (SELECT doc_id, $wordsSql AS ws FROM documents),

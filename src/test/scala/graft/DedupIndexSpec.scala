@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.{DedupIndex, NearDup, Storage, Text}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted cross-corpus dedup index ([[graft.ops.DedupIndex]]):
+  * bootstrap + append must equal bootstrapping the union (append is
+  * maintenance, not approximation) and be idempotent; [[DedupIndex
+  * .dedupNew]] must reproduce the d10 in-memory plan exactly; and
+  * buckets outside the batch's probe set are provably never read. */
+class DedupIndexSpec extends SparkTestBase {
+
+  private lazy val docs = Tables.documents(spark, Sf001)
+    .select(col("doc_id"), col("text"))
+
+  private def fpRows(dir: java.nio.file.Path): Set[String] =
+    Storage.readPartitionedVersion(spark, dir.resolve("fp"))
+      .select(col("fp")).collect().map(_.getString(0)).toSet
+
+  private def shRows(dir: java.nio.file.Path): Set[(Long, Long, Long)] =
+    Storage.readPartitionedVersion(spark, dir.resolve("shingles"))
+      .select(col("doc_id").cast("long"), col("g"), col("na").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("bootstrap + append == bootstrap over the union; append is idempotent") {
+    val dirA = Files.createTempDirectory("dedupidx_a")
+    val dirB = Files.createTempDirectory("dedupidx_b")
+    try {
+      val oldCorpus = docs.filter(col("doc_id") < 250)
+      DedupIndex.bootstrap(dirA, oldCorpus.filter(col("doc_id") < 150), nBuckets = 16)
+      DedupIndex.append(spark, dirA,
+        oldCorpus.filter(col("doc_id") >= 150))
+      DedupIndex.bootstrap(dirB, oldCorpus, nBuckets = 16)
+      assert(fpRows(dirA) == fpRows(dirB),
+        "bootstrap+append must equal indexing the whole corpus (fp)")
+      assert(shRows(dirA) == shRows(dirB),
+        "bootstrap+append must equal indexing the whole corpus (postings)")
+
+      DedupIndex.append(spark, dirA, oldCorpus.filter(col("doc_id") >= 150))
+      assert(fpRows(dirA) == fpRows(dirB) && shRows(dirA) == shRows(dirB),
+        "re-delivered append must be a strict no-op")
+    } finally { Storage.deleteRecursively(dirA); Storage.deleteRecursively(dirB) }
+  }
+
+  test("dedupNew == the in-memory d10 plan over the same corpus split") {
+    val dir = Files.createTempDirectory("dedupidx_eq")
+    try {
+      val oldCorpus = docs.filter(col("doc_id") < 250)
+      val batch = docs.filter(col("doc_id") >= 250)
+      DedupIndex.bootstrap(dir, oldCorpus, nBuckets = 16)
+      val got = DedupIndex.dedupNew(spark, dir, batch)
+        .collect().map(_.getLong(0)).toSet
+      // the d10 in-memory plan, verbatim
+      val exact = batch.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .join(oldCorpus.select(Text.fingerprint(col("text")).as("fp")), Seq("fp"), "left_semi")
+        .select(col("doc_id"))
+      val near = NearDup.jaccardPairsBetween(oldCorpus, batch, 3, 0.2)
+        .select(col("doc_b").as("doc_id"))
+      val expected = batch.select(col("doc_id"))
+        .join(exact.unionByName(near).distinct(), Seq("doc_id"), "left_anti")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expected,
+        s"stored-index dedup diverged: missing=${expected -- got} extra=${got -- expected}")
+      assert(got.size < batch.count(), "fixture must actually drop some duplicates")
+    } finally Storage.deleteRecursively(dir)
+  }
+
+  test("buckets outside the batch's probe set are never read") {
+    val dir = Files.createTempDirectory("dedupidx_prune")
+    try {
+      val oldCorpus = docs.filter(col("doc_id") < 250)
+      DedupIndex.bootstrap(dir, oldCorpus, nBuckets = 64)
+      val batch = docs.filter(col("doc_id") === 250)
+      val before = DedupIndex.dedupNew(spark, dir, batch)
+        .collect().map(_.getLong(0)).toSet
+
+      // the probe sets, recomputed with the index's own expressions
+      val fpProbed = batch
+        .select(pmod(xxhash64(Text.fingerprint(col("text"))), lit(64)).cast("int").as("b"))
+        .collect().map(r => s"pbucket=${r.getInt(0)}").toSet
+      val shProbed = NearDup.hashedShingleSet(batch, 3)
+        .select(pmod(col("g"), lit(64)).cast("int").as("b"))
+        .distinct().collect().map(r => s"pbucket=${r.getInt(0)}").toSet
+
+      // corrupt every NON-probed bucket's data files: a read that touches
+      // any of them dies on parse, so an unchanged answer proves pruning
+      var corrupted = 0
+      for ((tname, probed) <- Seq("fp" -> fpProbed, "shingles" -> shProbed)) {
+        val table = dir.resolve(tname)
+        Storage.committedPartitions(table).foreach { part =>
+          if (!probed.contains(part)) {
+            val owner = Storage.readPartsManifest(
+              table.resolve(s"v${Storage.currentVersion(table).get}"))(part)
+            val pdir = table.resolve(s"v$owner").resolve(part)
+            val s = Files.list(pdir)
+            try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .foreach { f => Files.write(f, "JUNK".getBytes("UTF-8")); corrupted += 1 }
+            finally s.close()
+          }
+        }
+      }
+      assert(corrupted > 0, "fixture must leave some buckets unprobed")
+      val after = DedupIndex.dedupNew(spark, dir, batch)
+        .collect().map(_.getLong(0)).toSet
+      assert(after == before,
+        "corrupting non-probed buckets changed (or broke) the probe — it read them")
+    } finally Storage.deleteRecursively(dir)
+  }
+}
