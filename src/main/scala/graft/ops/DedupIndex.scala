@@ -58,12 +58,14 @@ object DedupIndex {
       .select(col("doc_id").as(idCol), col("g"), col("na"))
   }
 
-  /** Build the index from the current corpus. */
+  /** Build (or REBUILD — full-replace semantics, `dropAbsent`) the index
+    * from a corpus snapshot. */
   def bootstrap(
       dir: Path,
       docs: DataFrame,
       n: Int = 3,
       nBuckets: Int = 16,
+      extraFiles: Map[String, String] = Map.empty,
       idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
     // record the bucket geometry at both table roots (Storage's marker
@@ -73,10 +75,10 @@ object DedupIndex {
     Storage.commitPartitions(
       fingerprints(docs, idCol, textCol).select(col("fp")).distinct()
         .withColumn("pbucket", fpBucket(nBuckets)),
-      fpT(dir), "pbucket")
+      fpT(dir), "pbucket", dropAbsent = true, extraFiles = extraFiles)
     Storage.commitPartitions(
       postings(docs, n, idCol, textCol).withColumn("pbucket", gBucket(nBuckets)),
-      shT(dir), "pbucket")
+      shT(dir), "pbucket", dropAbsent = true, extraFiles = extraFiles)
   }
 
   /** Fold a new batch in: O(batch) encode + O(touched buckets) rewrite,
@@ -87,6 +89,7 @@ object DedupIndex {
       dir: Path,
       newDocs: DataFrame,
       n: Int = 3,
+      extraFiles: Map[String, String] = Map.empty,
       idCol: String = "doc_id",
       textCol: String = "text"): (Long, Long) = {
     val nBuckets = Storage.declaredGeometry(fpT(dir)).getOrElse(
@@ -99,11 +102,13 @@ object DedupIndex {
       .collect().map(r => s"pbucket=${r.get(0)}").toSet // O(buckets)
     val vFp = if (fpTouched.isEmpty)
       Storage.commitPartitions(
-        Storage.readPartitionedVersion(spark, fpT(dir)).limit(0), fpT(dir), "pbucket")
+        Storage.readPartitionedVersion(spark, fpT(dir)).limit(0), fpT(dir), "pbucket",
+        extraFiles = extraFiles)
     else {
       val existing = Storage.readPartitionedVersion(spark, fpT(dir), Some(fpTouched))
       Storage.commitPartitions(
-        existing.unionByName(encFp).dropDuplicates("fp"), fpT(dir), "pbucket")
+        existing.unionByName(encFp).dropDuplicates("fp"), fpT(dir), "pbucket",
+        extraFiles = extraFiles)
     }
 
     val encSh = postings(newDocs, n, idCol, textCol)
@@ -112,7 +117,8 @@ object DedupIndex {
       .collect().map(r => s"pbucket=${r.get(0)}").toSet
     val vSh = if (shTouched.isEmpty)
       Storage.commitPartitions(
-        Storage.readPartitionedVersion(spark, shT(dir)).limit(0), shT(dir), "pbucket")
+        Storage.readPartitionedVersion(spark, shT(dir)).limit(0), shT(dir), "pbucket",
+        extraFiles = extraFiles)
     else {
       val existing = Storage.readPartitionedVersion(spark, shT(dir), Some(shTouched))
       // re-delivered docs replace their postings (na may have changed
@@ -121,7 +127,7 @@ object DedupIndex {
       val gone = encSh.select(col(idCol)).distinct()
       Storage.commitPartitions(
         existing.join(gone, Seq(idCol), "left_anti").unionByName(encSh),
-        shT(dir), "pbucket")
+        shT(dir), "pbucket", extraFiles = extraFiles)
     }
     (vFp, vSh)
   }

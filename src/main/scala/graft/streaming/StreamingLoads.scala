@@ -476,6 +476,94 @@ object StreamingLoads {
       }
   }
 
+  /** Continuous maintenance of the persisted CROSS-CORPUS DEDUP INDEX
+    * ([[graft.ops.DedupIndex]]) from its base corpus table's commit-log
+    * tail — the [[foreachBatchAnnIndexMaintain]] shape for dedup: each
+    * micro-batch folds the documents ADDED since the applied version into
+    * the fingerprint + shingle-posting tables (bucket-pruned append).
+    *
+    * Delivery contract — simpler than the ANN maintainer's, by design:
+    * the corpus is APPEND-ONLY and [[graft.ops.DedupIndex.append]] is
+    * idempotent per doc, so at-least-once delivery is already effectively
+    * exactly-once; the applied-version marker riding each commit exists
+    * to SKIP duplicate work (and to locate the feed window), not for
+    * correctness. A delete or text UPDATE in the feed VIOLATES the
+    * append-only contract and fails the batch loudly — silently keeping
+    * the stale fingerprint would let a future duplicate of the old text
+    * through; re-[[graft.ops.DedupIndex.bootstrap]] over the corrected
+    * snapshot is the documented fix. Lagging past base retention (or the
+    * first delivery) self-heals the same way: full bootstrap from the
+    * snapshot at the delivered version (`nBuckets` sizes that path). */
+  def foreachBatchDedupIndexMaintain(
+      versions: DataFrame,
+      base: java.nio.file.Path,
+      indexDir: java.nio.file.Path,
+      n: Int = 3,
+      nBuckets: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] = {
+    import graft.ops.{Cdc, DedupIndex, Storage}
+    val fp = indexDir.resolve("fp")
+    Storage.repairOrphans(fp) // single-writer startup contract
+    Storage.repairOrphans(indexDir.resolve("shingles"))
+    val Marker = "_APPLIED_V"
+    versions.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val evs = batch.select(col("v").cast("long")).collect().map(_.getLong(0))
+        if (evs.nonEmpty) {
+          val v = evs.max
+          val applied = Storage.currentVersion(fp).flatMap { cv =>
+            val f = fp.resolve(s"v$cv").resolve(Marker)
+            if (java.nio.file.Files.exists(f))
+              Some(new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong)
+            else None
+          }
+          val marker = Map(Marker -> v.toString)
+          def rebuild(): Unit =
+            DedupIndex.bootstrap(indexDir,
+              Storage.readPartitionedVersionAt(spark, base, v)
+                .select(col(idCol), col(textCol)),
+              n, nBuckets, marker, idCol, textCol)
+          def feedStep(a: Long): Unit = {
+            val cdf = Cdc.changeDataFeed(spark, base, a, v,
+              pk = Seq(idCol), compareCols = Seq(textCol))
+              .localCheckpoint()
+            val bad = cdf.filter(!col("change_type").isin("insert"))
+              .select(col("change_type")).distinct()
+              .collect().map(_.getString(0))
+            if (bad.nonEmpty) throw new IllegalStateException(
+              s"dedup index base $base produced ${bad.mkString(",")} rows in " +
+                s"($a,$v] — the corpus contract is APPEND-ONLY (stale " +
+                "fingerprints would pass future duplicates); rebuild via " +
+                "DedupIndex.bootstrap over the corrected snapshot")
+            DedupIndex.append(spark, indexDir,
+              cdf.select(col(idCol), col(textCol)), n, marker, idCol, textCol)
+            ()
+          }
+          applied match {
+            case Some(a) if v <= a => () // duplicate delivery: skip (idempotent anyway)
+            case _ if !Storage.partitionManifestRetained(base, v) =>
+              () // stale backlog: superseded by a later delivery
+            case Some(a) if Storage.partitionManifestRetained(base, a) =>
+              // same narrow retention-race fallback as the ANN maintainer
+              try feedStep(a)
+              catch {
+                case e: IllegalArgumentException =>
+                  if (Storage.partitionManifestRetained(base, a)) throw e
+                  else rebuild()
+              }
+            case Some(_) => rebuild() // lagged past retention
+            case None => rebuild()    // first delivery: bootstrap
+          }
+        }
+        ()
+      }
+  }
+
   /** Parquet-backed SCD2 dimension for streaming merges. */
   final class Scd2Table(
       spark: SparkSession,

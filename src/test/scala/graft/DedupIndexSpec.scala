@@ -68,6 +68,66 @@ class DedupIndexSpec extends SparkTestBase {
     } finally Storage.deleteRecursively(dir)
   }
 
+  test("streaming maintainer: bootstrap, append-only feed, duplicate no-op, loud on update") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.ops.MergeOps
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("dedupidx_stream")
+    val base = root.resolve("corpus")
+    val idx = root.resolve("idx")
+    val ref = root.resolve("ref")
+    def load(df: DataFrame, ts: String): Long =
+      MergeOps.prunedConditionalUpsert(base,
+        df.withColumn("loaded_at", lit(null).cast("timestamp"))
+          .withColumn("last_upd_at", lit(null).cast("timestamp")),
+        pk = Seq("doc_id"), tracked = Seq("text"),
+        runTs = lit(ts).cast("timestamp"), nParts = 4, keepVersions = 8)
+    try {
+      val v0 = load(docs.filter(col("doc_id") < 300), "2024-01-01 00:00:00")
+      val input = MemoryStream[Long]
+      val q = graft.streaming.StreamingLoads.foreachBatchDedupIndexMaintain(
+        input.toDF().toDF("v"), base, idx,
+        trigger = Trigger.ProcessingTime(0)).start()
+      try {
+        input.addData(v0); q.processAllAvailable() // first delivery: bootstrap
+        DedupIndex.bootstrap(ref, docs.filter(col("doc_id") < 300), nBuckets = 16)
+        assert(fpRows(idx) == fpRows(ref) && shRows(idx) == shRows(ref),
+          "maintainer bootstrap must equal a direct bootstrap")
+
+        val v1 = load(docs, "2024-01-15 00:00:00") // insert-only increment
+        input.addData(v1); q.processAllAvailable()
+        DedupIndex.bootstrap(ref, docs, nBuckets = 16) // full-replace rebuild
+        assert(fpRows(idx) == fpRows(ref) && shRows(idx) == shRows(ref),
+          "maintainer append must equal indexing the whole corpus")
+
+        val before = Storage.currentVersion(idx.resolve("fp"))
+        input.addData(v1); q.processAllAvailable() // duplicate delivery
+        assert(Storage.currentVersion(idx.resolve("fp")) == before,
+          "duplicate delivery must not commit")
+      } finally q.stop()
+
+      // a text UPDATE violates the append-only contract: loud, not stale
+      val v2 = load(
+        docs.filter(col("doc_id") === 0)
+          .withColumn("text", concat(col("text"), lit(" MUTATED"))),
+        "2024-02-01 00:00:00")
+      val input2 = MemoryStream[Long]
+      val q2 = graft.streaming.StreamingLoads.foreachBatchDedupIndexMaintain(
+        input2.toDF().toDF("v"), base, idx,
+        trigger = Trigger.ProcessingTime(0)).start()
+      try {
+        input2.addData(v2)
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q2.processAllAvailable()
+        }
+        assert(e.getMessage.contains("APPEND-ONLY"),
+          s"update must fail the batch loudly, got: ${e.getMessage}")
+      } finally q2.stop()
+    } finally Storage.deleteRecursively(root)
+  }
+
   test("buckets outside the batch's probe set are never read") {
     val dir = Files.createTempDirectory("dedupidx_prune")
     try {
