@@ -171,7 +171,8 @@ object Bench {
     // every search.
     def isHarness(n: String): Boolean =
       n.startsWith("stream") || n == "m11_join_view_maintenance" ||
-        n == "sim6_ivfpq_topk" || n == "sim7_persisted_ann_index"
+        n == "sim6_ivfpq_topk" || n == "sim7_persisted_ann_index" ||
+        n == "d13_persisted_dedup_index" // bootstraps + appends the whole index per rep
     val (harnessRows, coreRows) = results.partition { case (n, _) => isHarness(n) }
     def mean(rows: Seq[(String, Double)]): Double =
       if (rows.isEmpty) 0.0 else rows.map(_._2).sum / rows.size
