@@ -39,6 +39,18 @@ class DeltaDvSpec extends AnyFunSuite {
     assert(DeltaDv.rows(d).isEmpty)
   }
 
+  test("100k-row vector round-trips compactly (run containers engage)") {
+    // a dense takedown range compresses to run containers: the inline
+    // payload must stay far below the raw 8-bytes-per-index encoding,
+    // or "inline in the log" would stop being log-sized
+    val rows = (0L until 100000L).filter(_ % 7 != 0)
+    val d = DeltaDv.inline(rows)
+    assert(d.cardinality == rows.size.toLong)
+    assert(d.sizeInBytes < rows.size / 4,
+      s"serialized DV ${d.sizeInBytes}B for ${rows.size} rows — runOptimize not engaging")
+    assert(DeltaDv.rows(d).sorted == rows)
+  }
+
   test("descriptor round trip holds for random row-index sets (scalacheck)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
