@@ -68,6 +68,18 @@ class DedupIndexSpec extends SparkTestBase {
     } finally Storage.deleteRecursively(dir)
   }
 
+  test("probe plan shape: anti-join survivors, hash joins only, no cartesian") {
+    val dir = Files.createTempDirectory("dedupidx_plan")
+    try {
+      DedupIndex.bootstrap(dir, docs.filter(col("doc_id") < 250), nBuckets = 16)
+      val p = DedupIndex.dedupNew(spark, dir, docs.filter(col("doc_id") >= 250))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("LeftAnti"), s"survivors must be a first-class anti join:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"probe degraded to a cartesian/nested-loop join:\n$p")
+    } finally Storage.deleteRecursively(dir)
+  }
+
   test("streaming maintainer: bootstrap, append-only feed, duplicate no-op, loud on update") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
