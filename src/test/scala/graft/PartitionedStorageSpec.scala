@@ -761,8 +761,27 @@ class PartitionedStorageSpec extends SparkTestBase {
       "loser must land on the slot after the winner's")
     val fin = Storage.readPartitionedVersion(spark, table)
       .select("user_id", "attr").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(fin == Map(1L -> "FROM_A", 2L -> "FROM_B"),
-      s"concurrent same-bucket upserts must both land: $fin")
+    // forensics for the rare contended-host interleave where FROM_A goes
+    // missing (observed twice in full-suite runs, never standalone): the
+    // per-version manifests + bucket contents discriminate a carry-only
+    // commit (v2's bucket still owned by v1 ⇒ the loser's change probe
+    // saw nothing to do) from a rebase that applied an empty delta (v2
+    // owns the bucket ⇒ the resolver's increment evaluated empty)
+    if (fin != Map(1L -> "FROM_A", 2L -> "FROM_B")) {
+      val dump = (0L to 2L).map { v =>
+        val vdir = table.resolve(s"v$v")
+        val man = if (java.nio.file.Files.exists(vdir.resolve("_PARTS.json")) ||
+            java.nio.file.Files.list(vdir).toArray.nonEmpty)
+          scala.util.Try(Storage.readPartsManifest(vdir)).getOrElse(Map.empty)
+        else Map.empty[String, Long]
+        val rows = scala.util.Try(
+          Storage.readPartitionedVersionAt(spark, table, v)
+            .select("user_id", "attr").collect()
+            .map(r => r.getLong(0) -> r.getString(1)).toMap).getOrElse(Map.empty)
+        s"v$v manifest=$man rows=$rows"
+      }.mkString("; ")
+      fail(s"concurrent same-bucket upserts must both land: $fin [$dump]")
+    }
   }
 
   test("DV-only winner vs data-rewrite loser: conflict detected, deletes survive the rebase") {
