@@ -201,7 +201,18 @@ object MergeOps {
         val ids = conflicting.map(_.stripPrefix("pbucket=").toInt).toSeq
         val cur = Storage.readPartitionedVersionAt(sp, t, newBase, Some(conflicting))
           .drop("pbucket")
-        conditionalUpsert(cur, one.filter(bucket.isin(ids: _*)),
+        // pin the increment's rows ONCE (localCheckpoint) and prove them
+        // non-empty before merging: `conflicting` ⊆ this load's written
+        // buckets, which exist only because changedKeys hit them — so an
+        // empty re-evaluation here can only be a lazy-re-evaluation
+        // anomaly, and merging it would commit the WINNER'S STATE VERBATIM
+        // as the loser's "rebase", silently losing the loser's update.
+        // Loud beats lost.
+        val inc = one.filter(bucket.isin(ids: _*)).localCheckpoint()
+        require(!inc.isEmpty,
+          s"rebase increment for ${conflicting.mkString(",")} evaluated empty — " +
+            "refusing to commit a lost update; rerun this load")
+        conditionalUpsert(cur, inc,
           pk, tracked, runTs, loadedAtCol, lastUpdCol, tieBreak)
           .withColumn("pbucket", bucket)
       }
