@@ -8,6 +8,17 @@ import org.scalatest.funsuite.AnyFunSuite
   * inline descriptor's declared size/cardinality contract. */
 class DeltaDvSpec extends AnyFunSuite {
 
+  test("Z85 matches the published ZeroMQ test vector (alphabet pin)") {
+    // spec 32/Z85's canonical example: 0x86 4F D2 6F B5 59 F7 5B encodes
+    // to "HelloWorld" — a pure round-trip test cannot catch a permuted
+    // alphabet, which would still round-trip internally while being
+    // unreadable to every external Delta engine
+    val bytes = Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b)
+      .map(_.toByte)
+    assert(DeltaDv.z85Encode(bytes) == "HelloWorld")
+    assert(DeltaDv.z85Decode("HelloWorld", 8).toSeq == bytes.toSeq)
+  }
+
   test("Z85 round trip at every padding remainder") {
     for (len <- 0 to 9) {
       val bytes = Array.tabulate[Byte](len)(i => ((i * 37 + 11) % 251).toByte)
