@@ -161,8 +161,22 @@ object MergeOps {
     // ON CONFLICT DO UPDATE ... WHERE <attr IS DISTINCT> touches only
     // changed rows; an idempotent re-delivery rewrites ZERO buckets).
     // The comparison runs only over the candidate buckets already read.
+    //
+    // READ-SNAPSHOT OCC: pin ONE version and read everything (probe and
+    // merge input) AS OF it, then tell commitPartitions that pin. Without
+    // the pin, a winner landing between the probe and the commit's
+    // base-resolution makes this commit's first rename target the NEXT
+    // slot, succeed, and silently revert the winner's rows (the lost
+    // update the same-bucket race test caught under host contention — two
+    // separate current-reads here could even straddle the winner and
+    // disagree with EACH OTHER). A winner touching a candidate bucket we
+    // did not rewrite voids the change-probe verdicts → StaleReadException
+    // → recompute from the new version (bounded by retryStale).
+    Storage.retryStale(table) {
+    val readV = Storage.currentVersion(table).get
     val candidate = affectedBuckets(incoming, pk, nParts)
-    val old = Storage.readPartitionedVersion(spark, table, Some(candidate)).drop("pbucket")
+    val old = Storage.readPartitionedVersionAt(spark, table, readV, Some(candidate))
+      .drop("pbucket")
     val one =
       if (tieBreak.nonEmpty) latestByKey(incoming, pk, tieBreak)
       else incoming.dropDuplicates(pk)
@@ -176,12 +190,18 @@ object MergeOps {
         Extract.anyChanged(tracked.map(x => (col(s"o.$x"), col(s"i.$x")))))
       .select(pk.map(k => col(s"i.$k").as(k)): _*)
     val affected = affectedBuckets(changedKeys, pk, nParts)
-    if (affected.isEmpty) // nothing changed: everything carries by reference
-      return Storage.commitPartitions(
+    if (affected.isEmpty) { // nothing changed: everything carries by reference
+      // the "nothing changed" verdict is itself a stale-able read: a winner
+      // changing a candidate bucket's rows could make our increment newly
+      // different — staleOn turns that into a retry, not a lost update
+      Storage.commitPartitions(
         old.limit(0).withColumn("pbucket", bucket), table, "pbucket",
-        keepVersions = keepVersions, fileStats = fileStats)
+        keepVersions = keepVersions, fileStats = fileStats,
+        readBase = Some(readV), staleOn = candidate)
+    } else {
     val oldAffected =
-      Storage.readPartitionedVersion(spark, table, Some(affected)).drop("pbucket")
+      Storage.readPartitionedVersionAt(spark, table, readV, Some(affected))
+        .drop("pbucket")
     val affectedIds = affected.map(_.stripPrefix("pbucket=").toInt).toSeq
     // merge the SAME deduped rows the pruning decision saw — re-deduping
     // the raw incoming could pick a DIFFERENT duplicate than the one the
@@ -218,7 +238,10 @@ object MergeOps {
       }
     }
     Storage.commitPartitions(next.withColumn("pbucket", bucket), table, "pbucket",
-      keepVersions = keepVersions, fileStats = fileStats, onOverlap = Some(rebase))
+      keepVersions = keepVersions, fileStats = fileStats, onOverlap = Some(rebase),
+      readBase = Some(readV), staleOn = candidate)
+    }
+    }
   }
 
   /** Row-level DELETE at the 100 TB design point — the takedown/GDPR shape
@@ -251,8 +274,13 @@ object MergeOps {
     if (Storage.currentVersion(table).isEmpty) return -1L
     val spark = doomed.sparkSession
     Storage.validateGeometry(table, nParts) // wrong nParts = wrong buckets read
+    // read-snapshot OCC: counts/wiped/survivors all derive from ONE pinned
+    // version; a winner touching any candidate bucket before we land voids
+    // those verdicts → StaleReadException → recompute (retryStale)
+    Storage.retryStale(table) {
+    val readV = Storage.currentVersion(table).get
     val candidate = affectedBuckets(doomed, pk, nParts)
-    val old = Storage.readPartitionedVersion(spark, table, Some(candidate))
+    val old = Storage.readPartitionedVersionAt(spark, table, readV, Some(candidate))
     // null-safe joins: a NULL PK is a key like any other (MergeSpec)
     val keys = doomed.select(pk.map(col): _*).dropDuplicates(pk).alias("k")
     def matchCond = pk.map(c => col(s"o.$c") <=> col(s"k.$c")).reduce(_ && _)
@@ -270,14 +298,18 @@ object MergeOps {
       .select(col("pbucket"), (col("hits") === col("total")).as("wiped"))
       .collect().map(r => (r.getInt(0), r.getBoolean(1)))
     if (counts.isEmpty) // nothing stored matches: everything carries by reference
-      return Storage.commitPartitions(old.limit(0), table, "pbucket",
-        keepVersions = keepVersions)
-    val wiped = counts.collect { case (b, true) => s"pbucket=$b" }.toSet
-    val rewriteIds = counts.collect { case (b, false) => b }.toSeq
-    val survivors = old.filter(col("pbucket").isin(rewriteIds: _*)).alias("o")
-      .join(keys, matchCond, "left_anti")
-    Storage.commitPartitions(survivors, table, "pbucket",
-      keepVersions = keepVersions, dropParts = wiped)
+      Storage.commitPartitions(old.limit(0), table, "pbucket",
+        keepVersions = keepVersions, readBase = Some(readV), staleOn = candidate)
+    else {
+      val wiped = counts.collect { case (b, true) => s"pbucket=$b" }.toSet
+      val rewriteIds = counts.collect { case (b, false) => b }.toSeq
+      val survivors = old.filter(col("pbucket").isin(rewriteIds: _*)).alias("o")
+        .join(keys, matchCond, "left_anti")
+      Storage.commitPartitions(survivors, table, "pbucket",
+        keepVersions = keepVersions, dropParts = wiped,
+        readBase = Some(readV), staleOn = candidate)
+    }
+    }
   }
 
   /** [[prunedDelete]]'s takedown with MERGE-ON-READ deletion vectors (the
@@ -309,8 +341,15 @@ object MergeOps {
     if (Storage.currentVersion(table).isEmpty) return -1L
     val spark = doomed.sparkSession
     Storage.validateGeometry(table, nParts)
+    // read-snapshot OCC: the (file, row-index) coordinates are only valid
+    // against the version they were located in — a winner rewriting (or
+    // further tombstoning) a candidate bucket before we land would make
+    // them stale → StaleReadException → relocate against the new version
+    Storage.retryStale(table) {
+    val readV = Storage.currentVersion(table).get
     val candidate = affectedBuckets(doomed, pk, nParts)
-    val lineage = Storage.readPartitionedLineage(spark, table, Some(candidate)).alias("o")
+    val lineage = Storage.readPartitionedLineage(spark, table, Some(candidate),
+      at = Some(readV)).alias("o")
     val keys = doomed.select(pk.map(col): _*).dropDuplicates(pk).alias("k")
     val matchCond = pk.map(c => col(s"o.$c") <=> col(s"k.$c")).reduce(_ && _)
     val hits = lineage.join(keys, matchCond, "left_semi")
@@ -324,8 +363,10 @@ object MergeOps {
     // empty delta frame: every bucket carries by reference; the commit is
     // the sidecar + manifest + log — the whole point
     Storage.commitPartitions(
-      Storage.readPartitionedVersion(spark, table).limit(0), table, "pbucket",
-      keepVersions = keepVersions, deletionVector = dv)
+      Storage.readPartitionedVersionAt(spark, table, readV).limit(0), table, "pbucket",
+      keepVersions = keepVersions, deletionVector = dv,
+      readBase = Some(readV), staleOn = candidate)
+    }
   }
 
   /** Materialize a table's deletion vectors: rewrite ONLY the tombstoned

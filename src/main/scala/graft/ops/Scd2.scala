@@ -248,8 +248,17 @@ object Scd2 {
       return Storage.commitPartitions(next.withColumn("pbucket", bucket), table, "pbucket")
     }
 
+    // read-snapshot OCC (same contract as MergeOps.prunedConditionalUpsert):
+    // every read below — probe, SK high-water mark, merge input — pins ONE
+    // version; the commit declares that pin. The SK mark is a GLOBAL read,
+    // so ANY winner that moved data invalidates this load (staleOnAny): two
+    // unpinned concurrent loads could allocate colliding surrogate keys
+    // even on disjoint buckets.
+    Storage.retryStale(table) {
+    val readV = Storage.currentVersion(table).get
     val candidate = MergeOps.affectedBuckets(stgDelta, Seq(bk), nParts)
-    val old = Storage.readPartitionedVersion(spark, table, Some(candidate)).drop("pbucket")
+    val old = Storage.readPartitionedVersionAt(spark, table, readV, Some(candidate))
+      .drop("pbucket")
     // prune by CHANGE, not presence (same contract as
     // prunedConditionalUpsert): a delta row equal to its current version
     // neither closes nor opens anything — rewriting its bucket would be
@@ -266,23 +275,29 @@ object Scd2 {
       .select(col(s"i.$bk").as(bk))
     val affected = MergeOps.affectedBuckets(changedKeys, Seq(bk), nParts)
     if (affected.isEmpty) // nothing changed: metadata-only commit, no scans
-      return Storage.commitPartitions(
-        old.limit(0).withColumn("pbucket", bucket), table, "pbucket")
+      Storage.commitPartitions(
+        old.limit(0).withColumn("pbucket", bucket), table, "pbucket",
+        readBase = Some(readV), staleOn = candidate)
+    else {
     // the global SK high-water mark needs the WHOLE dimension (a bucket
     // slice could derive a colliding local max) — but only once we know
     // something will actually open; the no-change path above never scans
-    val maxSk = Storage.readPartitionedVersion(spark, table)
+    val maxSk = Storage.readPartitionedVersionAt(spark, table, readV)
       .agg(coalesce(max(col(skCol)), lit(0L)).cast("long"))
       .first().getLong(0)
     val oldAffected =
-      Storage.readPartitionedVersion(spark, table, Some(affected)).drop("pbucket")
+      Storage.readPartitionedVersionAt(spark, table, readV, Some(affected))
+        .drop("pbucket")
     val affectedIds = affected.map(_.stripPrefix("pbucket=").toInt).toSeq
     // merge the SAME deduped rows the pruning probe saw (duplicate-pick
     // agreement — see MergeOps.prunedConditionalUpsert)
     val next = closeAndInsert(oldAffected,
       one.filter(bucket.isin(affectedIds: _*)),
       bk, tracked, runTs, skCol, tieBreak, skBase = Some(maxSk))
-    Storage.commitPartitions(next.withColumn("pbucket", bucket), table, "pbucket")
+    Storage.commitPartitions(next.withColumn("pbucket", bucket), table, "pbucket",
+      readBase = Some(readV), staleOnAny = true)
+    }
+    }
   }
 
   /** Empty dimension frame typed from a staging frame — THE bootstrap

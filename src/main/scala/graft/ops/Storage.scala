@@ -831,6 +831,36 @@ object Storage {
         conflicting: Set[String]): DataFrame
   }
 
+  /** Thrown by [[commitPartitions]] when a concurrent commit invalidated
+    * decisions the caller computed BEFORE calling (declared via `staleOn`),
+    * or when the caller's `readBase` version is no longer retained. Always
+    * retryable: re-read the current version, recompute, call again — the
+    * pruned writers in [[MergeOps]]/[[Scd2]] do exactly that in a bounded
+    * loop. Distinct from ConcurrentModificationException, which means a
+    * conflict with no automatic retry story. */
+  final class StaleReadException(msg: String) extends RuntimeException(msg)
+
+  /** Bounded stale-read retry for optimistic read-compute-commit writers:
+    * re-runs `body` — which must PIN the current version itself and pass it
+    * as `readBase` — until it commits or the retry budget drains. Each
+    * retry observes a strictly newer version (the exception only fires
+    * when one landed), so the loop cannot spin without progress. */
+  private[ops] def retryStale[A](table: Path)(body: => A): A = {
+    var tries = 0
+    while (true) {
+      try return body
+      catch {
+        case e: StaleReadException =>
+          tries += 1
+          if (tries >= MaxCommitAttempts)
+            throw new java.util.ConcurrentModificationException(
+              s"gave up after $tries stale-read retries at $table " +
+                s"(writer storm) — rerun this load [last: ${e.getMessage}]")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Commit `next` — which carries ONLY the partitions to rewrite, with
     * `partCol` as a column — as the new version of a partition-manifested
     * table. Partitions absent from `next` keep their existing bytes and are
@@ -858,14 +888,38 @@ object Storage {
     * the DV-applying read path instead); previous entries are shed exactly
     * when their bucket's bytes are — rewritten or dropped here. A
     * concurrent winner touching a tombstoned bucket is an overlap
-    * conflict, same as touching a written one. */
+    * conflict, same as touching a written one.
+    *
+    * `readBase` closes the READ-SNAPSHOT half of the OCC story (the rename
+    * CAS alone only serializes writers racing the same version SLOT): the
+    * caller names the version its frames were computed against, and a
+    * winner that landed between that read and this commit is handled
+    * EXACTLY like a lost rename — manifest-diffed over the whole span,
+    * rebased through `onOverlap` where possible. Without it, a commit whose
+    * inputs were read at v(N) but whose base pins at v(N+1) sails through
+    * the CAS first-try and silently reverts the winner (the lost update the
+    * same-bucket race test caught on contended hosts: the probe actions
+    * materialize the join shuffles, the staging write reuses them, and the
+    * window between read and base-pin spans the whole compute).
+    *
+    * `staleOn` names the buckets whose modification by such a winner
+    * invalidates decisions made OUTSIDE the committed frame (change-probe
+    * verdicts, delete bookkeeping, DV coordinates): a winner touching one
+    * that the resolver cannot rebase bucket-locally throws
+    * [[StaleReadException]] — recompute from the new version and retry.
+    * `staleOnAny` widens that to EVERY winner-touched bucket, for callers
+    * whose pre-commit decisions rest on a global read (the SCD2 surrogate-
+    * key high-water mark): any concurrent data movement invalidates them. */
   def commitPartitions(next: DataFrame, table: Path, partCol: String,
       keepVersions: Int = 1, dropParts: Set[String] = Set.empty,
       fileStats: Boolean = true,
       extraFiles: Map[String, String] = Map.empty,
       dropAbsent: Boolean = false,
       deletionVector: Map[String, Seq[Long]] = Map.empty,
-      onOverlap: Option[OverlapResolver] = None): Long = {
+      onOverlap: Option[OverlapResolver] = None,
+      readBase: Option[Long] = None,
+      staleOn: Set[String] = Set.empty,
+      staleOnAny: Boolean = false): Long = {
     require(!dropAbsent || dropParts.isEmpty,
       "dropAbsent replaces dropParts — passing both is contradictory")
     require(!extraFiles.contains(DvFile),
@@ -879,6 +933,17 @@ object Storage {
     requireVersionedLayout(table)
     val keep = effectiveKeep(table, keepVersions)
     val base = currentVersion(table)
+    // the read-snapshot pin: a readBase AHEAD of the pointer is a caller
+    // bug; one that vacuum already swept cannot be manifest-diffed, so the
+    // caller must recompute (retryable, not fatal)
+    readBase.foreach { rb =>
+      require(base.exists(rb <= _),
+        s"readBase v$rb is ahead of the committed version ($base) at $table")
+      if (!Files.exists(table.resolve(s"v$rb").resolve(PartsManifest)))
+        throw new StaleReadException(
+          s"readBase v$rb is no longer retained at $table — " +
+            "recompute from the current version and retry")
+    }
     val v = base.getOrElse(-1L) + 1
     val prev = base.map(b => readPartsManifest(table.resolve(s"v$b"))).getOrElse(Map.empty)
     // The DECLARED schema evolves add-only: new columns append; the frame
@@ -957,9 +1022,17 @@ object Storage {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val tableAbs = table.toAbsolutePath
-    var curBase = base
-    var curPrev = prev
-    var curV = v
+    // start the OCC loop from the version the caller READ, not the version
+    // current at entry: if a winner landed in between, the first iteration
+    // finds the pointer already at/past its slot and takes the loss path —
+    // the manifest diff then covers the whole read→current span, so entry
+    // staleness and a lost rename are one code path
+    var curBase = if (readBase.isDefined) readBase else base
+    var curPrev =
+      if (readBase.isDefined && readBase != base)
+        curBase.map(b => readPartsManifest(table.resolve(s"v$b"))).getOrElse(Map.empty)
+      else prev
+    var curV = curBase.getOrElse(-1L) + 1
     var curDeclared = declared
     var attempts = 0
     var committedV = -1L
@@ -1054,7 +1127,13 @@ object Storage {
       // replayed previous table-log state, computed BEFORE the CAS: the
       // rename→pointer-swap window then holds only one JSON write
       val prevState = DeltaInterop.replayState(table, curV - 1)
-      if (tryRename(table, staging, curV)) {
+      // never ATTEMPT a slot the pointer already reached: a readBase far
+      // behind (or a writer storm during a slow staging write) could find
+      // its target slot vacuumed, and the rename would then SUCCEED into a
+      // dead slot and swing `_LATEST` backwards — check the pointer first
+      // and treat "already passed" as a lost rename
+      val pointerAhead = currentVersion(table).exists(_ >= curV)
+      if (!pointerAhead && tryRename(table, staging, curV)) {
         val deferredCkpt = DeltaInterop.appendTableCommit(table,
           curV, curDeclared, Seq(partCol), adds.map(tableRel), prevState)
         swapPointer(table, curV)
@@ -1086,6 +1165,22 @@ object Storage {
           val dvChanged = (dvOld.keySet ++ dvNew.keySet)
             .filter(f => dvOld.get(f) != dvNew.get(f))
             .flatMap(dvBucketOf)
+          // READ-SNAPSHOT invalidation first: the caller's `staleOn`
+          // buckets back decisions made before this call (change-probe
+          // verdicts, delete counts, DV coordinates). A winner touching one
+          // the resolver cannot rebase bucket-locally (not in this commit's
+          // written set, or no resolver at all) voids the whole
+          // computation, not just a bucket — retryable, so the caller
+          // recomputes against the new version instead of aborting
+          val rebasable = if (onOverlap.isDefined) written.toSet else Set.empty[String]
+          val invalidated =
+            if (staleOnAny) (touched ++ dvChanged) -- rebasable
+            else (touched ++ dvChanged).intersect(staleOn) -- rebasable
+          if (invalidated.nonEmpty)
+            throw new StaleReadException(
+              s"concurrent commit(s) v${curBase.getOrElse(-1L)}→v$newBase at $table " +
+                s"touched bucket(s) ${invalidated.toSeq.sorted.take(5).mkString(", ")} " +
+                "this write's decisions were computed against — recompute and retry")
           // NOT a conflict: dvChanged ∩ dvBuckets — two concurrent
           // takedowns tombstoning the same bucket. The DV-only winner
           // moved no file, so the loser's coordinates still name live
@@ -1196,9 +1291,10 @@ object Storage {
     * every coordinate returned names a live row. */
   private[graft] def readPartitionedLineage(
       spark: SparkSession, table: Path,
-      onlyParts: Option[Set[String]] = None): DataFrame =
+      onlyParts: Option[Set[String]] = None,
+      at: Option[Long] = None): DataFrame =
     readPartitionedAt0(spark, table,
-      currentVersion(table).getOrElse(
+      at.orElse(currentVersion(table)).getOrElse(
         throw new IllegalStateException(s"no committed version at $table")),
       onlyParts, lineage = true)
 

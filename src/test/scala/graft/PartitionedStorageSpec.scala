@@ -837,6 +837,114 @@ class PartitionedStorageSpec extends SparkTestBase {
     assert(Storage.readPartitionedVersionAt(spark, table, 1L)
       .select("k").collect().map(_.getLong(0)).toSet == Set(2L, 9L))
   }
+
+  // ---- read-snapshot OCC (the TOCTOU the same-bucket race test caught on
+  // contended hosts): commitPartitions' rename CAS serializes writers
+  // racing the same version SLOT, but a writer whose frames were computed
+  // against v(N) can enter AFTER a winner landed v(N+1), target v(N+2),
+  // win its rename first-try, and silently revert the winner. `readBase`
+  // names the version the inputs were read from; these tests drive the
+  // interleave DETERMINISTICALLY (no threads, no gates) by committing the
+  // winner between the loser's conceptual read and its commit call. -------
+
+  test("read-snapshot OCC: a commit pinned to a superseded base rebases through its resolver") {
+    val table = Files.createTempDirectory("occ_readbase").resolve("t")
+    Storage.commitPartitions(
+      bucketRows((1L, "a", 0), (2L, "b", 0), (9L, "z", 1)),
+      table, "pbucket", keepVersions = 4)
+    // loser's frames are (conceptually) computed here, against v0:
+    // it wants k=2 -> LOSER in bucket 0 and believes k=1 is still "a"
+    val staleNext = bucketRows((1L, "a", 0), (2L, "LOSER", 0))
+    // ...then a winner lands v1 rewriting the SAME bucket: k=1 -> WINNER
+    assert(Storage.commitPartitions(
+      bucketRows((1L, "WINNER", 0), (2L, "b", 0)),
+      table, "pbucket", keepVersions = 4) == 1L)
+    // without readBase this commit would take v2 first-try and revert the
+    // winner; with it, the entry staleness is detected exactly like a lost
+    // rename and the resolver re-applies the loser's delta on v1
+    @volatile var resolvedAgainst = -1L
+    val rebase = new Storage.OverlapResolver {
+      def recompute(sp: org.apache.spark.sql.SparkSession, t: java.nio.file.Path,
+          newBase: Long, conflicting: Set[String]): org.apache.spark.sql.DataFrame = {
+        resolvedAgainst = newBase
+        Storage.readPartitionedVersionAt(sp, t, newBase, Some(conflicting))
+          .withColumn("attr", when(col("k") === 2L, "LOSER").otherwise(col("attr")))
+      }
+    }
+    val v = Storage.commitPartitions(staleNext, table, "pbucket",
+      keepVersions = 4, onOverlap = Some(rebase), readBase = Some(0L))
+    assert(v == 2L, s"rebased commit must take the slot after the winner's, got v$v")
+    assert(resolvedAgainst == 1L, "resolver must see the winner's base")
+    val fin = Storage.readPartitionedVersion(spark, table)
+      .select("k", "attr").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fin == Map(1L -> "WINNER", 2L -> "LOSER", 9L -> "z"),
+      s"serial outcome required — the winner's k=1 must survive: $fin")
+  }
+
+  test("read-snapshot OCC: winner touching a staleOn bucket outside the write set is a retryable stale read") {
+    import java.nio.file.{Files => F}
+    val table = Files.createTempDirectory("occ_staleon").resolve("t")
+    Storage.commitPartitions(
+      bucketRows((1L, "a", 0), (9L, "z", 1)), table, "pbucket", keepVersions = 4)
+    // winner rewrites bucket 0...
+    assert(Storage.commitPartitions(
+      bucketRows((1L, "WINNER", 0)), table, "pbucket", keepVersions = 4) == 1L)
+    // ...the stale commit writes only bucket 1, but DECLARED its decisions
+    // depend on bucket 0 too (an upsert change-probe shape): no resolver
+    // can fix that bucket-locally → StaleReadException, winner intact
+    val e = intercept[Storage.StaleReadException] {
+      Storage.commitPartitions(bucketRows((9L, "STALE", 1)), table, "pbucket",
+        keepVersions = 4, readBase = Some(0L),
+        staleOn = Set("pbucket=0", "pbucket=1"))
+    }
+    assert(e.getMessage.contains("pbucket=0"), e.getMessage)
+    assert(Storage.currentVersion(table).contains(1L), "stale commit must not land")
+    assert(Storage.readPartitionedVersion(spark, table)
+      .filter(col("k") === 1L).select("attr").head.getString(0) == "WINNER")
+    val s = F.list(table)
+    try assert(!s.toArray.exists(_.asInstanceOf[java.nio.file.Path]
+      .getFileName.toString.startsWith(".staging-")), "staging must be cleaned")
+    finally s.close()
+  }
+
+  test("read-snapshot OCC: a disjoint span re-finalizes without a resolver; both writers' buckets land") {
+    val table = Files.createTempDirectory("occ_readbase_disjoint").resolve("t")
+    Storage.commitPartitions(
+      bucketRows((1L, "a", 0), (9L, "z", 1)), table, "pbucket", keepVersions = 4)
+    assert(Storage.commitPartitions(
+      bucketRows((1L, "WINNER", 0)), table, "pbucket", keepVersions = 4) == 1L)
+    // stale-based commit touches ONLY bucket 1 and declares nothing else —
+    // the span diff finds no overlap, so the staged bytes re-finalize onto
+    // the winner's base (the disjoint-retry path, entered from the front
+    // door instead of a lost rename)
+    val v = Storage.commitPartitions(bucketRows((9L, "LOSER", 1)), table, "pbucket",
+      keepVersions = 4, readBase = Some(0L))
+    assert(v == 2L)
+    val fin = Storage.readPartitionedVersion(spark, table)
+      .select("k", "attr").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fin == Map(1L -> "WINNER", 9L -> "LOSER"), fin.toString)
+    val m = Storage.readPartsManifest(table.resolve("v2"))
+    assert(m == Map("pbucket=0" -> 1L, "pbucket=1" -> 2L), m.toString)
+  }
+
+  test("read-snapshot OCC: a vacuumed readBase cannot be diffed — retryable, never a backward pointer") {
+    val table = Files.createTempDirectory("occ_readbase_vacuumed").resolve("t")
+    // keepVersions=1 and full rewrites: each commit leaves the previous
+    // version unreferenced, so v0 is swept by the time v2 lands
+    Storage.commitPartitions(bucketRows((1L, "a", 0)), table, "pbucket")
+    Storage.commitPartitions(bucketRows((1L, "b", 0)), table, "pbucket")
+    Storage.commitPartitions(bucketRows((1L, "c", 0)), table, "pbucket")
+    assert(!java.nio.file.Files.exists(table.resolve("v0").resolve("_PARTS.json")),
+      "fixture: v0 must be vacuumed for this test to bite")
+    intercept[Storage.StaleReadException] {
+      Storage.commitPartitions(bucketRows((1L, "STALE", 0)), table, "pbucket",
+        readBase = Some(0L))
+    }
+    // the pointer never moved backwards and the table is undamaged
+    assert(Storage.currentVersion(table).contains(2L))
+    assert(Storage.readPartitionedVersion(spark, table)
+      .select("attr").head.getString(0) == "c")
+  }
 }
 
 object PartitionedStorageSpec {
