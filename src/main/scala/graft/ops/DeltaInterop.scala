@@ -129,7 +129,7 @@ object DeltaInterop {
       schema: StructType,
       partitionColumns: Seq[String],
       carried: Seq[Add] = Nil,
-      footerStats: Option[Map[String, (Long, Map[String, (String, String, String)])]] = None): Seq[Add] = {
+      footerStats: Option[Map[String, (Long, Map[String, (String, String, String)], Map[String, Long])]] = None): Seq[Add] = {
     val own = listOwnAdds(spark, versionDir, schema, footerStats)
     val now = System.currentTimeMillis()
     val actions: Seq[JObject] =
@@ -221,7 +221,7 @@ object DeltaInterop {
     * segments (the layout `DataFrame.write.partitionBy` produces). */
   private def listOwnAdds(
       spark: SparkSession, versionDir: Path, schema: StructType,
-      footerStats: Option[Map[String, (Long, Map[String, (String, String, String)])]]): Seq[Add] = {
+      footerStats: Option[Map[String, (Long, Map[String, (String, String, String)], Map[String, Long])]]): Seq[Add] = {
     val meta = footerStats.getOrElse(Storage.readFooterStats(spark, versionDir))
     dataFilesUnder(versionDir).map { f =>
       val rel = versionDir.relativize(f)
@@ -230,7 +230,8 @@ object DeltaInterop {
         .filter(_.contains("="))
         .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
       Add(relStr, partVals, Files.size(f), Files.getLastModifiedTime(f).toMillis,
-        meta.get(relStr).map { case (rows, cols) => statsJson(schema, rows, cols) })
+        meta.get(relStr).map { case (rows, cols, nulls) =>
+          statsJson(schema, rows, cols, nulls) })
     }
   }
 
@@ -240,7 +241,8 @@ object DeltaInterop {
     * micros, unscaled) that an external reader would misinterpret, so those
     * columns get numRecords-only skipping. */
   private def statsJson(
-      schema: StructType, rows: Long, cols: Map[String, (String, String, String)]): String = {
+      schema: StructType, rows: Long, cols: Map[String, (String, String, String)],
+      nulls: Map[String, Long] = Map.empty): String = {
     import org.apache.spark.sql.types._
     def typed(name: String, tag: String, v: String): Option[JValue] =
       schema.find(_.name == name).map(_.dataType).flatMap {
@@ -255,10 +257,16 @@ object DeltaInterop {
         val (tag, v) = pick(st)
         typed(c, tag, v).map(c -> _)
       }.toList
+    // nullCount is the protocol's third stats family; exact per footer
+    // sums, emitted only for schema columns whose every chunk recorded it
+    val nullSide = nulls.toSeq.sortBy(_._1)
+      .filter { case (c, _) => schema.exists(_.name == c) }
+      .map { case (c, n) => c -> (JLong(n): JValue) }.toList
     JsonMethods.compact(JsonMethods.render(JObject(
       "numRecords" -> JLong(rows),
       "minValues" -> JObject(side { case (t, mn, _) => (t, mn) }),
-      "maxValues" -> JObject(side { case (t, _, mx) => (t, mx) }))))
+      "maxValues" -> JObject(side { case (t, _, mx) => (t, mx) }),
+      "nullCount" -> JObject(nullSide))))
   }
 
   /** Carry the previous version's adds for partitions NOT rewritten by this

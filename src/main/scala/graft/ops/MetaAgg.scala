@@ -1,0 +1,189 @@
+package graft.ops
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit}
+
+/** Metadata-only aggregates: COUNT(*) / MIN / MAX answered from the commit's
+  * per-file stats — zero data files opened — plus an exact hybrid range
+  * COUNT that scans ONLY the files straddling the predicate's boundary.
+  *
+  * At 100 TB this is the difference between an O(files-metadata) catalog
+  * lookup and a full table scan for the queries every pipeline runs
+  * constantly ("how many rows landed?", "what's the watermark high-water
+  * mark?"). The stats source is the per-version Delta log the commit
+  * already writes ([[DeltaInterop.writeCommit0]]'s per-add `stats` JSON:
+  * numRecords / minValues / maxValues / nullCount), so it works identically
+  * for flat [[Storage.commitVersion]] tables and partition-manifested
+  * [[Storage.commitPartitions]] tables — including carried-by-reference
+  * buckets, whose adds ride the log with their stats intact.
+  *
+  * Exactness contract (the gate row's oracle hash-checks it): every answer
+  * is EXACT or refused — `None` when any live file lacks usable stats for
+  * the asked column (statless commit, unsupported type, ±Inf/NaN-poisoned
+  * footer), when a deletion vector is live (tombstoned rows make stats
+  * untight — the protocol's `tightBounds: false`), or when min/max could
+  * hide behind an all-null file. Callers fall back to the scanning path;
+  * they never get an approximation.
+  */
+object MetaAgg {
+
+  /** One live file's parsed stats. `mins`/`maxs` carry (tag, value) in the
+    * same ("i" | "f" | "s", string) form as the footer-stats manifest. */
+  private final case class FileStat(
+      path: String,
+      rows: Long,
+      tight: Boolean,
+      mins: Map[String, (String, String)],
+      maxs: Map[String, (String, String)],
+      nulls: Map[String, Long],
+      hasDv: Boolean)
+
+  /** The current version's live adds with parsed stats, or None when any
+    * add carries no stats payload (fileStats=false commits). */
+  private def liveStats(table: Path): Option[Seq[FileStat]] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val v = Storage.currentVersion(table).getOrElse(return Some(Seq.empty))
+    val log = DeltaInterop.logFile(table.resolve(s"v$v"))
+    if (!Files.exists(log)) return None
+    val snap = DeltaInterop.readLog(log)
+    def side(j: JValue): Map[String, (String, String)] = j match {
+      case JObject(fields) => fields.flatMap {
+        case (c, JInt(n)) => Some(c -> ("i", n.toString))
+        case (c, JLong(n)) => Some(c -> ("i", n.toString))
+        case (c, JDouble(d)) => Some(c -> ("f", d.toString))
+        case (c, JDecimal(d)) => Some(c -> ("f", d.toString))
+        case (c, JString(s)) => Some(c -> ("s", s))
+        case _ => None
+      }.toMap
+      case _ => Map.empty
+    }
+    val parsed = snap.adds.map { a =>
+      a.stats.map { s =>
+        val j = JsonMethods.parse(s)
+        val rows = (j \ "numRecords") match {
+          case JLong(n) => n
+          case JInt(n) => n.toLong
+          case _ => return None // a stats payload without numRecords is unusable
+        }
+        val tight = (j \ "tightBounds") match {
+          case JBool(b) => b
+          case _ => true // absent = tight, per the protocol
+        }
+        val nulls = (j \ "nullCount") match {
+          case JObject(fields) => fields.collect {
+            case (c, JInt(n)) => c -> n.toLong
+            case (c, JLong(n)) => c -> n
+          }.toMap
+          case _ => Map.empty[String, Long]
+        }
+        FileStat(a.path, rows, tight,
+          side(j \ "minValues"), side(j \ "maxValues"), nulls, a.dv.nonEmpty)
+      }.getOrElse(return None)
+    }
+    Some(parsed)
+  }
+
+  private def ord(tag: String)(v: String): (String, BigDecimal) =
+    if (tag == "s") (v, BigDecimal(0)) else ("", BigDecimal(v))
+
+  /** Exact row count of the committed version from metadata alone — no
+    * data file opened. None when any live file is statless or tombstoned
+    * (a live deletion vector makes numRecords physical, not visible). */
+  def rowCount(table: Path): Option[Long] =
+    liveStats(table).flatMap { fs =>
+      if (fs.exists(f => f.hasDv || !f.tight)) None
+      else Some(fs.map(_.rows).sum)
+    }
+
+  /** Exact MIN/MAX of `column` from metadata alone, as (tag, min, max) in
+    * the footer-stats string form. Refuses (None) unless EVERY live file
+    * with a potential value contributes: a file missing the column's
+    * min/max entry only passes when its nullCount proves the column is
+    * all-null there — otherwise the file might hide the true extremum. */
+  def columnRange(table: Path, column: String): Option[(String, String, String)] =
+    liveStats(table).flatMap { fs =>
+      if (fs.exists(f => f.hasDv || !f.tight)) return None
+      val contributing = fs.filter(f => f.rows > 0 &&
+        !f.nulls.get(column).contains(f.rows)) // all-null files carry no values
+      if (contributing.isEmpty) return None // empty or all-null: no MIN/MAX from metadata
+      if (!contributing.forall(f =>
+        f.mins.contains(column) && f.maxs.contains(column))) return None
+      val tag = contributing.head.mins(column)._1
+      if (contributing.exists(f => f.mins(column)._1 != tag)) return None
+      Some((tag,
+        contributing.map(_.mins(column)._2).minBy(ord(tag)),
+        contributing.map(_.maxs(column)._2).maxBy(ord(tag))))
+    }
+
+  /** EXACT `COUNT(*) WHERE lo <= column <= hi` (numeric), scanning only the
+    * files whose [min, max] STRADDLES a boundary: fully-inside files are
+    * counted as numRecords − nullCount from metadata, fully-outside files
+    * contribute zero, and only the remainder is read. At 100 TB with a
+    * clustered/z-ordered layout the boundary set is O(1) files per
+    * predicate edge — the scan cost of the answer stops depending on the
+    * selectivity of the range.
+    *
+    * Falls back to the full pruned-read path when metadata cannot decide
+    * exactly (statless or DV'd files, missing nullCount, non-numeric tag).
+    */
+  def countWhere(spark: SparkSession, table: Path, column: String,
+      lo: BigDecimal, hi: BigDecimal): Long = {
+    def fallback(): Long = {
+      val df = readAny(spark, table)
+      df.filter(col(column) >= lit(lo.toString).cast(df.schema(column).dataType)
+          && col(column) <= lit(hi.toString).cast(df.schema(column).dataType))
+        .count()
+    }
+    liveStats(table) match {
+      case None => fallback()
+      case Some(fs) =>
+        if (fs.exists(f => f.hasDv || !f.tight)) return fallback()
+        var metaCount = 0L
+        val boundary = Seq.newBuilder[String]
+        fs.foreach { f =>
+          (f.mins.get(column), f.maxs.get(column), f.nulls.get(column)) match {
+            case _ if f.rows == 0 => ()
+            case (_, _, Some(nn)) if nn == f.rows => () // all-null: no matches
+            case (Some((t1, mn)), Some((t2, mx)), nn)
+                if (t1 == "i" || t1 == "f") && t1 == t2 =>
+              val (mnD, mxD) = (BigDecimal(mn), BigDecimal(mx))
+              if (mxD < lo || mnD > hi) () // fully outside
+              else if (mnD >= lo && mxD <= hi) nn match {
+                case Some(n) => metaCount += f.rows - n // fully inside, exactly
+                case None => boundary += f.path // can't subtract nulls: read it
+              }
+              else boundary += f.path // straddles an edge: read it
+            case _ => boundary += f.path // no usable stats: read it
+          }
+        }
+        val files = boundary.result()
+        if (files.isEmpty) metaCount
+        else {
+          val v = Storage.currentVersion(table).get
+          val vdir = table.resolve(s"v$v")
+          val paths = files.map { p =>
+            if (p.startsWith("file:")) p // carried add: absolute URI form
+            else vdir.resolve(p).toString
+          }
+          val scanned = spark.read.parquet(paths: _*)
+          metaCount + scanned.filter(
+            col(column) >= lit(lo.toString).cast(scanned.schema(column).dataType)
+              && col(column) <= lit(hi.toString).cast(scanned.schema(column).dataType))
+            .agg(count(lit(1))).first().getLong(0)
+        }
+    }
+  }
+
+  /** Read the current version of either table flavor (manifest-partitioned
+    * or flat) — the scanning fallback's entry point. */
+  private def readAny(spark: SparkSession, table: Path): DataFrame = {
+    val v = Storage.currentVersion(table).getOrElse(
+      throw new IllegalStateException(s"no committed version at $table"))
+    if (Files.exists(table.resolve(s"v$v").resolve("_PARTS.json")))
+      Storage.readPartitionedVersion(spark, table)
+    else Storage.readVersion(spark, table)
+  }
+}

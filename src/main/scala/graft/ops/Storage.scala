@@ -115,7 +115,7 @@ object Storage {
   // is the only way to say "no stats" (protocol-legal: Delta adds may
   // omit stats; readers conservatively keep statless files)
   private val NoFileStats =
-    Some(Map.empty[String, (Long, Map[String, (String, String, String)])])
+    Some(Map.empty[String, (Long, Map[String, (String, String, String)], Map[String, Long])])
   private val Retention = "_RETENTION"
   // vacuum sweeps only this many version slots below the keep window, so a
   // commit's filesystem work is O(keepVersions + window), not O(history)
@@ -572,12 +572,15 @@ object Storage {
   // what completes the z-order promise at 100 TB: cluster on the key
   // (ZOrder), then skip whole files by key range here.
 
-  /** relative path → (rowCount, column → (typeTag, min, max)); built from
-    * parquet footers — metadata-only, no data pass. Walks recursively so
-    * partitioned (`col=value/…`) version dirs are covered too; keys are
-    * paths relative to `dir` (for a flat dir, just the file name). */
+  /** relative path → (rowCount, column → (typeTag, min, max), column →
+    * nullCount); built from parquet footers — metadata-only, no data pass.
+    * Walks recursively so partitioned (`col=value/…`) version dirs are
+    * covered too; keys are paths relative to `dir` (for a flat dir, just
+    * the file name). A column appears in the null-count map only when
+    * EVERY chunk recorded numNulls — a partial sum would understate, and
+    * the metadata-only aggregate path ([[MetaAgg]]) needs exact-or-absent. */
   private[graft] def readFooterStats(
-      spark: SparkSession, dir: Path): Map[String, (Long, Map[String, (String, String, String)])] = {
+      spark: SparkSession, dir: Path): Map[String, (Long, Map[String, (String, String, String)], Map[String, Long])] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.io.api.Binary
@@ -592,7 +595,7 @@ object Storage {
     parts.map { p =>
       val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
       val rd = ParquetFileReader.open(in)
-      val (rows, cols) =
+      val (rows, cols, nulls) =
         try {
           import scala.jdk.CollectionConverters._
           // A file's column min/max is only usable if EVERY chunk holding
@@ -604,6 +607,8 @@ object Storage {
           // rows. All-null chunks are safely skipped (no values to cover;
           // a range predicate never matches NULL anyway).
           val poisoned = scala.collection.mutable.Set.empty[String]
+          val nullsPoisoned = scala.collection.mutable.Set.empty[String]
+          val nullsByCol = scala.collection.mutable.Map.empty[String, Long]
           val perChunk = scala.collection.mutable.ListBuffer.empty[(String, String, String, String)]
           def str(v: Any): String = v match {
             case b: Binary => b.toStringUsingUTF8
@@ -621,6 +626,10 @@ object Storage {
               val st = cc.getStatistics
               def finite(v: Any) =
                 java.lang.Double.isFinite(v.asInstanceOf[Number].doubleValue())
+              // null counts track independently of min/max usability: an
+              // all-null or ±Inf chunk still knows its numNulls exactly
+              if (st == null || !st.isNumNullsSet) nullsPoisoned += colName
+              else nullsByCol(colName) = nullsByCol.getOrElse(colName, 0L) + st.getNumNulls
               if (st == null || st.isEmpty)
                 poisoned += colName // chunk may hold values but recorded no stats
               else if (!st.hasNonNullValue)
@@ -640,20 +649,21 @@ object Storage {
                 chunks.map(_._3).minBy(ord),
                 chunks.map(_._4).maxBy(ord))
           }
-          (rd.getRecordCount, byCol)
+          (rd.getRecordCount, byCol,
+            nullsByCol.view.filterKeys(!nullsPoisoned.contains(_)).toMap)
         } finally rd.close()
       val rel = dir.relativize(p)
-      (0 until rel.getNameCount).map(rel.getName(_).toString).mkString("/") -> (rows, cols)
+      (0 until rel.getNameCount).map(rel.getName(_).toString).mkString("/") -> (rows, cols, nulls)
     }.toMap
   }
 
   private def writeStatsManifest(
       spark: SparkSession, dir: Path,
-      precomputed: Option[Map[String, (Long, Map[String, (String, String, String)])]] = None): Unit = {
+      precomputed: Option[Map[String, (Long, Map[String, (String, String, String)], Map[String, Long])]] = None): Unit = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val stats = precomputed.getOrElse(readFooterStats(spark, dir))
-    val json = JObject(stats.toSeq.sortBy(_._1).map { case (f, (_, cols)) =>
+    val json = JObject(stats.toSeq.sortBy(_._1).map { case (f, (_, cols, _)) =>
       f -> JObject(cols.toSeq.sortBy(_._1).map { case (c, (t, mn, mx)) =>
         c -> JObject(List("t" -> JString(t), "min" -> JString(mn), "max" -> JString(mx)))
       }.toList)

@@ -653,6 +653,49 @@ object CoreQueries {
     // relationally, so the hash match proves descriptor emission,
     // protocol-feature gating, and log-only DV application end-to-end at
     // the gate, every round — not just in DeltaInteropSpec.
+    // Metadata-only aggregates (round 13): COUNT/MIN/MAX answered from the
+    // commit's per-file stats with ZERO data files opened, plus the hybrid
+    // range COUNT that reads only the files straddling the predicate's
+    // boundary (fully-covered files contribute numRecords − nullCount from
+    // metadata). At 100 TB these are the catalog-lookup-speed answers to
+    // "how many rows landed / what's the watermark" that would otherwise
+    // full-scan. The no-data-read guarantee is spec-proven by corrupting
+    // every non-boundary file (MetaAggSpec); THIS row proves exactness
+    // against the oracle's real aggregation at the gate. The storage table
+    // is range-clustered on l_orderkey, so the boundary set is O(1) files
+    // per predicate edge — selectivity-independent scan cost, the z-order
+    // promise completed for counting.
+    Q("meta1_stats_agg",
+      (s, d) => {
+        import graft.ops.MetaAgg
+        val dir = java.nio.file.Files.createTempDirectory("metaagg")
+        val table = dir.resolve("li")
+        try {
+          graft.ops.Storage.commitVersion(
+            Tables.lineitem(s, d)
+              .select(col("l_orderkey"), col("l_extendedprice"))
+              .repartitionByRange(8, col("l_orderkey")),
+            table)
+          def need[A](o: Option[A], what: String): A =
+            o.getOrElse(sys.error(s"metadata path refused $what — gate row must not fall back"))
+          val rows = need(MetaAgg.rowCount(table), "rowCount")
+          val (_, minK, maxK) = need(MetaAgg.columnRange(table, "l_orderkey"), "l_orderkey range")
+          val (_, minP, maxP) = need(MetaAgg.columnRange(table, "l_extendedprice"), "price range")
+          val rangeCnt = MetaAgg.countWhere(s, table, "l_orderkey",
+            BigDecimal(2500), BigDecimal(47500))
+          import s.implicits._
+          Seq((rows, minK.toLong, maxK.toLong, minP.toDouble, maxP.toDouble, rangeCnt))
+            .toDF("row_cnt", "min_okey", "max_okey", "min_price", "max_price", "range_cnt")
+        } finally graft.ops.Storage.deleteRecursively(dir)
+      },
+      Some("""SELECT (SELECT COUNT(*) FROM lineitem) AS row_cnt,
+             |       (SELECT MIN(l_orderkey) FROM lineitem) AS min_okey,
+             |       (SELECT MAX(l_orderkey) FROM lineitem) AS max_okey,
+             |       (SELECT CAST(MIN(l_extendedprice) AS DOUBLE) FROM lineitem) AS min_price,
+             |       (SELECT CAST(MAX(l_extendedprice) AS DOUBLE) FROM lineitem) AS max_price,
+             |       (SELECT COUNT(*) FROM lineitem
+             |        WHERE l_orderkey BETWEEN 2500 AND 47500) AS range_cnt""".stripMargin)),
+
     Q("io5_dv_delta_export",
       (s, d) => {
         val dir = java.nio.file.Files.createTempDirectory("iodv")

@@ -1,0 +1,163 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.{MergeOps, MetaAgg, Storage}
+import org.apache.spark.sql.functions._
+
+/** Metadata-only aggregates: exactness AND the no-data-read guarantee —
+  * the latter proven the strong way, by corrupting the parquet bytes the
+  * metadata path must never open and watching the answers not change. */
+class MetaAggSpec extends SparkTestBase {
+
+  private def corrupt(file: java.nio.file.Path): Unit =
+    Files.write(file, "NOT A PARQUET FILE".getBytes("UTF-8"))
+
+  private def dataFiles(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.walk(dir)
+    try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => p.getFileName.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .toSeq
+    finally s.close()
+  }
+
+  test("rowCount/columnRange answer from metadata alone — even after every data file is destroyed") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("meta_flat").resolve("t")
+    val df = (1L to 1000L).map(i => (i, i * 2.5, if (i % 10 == 0) null else s"s$i"))
+      .toDF("k", "x", "s")
+      .repartition(4)
+    Storage.commitVersion(df, table)
+
+    assert(MetaAgg.rowCount(table).contains(1000L))
+    val kr = MetaAgg.columnRange(table, "k")
+    assert(kr.contains(("i", "1", "1000")), kr.toString)
+    val xr = MetaAgg.columnRange(table, "x")
+    assert(xr.exists { case (t, mn, mx) =>
+      t == "f" && mn.toDouble == 2.5 && mx.toDouble == 2500.0 }, xr.toString)
+
+    // the proof: destroy every data file; the metadata path cannot notice
+    dataFiles(table).foreach(corrupt)
+    assert(MetaAgg.rowCount(table).contains(1000L), "rowCount read a data file")
+    assert(MetaAgg.columnRange(table, "k").contains(("i", "1", "1000")),
+      "columnRange read a data file")
+  }
+
+  test("columnRange refuses when a file could hide the extremum; all-null files are excluded by nullCount") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("meta_nulls").resolve("t")
+    // file A holds values 10..19, file B is ALL NULL for x: B must not
+    // block the range (its nullCount proves it holds no values)
+    val a = (10L to 19L).map(i => (i, Some(i * 1.0))).toDF("k", "x").coalesce(1)
+    val b = (20L to 29L).map(i => (i, None: Option[Double])).toDF("k", "x").coalesce(1)
+    Storage.commitVersion(a.unionByName(b).repartitionByRange(2, col("k")), table)
+    val xr = MetaAgg.columnRange(table, "x")
+    assert(xr.exists { case (t, mn, mx) =>
+      t == "f" && mn.toDouble == 10.0 && mx.toDouble == 19.0 }, xr.toString)
+    // k has values in every file and a full range
+    assert(MetaAgg.columnRange(table, "k").contains(("i", "10", "29")))
+  }
+
+  test("countWhere scans ONLY boundary files: interior and exterior files can be garbage") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("meta_range").resolve("t")
+    // range-partitioned layout → per-file disjoint k ranges (the z-order/
+    // cluster shape this is designed for); 8 files over 1..8000
+    val df = (1L to 8000L).map(i => (i, if (i % 100 == 0) null else s"v$i"))
+      .toDF("k", "s").repartitionByRange(8, col("k"))
+    Storage.commitVersion(df, table)
+
+    // predicate spanning files fully-inside plus two boundary files
+    val expected = (1L to 8000L).count(i => i >= 1500 && i <= 6500)
+    assert(MetaAgg.countWhere(spark, table, "k",
+      BigDecimal(1500), BigDecimal(6500)) == expected)
+
+    // identify the boundary files from the manifest's own stats and
+    // corrupt EVERYTHING ELSE — the hybrid count must not notice
+    val v = Storage.currentVersion(table).get
+    val snap = graft.ops.DeltaInterop.readLog(
+      graft.ops.DeltaInterop.logFile(table.resolve(s"v$v")))
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val boundaryFiles = snap.adds.filter { ad =>
+      val j = JsonMethods.parse(ad.stats.get)
+      val mn = (j \ "minValues" \ "k") match { case JInt(n) => n.toLong; case JLong(n) => n; case _ => fail(s"no k min in ${ad.stats.get}") }
+      val mx = (j \ "maxValues" \ "k") match { case JInt(n) => n.toLong; case JLong(n) => n; case _ => fail(s"no k max in ${ad.stats.get}") }
+      val straddles = (mn < 1500 && mx >= 1500) || (mn <= 6500 && mx > 6500)
+      straddles
+    }.map(_.path).toSet
+    assert(boundaryFiles.nonEmpty && boundaryFiles.size < snap.adds.size,
+      s"fixture must produce both boundary and non-boundary files: $boundaryFiles")
+    dataFiles(table).filterNot(f =>
+      boundaryFiles.exists(b => f.toString.endsWith(b))).foreach(corrupt)
+    assert(MetaAgg.countWhere(spark, table, "k",
+      BigDecimal(1500), BigDecimal(6500)) == expected,
+      "countWhere opened a non-boundary file")
+  }
+
+  test("countWhere subtracts nullCount exactly for fully-inside files") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("meta_rangenull").resolve("t")
+    // x is null on multiples of 7; the fully-inside files' contribution
+    // must be numRecords − nullCount, not numRecords
+    val df = (1L to 4000L).map(i => (i, if (i % 7 == 0) None else Some(i * 1.0)))
+      .toDF("k", "x").repartitionByRange(4, col("k"))
+    Storage.commitVersion(df, table)
+    val expected = (1L to 4000L).count(i => i % 7 != 0 && i >= 500 && i <= 3500)
+    // predicate on x (the nullable column) with bounds aligned to k-sorted
+    // files: x == k as a double where non-null, so ranges coincide
+    assert(MetaAgg.countWhere(spark, table, "x",
+      BigDecimal(500), BigDecimal(3500)) == expected)
+  }
+
+  test("a live deletion vector makes stats untight: metadata refuses, the fallback stays exact") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("meta_dv").resolve("t")
+    val inc = (1L to 200L).map(i => (i, s"u$i")).toDF("user_id", "attr")
+      .withColumn("loaded_at", lit(null).cast("timestamp"))
+      .withColumn("last_upd_at", lit(null).cast("timestamp"))
+    MergeOps.prunedConditionalUpsert(table, inc, pk = Seq("user_id"),
+      tracked = Seq("attr"), runTs = lit("2024-01-01 00:00:00").cast("timestamp"),
+      nParts = 4, keepVersions = 4)
+    assert(MetaAgg.rowCount(table).contains(200L))
+    MergeOps.deleteWithVectors(table,
+      Seq(3L, 5L).toDF("user_id"), pk = Seq("user_id"), nParts = 4, keepVersions = 4)
+    assert(MetaAgg.rowCount(table).isEmpty,
+      "tombstoned files must refuse the metadata count")
+    assert(MetaAgg.columnRange(table, "user_id").isEmpty)
+    assert(MetaAgg.countWhere(spark, table, "user_id",
+      BigDecimal(1), BigDecimal(200)) == 198L, "fallback must apply the DV")
+  }
+
+  test("partition-manifested tables: carried buckets' stats ride the log; a statless commit refuses") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("meta_parts").resolve("t")
+    val load1 = (1L to 160L).map(i => (i, s"a$i")).toDF("user_id", "attr")
+      .withColumn("loaded_at", lit(null).cast("timestamp"))
+      .withColumn("last_upd_at", lit(null).cast("timestamp"))
+    MergeOps.prunedConditionalUpsert(table, load1, pk = Seq("user_id"),
+      tracked = Seq("attr"), runTs = lit("2024-01-01 00:00:00").cast("timestamp"),
+      nParts = 8, keepVersions = 4)
+    // second load rewrites a couple of buckets; the rest carry by reference
+    val load2 = Seq((3L, "CHANGED"), (161L, "NEW")).toDF("user_id", "attr")
+      .withColumn("loaded_at", lit(null).cast("timestamp"))
+      .withColumn("last_upd_at", lit(null).cast("timestamp"))
+    MergeOps.prunedConditionalUpsert(table, load2, pk = Seq("user_id"),
+      tracked = Seq("attr"), runTs = lit("2024-01-02 00:00:00").cast("timestamp"),
+      nParts = 8, keepVersions = 4)
+    assert(MetaAgg.rowCount(table).contains(161L))
+    assert(MetaAgg.columnRange(table, "user_id").contains(("i", "1", "161")))
+    assert(MetaAgg.countWhere(spark, table, "user_id",
+      BigDecimal(10), BigDecimal(20)) == 11L)
+
+    // a fileStats=false commit writes statless adds → every answer refuses
+    val table2 = Files.createTempDirectory("meta_nostats").resolve("t")
+    MergeOps.prunedConditionalUpsert(table2, load1, pk = Seq("user_id"),
+      tracked = Seq("attr"), runTs = lit("2024-01-01 00:00:00").cast("timestamp"),
+      nParts = 8, keepVersions = 4, fileStats = false)
+    assert(MetaAgg.rowCount(table2).isEmpty)
+    assert(MetaAgg.columnRange(table2, "user_id").isEmpty)
+    assert(MetaAgg.countWhere(spark, table2, "user_id",
+      BigDecimal(1), BigDecimal(160)) == 160L, "statless → full-scan fallback")
+  }
+}
