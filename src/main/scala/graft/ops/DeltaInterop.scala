@@ -129,22 +129,25 @@ object DeltaInterop {
       schema: StructType,
       partitionColumns: Seq[String],
       carried: Seq[Add] = Nil,
-      footerStats: Option[Map[String, (Long, Map[String, (String, String, String)], Map[String, Long])]] = None): Seq[Add] = {
+      footerStats: Option[Map[String, (Long, Map[String, (String, String, String)], Map[String, Long])]] = None,
+      extraFeatures: Set[String] = Set.empty): Seq[Add] = {
     val own = listOwnAdds(spark, versionDir, schema, footerStats)
     val now = System.currentTimeMillis()
+    val features = extraFeatures ++
+      (if ((own ++ carried).exists(_.dv.nonEmpty)) Set("deletionVectors") else Set.empty)
     val actions: Seq[JObject] =
       JObject("commitInfo" -> JObject(
         "timestamp" -> JLong(now),
         "operation" -> JString("WRITE"),
         "operationParameters" -> JObject(Nil),
         "engineInfo" -> JString("graft-storage"))) ::
-      protocolAction((own ++ carried).exists(_.dv.nonEmpty)) ::
+      protocolAction(features) ::
       JObject("metaData" -> JObject(
         "id" -> JString(java.util.UUID.randomUUID.toString),
         "format" -> JObject("provider" -> JString("parquet"), "options" -> JObject(Nil)),
         "schemaString" -> JString(schema.json),
         "partitionColumns" -> JArray(partitionColumns.map(JString(_)).toList),
-        "configuration" -> dvTableConfig((own ++ carried).exists(_.dv.nonEmpty)),
+        "configuration" -> featureTableConfig(features),
         "createdTime" -> JLong(now))) ::
       (own ++ carried).map(addAction).toList
     val log = logFile(versionDir)
@@ -176,8 +179,8 @@ object DeltaInterop {
   /** Protocol action: the base (1, 2) — or the deletion-vectors table
     * feature (3, 7 + feature lists) when any add in the state carries a
     * descriptor, as the protocol requires of DV-bearing tables. */
-  private def protocolAction(anyDv: Boolean): JObject =
-    if (!anyDv)
+  private def protocolAction(features: Set[String]): JObject =
+    if (features.isEmpty)
       JObject("protocol" -> JObject(
         "minReaderVersion" -> JInt(1),
         "minWriterVersion" -> JInt(2)))
@@ -185,14 +188,16 @@ object DeltaInterop {
       JObject("protocol" -> JObject(
         "minReaderVersion" -> JInt(3),
         "minWriterVersion" -> JInt(7),
-        "readerFeatures" -> JArray(List(JString("deletionVectors"))),
-        "writerFeatures" -> JArray(List(JString("deletionVectors")))))
+        "readerFeatures" -> JArray(features.toList.sorted.map(JString(_))),
+        "writerFeatures" -> JArray(features.toList.sorted.map(JString(_)))))
 
-  /** metaData.configuration: the table property writers check before
-    * producing DVs rides with the feature declaration. */
-  private def dvTableConfig(anyDv: Boolean): JObject =
-    if (anyDv) JObject("delta.enableDeletionVectors" -> JString("true"))
-    else JObject(Nil)
+  /** metaData.configuration: the table properties writers check before
+    * producing DVs / widened types ride with the feature declarations. */
+  private def featureTableConfig(features: Set[String]): JObject =
+    JObject(List(
+      "deletionVectors" -> "delta.enableDeletionVectors",
+      "typeWidening" -> "delta.enableTypeWidening"
+    ).collect { case (f, prop) if features.contains(f) => prop -> (JString("true"): JValue) })
 
   /** Set `tightBounds: false` in a per-file stats JSON — the protocol's
     * marker that a DV'd file's min/max may describe deleted rows
@@ -356,6 +361,20 @@ object DeltaInterop {
     * read, the metaData schemaString types the scan, and partition-column
     * values come from each add's `partitionValues` (they are NOT in the
     * data files). Used by the `io1` oracle row and DeltaInteropSpec. */
+  /** The protocol features a log's protocol action declares (empty when
+    * legacy-versioned or unreadable) — the per-version stickiness probe. */
+  private[graft] def logFeatures(log: Path): Set[String] =
+    if (!Files.exists(log)) Set.empty
+    else try {
+      new String(Files.readAllBytes(log), "UTF-8").split("\n")
+        .find(_.contains("\"protocol\"")).map { l =>
+          JsonMethods.parse(l) \ "protocol" \ "readerFeatures" match {
+            case JArray(fs) => fs.collect { case JString(s) => s }.toSet
+            case _ => Set.empty[String]
+          }
+        }.getOrElse(Set.empty)
+    } catch { case _: Throwable => Set.empty }
+
   def readSnapshot(spark: SparkSession, versionDir: Path): DataFrame = {
     val snap = readLog(logFile(versionDir))
     buildFrame(spark, versionDir, snap.schemaJson, snap.partitionColumns, snap.adds)
@@ -450,29 +469,27 @@ object DeltaInterop {
     java.util.UUID.nameUUIDFromBytes(
       table.toAbsolutePath.toString.getBytes("UTF-8")).toString
 
-  /** Whether table-log commit `v` declared the deletion-vectors protocol
-    * feature — the stickiness probe. Falls back to the newest checkpoint
-    * at or below `v` when the JSON is missing or unreadable (pre-
-    * checkpoint commits are allowed to age out or be corrupted); false
-    * when neither source answers. */
-  private def commitDeclaresDv(table: Path, v: Long): Boolean = {
-    def fromJson: Option[Boolean] =
+  /** The protocol features table-log commit `v` declared — the stickiness
+    * probe. Falls back to the newest checkpoint at or below `v` when the
+    * JSON is missing or unreadable (pre-checkpoint commits are allowed to
+    * age out or be corrupted); empty when neither source answers. */
+  private def commitFeatures(table: Path, v: Long): Set[String] = {
+    def fromJson: Option[Set[String]] =
       try {
         val f = tableCommitFile(table, v)
         if (!Files.exists(f)) None
         else new String(Files.readAllBytes(f), "UTF-8").split("\n")
           .find(_.contains("\"protocol\"")).map { l =>
-            JsonMethods.parse(l) \ "protocol" \ "minReaderVersion" match {
-              case JInt(n) => n >= 3
-              case JLong(n) => n >= 3
-              case _ => false
+            JsonMethods.parse(l) \ "protocol" \ "readerFeatures" match {
+              case JArray(fs) => fs.collect { case JString(s) => s }.toSet
+              case _ => Set.empty[String]
             }
           }
       } catch { case _: Throwable => None }
-    def fromCheckpoint: Boolean =
+    def fromCheckpoint: Set[String] =
       try lastCheckpointVersion(table).filter(_ <= v)
-        .exists(cv => checkpointDeclaresDv(table, cv))
-      catch { case _: Throwable => false }
+        .map(cv => checkpointFeatures(table, cv)).getOrElse(Set.empty)
+      catch { case _: Throwable => Set.empty }
     fromJson.getOrElse(fromCheckpoint)
   }
 
@@ -489,16 +506,20 @@ object DeltaInterop {
   private[graft] def appendTableCommit(
       table: Path, v: Long,
       schema: StructType, partitionColumns: Seq[String],
-      fullAdds: Seq[Add], prev: Map[String, Add]): Option[() => Unit] = {
+      fullAdds: Seq[Add], prev: Map[String, Add],
+      extraFeatures: Set[String] = Set.empty): Option[() => Unit] = {
     val logDir = tableLogDir(table)
     Files.createDirectories(logDir)
-    // protocol stickiness: once the deletion-vectors feature is declared,
-    // later DV-free commits keep it — the reference protocol never
-    // downgrades implicitly (dropping a feature is an explicit action),
-    // and a reader capping replay at an older commit must still see the
-    // feature that commit's adds may rely on
-    val dvProtocol = fullAdds.exists(_.dv.nonEmpty) ||
-      (v > 0 && commitDeclaresDv(table, v - 1))
+    // protocol stickiness: once a table feature (deletionVectors,
+    // typeWidening) is declared, later commits keep it — the reference
+    // protocol never downgrades implicitly (dropping a feature is an
+    // explicit action), and a reader capping replay at an older commit
+    // must still see the feature that commit's adds may rely on; for
+    // typeWidening the narrow physical files persist until rewritten, so
+    // the requirement outlives the widening commit by construction
+    val features = extraFeatures ++
+      (if (fullAdds.exists(_.dv.nonEmpty)) Set("deletionVectors") else Set.empty) ++
+      (if (v > 0) commitFeatures(table, v - 1) else Set.empty)
     val curPaths = fullAdds.map(_.path).toSet
     // a deletion-vector change on an unmoved path is an incarnation swap:
     // the protocol's DV-update shape is remove(path, old DV) + add(path,
@@ -516,13 +537,13 @@ object DeltaInterop {
         "operation" -> JString("WRITE"),
         "operationParameters" -> JObject(Nil),
         "engineInfo" -> JString("graft-storage"))) ::
-      protocolAction(dvProtocol) ::
+      protocolAction(features) ::
       JObject("metaData" -> JObject(
         "id" -> JString(tableId(table)),
         "format" -> JObject("provider" -> JString("parquet"), "options" -> JObject(Nil)),
         "schemaString" -> JString(schema.json),
         "partitionColumns" -> JArray(partitionColumns.map(JString(_)).toList),
-        "configuration" -> dvTableConfig(dvProtocol),
+        "configuration" -> featureTableConfig(features),
         "createdTime" -> JLong(now))) ::
       (removes.map(r => JObject("remove" -> JObject(
         "path" -> JString(r.path),
@@ -537,7 +558,7 @@ object DeltaInterop {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     if (v > 0 && v % CheckpointInterval == 0)
       Some(() => writeCheckpoint(table, v, schema, partitionColumns,
-        fullAdds.sortBy(_.path), dvProtocol))
+        fullAdds.sortBy(_.path), features))
     else None
   }
 
@@ -622,7 +643,7 @@ object DeltaInterop {
   private def writeCheckpoint(
       table: Path, v: Long,
       schema: StructType, partitionColumns: Seq[String], state: Seq[Add],
-      dvProtocol: Boolean): Unit = {
+      features: Set[String]): Unit = {
     // unexpired tombstones: previous checkpoint's carries + the trailing
     // commits' remove actions, newest timestamp per path, minus any path
     // that is live again, minus the expired
@@ -655,11 +676,14 @@ object DeltaInterop {
       // does: a reader seeding from a checkpoint that silently said (1,2)
       // would replay trailing DV-bearing adds without knowing the feature
       val pg = proto.addGroup("protocol")
-      if (!dvProtocol) pg.append("minReaderVersion", 1).append("minWriterVersion", 2)
+      if (features.isEmpty) pg.append("minReaderVersion", 1).append("minWriterVersion", 2)
       else {
         pg.append("minReaderVersion", 3).append("minWriterVersion", 7)
-        pg.addGroup("readerFeatures").addGroup("list").append("element", "deletionVectors")
-        pg.addGroup("writerFeatures").addGroup("list").append("element", "deletionVectors")
+        val (rf, wf) = (pg.addGroup("readerFeatures"), pg.addGroup("writerFeatures"))
+        features.toSeq.sorted.foreach { f =>
+          rf.addGroup("list").append("element", f)
+          wf.addGroup("list").append("element", f)
+        }
       }
       writer.write(proto); rows += 1
       val meta = factory.newGroup()
@@ -871,17 +895,23 @@ object DeltaInterop {
   }
 
   /** Whether checkpoint `v` declares the deletion-vectors feature. */
-  private def checkpointDeclaresDv(table: Path, v: Long): Boolean = {
-    var found = false
+  private def checkpointFeatures(table: Path, v: Long): Set[String] = {
+    val found = Set.newBuilder[String]
     foreachCheckpointRow(table, v) { g =>
       if (g.getType.containsField("protocol") &&
           g.getFieldRepetitionCount("protocol") > 0) {
         val p = g.getGroup("protocol", 0)
-        if (p.getFieldRepetitionCount("minReaderVersion") > 0 &&
-            p.getInteger("minReaderVersion", 0) >= 3) found = true
+        if (p.getFieldRepetitionCount("readerFeatures") > 0) {
+          val rf = p.getGroup("readerFeatures", 0)
+          (0 until rf.getFieldRepetitionCount("list")).foreach { i =>
+            val el = rf.getGroup("list", i)
+            if (el.getFieldRepetitionCount("element") > 0)
+              found += el.getString("element", 0)
+          }
+        }
       }
     }
-    found
+    found.result()
   }
 
   /** The unexpired `remove` tombstones a checkpoint carries. */

@@ -841,6 +841,44 @@ object Storage {
         conflicting: Set[String]): DataFrame
   }
 
+  /** The lossless type-widening lattice (the protocol's typeWidening
+    * feature, restricted to conversions that cannot change a value):
+    * integral up to long, float→double, decimal precision up at equal
+    * scale. int→double is deliberately absent — longs above 2^53 exist. */
+  private[ops] def typeWidens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.scale == d1.scale && d2.precision >= d1.precision
+      case _ => false
+    }
+  }
+
+  /** The protocol's `delta.typeChanges` field metadata: each widening
+    * appends a {fromType, toType} record so an external reader knows the
+    * narrow physical files under this column are intentional. */
+  private def typeChangeMetadata(oldF: org.apache.spark.sql.types.StructField,
+      newF: org.apache.spark.sql.types.StructField): org.apache.spark.sql.types.Metadata = {
+    import org.apache.spark.sql.types.{Metadata, MetadataBuilder}
+    def deltaName(dt: org.apache.spark.sql.types.DataType): String = dt.catalogString
+    val change = new MetadataBuilder()
+      .putString("fromType", deltaName(oldF.dataType))
+      .putString("toType", deltaName(newF.dataType))
+      .build()
+    val prior =
+      if (oldF.metadata.contains("delta.typeChanges"))
+        oldF.metadata.getMetadataArray("delta.typeChanges")
+      else Array.empty[Metadata]
+    new MetadataBuilder().withMetadata(newF.metadata)
+      .putMetadataArray("delta.typeChanges", prior :+ change)
+      .build()
+  }
+
   /** Thrown by [[commitPartitions]] when a concurrent commit invalidated
     * decisions the caller computed BEFORE calling (declared via `staleOn`),
     * or when the caller's `readBase` version is no longer retained. Always
@@ -956,31 +994,49 @@ object Storage {
     }
     val v = base.getOrElse(-1L) + 1
     val prev = base.map(b => readPartsManifest(table.resolve(s"v$b"))).getOrElse(Map.empty)
-    // The DECLARED schema evolves add-only: new columns append; the frame
-    // must COVER every declared column (a rewrite omitting one would
-    // silently null that column's values in the rewritten partitions —
-    // data loss for what is a caller bug, so it fails loudly instead);
-    // type changes fail loudly. Dropping a column requires a fresh table.
-    // Validated BEFORE the write: both schemas are known without running it.
-    // (Re-run against the new base on a disjoint-writer retry: the winner
-    // may itself have evolved the declared schema.)
-    def declareAgainst(b: Option[Long]): org.apache.spark.sql.types.StructType =
+    // The DECLARED schema evolves add-only plus SAFE WIDENING: new columns
+    // append; an existing column may widen along the lossless lattice
+    // (byte/short/int→long, float→double, decimal precision up at equal
+    // scale) — carried buckets keep their narrow physical files and every
+    // read path casts to the declared type, exactly the protocol's
+    // typeWidening table feature. The frame must COVER every declared
+    // column (a rewrite omitting one would silently null that column's
+    // values in the rewritten partitions — data loss for what is a caller
+    // bug, so it fails loudly instead); NARROWING fails loudly. Dropping a
+    // column requires a fresh table. Validated BEFORE the write: both
+    // schemas are known without running it. (Re-run against the new base
+    // on a disjoint-writer retry: the winner may itself have evolved the
+    // declared schema.) Returns the declared schema plus whether this
+    // commit widens any column — the Delta logs must then declare the
+    // typeWidening feature, and each widened field records the protocol's
+    // `delta.typeChanges` metadata so an external reader knows the narrow
+    // physical files are intentional.
+    def declareAgainst(b: Option[Long]): (org.apache.spark.sql.types.StructType, Boolean) =
       b.flatMap(bb => DeltaInterop.declaredSchema(table.resolve(s"v$bb"))) match {
-        case None => next.schema
+        case None => (next.schema, false)
         case Some(p) =>
-          val newTypes = next.schema.map(f => f.name -> f.dataType).toMap
-          val missing = p.map(_.name).filterNot(newTypes.contains)
+          val newFields = next.schema.map(f => f.name -> f).toMap
+          val missing = p.map(_.name).filterNot(newFields.contains)
           require(missing.isEmpty,
             s"frame omits declared column(s) ${missing.mkString(", ")}: rewriting " +
               "partitions without them would null their data — evolution is " +
               "add-only (project the columns through, or use a fresh table to drop)")
-          p.foreach(f => require(newTypes(f.name) == f.dataType,
-            s"column ${f.name} changes type ${f.dataType} -> ${newTypes(f.name)}; " +
-              "type evolution is not supported — use a fresh table"))
-          org.apache.spark.sql.types.StructType(
-            p ++ next.schema.filterNot(f => p.exists(_.name == f.name)))
+          val merged = p.map { f =>
+            val nf = newFields(f.name)
+            if (nf.dataType == f.dataType) f
+            else if (typeWidens(f.dataType, nf.dataType))
+              nf.copy(metadata = typeChangeMetadata(f, nf))
+            else throw new IllegalArgumentException(
+              s"column ${f.name} changes type ${f.dataType.simpleString} -> " +
+                s"${nf.dataType.simpleString}; only lossless widening is supported " +
+                "(byte/short/int→long, float→double, decimal precision up) — " +
+                "narrowing or re-typing needs a fresh table")
+          }
+          val widened = p.exists(f => newFields(f.name).dataType != f.dataType)
+          (org.apache.spark.sql.types.StructType(
+            merged ++ next.schema.filterNot(f => p.exists(_.name == f.name))), widened)
       }
-    val declared = declareAgainst(base)
+    val (declared, widenedNow) = declareAgainst(base)
     val staging = newStaging(table, v)
     next.write.partitionBy(partCol).mode("overwrite").parquet(staging.toString)
     extraFiles.foreach { case (name, content) =>
@@ -1044,6 +1100,7 @@ object Storage {
       else prev
     var curV = curBase.getOrElse(-1L) + 1
     var curDeclared = declared
+    var curWidened = widenedNow
     var attempts = 0
     var committedV = -1L
     var committedManifest = Map.empty[String, Long]
@@ -1115,8 +1172,17 @@ object Storage {
             stats = if (dv.isEmpty) a.stats
               else a.stats.map(DeltaInterop.markStatsUntight))
         }
+      // typeWidening is sticky in the per-version log too: carried buckets
+      // keep narrow physical files long after the widening commit, so every
+      // later version's standalone log must still declare the feature
+      val widenFeature =
+        if (curWidened || curBase.exists(b => DeltaInterop.logFeatures(
+            DeltaInterop.logFile(table.resolve(s"v$b"))).contains("typeWidening")))
+          Set("typeWidening")
+        else Set.empty[String]
       val adds = DeltaInterop.writeCommit0(next.sparkSession, staging, curDeclared,
-        Seq(partCol), carried = carried, footerStats = if (fileStats) None else NoFileStats)
+        Seq(partCol), carried = carried, footerStats = if (fileStats) None else NoFileStats,
+        extraFeatures = widenFeature)
       // table-level log: own (rewritten-bucket) adds become table-root
       // relative `v<N>/…`. Carried adds arrive as absolute `file:` URIs (the
       // per-version log's shallow-clone shape) — canonicalize them to the
@@ -1145,7 +1211,8 @@ object Storage {
       val pointerAhead = currentVersion(table).exists(_ >= curV)
       if (!pointerAhead && tryRename(table, staging, curV)) {
         val deferredCkpt = DeltaInterop.appendTableCommit(table,
-          curV, curDeclared, Seq(partCol), adds.map(tableRel), prevState)
+          curV, curDeclared, Seq(partCol), adds.map(tableRel), prevState,
+          extraFeatures = widenFeature)
         swapPointer(table, curV)
         deferredCkpt.foreach(_.apply()) // O(live files) write: outside the swap window
         committedV = curV
@@ -1242,7 +1309,9 @@ object Storage {
             throw new java.util.ConcurrentModificationException(
               s"gave up after $attempts disjoint-retry rounds at $table " +
                 "(writer storm) — rerun this load")
-          curDeclared = declareAgainst(Some(newBase))
+          val (d2, w2) = declareAgainst(Some(newBase))
+          curDeclared = d2
+          curWidened = w2
           curBase = Some(newBase)
           curPrev = newPrev
           curV = newBase + 1

@@ -653,6 +653,58 @@ object CoreQueries {
     // relationally, so the hash match proves descriptor emission,
     // protocol-feature gating, and log-only DV application end-to-end at
     // the gate, every round — not just in DeltaInteropSpec.
+    // Schema evolution with TYPE WIDENING (round 13): v0 lands half the
+    // orders with NARROW types (int custkey, float totalprice); v1 lands
+    // the other half — disjoint buckets, so v0's files carry by reference,
+    // bytes unmoved — with WIDE types (long, double) plus a brand-new
+    // column. The read composes both generations: narrow physical files
+    // cast up to the declared wide schema, pre-evolution rows read NULL
+    // for the new column — the Delta typeWidening + add-column semantics,
+    // with the feature and per-field typeChanges metadata in the log
+    // (spec-proven; this row hash-checks the VALUES against an oracle that
+    // recomputes the same two-generation union relationally). At 100 TB
+    // this is the only affordable schema change: evolving a petabyte table
+    // must never rewrite it.
+    Q("m12_type_widening",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("widen")
+        val table = dir.resolve("orders_evolved")
+        try {
+          val o = Tables.orders(s, d)
+          val bucket = pmod(col("o_orderkey"), lit(8)).cast("int")
+          // generation 0: even orderkeys, narrow types
+          graft.ops.Storage.commitPartitions(
+            o.filter(col("o_orderkey") % 2 === 0)
+              .select(col("o_orderkey"),
+                col("o_custkey").cast("int").as("o_custkey"),
+                col("o_totalprice").cast("float").as("o_totalprice"))
+              .withColumn("pbucket", bucket),
+            table, "pbucket", keepVersions = 4)
+          // generation 1: odd orderkeys — widened types + a new column
+          graft.ops.Storage.commitPartitions(
+            o.filter(col("o_orderkey") % 2 === 1)
+              .select(col("o_orderkey"),
+                col("o_custkey").cast("long").as("o_custkey"),
+                col("o_totalprice").cast("double").as("o_totalprice"),
+                length(col("o_orderpriority")).cast("long").as("prio_len"))
+              .withColumn("pbucket", bucket),
+            table, "pbucket", keepVersions = 4)
+          graft.ops.Storage.readPartitionedVersion(s, table)
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice"), col("prio_len"))
+            .localCheckpoint()
+        } finally graft.ops.Storage.deleteRecursively(dir)
+      },
+      Some("""SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+             |       CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS o_totalprice,
+             |       CAST(NULL AS BIGINT) AS prio_len
+             |FROM orders WHERE o_orderkey % 2 = 0
+             |UNION ALL
+             |SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+             |       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+             |       CAST(length(o_orderpriority) AS BIGINT) AS prio_len
+             |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin)),
+
     // Metadata-only aggregates (round 13): COUNT/MIN/MAX answered from the
     // commit's per-file stats with ZERO data files opened, plus the hybrid
     // range COUNT that reads only the files straddling the predicate's

@@ -838,6 +838,98 @@ class PartitionedStorageSpec extends SparkTestBase {
       .select("k").collect().map(_.getLong(0)).toSet == Set(2L, 9L))
   }
 
+  // ---- type-widening evolution (round 13): an existing column may widen
+  // along the lossless lattice (int→long, float→double, decimal precision
+  // up); carried buckets keep their narrow physical files and every read
+  // casts to the declared type — the protocol's typeWidening feature. ----
+
+  test("type widening: int→long and float→double across carried buckets; reads cast, history keeps its own types") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("widen").resolve("t")
+    // v0: k is INT, x is FLOAT
+    Storage.commitPartitions(
+      Seq((1, 1.5f, 0), (2, 2.5f, 1)).toDF("k", "x", "pbucket"),
+      table, "pbucket", keepVersions = 4)
+    // v1 rewrites bucket 1 with WIDE types (long, double); bucket 0 carries
+    Storage.commitPartitions(
+      Seq((2L, 2.5d, 1), (3L, 3.5d, 1)).toDF("k", "x", "pbucket"),
+      table, "pbucket", keepVersions = 4)
+
+    val cur = Storage.readPartitionedVersion(spark, table)
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    assert(cur.schema("k").dataType == LongType, cur.schema.simpleString)
+    assert(cur.schema("x").dataType == DoubleType, cur.schema.simpleString)
+    val rows = cur.select("k", "x").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows == Map(1L -> 1.5, 2L -> 2.5, 3L -> 3.5), rows.toString)
+
+    // the carried bucket's PHYSICAL file is still narrow — only the read
+    // widens (no rewrite happened: the manifest still owns it at v0)
+    assert(Storage.readPartsManifest(table.resolve("v1")) ==
+      Map("pbucket=0" -> 0L, "pbucket=1" -> 1L))
+    // time travel returns v0 with ITS declared schema (narrow)
+    val at0 = Storage.readPartitionedVersionAt(spark, table, 0L)
+    assert(at0.schema("k").dataType == org.apache.spark.sql.types.IntegerType)
+
+    // external-reader path: the per-version log replays to the SAME wide
+    // frame (narrow parquet read under a wide schemaString), and declares
+    // the typeWidening feature with per-field typeChanges metadata
+    val snap = graft.ops.DeltaInterop.readSnapshot(spark, table.resolve("v1"))
+    assert(snap.schema("k").dataType == LongType)
+    assert(snap.select("k", "x").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap == rows)
+    val feats = graft.ops.DeltaInterop.logFeatures(
+      graft.ops.DeltaInterop.logFile(table.resolve("v1")))
+    assert(feats.contains("typeWidening"), feats.toString)
+    val declared = graft.ops.DeltaInterop.declaredSchema(table.resolve("v1")).get
+    assert(declared("k").metadata.contains("delta.typeChanges"),
+      declared("k").metadata.json)
+
+    // stickiness: a later commit with NO new widening keeps the feature
+    // (bucket 0's narrow files are still live)
+    Storage.commitPartitions(
+      Seq((3L, 9.5d, 1)).toDF("k", "x", "pbucket").unionByName(
+        Seq((2L, 2.5d, 1)).toDF("k", "x", "pbucket")),
+      table, "pbucket", keepVersions = 4)
+    assert(graft.ops.DeltaInterop.logFeatures(
+      graft.ops.DeltaInterop.logFile(table.resolve("v2"))).contains("typeWidening"))
+
+    // narrowing is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Storage.commitPartitions(
+        Seq((4, 4.5f, 0)).toDF("k", "x", "pbucket"),
+        table, "pbucket", keepVersions = 4)
+    }
+    assert(e.getMessage.contains("widening"), e.getMessage)
+  }
+
+  test("type widening: decimal precision up at equal scale; scale change refused") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("widen_dec").resolve("t")
+    def dec(s: String, p: Int, sc: Int) =
+      new java.math.BigDecimal(s).setScale(sc)
+    val d0 = Seq((1L, dec("12.34", 10, 2), 0), (2L, dec("56.78", 10, 2), 1))
+      .toDF("k", "amt", "pbucket")
+      .select(col("k"), col("amt").cast("decimal(10,2)").as("amt"), col("pbucket"))
+    Storage.commitPartitions(d0, table, "pbucket", keepVersions = 4)
+    val d1 = Seq((2L, "999999999999.99", 1)).toDF("k", "amt", "pbucket")
+      .select(col("k"), col("amt").cast("decimal(14,2)").as("amt"), col("pbucket"))
+    Storage.commitPartitions(d1, table, "pbucket", keepVersions = 4)
+    val cur = Storage.readPartitionedVersion(spark, table)
+    assert(cur.schema("amt").dataType ==
+      org.apache.spark.sql.types.DecimalType(14, 2), cur.schema.simpleString)
+    val got = cur.select("k", "amt").collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1).toPlainString).toMap
+    assert(got == Map(1L -> "12.34", 2L -> "999999999999.99"), got.toString)
+    // same precision, different scale: refused (values would shift)
+    intercept[IllegalArgumentException] {
+      Storage.commitPartitions(
+        Seq((3L, "1.234", 0)).toDF("k", "amt", "pbucket")
+          .select(col("k"), col("amt").cast("decimal(14,3)").as("amt"), col("pbucket")),
+        table, "pbucket", keepVersions = 4)
+    }
+  }
+
   // ---- read-snapshot OCC (the TOCTOU the same-bucket race test caught on
   // contended hosts): commitPartitions' rename CAS serializes writers
   // racing the same version SLOT, but a writer whose frames were computed
