@@ -1,0 +1,179 @@
+package graft.ops
+
+import java.nio.file.{Files, Path, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-table snapshot transactions over a WORKSPACE of versioned tables —
+  * the warehouse-level BEGIN/COMMIT the single-table commit log cannot
+  * express: a load that refreshes several marts must expose either the old
+  * set or the new set to a cross-table join, never a mix.
+  *
+  * Mechanism: each member table keeps its own [[Storage]] commit log
+  * (unchanged); the workspace adds `_WLOG/w<M>.json` manifests pinning
+  * {table → version}. A transaction commits its tables' versions FIRST
+  * (each through the table-level CAS), then publishes them in ONE atomic
+  * manifest create (CREATE_NEW — the filesystem's compare-and-swap; on an
+  * object store, a conditional PUT). The manifest write IS the commit
+  * point:
+  *  - a crash before it leaves every reader on the previous manifest — the
+  *    new table versions exist but are unreferenced (benign, vacuumed by
+  *    their tables' own keep-windows);
+  *  - a reader resolves ONE manifest and reads every table AS OF it —
+  *    cross-table consistency for the duration of the job, exactly like
+  *    the single-table snapshot-isolation story;
+  *  - historical manifests are retained (bounded window), so
+  *    "the whole warehouse as of transaction M" is a metadata lookup.
+  *
+  * Concurrent transactions serialize on the manifest CAS: a loser reloads
+  * the winner's manifest, and if the table sets are DISJOINT rebases its
+  * entries onto it and retries — both transactions land, like the
+  * table-level disjoint-writer story. Overlapping table sets abort loudly:
+  * the loser's table-level commits already serialized AFTER the winner's,
+  * but publishing them would hide the winner's update from snapshot
+  * readers without any merge having run.
+  *
+  * Scale shape: commit cost is O(tables touched) metadata writes +
+  * whatever the table writes themselves cost; the manifest is O(tables)
+  * bytes; reads add ONE small-file resolve over the single-table path.
+  */
+object Workspace {
+
+  private val WlogDir = "_WLOG"
+  /** How many historical manifests survive [[vacuumWlog]] (and implicit
+    * vacuum on commit) — the workspace's time-travel window. */
+  private val KeepManifests = 32
+
+  private def wlogDir(ws: Path): Path = ws.resolve(WlogDir)
+  private def manifestFile(ws: Path, m: Long): Path =
+    wlogDir(ws).resolve(f"w$m%010d.json")
+
+  /** The newest manifest id, or None for a fresh workspace. */
+  def currentTxn(ws: Path): Option[Long] = {
+    val dir = wlogDir(ws)
+    if (!Files.isDirectory(dir)) return None
+    val s = Files.list(dir)
+    val ids =
+      try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
+        .filter(n => n.startsWith("w") && n.endsWith(".json"))
+        .flatMap(n => scala.util.Try(n.stripPrefix("w").stripSuffix(".json").toLong).toOption)
+      finally s.close()
+    ids.maxOption
+  }
+
+  /** The {table → version} pins of manifest `m`. */
+  def snapshotAt(ws: Path, m: Long): Map[String, Long] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val f = manifestFile(ws, m)
+    require(Files.exists(f), s"workspace manifest w$m not retained at $ws")
+    JsonMethods.parse(new String(Files.readAllBytes(f), "UTF-8")) \ "tables" match {
+      case JObject(fields) => fields.map {
+        case (k, JLong(v)) => k -> v
+        case (k, JInt(v)) => k -> v.toLong
+        case (k, other) => throw new IllegalStateException(s"bad pin $k -> $other")
+      }.toMap
+      case _ => throw new IllegalStateException(s"malformed workspace manifest $f")
+    }
+  }
+
+  /** The current transactional view: (manifest id, {table → version}).
+    * Empty for a fresh workspace. */
+  def snapshot(ws: Path): (Long, Map[String, Long]) =
+    currentTxn(ws) match {
+      case None => (-1L, Map.empty)
+      case Some(m) => (m, snapshotAt(ws, m))
+    }
+
+  /** Read `table` AS OF the workspace's current manifest (or an explicit
+    * one via [[snapshotAt]] + [[readPinned]]). Tables of either flavor —
+    * flat [[Storage.commitVersion]] or partition-manifested
+    * [[Storage.commitPartitions]] — resolve transparently. */
+  def readSnapshot(spark: SparkSession, ws: Path, table: String): DataFrame = {
+    val (_, pins) = snapshot(ws)
+    val v = pins.getOrElse(table, throw new IllegalArgumentException(
+      s"table '$table' is not pinned by the current workspace manifest " +
+        s"(${pins.keys.toSeq.sorted.mkString(", ")})"))
+    readPinned(spark, ws, table, v)
+  }
+
+  /** Read one table at an explicit pinned version. */
+  def readPinned(spark: SparkSession, ws: Path, table: String, v: Long): DataFrame = {
+    val dir = ws.resolve(table)
+    if (Files.exists(dir.resolve(s"v$v").resolve("_PARTS.json")))
+      Storage.readPartitionedVersionAt(spark, dir, v)
+    else Storage.readVersionAt(spark, dir, v)
+  }
+
+  /** Commit `writes` (table name → full next content, commitVersion
+    * semantics) as ONE transaction: all tables' new versions become
+    * visible to snapshot readers atomically. `alsoPin` names member tables
+    * maintained OUTSIDE this transaction (e.g. a pruned-upsert feed) whose
+    * CURRENT version should be captured into the same consistent view.
+    *
+    * `keepVersions` applies to each member table's own log and must cover
+    * the workspace's manifest window for time travel across manifests
+    * (a pinned version only stays readable while its table retains it).
+    * Returns the new manifest id. */
+  def commitAll(ws: Path, writes: Map[String, DataFrame],
+      alsoPin: Set[String] = Set.empty,
+      keepVersions: Int = 4): Long = {
+    require(writes.nonEmpty, "empty transaction")
+    writes.keys.foreach(validName)
+    alsoPin.foreach(validName)
+    Files.createDirectories(wlogDir(ws))
+    // 1. land every table's version through its own CAS log — durable but
+    //    UNPUBLISHED: no snapshot reader can see them yet
+    val committed = writes.toSeq.sortBy(_._1).map { case (name, df) =>
+      name -> Storage.commitVersion(df, ws.resolve(name), keepVersions = keepVersions)
+    }.toMap
+    val pinned = alsoPin.map { name =>
+      name -> Storage.currentVersion(ws.resolve(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"alsoPin table '$name' has no committed version at $ws"))
+    }.toMap
+    // 2. publish: ONE manifest create is the atomic commit point; losers
+    //    rebase onto the winner when disjoint, abort loudly on overlap
+    var attempts = 0
+    while (true) {
+      val (m, prev) = snapshot(ws)
+      val overlap = prev.keySet.intersect(committed.keySet)
+        .filter(t => prev(t) >= committed(t))
+      if (overlap.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"workspace transaction conflict at $ws: table(s) " +
+            s"${overlap.toSeq.sorted.mkString(", ")} were published at or past " +
+            "this transaction's versions by a concurrent commit — rerun")
+      val next = prev ++ committed ++ pinned
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val body = JsonMethods.compact(JsonMethods.render(JObject(
+        "tables" -> JObject(next.toSeq.sortBy(_._1)
+          .map { case (k, v) => k -> (JLong(v): JValue) }.toList))))
+      try {
+        Files.write(manifestFile(ws, m + 1), body.getBytes("UTF-8"),
+          StandardOpenOption.CREATE_NEW)
+        vacuumWlog(ws, m + 1)
+        return m + 1
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempts += 1
+          if (attempts >= 16)
+            throw new java.util.ConcurrentModificationException(
+              s"gave up after $attempts manifest CAS rounds at $ws (writer storm)")
+        // loop: reload the winner's manifest and re-check
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Drop manifests older than the keep window — never the newest. */
+  private def vacuumWlog(ws: Path, newest: Long): Unit =
+    ((newest - 2L * KeepManifests) until (newest - KeepManifests))
+      .filter(_ >= 0).foreach(m => Files.deleteIfExists(manifestFile(ws, m)))
+
+  private def validName(name: String): Unit =
+    require(name.nonEmpty && !name.startsWith("_") && !name.startsWith(".") &&
+      !name.contains("/") && !name.contains(java.io.File.separator),
+      s"invalid workspace table name '$name'")
+}

@@ -653,6 +653,63 @@ object CoreQueries {
     // relationally, so the hash match proves descriptor emission,
     // protocol-feature gating, and log-only DV application end-to-end at
     // the gate, every round — not just in DeltaInteropSpec.
+    // Multi-table snapshot transactions (round 13): two marts derived from
+    // orders and customer refresh in ONE workspace transaction — the
+    // manifest create is the atomic commit point, so a cross-mart join
+    // sees generation 1 of BOTH or generation 2 of BOTH, never a mix
+    // (atomicity, crash, and CAS semantics spec-proven in WorkspaceSpec).
+    // This row drives TWO transactions and then reads the joined pair AS
+    // OF each manifest — workspace-level time travel — hash-matching an
+    // oracle that recomputes both generations relationally. Commit cost is
+    // O(tables) metadata on top of the table writes themselves; at 100 TB
+    // the "refresh five marts consistently" story costs five table commits
+    // plus ONE small-file CAS, not a distributed lock.
+    Q("txn1_workspace_snapshot",
+      (s, d) => {
+        import graft.ops.Workspace
+        val ws = java.nio.file.Files.createTempDirectory("ws_txn1")
+        try {
+          val cust = Tables.customer(s, d)
+          def mart1(filtered: DataFrame): DataFrame = filtered
+            .groupBy(col("o_custkey"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("o_totalprice").cast("decimal(38,6)")).as("total"))
+          def mart2(bump: Double): DataFrame = cust
+            .select(col("c_custkey"), col("c_name"),
+              (col("c_acctbal") + lit(bump)).as("acctbal"))
+          val orders = Tables.orders(s, d)
+          val m1 = Workspace.commitAll(ws, Map(
+            "orders_by_cust" -> mart1(orders.filter(col("o_orderkey") % 3 =!= 0)),
+            "cust_dim" -> mart2(0.0)), keepVersions = 4)
+          val m2 = Workspace.commitAll(ws, Map(
+            "orders_by_cust" -> mart1(orders),
+            "cust_dim" -> mart2(100.0)), keepVersions = 4)
+          def joined(m: Long, label: Int): DataFrame = {
+            val pins = Workspace.snapshotAt(ws, m)
+            Workspace.readPinned(s, ws, "orders_by_cust", pins("orders_by_cust"))
+              .join(Workspace.readPinned(s, ws, "cust_dim", pins("cust_dim")),
+                col("o_custkey") === col("c_custkey"))
+              .select(lit(label).as("asof"), col("c_custkey"), col("c_name"),
+                col("acctbal").cast("double").as("acctbal"),
+                col("cnt"), col("total").cast("double").as("total"))
+          }
+          joined(m1, 1).unionByName(joined(m2, 2)).localCheckpoint()
+        } finally graft.ops.Storage.deleteRecursively(ws)
+      },
+      Some("""WITH g1 AS (SELECT o_custkey, count(*) AS cnt,
+             |              CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+             |            FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY 1),
+             |     g2 AS (SELECT o_custkey, count(*) AS cnt,
+             |              CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+             |            FROM orders GROUP BY 1)
+             |SELECT 1 AS asof, c.c_custkey, c.c_name,
+             |       CAST(c.c_acctbal + 0.0 AS DOUBLE) AS acctbal, g1.cnt, g1.total
+             |FROM customer c JOIN g1 ON g1.o_custkey = c.c_custkey
+             |UNION ALL
+             |SELECT 2 AS asof, c.c_custkey, c.c_name,
+             |       CAST(c.c_acctbal + 100.0 AS DOUBLE) AS acctbal, g2.cnt, g2.total
+             |FROM customer c JOIN g2 ON g2.o_custkey = c.c_custkey""".stripMargin)),
+
     // Schema evolution with TYPE WIDENING (round 13): v0 lands half the
     // orders with NARROW types (int custkey, float totalprice); v1 lands
     // the other half — disjoint buckets, so v0's files carry by reference,

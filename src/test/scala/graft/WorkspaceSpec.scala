@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.{MergeOps, Storage, Workspace}
+import org.apache.spark.sql.functions._
+
+/** Workspace-level multi-table snapshot transactions: the manifest create
+  * is the commit point — readers see old-all or new-all, never a mix. */
+class WorkspaceSpec extends SparkTestBase {
+
+  private def kv(pairs: (Long, String)*) = {
+    import spark.implicits._
+    pairs.toSeq.toDF("k", "v")
+  }
+
+  test("commitAll publishes atomically; manifest history is workspace time travel") {
+    val ws = Files.createTempDirectory("ws_atomic")
+    val m1 = Workspace.commitAll(ws, Map(
+      "a" -> kv(1L -> "a1"), "b" -> kv(1L -> "b1")))
+    val m2 = Workspace.commitAll(ws, Map(
+      "a" -> kv(1L -> "a2"), "b" -> kv(1L -> "b2")))
+    assert(m2 == m1 + 1)
+
+    // current view: new-all
+    assert(Workspace.readSnapshot(spark, ws, "a")
+      .select("v").head.getString(0) == "a2")
+    assert(Workspace.readSnapshot(spark, ws, "b")
+      .select("v").head.getString(0) == "b2")
+    // a reader pinned at m1 sees old-all — consistent cross-table history
+    val pins1 = Workspace.snapshotAt(ws, m1)
+    assert(Workspace.readPinned(spark, ws, "a", pins1("a"))
+      .select("v").head.getString(0) == "a1")
+    assert(Workspace.readPinned(spark, ws, "b", pins1("b"))
+      .select("v").head.getString(0) == "b1")
+  }
+
+  test("a transaction that dies before publishing leaves the old consistent view") {
+    val ws = Files.createTempDirectory("ws_crash")
+    val m1 = Workspace.commitAll(ws, Map(
+      "a" -> kv(1L -> "a1"), "b" -> kv(1L -> "b1")), keepVersions = 4)
+    // simulate a transaction that committed table 'a' and crashed before
+    // the manifest create: the table-level version exists...
+    Storage.commitVersion(kv(1L -> "aX"), ws.resolve("a"), keepVersions = 4)
+    assert(Storage.readVersion(spark, ws.resolve("a"))
+      .select("v").head.getString(0) == "aX", "table-level read is uncommitted-latest")
+    // ...but the workspace view still serves the LAST PUBLISHED pair
+    assert(Workspace.snapshot(ws)._1 == m1)
+    assert(Workspace.readSnapshot(spark, ws, "a")
+      .select("v").head.getString(0) == "a1")
+    assert(Workspace.readSnapshot(spark, ws, "b")
+      .select("v").head.getString(0) == "b1")
+    // the next successful transaction publishes PAST the orphan version
+    Workspace.commitAll(ws, Map("a" -> kv(1L -> "a2")), keepVersions = 4)
+    assert(Workspace.readSnapshot(spark, ws, "a")
+      .select("v").head.getString(0) == "a2")
+  }
+
+  test("concurrent disjoint transactions both land through the manifest CAS") {
+    val ws = Files.createTempDirectory("ws_disjoint")
+    Workspace.commitAll(ws, Map("a" -> kv(1L -> "a1")))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("c", "d", "e").map { name =>
+      new Thread(() => {
+        try Workspace.commitAll(ws, Map(name -> kv(1L -> s"$name-v")))
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"disjoint transactions must all land: ${errs.peek()}")
+    val (_, pins) = Workspace.snapshot(ws)
+    assert(pins.keySet == Set("a", "c", "d", "e"), pins.toString)
+    Seq("c", "d", "e").foreach { name =>
+      assert(Workspace.readSnapshot(spark, ws, name)
+        .select("v").head.getString(0) == s"$name-v")
+    }
+  }
+
+  test("a publish that would regress another transaction's pin aborts loudly") {
+    val ws = Files.createTempDirectory("ws_overlap")
+    Workspace.commitAll(ws, Map("a" -> kv(1L -> "a1")))
+    // a faster transaction already published table 'a' at a version AHEAD
+    // of anything this transaction will commit (manifest handcrafted the
+    // way a racing commitAll would have written it)
+    val (m, pins) = Workspace.snapshot(ws)
+    val future = pins("a") + 5
+    val dir = ws.resolve("_WLOG")
+    java.nio.file.Files.write(dir.resolve(f"w${m + 1}%010d.json"),
+      s"""{"tables":{"a":$future}}""".getBytes("UTF-8"))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Workspace.commitAll(ws, Map("a" -> kv(1L -> "a2")))
+    }
+    assert(e.getMessage.contains("conflict"), e.getMessage)
+    // the winner's pin is intact
+    assert(Workspace.snapshot(ws)._2("a") == future)
+  }
+
+  test("alsoPin captures an externally-maintained table into the consistent view") {
+    import spark.implicits._
+    val ws = Files.createTempDirectory("ws_pin")
+    // a pruned-upsert feed maintained OUTSIDE workspace transactions
+    val feed = ws.resolve("feed")
+    def load(rows: Seq[(Long, String)]): Unit =
+      MergeOps.prunedConditionalUpsert(feed,
+        rows.toDF("user_id", "attr")
+          .withColumn("loaded_at", lit(null).cast("timestamp"))
+          .withColumn("last_upd_at", lit(null).cast("timestamp")),
+        pk = Seq("user_id"), tracked = Seq("attr"),
+        runTs = lit("2024-01-01 00:00:00").cast("timestamp"),
+        nParts = 4, keepVersions = 8)
+    load(Seq(1L -> "x"))
+    val m1 = Workspace.commitAll(ws, Map("mart" -> kv(1L -> "m1")),
+      alsoPin = Set("feed"), keepVersions = 8)
+    // the feed advances outside any transaction...
+    load(Seq(1L -> "y"))
+    // ...current snapshot still serves the PINNED feed state with mart m1
+    assert(Workspace.readSnapshot(spark, ws, "feed")
+      .select("attr").head.getString(0) == "x")
+    // a new transaction re-pins: now the view advances together
+    Workspace.commitAll(ws, Map("mart" -> kv(1L -> "m2")),
+      alsoPin = Set("feed"), keepVersions = 8)
+    assert(Workspace.readSnapshot(spark, ws, "feed")
+      .select("attr").head.getString(0) == "y")
+    assert(Workspace.readSnapshot(spark, ws, "mart")
+      .select("v").head.getString(0) == "m2")
+    // and the m1-era pair is still coherently readable
+    val pinsOld = Workspace.snapshotAt(ws, m1)
+    assert(Workspace.readPinned(spark, ws, "feed", pinsOld("feed"))
+      .select("attr").head.getString(0) == "x")
+    assert(Workspace.readPinned(spark, ws, "mart", pinsOld("mart"))
+      .select("v").head.getString(0) == "m1")
+  }
+}
