@@ -1047,11 +1047,18 @@ object Storage {
     // geometry travels WITH the commit: carry the current version's marker
     // forward unless this commit installs a new one (rebucket via
     // extraFiles) — the in-commit copy is the atomic truth a crash or a
-    // concurrent writer can never observe half-applied
-    if (!extraFiles.contains(GeometryFile))
-      base.map(b => table.resolve(s"v$b").resolve(GeometryFile))
+    // concurrent writer can never observe half-applied. A table whose
+    // versions predate any in-dir marker (bootstrap adopted only the
+    // table-root one) materializes the root marker here, so EVERY version
+    // self-describes its layout — without this, a restore past a rebucket
+    // could not know the target's true geometry (the root marker was
+    // overwritten by the rebucket).
+    if (!extraFiles.contains(GeometryFile)) {
+      val carrySrc = base.map(b => table.resolve(s"v$b").resolve(GeometryFile))
         .filter(Files.exists(_))
-        .foreach(g => Files.copy(g, staging.resolve(GeometryFile)))
+        .orElse(Some(table.resolve(GeometryFile)).filter(Files.exists(_)))
+      carrySrc.foreach(g => Files.copy(g, staging.resolve(GeometryFile)))
+    }
     val s = Files.list(staging)
     val written =
       try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
@@ -1320,14 +1327,21 @@ object Storage {
         }
       }
     }
-    // protect every version referenced by ANY retained manifest, not just
-    // the new one: a retained version w is promised readable
-    // (readPartitionedVersionAt / changeDataFeed's fromV side), and its
-    // carried buckets live in versions ONLY w's manifest still names —
-    // vacuuming by the new manifest alone would delete those bytes the
-    // first time a long-carried bucket is finally rewritten
-    // re-read the mark: an operator may have RAISED retention while the
-    // (slow) data write ran — the stale value would sweep the new window
+    vacuumAfterCommit(table, committedV, keep, committedManifest)
+    committedV
+  }
+
+  /** The post-commit vacuum shared by [[commitPartitions]] and [[restore]]:
+    * protect every version referenced by ANY retained manifest, not just
+    * the new one — a retained version w is promised readable
+    * (readPartitionedVersionAt / changeDataFeed's fromV side), and its
+    * carried buckets live in versions ONLY w's manifest still names;
+    * vacuuming by the new manifest alone would delete those bytes the
+    * first time a long-carried bucket is finally rewritten. Re-reads the
+    * retention mark: an operator may have RAISED it while the (slow) data
+    * write ran — the stale value would sweep the new window. */
+  private def vacuumAfterCommit(table: Path, committedV: Long, keep: Int,
+      committedManifest: Map[String, Long]): Unit = {
     val keepNow = math.max(keep, tableRetention(table))
     val retainedRefs = (math.max(0L, committedV - keepNow) to committedV).flatMap { w =>
       if (w == committedV) committedManifest.values
@@ -1338,7 +1352,96 @@ object Storage {
       }
     }.toSet
     vacuum(table, committedV, keepNow, referenced = retainedRefs)
-    committedV
+  }
+
+  /** RESTORE: roll a partition-manifested table back to retained version
+    * `toV` as a NEW commit — METADATA-ONLY. The restored version's
+    * manifest re-pins toV's owning versions (bytes stay where they are),
+    * its deletion vector and bucket geometry are toV's, and not one data
+    * file is read, moved, or written — the fat-finger recovery a petabyte
+    * table can afford. History is preserved: the rolled-back versions stay
+    * retained and time-travelable until vacuum ages them out, and the
+    * change feed across the restore version shows exactly the logical
+    * delta, like any commit. External readers follow through the
+    * table-level Delta log (removes for rolled-back files, re-adds for
+    * restored ones — the protocol RESTORE shape). Returns the new
+    * version; restoring to the current version is a no-op. */
+  def restore(spark: SparkSession, table: Path, toV: Long,
+      keepVersions: Int = 1): Long = {
+    val cur0 = currentVersion(table).getOrElse(
+      throw new IllegalStateException(s"no committed version at $table"))
+    require(toV <= cur0,
+      s"cannot restore $table to future version $toV (current $cur0)")
+    if (toV == cur0) return cur0
+    val tdir = table.resolve(s"v$toV")
+    require(Files.exists(tdir.resolve(PartsManifest)),
+      s"restore target v$toV is not retained (or not partition-manifested) at $table")
+    val manifest = readPartsManifest(tdir)
+    val dv = readDeletionVector(tdir)
+    val log = DeltaInterop.logFile(tdir)
+    require(Files.exists(log), s"v$toV has no Delta log to type the restore")
+    val snap = DeltaInterop.readLog(log)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val partCols = snap.partitionColumns
+    val partCol = partCols.headOption.getOrElse("pbucket")
+    // a restore resurrects toV's declared schema and physical files, so it
+    // must carry toV's protocol features (typeWidening, deletionVectors)
+    val features = DeltaInterop.logFeatures(log)
+    val keep = effectiveKeep(table, keepVersions)
+    val tableAbs = table.toAbsolutePath
+    var attempts = 0
+    while (true) {
+      val cur = currentVersion(table).get
+      val v = cur + 1
+      val staging = newStaging(table, v)
+      try {
+        Files.createDirectories(staging)
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        Files.write(staging.resolve(PartsManifest),
+          JsonMethods.compact(JsonMethods.render(JObject(
+            manifest.toSeq.sortBy(_._1).map { case (k, ver) => k -> JLong(ver) }.toList
+          ))).getBytes("UTF-8"))
+        if (dv.nonEmpty)
+          Files.write(staging.resolve(DvFile), deletionVectorJson(dv).getBytes("UTF-8"))
+        val g = tdir.resolve(GeometryFile)
+        if (Files.exists(g)) Files.copy(g, staging.resolve(GeometryFile))
+        // every file is a carried add from toV's own log — pure metadata
+        val carried = DeltaInterop.carriedAdds(spark, table, Some(toV), manifest,
+          rewritten = Set.empty, partCol)
+        val adds = DeltaInterop.writeCommit0(spark, staging, schema, partCols,
+          carried = carried, footerStats = NoFileStats, extraFeatures = features)
+        def tableRel(a: DeltaInterop.Add): DeltaInterop.Add =
+          if (a.path.startsWith("file:")) {
+            val p = java.nio.file.Paths.get(java.net.URI.create(a.path))
+            if (p.startsWith(tableAbs))
+              a.copy(path = (0 until tableAbs.relativize(p).getNameCount)
+                .map(tableAbs.relativize(p).getName(_).toString).mkString("/"))
+            else a
+          } else a
+        val prevState = DeltaInterop.replayState(table, v - 1)
+        val pointerAhead = currentVersion(table).exists(_ >= v)
+        if (!pointerAhead && tryRename(table, staging, v)) {
+          val deferred = DeltaInterop.appendTableCommit(table, v, schema, partCols,
+            adds.map(tableRel), prevState, extraFeatures = features)
+          swapPointer(table, v)
+          deferred.foreach(_.apply())
+          vacuumAfterCommit(table, v, keep, manifest)
+          return v
+        } else {
+          deleteRecursively(staging)
+          attempts += 1
+          if (attempts >= MaxCommitAttempts)
+            throw new java.util.ConcurrentModificationException(
+              s"gave up restoring $table after $attempts CAS rounds (writer storm)")
+          awaitPointerAtLeast(table, v)
+        }
+      } catch {
+        case e: Throwable => deleteRecursively(staging); throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Read the committed state of a partition-manifested table, optionally

@@ -607,6 +607,28 @@ object CoreQueries {
              |      FROM events WHERE ts < TIMESTAMP '$CutoffTs') t
              |WHERE rn = 1""".stripMargin)),
 
+    // RESTORE (round 13), driver-checked: after the incremental load
+    // commits v1, roll the table BACK to v0 as a new commit — metadata
+    // only, the restored manifest re-pins v0's owning versions and not a
+    // byte of data moves (RestoreSpec asserts the restore version holds
+    // zero partition dirs; this row proves the STATE through the normal
+    // current-read path and io3's oracle). The fat-finger recovery a
+    // petabyte table can afford: O(partitions) manifest metadata, with
+    // history, change feed, geometry, and deletion vectors all coherent
+    // across the rollback.
+    Q("m13_restore",
+      (s, d) => withTwoLoadUpsert(s, d) { (table, v0, _) =>
+        graft.ops.Storage.restore(s, table, v0, keepVersions = 4)
+        upsertStateCols(
+          graft.ops.Storage.readPartitionedVersion(s, table).drop("pbucket"))
+      },
+      Some(s"""SELECT user_id, event_type, value,
+             |       $CutoffEpoch AS loaded_epoch, $CutoffEpoch AS upd_epoch
+             |FROM (SELECT user_id, event_type, value,
+             |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+             |      FROM events WHERE ts < TIMESTAMP '$CutoffTs') t
+             |WHERE rn = 1""".stripMargin)),
+
     // Table-level Delta log + protocol checkpoint, driver-checked: twelve
     // full-replace commits of a growing aggregate cross CheckpointInterval
     // (10), then the final state is read back the way an external engine
