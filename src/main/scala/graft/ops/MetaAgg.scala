@@ -90,13 +90,31 @@ object MetaAgg {
     if (tag == "s") (v, BigDecimal(0)) else ("", BigDecimal(v))
 
   /** Exact row count of the committed version from metadata alone — no
-    * data file opened. None when any live file is statless or tombstoned
-    * (a live deletion vector makes numRecords physical, not visible). */
+    * data file opened. numRecords is physical (row-index space), but each
+    * add's deletionVector descriptor carries its exact cardinality, so
+    * the VISIBLE count is Σ(numRecords − dv.cardinality) — still exact
+    * under merge-on-read deletes. None only when a live file is statless. */
   def rowCount(table: Path): Option[Long] =
-    liveStats(table).flatMap { fs =>
-      if (fs.exists(f => f.hasDv || !f.tight)) None
-      else Some(fs.map(_.rows).sum)
+    rowCountOfVersion(table, Storage.currentVersion(table).getOrElse(return Some(0L)))
+
+  /** [[rowCount]] for an explicit retained version (history walks). */
+  private[ops] def rowCountOfVersion(table: Path, v: Long): Option[Long] = {
+    val log = DeltaInterop.logFile(table.resolve(s"v$v"))
+    if (!Files.exists(log)) return None
+    val adds = DeltaInterop.readLog(log).adds
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val per = adds.map { a =>
+      a.stats.flatMap { s =>
+        (JsonMethods.parse(s) \ "numRecords") match {
+          case JLong(n) => Some(n)
+          case JInt(n) => Some(n.toLong)
+          case _ => None
+        }
+      }.map(_ - a.dv.map(_.cardinality).getOrElse(0L))
     }
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+  }
 
   /** Exact MIN/MAX of `column` from metadata alone, as (tag, min, max) in
     * the footer-stats string form. Refuses (None) unless EVERY live file
@@ -175,6 +193,35 @@ object MetaAgg {
             .agg(count(lit(1))).first().getLong(0)
         }
     }
+  }
+
+  /** The table's retained commit history, newest last — the DESCRIBE
+    * HISTORY shape, computed ENTIRELY from metadata (version dirs,
+    * manifests, per-version log stats; no data reads): per retained
+    * version its visible row count (exact, DV-aware; null when a
+    * statless commit makes it unknowable), how many partitions the
+    * commit owns vs carries by reference (the write-amplification
+    * ledger), and its live tombstone count. */
+  def history(spark: SparkSession, table: Path): DataFrame = {
+    import spark.implicits._
+    val cur = Storage.currentVersion(table).getOrElse(-1L)
+    val rows = (0L to cur).flatMap { v =>
+      val vdir = table.resolve(s"v$v")
+      if (!Files.exists(vdir)) None // vacuumed
+      else {
+        val manifest =
+          if (Files.exists(vdir.resolve("_PARTS.json")))
+            Some(Storage.readPartsManifest(vdir))
+          else None
+        val own = manifest.map(_.count(_._2 == v).toLong)
+        val carried = manifest.map(m => (m.size - m.count(_._2 == v)).toLong)
+        val dvRows = Storage.readDeletionVector(vdir).values.map(_.size.toLong).sum
+        Some((v, manifest.fold("full")(_ => "partitioned"),
+          rowCountOfVersion(table, v),
+          own.getOrElse(0L), carried.getOrElse(0L), dvRows))
+      }
+    }
+    rows.toDF("version", "kind", "row_cnt", "own_parts", "carried_parts", "dv_rows")
   }
 
   /** Read the current version of either table flavor (manifest-partitioned

@@ -607,6 +607,27 @@ object CoreQueries {
              |      FROM events WHERE ts < TIMESTAMP '$CutoffTs') t
              |WHERE rn = 1""".stripMargin)),
 
+    // DESCRIBE HISTORY (round 13), driver-checked: the table's retained
+    // commit ledger computed ENTIRELY from metadata — version dirs,
+    // manifests, per-version log stats; zero data reads (MetaAggSpec
+    // proves the ledger's own/carried/tombstone columns; this row
+    // hash-checks the per-version VISIBLE row counts, which the oracle
+    // recomputes relationally for both load generations). The DV-aware
+    // count is exact: numRecords is physical, each add's deletionVector
+    // descriptor carries its cardinality.
+    Q("hist1_table_history",
+      (s, d) => withTwoLoadUpsert(s, d) { (table, _, _) =>
+        graft.ops.MetaAgg.history(s, table)
+          .select(col("version"), col("kind"), col("row_cnt"))
+          .localCheckpoint()
+      },
+      Some(s"""SELECT CAST(0 AS BIGINT) AS version, 'partitioned' AS kind,
+             |  (SELECT count(DISTINCT user_id) FROM events
+             |   WHERE ts < TIMESTAMP '$CutoffTs') AS row_cnt
+             |UNION ALL
+             |SELECT CAST(1 AS BIGINT), 'partitioned',
+             |  (SELECT count(DISTINCT user_id) FROM events)""".stripMargin)),
+
     // RESTORE (round 13), driver-checked: after the incremental load
     // commits v1, roll the table BACK to v0 as a new commit — metadata
     // only, the restored manifest re-pins v0's owning versions and not a

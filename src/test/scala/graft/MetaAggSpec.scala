@@ -122,11 +122,47 @@ class MetaAggSpec extends SparkTestBase {
     assert(MetaAgg.rowCount(table).contains(200L))
     MergeOps.deleteWithVectors(table,
       Seq(3L, 5L).toDF("user_id"), pk = Seq("user_id"), nParts = 4, keepVersions = 4)
-    assert(MetaAgg.rowCount(table).isEmpty,
-      "tombstoned files must refuse the metadata count")
+    // the DV descriptor's cardinality keeps the VISIBLE count exact from
+    // metadata alone; min/max stay untight so columnRange still refuses
+    assert(MetaAgg.rowCount(table).contains(198L),
+      "visible count = numRecords − dv cardinality, still metadata-only")
     assert(MetaAgg.columnRange(table, "user_id").isEmpty)
     assert(MetaAgg.countWhere(spark, table, "user_id",
       BigDecimal(1), BigDecimal(200)) == 198L, "fallback must apply the DV")
+  }
+
+  test("history: per-version visible counts, own/carried partition ledger, tombstones — metadata only") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("meta_hist").resolve("t")
+    val load1 = (1L to 100L).map(i => (i, s"a$i")).toDF("user_id", "attr")
+      .withColumn("loaded_at", lit(null).cast("timestamp"))
+      .withColumn("last_upd_at", lit(null).cast("timestamp"))
+    MergeOps.prunedConditionalUpsert(table, load1, pk = Seq("user_id"),
+      tracked = Seq("attr"), runTs = lit("2024-01-01 00:00:00").cast("timestamp"),
+      nParts = 8, keepVersions = 8)
+    val load2 = Seq((7L, "CHANGED"), (101L, "NEW")).toDF("user_id", "attr")
+      .withColumn("loaded_at", lit(null).cast("timestamp"))
+      .withColumn("last_upd_at", lit(null).cast("timestamp"))
+    MergeOps.prunedConditionalUpsert(table, load2, pk = Seq("user_id"),
+      tracked = Seq("attr"), runTs = lit("2024-01-02 00:00:00").cast("timestamp"),
+      nParts = 8, keepVersions = 8)
+    MergeOps.deleteWithVectors(table, Seq(9L).toDF("user_id"),
+      pk = Seq("user_id"), nParts = 8, keepVersions = 8)
+
+    val h = MetaAgg.history(spark, table)
+      .orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(h.length == 3, h.mkString("; "))
+    val (v0, v1, v2) = (h(0), h(1), h(2))
+    assert(v0 == (0L, "partitioned", 100L, 8L, 0L, 0L), v0.toString)
+    // load 2 (one update + one insert) touched at most 2 buckets;
+    // everything else carried
+    assert(v1._3 == 101L && v1._4 <= 2L && v1._4 + v1._5 == 8L, v1.toString)
+    // the DV commit owns NO partitions — pure tombstone metadata
+    assert(v2._3 == 100L && v2._4 == 0L && v2._5 == 8L && v2._6 == 1L,
+      v2.toString)
   }
 
   test("partition-manifested tables: carried buckets' stats ride the log; a statless commit refuses") {
