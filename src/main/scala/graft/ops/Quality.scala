@@ -61,4 +61,57 @@ object Quality {
         cols.map(c => s"'$c', `$c`").mkString(", ") + ") as (column_name, n_nulls)")
       .filter(col("n_nulls") > 0)
   }
+
+  /** Thrown by [[enforce]]: the batch violates a declared constraint and
+    * must not commit. Carries per-constraint violation counts. */
+  final class ConstraintViolation(msg: String) extends RuntimeException(msg)
+
+  /** ENFORCED constraints — the write-time half of the audit family
+    * (Delta's CHECK/NOT NULL table constraints, Postgres's enforced DDL):
+    * validate `df` against the declared NOT NULLs, named CHECK
+    * predicates, and a unique key, throwing [[ConstraintViolation]] with
+    * every violated constraint's count when any fail; returns `df`
+    * unchanged for chaining into a commit. The write never lands partial:
+    * enforce-then-commit keeps the table's invariants by construction,
+    * not by after-the-fact audit.
+    *
+    * Cost shape at scale: NOT NULL + CHECK fold into ONE map-side
+    * combinable aggregate pass (O(batch), no shuffle); the unique-key
+    * probe is a groupBy on the key — the same shuffle layout the upsert
+    * that follows would pay anyway. A CHECK predicate that evaluates
+    * NULL counts as a violation here (stricter than SQL's accept-UNKNOWN)
+    * because a pipeline invariant that silently admits NULL rows is the
+    * bug this exists to catch; wrap the predicate in coalesce to opt out. */
+  def enforce(df: DataFrame,
+      notNull: Seq[String] = Seq.empty,
+      checks: Map[String, org.apache.spark.sql.Column] = Map.empty,
+      uniqueKey: Seq[String] = Seq.empty): DataFrame = {
+    val viols = scala.collection.mutable.ListBuffer.empty[String]
+    val aggs =
+      notNull.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c")) ++
+      checks.toSeq.sortBy(_._1).map { case (n, p) =>
+        sum(when(p.isNull || !p, 1L).otherwise(0L)).as(s"__ck_$n") }
+    if (aggs.nonEmpty) {
+      val row = df.agg(aggs.head, aggs.tail: _*).first()
+      notNull.foreach { c =>
+        val n = row.getAs[Long](s"__nn_$c")
+        if (n > 0) viols += s"NOT NULL $c: $n null row(s)"
+      }
+      checks.keys.toSeq.sorted.foreach { n =>
+        val k = row.getAs[Long](s"__ck_$n")
+        if (k > 0) viols += s"CHECK $n: $k violating row(s)"
+      }
+    }
+    if (uniqueKey.nonEmpty) {
+      val dups = df.groupBy(uniqueKey.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+      if (dups > 0)
+        viols += s"UNIQUE (${uniqueKey.mkString(", ")}): $dups duplicated key(s)"
+    }
+    if (viols.nonEmpty)
+      throw new ConstraintViolation(
+        s"batch violates ${viols.size} constraint(s) — refusing to commit: " +
+          viols.mkString("; "))
+    df
+  }
 }

@@ -607,6 +607,42 @@ object CoreQueries {
              |      FROM events WHERE ts < TIMESTAMP '$CutoffTs') t
              |WHERE rn = 1""".stripMargin)),
 
+    // ENFORCED constraints (round 13): the write-time half of quality1's
+    // audit — NOT NULL + named CHECKs fold into one map-side aggregate
+    // pass, the unique-key probe shares the upsert's own shuffle layout,
+    // and a violating batch throws BEFORE the commit, so the table's
+    // invariants hold by construction. This row commits the clean
+    // snapshot, then proves a dirty batch (null keys, a duplicate PK, a
+    // non-positive total) is REJECTED and the table still serves the
+    // clean state — the rejected_dirty flag rides in the output so the
+    // hash check covers the refusal, not just the happy path.
+    Q("quality2_enforced_commit",
+      (s, d) => {
+        import graft.ops.Quality
+        val dir = java.nio.file.Files.createTempDirectory("enforce")
+        val table = dir.resolve("orders")
+        try {
+          val o = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          def checked(df: DataFrame): DataFrame = Quality.enforce(df,
+            notNull = Seq("o_custkey"),
+            checks = Map("positive_total" -> (col("o_totalprice") > 0)),
+            uniqueKey = Seq("o_orderkey"))
+          graft.ops.Storage.commitVersion(checked(o), table)
+          val dirty = o.limit(3)
+            .withColumn("o_custkey", lit(null).cast("long"))
+            .unionByName(o.limit(1).withColumn("o_totalprice", lit(-1.0)))
+          val rejected =
+            try { graft.ops.Storage.commitVersion(checked(dirty), table); false }
+            catch { case _: Quality.ConstraintViolation => true }
+          graft.ops.Storage.readVersion(s, table)
+            .withColumn("rejected_dirty", lit(rejected))
+            .localCheckpoint()
+        } finally graft.ops.Storage.deleteRecursively(dir)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, TRUE AS rejected_dirty
+             |FROM orders""".stripMargin)),
+
     // DESCRIBE HISTORY (round 13), driver-checked: the table's retained
     // commit ledger computed ENTIRELY from metadata — version dirs,
     // manifests, per-version log stats; zero data reads (MetaAggSpec

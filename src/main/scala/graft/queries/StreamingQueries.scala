@@ -579,6 +579,74 @@ object StreamingQueries {
              |qn AS (SELECT CAST(CAST(SUM(u * u) AS VARCHAR) AS DOUBLE) AS qn2 FROM qx)
              |SELECT vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cos_sim, TRUE AS index_agrees
              |FROM dots, qn
-             |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin))
+             |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // Workspace transactions at streaming cadence (round 13): every
+    // micro-batch maintains TWO dependent marts — per-type totals and the
+    // per-user activity ledger — with signed-partial applyDelta merges,
+    // and publishes both in ONE Workspace.commitAll, so a cross-mart
+    // reader between any two micro-batches sees a consistent pair (the
+    // atomicity/CAS/crash semantics are WorkspaceSpec-proven; this row
+    // proves the streaming integration and the incremental == recompute
+    // equivalence at the gate). Per-batch cost: the batch's groups + the
+    // touched mart rows + one manifest CAS — never the history. The
+    // final state must hash-match a full relational recompute, and the
+    // users_total column comes from the SECOND mart, so both tables'
+    // materialization is checked through one row.
+    Q("stream10_workspace_maintain",
+      (s, d) => withShufflePartitions(s, 4) {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx = s.sqlContext
+        import graft.ops.{AggMaintain, Workspace}
+
+        val batches = Tables.events(s, d)
+          .select(pmod(col("event_id"), lit(4L)).cast("int").as("b"),
+            col("user_id"), col("event_type"), col("value"))
+          .collect()
+          .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+          .map(_._2.toSeq.map(r => (r.getLong(1), r.getString(2), r.getDouble(3))))
+
+        val ws = java.nio.file.Files.createTempDirectory("stream10_ws")
+        val input = MemoryStream[(Long, String, Double)]
+        val stream = input.toDF().toDF("user_id", "event_type", "value")
+        def dec(c: Column) = c.cast("decimal(38,6)")
+        val q = stream.writeStream
+          .outputMode("append")
+          .trigger(Trigger.ProcessingTime(0))
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val dA = batch.groupBy(col("event_type"))
+              .agg(count(lit(1)).as("count_rows"), sum(dec(col("value"))).as("sum_value"))
+            val dB = batch.groupBy(col("user_id"))
+              .agg(count(lit(1)).as("count_rows"))
+            val pins = Workspace.snapshot(ws)._2
+            val sA = if (pins.contains("by_type"))
+              Workspace.readSnapshot(s, ws, "by_type") else dA.limit(0)
+            val sB = if (pins.contains("by_user"))
+              Workspace.readSnapshot(s, ws, "by_user") else dB.limit(0)
+            Workspace.commitAll(ws, Map(
+              "by_type" -> AggMaintain.applyDelta(sA, dA,
+                keys = Seq("event_type"), sumCols = Seq("sum_value")),
+              "by_user" -> AggMaintain.applyDelta(sB, dB,
+                keys = Seq("user_id"), sumCols = Seq.empty)),
+              keepVersions = 8)
+            ()
+          }
+          .start()
+        try {
+          try batches.foreach { rows => input.addData(rows); q.processAllAvailable() }
+          finally q.stop()
+          val usersTotal = Workspace.readSnapshot(s, ws, "by_user").count()
+          Workspace.readSnapshot(s, ws, "by_type")
+            .select(col("event_type"), col("count_rows").as("cnt"),
+              col("sum_value").cast("double").as("sum_value"),
+              lit(usersTotal).as("users_total"))
+            .localCheckpoint()
+        } finally graft.ops.Storage.deleteRecursively(ws)
+      },
+      Some("""SELECT event_type, count(*) AS cnt,
+             |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+             |       (SELECT count(DISTINCT user_id) FROM events) AS users_total
+             |FROM events GROUP BY event_type""".stripMargin))
   )
 }
