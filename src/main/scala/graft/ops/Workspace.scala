@@ -77,6 +77,19 @@ object Workspace {
     }
   }
 
+  /** The idempotency token manifest `m` was committed under (None when the
+    * transaction declared none). */
+  def txnTokenAt(ws: Path, m: Long): Option[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val f = manifestFile(ws, m)
+    if (!Files.exists(f)) return None
+    JsonMethods.parse(new String(Files.readAllBytes(f), "UTF-8")) \ "txn" match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
+  }
+
   /** The current transactional view: (manifest id, {table → version}).
     * Empty for a fresh workspace. */
   def snapshot(ws: Path): (Long, Map[String, Long]) =
@@ -117,11 +130,27 @@ object Workspace {
     * Returns the new manifest id. */
   def commitAll(ws: Path, writes: Map[String, DataFrame],
       alsoPin: Set[String] = Set.empty,
-      keepVersions: Int = 4): Long = {
+      keepVersions: Int = 4,
+      idempotencyToken: Option[String] = None): Long = {
     require(writes.nonEmpty, "empty transaction")
     writes.keys.foreach(validName)
     alsoPin.foreach(validName)
     Files.createDirectories(wlogDir(ws))
+    // 0. exactly-once: a redelivered transaction (a foreachBatch retry, a
+    //    restarted driver replaying its last batch) with the same token
+    //    finds its already-published manifest and returns it — no table
+    //    commits, no new manifest, no double-applied delta. The scan is
+    //    bounded by the manifest keep window, which must therefore cover
+    //    the redelivery horizon (for streaming: trivially, the LAST batch).
+    idempotencyToken.foreach { tok =>
+      currentTxn(ws).foreach { newest =>
+        var m = newest
+        while (m >= 0 && Files.exists(manifestFile(ws, m))) {
+          if (txnTokenAt(ws, m).contains(tok)) return m
+          m -= 1
+        }
+      }
+    }
     // 1. land every table's version through its own CAS log — durable but
     //    UNPUBLISHED: no snapshot reader can see them yet
     val committed = writes.toSeq.sortBy(_._1).map { case (name, df) =>
@@ -149,7 +178,8 @@ object Workspace {
       import org.json4s.jackson.JsonMethods
       val body = JsonMethods.compact(JsonMethods.render(JObject(
         "tables" -> JObject(next.toSeq.sortBy(_._1)
-          .map { case (k, v) => k -> (JLong(v): JValue) }.toList))))
+          .map { case (k, v) => k -> (JLong(v): JValue) }.toList) ::
+        idempotencyToken.map(t => "txn" -> (JString(t): JValue)).toList)))
       try {
         Files.write(manifestFile(ws, m + 1), body.getBytes("UTF-8"),
           StandardOpenOption.CREATE_NEW)

@@ -614,7 +614,7 @@ object StreamingQueries {
         val q = stream.writeStream
           .outputMode("append")
           .trigger(Trigger.ProcessingTime(0))
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             val dA = batch.groupBy(col("event_type"))
               .agg(count(lit(1)).as("count_rows"), sum(dec(col("value"))).as("sum_value"))
             val dB = batch.groupBy(col("user_id"))
@@ -624,12 +624,15 @@ object StreamingQueries {
               Workspace.readSnapshot(s, ws, "by_type") else dA.limit(0)
             val sB = if (pins.contains("by_user"))
               Workspace.readSnapshot(s, ws, "by_user") else dB.limit(0)
+            // the batch id is the exactly-once token: a foreachBatch
+            // redelivery finds its published manifest and no-ops instead
+            // of double-applying the delta
             Workspace.commitAll(ws, Map(
               "by_type" -> AggMaintain.applyDelta(sA, dA,
                 keys = Seq("event_type"), sumCols = Seq("sum_value")),
               "by_user" -> AggMaintain.applyDelta(sB, dB,
                 keys = Seq("user_id"), sumCols = Seq.empty)),
-              keepVersions = 8)
+              keepVersions = 8, idempotencyToken = Some(s"stream10-$bid"))
             ()
           }
           .start()

@@ -95,6 +95,30 @@ class WorkspaceSpec extends SparkTestBase {
     assert(Workspace.snapshot(ws)._2("a") == future)
   }
 
+  test("idempotency token: a redelivered transaction no-ops instead of double-applying") {
+    val ws = Files.createTempDirectory("ws_idem")
+    val m1 = Workspace.commitAll(ws, Map("a" -> kv(1L -> "a1")),
+      idempotencyToken = Some("batch-0"))
+    // the redelivery (same token, possibly different recomputed content)
+    // returns the ALREADY-PUBLISHED manifest — no new tables, no new
+    // manifest, no double-applied delta
+    val m1b = Workspace.commitAll(ws, Map("a" -> kv(1L -> "WOULD-DOUBLE")),
+      idempotencyToken = Some("batch-0"))
+    assert(m1b == m1, s"redelivery must return the original manifest, got w$m1b")
+    assert(Workspace.snapshot(ws)._1 == m1)
+    assert(Workspace.readSnapshot(spark, ws, "a")
+      .select("v").head.getString(0) == "a1", "redelivery must not re-commit")
+    // a LATER batch with its own token still lands, and the earlier token
+    // stays recognized within the manifest window
+    val m2 = Workspace.commitAll(ws, Map("a" -> kv(1L -> "a2")),
+      idempotencyToken = Some("batch-1"))
+    assert(m2 == m1 + 1)
+    assert(Workspace.commitAll(ws, Map("a" -> kv(1L -> "X")),
+      idempotencyToken = Some("batch-0")) == m1)
+    assert(Workspace.readSnapshot(spark, ws, "a")
+      .select("v").head.getString(0) == "a2")
+  }
+
   test("alsoPin captures an externally-maintained table into the consistent view") {
     import spark.implicits._
     val ws = Files.createTempDirectory("ws_pin")
