@@ -197,6 +197,47 @@ object Workspace {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Whole-warehouse RESTORE: republish manifest `m`'s pins as a NEW
+    * manifest — every table rolls back to its `m`-era version in ONE
+    * atomic publish, the workspace twin of [[Storage.restore]] and pure
+    * metadata (table logs untouched; the pinned versions must still be
+    * retained, which is what `keepVersions` on the member commits buys).
+    * History is preserved: the rolled-back manifests remain readable.
+    * Returns the new manifest id; restoring to the current one no-ops. */
+  def restoreTo(ws: Path, m: Long): Long = {
+    val (cur, _) = snapshot(ws)
+    require(cur >= 0, s"empty workspace at $ws")
+    if (m == cur) return cur
+    val pins = snapshotAt(ws, m) // throws if the manifest aged out
+    pins.foreach { case (t, v) =>
+      require(Files.exists(ws.resolve(t).resolve(s"v$v")),
+        s"cannot restore to w$m: table '$t' no longer retains v$v " +
+          "(raise keepVersions on its commits to widen the rollback horizon)")
+    }
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    var attempts = 0
+    while (true) {
+      val (cur2, _) = snapshot(ws)
+      val body = JsonMethods.compact(JsonMethods.render(JObject(
+        "tables" -> JObject(pins.toSeq.sortBy(_._1)
+          .map { case (k, v) => k -> (JLong(v): JValue) }.toList))))
+      try {
+        Files.write(manifestFile(ws, cur2 + 1), body.getBytes("UTF-8"),
+          StandardOpenOption.CREATE_NEW)
+        vacuumWlog(ws, cur2 + 1)
+        return cur2 + 1
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempts += 1
+          if (attempts >= 16)
+            throw new java.util.ConcurrentModificationException(
+              s"gave up restoring workspace $ws after $attempts CAS rounds")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Drop manifests older than the keep window — never the newest. */
   private def vacuumWlog(ws: Path, newest: Long): Unit =
     ((newest - 2L * KeepManifests) until (newest - KeepManifests))

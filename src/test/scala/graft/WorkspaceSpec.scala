@@ -95,6 +95,32 @@ class WorkspaceSpec extends SparkTestBase {
     assert(Workspace.snapshot(ws)._2("a") == future)
   }
 
+  test("restoreTo republishes an old manifest: every table rolls back atomically, history intact") {
+    val ws = Files.createTempDirectory("ws_restore")
+    val m1 = Workspace.commitAll(ws, Map(
+      "a" -> kv(1L -> "a1"), "b" -> kv(1L -> "b1")), keepVersions = 8)
+    val m2 = Workspace.commitAll(ws, Map(
+      "a" -> kv(1L -> "a2"), "b" -> kv(1L -> "b2")), keepVersions = 8)
+    val m3 = Workspace.restoreTo(ws, m1)
+    assert(m3 == m2 + 1, "restore must be a NEW manifest")
+    // both tables serve the m1-era pair again
+    assert(Workspace.readSnapshot(spark, ws, "a")
+      .select("v").head.getString(0) == "a1")
+    assert(Workspace.readSnapshot(spark, ws, "b")
+      .select("v").head.getString(0) == "b1")
+    // the rolled-back m2 view is still coherently readable
+    val pins2 = Workspace.snapshotAt(ws, m2)
+    assert(Workspace.readPinned(spark, ws, "a", pins2("a"))
+      .select("v").head.getString(0) == "a2")
+    // restoring to the current manifest no-ops
+    assert(Workspace.restoreTo(ws, m3) == m3)
+    // and the next forward transaction builds on the restored state
+    val m4 = Workspace.commitAll(ws, Map("a" -> kv(1L -> "a3")), keepVersions = 8)
+    assert(Workspace.snapshot(ws)._2("b") == pins2("b") - 1 ||
+      Workspace.readSnapshot(spark, ws, "b").select("v").head.getString(0) == "b1")
+    assert(m4 == m3 + 1)
+  }
+
   test("idempotency token: a redelivered transaction no-ops instead of double-applying") {
     val ws = Files.createTempDirectory("ws_idem")
     val m1 = Workspace.commitAll(ws, Map("a" -> kv(1L -> "a1")),
