@@ -39,6 +39,35 @@ object Scratch {
       println("[plan-full-end]")
       spark.stop(); sys.exit(0)
     }
+
+    if (args.headOption.contains("plan-widen")) {
+      // PLANS.md source for the type-widening read: the m12 fixture's
+      // composed scan BEFORE the gate row's localCheckpoint truncates it.
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("widen_plan")
+      val table = dir.resolve("orders_evolved")
+      val o = Tables.orders(spark, sfDir)
+      val bucket = pmod(col("o_orderkey"), lit(8)).cast("int")
+      ops.Storage.commitPartitions(
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey").cast("int").as("o_custkey"),
+            col("o_totalprice").cast("float").as("o_totalprice"))
+          .withColumn("pbucket", bucket), table, "pbucket", keepVersions = 4)
+      ops.Storage.commitPartitions(
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey").cast("long").as("o_custkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"),
+            length(col("o_orderpriority")).cast("long").as("prio_len"))
+          .withColumn("pbucket", bucket), table, "pbucket", keepVersions = 4)
+      val df = ops.Storage.readPartitionedVersion(spark, table)
+      df.collect()
+      println("[plan-full-begin]")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      println("[plan-full-end]")
+      ops.Storage.deleteRecursively(dir)
+      spark.stop(); sys.exit(0)
+    }
     spark.read.parquet(s"$sfDir/documents.parquet").count() // warmup
 
     for (n <- names; rep <- 1 to 2) {
