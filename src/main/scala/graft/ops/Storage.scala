@@ -1596,6 +1596,25 @@ object Storage {
     (a.keySet ++ b.keySet).filter(f => a.get(f) != b.get(f)).flatMap(dvBucketOf)
   }
 
+  /** Metadata-driven compaction policy — the auto-OPTIMIZE trigger: run
+    * [[compact]] only when the live file population has degraded, judged
+    * ENTIRELY from the current version's Delta-log add sizes (no data
+    * listing, no filesystem walk): more than `maxSmallFiles` live files
+    * under half the byte target. Incremental loads accrete one file per
+    * micro-batch; the policy bounds that drift so a scheduled caller can
+    * invoke this after every load and pay the rewrite only when it earns
+    * its keep. Returns the compacted file-count target, or None when the
+    * table is healthy (or has no committed log to judge from). */
+  def maybeCompact(spark: SparkSession, table: Path,
+      targetBytes: Long = 128L << 20, maxSmallFiles: Int = 16): Option[Int] = {
+    val v = currentVersion(table).getOrElse(return None)
+    val log = DeltaInterop.logFile(table.resolve(s"v$v"))
+    if (!Files.exists(log)) return None
+    val small = DeltaInterop.readLog(log).adds.count(_.size < targetBytes / 2)
+    if (small <= maxSmallFiles) None
+    else Some(compact(spark, table, targetBytes))
+  }
+
   /** Small-file compaction: rewrite `table` into ⌈bytes/targetBytes⌉
     * files via a narrow coalesce (no shuffle) + [[atomicReplace]].
     * Incremental loads accrete one file per micro-batch/run; thousands of

@@ -131,6 +131,27 @@ class MetaAggSpec extends SparkTestBase {
       BigDecimal(1), BigDecimal(200)) == 198L, "fallback must apply the DV")
   }
 
+  test("maybeCompact: the auto-OPTIMIZE trigger judges file health from log metadata alone") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("meta_autocompact").resolve("t")
+    val rows = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+    // a healthy layout (2 files) never triggers — and the no-op must not
+    // burn a version slot
+    Storage.commitVersion(rows.repartition(2), table, keepVersions = 4)
+    assert(Storage.maybeCompact(spark, table, maxSmallFiles = 4).isEmpty)
+    assert(Storage.currentVersion(table).contains(0L), "no-op must not commit")
+    // a fragmented rewrite (8 tiny files) crosses the threshold: the
+    // policy fires from the log's add sizes alone and commits the rewrite
+    Storage.commitVersion(rows.repartition(8), table, keepVersions = 4)
+    assert(Storage.maybeCompact(spark, table, maxSmallFiles = 4).nonEmpty)
+    val vAfter = Storage.currentVersion(table).get
+    assert(vAfter == 2L, s"compaction must land as a new commit, got v$vAfter")
+    assert(Storage.readVersion(spark, table).count() == 1000L)
+    // the freshly compacted table is healthy again
+    assert(Storage.maybeCompact(spark, table, maxSmallFiles = 4).isEmpty)
+    assert(Storage.currentVersion(table).contains(2L))
+  }
+
   test("history: per-version visible counts, own/carried partition ledger, tombstones — metadata only") {
     import spark.implicits._
     val table = Files.createTempDirectory("meta_hist").resolve("t")
