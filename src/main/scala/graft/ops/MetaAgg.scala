@@ -195,6 +195,65 @@ object MetaAgg {
     }
   }
 
+  /** Range-pruned read of EITHER table flavor, driven by the per-file
+    * stats in the current version's Delta log — the partitioned-table
+    * completion of [[Storage.readVersionPruned]]'s promise: only files
+    * whose [min, max] on `column` intersects [lo, hi] are handed to the
+    * scan, composing with the manifest's bucket-level pruning (carried
+    * adds keep their stats in the log, so long-carried buckets prune as
+    * well as fresh ones). Semantically identical to reading the table and
+    * filtering — the caller still applies its own predicate; this just
+    * hands Spark fewer files. Falls back to the full read when a live
+    * deletion vector or statless add makes file-level pruning unsafe
+    * (the DV anti-join needs the whole selected-bucket file set). */
+  def readPruned(spark: SparkSession, table: Path, column: String,
+      lo: BigDecimal, hi: BigDecimal): DataFrame = {
+    liveStats(table) match {
+      case None => readAny(spark, table)
+      case Some(fs) =>
+        if (fs.exists(f => f.hasDv || !f.tight)) return readAny(spark, table)
+        val v = Storage.currentVersion(table).get
+        val vdir = table.resolve(s"v$v")
+        val kept = fs.filter { f =>
+          (f.mins.get(column), f.maxs.get(column)) match {
+            case (Some((t1, mn)), Some((t2, mx)))
+                if (t1 == "i" || t1 == "f") && t1 == t2 =>
+              BigDecimal(mx) >= lo && BigDecimal(mn) <= hi
+            case _ => true // no usable stats: conservatively keep
+          }
+        }
+        if (kept.isEmpty) return readAny(spark, table).limit(0)
+        val declared = org.apache.spark.sql.types.DataType.fromJson(
+          DeltaInterop.readLog(DeltaInterop.logFile(vdir)).schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        // group by the version dir that OWNS each file's bytes (own adds
+        // live under the current dir, carried adds are absolute URIs into
+        // older dirs) and read each group against its own basePath so the
+        // partition-dir column materializes — the same composition as the
+        // storage read path, minus the pruned-away files
+        import org.apache.spark.sql.functions.{col => c, lit => l}
+        val groups = kept.groupBy { f =>
+          if (!f.path.startsWith("file:")) vdir
+          else {
+            val abs = java.nio.file.Paths.get(java.net.URI.create(f.path))
+            if (abs.getParent.getFileName.toString.contains("="))
+              abs.getParent.getParent
+            else abs.getParent
+          }
+        }
+        val composed = groups.toSeq.sortBy(_._1.toString).map { case (base, adds) =>
+          val paths = adds.map(f =>
+            if (f.path.startsWith("file:")) f.path else vdir.resolve(f.path).toString)
+          spark.read.option("basePath", base.toString).parquet(paths: _*)
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+        val present = composed.columns.toSet
+        composed.select(declared.map { f =>
+          if (present.contains(f.name)) c(f.name).cast(f.dataType).as(f.name)
+          else l(null).cast(f.dataType).as(f.name)
+        }: _*)
+    }
+  }
+
   /** The table's retained commit history, newest last — the DESCRIBE
     * HISTORY shape, computed ENTIRELY from metadata (version dirs,
     * manifests, per-version log stats; no data reads): per retained

@@ -131,6 +131,63 @@ class MetaAggSpec extends SparkTestBase {
       BigDecimal(1), BigDecimal(200)) == 198L, "fallback must apply the DV")
   }
 
+  test("readPruned: stats-driven file skipping for flat AND partitioned tables — pruned-away files can be garbage") {
+    import spark.implicits._
+    // flat, range-clustered: only the files overlapping [lo, hi] are read
+    val flat = Files.createTempDirectory("meta_rp_flat").resolve("t")
+    val rows = (1L to 4000L).map(i => (i, s"v$i")).toDF("k", "v")
+    Storage.commitVersion(rows.repartitionByRange(8, col("k")), flat)
+    def visible(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("k") >= 900 && col("k") <= 1100)
+        .select("k").collect().map(_.getLong(0)).toSet
+    val expect = (900L to 1100L).toSet
+    assert(visible(MetaAgg.readPruned(spark, flat, "k",
+      BigDecimal(900), BigDecimal(1100))) == expect)
+    // corrupt every file fully OUTSIDE the range (identified from the
+    // log's own stats): the pruned read must never open them
+    val snap = graft.ops.DeltaInterop.readLog(
+      graft.ops.DeltaInterop.logFile(flat.resolve("v0")))
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def kRange(st: String): (Long, Long) = {
+      val j = JsonMethods.parse(st)
+      def n(v: JValue): Long = v match {
+        case JInt(x) => x.toLong; case JLong(x) => x; case _ => fail(s"no k stat in $st")
+      }
+      (n(j \ "minValues" \ "k"), n(j \ "maxValues" \ "k"))
+    }
+    val doomed = snap.adds.filter { a =>
+      val (mn, mx) = kRange(a.stats.get); mx < 900 || mn > 1100
+    }.map(_.path)
+    assert(doomed.nonEmpty, "fixture must have fully-outside files")
+    doomed.foreach(p => corrupt(flat.resolve("v0").resolve(p)))
+    assert(visible(MetaAgg.readPruned(spark, flat, "k",
+      BigDecimal(900), BigDecimal(1100))) == expect,
+      "readPruned opened a pruned-away file")
+
+    // partitioned with carried buckets: stats prune works through the
+    // carry chain (the carried adds keep their stats in the log)
+    val part = Files.createTempDirectory("meta_rp_part").resolve("t")
+    def commitBucket(b: Int, ks: Seq[Long]): Unit =
+      Storage.commitPartitions(
+        ks.map(k => (k, s"v$k", b)).toDF("k", "v", "pbucket"),
+        part, "pbucket", keepVersions = 8)
+    commitBucket(0, 1L to 100L)
+    commitBucket(1, 101L to 200L) // bucket 0 carries from v0
+    val pruned = MetaAgg.readPruned(spark, part, "k",
+      BigDecimal(150), BigDecimal(160))
+    assert(pruned.filter(col("k").between(150, 160))
+      .select("k").collect().map(_.getLong(0)).toSet == (150L to 160L).toSet)
+    // the carried bucket 0 is outside the range — corrupt it; only the
+    // stats-overlapping file may be opened
+    dataFiles(part.resolve("v0")).foreach(corrupt)
+    assert(MetaAgg.readPruned(spark, part, "k",
+      BigDecimal(150), BigDecimal(160))
+      .filter(col("k").between(150, 160))
+      .select("k").collect().map(_.getLong(0)).toSet == (150L to 160L).toSet,
+      "readPruned opened a carried out-of-range file")
+  }
+
   test("maybeCompact: the auto-OPTIMIZE trigger judges file health from log metadata alone") {
     import spark.implicits._
     val table = Files.createTempDirectory("meta_autocompact").resolve("t")
