@@ -1596,6 +1596,34 @@ object Storage {
     (a.keySet ++ b.keySet).filter(f => a.get(f) != b.get(f)).flatMap(dvBucketOf)
   }
 
+  /** TTL retention for a partition-manifested table: DROP every committed
+    * partition whose `col=value` name fails `keep` — one metadata commit,
+    * zero data reads or writes (the dropped buckets' bytes become
+    * vacuumable with their owning versions; until then time travel still
+    * serves them). The retention operation a time-partitioned event store
+    * runs daily at 100 TB: expiring a month of `pday=` buckets costs
+    * O(dropped) manifest entries, not a scan. No-op (current version,
+    * no commit burned) when nothing is due. Downstream consumers see the
+    * expiry as ordinary deletes in the change feed. */
+  def expireParts(spark: SparkSession, table: Path,
+      keep: String => Boolean, keepVersions: Int = 1): Long = {
+    val cur = currentVersion(table).getOrElse(
+      throw new IllegalStateException(s"no committed version at $table"))
+    val parts = committedPartitions(table)
+    val doomed = parts.filterNot(keep)
+    if (doomed.isEmpty) return cur
+    val partCol = doomed.head.split("=", 2)(0)
+    // the empty carrier frame is typed from the DECLARED schema, not a
+    // parquet read — even a schema probe would open the doomed buckets'
+    // footers, and "never opens the expired bytes" is the contract
+    val declared = DeltaInterop.declaredSchema(table.resolve(s"v$cur")).getOrElse(
+      throw new IllegalStateException(s"$table v$cur has no Delta log to type the expiry"))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+    commitPartitions(empty, table, partCol,
+      keepVersions = keepVersions, dropParts = doomed)
+  }
+
   /** Metadata-driven compaction policy — the auto-OPTIMIZE trigger: run
     * [[compact]] only when the live file population has degraded, judged
     * ENTIRELY from the current version's Delta-log add sizes (no data

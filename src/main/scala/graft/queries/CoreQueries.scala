@@ -607,6 +607,37 @@ object CoreQueries {
              |      FROM events WHERE ts < TIMESTAMP '$CutoffTs') t
              |WHERE rn = 1""".stripMargin)),
 
+    // TTL partition retention (round 13): events land in day-partitioned
+    // buckets (`pday=` = epoch-day), and the daily retention job DROPS
+    // the aged buckets in one metadata commit — zero data reads or
+    // writes, O(dropped) manifest entries (the 100 TB expiry shape; a
+    // spec corrupts the doomed buckets' bytes to prove they are never
+    // opened). The read after expiry must hash-match the oracle's
+    // relational cutoff; history still serves the expired days until
+    // vacuum, and the change feed shows them as ordinary deletes.
+    Q("ttl1_partition_retention",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("ttl1")
+        val table = dir.resolve("events_by_day")
+        try {
+          val ev = Tables.events(s, d)
+            .select(col("event_id"), col("user_id"),
+              epochS(col("ts")).as("es"), col("event_type"))
+            .withColumn("pday", floor(col("es") / 86400L))
+          graft.ops.Storage.commitPartitions(ev, table, "pday", keepVersions = 2)
+          graft.ops.Storage.expireParts(s, table,
+            keep = p => p.stripPrefix("pday=").toLong >= 19738L, keepVersions = 2)
+          graft.ops.Storage.readPartitionedVersion(s, table)
+            .select(col("event_id"), col("user_id"), col("es"),
+              col("event_type"), col("pday"))
+            .localCheckpoint()
+        } finally graft.ops.Storage.deleteRecursively(dir)
+      },
+      Some(s"""SELECT event_id, user_id, es, event_type, es // 86400 AS pday
+             |FROM (SELECT event_id, user_id, ${epochSql("ts")} AS es, event_type
+             |      FROM events) t
+             |WHERE es // 86400 >= 19738""".stripMargin)),
+
     // ENFORCED constraints (round 13): the write-time half of quality1's
     // audit — NOT NULL + named CHECKs fold into one map-side aggregate
     // pass, the unique-key probe shares the upsert's own shuffle layout,

@@ -838,6 +838,34 @@ class PartitionedStorageSpec extends SparkTestBase {
       .select("k").collect().map(_.getLong(0)).toSet == Set(2L, 9L))
   }
 
+  test("expireParts: TTL drops aged buckets as pure metadata — doomed bytes are never opened") {
+    val table = Files.createTempDirectory("ttl").resolve("t")
+    Storage.commitPartitions(
+      bucketRows((1L, "old", 0), (2L, "old", 1), (3L, "new", 2), (4L, "new", 3)),
+      table, "pbucket", keepVersions = 4)
+    // corrupt the to-be-expired buckets' bytes FIRST: the expiry and every
+    // later read must succeed without opening them
+    Seq(0, 1).foreach { b =>
+      val s = Files.list(table.resolve("v0").resolve(s"pbucket=$b"))
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(f => Files.write(f, "GARBAGE".getBytes("UTF-8")))
+      finally s.close()
+    }
+    val v = Storage.expireParts(spark, table,
+      keep = p => p.stripPrefix("pbucket=").toInt >= 2, keepVersions = 4)
+    assert(v == 1L)
+    val fin = Storage.readPartitionedVersion(spark, table)
+      .select("k", "attr").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fin == Map(3L -> "new", 4L -> "new"), fin.toString)
+    assert(Storage.readPartsManifest(table.resolve("v1")).keySet ==
+      Set("pbucket=2", "pbucket=3"))
+    // nothing due → no-op, no version burned
+    assert(Storage.expireParts(spark, table,
+      keep = _ => true, keepVersions = 4) == 1L)
+    assert(Storage.currentVersion(table).contains(1L))
+  }
+
   // ---- type-widening evolution (round 13): an existing column may widen
   // along the lossless lattice (int→long, float→double, decimal precision
   // up); carried buckets keep their narrow physical files and every read
