@@ -175,8 +175,23 @@ object MergeOps {
     Storage.retryStale(table) {
     val readV = Storage.currentVersion(table).get
     val candidate = affectedBuckets(incoming, pk, nParts)
-    val old = Storage.readPartitionedVersionAt(spark, table, readV, Some(candidate))
-      .drop("pbucket")
+    // OPERATOR-level schema evolution: the feed may ADD tracked columns
+    // mid-stream. The commit layer already declares appended columns, but
+    // on the FIRST evolving load the stored read predates the column
+    // entirely — null-fill it here (typed from the incoming schema) so the
+    // change probe and the merge see both generations aligned. A stored
+    // null vs an incoming value IS a change, so keys the evolving load
+    // carries get their new column materialized; buckets it does not touch
+    // keep carrying by reference and read null until their next rewrite.
+    def aligned(stored: DataFrame): DataFrame = {
+      val have = stored.columns.toSet
+      incoming.schema.filterNot(f => have.contains(f.name))
+        .foldLeft(stored)((df, f) =>
+          df.withColumn(f.name, lit(null).cast(f.dataType)))
+    }
+    val old = aligned(
+      Storage.readPartitionedVersionAt(spark, table, readV, Some(candidate))
+        .drop("pbucket"))
     val one =
       if (tieBreak.nonEmpty) latestByKey(incoming, pk, tieBreak)
       else incoming.dropDuplicates(pk)
@@ -199,9 +214,9 @@ object MergeOps {
         keepVersions = keepVersions, fileStats = fileStats,
         readBase = Some(readV), staleOn = candidate)
     } else {
-    val oldAffected =
+    val oldAffected = aligned(
       Storage.readPartitionedVersionAt(spark, table, readV, Some(affected))
-        .drop("pbucket")
+        .drop("pbucket"))
     val affectedIds = affected.map(_.stripPrefix("pbucket=").toInt).toSeq
     // merge the SAME deduped rows the pruning decision saw — re-deduping
     // the raw incoming could pick a DIFFERENT duplicate than the one the
@@ -219,8 +234,9 @@ object MergeOps {
       def recompute(sp: org.apache.spark.sql.SparkSession, t: java.nio.file.Path,
           newBase: Long, conflicting: Set[String]): DataFrame = {
         val ids = conflicting.map(_.stripPrefix("pbucket=").toInt).toSeq
-        val cur = Storage.readPartitionedVersionAt(sp, t, newBase, Some(conflicting))
-          .drop("pbucket")
+        val cur = aligned(
+          Storage.readPartitionedVersionAt(sp, t, newBase, Some(conflicting))
+            .drop("pbucket"))
         // pin the increment's rows ONCE (localCheckpoint) and prove them
         // non-empty before merging: `conflicting` ⊆ this load's written
         // buckets, which exist only because changedKeys hit them — so an

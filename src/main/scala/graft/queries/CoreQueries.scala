@@ -607,6 +607,61 @@ object CoreQueries {
              |      FROM events WHERE ts < TIMESTAMP '$CutoffTs') t
              |WHERE rn = 1""".stripMargin)),
 
+    // Operator-level schema evolution (round 13): the SECOND load's feed
+    // ADDS a tracked column. Stored rows predate it and null-fill into
+    // the change probe, so null-vs-value IS a change: every key the
+    // evolving load carries gets the column materialized, the commit
+    // declares the appended column, and buckets the load does not touch
+    // carry by reference reading null (the subtler carried-bucket and
+    // idempotent-redelivery cases are MergeSpec-proven; with a full-
+    // snapshot load 2 the oracle is the plain relational recompute —
+    // every pre-existing row changes, keeping its loaded_at and bumping
+    // last_upd_at).
+    Q("m14_upsert_evolution",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("upsert_evo")
+        val table = dir.resolve("stg_events")
+        try {
+          val base = Tables.events(s, d)
+            .select(col("user_id"), col("event_type"), col("value"),
+              col("ts").cast("timestamp").as("ts"), col("event_id"))
+          def snap(pred: org.apache.spark.sql.Column) =
+            MergeOps.latestByKey(base.filter(pred), Seq("user_id"),
+                Seq(col("ts"), col("event_id")))
+              .select(col("user_id"), col("event_type"), col("value"))
+          def withAudit(df: DataFrame) = df
+            .withColumn("loaded_at", lit(null).cast("timestamp"))
+            .withColumn("last_upd_at", lit(null).cast("timestamp"))
+          MergeOps.prunedConditionalUpsert(table,
+            withAudit(snap(col("ts") < lit(CutoffTs).cast("timestamp"))),
+            pk = Seq("user_id"), tracked = Seq("event_type", "value"),
+            runTs = lit(CutoffTs).cast("timestamp"), nParts = 16, keepVersions = 4)
+          MergeOps.prunedConditionalUpsert(table,
+            withAudit(snap(lit(true))
+              .withColumn("etype_len", length(col("event_type")).cast("long"))),
+            pk = Seq("user_id"),
+            tracked = Seq("event_type", "value", "etype_len"),
+            runTs = lit(RunTs).cast("timestamp"), nParts = 16, keepVersions = 4)
+          graft.ops.Storage.readPartitionedVersion(s, table)
+            .select(col("user_id"), col("event_type"), col("value"),
+              col("etype_len"),
+              epochS(col("loaded_at")).as("loaded_epoch"),
+              epochS(col("last_upd_at")).as("upd_epoch"))
+            .localCheckpoint()
+        } finally graft.ops.Storage.deleteRecursively(dir)
+      },
+      Some(s"""WITH latest AS (SELECT user_id, event_type, value FROM (
+             |    SELECT user_id, event_type, value,
+             |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+             |    FROM events) t WHERE rn = 1),
+             |pre AS (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '$CutoffTs')
+             |SELECT l.user_id, l.event_type, l.value,
+             |       CAST(length(l.event_type) AS BIGINT) AS etype_len,
+             |       CASE WHEN p.user_id IS NOT NULL THEN $CutoffEpoch
+             |            ELSE $RunEpoch END AS loaded_epoch,
+             |       $RunEpoch AS upd_epoch
+             |FROM latest l LEFT JOIN pre p ON p.user_id = l.user_id""".stripMargin)),
+
     // TTL partition retention (round 13): events land in day-partitioned
     // buckets (`pday=` = epoch-day), and the daily retention job DROPS
     // the aged buckets in one metadata commit — zero data reads or

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.MergeOps
+import graft.ops.{MergeOps, Storage}
 import org.apache.spark.sql.functions._
 
 class MergeSpec extends SparkTestBase {
@@ -96,5 +96,54 @@ class MergeSpec extends SparkTestBase {
       java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
     assert(out(-1L) == (("a", ts1, ts1)), "unchanged NULL-key row must be untouched")
     assert(out(1L) == (("B", ts1, ts2)), "changed row keeps loaded_at, bumps last_upd")
+  }
+
+  test("pruned upsert evolves the feed schema: new tracked column lands for touched keys, carried buckets read null") {
+    val table = java.nio.file.Files.createTempDirectory("upsert_evolve").resolve("t")
+    val t1 = lit("2024-01-01 00:00:00").cast("timestamp")
+    def withAudit(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("loaded_at", lit(null).cast("timestamp"))
+      .withColumn("last_upd_at", lit(null).cast("timestamp"))
+    // generation 1: (user_id, attr) only
+    MergeOps.prunedConditionalUpsert(table,
+      withAudit((1L to 64L).map(i => (i, s"a$i")).toDF("user_id", "attr")),
+      pk = Seq("user_id"), tracked = Seq("attr"), runTs = t1,
+      nParts = 8, keepVersions = 4)
+    // generation 2 ADDS `score`, touching two keys: one with a changed
+    // attr, one whose attr is identical (only the new column makes it a
+    // change — stored null vs incoming value)
+    MergeOps.prunedConditionalUpsert(table,
+      withAudit(Seq((7L, "CHANGED", 0.7), (3L, "a3", 0.3))
+        .toDF("user_id", "attr", "score")),
+      pk = Seq("user_id"), tracked = Seq("attr", "score"), runTs = t1,
+      nParts = 8, keepVersions = 4)
+    val st = Storage.readPartitionedVersion(spark, table)
+      .select("user_id", "attr", "score").collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(st(7L)._1 == "CHANGED" && st(7L)._2 == 0.7, st(7L).toString)
+    assert(st(3L)._1 == "a3" && st(3L)._2 == 0.3,
+      "identical attr + new column value must still count as a change")
+    // untouched keys carry by reference and read null for the new column
+    assert(st(5L)._1 == "a5" && st(5L)._2.isNaN, st(5L).toString)
+    assert(st.size == 64)
+    // the declared schema evolved: carried buckets' physical files still
+    // lack the column (they were never rewritten)
+    val manifest = Storage.readPartsManifest(
+      table.resolve(s"v${Storage.currentVersion(table).get}"))
+    assert(manifest.values.toSet.contains(0L),
+      "some buckets must still be owned by the pre-evolution version")
+    // idempotent redelivery of the evolving load rewrites ZERO buckets
+    val vBefore = Storage.currentVersion(table).get
+    MergeOps.prunedConditionalUpsert(table,
+      withAudit(Seq((7L, "CHANGED", 0.7), (3L, "a3", 0.3))
+        .toDF("user_id", "attr", "score")),
+      pk = Seq("user_id"), tracked = Seq("attr", "score"), runTs = t1,
+      nParts = 8, keepVersions = 4)
+    val manifestAfter = Storage.readPartsManifest(
+      table.resolve(s"v${Storage.currentVersion(table).get}"))
+    assert(manifestAfter == manifest,
+      "redelivering the evolved load must carry every bucket unchanged")
+    assert(Storage.currentVersion(table).get == vBefore + 1)
   }
 }
