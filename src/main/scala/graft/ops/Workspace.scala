@@ -28,10 +28,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Concurrent transactions serialize on the manifest CAS: a loser reloads
   * the winner's manifest, and if the table sets are DISJOINT rebases its
   * entries onto it and retries — both transactions land, like the
-  * table-level disjoint-writer story. Overlapping table sets abort loudly:
-  * the loser's table-level commits already serialized AFTER the winner's,
-  * but publishing them would hide the winner's update from snapshot
-  * readers without any merge having run.
+  * table-level disjoint-writer story. Overlapping table sets abort loudly,
+  * and the conflict test is AGAINST THE TRANSACTION'S OWN BASE, not
+  * against commit order: [[commitAll]] pins the workspace snapshot it
+  * derives from (explicitly via `basedOn` for read-modify-write callers,
+  * or implicitly at entry) and publishes only if every written table's
+  * published pin is STILL that base — so a winner that committed AND
+  * published first forces the slower overlapping transaction to abort
+  * instead of silently burying the winner's update under a higher table
+  * version (first-committer-wins, the snapshot-isolation write rule).
+  * Unpublished orphan table versions (a crashed transaction's leftovers)
+  * don't move the published pin and are legitimately committed past.
   *
   * Scale shape: commit cost is O(tables touched) metadata writes +
   * whatever the table writes themselves cost; the manifest is O(tables)
@@ -118,11 +125,34 @@ object Workspace {
     else Storage.readVersionAt(spark, dir, v)
   }
 
+  /** The newest retained manifest committed under idempotency token `tok`,
+    * scanning newest→oldest within the keep window. */
+  private def findToken(ws: Path, tok: String): Option[Long] = {
+    var m = currentTxn(ws).getOrElse(return None)
+    while (m >= 0 && Files.exists(manifestFile(ws, m))) {
+      if (txnTokenAt(ws, m).contains(tok)) return Some(m)
+      m -= 1
+    }
+    None
+  }
+
   /** Commit `writes` (table name → full next content, commitVersion
     * semantics) as ONE transaction: all tables' new versions become
     * visible to snapshot readers atomically. `alsoPin` names member tables
     * maintained OUTSIDE this transaction (e.g. a pruned-upsert feed) whose
     * CURRENT version should be captured into the same consistent view.
+    *
+    * `basedOn` declares the workspace pins this transaction's content was
+    * DERIVED from (what [[snapshot]] returned when the caller read its
+    * inputs): publish aborts with `ConcurrentModificationException` unless
+    * every written table's published pin still equals its `basedOn` entry
+    * (absent entry = "derived from the table not yet being published") —
+    * first-committer-wins for overlapping read-modify-write transactions.
+    * When omitted, the base is pinned at THIS CALL's entry, which closes
+    * the commit-side race (a concurrent transaction that publishes between
+    * our entry and our publish forces an abort) but cannot see reads the
+    * caller performed before calling; pass `basedOn` for full
+    * read-snapshot serialization.
     *
     * `keepVersions` applies to each member table's own log and must cover
     * the workspace's manifest window for time travel across manifests
@@ -131,7 +161,8 @@ object Workspace {
   def commitAll(ws: Path, writes: Map[String, DataFrame],
       alsoPin: Set[String] = Set.empty,
       keepVersions: Int = 4,
-      idempotencyToken: Option[String] = None): Long = {
+      idempotencyToken: Option[String] = None,
+      basedOn: Option[Map[String, Long]] = None): Long = {
     require(writes.nonEmpty, "empty transaction")
     writes.keys.foreach(validName)
     alsoPin.foreach(validName)
@@ -142,14 +173,16 @@ object Workspace {
     //    commits, no new manifest, no double-applied delta. The scan is
     //    bounded by the manifest keep window, which must therefore cover
     //    the redelivery horizon (for streaming: trivially, the LAST batch).
-    idempotencyToken.foreach { tok =>
-      currentTxn(ws).foreach { newest =>
-        var m = newest
-        while (m >= 0 && Files.exists(manifestFile(ws, m))) {
-          if (txnTokenAt(ws, m).contains(tok)) return m
-          m -= 1
-        }
-      }
+    //    This pre-scan only SAVES the wasted table commits; the
+    //    authoritative check re-runs inside the publish loop below, where
+    //    the manifest CAS serializes concurrent same-token twins.
+    idempotencyToken.flatMap(findToken(ws, _)).foreach(m => return m)
+    // the transaction's base: the pins its content derives from. Only the
+    // WRITTEN tables' entries matter — per table either Some(version read)
+    // or None (derived from the table not being published yet).
+    val base: Map[String, Option[Long]] = {
+      val pins = basedOn.getOrElse(snapshot(ws)._2)
+      writes.keys.map(t => t -> pins.get(t)).toMap
     }
     // 1. land every table's version through its own CAS log — durable but
     //    UNPUBLISHED: no snapshot reader can see them yet
@@ -166,13 +199,28 @@ object Workspace {
     var attempts = 0
     while (true) {
       val (m, prev) = snapshot(ws)
-      val overlap = prev.keySet.intersect(committed.keySet)
-        .filter(t => prev(t) >= committed(t))
-      if (overlap.nonEmpty)
+      // exactly-once, authoritative: a same-token twin may have published
+      // while we were committing tables or between CAS rounds. Scanned
+      // AFTER the snapshot read so any manifest `prev` reflects has
+      // already been token-checked — the conflict test below can then
+      // never misfire on our own twin (our orphaned table versions are
+      // benign, vacuumed by the tables' keep windows).
+      idempotencyToken.flatMap(findToken(ws, _)).foreach(twin => return twin)
+      val conflict = committed.keys.filter { t =>
+        // the published pin moved off our base → a concurrent overlapping
+        // transaction landed since we read; publishing would bury it
+        prev.get(t) != base(t) ||
+          // and never regress a published pin, whatever the base claims
+          prev.get(t).exists(_ >= committed(t))
+      }
+      if (conflict.nonEmpty)
         throw new java.util.ConcurrentModificationException(
           s"workspace transaction conflict at $ws: table(s) " +
-            s"${overlap.toSeq.sorted.mkString(", ")} were published at or past " +
-            "this transaction's versions by a concurrent commit — rerun")
+            s"${conflict.toSeq.sorted.mkString(", ")} were published past this " +
+            s"transaction's base pins by a concurrent commit (base " +
+            s"${conflict.toSeq.sorted.map(t => s"$t=${base(t).fold("∅")(_.toString)}").mkString(", ")}, " +
+            s"published ${conflict.toSeq.sorted.map(t => s"$t=${prev.get(t).fold("∅")(_.toString)}").mkString(", ")})" +
+            " — re-read and rerun")
       val next = prev ++ committed ++ pinned
       import org.json4s._
       import org.json4s.jackson.JsonMethods

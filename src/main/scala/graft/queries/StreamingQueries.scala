@@ -626,13 +626,16 @@ object StreamingQueries {
               Workspace.readSnapshot(s, ws, "by_user") else dB.limit(0)
             // the batch id is the exactly-once token: a foreachBatch
             // redelivery finds its published manifest and no-ops instead
-            // of double-applying the delta
+            // of double-applying the delta. basedOn pins the snapshot the
+            // deltas were derived from, so a concurrent overlapping writer
+            // forces an abort instead of a silently lost update
             Workspace.commitAll(ws, Map(
               "by_type" -> AggMaintain.applyDelta(sA, dA,
                 keys = Seq("event_type"), sumCols = Seq("sum_value")),
               "by_user" -> AggMaintain.applyDelta(sB, dB,
                 keys = Seq("user_id"), sumCols = Seq.empty)),
-              keepVersions = 8, idempotencyToken = Some(s"stream10-$bid"))
+              keepVersions = 8, idempotencyToken = Some(s"stream10-$bid"),
+              basedOn = Some(pins))
             ()
           }
           .start()

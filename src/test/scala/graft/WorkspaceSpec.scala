@@ -95,6 +95,93 @@ class WorkspaceSpec extends SparkTestBase {
     assert(Workspace.snapshot(ws)._2("a") == future)
   }
 
+  test("read-modify-write loser aborts after the winner publishes first (lost-update race)") {
+    val ws = Files.createTempDirectory("ws_rmw")
+    Workspace.commitAll(ws, Map("a" -> kv(1L -> "base")), keepVersions = 8)
+    // both transactions derive their content from the SAME pre-race read
+    val stale = Workspace.snapshot(ws)._2
+    // T1 completes its whole cycle: table commit + publish
+    Workspace.commitAll(ws, Map("a" -> kv(1L -> "t1")),
+      keepVersions = 8, basedOn = Some(stale))
+    // T2's content was computed from the pre-T1 pins; its table-level
+    // commit would land at a HIGHER version than T1's, so the old
+    // prev(t) >= committed(t) check let it publish and silently bury
+    // T1's update — the base-pin check must abort it instead
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Workspace.commitAll(ws, Map("a" -> kv(1L -> "t2-lost-update")),
+        keepVersions = 8, basedOn = Some(stale))
+    }
+    assert(e.getMessage.contains("base"), e.getMessage)
+    assert(Workspace.readSnapshot(spark, ws, "a")
+      .select("v").head.getString(0) == "t1", "the first committer's update must survive")
+  }
+
+  test("concurrent overlapping read-modify-write: exactly one transaction wins") {
+    val ws = Files.createTempDirectory("ws_race")
+    Workspace.commitAll(ws, Map("a" -> kv(1L -> "base")), keepVersions = 8)
+    val stale = Workspace.snapshot(ws)._2
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[(String, Option[Throwable])]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = Seq("t1", "t2").map { name =>
+      new Thread(() => {
+        gate.await()
+        try {
+          Workspace.commitAll(ws, Map("a" -> kv(1L -> name)),
+            keepVersions = 8, basedOn = Some(stale))
+          outcomes.add(name -> None)
+        } catch { case t: Throwable => outcomes.add(name -> Some(t)) }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join(120000))
+    import scala.jdk.CollectionConverters._
+    val (winners, losers) = outcomes.asScala.toSeq.partition(_._2.isEmpty)
+    assert(winners.size == 1 && losers.size == 1,
+      s"exactly one transaction must land: ${outcomes.asScala.toSeq}")
+    assert(losers.head._2.get.isInstanceOf[java.util.ConcurrentModificationException],
+      losers.head._2.get.toString)
+    assert(Workspace.readSnapshot(spark, ws, "a")
+      .select("v").head.getString(0) == winners.head._1)
+  }
+
+  test("concurrent same-token commits publish exactly one manifest (idempotency race)") {
+    val ws = Files.createTempDirectory("ws_tokrace")
+    Workspace.commitAll(ws, Map("a" -> kv(1L -> "base")), keepVersions = 8)
+    // two redeliveries of the SAME logical batch race: both miss the
+    // pre-scan (neither has published), both commit table versions —
+    // the in-loop token re-scan must collapse them onto ONE manifest
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Long]]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        gate.await()
+        try results.add(Right(Workspace.commitAll(ws,
+          Map("a" -> kv(1L -> "delta-applied")),
+          keepVersions = 8, idempotencyToken = Some("batch-42"))))
+        catch { case t: Throwable => results.add(Left(t)) }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join(120000))
+    import scala.jdk.CollectionConverters._
+    val rs = results.asScala.toSeq
+    // a twin may lose the TABLE-level rename CAS and surface CME — the
+    // redelivery contract is retry-until-success; what must NEVER happen
+    // is two published manifests for one token (the double-applied delta)
+    assert(rs.exists(_.isRight), s"at least one submission must land: $rs")
+    assert(rs.collect { case Right(m) => m }.distinct.size == 1,
+      s"all successful submissions must resolve to the SAME manifest: $rs")
+    rs.collect { case Left(t) => t }.foreach(t =>
+      assert(t.isInstanceOf[java.util.ConcurrentModificationException], t.toString))
+    // a retry of the failed twin is the no-op the token exists for
+    val retried = Workspace.commitAll(ws, Map("a" -> kv(1L -> "WOULD-DOUBLE")),
+      keepVersions = 8, idempotencyToken = Some("batch-42"))
+    assert(retried == rs.collect { case Right(m) => m }.head)
+    // exactly one manifest carries the token — the delta applied once
+    val (cur, _) = Workspace.snapshot(ws)
+    val tokenManifests = (0L to cur).filter(m =>
+      Workspace.txnTokenAt(ws, m).contains("batch-42"))
+    assert(tokenManifests.size == 1, s"token must appear on exactly one manifest: $tokenManifests")
+  }
+
   test("restoreTo republishes an old manifest: every table rolls back atomically, history intact") {
     val ws = Files.createTempDirectory("ws_restore")
     val m1 = Workspace.commitAll(ws, Map(
