@@ -187,6 +187,11 @@ object MetaAgg {
             else vdir.resolve(p).toString
           }
           val scanned = spark.read.parquet(paths: _*)
+          // a partition column's values live in DIRECTORY names, not file
+          // bytes — a raw path read drops it, so the boundary scan cannot
+          // evaluate the predicate. Take the documented full-read fallback
+          // (readAny materializes partition dirs through its basePath).
+          if (!scanned.columns.contains(column)) return fallback()
           metaCount + scanned.filter(
             col(column) >= lit(lo.toString).cast(scanned.schema(column).dataType)
               && col(column) <= lit(hi.toString).cast(scanned.schema(column).dataType))
@@ -194,6 +199,39 @@ object MetaAgg {
         }
     }
   }
+
+  /** A per-column range predicate for [[readPrunedWhere]]: a file is
+    * handed to the scan only if its stats-range on EVERY predicate's
+    * column intersects that predicate (conjunctive semantics — the file
+    * must be able to satisfy `lo1<=c1<=hi1 AND lo2<=c2<=hi2 ...`). */
+  sealed trait RangePred { def column: String }
+  /** Numeric bounds (INT32/INT64/FLOAT/DOUBLE stats). */
+  final case class NumRange(column: String, lo: BigDecimal, hi: BigDecimal)
+      extends RangePred
+  /** String bounds. Pruning applies only when the bounds AND the file's
+    * min/max are pure ASCII, where Java's lexicographic order coincides
+    * with Spark's UTF8-binary comparison — anything else conservatively
+    * keeps the file (never wrong, just unpruned). */
+  final case class StrRange(column: String, lo: String, hi: String)
+      extends RangePred
+
+  private def asciiOnly(s: String): Boolean = s.forall(_ < 0x80)
+
+  /** Whether `f`'s stats-range on `r.column` can intersect `r` — true
+    * (keep) whenever the stats are missing, mistyped, or outside the
+    * comparison's safe domain. */
+  private def mayMatch(f: FileStat, r: RangePred): Boolean =
+    (f.mins.get(r.column), f.maxs.get(r.column)) match {
+      case (Some((t1, mn)), Some((t2, mx))) => r match {
+        case NumRange(_, lo, hi) if (t1 == "i" || t1 == "f") && t1 == t2 =>
+          BigDecimal(mx) >= lo && BigDecimal(mn) <= hi
+        case StrRange(_, lo, hi) if t1 == "s" && t2 == "s" &&
+            asciiOnly(mn) && asciiOnly(mx) && asciiOnly(lo) && asciiOnly(hi) =>
+          mx >= lo && mn <= hi
+        case _ => true // tag/predicate mismatch: conservatively keep
+      }
+      case _ => true // no usable stats: conservatively keep
+    }
 
   /** Range-pruned read of EITHER table flavor, driven by the per-file
     * stats in the current version's Delta log — the partitioned-table
@@ -207,25 +245,32 @@ object MetaAgg {
     * deletion vector or statless add makes file-level pruning unsafe
     * (the DV anti-join needs the whole selected-bucket file set). */
   def readPruned(spark: SparkSession, table: Path, column: String,
-      lo: BigDecimal, hi: BigDecimal): DataFrame = {
+      lo: BigDecimal, hi: BigDecimal): DataFrame =
+    readPrunedWhere(spark, table, Seq(NumRange(column, lo, hi)))
+
+  /** [[readPruned]] generalized to a CONJUNCTION of per-column ranges,
+    * numeric or string-typed — the multi-dimensional completion that a
+    * z-ordered layout earns: a z-order on (c1, c2) clusters BOTH
+    * columns' ranges per file, so `c1 BETWEEN ... AND c2 BETWEEN ...`
+    * prunes multiplicatively from the same one-pass metadata scan. */
+  def readPrunedWhere(spark: SparkSession, table: Path,
+      ranges: Seq[RangePred]): DataFrame = {
     liveStats(table) match {
       case None => readAny(spark, table)
       case Some(fs) =>
         if (fs.exists(f => f.hasDv || !f.tight)) return readAny(spark, table)
         val v = Storage.currentVersion(table).get
         val vdir = table.resolve(s"v$v")
-        val kept = fs.filter { f =>
-          (f.mins.get(column), f.maxs.get(column)) match {
-            case (Some((t1, mn)), Some((t2, mx)))
-                if (t1 == "i" || t1 == "f") && t1 == t2 =>
-              BigDecimal(mx) >= lo && BigDecimal(mn) <= hi
-            case _ => true // no usable stats: conservatively keep
-          }
-        }
-        if (kept.isEmpty) return readAny(spark, table).limit(0)
+        val kept = fs.filter(f => ranges.forall(r => mayMatch(f, r)))
         val declared = org.apache.spark.sql.types.DataType.fromJson(
           DeltaInterop.readLog(DeltaInterop.logFile(vdir)).schemaJson)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
+        // everything pruned: the empty frame types from the DECLARED
+        // schema — opening a data file just to learn the shape would
+        // break the zero-reads contract (and a limit(0) over the full
+        // read still touches footers)
+        if (kept.isEmpty) return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
         // group by the version dir that OWNS each file's bytes (own adds
         // live under the current dir, carried adds are absolute URIs into
         // older dirs) and read each group against its own basePath so the

@@ -1632,15 +1632,46 @@ object Storage {
     * micro-batch; the policy bounds that drift so a scheduled caller can
     * invoke this after every load and pay the rewrite only when it earns
     * its keep. Returns the compacted file-count target, or None when the
-    * table is healthy (or has no committed log to judge from). */
+    * table is healthy (or has no committed log to judge from).
+    *
+    * CONVERGENCE: a partition-manifested table can never compact below
+    * one file per committed partition (the layout is the point), so on a
+    * small table whose bucket count exceeds `maxSmallFiles` the raw
+    * small-file count would trip the trigger on EVERY scheduled call —
+    * each one a full-table rewrite that changes nothing. The threshold is
+    * therefore `max(maxSmallFiles, partitions)` for manifested tables,
+    * and the trigger additionally requires the rewrite to actually SHRINK
+    * the live file count: two consecutive calls can never both rewrite. */
   def maybeCompact(spark: SparkSession, table: Path,
       targetBytes: Long = 128L << 20, maxSmallFiles: Int = 16): Option[Int] = {
     val v = currentVersion(table).getOrElse(return None)
     val log = DeltaInterop.logFile(table.resolve(s"v$v"))
     if (!Files.exists(log)) return None
-    val small = DeltaInterop.readLog(log).adds.count(_.size < targetBytes / 2)
-    if (small <= maxSmallFiles) None
-    else Some(compact(spark, table, targetBytes))
+    val adds = DeltaInterop.readLog(log).adds
+    val small = adds.count(_.size < targetBytes / 2)
+    val vdir = table.resolve(s"v$v")
+    val floor =
+      if (Files.exists(vdir.resolve(PartsManifest)))
+        math.max(maxSmallFiles, readPartsManifest(vdir).size)
+      else maxSmallFiles
+    if (small <= floor) None
+    else {
+      // post-compact live count: manifested tables land one file per
+      // (bucket, byte-target split); flat tables land ⌈bytes/target⌉ —
+      // skip when the rewrite wouldn't reduce the file population
+      val postCount =
+        if (Files.exists(vdir.resolve(PartsManifest))) {
+          val manifest = readPartsManifest(vdir)
+          val bytes = manifest.toSeq.map { case (part, ver) =>
+            dirBytes(table.resolve(s"v$ver").resolve(part))
+          }.sum
+          val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+          val splitsPerBucket = math.max(1L, (n + manifest.size - 1) / manifest.size).toInt
+          manifest.size * splitsPerBucket
+        } else fileCountFor(vdir, targetBytes)
+      if (postCount >= adds.size) None
+      else Some(compact(spark, table, targetBytes))
+    }
   }
 
   /** Small-file compaction: rewrite `table` into ⌈bytes/targetBytes⌉

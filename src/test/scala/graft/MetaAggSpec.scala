@@ -188,6 +188,55 @@ class MetaAggSpec extends SparkTestBase {
       "readPruned opened a carried out-of-range file")
   }
 
+  test("readPrunedWhere: string-typed and conjunctive multi-column pruning, pruned files can be garbage") {
+    import spark.implicits._
+    import graft.ops.MetaAgg.{NumRange, StrRange}
+    val table = Files.createTempDirectory("meta_rpw").resolve("t")
+    // s is zero-padded so lexicographic order == numeric order, and the
+    // range-cluster on k co-clusters s — the z-order-lite fixture
+    val rows = (1L to 4000L).map(i => (i, f"s$i%05d")).toDF("k", "s")
+    Storage.commitVersion(rows.repartitionByRange(8, col("k")), table)
+    val expect = (900L to 1100L).toSet
+    def visible(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("s") >= "s00900" && col("s") <= "s01100")
+        .select("k").collect().map(_.getLong(0)).toSet
+
+    // string-typed pruning answers exactly...
+    assert(visible(MetaAgg.readPrunedWhere(spark, table,
+      Seq(StrRange("s", "s00900", "s01100")))) == expect)
+    // ...and never opens a file whose s-range is fully outside: corrupt
+    // them all (identified from the log's own stats)
+    val snap = graft.ops.DeltaInterop.readLog(
+      graft.ops.DeltaInterop.logFile(table.resolve("v0")))
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def sRange(st: String): (String, String) = {
+      val j = JsonMethods.parse(st)
+      def v(x: JValue): String = x match {
+        case JString(s) => s; case _ => fail(s"no s stat in $st")
+      }
+      (v(j \ "minValues" \ "s"), v(j \ "maxValues" \ "s"))
+    }
+    val doomed = snap.adds.filter { a =>
+      val (mn, mx) = sRange(a.stats.get); mx < "s00900" || mn > "s01100"
+    }.map(_.path)
+    assert(doomed.nonEmpty, "fixture must have fully-outside files")
+    doomed.foreach(p => corrupt(table.resolve("v0").resolve(p)))
+    assert(visible(MetaAgg.readPrunedWhere(spark, table,
+      Seq(StrRange("s", "s00900", "s01100")))) == expect,
+      "string pruning opened a pruned-away file")
+
+    // conjunctive: numeric AND string ranges prune together (file kept
+    // only when BOTH can match) and the result stays exact
+    assert(visible(MetaAgg.readPrunedWhere(spark, table,
+      Seq(NumRange("k", BigDecimal(900), BigDecimal(1100)),
+        StrRange("s", "s00900", "s01100")))) == expect)
+    // a contradictory conjunction prunes everything without a scan
+    assert(MetaAgg.readPrunedWhere(spark, table,
+      Seq(NumRange("k", BigDecimal(900), BigDecimal(1100)),
+        StrRange("s", "s03900", "s03999"))).count() == 0)
+  }
+
   test("maybeCompact: the auto-OPTIMIZE trigger judges file health from log metadata alone") {
     import spark.implicits._
     val table = Files.createTempDirectory("meta_autocompact").resolve("t")
@@ -207,6 +256,52 @@ class MetaAggSpec extends SparkTestBase {
     // the freshly compacted table is healthy again
     assert(Storage.maybeCompact(spark, table, maxSmallFiles = 4).isEmpty)
     assert(Storage.currentVersion(table).contains(2L))
+  }
+
+  test("maybeCompact converges on partition-manifested tables: the bucket floor stops rewrite loops") {
+    import spark.implicits._
+    // the defect geometry: bucket count ABOVE maxSmallFiles on a healthy
+    // one-file-per-bucket layout — the raw small-file count (8 > 4) used
+    // to trigger a full-table rewrite on EVERY scheduled call, forever,
+    // because compaction can never go below one file per partition
+    val healthy = Files.createTempDirectory("meta_partfloor").resolve("t")
+    val rows8 = (1L to 400L).map(i => (i, s"v$i", (i % 8).toInt)).toDF("k", "v", "pbucket")
+    Storage.commitPartitions(rows8.repartition(8, col("pbucket")),
+      healthy, "pbucket", keepVersions = 8)
+    val v0 = Storage.currentVersion(healthy).get
+    assert(Storage.maybeCompact(spark, healthy, maxSmallFiles = 4).isEmpty,
+      "a one-file-per-bucket layout is the manifested floor — no rewrite")
+    assert(Storage.currentVersion(healthy).contains(v0), "no-op must not commit")
+
+    // genuinely fragmented (many files per bucket): compacts ONCE, then
+    // the very next scheduled call is a no-op — convergence
+    val frag = Files.createTempDirectory("meta_partfrag").resolve("t")
+    val rows4 = (1L to 400L).map(i => (i, s"v$i", (i % 4).toInt)).toDF("k", "v", "pbucket")
+    Storage.commitPartitions(rows4.repartition(16, col("pbucket"), col("k")),
+      frag, "pbucket", keepVersions = 8)
+    assert(Storage.maybeCompact(spark, frag, maxSmallFiles = 4).nonEmpty,
+      "a multi-file-per-bucket layout above the floor must compact")
+    val vAfter = Storage.currentVersion(frag).get
+    assert(Storage.maybeCompact(spark, frag, maxSmallFiles = 4).isEmpty,
+      "the second scheduled call must converge to a no-op")
+    assert(Storage.currentVersion(frag).contains(vAfter))
+    assert(Storage.readPartitionedVersion(spark, frag).count() == 400L)
+  }
+
+  test("countWhere on a partition column falls back to the composed read instead of throwing") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("meta_partcol").resolve("t")
+    val rows = (1L to 400L).map(i => (i, s"v$i", (i % 4).toInt)).toDF("k", "v", "pbucket")
+    Storage.commitPartitions(rows.repartition(4, col("pbucket")),
+      table, "pbucket", keepVersions = 8)
+    // pbucket's values are directory names — absent from every file's
+    // footer stats AND from a raw path read; the fallback must compose
+    // the partitioned read (basePath) and still answer exactly
+    assert(MetaAgg.countWhere(spark, table, "pbucket",
+      BigDecimal(1), BigDecimal(2)) == (1L to 400L).count(i => i % 4 == 1 || i % 4 == 2))
+    // and a regular data column on the same table still takes the hybrid path
+    assert(MetaAgg.countWhere(spark, table, "k",
+      BigDecimal(10), BigDecimal(20)) == 11L)
   }
 
   test("history: per-version visible counts, own/carried partition ledger, tombstones — metadata only") {
