@@ -169,4 +169,49 @@ object PipelineRunner {
       newRows.withColumn("load_epoch", lit(epoch)),
       l.factOrders, "load_epoch")
   }
+
+  /** What one [[maintain]] pass did: per-layer compaction outcome (None =
+    * healthy, judged from log metadata alone) and the fact table's version
+    * after TTL expiry (None = no fact table yet or nothing due). */
+  final case class MaintenanceReport(
+      compacted: Map[String, Option[Int]], expiredFactVersion: Option[Long])
+
+  /** Scheduled maintenance — the pass an orchestrator runs after (or
+    * beside) [[run]], in the same slot the reference gives Airflow's
+    * cleanup DAGs. Two metadata-judged operations, each a no-op unless it
+    * earns its keep:
+    *
+    *  - auto-OPTIMIZE every layer via [[Storage.maybeCompact]]: the
+    *    trigger reads ONLY the current commit's Delta-log add sizes, so a
+    *    healthy table costs one small JSON read — safe to schedule after
+    *    every run. Convergent by construction (the manifested bucket
+    *    floor), so back-to-back passes never rewrite twice.
+    *  - TTL retention on the fact table via [[Storage.expireParts]]:
+    *    `keepEpoch` judges each `load_epoch` partition; dropping a month
+    *    of runs is O(dropped) manifest entries — the expired bytes are
+    *    never opened, and downstream change-feed consumers see ordinary
+    *    deletes.
+    *
+    * At 100 TB this split is the point: [[run]] touches O(delta) data,
+    * maintain touches O(metadata) unless compaction genuinely pays. */
+  def maintain(spark: SparkSession, workDir: Path,
+      keepEpoch: Long => Boolean = _ => true,
+      targetBytes: Long = 128L << 20, maxSmallFiles: Int = 16): MaintenanceReport = {
+    val l = layers(workDir)
+    val compacted = Seq(
+      "stg_users" -> l.stgUsers,
+      "dim_users" -> l.dimUsers,
+      "fact_orders" -> l.factOrders).map { case (name, p) =>
+      name -> Storage.maybeCompact(spark, p, targetBytes, maxSmallFiles)
+    }.toMap
+    val expired = Storage.currentVersion(l.factOrders).map { cur =>
+      def keep(part: String): Boolean = part.split("=", 2) match {
+        case Array("load_epoch", v) => keepEpoch(v.toLong)
+        case _ => true // never expire a partition we can't parse
+      }
+      if (Storage.committedPartitions(l.factOrders).forall(keep)) cur // no-op
+      else Storage.expireParts(spark, l.factOrders, keep)
+    }
+    MaintenanceReport(compacted, expired)
+  }
 }

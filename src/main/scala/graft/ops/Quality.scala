@@ -81,7 +81,13 @@ object Quality {
     * that follows would pay anyway. A CHECK predicate that evaluates
     * NULL counts as a violation here (stricter than SQL's accept-UNKNOWN)
     * because a pipeline invariant that silently admits NULL rows is the
-    * bug this exists to catch; wrap the predicate in coalesce to opt out. */
+    * bug this exists to catch; wrap the predicate in coalesce to opt out.
+    *
+    * NOTE: this validates-then-returns, so the caller's commit re-scans
+    * the source — a NON-DETERMINISTIC source can pass here yet commit
+    * different rows. Committing callers should use [[enforcedCommit]],
+    * which materializes the batch once and validates and commits the same
+    * bytes (and adds FOREIGN KEY probes). */
   def enforce(df: DataFrame,
       notNull: Seq[String] = Seq.empty,
       checks: Map[String, org.apache.spark.sql.Column] = Map.empty,
@@ -113,5 +119,86 @@ object Quality {
         s"batch violates ${viols.size} constraint(s) — refusing to commit: " +
           viols.mkString("; "))
     df
+  }
+
+  /** A declared FOREIGN KEY for [[enforcedCommit]]: `childKey` in the
+    * batch must resolve into `parent`'s `parentKey` (NULL = no reference,
+    * allowed — SQL FK semantics). `name` labels the violation message. */
+  final case class ForeignKey(name: String, childKey: String,
+      parent: DataFrame, parentKey: String)
+
+  /** Enforce-then-commit with the batch scanned ONCE — the write-time
+    * constraint gate (the reference declares its FKs and NOT NULLs in DDL;
+    * /root/reference/dags/configure.py:344-377 — enforced there by
+    * Postgres, upheld here at commit time):
+    *
+    *  1. the source plan materializes in a single pass (localCheckpoint),
+    *     during which the NOT NULL / CHECK counters are collected as
+    *     [[org.apache.spark.sql.Observation]] metrics riding that same
+    *     scan — zero extra passes over the source, and a
+    *     non-deterministic source (a fresh extract, a sampled feed)
+    *     cannot pass validation with one set of rows and commit another;
+    *  2. the UNIQUE-key probe and every [[ForeignKey]] anti-join probe run
+    *     against the MATERIALIZED batch (checkpoint blocks, not the
+    *     source) — the FK probe is O(batch ⋈ parent-keys), the same
+    *     shuffle the BK→SK resolution that follows would pay;
+    *  3. only a fully clean batch commits (through the table's CAS log);
+    *     any violation throws [[ConstraintViolation]] with every failed
+    *     constraint's count and nothing lands — the table keeps serving
+    *     its previous version.
+    *
+    * Returns the committed version. Cost at scale: one source scan + one
+    * local materialization + O(batch) probe shuffles; the parent sides of
+    * FK probes should be the dimension tables — small enough that Spark
+    * broadcasts them under AQE. */
+  def enforcedCommit(df: DataFrame, table: java.nio.file.Path,
+      notNull: Seq[String] = Seq.empty,
+      checks: Map[String, org.apache.spark.sql.Column] = Map.empty,
+      uniqueKey: Seq[String] = Seq.empty,
+      foreignKeys: Seq[ForeignKey] = Seq.empty,
+      keepVersions: Int = 1): Long = {
+    val aggs =
+      notNull.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c")) ++
+      checks.toSeq.sortBy(_._1).map { case (n, p) =>
+        sum(when(p.isNull || !p, 1L).otherwise(0L)).as(s"__ck_$n") }
+    val obs = new org.apache.spark.sql.Observation()
+    val observed =
+      if (aggs.nonEmpty) df.observe(obs, aggs.head, aggs.tail: _*) else df
+    // the ONLY scan of the source: the observation's counters populate
+    // while the batch materializes into local blocks
+    val staged = observed.localCheckpoint()
+    try {
+      val viols = scala.collection.mutable.ListBuffer.empty[String]
+      if (aggs.nonEmpty) {
+        val m = obs.get
+        notNull.foreach { c =>
+          val n = m(s"__nn_$c").asInstanceOf[Long]
+          if (n > 0) viols += s"NOT NULL $c: $n null row(s)"
+        }
+        checks.keys.toSeq.sorted.foreach { n =>
+          val k = m(s"__ck_$n").asInstanceOf[Long]
+          if (k > 0) viols += s"CHECK $n: $k violating row(s)"
+        }
+      }
+      if (uniqueKey.nonEmpty) {
+        val dups = staged.groupBy(uniqueKey.map(col): _*)
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+        if (dups > 0)
+          viols += s"UNIQUE (${uniqueKey.mkString(", ")}): $dups duplicated key(s)"
+      }
+      foreignKeys.foreach { fk =>
+        val orphans = foreignKeyViolations(
+          staged, fk.childKey, fk.parent, fk.parentKey).count()
+        if (orphans > 0)
+          viols += s"FOREIGN KEY ${fk.name} (${fk.childKey} → ${fk.parentKey}): " +
+            s"$orphans orphaned key(s)"
+      }
+      if (viols.nonEmpty)
+        throw new ConstraintViolation(
+          s"batch violates ${viols.size} constraint(s) — refusing to commit: " +
+            viols.mkString("; "))
+      // the commit reads the SAME materialized blocks validation saw
+      Storage.commitVersion(staged, table, keepVersions = keepVersions)
+    } finally staged.unpersist()
   }
 }

@@ -693,15 +693,19 @@ object CoreQueries {
              |      FROM events) t
              |WHERE es // 86400 >= 19738""".stripMargin)),
 
-    // ENFORCED constraints (round 13): the write-time half of quality1's
-    // audit — NOT NULL + named CHECKs fold into one map-side aggregate
-    // pass, the unique-key probe shares the upsert's own shuffle layout,
-    // and a violating batch throws BEFORE the commit, so the table's
-    // invariants hold by construction. This row commits the clean
-    // snapshot, then proves a dirty batch (null keys, a duplicate PK, a
-    // non-positive total) is REJECTED and the table still serves the
-    // clean state — the rejected_dirty flag rides in the output so the
-    // hash check covers the refusal, not just the happy path.
+    // ENFORCED constraints (round 13; single-scan since round 15): the
+    // write-time half of quality1's audit — NOT NULL + named CHECKs ride
+    // the batch's ONE materializing pass as Observation metrics, the
+    // unique-key probe runs against the materialized blocks, and a
+    // violating batch throws BEFORE the commit, so the table's invariants
+    // hold by construction and a non-deterministic source can never pass
+    // validation with one set of rows yet commit another
+    // (QualityEnforceSpec proves the single scan with an accumulator).
+    // This row commits the clean snapshot, then proves a dirty batch
+    // (null keys, a duplicate PK, a non-positive total) is REJECTED and
+    // the table still serves the clean state — the rejected_dirty flag
+    // rides in the output so the hash check covers the refusal, not just
+    // the happy path.
     Q("quality2_enforced_commit",
       (s, d) => {
         import graft.ops.Quality
@@ -710,16 +714,16 @@ object CoreQueries {
         try {
           val o = Tables.orders(s, d)
             .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-          def checked(df: DataFrame): DataFrame = Quality.enforce(df,
+          def commitChecked(df: DataFrame): Long = Quality.enforcedCommit(df, table,
             notNull = Seq("o_custkey"),
             checks = Map("positive_total" -> (col("o_totalprice") > 0)),
             uniqueKey = Seq("o_orderkey"))
-          graft.ops.Storage.commitVersion(checked(o), table)
+          commitChecked(o)
           val dirty = o.limit(3)
             .withColumn("o_custkey", lit(null).cast("long"))
             .unionByName(o.limit(1).withColumn("o_totalprice", lit(-1.0)))
           val rejected =
-            try { graft.ops.Storage.commitVersion(checked(dirty), table); false }
+            try { commitChecked(dirty); false }
             catch { case _: Quality.ConstraintViolation => true }
           graft.ops.Storage.readVersion(s, table)
             .withColumn("rejected_dirty", lit(rejected))
@@ -727,6 +731,43 @@ object CoreQueries {
         } finally graft.ops.Storage.deleteRecursively(dir)
       },
       Some("""SELECT o_orderkey, o_custkey, o_totalprice, TRUE AS rejected_dirty
+             |FROM orders""".stripMargin)),
+
+    // ENFORCED FOREIGN KEYS (round 15): the reference declares FKs on
+    // both facts (configure.py:344-354, :371-377) and Postgres enforces
+    // them at write time; the audit half (quality1) only detects orphans
+    // after the fact. This row closes the gap: a batch commits ONLY if
+    // every non-null child key anti-join-resolves into the parent — the
+    // clean orders batch lands, an orphan-SK batch (custkeys displaced
+    // past the customer domain) throws pre-commit, and the table still
+    // serves the clean state. The FK probe is one key-shuffle against
+    // the parent's key column (broadcast under AQE when the parent is a
+    // dimension) on the ALREADY-materialized batch — no extra source scan.
+    Q("quality3_enforced_fk",
+      (s, d) => {
+        import graft.ops.Quality
+        val dir = java.nio.file.Files.createTempDirectory("enforce_fk")
+        val table = dir.resolve("orders")
+        try {
+          val cust = Tables.customer(s, d).select(col("c_custkey"))
+          val o = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          def commitChecked(df: DataFrame): Long = Quality.enforcedCommit(df, table,
+            notNull = Seq("o_custkey"),
+            foreignKeys = Seq(
+              Quality.ForeignKey("orders_customer", "o_custkey", cust, "c_custkey")))
+          commitChecked(o) // TPC-H guarantees every o_custkey resolves
+          val orphans = o.limit(5)
+            .withColumn("o_custkey", col("o_custkey") + lit(100000000L))
+          val rejected =
+            try { commitChecked(orphans); false }
+            catch { case _: Quality.ConstraintViolation => true }
+          graft.ops.Storage.readVersion(s, table)
+            .withColumn("rejected_orphans", lit(rejected))
+            .localCheckpoint()
+        } finally graft.ops.Storage.deleteRecursively(dir)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, TRUE AS rejected_orphans
              |FROM orders""".stripMargin)),
 
     // DESCRIBE HISTORY (round 13), driver-checked: the table's retained
@@ -875,6 +916,62 @@ object CoreQueries {
              |       CAST(c.c_acctbal + 100.0 AS DOUBLE) AS acctbal, g2.cnt, g2.total
              |FROM customer c JOIN g2 ON g2.o_custkey = c.c_custkey""".stripMargin)),
 
+    // Whole-warehouse RESTORE drill (round 15): generation 2 of a two-mart
+    // workspace turns out to be a bad load — restoreTo republishes the
+    // generation-1 pins as a NEW manifest (every table rolls back in ONE
+    // atomic metadata publish, zero data movement), the pipeline then
+    // makes FORWARD progress on the restored base, and the rolled-back
+    // generation stays coherently readable for the post-mortem. The row
+    // reads the post-restore+forward CURRENT view and the rolled-back
+    // generation-2 view through the same pinned-join path and hash-matches
+    // both against a relational recompute — restore correctness, history
+    // preservation, and forward-commit-after-restore proven at the gate
+    // (CAS/crash details in WorkspaceSpec). At 100 TB the fat-finger
+    // recovery for a five-mart warehouse is five manifest entries, not a
+    // restore-from-backup.
+    Q("txn2_workspace_restore",
+      (s, d) => {
+        import graft.ops.Workspace
+        val ws = java.nio.file.Files.createTempDirectory("ws_txn2")
+        try {
+          val orders = Tables.orders(s, d)
+          val cust = Tables.customer(s, d)
+          def martA(f: DataFrame): DataFrame =
+            f.groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+          def martB(bump: Double): DataFrame = cust
+            .select(col("c_custkey"), (col("c_acctbal") + lit(bump)).as("acctbal"))
+          val m1 = Workspace.commitAll(ws, Map(
+            "mart_a" -> martA(orders.filter(col("o_orderkey") % 3 =!= 0)),
+            "mart_b" -> martB(0.0)), keepVersions = 8)
+          val m2 = Workspace.commitAll(ws, Map(
+            "mart_a" -> martA(orders),
+            "mart_b" -> martB(100.0)), keepVersions = 8)
+          Workspace.restoreTo(ws, m1) // generation 2 was the bad load
+          val m4 = Workspace.commitAll(ws, Map("mart_b" -> martB(500.0)),
+            keepVersions = 8) // forward progress on the restored base
+          def view(m: Long, label: Int): DataFrame = {
+            val pins = Workspace.snapshotAt(ws, m)
+            Workspace.readPinned(s, ws, "mart_a", pins("mart_a"))
+              .join(Workspace.readPinned(s, ws, "mart_b", pins("mart_b")),
+                col("o_custkey") === col("c_custkey"))
+              .select(lit(label).as("asof"), col("c_custkey"),
+                col("acctbal").cast("double").as("acctbal"), col("cnt"))
+          }
+          view(m4, 4).unionByName(view(m2, 2)).localCheckpoint()
+        } finally graft.ops.Storage.deleteRecursively(ws)
+      },
+      Some("""WITH ga1 AS (SELECT o_custkey, count(*) AS cnt
+             |             FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY 1),
+             |     ga2 AS (SELECT o_custkey, count(*) AS cnt
+             |             FROM orders GROUP BY 1)
+             |SELECT 4 AS asof, c.c_custkey,
+             |       CAST(c.c_acctbal + 500.0 AS DOUBLE) AS acctbal, ga1.cnt
+             |FROM customer c JOIN ga1 ON ga1.o_custkey = c.c_custkey
+             |UNION ALL
+             |SELECT 2 AS asof, c.c_custkey,
+             |       CAST(c.c_acctbal + 100.0 AS DOUBLE) AS acctbal, ga2.cnt
+             |FROM customer c JOIN ga2 ON ga2.o_custkey = c.c_custkey""".stripMargin)),
+
     // Schema evolution with TYPE WIDENING (round 13): v0 lands half the
     // orders with NARROW types (int custkey, float totalprice); v1 lands
     // the other half — disjoint buckets, so v0's files carry by reference,
@@ -969,6 +1066,40 @@ object CoreQueries {
              |       (SELECT CAST(MAX(l_extendedprice) AS DOUBLE) FROM lineitem) AS max_price,
              |       (SELECT COUNT(*) FROM lineitem
              |        WHERE l_orderkey BETWEEN 2500 AND 47500) AS range_cnt""".stripMargin)),
+
+    // Stats-pruned READ path (round 15) — meta1's completion: not just
+    // counting from metadata, but handing Spark ONLY the files whose
+    // [min, max] intersects the predicate before the scan starts. The
+    // table is range-clustered on o_orderkey so each file owns a disjoint
+    // key range; readPruned consults the commit's per-file stats and the
+    // scan never opens the out-of-range files (MetaAggSpec proves that by
+    // corrupting them; this row proves result-exactness at the gate —
+    // oracle = the plain relational filter). At 100 TB on a z-ordered
+    // layout this is the difference between touching O(selectivity) bytes
+    // and touching the table: the pruning happens in the driver from
+    // O(files) metadata, before a single task launches.
+    Q("meta2_pruned_range_read",
+      (s, d) => {
+        import graft.ops.MetaAgg
+        val dir = java.nio.file.Files.createTempDirectory("metapruned")
+        val table = dir.resolve("orders")
+        try {
+          graft.ops.Storage.commitVersion(
+            Tables.orders(s, d)
+              .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+              .repartitionByRange(8, col("o_orderkey")),
+            table)
+          // readPruned hands the scan fewer files; the caller still owns
+          // its predicate (files straddle boundaries) — same contract as
+          // partition pruning
+          MetaAgg.readPruned(s, table, "o_orderkey",
+              BigDecimal(1000), BigDecimal(4000))
+            .filter(col("o_orderkey").between(1000, 4000))
+            .localCheckpoint()
+        } finally graft.ops.Storage.deleteRecursively(dir)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders WHERE o_orderkey BETWEEN 1000 AND 4000""".stripMargin)),
 
     Q("io5_dv_delta_export",
       (s, d) => {

@@ -91,6 +91,45 @@ class PipelineRunnerSpec extends SparkTestBase {
       "2024-01-20 00:00:00", "2001-12-31", "2024-02-15 00:00:00")
   }
 
+  test("maintain: metadata-judged compaction no-ops on healthy layers; TTL expires aged fact epochs") {
+    val work = Files.createTempDirectory("pipeline_maint")
+    val l = PipelineRunner.layers(work)
+    PipelineRunner.run(spark, Sf001, work,
+      "2024-01-15 00:00:00", "1997-12-31", "2024-02-01 00:00:00")
+    PipelineRunner.run(spark, Sf001, work,
+      "2024-01-30 23:59:59", "2001-12-31", "2024-03-01 00:00:00")
+    val versionsBefore = Seq(l.stgUsers, l.dimUsers, l.factOrders)
+      .map(graft.ops.Storage.currentVersion)
+
+    // maintenance with nothing due: every compaction trigger judges the
+    // layers healthy from log metadata, the TTL keeps both epochs — and
+    // crucially NO layer burns a version slot (the convergence contract)
+    val r1 = PipelineRunner.maintain(spark, work)
+    assert(r1.compacted.values.forall(_.isEmpty), r1.toString)
+    assert(Seq(l.stgUsers, l.dimUsers, l.factOrders)
+      .map(graft.ops.Storage.currentVersion) == versionsBefore,
+      "a no-op maintenance pass must not commit")
+
+    // TTL: drop run 1's epoch, keep run 2's — one metadata commit on the
+    // fact table only
+    val epochs = graft.ops.Storage.committedPartitions(l.factOrders)
+      .map(_.split("=", 2)(1).toLong)
+    assert(epochs.size == 2, s"fixture expects two run epochs, got $epochs")
+    val keepFrom = epochs.max
+    val r2 = PipelineRunner.maintain(spark, work, keepEpoch = _ >= keepFrom)
+    assert(r2.expiredFactVersion.exists(v => versionsBefore(2).exists(_ < v)),
+      s"expiry must land as a new fact commit: $r2")
+    val facts = graft.ops.Storage.readPartitionedVersion(spark, l.factOrders)
+    assert(facts.filter(col("load_epoch") =!= keepFrom).count() == 0,
+      "expired epoch rows must be gone")
+    assert(facts.count() > 0, "retained epoch must survive")
+    // idempotence: the next scheduled pass has nothing to do
+    val r3 = PipelineRunner.maintain(spark, work, keepEpoch = _ >= keepFrom)
+    assert(r3.compacted.values.forall(_.isEmpty) &&
+      r3.expiredFactVersion == graft.ops.Storage.currentVersion(l.factOrders),
+      s"repeat maintenance must no-op: $r3")
+  }
+
   test("late-arriving events inside the lateness horizon are picked up by the next run") {
     import spark.implicits._
     val work = Files.createTempDirectory("pipeline_late")
