@@ -117,6 +117,13 @@ object Storage {
   private val NoFileStats =
     Some(Map.empty[String, (Long, Map[String, (String, String, String)], Map[String, Long])])
   private val Retention = "_RETENTION"
+  // clone-retention pin at a SOURCE table root (`_PIN.v<V>.<id>`): vacuum
+  // never sweeps a pinned version — a shallow clone's metadata still
+  // references its bytes. Released when the clone version dir carrying the
+  // matching `_CLONE_SOURCE.json` is itself deleted (the clone was
+  // rewritten or purged), or explicitly via [[dropClonePin]].
+  private val ClonePin = "_PIN"
+  private val CloneSource = "_CLONE_SOURCE.json"
   // vacuum sweeps only this many version slots below the keep window, so a
   // commit's filesystem work is O(keepVersions + window), not O(history)
   private val VacuumSweep = 64L
@@ -453,10 +460,137 @@ object Storage {
     * independent of table history), and never a version still referenced
     * by a partition manifest. A reader that resolved its directory just
     * before this commit still has it. */
-  private def vacuum(table: Path, v: Long, keepVersions: Int, referenced: Set[Long]): Unit =
+  private def vacuum(table: Path, v: Long, keepVersions: Int, referenced: Set[Long]): Unit = {
+    val pinned = pinnedVersions(table)
     (math.max(0L, v - keepVersions - VacuumSweep) until (v - keepVersions))
       .filterNot(referenced.contains)
-      .foreach(o => deleteRecursively(table.resolve(s"v$o")))
+      .filterNot(pinned.contains)
+      .foreach(o => dropVersionDir(table, o))
+  }
+
+  // ---- shallow-clone retention pins ---------------------------------------
+
+  /** Version numbers of `table` pinned against vacuum by live shallow
+    * clones (`_PIN.v<V>.<id>` markers at the table root). */
+  private[graft] def pinnedVersions(table: Path): Set[Long] =
+    if (!Files.isDirectory(table)) Set.empty
+    else {
+      val s = Files.list(table)
+      try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
+        .collect { case n if n.startsWith(ClonePin + ".v") =>
+          n.stripPrefix(ClonePin + ".v").takeWhile(_.isDigit) }
+        .filter(_.nonEmpty).map(_.toLong).toSet
+      finally s.close()
+    }
+
+  /** Drop one clone-retention pin at a SOURCE table. Normally automatic
+    * (the pin releases when the clone version dir that placed it is
+    * deleted); the explicit form recovers from a clone removed outside
+    * the commit paths (`rm -rf` of the clone table). */
+  def dropClonePin(src: Path, pinName: String): Unit = {
+    require(pinName.startsWith(ClonePin + "."), s"not a clone pin: $pinName")
+    Files.deleteIfExists(src.resolve(pinName))
+  }
+
+  /** Delete a version dir, first releasing any clone pin its
+    * `_CLONE_SOURCE.json` provenance holds on the source table — the pin
+    * lives exactly as long as the version dir whose metadata references
+    * the source's bytes. */
+  private def dropVersionDir(table: Path, v: Long): Unit = {
+    val dir = table.resolve(s"v$v")
+    val prov = dir.resolve(CloneSource)
+    if (Files.exists(prov)) {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      try {
+        val j = JsonMethods.parse(new String(Files.readAllBytes(prov), "UTF-8"))
+        (j \ "source", j \ "pin") match {
+          case (JString(srcRoot), JString(pin)) =>
+            Files.deleteIfExists(Paths.get(srcRoot).resolve(pin))
+          case _ => ()
+        }
+      } catch { case _: Throwable => () } // pin release is best-effort
+    }
+    deleteRecursively(dir)
+  }
+
+  /** Zero-copy shallow clone: commit `dst` v0 as a METADATA-ONLY version
+    * whose Delta log references `src`'s current files by absolute URI —
+    * Delta's shallow-clone shape, which [[DeltaInterop.readSnapshot]] and
+    * every log-driven reader already resolve. No data bytes move: cost is
+    * O(files) driver-side metadata, independent of table size — the
+    * dev/test-branch operation a 100 TB table can afford.
+    *
+    * Carried per-add deletion-vector descriptors and per-file stats ride
+    * along, so a clone of a merge-on-read table serves post-delete rows
+    * and metadata-only aggregates keep working. The clone is REPLACE-style
+    * regardless of the source's layout (its first own [[commitVersion]]
+    * writes real bytes and drops every source reference — copy-on-first-
+    * write); partition-pruned writes resume only after a fresh
+    * partitioned bootstrap.
+    *
+    * Source-retention contract: the clone records a pin
+    * (`_PIN.v<V>.<id>`) at `src` that vacuum honors, released
+    * automatically when the clone's v0 dir is itself vacuumed or purged
+    * (i.e. once the clone owns all its bytes), or explicitly via
+    * [[dropClonePin]]. An abandoned never-rewritten clone holds its pin —
+    * the same documented hazard as Delta shallow clones vs VACUUM.
+    *
+    * Cites /root/reference/dags/configure.py:22-52 for the layered-schema
+    * context; the clone operation itself is a Spark-native extension
+    * (Delta protocol CLONE semantics re-expressed on the commit log). */
+  def cloneTable(spark: SparkSession, src: Path, dst: Path,
+      keepVersions: Int = 1): Long = {
+    val sv = currentVersion(src).getOrElse(
+      throw new IllegalStateException(s"no committed version to clone at $src"))
+    val svDir = src.resolve(s"v$sv")
+    val log = DeltaInterop.logFile(svDir)
+    require(Files.exists(log),
+      s"$src v$sv has no Delta log — only logged commits are cloneable")
+    require(currentVersion(dst).isEmpty && !Files.exists(dst.resolve(Latest)),
+      s"clone target $dst already has committed state")
+    Files.createDirectories(dst)
+    requireVersionedLayout(dst)
+    // pin BEFORE reading the log so no concurrent src vacuum can sweep the
+    // referenced bytes between snapshot and commit
+    val pinName = s"$ClonePin.v$sv.${java.util.UUID.randomUUID.toString.take(8)}"
+    Files.write(src.resolve(pinName), dst.toAbsolutePath.toString.getBytes("UTF-8"))
+    try {
+      val snap = DeltaInterop.readLog(log)
+      val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val abs = snap.adds.map { a =>
+        if (a.path.startsWith("file:") || a.path.startsWith("/") || a.path.contains("://")) a
+        else a.copy(path = svDir.resolve(a.path).toUri.toString)
+      }
+      val features = DeltaInterop.logFeatures(log)
+      val staging = newStaging(dst, 0)
+      Files.createDirectories(staging)
+      try {
+        DeltaInterop.writeCommit0(spark, staging, schema, snap.partitionColumns,
+          carried = abs, footerStats = NoFileStats, extraFeatures = features)
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        Files.write(staging.resolve(CloneSource),
+          JsonMethods.compact(JsonMethods.render(JObject(
+            "source" -> JString(src.toAbsolutePath.toString),
+            "sourceVersion" -> JLong(sv),
+            "pin" -> JString(pinName)))).getBytes("UTF-8"))
+        var deferredCkpt: Option[() => Unit] = None
+        casPromote(dst, staging, 0L, beforePointerSwap = () =>
+          deferredCkpt = DeltaInterop.appendTableCommit(dst, 0L, schema,
+            snap.partitionColumns, abs, prev = Map.empty,
+            extraFeatures = features))
+        deferredCkpt.foreach(_.apply())
+        effectiveKeep(dst, keepVersions)
+        0L
+      } catch { case e: Throwable => deleteRecursively(staging); throw e }
+    } catch {
+      case e: Throwable =>
+        if (currentVersion(dst).isEmpty) Files.deleteIfExists(src.resolve(pinName))
+        throw e
+    }
+  }
 
   /** Single-writer crash recovery: delete version directories ABOVE the
     * committed pointer (promoted but unpointed crash orphans) and stale
@@ -472,7 +606,7 @@ object Storage {
       names.foreach {
         case n if n.startsWith(".staging-") => deleteRecursively(table.resolve(n))
         case n if n.matches("v\\d+") && n.drop(1).toLong > cur =>
-          deleteRecursively(table.resolve(n))
+          dropVersionDir(table, n.drop(1).toLong) // releases any clone pin too
         case n if n.startsWith(s"$Latest.tmp") => // crashed pointer-swap litter
           Files.deleteIfExists(table.resolve(n))
         case _ => ()
@@ -510,7 +644,8 @@ object Storage {
         try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
           .filterNot(n => n.matches("v\\d+") || n.startsWith(Latest) ||
             n.startsWith(Retention) || n.startsWith(".staging-") ||
-            n == "_delta_log" || n.contains(GeometryFile))
+            n == "_delta_log" || n.contains(GeometryFile) ||
+            n.startsWith(ClonePin + "."))
         finally s.close()
       require(foreign.isEmpty,
         s"$table exists but is not a versioned table (found: " +
@@ -518,12 +653,34 @@ object Storage {
           "migrate with commitVersion(read(spark, table), table) on a fresh path")
     }
 
+  /** Whether a version directory holds any VISIBLE entry (data file or
+    * partition dir). A shallow clone's metadata-only commit holds none —
+    * its state lives behind the Delta log's absolute-URI adds. One shallow
+    * listing; no recursion. */
+  private def hasDataEntries(dir: Path): Boolean = {
+    val s = Files.list(dir)
+    try s.toArray.exists { p =>
+      val n = p.asInstanceOf[Path].getFileName.toString
+      !n.startsWith("_") && !n.startsWith(".")
+    } finally s.close()
+  }
+
+  /** Directory-or-log read of one version dir: a dir with data files reads
+    * as plain parquet; a data-less dir with a Delta log (shallow clone /
+    * metadata-only commit) reads through the log's adds — absolute-URI
+    * references into the clone source resolve there, deletion-vector
+    * descriptors are subtracted, exactly as an external engine reads it. */
+  private def readVersionDir(spark: SparkSession, dir: Path): DataFrame =
+    if (!hasDataEntries(dir) && Files.exists(DeltaInterop.logFile(dir)))
+      DeltaInterop.readSnapshot(spark, dir)
+    else spark.read.parquet(dir.toString)
+
   /** Read the committed version of a versioned table. The returned frame is
     * pinned to the directory resolved HERE — later commits don't disturb it. */
   def readVersion(spark: SparkSession, table: Path): DataFrame = {
     val v = currentVersion(table).getOrElse(
       throw new IllegalStateException(s"no committed version at $table"))
-    spark.read.parquet(table.resolve(s"v$v").toString)
+    readVersionDir(spark, table.resolve(s"v$v"))
   }
 
   /** Time travel: read a specific retained version (within the commit's
@@ -533,7 +690,7 @@ object Storage {
     val cur = currentVersion(table)
     require(Files.exists(dir) && cur.exists(v <= _),
       s"version $v not retained at $table (current=$cur)")
-    spark.read.parquet(dir.toString)
+    readVersionDir(spark, dir)
   }
 
   /** [[readVersion]] with a bootstrap default, mirroring [[readOr]].
@@ -544,7 +701,7 @@ object Storage {
     * failure [[readOr]]'s recover-first contract exists to prevent. */
   def readVersionOr(spark: SparkSession, table: Path, empty: => DataFrame): DataFrame =
     currentVersion(table) match {
-      case Some(v) => spark.read.parquet(table.resolve(s"v$v").toString)
+      case Some(v) => readVersionDir(spark, table.resolve(s"v$v"))
       case None =>
         if (Files.isDirectory(table)) {
           val s = Files.list(table)
@@ -552,7 +709,7 @@ object Storage {
             try s.toArray.map(_.asInstanceOf[Path].getFileName.toString)
               .filterNot(n => n.matches("v\\d+") || n.startsWith(Latest) ||
                 n.startsWith(Retention) || n == "_delta_log" ||
-                n.contains(GeometryFile))
+                n.contains(GeometryFile) || n.startsWith(ClonePin + "."))
             finally s.close()
           require(foreign.isEmpty,
             s"$table exists but is not a versioned table (found: " +
@@ -719,8 +876,12 @@ object Storage {
     * applies its own filter; this just hands Spark fewer files. */
   def readVersionPruned(
       spark: SparkSession, table: Path, column: String, lo: Double, hi: Double): DataFrame = {
-    val (kept, _) = statsPrunedFiles(table, column, lo, hi)
-    if (kept.isEmpty) readVersion(spark, table).limit(0)
+    val (kept, all) = statsPrunedFiles(table, column, lo, hi)
+    // a metadata-only version (shallow clone) holds no local files to
+    // prune — read it whole through the log; skipping resumes after the
+    // clone's first own rewrite lands real files + a stats manifest
+    if (all == 0) readVersion(spark, table)
+    else if (kept.isEmpty) readVersion(spark, table).limit(0)
     else spark.read.parquet(kept.map(_.toString): _*)
   }
 
@@ -1719,8 +1880,13 @@ object Storage {
       // atomicReplace would destroy the v*/_LATEST structure)
       case Some(v) =>
         val dir = table.resolve(s"v$v")
-        val n = fileCountFor(dir, targetBytes)
-        commitVersion(spark.read.parquet(dir.toString).coalesce(n), table)
+        // a metadata-only version (shallow clone) has no local bytes to
+        // size by — compacting it MATERIALIZES the clone (reads through
+        // the log's absolute adds, writes owned files): the protocol's
+        // clone-materialization operation, and the moment the source
+        // pin becomes releasable
+        val n = math.max(1, fileCountFor(dir, targetBytes))
+        commitVersion(readVersionDir(spark, dir).coalesce(n), table)
         n
       case None =>
         recover(table)
@@ -1792,7 +1958,7 @@ object Storage {
       } else
         // plain versioned table: one more same-state commit pushes the
         // pre-purge version out of the window; its vacuum sweeps it
-        commitVersion(spark.read.parquet(vdir.toString), table)
+        commitVersion(readVersionDir(spark, vdir), table)
     }
   }
 

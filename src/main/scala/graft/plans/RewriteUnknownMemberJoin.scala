@@ -93,11 +93,14 @@ object RewriteUnknownMemberJoin extends Rule[LogicalPlan] {
 }
 
 /** Session extension installing the engine's Catalyst customizations:
-  * the unknown-member join rewrite and the fused fixed-point dot product
-  * as a SQL function (`SELECT graft_fixed_point_dot(a, b)`). */
+  * the unknown-member join rewrite, the transparent materialized-view
+  * rewrite (no-op until a view is registered via [[MatView.register]]),
+  * and the fused fixed-point dot product as a SQL function
+  * (`SELECT graft_fixed_point_dot(a, b)`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteUnknownMemberJoin)
+    ext.injectOptimizerRule(_ => MatViewRewrite)
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier(FixedPointDot.FnName),
       new ExpressionInfo(classOf[FixedPointDot].getName, FixedPointDot.FnName),

@@ -1101,6 +1101,121 @@ object CoreQueries {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice
              |FROM orders WHERE o_orderkey BETWEEN 1000 AND 4000""".stripMargin)),
 
+    // Shallow CLONE — the zero-copy dev/test branch a 100 TB table can
+    // afford: dst v0 is a METADATA-ONLY commit whose Delta log references
+    // the source's files by absolute URI (the protocol's shallow-clone
+    // shape); the branch then diverges copy-on-first-write. The row
+    // proves all three states relationally: the live source ('main'), the
+    // clone's un-rewritten snapshot read THROUGH the metadata-only path
+    // ('snap'), and the diverged branch ('dev') — plus a structural
+    // require that v0 holds zero data bytes. Pin lifecycle, DV carry, and
+    // materialization are CloneSpec-covered.
+    Q("clone1_shallow_clone",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("clone1")
+        val src = dir.resolve("src")
+        val dst = dir.resolve("branch")
+        try {
+          graft.ops.Storage.commitVersion(
+            Tables.orders(s, d)
+              .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+            src, keepVersions = 2)
+          graft.ops.Storage.cloneTable(s, src, dst, keepVersions = 2)
+          // structural proof: the clone commit moved no data bytes
+          val walk = java.nio.file.Files.walk(dst.resolve("v0"))
+          val dataless =
+            try walk.noneMatch(p => p.getFileName.toString.endsWith(".parquet"))
+            finally walk.close()
+          require(dataless, "shallow clone v0 must hold no data files")
+          // diverge the branch: its first own commit drops all src refs
+          graft.ops.Storage.commitVersion(
+            graft.ops.Storage.readVersion(s, dst)
+              .filter(col("o_totalprice") > 200000), dst, keepVersions = 2)
+          val main = graft.ops.Storage.readVersion(s, src)
+            .withColumn("branch", lit("main"))
+          val snap = graft.ops.Storage.readVersionAt(s, dst, 0)
+            .withColumn("branch", lit("snap"))
+          val dev = graft.ops.Storage.readVersion(s, dst)
+            .withColumn("branch", lit("dev"))
+          main.unionByName(snap).unionByName(dev).localCheckpoint()
+        } finally graft.ops.Storage.deleteRecursively(dir)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, 'main' AS branch FROM orders
+             |UNION ALL
+             |SELECT o_orderkey, o_custkey, o_totalprice, 'snap' AS branch FROM orders
+             |UNION ALL
+             |SELECT o_orderkey, o_custkey, o_totalprice, 'dev' AS branch FROM orders
+             |WHERE o_totalprice > 200000""".stripMargin)),
+
+    // Transparent materialized-view rewrite — the datamart layer the
+    // reference creates but never fills (configure.py:46-52), closed the
+    // warehouse way: an ad-hoc aggregate over the BASE re-plans onto the
+    // maintained per-(event_type, user_id) aggregate table (key-filter +
+    // rollup from partials), so at 100 TB a full scan + shuffle becomes a
+    // read of a few thousand pre-aggregated rows. The row REQUIREs the
+    // optimized plan to scan the view and not the base — a silent
+    // fallback (still correct, never fast) fails loudly. Guards and
+    // fallback shapes are MatViewSpec-covered.
+    Q("mv1_transparent_rewrite",
+      (s, d) => {
+        import graft.plans.{MatView, MatViewRewrite}
+        val dir = java.nio.file.Files.createTempDirectory("mv1")
+        val base = dir.resolve("base")
+        val view = dir.resolve("view")
+        try {
+          graft.ops.Storage.commitVersion(
+            Tables.events(s, d).select(col("event_type"), col("user_id"),
+              col("value").cast("decimal(38,6)").as("value")), base)
+          graft.ops.Storage.commitVersion(
+            graft.ops.Storage.readVersion(s, base)
+              .groupBy("event_type", "user_id")
+              .agg(count(lit(1)).as("count_rows"), sum("value").as("sum_value"),
+                min("value").as("min_value"), max("value").as("max_value")),
+            view)
+          MatView.register(MatView.Def(
+            name = "mv1", baseRoots = Set(MatView.root(base.resolve("v0"))),
+            view = () => graft.ops.Storage.readVersion(s, view),
+            keys = Seq("event_type", "user_id"), countCol = Some("count_rows"),
+            sums = Map("value" -> "sum_value"), mins = Map("value" -> "min_value"),
+            maxs = Map("value" -> "max_value")))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ MatViewRewrite
+          try {
+            val q = graft.ops.Storage.readVersion(s, base)
+              .filter(col("user_id").between(100, 8000))
+              .groupBy(col("event_type"))
+              .agg(count(lit(1)).as("cnt"), sum("value").as("sv"),
+                min("value").as("mnv"), max("value").as("mxv"))
+              .select(col("event_type"), col("cnt"),
+                col("sv").cast("double").as("sum_value"),
+                col("mnv").cast("double").as("min_value"),
+                col("mxv").cast("double").as("max_value"))
+            val scans = q.queryExecution.optimizedPlan.collect {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                lr.relation match {
+                  case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                    fs.location.rootPaths.map(_.toString)
+                  case _ => Nil
+                }
+            }.flatten
+            require(scans.exists(_.contains(view.toString)) &&
+                !scans.exists(_.contains(base.toString)),
+              s"aggregate was not rewritten onto the materialized view: $scans")
+            q.localCheckpoint()
+          } finally {
+            s.experimental.extraOptimizations =
+              s.experimental.extraOptimizations.filterNot(_ eq MatViewRewrite)
+            MatView.drop("mv1")
+          }
+        } finally graft.ops.Storage.deleteRecursively(dir)
+      },
+      Some("""SELECT event_type, count(*) AS cnt,
+             |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+             |  CAST(min(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS min_value,
+             |  CAST(max(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS max_value
+             |FROM events WHERE user_id BETWEEN 100 AND 8000
+             |GROUP BY event_type""".stripMargin)),
+
     Q("io5_dv_delta_export",
       (s, d) => {
         val dir = java.nio.file.Files.createTempDirectory("iodv")
