@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   * pre-aggregated to the same shape, then ONE full-outer join on the keys
   * merges it into the state. Deletions/retractions are additive too: feed
   * negative counts/sums (the changelog convention); min/max do NOT support
-  * retraction (stated contract — a retractable min needs a full per-key
-  * recompute or a sketch).
+  * retraction through [[applyDelta]] (a retractable min needs a full
+  * per-key recompute) — [[applyDeltaRetractable]] closes that gap: it
+  * merges what CAN be merged and FLAGS exactly the groups whose stored
+  * extreme may have been retracted, so the caller recomputes only those
+  * ([[MatViews.maintain]] wires the flagged-group recompute to a
+  * stats-pruned base scan).
   *
   * Scale shape: the delta aggregation is map-side combinable and its
   * output is |delta keys| rows — tiny against the state; the join
@@ -106,6 +110,109 @@ object AggMaintain {
       // a fully-retracted key (count_rows reaches 0) must DISAPPEAR, as it
       // would from a recompute — a ghost (0, zeroed-sums, stale-min/max)
       // row would otherwise persist in the state forever
+      .filter(col("count_rows") =!= 0)
+  }
+
+  /** [[deltaAggregates]] over a PRE-IMAGE change feed
+    * ([[Cdc.changeDataFeed]] with `preImages = true`, or any changelog
+    * whose `change_type` is insert / delete / update_preimage /
+    * update_postimage): counts and sums fold SIGNED (+1 for
+    * insert/postimage rows, −1 for delete/preimage rows); min/max —
+    * which cannot fold through a retraction — instead emit a partial
+    * PAIR per column: `__ins_<name>` (the extreme over added rows,
+    * mergeable) and `__ret_<name>` (the extreme over retracted rows,
+    * used by [[applyDeltaRetractable]] only to decide whether the stored
+    * extreme might be gone). Map-side combinable throughout; output is
+    * one row per touched key. */
+  def retractableDeltaAggregates(
+      cdf: DataFrame,
+      keys: Seq[String],
+      sums: Map[String, Column],
+      mins: Map[String, Column] = Map.empty,
+      maxs: Map[String, Column] = Map.empty,
+      changeType: Column = col("change_type")): DataFrame = {
+    val added = changeType.isin("insert", "update_postimage")
+    val aggs =
+      sums.map { case (n, c) => sum(when(added, c).otherwise(-c)).as(n) } ++
+        mins.flatMap { case (n, c) => Seq(
+          min(when(added, c)).as(s"__ins_$n"),
+          min(when(!added, c)).as(s"__ret_$n")) } ++
+        maxs.flatMap { case (n, c) => Seq(
+          max(when(added, c)).as(s"__ins_$n"),
+          max(when(!added, c)).as(s"__ret_$n")) }
+    cdf.groupBy(keys.map(col): _*)
+      .agg(sum(when(added, 1L).otherwise(-1L)).as("count_rows"), aggs.toSeq: _*)
+  }
+
+  /** The retraction-aware counterpart of [[applyDelta]]: merge a
+    * [[retractableDeltaAggregates]] batch into `state`. Counts and sums
+    * merge additively exactly as [[applyDelta]] does; each min/max column
+    * merges as `least/greatest(stored, __ins)` — which is CORRECT unless
+    * a retracted value ties-or-beats the stored extreme, in which case
+    * the stored extreme itself may be the row that left and only a
+    * recompute over the group's surviving rows can answer. Those groups
+    * — and ONLY those — come back with `flagCol = true` and their min/max
+    * columns carrying the (possibly stale) merged guess; every other
+    * row's extremes are exact. The caller overwrites flagged extremes
+    * from a recompute ([[MatViews.maintain]]); a fully-retracted key
+    * (count 0) disappears without flagging.
+    *
+    * Scale shape: identical to [[applyDelta]] (one key-shuffle full-outer
+    * join, O(|delta keys| + |state|)); the flag bounds the expensive part
+    * — recompute — to groups whose extreme was actually hit, which for
+    * uniform deletes is a small fraction of touched groups. */
+  def applyDeltaRetractable(
+      state: DataFrame,
+      deltaAgg: DataFrame,
+      keys: Seq[String],
+      sumCols: Seq[String],
+      minCols: Seq[String] = Seq.empty,
+      maxCols: Seq[String] = Seq.empty,
+      flagCol: String = "__recompute"): DataFrame = {
+    require(!((keys ++ Seq("count_rows") ++ sumCols ++ minCols ++ maxCols)
+        .contains(flagCol)), s"flagCol '$flagCol' collides with a state column")
+    val sCols = keys ++ Seq("count_rows") ++ sumCols ++ minCols ++ maxCols
+    val dCols = keys ++ Seq("count_rows") ++ sumCols ++
+      (minCols ++ maxCols).flatMap(c => Seq(s"__ins_$c", s"__ret_$c"))
+    val s = state.select(sCols.map(col): _*).alias("s")
+    val d = deltaAgg.select(dCols.map(col): _*).alias("d")
+    val joined = s.join(d,
+      keys.map(k => col(s"s.$k") <=> col(s"d.$k")).reduce(_ && _), "full_outer")
+    // count_rows is never null on either side's present rows, so its
+    // nullity IS the presence marker for that side of the join
+    val stateAbsent = col("s.count_rows").isNull
+    val deltaAbsent = col("d.count_rows").isNull
+    // additive merge keys off COLUMN nullity, not side presence: a present
+    // delta can still carry a null sum partial (all its changed rows were
+    // null-valued — sum ignores them) and must pass the stored sum through
+    def add(c: String): Column =
+      when(col(s"s.$c").isNull, col(s"d.$c"))
+        .when(col(s"d.$c").isNull, col(s"s.$c"))
+        .otherwise(col(s"s.$c") + col(s"d.$c")).as(c)
+    // state absent → the group is entirely new, __ins covers every row;
+    // delta absent → untouched, stored value stands; both present →
+    // merge the added side in. Exact except where `uncertain` flags.
+    def extreme(c: String, combine: (Column, Column) => Column): Column =
+      when(stateAbsent, col(s"d.__ins_$c")).when(deltaAbsent, col(s"s.$c"))
+        .otherwise(combine(col(s"s.$c"), col(s"d.__ins_$c"))).as(c)
+    // the stored extreme may have been retracted iff a retraction
+    // ties-or-beats it (a retracted value strictly beyond the stored
+    // extreme is impossible on consistent inputs, but flags — recompute
+    // is always safe). A null stored extreme (all-null group) with a
+    // non-null retraction is likewise inconsistent → flag.
+    def uncertain(c: String, beats: (Column, Column) => Column): Column =
+      !stateAbsent && !deltaAbsent && col(s"d.__ret_$c").isNotNull &&
+        (col(s"s.$c").isNull || beats(col(s"d.__ret_$c"), col(s"s.$c")))
+    val flags =
+      minCols.map(c => uncertain(c, _ <= _)) ++
+        maxCols.map(c => uncertain(c, _ >= _))
+    joined.select(
+      keys.map(k => coalesce(col(s"d.$k"), col(s"s.$k")).as(k)) ++
+        Seq(add("count_rows")) ++
+        sumCols.map(add) ++
+        minCols.map(extreme(_, least(_, _))) ++
+        maxCols.map(extreme(_, greatest(_, _))) :+
+        flags.reduceOption(_ || _).getOrElse(lit(false)).as(flagCol): _*)
       .filter(col("count_rows") =!= 0)
   }
 }

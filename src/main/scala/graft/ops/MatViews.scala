@@ -1,0 +1,264 @@
+package graft.ops
+
+import java.nio.file.{Files, Path}
+
+import graft.plans.MatView
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Glue between the maintained-aggregate machinery ([[AggMaintain]], the
+  * CDF maintainers, the streaming tail consumer) and the transparent
+  * query rewrite ([[graft.plans.MatViewRewrite]]): a maintained aggregate
+  * table whose commits carry the `_APPLIED_BASE_V` marker (the Delta
+  * `txn`-action convention the streaming maintainer already writes)
+  * becomes a registered materialized view whose freshness and scan-root
+  * match FOLLOW the base's commits — maintain the view, and ad-hoc
+  * aggregates re-plan onto it; let it lag, and they fall back to the
+  * base, automatically.
+  *
+  * The reference creates a `datamart` schema but ships no queries for it
+  * (/root/reference/dags/configure.py:46-52); this closes that layer the
+  * warehouse way: incremental view maintenance + transparent rewrite.
+  */
+object MatViews {
+
+  /** Marker file inside each maintained-aggregate commit naming the base
+    * version its state reflects — shared with the streaming maintainer's
+    * exactly-once apply. */
+  val AppliedMarker = "_APPLIED_BASE_V"
+
+  /** The base version the view's CURRENT commit reflects, if recorded. */
+  def appliedBase(view: Path): Option[Long] =
+    Storage.currentVersion(view).flatMap { v =>
+      val f = view.resolve(s"v$v").resolve(AppliedMarker)
+      if (Files.exists(f))
+        Some(new String(Files.readAllBytes(f), "UTF-8").trim.toLong)
+      else None
+    }
+
+  /** Commit a maintained aggregate state WITH its applied-base marker —
+    * atomic (the marker rides inside the version dir), so freshness can
+    * never claim a state the commit does not hold. Tiny hot table:
+    * the footer-stats pass is skipped, same as the streaming maintainer. */
+  def commitMaintained(state: DataFrame, view: Path, appliedBaseV: Long,
+      keepVersions: Int = 1): Long =
+    Storage.commitVersion(state, view, keepVersions = keepVersions,
+      extraFiles = Map(AppliedMarker -> appliedBaseV.toString),
+      fileStats = false)
+
+  /** The exact root-path set the base's CURRENT composed read scans —
+    * what [[graft.plans.MatViewRewrite]] must see to know the aggregate
+    * reads the WHOLE committed state:
+    *  - flat versioned table → the version directory;
+    *  - partition-manifested table, all buckets owned by one version and
+    *    no live deletion vector → every bucket directory;
+    *  - anything else (multi-owner composition, DV-masked read — shapes
+    *    the rewrite cannot match anyway) → empty, which never matches.
+    * Multi-owner states converge to single-owner at the next compaction,
+    * so the rewrite resumes with scheduled maintenance. */
+  def expectedRoots(base: Path): Set[String] =
+    Storage.currentVersion(base) match {
+      case None => Set.empty
+      case Some(v) =>
+        val vdir = base.resolve(s"v$v")
+        val manifest = Storage.readPartsManifest(vdir)
+        if (manifest.isEmpty) Set(MatView.root(vdir))
+        else if (Storage.deletionVector(base).nonEmpty) Set.empty
+        else if (manifest.values.toSet.size != 1) Set.empty
+        else {
+          val owner = base.resolve(s"v${manifest.values.head}")
+          manifest.keySet.map(p => MatView.root(owner.resolve(p)))
+        }
+    }
+
+  /** Register a maintained aggregate table as a transparent materialized
+    * view over `base`. Freshness = the view's applied-base marker equals
+    * the base's committed version; scan roots follow the base's current
+    * composition. Install [[graft.plans.MatViewRewrite]] (session-wide
+    * via GraftExtensions or per-query via experimental.extraOptimizations)
+    * and matching aggregates re-plan onto the view. */
+  def registerRewrite(spark: SparkSession, name: String,
+      base: Path, view: Path, keys: Seq[String],
+      countCol: Option[String] = Some("count_rows"),
+      sums: Map[String, String] = Map.empty,
+      mins: Map[String, String] = Map.empty,
+      maxs: Map[String, String] = Map.empty,
+      counts: Map[String, String] = Map.empty): Unit =
+    MatView.register(MatView.Def(
+      name = name,
+      baseRoots = () => expectedRoots(base),
+      view = () => Storage.readVersion(spark, view),
+      keys = keys, countCol = countCol, sums = sums, mins = mins, maxs = maxs,
+      counts = counts,
+      fresh = () => appliedBase(view).exists(a =>
+        Storage.currentVersion(base).contains(a))))
+
+  /** Outcome of one [[maintain]] call: the base version the view now
+    * reflects, the view commit that holds it, and how many groups needed
+    * a min/max recompute (0 on the pure-additive fast path). */
+  final case class MaintainResult(
+      appliedBase: Long, viewVersion: Long, recomputedGroups: Long)
+
+  private def readBase(spark: SparkSession, base: Path): DataFrame = {
+    val v = Storage.currentVersion(base).getOrElse(
+      throw new IllegalStateException(s"no committed version at $base"))
+    if (Files.exists(base.resolve(s"v$v").resolve("_PARTS.json")))
+      Storage.readPartitionedVersion(spark, base)
+    else Storage.readVersion(spark, base)
+  }
+
+  /** One-call incremental maintenance of an aggregate view over a
+    * versioned base table — the full IVM loop that [[registerRewrite]]
+    * serves: bring `view` (keys ++ count_rows ++ sum/min/max partials)
+    * from the base version its marker records to the base's CURRENT
+    * version using the change feed alone, and commit the new state with
+    * the advanced marker. First call (no marker) bootstraps with one full
+    * aggregate.
+    *
+    * Counts and sums roll forward as signed partials
+    * ([[AggMaintain.retractableDeltaAggregates]]); min/max — not
+    * invertible under retraction — are merged where safe and recomputed
+    * ONLY for groups whose stored extreme a retraction tied-or-beat
+    * ([[AggMaintain.applyDeltaRetractable]]'s flag). The recompute scan
+    * reads the base ONCE for all flagged groups, stats-pruned
+    * ([[MetaAgg.readPrunedWhere]]) to the flagged keys' value ranges and
+    * filtered to their exact key set when the set is driver-collectable
+    * (≤ `maxCollectedGroups` — bounded by touched groups, never by data);
+    * beyond that it degrades to one full re-aggregate — the bootstrap
+    * cost, never more.
+    *
+    * Contract: single maintainer per view (concurrent base commits are
+    * fine — a base that advances mid-call simply leaves the view one
+    * version behind, and freshness keeps rewrites honest until the next
+    * call); `sums`/`mins`/`maxs`/`counts` (non-null counts, serving
+    * COUNT(col) and AVG) map base column → view partial column,
+    * and the view's partial types must match what the base columns
+    * aggregate to (true automatically when the bootstrap path wrote the
+    * view). At 100 TB the per-call cost is O(changed buckets + |touched
+    * groups|) — the CDF is manifest/DV-diff pruned — plus the flagged
+    * recompute, which uniform deletes keep to a sliver of touched groups.
+    */
+  def maintain(
+      spark: SparkSession,
+      base: Path,
+      view: Path,
+      pk: Seq[String],
+      keys: Seq[String],
+      sums: Map[String, String] = Map.empty,
+      mins: Map[String, String] = Map.empty,
+      maxs: Map[String, String] = Map.empty,
+      counts: Map[String, String] = Map.empty,
+      keepVersions: Int = 1,
+      maxCollectedGroups: Int = 10000): MaintainResult = {
+    val to = Storage.currentVersion(base).getOrElse(
+      throw new IllegalStateException(s"no committed version at $base"))
+    val aggCols = (sums.keys ++ mins.keys ++ maxs.keys ++ counts.keys)
+      .toSeq.distinct
+    // a per-column NON-NULL count (COUNT(x) / the AVG denominator) is
+    // just a sum of 0/1 indicators — fully additive under retraction, so
+    // it rides the signed-sum path end to end and never flags a recompute
+    def countsAsSums: Map[String, Column] =
+      counts.map { case (b, v) =>
+        v -> when(col(b).isNotNull, 1L).otherwise(0L) }
+    def fullState(): DataFrame = {
+      val aggs = sums.map { case (b, v) => sum(col(b)).as(v) } ++
+        mins.map { case (b, v) => min(col(b)).as(v) } ++
+        maxs.map { case (b, v) => max(col(b)).as(v) } ++
+        counts.map { case (b, v) => count(col(b)).as(v) }
+      readBase(spark, base).groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("count_rows"), aggs.toSeq: _*)
+    }
+    appliedBase(view) match {
+      case None =>
+        MaintainResult(to, commitMaintained(fullState(), view, to, keepVersions), 0)
+      case Some(from) if from == to =>
+        MaintainResult(to, Storage.currentVersion(view).get, 0)
+      case Some(from) =>
+        val compareCols = (keys ++ aggCols).distinct.filterNot(pk.contains)
+        require(compareCols.nonEmpty,
+          "every grouping/aggregated column is a pk column — nothing to diff")
+        val cdf = Cdc.changeDataFeed(spark, base, from, to, pk, compareCols,
+          preImages = true)
+        val deltaAgg = AggMaintain.retractableDeltaAggregates(cdf, keys,
+          sums.map { case (b, v) => v -> col(b) } ++ countsAsSums,
+          mins.map { case (b, v) => v -> col(b) },
+          maxs.map { case (b, v) => v -> col(b) })
+        val flag = "__recompute"
+        // checkpointed: the merged state is read twice (flag count +
+        // final commit) and feeds a join — view-sized, not base-sized
+        val merged = AggMaintain.applyDeltaRetractable(
+          Storage.readVersion(spark, view), deltaAgg, keys,
+          (sums.values ++ counts.values).toSeq,
+          mins.values.toSeq, maxs.values.toSeq, flag)
+          .localCheckpoint()
+        val flagged = merged.filter(col(flag))
+        val n = flagged.count()
+        val next =
+          if (n == 0) merged.drop(flag)
+          else {
+            val rec = recomputeExtremes(spark, base, keys, mins, maxs,
+              flagged.select(keys.map(col): _*), n, maxCollectedGroups)
+            val m = merged.alias("m")
+            val r = rec.alias("r")
+            val joined = m.join(r,
+              keys.map(k => col(s"m.$k") <=> col(s"r.$k")).reduce(_ && _), "left")
+            joined.select(
+              keys.map(k => col(s"m.$k").as(k)) ++
+                Seq(col("m.count_rows").as("count_rows")) ++
+                (sums.values ++ counts.values).toSeq.map(c => col(s"m.$c").as(c)) ++
+                (mins.values.toSeq ++ maxs.values.toSeq).map(c =>
+                  when(col(s"m.$flag"), col(s"r.$c"))
+                    .otherwise(col(s"m.$c")).as(c)): _*)
+          }
+        MaintainResult(to, commitMaintained(next, view, to, keepVersions), n)
+    }
+  }
+
+  /** One scan, grouped once, answering min/max for (at least) the flagged
+    * keys: stats-range-pruned + exact-key-filtered when the flagged key
+    * set fits the driver, else the full base (a per-column `isin` over a
+    * multi-column key is a cartesian SUPERSET of the flagged set — safe,
+    * the caller's left join picks only the groups it flagged). */
+  private def recomputeExtremes(
+      spark: SparkSession, base: Path, keys: Seq[String],
+      mins: Map[String, String], maxs: Map[String, String],
+      flaggedKeys: DataFrame, n: Long, maxCollectedGroups: Int): DataFrame = {
+    val scan: DataFrame =
+      if (n > maxCollectedGroups) readBase(spark, base)
+      else {
+        val rows = flaggedKeys.collect()
+        val perCol = keys.zipWithIndex.map { case (k, i) =>
+          (k, rows.map(_.get(i)).toSeq) }
+        val ranges = perCol.flatMap { case (k, vs) =>
+          val nn = vs.filter(_ != null)
+          def bd(x: Any): Option[BigDecimal] = x match {
+            case b: Byte => Some(BigDecimal(b.toInt))
+            case s: Short => Some(BigDecimal(s.toInt))
+            case i: Int => Some(BigDecimal(i))
+            case l: Long => Some(BigDecimal(l))
+            case f: Float => Some(BigDecimal(f.toDouble))
+            case d: Double => Some(BigDecimal(d))
+            case _ => None
+          }
+          if (nn.isEmpty) None
+          else if (nn.forall(bd(_).isDefined)) {
+            val ds = nn.flatMap(bd)
+            Some(MetaAgg.NumRange(k, ds.min, ds.max))
+          } else if (nn.forall(_.isInstanceOf[String])) {
+            val ss = nn.map(_.asInstanceOf[String])
+            Some(MetaAgg.StrRange(k, ss.min, ss.max))
+          } else None
+        }
+        val pred = perCol.map { case (k, vs) =>
+          val nn = vs.filter(_ != null).distinct
+          val base0 =
+            if (nn.isEmpty) lit(false) else col(k).isin(nn: _*)
+          if (vs.contains(null)) base0 || col(k).isNull else base0
+        }.reduce(_ && _)
+        MetaAgg.readPrunedWhere(spark, base, ranges).filter(pred)
+      }
+    val aggs = mins.map { case (b, v) => min(col(b)).as(v) } ++
+      maxs.map { case (b, v) => max(col(b)).as(v) }
+    scan.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail.toSeq: _*)
+  }
+}

@@ -19,14 +19,16 @@ import org.apache.spark.sql.types.{DataType, NumericType}
   * root — registrations name one immutable version directory, so a base
   * commit auto-invalidates the match), its key columns (same names as the
   * base columns by contract), and which partial-aggregate columns it
-  * maintains (`count_rows`-style COUNT(*), per-column SUM/MIN/MAX).
+  * maintains (`count_rows`-style COUNT(*), per-column SUM/MIN/MAX and
+  * non-null COUNT — the last also serving AVG as SUM(sum)/SUM(count)).
   *
   * The rule rewrites
   *     Aggregate(G, aggs, [Filter f]* [Project attrs]* Scan(base))
   * to
   *     Aggregate(G', aggs', [Filter f']* Scan(view))
   * when:
-  *   - every scan root resolves inside a registered base root;
+  *   - the scan's root-path set EQUALS a registration's declared set (a
+  *     pruned partial read never rewrites to the full view);
   *   - every grouping expression is a plain base column that is a view
   *     key (a SUBSET of the keys is fine — the rewrite re-aggregates the
   *     view: COUNT→SUM(count_rows), SUM→SUM(sum), MIN→MIN(min),
@@ -34,8 +36,14 @@ import org.apache.spark.sql.types.{DataType, NumericType}
   *   - every filter references only view-key columns (such filters
   *     commute with the group-by, so they apply verbatim to the view);
   *   - every aggregate is a non-DISTINCT, un-FILTERed COUNT(*) / COUNT(1)
-  *     / SUM / MIN / MAX over a maintained column, with a loss-free
-  *     result type (identical, or numeric-to-numeric cast);
+  *     / SUM / MIN / MAX / COUNT(col) / AVG over a maintained column,
+  *     with a loss-free result type (identical, or numeric-to-numeric
+  *     cast). AVG — not reassociable itself — rewrites to
+  *     SUM(sum)/SUM(count) and is therefore admitted only when its
+  *     result type is DOUBLE (integral/float/double inputs): the decimal
+  *     family's internal precision bookkeeping differs between Average
+  *     and an explicit Divide, and a last-digit rounding drift is exactly
+  *     the silent wrongness this rule must never introduce;
   *   - the view is FRESH (`fresh()` — e.g. its applied base version
   *     equals the base's committed version).
   * Anything else leaves the plan untouched — the rewrite must never turn
@@ -53,19 +61,25 @@ import org.apache.spark.sql.types.{DataType, NumericType}
   */
 object MatView {
 
-  /** One registered materialized view. `baseRoots` are canonicalized
-    * absolute paths the base scan's root paths must resolve within;
-    * `view` reads the CURRENT maintained state (invoked at rewrite time);
-    * `sums`/`mins`/`maxs` map base column name → view partial column. */
+  /** One registered materialized view. `baseRoots` returns the EXACT
+    * canonicalized root-path set the base's composed scan produces at
+    * match time (a thunk, so a registration over a versioned/maintained
+    * base follows its commits); the scan must read precisely that set —
+    * a pruned partial read must never rewrite to the full view. `view`
+    * reads the CURRENT maintained state (invoked at rewrite time);
+    * `sums`/`mins`/`maxs`/`counts` map base column name → view partial
+    * column (`counts` = per-column NON-NULL counts, serving COUNT(col)
+    * and — paired with `sums` — AVG). */
   final case class Def(
       name: String,
-      baseRoots: Set[String],
+      baseRoots: () => Set[String],
       view: () => DataFrame,
       keys: Seq[String],
       countCol: Option[String] = None,
       sums: Map[String, String] = Map.empty,
       mins: Map[String, String] = Map.empty,
       maxs: Map[String, String] = Map.empty,
+      counts: Map[String, String] = Map.empty,
       fresh: () => Boolean = () => true)
 
   private val reg = new java.util.concurrent.ConcurrentHashMap[String, Def]
@@ -100,12 +114,29 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** Peel attribute-only Projects and Filters off the aggregate's child,
-    * accumulating filter conditions, down to a file-source relation. */
+  /** Peel Filters and pass-through Projects off the aggregate's child,
+    * accumulating filter conditions, down to a file-source relation. A
+    * Project passes when every output is a bare column or a SAME-NAMED
+    * loss-free upcast of one — the shape the versioned read paths emit to
+    * align carried narrow files to the declared schema. A renaming or
+    * value-changing projection (including a lossy cast) blocks the
+    * rewrite: the view's partials describe the DECLARED columns, and
+    * matching is by name. */
+  private def alignOnly(e: NamedExpression): Boolean = e match {
+    case _: AttributeReference => true
+    case Alias(a: AttributeReference, n) => n == a.name
+    case Alias(c: Cast, n) => c.child match {
+      case a: AttributeReference =>
+        n == a.name && (c.dataType == a.dataType || Cast.canUpCast(a.dataType, c.dataType))
+      case _ => false
+    }
+    case _ => false
+  }
+
   private def strip(p: LogicalPlan, filters: Seq[Expression])
       : Option[(Seq[Expression], LogicalRelation)] = p match {
     case Filter(cond, child) => strip(child, filters :+ cond)
-    case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
+    case Project(exprs, child) if exprs.forall(alignOnly) =>
       strip(child, filters)
     case lr: LogicalRelation => Some((filters, lr))
     case _ => None
@@ -117,9 +148,12 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     case _ => Seq.empty
   }
 
-  private def covers(roots: Seq[String], bases: Set[String]): Boolean =
-    roots.nonEmpty && roots.forall(r =>
-      bases.exists(b => r == b || r.startsWith(b + java.io.File.separator)))
+  // EXACT set equality: the scan must read precisely the roots the
+  // registration declares. Subset reads (a pruned partitioned read, a
+  // single-bucket scan) must NOT rewrite to the full view — they
+  // aggregate a partial state the view does not represent.
+  private def covers(roots: Seq[String], expected: Set[String]): Boolean =
+    roots.nonEmpty && roots.toSet == expected
 
   // a rewritten aggregate's result must be byte-identical or a loss-free
   // numeric widening of the original's — otherwise no rewrite
@@ -138,7 +172,7 @@ object MatViewRewrite extends Rule[LogicalPlan] {
   private def rewriteWith(
       agg: Aggregate, filters: Seq[Expression], roots: Seq[String],
       d: MatView.Def): Option[LogicalPlan] = {
-    if (!covers(roots, d.baseRoots)) return None
+    if (!covers(roots, d.baseRoots())) return None
     val keySet = d.keys.toSet
     // grouping: plain base columns, each a view key
     val groupNames = agg.groupingExpressions.map {
@@ -163,13 +197,24 @@ object MatViewRewrite extends Rule[LogicalPlan] {
         }
         case _ => None
       }
-    def partialFor(fn: AggregateFunction): Option[(String, AggregateFunction => AggregateFunction)] =
+    // the view partial column(s) an aggregate re-aggregates from, or None
+    // when the view cannot serve it. AVG needs BOTH a sum and a non-null
+    // count partial and is gated to the DOUBLE result family (see object
+    // doc — decimal Average's precision bookkeeping is not reproduced by
+    // an explicit Divide, so decimals fall back to the base scan).
+    def partialsFor(fn: AggregateFunction): Option[Seq[String]] =
       fn match {
         case c: Count if c.children.size == 1 && c.children.head.foldable =>
-          d.countCol.map(vc => (vc, (f: AggregateFunction) => f)) // COUNT(*) → SUM(count)
-        case Sum(a: AttributeReference, _) => d.sums.get(a.name).map((_, identity[AggregateFunction]))
-        case Min(a: AttributeReference) => d.mins.get(a.name).map((_, identity[AggregateFunction]))
-        case Max(a: AttributeReference) => d.maxs.get(a.name).map((_, identity[AggregateFunction]))
+          d.countCol.map(Seq(_)) // COUNT(*) / COUNT(1) → SUM(count_rows)
+        case Count(Seq(a: AttributeReference)) =>
+          d.counts.get(a.name).map(Seq(_)) // COUNT(x) → SUM(count_x)
+        case Sum(a: AttributeReference, _) => d.sums.get(a.name).map(Seq(_))
+        case Min(a: AttributeReference) => d.mins.get(a.name).map(Seq(_))
+        case Max(a: AttributeReference) => d.maxs.get(a.name).map(Seq(_))
+        case avg @ Average(a: AttributeReference, _)
+            if avg.dataType == org.apache.spark.sql.types.DoubleType =>
+          for { s <- d.sums.get(a.name); c <- d.counts.get(a.name) }
+            yield Seq(s, c)
         case _ => None
       }
     // validate the shape BEFORE paying the view read
@@ -178,7 +223,7 @@ object MatViewRewrite extends Rule[LogicalPlan] {
       case Alias(a: AttributeReference, _) if groupedAttrs.contains(a.exprId) => ()
       case Alias(e, _) if asAgg(e).exists { case (ae, _) =>
           !ae.isDistinct && ae.filter.isEmpty &&
-            partialFor(ae.aggregateFunction).isDefined } => ()
+            partialsFor(ae.aggregateFunction).isDefined } => ()
       case _ => return None
     }
     if (!d.fresh()) return None
@@ -189,8 +234,9 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     val needed = groupNames ++ filters.flatMap(_.references.map(_.name)) ++
       agg.aggregateExpressions.flatMap {
         case Alias(e, _) =>
-          asAgg(e).map { case (ae, _) => partialFor(ae.aggregateFunction).get._1 }
-        case _ => None
+          asAgg(e).toSeq.flatMap { case (ae, _) =>
+            partialsFor(ae.aggregateFunction).get }
+        case _ => Nil
       }
     if (!needed.forall(vAttr.contains)) return None
 
@@ -202,16 +248,26 @@ object MatViewRewrite extends Rule[LogicalPlan] {
       case a: AttributeReference => vAttr(a.name)
     }
     def reAgg(fn: AggregateFunction): Option[Expression] = {
-      val col = partialFor(fn).get._1
-      val inner: AggregateFunction = fn match {
-        case _: Count => Sum(vAttr(col)) // partial counts re-add
-        case _: Sum => Sum(vAttr(col))
-        case _: Min => Min(vAttr(col))
-        case _: Max => Max(vAttr(col))
+      import org.apache.spark.sql.types.DoubleType
+      def complete(f: AggregateFunction): AggregateExpression =
+        AggregateExpression(f, Complete, isDistinct = false,
+          filter = None, resultId = NamedExpression.newExprId)
+      val cols = partialsFor(fn).get
+      val rewritten: Expression = fn match {
+        case _: Count => complete(Sum(vAttr(cols.head))) // partial counts re-add
+        case _: Sum => complete(Sum(vAttr(cols.head)))
+        case _: Min => complete(Min(vAttr(cols.head)))
+        case _: Max => complete(Max(vAttr(cols.head)))
+        case _: Average =>
+          // AVG(x) = SUM(sum_x) / SUM(count_x) — double family only
+          // (validated in partialsFor). LEGACY divide: a 0 count can only
+          // pair with a NULL sum (no non-null values anywhere), and
+          // null/0 must stay NULL, exactly Average's all-null answer.
+          val Seq(s, c) = cols
+          Divide(Cast(complete(Sum(vAttr(s))), DoubleType),
+            Cast(complete(Sum(vAttr(c))), DoubleType), EvalMode.LEGACY)
         case _ => return None
       }
-      val rewritten = AggregateExpression(inner, Complete, isDistinct = false,
-        filter = None, resultId = NamedExpression.newExprId)
       if (rewritten.dataType == fn.dataType) Some(rewritten)
       else if (typeOk(rewritten.dataType, fn.dataType))
         Some(Cast(rewritten, fn.dataType))

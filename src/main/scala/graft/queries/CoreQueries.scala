@@ -1173,7 +1173,7 @@ object CoreQueries {
                 min("value").as("min_value"), max("value").as("max_value")),
             view)
           MatView.register(MatView.Def(
-            name = "mv1", baseRoots = Set(MatView.root(base.resolve("v0"))),
+            name = "mv1", baseRoots = () => Set(MatView.root(base.resolve("v0"))),
             view = () => graft.ops.Storage.readVersion(s, view),
             keys = Seq("event_type", "user_id"), countCol = Some("count_rows"),
             sums = Map("value" -> "sum_value"), mins = Map("value" -> "min_value"),
@@ -1182,7 +1182,7 @@ object CoreQueries {
             s.experimental.extraOptimizations :+ MatViewRewrite
           try {
             val q = graft.ops.Storage.readVersion(s, base)
-              .filter(col("user_id").between(100, 8000))
+              .filter(col("user_id").between(1, 8000))
               .groupBy(col("event_type"))
               .agg(count(lit(1)).as("cnt"), sum("value").as("sv"),
                 min("value").as("mnv"), max("value").as("mxv"))
@@ -1213,8 +1213,120 @@ object CoreQueries {
              |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
              |  CAST(min(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS min_value,
              |  CAST(max(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS max_value
-             |FROM events WHERE user_id BETWEEN 100 AND 8000
+             |FROM events WHERE user_id BETWEEN 1 AND 8000
              |GROUP BY event_type""".stripMargin)),
+
+    // MV1's loop CLOSED END-TO-END over the incremental layout — the full
+    // self-maintaining datamart: a partition-pruned upsert base (two
+    // loads), its aggregate view bootstrapped and rolled forward by ONE
+    // call per base commit (MatViews.maintain — CDF signed partials for
+    // count/sum, flagged-group recompute for min/max under retraction,
+    // `_APPLIED_BASE_V` marker riding each commit), compaction advancing
+    // the marker through an empty feed, and MatViews.registerRewrite
+    // wiring freshness + scan-root matching to the base's commits — so
+    // the ad-hoc aggregate over readPartitionedVersion re-plans onto the
+    // maintained view, min/max included. The row REQUIREs the view scan
+    // in the optimized plan; lag/pruned-read fallback shapes are
+    // MatViewSpec-covered, maintenance exactness is MatViewMaintainSpec.
+    Q("mv2_maintained_rewrite",
+      (s, d) => {
+        import graft.plans.{MatView, MatViewRewrite}
+        import graft.ops.{MatViews, MergeOps, Storage}
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+        val dir = java.nio.file.Files.createTempDirectory("mv2")
+        val table = dir.resolve("base")
+        val view = dir.resolve("view")
+        try {
+          val ev = Tables.events(s, d).withColumn("ts", col("ts").cast("timestamp"))
+          // dval: integer-valued double with deterministic nulls — the
+          // AVG/COUNT(col) rewrite column. Integer-valued keeps every
+          // partial sum exact in IEEE doubles, so the view path, the base
+          // scan, and the oracle agree bit-for-bit; the nulls make
+          // COUNT(dval) ≠ COUNT(*) so the gate actually distinguishes the
+          // non-null-count partial from count_rows.
+          val dval = when(col("user_id") % 7 === 0, lit(null))
+            .otherwise(floor(dec(col("value"))).cast("double"))
+          val packed = MergeOps.latestSnapshots(
+              ev.select(col("user_id"), col("event_type"), dec(col("value")).as("value"),
+                dval.as("dval"), col("ts"), col("event_id")),
+              pk = Seq("user_id"), versionCols = Seq(col("ts"), col("event_id")),
+              snapshots = Seq("cur" -> lit(true),
+                "pre" -> (col("ts") < lit(CutoffTs).cast("timestamp"))))
+            .localCheckpoint()
+          def load(c: String, ts: String) =
+            MergeOps.prunedConditionalUpsert(table,
+              packed.filter(col(c).isNotNull)
+                .select(col("user_id"), col(s"$c.event_type").as("event_type"),
+                  col(s"$c.value").as("value"), col(s"$c.dval").as("dval"),
+                  lit(null).cast("timestamp").as("loaded_at"),
+                  lit(null).cast("timestamp").as("last_upd_at")),
+              pk = Seq("user_id"), tracked = Seq("event_type", "value", "dval"),
+              runTs = lit(ts).cast("timestamp"), nParts = 16, keepVersions = 4)
+          def maintain() = MatViews.maintain(s, table, view,
+            pk = Seq("user_id"), keys = Seq("event_type"),
+            sums = Map("value" -> "sum_value", "dval" -> "sum_dval"),
+            mins = Map("value" -> "min_value"),
+            maxs = Map("value" -> "max_value"),
+            counts = Map("dval" -> "cnt_dval"), keepVersions = 2)
+          load("pre", CutoffTs)
+          maintain() // bootstrap (marker rides the commit)
+          load("cur", RunTs)
+          maintain() // CDF roll-forward; pre→cur value churn hits extremes
+          // scheduled maintenance: compaction unifies bucket owners (the
+          // rewrite's single-owner scan shape); its change feed is EMPTY,
+          // so the marker advances through a no-op delta apply
+          Storage.compact(s, table)
+          maintain()
+          MatViews.registerRewrite(s, "mv2", table, view,
+            keys = Seq("event_type"),
+            sums = Map("value" -> "sum_value", "dval" -> "sum_dval"),
+            mins = Map("value" -> "min_value"),
+            maxs = Map("value" -> "max_value"),
+            counts = Map("dval" -> "cnt_dval"))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ MatViewRewrite
+          try {
+            val q = Storage.readPartitionedVersion(s, table)
+              .groupBy(col("event_type"))
+              .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"),
+                min(col("value")).as("mnv"), max(col("value")).as("mxv"),
+                count(col("dval")).as("cnt_dval"),
+                avg(col("dval")).as("avg_dval"))
+              .select(col("event_type"), col("cnt"),
+                col("sv").cast("double").as("sum_value"),
+                col("mnv").cast("double").as("min_value"),
+                col("mxv").cast("double").as("max_value"),
+                col("cnt_dval"), col("avg_dval"))
+            val scans = q.queryExecution.optimizedPlan.collect {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                lr.relation match {
+                  case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                    fs.location.rootPaths.map(_.toString)
+                  case _ => Nil
+                }
+            }.flatten
+            require(scans.exists(_.contains(view.toString)) &&
+                !scans.exists(_.contains(table.toString)),
+              s"maintained aggregate was not rewritten onto the view: $scans")
+            q.localCheckpoint()
+          } finally {
+            s.experimental.extraOptimizations =
+              s.experimental.extraOptimizations.filterNot(_ eq MatViewRewrite)
+            MatView.drop("mv2")
+          }
+        } finally Storage.deleteRecursively(dir)
+      },
+      Some(s"""SELECT event_type, count(*) AS cnt,
+             |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+             |  CAST(min(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS min_value,
+             |  CAST(max(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS max_value,
+             |  count(dval) AS cnt_dval, avg(dval) AS avg_dval
+             |FROM (SELECT event_type, value,
+             |        CASE WHEN user_id % 7 = 0 THEN NULL
+             |             ELSE CAST(FLOOR(CAST(value AS DECIMAL(38,6))) AS DOUBLE) END AS dval,
+             |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+             |      FROM events) t
+             |WHERE rn = 1 GROUP BY event_type""".stripMargin)),
 
     Q("io5_dv_delta_export",
       (s, d) => {

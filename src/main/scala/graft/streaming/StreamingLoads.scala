@@ -168,7 +168,7 @@ object StreamingLoads {
       trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] = {
     graft.ops.Storage.repairOrphans(agg) // same startup contract as Scd2Table
     import org.apache.spark.sql.functions.when
-    val AppliedMarker = "_APPLIED_BASE_V"
+    val AppliedMarker = graft.ops.MatViews.AppliedMarker
     versions.writeStream
       .outputMode(OutputMode.Append)
       .trigger(trigger)

@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.{MatViews, MergeOps, Storage}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[graft.ops.MatViews.maintain]] — one-call incremental view
+  * maintenance with retractable min/max: counts/sums roll forward as
+  * signed partials; extremes recompute ONLY when a retraction
+  * ties-or-beats the stored value. Every step is oracle-checked against
+  * a full recompute of the base. */
+class MatViewMaintainSpec extends SparkTestBase {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+
+  /** ids 1..n → (id, g{id%3}, x) rows shaped for the pruned upsert. */
+  private def rows(ids: Seq[Int], x: Int => BigDecimal): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"g${i % 3}", x(i))).toDF("id", "grp", "x")
+      .select(col("id"), col("grp"), dec(col("x")).as("x"),
+        lit(null).cast("timestamp").as("loaded_at"),
+        lit(null).cast("timestamp").as("last_upd_at"))
+  }
+
+  private def load(base: java.nio.file.Path, df: DataFrame): Long =
+    MergeOps.prunedConditionalUpsert(base, df, pk = Seq("id"),
+      tracked = Seq("grp", "x"),
+      runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 4,
+      keepVersions = 8)
+
+  private def maintain(base: java.nio.file.Path, view: java.nio.file.Path,
+      maxCollected: Int = 10000): MatViews.MaintainResult =
+    MatViews.maintain(spark, base, view, pk = Seq("id"), keys = Seq("grp"),
+      sums = Map("x" -> "sum_x"), mins = Map("x" -> "min_x"),
+      maxs = Map("x" -> "max_x"), counts = Map("x" -> "cnt_x"),
+      keepVersions = 2, maxCollectedGroups = maxCollected)
+
+  /** The view's committed state must equal a full recompute of the base. */
+  private def assertExact(base: java.nio.file.Path,
+      view: java.nio.file.Path): Unit = {
+    val got = Storage.readVersion(spark, view)
+      .select("grp", "count_rows", "sum_x", "min_x", "max_x", "cnt_x")
+    val want = Storage.readPartitionedVersion(spark, base)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("count_rows"), sum("x").as("sum_x"),
+        min("x").as("min_x"), max("x").as("max_x"), count("x").as("cnt_x"))
+    val g = got.collect().map(_.toSeq).toSet
+    val w = want.collect().map(_.toSeq).toSet
+    assert(g == w, s"maintained state diverged:\n got  $g\n want $w")
+  }
+
+  test("bootstrap, additive advance, extreme-hit recompute, group death — each exact") {
+    val root = Files.createTempDirectory("mvm")
+    val base = root.resolve("base")
+    val view = root.resolve("view")
+    // g0 = ids 3,6,..,60 (min x 3, max 60); g1 = 1,4,..,58; g2 = 2,5,..,59
+    load(base, rows(1 to 60, i => BigDecimal(i)))
+    val r0 = maintain(base, view)
+    assert(r0.recomputedGroups == 0)
+    assert(MatViews.appliedBase(view).contains(r0.appliedBase))
+    assertExact(base, view)
+
+    // already at the base's version: a second call is a pure no-op
+    val r0b = maintain(base, view)
+    assert(r0b.viewVersion == r0.viewVersion)
+
+    // interior update (30 stays strictly inside g0's [3, 60]) + brand-new
+    // ids: the additive fast path — zero groups recomputed
+    load(base, rows(Seq(30), _ => BigDecimal(45)) // retracts 30, inserts 45
+      .unionByName(rows(61 to 66, i => BigDecimal(i))))
+    val r1 = maintain(base, view)
+    assert(r1.recomputedGroups == 0, s"interior update must not recompute: $r1")
+    assertExact(base, view)
+
+    // update the row HOLDING g0's min (x 3 → 12): the retraction ties the
+    // stored min, so exactly that group recomputes
+    load(base, rows(Seq(3), _ => BigDecimal(12)))
+    val r2 = maintain(base, view)
+    assert(r2.recomputedGroups == 1, s"min-hit must recompute its group: $r2")
+    assertExact(base, view)
+
+    // delete the row holding g0's max (id 66, x 66) → max-side recompute
+    import spark.implicits._
+    MergeOps.prunedDelete(base, Seq(66L).toDF("id"), pk = Seq("id"), nParts = 4)
+    val r3 = maintain(base, view)
+    assert(r3.recomputedGroups == 1, s"max-hit must recompute its group: $r3")
+    assertExact(base, view)
+
+    // delete EVERY g1 row: the group must disappear from the state (a
+    // fully-retracted key is dropped, not recomputed)
+    val g1 = (1 to 66).filter(_ % 3 == 1)
+    MergeOps.prunedDelete(base, g1.map(_.toLong).toDF("id"), pk = Seq("id"),
+      nParts = 4)
+    maintain(base, view)
+    assertExact(base, view)
+    assert(!Storage.readVersion(spark, view).collect().map(_.getString(0))
+      .contains("g1"))
+    Storage.deleteRecursively(root)
+  }
+
+  test("forced full-scan fallback (maxCollectedGroups=0) recomputes exactly") {
+    val root = Files.createTempDirectory("mvm_fb")
+    val base = root.resolve("base")
+    val view = root.resolve("view")
+    load(base, rows(1 to 30, i => BigDecimal(i)))
+    maintain(base, view)
+    // delete g0's min row; the flagged-key set (1 group) exceeds the
+    // forced-zero collection budget → one full re-aggregate, same answer
+    import spark.implicits._
+    MergeOps.prunedDelete(base, Seq(3L).toDF("id"), pk = Seq("id"), nParts = 4)
+    val r = maintain(base, view, maxCollected = 0)
+    assert(r.recomputedGroups == 1)
+    assertExact(base, view)
+    Storage.deleteRecursively(root)
+  }
+
+  test("null-valued rows never trigger a recompute (nulls are never the extreme)") {
+    val root = Files.createTempDirectory("mvm_null")
+    val base = root.resolve("base")
+    val view = root.resolve("view")
+    // id 63 lands in g0 with a NULL x
+    load(base, rows(1 to 12, i => BigDecimal(i))
+      .unionByName(rows(Seq(63), _ => BigDecimal(0))
+        .withColumn("x", lit(null).cast("decimal(38,6)"))))
+    maintain(base, view)
+    assertExact(base, view)
+    // an INCREMENTAL null-valued insert bumps the count but must pass the
+    // stored sum/min/max through untouched (its sum partial is null)
+    load(base, rows(Seq(66), _ => BigDecimal(0))
+      .withColumn("x", lit(null).cast("decimal(38,6)")))
+    val ri = maintain(base, view)
+    assert(ri.recomputedGroups == 0, s"null insert must not recompute: $ri")
+    assertExact(base, view)
+    // deleting the null-x rows drops counts but cannot move min/max
+    import spark.implicits._
+    MergeOps.prunedDelete(base, Seq(63L, 66L).toDF("id"), pk = Seq("id"),
+      nParts = 4)
+    val r = maintain(base, view)
+    assert(r.recomputedGroups == 0, s"null retraction must not recompute: $r")
+    assertExact(base, view)
+    Storage.deleteRecursively(root)
+  }
+}

@@ -50,7 +50,7 @@ class MatViewSpec extends SparkTestBase {
     Storage.commitVersion(v, view)
     val vdir = base.resolve(s"v${Storage.currentVersion(base).get}")
     MatView.register(MatView.Def(
-      name = "t", baseRoots = Set(MatView.root(vdir)),
+      name = "t", baseRoots = () => Set(MatView.root(vdir)),
       view = () => Storage.readVersion(spark, view),
       keys = Seq("k1", "k2"), countCol = Some("count_rows"),
       sums = Map("x" -> "sum_x"), mins = Map("x" -> "min_x"),
@@ -119,7 +119,8 @@ class MatViewSpec extends SparkTestBase {
   test("unsupported shapes leave the plan untouched") {
     val (base, view) = fixture()
     withRule {
-      // avg is not a maintained partial
+      // DECIMAL avg never rewrites (Average's decimal precision
+      // bookkeeping differs from an explicit Divide — double family only)
       val q1 = Storage.readVersion(spark, base).groupBy("k1").agg(avg("x").as("a"))
       assert(!scanPaths(q1).exists(_.contains(view.toString)))
       // distinct count cannot come from partials
@@ -135,6 +136,108 @@ class MatViewSpec extends SparkTestBase {
       val q4 = Storage.readVersion(spark, base).groupBy("k1").agg(count(lit(1)).as("cnt"))
       assert(!scanPaths(q4).exists(_.contains(view.toString)))
       assert(q4.collect().map(_.getLong(1)).sum == 10)
+    }
+  }
+
+  test("AVG and COUNT(col) rewrite from sum + non-null-count partials, correctly re-weighted") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mv_avg")
+    val base = root.resolve("base")
+    val view = root.resolve("view")
+    // y: integer-valued doubles with nulls — count(y) != count(*) and
+    // every sum is exact, so view path and base path agree bit-for-bit
+    val rows = (1 to 400).map { i =>
+      (s"k${i % 3}", (i % 5).toLong,
+        if (i % 11 == 0) None else Some(i.toDouble))
+    }.toDF("k1", "k2", "y")
+    Storage.commitVersion(rows, base)
+    val v = Storage.readVersion(spark, base).groupBy("k1", "k2")
+      .agg(count(lit(1)).as("count_rows"), sum("y").as("sum_y"),
+        count("y").as("cnt_y"))
+    Storage.commitVersion(v, view)
+    val vdir = base.resolve(s"v${Storage.currentVersion(base).get}")
+    MatView.register(MatView.Def(
+      name = "avg_t", baseRoots = () => Set(MatView.root(vdir)),
+      view = () => Storage.readVersion(spark, view),
+      keys = Seq("k1", "k2"), countCol = Some("count_rows"),
+      sums = Map("y" -> "sum_y"), counts = Map("y" -> "cnt_y")))
+    withRule {
+      def shape(df: DataFrame) = df.groupBy("k1")
+        .agg(avg("y").as("a"), count(col("y")).as("c"), count(lit(1)).as("n"))
+      val q = shape(Storage.readVersion(spark, base))
+      assert(scanPaths(q).exists(_.contains(view.toString)),
+        "avg/count(col) must rewrite onto the view")
+      // the rollup crosses k2 groups of UNEQUAL size: sum/count weighting
+      // is exercised (an average-of-averages would be wrong here)
+      val got = q.orderBy("k1").collect().toSeq
+      MatView.clear()
+      val want = shape(Storage.readVersion(spark, base)).orderBy("k1").collect().toSeq
+      assert(got == want, s"rewritten avg diverged:\n got  $got\n want $want")
+      assert(want.exists(r => r.getLong(2) != r.getLong(3)),
+        "fixture must make count(y) differ from count(*)")
+      // a GLOBAL avg re-weights across every group
+      MatView.register(MatView.Def(
+        name = "avg_t", baseRoots = () => Set(MatView.root(vdir)),
+        view = () => Storage.readVersion(spark, view),
+        keys = Seq("k1", "k2"), countCol = Some("count_rows"),
+        sums = Map("y" -> "sum_y"), counts = Map("y" -> "cnt_y")))
+      val g = Storage.readVersion(spark, base).agg(avg("y").as("a"))
+      assert(scanPaths(g).exists(_.contains(view.toString)))
+      val gGot = g.collect().head.getDouble(0)
+      MatView.clear()
+      val gWant = Storage.readVersion(spark, base).agg(avg("y").as("a"))
+        .collect().head.getDouble(0)
+      assert(gGot == gWant)
+    }
+    Storage.deleteRecursively(root)
+  }
+
+  test("maintained registration follows the base: fresh rewrites, lag falls back, re-maintain resumes") {
+    import graft.ops.{MatViews, MergeOps}
+    val root = Files.createTempDirectory("mv_maint")
+    val base = root.resolve("base")
+    val view = root.resolve("view")
+    def load(df: DataFrame) = MergeOps.prunedConditionalUpsert(base,
+      df.withColumn("loaded_at", lit(null).cast("timestamp"))
+        .withColumn("last_upd_at", lit(null).cast("timestamp")),
+      pk = Seq("id"), tracked = Seq("grp", "x"),
+      runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 4,
+      keepVersions = 4)
+    import spark.implicits._
+    def rows(n: Int) = (1 to n).map(i => (i.toLong, s"g${i % 3}", BigDecimal(i)))
+      .toDF("id", "grp", "x")
+      .select(col("id"), col("grp"), col("x").cast("decimal(38,6)").as("x"))
+    val v0 = load(rows(60))
+    def maintain(): Long = {
+      val state = Storage.readPartitionedVersion(spark, base)
+        .groupBy("grp")
+        .agg(count(lit(1)).as("count_rows"), sum("x").as("sum_x"))
+      MatViews.commitMaintained(state, view, Storage.currentVersion(base).get)
+    }
+    maintain()
+    MatViews.registerRewrite(spark, "maint", base, view,
+      keys = Seq("grp"), sums = Map("x" -> "sum_x"))
+    withRule {
+      def q() = Storage.readPartitionedVersion(spark, base)
+        .groupBy("grp").agg(count(lit(1)).as("cnt"), sum("x").as("s"))
+      // fresh single-owner state: rewrites
+      assert(scanPaths(q()).exists(_.contains(view.toString)), "fresh view must rewrite")
+      // a pruned (partial) read must NOT rewrite to the full view
+      val pruned = Storage.readPartitionedVersion(spark, base,
+          onlyParts = Some(Storage.committedPartitions(base).take(2)))
+        .groupBy("grp").agg(count(lit(1)).as("cnt"))
+      assert(!scanPaths(pruned).exists(_.contains(view.toString)),
+        "pruned read must not rewrite")
+      // base advances without maintenance: multi-owner AND stale — fallback
+      load(rows(75))
+      assert(!scanPaths(q()).exists(_.contains(view.toString)), "lagging view must not rewrite")
+      assert(q().collect().map(_.getLong(1)).sum == 75)
+      // compact to single-owner + re-maintain: rewrite resumes
+      Storage.compact(spark, base)
+      maintain()
+      val q2 = q()
+      assert(scanPaths(q2).exists(_.contains(view.toString)), "re-maintained view must rewrite")
+      assert(q2.collect().map(_.getLong(1)).sum == 75)
     }
   }
 
