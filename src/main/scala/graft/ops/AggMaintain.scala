@@ -200,9 +200,23 @@ object AggMaintain {
     // extreme is impossible on consistent inputs, but flags — recompute
     // is always safe). A null stored extreme (all-null group) with a
     // non-null retraction is likewise inconsistent → flag.
+    // EXEMPTION (provable): if the batch also INSERTS a value that
+    // ties-or-beats its best retraction, the merged extreme is exact and
+    // no recompute is needed. For min: ins ≤ ret ⇒ min(after) =
+    // min((before∖R)∪I) — if the stored min was not retracted this is
+    // min(stored, ins) outright; if it WAS retracted then ret = stored
+    // (nothing retracted can undercut the stored min), so ins ≤ stored ≤
+    // every survivor and min(after) = ins = min(stored, ins) again. Max
+    // is symmetric. This is what makes an update that does not move the
+    // extreme-holding column (ins = ret, e.g. a row rewritten for an
+    // UNRELATED column's change in a shared multi-view feed) — and a
+    // min-holder being lowered / max-holder raised — maintenance-exact
+    // with zero recompute.
     def uncertain(c: String, beats: (Column, Column) => Column): Column =
       !stateAbsent && !deltaAbsent && col(s"d.__ret_$c").isNotNull &&
-        (col(s"s.$c").isNull || beats(col(s"d.__ret_$c"), col(s"s.$c")))
+        (col(s"s.$c").isNull || beats(col(s"d.__ret_$c"), col(s"s.$c"))) &&
+        !(col(s"d.__ins_$c").isNotNull &&
+          beats(col(s"d.__ins_$c"), col(s"d.__ret_$c")))
     val flags =
       minCols.map(c => uncertain(c, _ <= _)) ++
         maxCols.map(c => uncertain(c, _ >= _))

@@ -99,6 +99,28 @@ object MatViews {
   final case class MaintainResult(
       appliedBase: Long, viewVersion: Long, recomputedGroups: Long)
 
+  /** One aggregate view over a shared base, for [[maintainAll]]:
+    * `sums`/`mins`/`maxs`/`counts` map base column → view partial column
+    * (`counts` = non-null counts, serving COUNT(col) and AVG). */
+  final case class ViewSpec(
+      view: Path,
+      keys: Seq[String],
+      sums: Map[String, String] = Map.empty,
+      mins: Map[String, String] = Map.empty,
+      maxs: Map[String, String] = Map.empty,
+      counts: Map[String, String] = Map.empty,
+      keepVersions: Int = 1,
+      maxCollectedGroups: Int = 10000) {
+    private[MatViews] def aggCols: Seq[String] =
+      (sums.keys ++ mins.keys ++ maxs.keys ++ counts.keys).toSeq.distinct
+    private[MatViews] def compareCols(pk: Seq[String]): Seq[String] = {
+      val cc = (keys ++ aggCols).distinct.filterNot(pk.contains)
+      require(cc.nonEmpty,
+        s"every grouping/aggregated column of $view is a pk column — nothing to diff")
+      cc
+    }
+  }
+
   private def readBase(spark: SparkSession, base: Path): DataFrame = {
     val v = Storage.currentVersion(base).getOrElse(
       throw new IllegalStateException(s"no committed version at $base"))
@@ -149,69 +171,106 @@ object MatViews {
       maxs: Map[String, String] = Map.empty,
       counts: Map[String, String] = Map.empty,
       keepVersions: Int = 1,
-      maxCollectedGroups: Int = 10000): MaintainResult = {
+      maxCollectedGroups: Int = 10000): MaintainResult =
+    maintainAll(spark, base, pk, Seq(ViewSpec(view, keys, sums, mins, maxs,
+      counts, keepVersions, maxCollectedGroups))).head
+
+  /** [[maintain]] for EVERY aggregate view of one base in a single call —
+    * the shape scheduled maintenance should use. The 100 TB win is feed
+    * sharing: views lagging at the SAME base version share ONE change
+    * feed over the union of their compared columns (one changed-bucket
+    * scan + one pk join, materialized once), instead of N; each view then
+    * runs only its own view-sized delta-aggregate + merge. A row the
+    * shared feed emits for an unrelated view's column is harmless to the
+    * others: its pre/post values for their columns are identical, so
+    * counts and sums cancel exactly and min/max fall under
+    * [[AggMaintain.applyDeltaRetractable]]'s ins-ties-ret exemption —
+    * zero spurious recomputes. Bootstrapping views (no marker yet)
+    * deliberately do NOT share a cached base read: each bootstrap scan is
+    * column-pruned to its own needs, which at 100 TB beats materializing
+    * the unpruned base once. */
+  def maintainAll(
+      spark: SparkSession,
+      base: Path,
+      pk: Seq[String],
+      specs: Seq[ViewSpec]): Seq[MaintainResult] = {
+    require(specs.nonEmpty, "maintainAll needs at least one view spec")
     val to = Storage.currentVersion(base).getOrElse(
       throw new IllegalStateException(s"no committed version at $base"))
-    val aggCols = (sums.keys ++ mins.keys ++ maxs.keys ++ counts.keys)
-      .toSeq.distinct
+    val states = specs.map(sp => sp -> appliedBase(sp.view))
+    val feeds: Map[Long, DataFrame] = states
+      .collect { case (sp, Some(f)) if f != to => (sp, f) }
+      .groupBy(_._2)
+      .map { case (f, grp) =>
+        val cols = grp.flatMap { case (sp, _) => sp.compareCols(pk) }.distinct
+        val cdf = Cdc.changeDataFeed(spark, base, f, to, pk, cols,
+          preImages = true)
+        // materialize only when actually shared — a lone view reads once
+        f -> (if (grp.sizeIs > 1) cdf.localCheckpoint() else cdf)
+      }
+    states.map {
+      case (sp, None) =>
+        MaintainResult(to,
+          commitMaintained(bootstrapState(spark, base, sp), sp.view, to,
+            sp.keepVersions), 0)
+      case (sp, Some(f)) if f == to =>
+        MaintainResult(to, Storage.currentVersion(sp.view).get, 0)
+      case (sp, Some(f)) =>
+        rollForward(spark, base, sp, feeds(f), to)
+    }
+  }
+
+  private def bootstrapState(spark: SparkSession, base: Path,
+      sp: ViewSpec): DataFrame = {
+    val aggs = sp.sums.map { case (b, v) => sum(col(b)).as(v) } ++
+      sp.mins.map { case (b, v) => min(col(b)).as(v) } ++
+      sp.maxs.map { case (b, v) => max(col(b)).as(v) } ++
+      sp.counts.map { case (b, v) => count(col(b)).as(v) }
+    readBase(spark, base).groupBy(sp.keys.map(col): _*)
+      .agg(count(lit(1)).as("count_rows"), aggs.toSeq: _*)
+  }
+
+  private def rollForward(spark: SparkSession, base: Path, sp: ViewSpec,
+      cdf: DataFrame, to: Long): MaintainResult = {
+    val keys = sp.keys
     // a per-column NON-NULL count (COUNT(x) / the AVG denominator) is
     // just a sum of 0/1 indicators — fully additive under retraction, so
     // it rides the signed-sum path end to end and never flags a recompute
-    def countsAsSums: Map[String, Column] =
-      counts.map { case (b, v) =>
+    val countsAsSums: Map[String, Column] =
+      sp.counts.map { case (b, v) =>
         v -> when(col(b).isNotNull, 1L).otherwise(0L) }
-    def fullState(): DataFrame = {
-      val aggs = sums.map { case (b, v) => sum(col(b)).as(v) } ++
-        mins.map { case (b, v) => min(col(b)).as(v) } ++
-        maxs.map { case (b, v) => max(col(b)).as(v) } ++
-        counts.map { case (b, v) => count(col(b)).as(v) }
-      readBase(spark, base).groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("count_rows"), aggs.toSeq: _*)
-    }
-    appliedBase(view) match {
-      case None =>
-        MaintainResult(to, commitMaintained(fullState(), view, to, keepVersions), 0)
-      case Some(from) if from == to =>
-        MaintainResult(to, Storage.currentVersion(view).get, 0)
-      case Some(from) =>
-        val compareCols = (keys ++ aggCols).distinct.filterNot(pk.contains)
-        require(compareCols.nonEmpty,
-          "every grouping/aggregated column is a pk column — nothing to diff")
-        val cdf = Cdc.changeDataFeed(spark, base, from, to, pk, compareCols,
-          preImages = true)
-        val deltaAgg = AggMaintain.retractableDeltaAggregates(cdf, keys,
-          sums.map { case (b, v) => v -> col(b) } ++ countsAsSums,
-          mins.map { case (b, v) => v -> col(b) },
-          maxs.map { case (b, v) => v -> col(b) })
-        val flag = "__recompute"
-        // checkpointed: the merged state is read twice (flag count +
-        // final commit) and feeds a join — view-sized, not base-sized
-        val merged = AggMaintain.applyDeltaRetractable(
-          Storage.readVersion(spark, view), deltaAgg, keys,
-          (sums.values ++ counts.values).toSeq,
-          mins.values.toSeq, maxs.values.toSeq, flag)
-          .localCheckpoint()
-        val flagged = merged.filter(col(flag))
-        val n = flagged.count()
-        val next =
-          if (n == 0) merged.drop(flag)
-          else {
-            val rec = recomputeExtremes(spark, base, keys, mins, maxs,
-              flagged.select(keys.map(col): _*), n, maxCollectedGroups)
-            val m = merged.alias("m")
-            val r = rec.alias("r")
-            val joined = m.join(r,
-              keys.map(k => col(s"m.$k") <=> col(s"r.$k")).reduce(_ && _), "left")
-            joined.select(
-              keys.map(k => col(s"m.$k").as(k)) ++
-                Seq(col("m.count_rows").as("count_rows")) ++
-                (sums.values ++ counts.values).toSeq.map(c => col(s"m.$c").as(c)) ++
-                (mins.values.toSeq ++ maxs.values.toSeq).map(c =>
-                  when(col(s"m.$flag"), col(s"r.$c"))
-                    .otherwise(col(s"m.$c")).as(c)): _*)
-          }
-        MaintainResult(to, commitMaintained(next, view, to, keepVersions), n)
-    }
+    val deltaAgg = AggMaintain.retractableDeltaAggregates(cdf, keys,
+      sp.sums.map { case (b, v) => v -> col(b) } ++ countsAsSums,
+      sp.mins.map { case (b, v) => v -> col(b) },
+      sp.maxs.map { case (b, v) => v -> col(b) })
+    val flag = "__recompute"
+    // checkpointed: the merged state is read twice (flag count +
+    // final commit) and feeds a join — view-sized, not base-sized
+    val merged = AggMaintain.applyDeltaRetractable(
+      Storage.readVersion(spark, sp.view), deltaAgg, keys,
+      (sp.sums.values ++ sp.counts.values).toSeq,
+      sp.mins.values.toSeq, sp.maxs.values.toSeq, flag)
+      .localCheckpoint()
+    val flagged = merged.filter(col(flag))
+    val n = flagged.count()
+    val next =
+      if (n == 0) merged.drop(flag)
+      else {
+        val rec = recomputeExtremes(spark, base, keys, sp.mins, sp.maxs,
+          flagged.select(keys.map(col): _*), n, sp.maxCollectedGroups)
+        val m = merged.alias("m")
+        val r = rec.alias("r")
+        val joined = m.join(r,
+          keys.map(k => col(s"m.$k") <=> col(s"r.$k")).reduce(_ && _), "left")
+        joined.select(
+          keys.map(k => col(s"m.$k").as(k)) ++
+            Seq(col("m.count_rows").as("count_rows")) ++
+            (sp.sums.values ++ sp.counts.values).toSeq.map(c => col(s"m.$c").as(c)) ++
+            (sp.mins.values.toSeq ++ sp.maxs.values.toSeq).map(c =>
+              when(col(s"m.$flag"), col(s"r.$c"))
+                .otherwise(col(s"m.$c")).as(c)): _*)
+      }
+    MaintainResult(to, commitMaintained(next, sp.view, to, sp.keepVersions), n)
   }
 
   /** One scan, grouped once, answering min/max for (at least) the flagged

@@ -100,6 +100,94 @@ class MatViewMaintainSpec extends SparkTestBase {
     Storage.deleteRecursively(root)
   }
 
+  test("lowering the min-holder is exempt: the inserted value ties-or-beats the retraction") {
+    val root = Files.createTempDirectory("mvm_low")
+    val base = root.resolve("base")
+    val view = root.resolve("view")
+    load(base, rows(1 to 30, i => BigDecimal(i)))
+    maintain(base, view)
+    // id 3 holds g0's min (x=3); lowering it retracts 3 and inserts 1 —
+    // ins ≤ ret proves min(after) = min(stored, ins), no recompute
+    load(base, rows(Seq(3), _ => BigDecimal(1)))
+    val r = maintain(base, view)
+    assert(r.recomputedGroups == 0, s"lowering the min must merge exactly: $r")
+    assertExact(base, view)
+    // raising the MAX-holder symmetrically (id 30 holds g0's max)
+    load(base, rows(Seq(30), _ => BigDecimal(99)))
+    val r2 = maintain(base, view)
+    assert(r2.recomputedGroups == 0, s"raising the max must merge exactly: $r2")
+    assertExact(base, view)
+    Storage.deleteRecursively(root)
+  }
+
+  test("maintainAll: one shared feed, unrelated-column churn never recomputes the other view") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mvm_all")
+    val base = root.resolve("base")
+    val viewA = root.resolve("viewA")
+    val viewB = root.resolve("viewB")
+    def wide(ids: Seq[Int], x: Int => BigDecimal, y: Int => BigDecimal): DataFrame =
+      ids.map(i => (i.toLong, s"g${i % 3}", x(i), s"h${i % 2}", y(i)))
+        .toDF("id", "grp", "x", "grp2", "y")
+        .select(col("id"), col("grp"), dec(col("x")).as("x"),
+          col("grp2"), dec(col("y")).as("y"),
+          lit(null).cast("timestamp").as("loaded_at"),
+          lit(null).cast("timestamp").as("last_upd_at"))
+    def loadW(df: DataFrame): Long = MergeOps.prunedConditionalUpsert(base, df,
+      pk = Seq("id"), tracked = Seq("grp", "x", "grp2", "y"),
+      runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 4,
+      keepVersions = 8)
+    val specs = Seq(
+      MatViews.ViewSpec(viewA, keys = Seq("grp"),
+        sums = Map("x" -> "sum_x"), mins = Map("x" -> "min_x"),
+        maxs = Map("x" -> "max_x"), counts = Map("x" -> "cnt_x"),
+        keepVersions = 2),
+      MatViews.ViewSpec(viewB, keys = Seq("grp2"),
+        sums = Map("y" -> "sum_y"), keepVersions = 2))
+    def assertBoth(): Unit = {
+      val baseDf = Storage.readPartitionedVersion(spark, base)
+      val wantA = baseDf.groupBy("grp")
+        .agg(count(lit(1)).as("count_rows"), sum("x").as("sum_x"),
+          min("x").as("min_x"), max("x").as("max_x"), count("x").as("cnt_x"))
+        .collect().map(_.toSeq).toSet
+      val gotA = Storage.readVersion(spark, viewA)
+        .select("grp", "count_rows", "sum_x", "min_x", "max_x", "cnt_x")
+        .collect().map(_.toSeq).toSet
+      assert(gotA == wantA, s"viewA diverged:\n got  $gotA\n want $wantA")
+      val wantB = baseDf.groupBy("grp2")
+        .agg(count(lit(1)).as("count_rows"), sum("y").as("sum_y"))
+        .collect().map(_.toSeq).toSet
+      val gotB = Storage.readVersion(spark, viewB)
+        .select("grp2", "count_rows", "sum_y")
+        .collect().map(_.toSeq).toSet
+      assert(gotB == wantB, s"viewB diverged:\n got  $gotB\n want $wantB")
+    }
+    loadW(wide(1 to 60, i => BigDecimal(i), i => BigDecimal(i * 2)))
+    val boot = MatViews.maintainAll(spark, base, Seq("id"), specs)
+    assert(boot.forall(_.recomputedGroups == 0))
+    assertBoth()
+    // churn ONLY y on the row holding g0's min x: the shared feed emits
+    // the pre/post pair for BOTH views' columns, but view A's x values
+    // are identical across the pair — counts/sums cancel, min/max take
+    // the ins-ties-ret exemption, zero recomputes
+    loadW(wide(Seq(3), _ => BigDecimal(3), _ => BigDecimal(777)))
+    val r = MatViews.maintainAll(spark, base, Seq("id"), specs)
+    assert(r.forall(_.recomputedGroups == 0),
+      s"unrelated churn must not recompute: $r")
+    assert(r.forall(_.appliedBase == Storage.currentVersion(base).get))
+    assertBoth()
+    // stagger the lags: advance the base twice maintaining ONLY viewB in
+    // between, then a joint call rolls A over two versions and B over one
+    // — two distinct from-versions, each with its own feed
+    loadW(wide(Seq(61), _ => BigDecimal(0), _ => BigDecimal(5)))
+    MatViews.maintainAll(spark, base, Seq("id"), specs.filter(_.view == viewB))
+    loadW(wide(Seq(62), _ => BigDecimal(100), _ => BigDecimal(6)))
+    val r2 = MatViews.maintainAll(spark, base, Seq("id"), specs)
+    assert(r2.forall(_.appliedBase == Storage.currentVersion(base).get))
+    assertBoth()
+    Storage.deleteRecursively(root)
+  }
+
   test("forced full-scan fallback (maxCollectedGroups=0) recomputes exactly") {
     val root = Files.createTempDirectory("mvm_fb")
     val base = root.resolve("base")
