@@ -171,10 +171,18 @@ object PipelineRunner {
   }
 
   /** What one [[maintain]] pass did: per-layer compaction outcome (None =
-    * healthy, judged from log metadata alone) and the fact table's version
-    * after TTL expiry (None = no fact table yet or nothing due). */
+    * healthy, judged from log metadata alone), the fact table's version
+    * after TTL expiry (None = no fact table yet or nothing due), and the
+    * roll-forward result of every maintained aggregate view. */
   final case class MaintenanceReport(
-      compacted: Map[String, Option[Int]], expiredFactVersion: Option[Long])
+      compacted: Map[String, Option[Int]], expiredFactVersion: Option[Long],
+      views: Map[String, graft.ops.MatViews.MaintainResult] = Map.empty)
+
+  /** The aggregate views of one base table, for [[maintain]]'s view pass
+    * ([[graft.ops.MatViews.maintainAll]] — views lagging at the same base
+    * version share one change feed). */
+  final case class ViewMaintenance(base: Path, pk: Seq[String],
+      specs: Seq[graft.ops.MatViews.ViewSpec])
 
   /** Scheduled maintenance — the pass an orchestrator runs after (or
     * beside) [[run]], in the same slot the reference gives Airflow's
@@ -192,11 +200,18 @@ object PipelineRunner {
     *    never opened, and downstream change-feed consumers see ordinary
     *    deletes.
     *
+    *  - roll every registered aggregate view forward ([[ViewMaintenance]]
+    *    → [[graft.ops.MatViews.maintainAll]]) — deliberately LAST, so the
+    *    markers land on the post-compaction, post-TTL base versions and
+    *    transparent rewrites stay live through maintenance; per view the
+    *    cost is O(changed buckets + touched groups).
+    *
     * At 100 TB this split is the point: [[run]] touches O(delta) data,
     * maintain touches O(metadata) unless compaction genuinely pays. */
   def maintain(spark: SparkSession, workDir: Path,
       keepEpoch: Long => Boolean = _ => true,
-      targetBytes: Long = 128L << 20, maxSmallFiles: Int = 16): MaintenanceReport = {
+      targetBytes: Long = 128L << 20, maxSmallFiles: Int = 16,
+      views: Seq[ViewMaintenance] = Nil): MaintenanceReport = {
     val l = layers(workDir)
     val compacted = Seq(
       "stg_users" -> l.stgUsers,
@@ -212,6 +227,10 @@ object PipelineRunner {
       if (Storage.committedPartitions(l.factOrders).forall(keep)) cur // no-op
       else Storage.expireParts(spark, l.factOrders, keep)
     }
-    MaintenanceReport(compacted, expired)
+    val viewResults = views.flatMap { vm =>
+      graft.ops.MatViews.maintainAll(spark, vm.base, vm.pk, vm.specs)
+        .zip(vm.specs).map { case (r, sp) => sp.view.toString -> r }
+    }.toMap
+    MaintenanceReport(compacted, expired, viewResults)
   }
 }

@@ -273,6 +273,152 @@ object MatViews {
     MaintainResult(to, commitMaintained(next, sp.view, to, sp.keepVersions), n)
   }
 
+  /** Marker file inside each maintained JOIN-view commit naming the PAIR
+    * of base versions its state reflects, as "vA,vB". */
+  val AppliedBasesMarker = "_APPLIED_BASES_V"
+
+  /** The (left, right) base versions the join view's CURRENT commit
+    * reflects, if recorded. */
+  def appliedBases(view: Path): Option[(Long, Long)] =
+    Storage.currentVersion(view).flatMap { v =>
+      val f = view.resolve(s"v$v").resolve(AppliedBasesMarker)
+      if (!Files.exists(f)) None
+      else new String(Files.readAllBytes(f), "UTF-8").trim.split(",") match {
+        case Array(a, b) => Some((a.toLong, b.toLong))
+        case _ => None
+      }
+    }
+
+  /** Outcome of one [[maintainJoin]] call. */
+  final case class MaintainJoinResult(
+      appliedLeft: Long, appliedRight: Long, viewVersion: Long)
+
+  /** Incremental maintenance of an aggregate view over the INNER
+    * EQUI-JOIN of two versioned bases — the loop
+    * [[graft.plans.MatViewJoinRewrite]] serves. Brings `view` (keys ++
+    * count_rows ++ sum/count partials) from the base-version PAIR its
+    * marker records to both bases' CURRENT versions using their change
+    * feeds and the delta-join rule ([[ViewMaintain.joinDelta]]:
+    * Δ(A⋈B) = ΔA⋈B₁ ∪ A₀⋈ΔB — each term joins one small feed against one
+    * base, feed side broadcast, so neither base shuffles), then one
+    * view-sized signed merge ([[AggMaintain.applyDelta]]). First call
+    * bootstraps with one full join + aggregate.
+    *
+    * Scope: COUNT(*) / SUM / non-null COUNT partials — the
+    * self-maintainable aggregate family under joins. MIN/MAX over a join
+    * view would need a join-recompute per flagged group; register a
+    * hand-maintained view if you need them.
+    *
+    * `sums`/`counts` map a base column (of EITHER side — names must be
+    * disjoint across sides) → view partial column. `joinKeysLeft`/
+    * `joinKeysRight` are the positionally-paired equi-join columns.
+    * Roll-forward requires partition-manifested bases (the change feed is
+    * manifest-diff pruned); bootstrap accepts any versioned layout.
+    * Contract mirrors [[maintain]]: single maintainer per view;
+    * concurrent base commits leave the view one step behind, freshness
+    * keeps rewrites honest. */
+  def maintainJoin(
+      spark: SparkSession,
+      left: Path,
+      right: Path,
+      view: Path,
+      pkLeft: Seq[String],
+      pkRight: Seq[String],
+      joinKeysLeft: Seq[String],
+      joinKeysRight: Seq[String],
+      keys: Seq[String],
+      sums: Map[String, String] = Map.empty,
+      counts: Map[String, String] = Map.empty,
+      keepVersions: Int = 1): MaintainJoinResult = {
+    require(joinKeysLeft.size == joinKeysRight.size && joinKeysLeft.nonEmpty,
+      "joinKeysLeft/joinKeysRight must pair up")
+    val toA = Storage.currentVersion(left).getOrElse(
+      throw new IllegalStateException(s"no committed version at $left"))
+    val toB = Storage.currentVersion(right).getOrElse(
+      throw new IllegalStateException(s"no committed version at $right"))
+    val aggBase = (sums.keys ++ counts.keys).toSeq.distinct
+    def sideCols(all: Seq[String], jk: Seq[String]): Seq[String] =
+      ((keys ++ aggBase).filter(all.contains) ++ jk).distinct
+    def commit(state: DataFrame): Long =
+      Storage.commitVersion(state, view, keepVersions = keepVersions,
+        extraFiles = Map(AppliedBasesMarker -> s"$toA,$toB"),
+        fileStats = false)
+    def agged(flat: DataFrame, signed: Boolean): DataFrame = {
+      val s = if (signed) col("sign").cast("long") else lit(1L)
+      val aggs =
+        sums.map { case (b, v) =>
+          sum((if (signed) col("sign") * col(b) else col(b))).as(v) } ++
+          counts.map { case (b, v) =>
+            sum(when(col(b).isNotNull, s).otherwise(0L)).as(v) }
+      flat.groupBy(keys.map(col): _*)
+        .agg(sum(s).as("count_rows"), aggs.toSeq: _*)
+    }
+    val aAll = readBase(spark, left).columns.toSeq
+    val bAll = readBase(spark, right).columns.toSeq
+    val aCols = sideCols(aAll, joinKeysLeft)
+    val bCols = sideCols(bAll, joinKeysRight)
+    // only the columns the view USES must be disjoint — storage
+    // bookkeeping columns (pbucket, load timestamps) may collide freely
+    require((aCols.toSet & bCols.toSet).isEmpty,
+      s"join-view columns must be side-unambiguous (shared: ${aCols.toSet & bCols.toSet})")
+    def joined(a: DataFrame, b: DataFrame): DataFrame =
+      a.alias("a").join(b.alias("b"),
+        joinKeysLeft.zip(joinKeysRight).map { case (ka, kb) =>
+          col(s"a.$ka") === col(s"b.$kb") }.reduce(_ && _))
+    appliedBases(view) match {
+      case Some((fa, fb)) if fa == toA && fb == toB =>
+        MaintainJoinResult(toA, toB, Storage.currentVersion(view).get)
+      case Some((fa, fb)) =>
+        val dA = ViewMaintain.signed(Cdc.changeDataFeed(spark, left, fa, toA,
+            pkLeft, aAll.filterNot(pkLeft.contains), preImages = true))
+          .select((aCols :+ "sign").map(col): _*)
+        val dB = ViewMaintain.signed(Cdc.changeDataFeed(spark, right, fb, toB,
+            pkRight, bAll.filterNot(pkRight.contains), preImages = true))
+          .select((bCols :+ "sign").map(col): _*)
+        val aOld = Storage.readPartitionedVersionAt(spark, left, fa)
+          .select(aCols.map(col): _*)
+        val bNew = Storage.readPartitionedVersionAt(spark, right, toB)
+          .select(bCols.map(col): _*)
+        val viewDelta = ViewMaintain.joinDelta(aOld, dA, bNew, dB,
+          keysA = joinKeysLeft, keysB = joinKeysRight)
+        val merged = AggMaintain.applyDelta(
+          Storage.readVersion(spark, view), agged(viewDelta, signed = true),
+          keys = keys, sumCols = (sums.values ++ counts.values).toSeq)
+        MaintainJoinResult(toA, toB, commit(merged))
+      case None =>
+        val boot = agged(
+          joined(readBase(spark, left).select(aCols.map(col): _*),
+            readBase(spark, right).select(bCols.map(col): _*)),
+          signed = false)
+        MaintainJoinResult(toA, toB, commit(boot))
+    }
+  }
+
+  /** Register a maintained join-aggregate table as a transparent
+    * materialized view over `left ⋈ right` — the [[maintainJoin]]
+    * counterpart of [[registerRewrite]]: freshness = the view's
+    * applied-bases marker equals BOTH bases' committed versions; each
+    * side's scan roots follow that base's current composition. */
+  def registerJoinRewrite(spark: SparkSession, name: String,
+      left: Path, right: Path, view: Path,
+      joinKeys: Seq[(String, String)], keys: Seq[String],
+      countCol: Option[String] = Some("count_rows"),
+      sums: Map[String, String] = Map.empty,
+      mins: Map[String, String] = Map.empty,
+      maxs: Map[String, String] = Map.empty,
+      counts: Map[String, String] = Map.empty): Unit =
+    MatView.registerJoin(MatView.JoinDef(
+      name = name,
+      leftRoots = () => expectedRoots(left),
+      rightRoots = () => expectedRoots(right),
+      joinKeys = joinKeys,
+      view = () => Storage.readVersion(spark, view),
+      keys = keys, countCol = countCol, sums = sums, mins = mins,
+      maxs = maxs, counts = counts,
+      fresh = () => appliedBases(view).exists { case (a, b) =>
+        Storage.currentVersion(left).contains(a) &&
+          Storage.currentVersion(right).contains(b) }))
+
   /** One scan, grouped once, answering min/max for (at least) the flagged
     * keys: stats-range-pruned + exact-key-filtered when the flagged key
     * set fits the driver, else the full base (a per-column `isin` over a

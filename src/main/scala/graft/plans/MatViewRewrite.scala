@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{DataType, NumericType}
+import org.apache.spark.sql.types.{DataType, DoubleType, NumericType}
 
 /** Transparent materialized-view rewrite — the classic warehouse
   * query-rewrite the reference's datamart layer aspires to
@@ -56,6 +56,10 @@ import org.apache.spark.sql.types.{DataType, NumericType}
   * (aliases carry the original exprIds), so the surrounding plan — joins,
   * sorts, further projections — is undisturbed.
   *
+  * [[MatViewJoinRewrite]] is the two-table form of the same idea
+  * (aggregate navigation over a maintained JOIN view); it shares this
+  * file's matching machinery via [[MatViewSupport]].
+  *
   * Install session-wide via [[GraftExtensions]] or per-query via
   * `spark.experimental.extraOptimizations`.
   */
@@ -80,16 +84,50 @@ object MatView {
       mins: Map[String, String] = Map.empty,
       maxs: Map[String, String] = Map.empty,
       counts: Map[String, String] = Map.empty,
-      fresh: () => Boolean = () => true)
+      fresh: () => Boolean = () => true) {
+    private[plans] def partials: MatViewSupport.Partials =
+      MatViewSupport.Partials(countCol, sums, mins, maxs, counts)
+  }
+
+  /** A registered view over an INNER EQUI-JOIN of two base tables
+    * (aggregate navigation: `Aggregate(Join(A, B))` re-plans onto the
+    * maintained join view). `joinKeys` pair a left base column with the
+    * right base column it must equal; the matched query's join condition
+    * must be exactly that conjunction (either side order). All referenced
+    * column names must be UNAMBIGUOUS across the two bases — a name
+    * appearing on both sides never matches (the view's columns are
+    * addressed by bare name). */
+  final case class JoinDef(
+      name: String,
+      leftRoots: () => Set[String],
+      rightRoots: () => Set[String],
+      joinKeys: Seq[(String, String)],
+      view: () => DataFrame,
+      keys: Seq[String],
+      countCol: Option[String] = None,
+      sums: Map[String, String] = Map.empty,
+      mins: Map[String, String] = Map.empty,
+      maxs: Map[String, String] = Map.empty,
+      counts: Map[String, String] = Map.empty,
+      fresh: () => Boolean = () => true) {
+    private[plans] def partials: MatViewSupport.Partials =
+      MatViewSupport.Partials(countCol, sums, mins, maxs, counts)
+  }
 
   private val reg = new java.util.concurrent.ConcurrentHashMap[String, Def]
+  private val joinReg = new java.util.concurrent.ConcurrentHashMap[String, JoinDef]
 
   def register(d: Def): Unit = reg.put(d.name, d)
-  def drop(name: String): Unit = reg.remove(name)
-  def clear(): Unit = reg.clear()
+  def registerJoin(d: JoinDef): Unit = joinReg.put(d.name, d)
+  def drop(name: String): Unit = { reg.remove(name); joinReg.remove(name) }
+  def clear(): Unit = { reg.clear(); joinReg.clear() }
   def all: Seq[Def] = {
     import scala.jdk.CollectionConverters._
     reg.values.asScala.toSeq.sortBy(_.name)
+  }
+  def allJoins: Seq[JoinDef] = {
+    import scala.jdk.CollectionConverters._
+    joinReg.values.asScala.toSeq.sortBy(_.name)
   }
 
   private[plans] def canonical(p: String): String =
@@ -101,28 +139,26 @@ object MatView {
   def root(p: java.nio.file.Path): String = canonical(p.toString)
 }
 
-object MatViewRewrite extends Rule[LogicalPlan] {
+/** The matching machinery both rewrite rules share: peeling a scan out
+  * from under Filters/pass-through Projects, root-set matching, and the
+  * aggregate-shape validation + rebuild that is independent of WHAT was
+  * matched underneath (single scan or join). */
+private[plans] object MatViewSupport {
 
-  val EnabledKey = "spark.graft.matviewRewrite.enabled"
+  final case class Partials(
+      countCol: Option[String],
+      sums: Map[String, String],
+      mins: Map[String, String],
+      maxs: Map[String, String],
+      counts: Map[String, String])
 
-  def apply(plan: LogicalPlan): LogicalPlan = {
-    val defs = MatView.all
-    if (defs.isEmpty || !conf.getConfString(EnabledKey, "true").toBoolean) plan
-    else plan.transform {
-      case agg @ Aggregate(_, _, _, _) =>
-        tryRewrite(agg, defs).getOrElse(agg)
-    }
-  }
-
-  /** Peel Filters and pass-through Projects off the aggregate's child,
-    * accumulating filter conditions, down to a file-source relation. A
-    * Project passes when every output is a bare column or a SAME-NAMED
+  /** A Project passes when every output is a bare column or a SAME-NAMED
     * loss-free upcast of one — the shape the versioned read paths emit to
     * align carried narrow files to the declared schema. A renaming or
     * value-changing projection (including a lossy cast) blocks the
     * rewrite: the view's partials describe the DECLARED columns, and
     * matching is by name. */
-  private def alignOnly(e: NamedExpression): Boolean = e match {
+  def alignOnly(e: NamedExpression): Boolean = e match {
     case _: AttributeReference => true
     case Alias(a: AttributeReference, n) => n == a.name
     case Alias(c: Cast, n) => c.child match {
@@ -133,7 +169,9 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private def strip(p: LogicalPlan, filters: Seq[Expression])
+  /** Peel Filters and pass-through Projects, accumulating filter
+    * conditions, down to a file-source relation. */
+  def strip(p: LogicalPlan, filters: Seq[Expression])
       : Option[(Seq[Expression], LogicalRelation)] = p match {
     case Filter(cond, child) => strip(child, filters :+ cond)
     case Project(exprs, child) if exprs.forall(alignOnly) =>
@@ -142,7 +180,7 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def scanRoots(lr: LogicalRelation): Seq[String] = lr.relation match {
+  def scanRoots(lr: LogicalRelation): Seq[String] = lr.relation match {
     case fs: HadoopFsRelation =>
       fs.location.rootPaths.map(rp => MatView.canonical(rp.toUri.toString))
     case _ => Seq.empty
@@ -152,28 +190,64 @@ object MatViewRewrite extends Rule[LogicalPlan] {
   // registration declares. Subset reads (a pruned partitioned read, a
   // single-bucket scan) must NOT rewrite to the full view — they
   // aggregate a partial state the view does not represent.
-  private def covers(roots: Seq[String], expected: Set[String]): Boolean =
+  def covers(roots: Seq[String], expected: Set[String]): Boolean =
     roots.nonEmpty && roots.toSet == expected
 
   // a rewritten aggregate's result must be byte-identical or a loss-free
   // numeric widening of the original's — otherwise no rewrite
-  private def typeOk(from: DataType, to: DataType): Boolean =
+  def typeOk(from: DataType, to: DataType): Boolean =
     from == to || (from.isInstanceOf[NumericType] && to.isInstanceOf[NumericType])
 
-  private def tryRewrite(agg: Aggregate, defs: Seq[MatView.Def]): Option[LogicalPlan] = {
-    val (filters, rel) = strip(agg.child, Nil) match {
-      case Some(x) => x
-      case None => return None
+  /** An output slot's aggregate, possibly under a Cast (CollapseProject
+    * merges a projection's casts INTO the aggregate list before extra
+    * optimizations run). */
+  def asAgg(e: Expression): Option[(AggregateExpression, Expression => Expression)] =
+    e match {
+      case ae: AggregateExpression => Some((ae, identity[Expression]))
+      case c: Cast => c.child match {
+        case ae: AggregateExpression =>
+          Some((ae, (x: Expression) => c.withNewChildren(Seq(x))))
+        case _ => None
+      }
+      case _ => None
     }
-    val roots = scanRoots(rel)
-    defs.view.flatMap(d => rewriteWith(agg, filters, roots, d)).headOption
-  }
 
-  private def rewriteWith(
-      agg: Aggregate, filters: Seq[Expression], roots: Seq[String],
-      d: MatView.Def): Option[LogicalPlan] = {
-    if (!covers(roots, d.baseRoots())) return None
-    val keySet = d.keys.toSet
+  /** The view partial column(s) an aggregate re-aggregates from, or None
+    * when the view cannot serve it. AVG needs BOTH a sum and a non-null
+    * count partial and is gated to the DOUBLE result family (see
+    * [[MatViewRewrite]]'s doc — decimal Average's precision bookkeeping
+    * is not reproduced by an explicit Divide, so decimals fall back to
+    * the base scan). */
+  def partialsFor(d: Partials, fn: AggregateFunction): Option[Seq[String]] =
+    fn match {
+      case c: Count if c.children.size == 1 && c.children.head.foldable =>
+        d.countCol.map(Seq(_)) // COUNT(*) / COUNT(1) → SUM(count_rows)
+      case Count(Seq(a: AttributeReference)) =>
+        d.counts.get(a.name).map(Seq(_)) // COUNT(x) → SUM(count_x)
+      case Sum(a: AttributeReference, _) => d.sums.get(a.name).map(Seq(_))
+      case Min(a: AttributeReference) => d.mins.get(a.name).map(Seq(_))
+      case Max(a: AttributeReference) => d.maxs.get(a.name).map(Seq(_))
+      case avg @ Average(a: AttributeReference, _)
+          if avg.dataType == DoubleType =>
+        for { s <- d.sums.get(a.name); c <- d.counts.get(a.name) }
+          yield Seq(s, c)
+      case _ => None
+    }
+
+  /** Validate the aggregate's SHAPE against the registration and rebuild
+    * it over the view — everything downstream of having matched the
+    * source (scan roots for [[MatViewRewrite]], roots + join condition
+    * for [[MatViewJoinRewrite]]). `filters` are the accumulated
+    * conditions peeled off on the way to the source; `fresh` and `view`
+    * are only invoked once the shape is known to match. */
+  def rebuildOntoView(
+      agg: Aggregate,
+      filters: Seq[Expression],
+      keys: Seq[String],
+      partials: Partials,
+      fresh: () => Boolean,
+      view: () => DataFrame): Option[LogicalPlan] = {
+    val keySet = keys.toSet
     // grouping: plain base columns, each a view key
     val groupNames = agg.groupingExpressions.map {
       case a: AttributeReference if keySet.contains(a.name) => a.name
@@ -183,59 +257,26 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     if (!filters.forall(_.references.forall(a => keySet.contains(a.name))))
       return None
     // every output is either a grouping column or a rewritable aggregate
-    // — possibly under a Cast (CollapseProject merges a projection's
-    // casts INTO the aggregate list before extra optimizations run)
     val groupedAttrs = agg.groupingExpressions.collect {
       case a: AttributeReference => a.exprId }.toSet
-    def asAgg(e: Expression): Option[(AggregateExpression, Expression => Expression)] =
-      e match {
-        case ae: AggregateExpression => Some((ae, identity[Expression]))
-        case c: Cast => c.child match {
-          case ae: AggregateExpression =>
-            Some((ae, (x: Expression) => c.withNewChildren(Seq(x))))
-          case _ => None
-        }
-        case _ => None
-      }
-    // the view partial column(s) an aggregate re-aggregates from, or None
-    // when the view cannot serve it. AVG needs BOTH a sum and a non-null
-    // count partial and is gated to the DOUBLE result family (see object
-    // doc — decimal Average's precision bookkeeping is not reproduced by
-    // an explicit Divide, so decimals fall back to the base scan).
-    def partialsFor(fn: AggregateFunction): Option[Seq[String]] =
-      fn match {
-        case c: Count if c.children.size == 1 && c.children.head.foldable =>
-          d.countCol.map(Seq(_)) // COUNT(*) / COUNT(1) → SUM(count_rows)
-        case Count(Seq(a: AttributeReference)) =>
-          d.counts.get(a.name).map(Seq(_)) // COUNT(x) → SUM(count_x)
-        case Sum(a: AttributeReference, _) => d.sums.get(a.name).map(Seq(_))
-        case Min(a: AttributeReference) => d.mins.get(a.name).map(Seq(_))
-        case Max(a: AttributeReference) => d.maxs.get(a.name).map(Seq(_))
-        case avg @ Average(a: AttributeReference, _)
-            if avg.dataType == org.apache.spark.sql.types.DoubleType =>
-          for { s <- d.sums.get(a.name); c <- d.counts.get(a.name) }
-            yield Seq(s, c)
-        case _ => None
-      }
-    // validate the shape BEFORE paying the view read
     agg.aggregateExpressions.foreach {
       case a: AttributeReference if groupedAttrs.contains(a.exprId) => ()
       case Alias(a: AttributeReference, _) if groupedAttrs.contains(a.exprId) => ()
       case Alias(e, _) if asAgg(e).exists { case (ae, _) =>
           !ae.isDistinct && ae.filter.isEmpty &&
-            partialsFor(ae.aggregateFunction).isDefined } => ()
+            partialsFor(partials, ae.aggregateFunction).isDefined } => ()
       case _ => return None
     }
-    if (!d.fresh()) return None
+    if (!fresh()) return None
 
-    val viewPlan = d.view().queryExecution.analyzed
+    val viewPlan = view().queryExecution.analyzed
     val vAttr: Map[String, Attribute] = viewPlan.output.map(a => a.name -> a).toMap
     // the view must actually carry every column the rewrite needs
     val needed = groupNames ++ filters.flatMap(_.references.map(_.name)) ++
       agg.aggregateExpressions.flatMap {
         case Alias(e, _) =>
           asAgg(e).toSeq.flatMap { case (ae, _) =>
-            partialsFor(ae.aggregateFunction).get }
+            partialsFor(partials, ae.aggregateFunction).get }
         case _ => Nil
       }
     if (!needed.forall(vAttr.contains)) return None
@@ -248,11 +289,10 @@ object MatViewRewrite extends Rule[LogicalPlan] {
       case a: AttributeReference => vAttr(a.name)
     }
     def reAgg(fn: AggregateFunction): Option[Expression] = {
-      import org.apache.spark.sql.types.DoubleType
       def complete(f: AggregateFunction): AggregateExpression =
         AggregateExpression(f, Complete, isDistinct = false,
           filter = None, resultId = NamedExpression.newExprId)
-      val cols = partialsFor(fn).get
+      val cols = partialsFor(partials, fn).get
       val rewritten: Expression = fn match {
         case _: Count => complete(Sum(vAttr(cols.head))) // partial counts re-add
         case _: Sum => complete(Sum(vAttr(cols.head)))
@@ -289,5 +329,32 @@ object MatViewRewrite extends Rule[LogicalPlan] {
       case _ => return None // unreachable: validated above
     }
     Some(Aggregate(gExprs, outs, filtered, None))
+  }
+}
+
+object MatViewRewrite extends Rule[LogicalPlan] {
+
+  val EnabledKey = "spark.graft.matviewRewrite.enabled"
+
+  def apply(plan: LogicalPlan): LogicalPlan = {
+    val defs = MatView.all
+    if (defs.isEmpty || !conf.getConfString(EnabledKey, "true").toBoolean) plan
+    else plan.transform {
+      case agg @ Aggregate(_, _, _, _) =>
+        tryRewrite(agg, defs).getOrElse(agg)
+    }
+  }
+
+  private def tryRewrite(agg: Aggregate, defs: Seq[MatView.Def]): Option[LogicalPlan] = {
+    val (filters, rel) = MatViewSupport.strip(agg.child, Nil) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val roots = MatViewSupport.scanRoots(rel)
+    defs.view.flatMap { d =>
+      if (!MatViewSupport.covers(roots, d.baseRoots())) None
+      else MatViewSupport.rebuildOntoView(agg, filters, d.keys, d.partials,
+        d.fresh, d.view)
+    }.headOption
   }
 }

@@ -101,6 +101,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteUnknownMemberJoin)
     ext.injectOptimizerRule(_ => MatViewRewrite)
+    ext.injectOptimizerRule(_ => MatViewJoinRewrite)
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier(FixedPointDot.FnName),
       new ExpressionInfo(classOf[FixedPointDot].getName, FixedPointDot.FnName),

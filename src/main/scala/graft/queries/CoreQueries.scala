@@ -1328,6 +1328,113 @@ object CoreQueries {
              |      FROM events) t
              |WHERE rn = 1 GROUP BY event_type""".stripMargin)),
 
+    // Aggregate NAVIGATION end-to-end: m11's fact⋈dim rollup served by a
+    // MAINTAINED join view instead of the join. Same churn script as
+    // withJoinViewTables (dim nation-skew + missing keys restored; fact
+    // evens-only with price skew, then truth + a %13 takedown), but the
+    // view rolls forward by MatViews.maintainJoin after every commit —
+    // bootstrap once, then one dim-side roll (ΔA⋈B₁), one fact-side roll
+    // carrying updates+inserts+deletes (A₀⋈ΔB), and a marker advance
+    // through both compactions' empty feeds. registerJoinRewrite +
+    // MatViewJoinRewrite then re-plan the ad-hoc Aggregate(Join) onto the
+    // view — the row REQUIREs the view scan and that NEITHER base is
+    // scanned. At 100 TB: the query's giant shuffle join becomes a read
+    // of 25 pre-joined rows, maintained for O(Δ) per refresh.
+    Q("mv3_join_agg_navigation",
+      (s, d) => {
+        import graft.plans.{MatView, MatViewJoinRewrite}
+        import graft.ops.{MatViews, MergeOps, Storage}
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+        val dir = java.nio.file.Files.createTempDirectory("mv3")
+        val cust = dir.resolve("dim_customer")
+        val ord = dir.resolve("fct_orders")
+        val view = dir.resolve("view")
+        try {
+          val cTrue = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+          // churn on the RAW double, cast to decimal LAST — `dec + 42.0`
+          // would silently widen the whole column back to double and trade
+          // the exact decimal sums for fp drift
+          val oRaw = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"))
+          val oTrue = oRaw.withColumn("o_totalprice", dec(col("o_totalprice")))
+          def stamp(df: DataFrame) = df
+            .withColumn("loaded_at", lit(null).cast("timestamp"))
+            .withColumn("last_upd_at", lit(null).cast("timestamp"))
+          def loadCust(df: DataFrame, ts: String) =
+            MergeOps.prunedConditionalUpsert(cust, stamp(df),
+              pk = Seq("c_custkey"), tracked = Seq("c_nationkey"),
+              runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+          def loadOrd(df: DataFrame, ts: String) =
+            MergeOps.prunedConditionalUpsert(ord, stamp(df),
+              pk = Seq("o_orderkey"), tracked = Seq("o_custkey", "o_totalprice"),
+              runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+          def maintain() = MatViews.maintainJoin(s, cust, ord, view,
+            pkLeft = Seq("c_custkey"), pkRight = Seq("o_orderkey"),
+            joinKeysLeft = Seq("c_custkey"), joinKeysRight = Seq("o_custkey"),
+            keys = Seq("c_nationkey"),
+            sums = Map("o_totalprice" -> "sum_rev"),
+            counts = Map("o_totalprice" -> "cnt_rev"), keepVersions = 2)
+          loadCust(cTrue.filter(col("c_custkey") % 7 =!= 0)
+            .withColumn("c_nationkey",
+              when(col("c_custkey") % 10 === 0,
+                ((col("c_nationkey") + 1) % 25).cast("int"))
+                .otherwise(col("c_nationkey"))), CutoffTs)
+          loadOrd(oRaw.filter(col("o_orderkey") % 2 === 0)
+            .withColumn("o_totalprice",
+              dec(when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 42.0)
+                .otherwise(col("o_totalprice")))), CutoffTs)
+          maintain() // bootstrap at the churned pair
+          loadCust(cTrue, RunTs)
+          maintain() // dim-side roll: ΔA ⋈ B₁
+          loadOrd(oTrue, RunTs)
+          MergeOps.prunedDelete(ord,
+            oTrue.select(col("o_orderkey")).filter(col("o_orderkey") % 13 === 0),
+            pk = Seq("o_orderkey"), nParts = 8, keepVersions = 4)
+          maintain() // fact-side roll: updates + inserts + deletes
+          Storage.compact(s, cust)
+          Storage.compact(s, ord)
+          maintain() // owners unified; markers advance through empty feeds
+          MatViews.registerJoinRewrite(s, "mv3", cust, ord, view,
+            joinKeys = Seq("c_custkey" -> "o_custkey"), keys = Seq("c_nationkey"),
+            sums = Map("o_totalprice" -> "sum_rev"),
+            counts = Map("o_totalprice" -> "cnt_rev"))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ MatViewJoinRewrite
+          try {
+            val q = Storage.readPartitionedVersion(s, cust)
+              .join(Storage.readPartitionedVersion(s, ord),
+                col("c_custkey") === col("o_custkey"))
+              .groupBy(col("c_nationkey"))
+              .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("sr"),
+                count(col("o_totalprice")).as("cnt_rev"))
+              .select(col("c_nationkey"), col("cnt"),
+                col("sr").cast("double").as("sum_rev"), col("cnt_rev"))
+            val scans = q.queryExecution.optimizedPlan.collect {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                lr.relation match {
+                  case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                    fs.location.rootPaths.map(_.toString)
+                  case _ => Nil
+                }
+            }.flatten
+            require(scans.exists(_.contains(view.toString)) &&
+                !scans.exists(p => p.contains(cust.toString) || p.contains(ord.toString)),
+              s"join aggregate was not navigated onto the view: $scans")
+            q.localCheckpoint()
+          } finally {
+            s.experimental.extraOptimizations =
+              s.experimental.extraOptimizations.filterNot(_ eq MatViewJoinRewrite)
+            MatView.drop("mv3")
+          }
+        } finally Storage.deleteRecursively(dir)
+      },
+      Some("""SELECT c_nationkey, count(*) AS cnt,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_rev,
+             |       count(o_totalprice) AS cnt_rev
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_orderkey % 13 <> 0
+             |GROUP BY c_nationkey""".stripMargin)),
+
     Q("io5_dv_delta_export",
       (s, d) => {
         val dir = java.nio.file.Files.createTempDirectory("iodv")

@@ -101,14 +101,39 @@ class PipelineRunnerSpec extends SparkTestBase {
     val versionsBefore = Seq(l.stgUsers, l.dimUsers, l.factOrders)
       .map(graft.ops.Storage.currentVersion)
 
+    // an aggregate view of the fact table rides the SAME maintenance
+    // pass: bootstrap on first sight, exact roll-forward afterwards
+    import graft.ops.MatViews
+    val factView = work.resolve("dm_orders_by_user")
+    val views = Seq(PipelineRunner.ViewMaintenance(l.factOrders,
+      pk = Seq("o_orderkey"),
+      specs = Seq(MatViews.ViewSpec(factView, keys = Seq("user_sk"),
+        mins = Map("o_totalprice" -> "min_price"),
+        maxs = Map("o_totalprice" -> "max_price"),
+        counts = Map("o_totalprice" -> "cnt_price"), keepVersions = 2))))
+    def assertViewExact(): Unit = {
+      val got = graft.ops.Storage.readVersion(spark, factView)
+        .select("user_sk", "count_rows", "min_price", "max_price", "cnt_price")
+        .collect().map(_.toSeq).toSet
+      val want = graft.ops.Storage.readPartitionedVersion(spark, l.factOrders)
+        .groupBy("user_sk")
+        .agg(count(lit(1)).as("count_rows"), min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"),
+          count(col("o_totalprice")).as("cnt_price"))
+        .collect().map(_.toSeq).toSet
+      assert(got == want, s"fact view diverged:\n got  $got\n want $want")
+    }
+
     // maintenance with nothing due: every compaction trigger judges the
     // layers healthy from log metadata, the TTL keeps both epochs — and
     // crucially NO layer burns a version slot (the convergence contract)
-    val r1 = PipelineRunner.maintain(spark, work)
+    val r1 = PipelineRunner.maintain(spark, work, views = views)
     assert(r1.compacted.values.forall(_.isEmpty), r1.toString)
     assert(Seq(l.stgUsers, l.dimUsers, l.factOrders)
       .map(graft.ops.Storage.currentVersion) == versionsBefore,
       "a no-op maintenance pass must not commit")
+    assert(r1.views.contains(factView.toString), r1.toString)
+    assertViewExact()
 
     // TTL: drop run 1's epoch, keep run 2's — one metadata commit on the
     // fact table only
@@ -116,18 +141,24 @@ class PipelineRunnerSpec extends SparkTestBase {
       .map(_.split("=", 2)(1).toLong)
     assert(epochs.size == 2, s"fixture expects two run epochs, got $epochs")
     val keepFrom = epochs.max
-    val r2 = PipelineRunner.maintain(spark, work, keepEpoch = _ >= keepFrom)
+    val r2 = PipelineRunner.maintain(spark, work, keepEpoch = _ >= keepFrom,
+      views = views)
     assert(r2.expiredFactVersion.exists(v => versionsBefore(2).exists(_ < v)),
       s"expiry must land as a new fact commit: $r2")
     val facts = graft.ops.Storage.readPartitionedVersion(spark, l.factOrders)
     assert(facts.filter(col("load_epoch") =!= keepFrom).count() == 0,
       "expired epoch rows must be gone")
     assert(facts.count() > 0, "retained epoch must survive")
+    // …and the view rolled THROUGH the expiry's retractions in the same
+    // pass (min/max recomputes where a dropped epoch held the extreme)
+    assertViewExact()
     // idempotence: the next scheduled pass has nothing to do
-    val r3 = PipelineRunner.maintain(spark, work, keepEpoch = _ >= keepFrom)
+    val r3 = PipelineRunner.maintain(spark, work, keepEpoch = _ >= keepFrom,
+      views = views)
     assert(r3.compacted.values.forall(_.isEmpty) &&
       r3.expiredFactVersion == graft.ops.Storage.currentVersion(l.factOrders),
       s"repeat maintenance must no-op: $r3")
+    assertViewExact()
   }
 
   test("late-arriving events inside the lateness horizon are picked up by the next run") {
