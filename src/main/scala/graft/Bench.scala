@@ -175,7 +175,11 @@ object Bench {
     def isHarness(n: String): Boolean =
       n.startsWith("stream") || n == "m11_join_view_maintenance" ||
         n == "sim6_ivfpq_topk" || n == "sim7_persisted_ann_index" ||
-        n == "d13_persisted_dedup_index" // bootstraps + appends the whole index per rep
+        n == "d13_persisted_dedup_index" || // bootstraps + appends the whole index per rep
+        // same class as m11: multi-load fixture + per-commit maintenance +
+        // compaction replays per rep; the operator under test (the
+        // transparent rewrite + one delta apply) is a sliver of the row
+        n == "mv2_maintained_rewrite" || n == "mv3_join_agg_navigation"
     val (harnessRows, coreRows) = results.partition { case (n, _) => isHarness(n) }
     def mean(rows: Seq[(String, Double)]): Double =
       if (rows.isEmpty) 0.0 else rows.map(_._2).sum / rows.size

@@ -230,34 +230,36 @@ object MatViews {
       .agg(count(lit(1)).as("count_rows"), aggs.toSeq: _*)
   }
 
-  private def rollForward(spark: SparkSession, base: Path, sp: ViewSpec,
-      cdf: DataFrame, to: Long): MaintainResult = {
-    val keys = sp.keys
-    // a per-column NON-NULL count (COUNT(x) / the AVG denominator) is
-    // just a sum of 0/1 indicators — fully additive under retraction, so
-    // it rides the signed-sum path end to end and never flags a recompute
-    val countsAsSums: Map[String, Column] =
-      sp.counts.map { case (b, v) =>
-        v -> when(col(b).isNotNull, 1L).otherwise(0L) }
-    val deltaAgg = AggMaintain.retractableDeltaAggregates(cdf, keys,
-      sp.sums.map { case (b, v) => v -> col(b) } ++ countsAsSums,
-      sp.mins.map { case (b, v) => v -> col(b) },
-      sp.maxs.map { case (b, v) => v -> col(b) })
+  /** A per-column NON-NULL count (COUNT(x) / the AVG denominator) is
+    * just a sum of 0/1 indicators — fully additive under retraction, so
+    * it rides the signed-sum path end to end and never flags a
+    * recompute. */
+  private def countsAsSums(counts: Map[String, String]): Map[String, Column] =
+    counts.map { case (b, v) => v -> when(col(b).isNotNull, 1L).otherwise(0L) }
+
+  /** The retractable merge both maintainers share: apply the delta, count
+    * the groups whose stored extreme may have been retracted, and — only
+    * if there are any — overwrite those groups' min/max from
+    * `recompute(flaggedKeys, n)` (a frame of keys ++ exact extremes over
+    * the CURRENT state; how it prunes is the caller's shape: a
+    * stats-pruned single-table scan, or a filtered re-join). Returns the
+    * next state and the flagged-group count. */
+  private def mergeRetractable(
+      state: DataFrame, deltaAgg: DataFrame, keys: Seq[String],
+      sumCols: Seq[String], minCols: Seq[String], maxCols: Seq[String],
+      recompute: (DataFrame, Long) => DataFrame): (DataFrame, Long) = {
     val flag = "__recompute"
     // checkpointed: the merged state is read twice (flag count +
     // final commit) and feeds a join — view-sized, not base-sized
     val merged = AggMaintain.applyDeltaRetractable(
-      Storage.readVersion(spark, sp.view), deltaAgg, keys,
-      (sp.sums.values ++ sp.counts.values).toSeq,
-      sp.mins.values.toSeq, sp.maxs.values.toSeq, flag)
+      state, deltaAgg, keys, sumCols, minCols, maxCols, flag)
       .localCheckpoint()
     val flagged = merged.filter(col(flag))
     val n = flagged.count()
     val next =
       if (n == 0) merged.drop(flag)
       else {
-        val rec = recomputeExtremes(spark, base, keys, sp.mins, sp.maxs,
-          flagged.select(keys.map(col): _*), n, sp.maxCollectedGroups)
+        val rec = recompute(flagged.select(keys.map(col): _*), n)
         val m = merged.alias("m")
         val r = rec.alias("r")
         val joined = m.join(r,
@@ -265,11 +267,27 @@ object MatViews {
         joined.select(
           keys.map(k => col(s"m.$k").as(k)) ++
             Seq(col("m.count_rows").as("count_rows")) ++
-            (sp.sums.values ++ sp.counts.values).toSeq.map(c => col(s"m.$c").as(c)) ++
-            (sp.mins.values.toSeq ++ sp.maxs.values.toSeq).map(c =>
+            sumCols.map(c => col(s"m.$c").as(c)) ++
+            (minCols ++ maxCols).map(c =>
               when(col(s"m.$flag"), col(s"r.$c"))
                 .otherwise(col(s"m.$c")).as(c)): _*)
       }
+    (next, n)
+  }
+
+  private def rollForward(spark: SparkSession, base: Path, sp: ViewSpec,
+      cdf: DataFrame, to: Long): MaintainResult = {
+    val keys = sp.keys
+    val deltaAgg = AggMaintain.retractableDeltaAggregates(cdf, keys,
+      sp.sums.map { case (b, v) => v -> col(b) } ++ countsAsSums(sp.counts),
+      sp.mins.map { case (b, v) => v -> col(b) },
+      sp.maxs.map { case (b, v) => v -> col(b) })
+    val (next, n) = mergeRetractable(
+      Storage.readVersion(spark, sp.view), deltaAgg, keys,
+      (sp.sums.values ++ sp.counts.values).toSeq,
+      sp.mins.values.toSeq, sp.maxs.values.toSeq,
+      (flaggedKeys, n0) => recomputeExtremes(spark, base, keys, sp.mins,
+        sp.maxs, flaggedKeys, n0, sp.maxCollectedGroups))
     MaintainResult(to, commitMaintained(next, sp.view, to, sp.keepVersions), n)
   }
 
@@ -289,9 +307,12 @@ object MatViews {
       }
     }
 
-  /** Outcome of one [[maintainJoin]] call. */
+  /** Outcome of one [[maintainJoin]] call: the base-version pair the view
+    * now reflects, the view commit holding it, and how many groups needed
+    * a min/max re-join recompute (0 on the pure-additive path). */
   final case class MaintainJoinResult(
-      appliedLeft: Long, appliedRight: Long, viewVersion: Long)
+      appliedLeft: Long, appliedRight: Long, viewVersion: Long,
+      recomputedGroups: Long = 0)
 
   /** Incremental maintenance of an aggregate view over the INNER
     * EQUI-JOIN of two versioned bases — the loop
@@ -304,10 +325,16 @@ object MatViews {
     * view-sized signed merge ([[AggMaintain.applyDelta]]). First call
     * bootstraps with one full join + aggregate.
     *
-    * Scope: COUNT(*) / SUM / non-null COUNT partials — the
-    * self-maintainable aggregate family under joins. MIN/MAX over a join
-    * view would need a join-recompute per flagged group; register a
-    * hand-maintained view if you need them.
+    * COUNT(*) / SUM / non-null COUNT partials are self-maintainable
+    * (signed, purely additive). MIN/MAX ride the same retractable
+    * machinery as [[maintain]]: merged where provably exact
+    * ([[AggMaintain.applyDeltaRetractable]]'s ins-ties-ret exemption
+    * covers rows re-bucketed for an unrelated change), and recomputed
+    * ONLY for flagged groups by ONE re-join of the current snapshots
+    * filtered to the flagged key set when it is driver-collectable
+    * (≤ `maxCollectedGroups`; the key predicate pushes below the join
+    * into the side that carries it), degrading past the budget to one
+    * full re-join — the bootstrap cost, never more.
     *
     * `sums`/`counts` map a base column (of EITHER side — names must be
     * disjoint across sides) → view partial column. `joinKeysLeft`/
@@ -329,29 +356,32 @@ object MatViews {
       keys: Seq[String],
       sums: Map[String, String] = Map.empty,
       counts: Map[String, String] = Map.empty,
-      keepVersions: Int = 1): MaintainJoinResult = {
+      mins: Map[String, String] = Map.empty,
+      maxs: Map[String, String] = Map.empty,
+      keepVersions: Int = 1,
+      maxCollectedGroups: Int = 10000): MaintainJoinResult = {
     require(joinKeysLeft.size == joinKeysRight.size && joinKeysLeft.nonEmpty,
       "joinKeysLeft/joinKeysRight must pair up")
     val toA = Storage.currentVersion(left).getOrElse(
       throw new IllegalStateException(s"no committed version at $left"))
     val toB = Storage.currentVersion(right).getOrElse(
       throw new IllegalStateException(s"no committed version at $right"))
-    val aggBase = (sums.keys ++ counts.keys).toSeq.distinct
+    val aggBase = (sums.keys ++ counts.keys ++ mins.keys ++ maxs.keys)
+      .toSeq.distinct
     def sideCols(all: Seq[String], jk: Seq[String]): Seq[String] =
       ((keys ++ aggBase).filter(all.contains) ++ jk).distinct
     def commit(state: DataFrame): Long =
       Storage.commitVersion(state, view, keepVersions = keepVersions,
         extraFiles = Map(AppliedBasesMarker -> s"$toA,$toB"),
         fileStats = false)
-    def agged(flat: DataFrame, signed: Boolean): DataFrame = {
-      val s = if (signed) col("sign").cast("long") else lit(1L)
+    def bootAgged(flat: DataFrame): DataFrame = {
       val aggs =
-        sums.map { case (b, v) =>
-          sum((if (signed) col("sign") * col(b) else col(b))).as(v) } ++
-          counts.map { case (b, v) =>
-            sum(when(col(b).isNotNull, s).otherwise(0L)).as(v) }
+        sums.map { case (b, v) => sum(col(b)).as(v) } ++
+          counts.map { case (b, v) => count(col(b)).as(v) } ++
+          mins.map { case (b, v) => min(col(b)).as(v) } ++
+          maxs.map { case (b, v) => max(col(b)).as(v) }
       flat.groupBy(keys.map(col): _*)
-        .agg(sum(s).as("count_rows"), aggs.toSeq: _*)
+        .agg(count(lit(1)).as("count_rows"), aggs.toSeq: _*)
     }
     val aAll = readBase(spark, left).columns.toSeq
     val bAll = readBase(spark, right).columns.toSeq
@@ -381,15 +411,46 @@ object MatViews {
           .select(bCols.map(col): _*)
         val viewDelta = ViewMaintain.joinDelta(aOld, dA, bNew, dB,
           keysA = joinKeysLeft, keysB = joinKeysRight)
-        val merged = AggMaintain.applyDelta(
-          Storage.readVersion(spark, view), agged(viewDelta, signed = true),
-          keys = keys, sumCols = (sums.values ++ counts.values).toSeq)
-        MaintainJoinResult(toA, toB, commit(merged))
+        val deltaAgg = AggMaintain.retractableDeltaAggregates(viewDelta, keys,
+          sums.map { case (b, v) => v -> col(b) } ++ countsAsSums(counts),
+          mins.map { case (b, v) => v -> col(b) },
+          maxs.map { case (b, v) => v -> col(b) },
+          changeType = when(col("sign") === 1, lit("insert"))
+            .otherwise(lit("delete")))
+        // flagged extremes recompute by ONE re-join of the CURRENT
+        // snapshots, filtered to the flagged key set (the predicate
+        // pushes below the join into whichever side carries the key)
+        def recomputeJoin(flaggedKeys: DataFrame, n: Long): DataFrame = {
+          val full = joined(
+            Storage.readPartitionedVersionAt(spark, left, toA)
+              .select(aCols.map(col): _*),
+            Storage.readPartitionedVersionAt(spark, right, toB)
+              .select(bCols.map(col): _*))
+          val scan =
+            if (n > maxCollectedGroups) full
+            else {
+              val rows = flaggedKeys.collect()
+              val pred = keys.zipWithIndex.map { case (k, i) =>
+                val vs = rows.map(_.get(i)).toSeq
+                val nn = vs.filter(_ != null).distinct
+                val base0 = if (nn.isEmpty) lit(false) else col(k).isin(nn: _*)
+                if (vs.contains(null)) base0 || col(k).isNull else base0
+              }.reduce(_ && _)
+              full.filter(pred)
+            }
+          val aggs = mins.map { case (b, v) => min(col(b)).as(v) } ++
+            maxs.map { case (b, v) => max(col(b)).as(v) }
+          scan.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail.toSeq: _*)
+        }
+        val (next, n) = mergeRetractable(
+          Storage.readVersion(spark, view), deltaAgg, keys,
+          (sums.values ++ counts.values).toSeq,
+          mins.values.toSeq, maxs.values.toSeq, recomputeJoin)
+        MaintainJoinResult(toA, toB, commit(next), n)
       case None =>
-        val boot = agged(
+        val boot = bootAgged(
           joined(readBase(spark, left).select(aCols.map(col): _*),
-            readBase(spark, right).select(bCols.map(col): _*)),
-          signed = false)
+            readBase(spark, right).select(bCols.map(col): _*)))
         MaintainJoinResult(toA, toB, commit(boot))
     }
   }
@@ -418,6 +479,141 @@ object MatViews {
       fresh = () => appliedBases(view).exists { case (a, b) =>
         Storage.currentVersion(left).contains(a) &&
           Storage.currentVersion(right).contains(b) }))
+
+  /** One catalog row — everything a FRESH session needs to re-register
+    * ([[loadCatalog]]) and re-maintain ([[maintainCatalog]]) a view
+    * without code: paths are stored absolute, partials by name. `kind`
+    * is "single" (base/pk) or "join" (left/right/pkLeft/pkRight/join
+    * keys). */
+  final case class CatalogEntry(
+      name: String,
+      kind: String,
+      view: String,
+      keys: Seq[String],
+      base: String = "",
+      pk: Seq[String] = Nil,
+      left: String = "",
+      right: String = "",
+      pkLeft: Seq[String] = Nil,
+      pkRight: Seq[String] = Nil,
+      joinKeysLeft: Seq[String] = Nil,
+      joinKeysRight: Seq[String] = Nil,
+      sums: Map[String, String] = Map.empty,
+      mins: Map[String, String] = Map.empty,
+      maxs: Map[String, String] = Map.empty,
+      counts: Map[String, String] = Map.empty,
+      keepVersions: Int = 1) {
+    require(kind == "single" || kind == "join", s"unknown kind '$kind'")
+  }
+
+  /** The catalog file a warehouse directory carries. */
+  val CatalogFile = "_MATVIEWS.json"
+
+  private def entryJson(e: CatalogEntry): org.json4s.JValue = {
+    import org.json4s.JsonDSL._
+    ("name" -> e.name) ~ ("kind" -> e.kind) ~ ("view" -> e.view) ~
+      ("keys" -> e.keys) ~ ("base" -> e.base) ~ ("pk" -> e.pk) ~
+      ("left" -> e.left) ~ ("right" -> e.right) ~
+      ("pkLeft" -> e.pkLeft) ~ ("pkRight" -> e.pkRight) ~
+      ("joinKeysLeft" -> e.joinKeysLeft) ~ ("joinKeysRight" -> e.joinKeysRight) ~
+      ("sums" -> e.sums) ~ ("mins" -> e.mins) ~ ("maxs" -> e.maxs) ~
+      ("counts" -> e.counts) ~ ("keepVersions" -> e.keepVersions)
+  }
+
+  /** Every entry in `catalogDir`'s catalog (empty if none yet). */
+  def catalog(catalogDir: Path): Seq[CatalogEntry] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val formats: Formats = DefaultFormats
+    val f = catalogDir.resolve(CatalogFile)
+    if (!Files.exists(f)) Seq.empty
+    else JsonMethods.parse(new String(Files.readAllBytes(f), "UTF-8")) match {
+      case JArray(es) => es.map { j =>
+        CatalogEntry(
+          name = (j \ "name").extract[String],
+          kind = (j \ "kind").extract[String],
+          view = (j \ "view").extract[String],
+          keys = (j \ "keys").extract[Seq[String]],
+          base = (j \ "base").extractOrElse[String](""),
+          pk = (j \ "pk").extractOrElse[Seq[String]](Nil),
+          left = (j \ "left").extractOrElse[String](""),
+          right = (j \ "right").extractOrElse[String](""),
+          pkLeft = (j \ "pkLeft").extractOrElse[Seq[String]](Nil),
+          pkRight = (j \ "pkRight").extractOrElse[Seq[String]](Nil),
+          joinKeysLeft = (j \ "joinKeysLeft").extractOrElse[Seq[String]](Nil),
+          joinKeysRight = (j \ "joinKeysRight").extractOrElse[Seq[String]](Nil),
+          sums = (j \ "sums").extractOrElse[Map[String, String]](Map.empty),
+          mins = (j \ "mins").extractOrElse[Map[String, String]](Map.empty),
+          maxs = (j \ "maxs").extractOrElse[Map[String, String]](Map.empty),
+          counts = (j \ "counts").extractOrElse[Map[String, String]](Map.empty),
+          keepVersions = (j \ "keepVersions").extractOrElse[Int](1))
+      }
+      case _ => Seq.empty
+    }
+  }
+
+  /** Upsert one entry (by name) into the catalog — atomic tmp + move, so
+    * a concurrent [[loadCatalog]] sees the old file or the new one, never
+    * a torn write. */
+  def defineView(catalogDir: Path, e: CatalogEntry): Unit = {
+    import org.json4s.JArray
+    import org.json4s.jackson.JsonMethods
+    Files.createDirectories(catalogDir)
+    val next = catalog(catalogDir).filterNot(_.name == e.name) :+ e
+    val tmp = Files.createTempFile(catalogDir, ".matviews", ".tmp")
+    Files.write(tmp, JsonMethods.compact(JsonMethods.render(
+      JArray(next.sortBy(_.name).map(entryJson).toList))).getBytes("UTF-8"))
+    Files.move(tmp, catalogDir.resolve(CatalogFile),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Re-register every cataloged view for transparent rewrite in THIS
+    * session ([[registerRewrite]] / [[registerJoinRewrite]]) — the
+    * new-session bootstrap. Returns how many were registered. */
+  def loadCatalog(spark: SparkSession, catalogDir: Path): Int = {
+    val es = catalog(catalogDir)
+    es.foreach {
+      case e if e.kind == "single" =>
+        registerRewrite(spark, e.name, Path.of(e.base), Path.of(e.view),
+          keys = e.keys, sums = e.sums, mins = e.mins, maxs = e.maxs,
+          counts = e.counts)
+      case e =>
+        registerJoinRewrite(spark, e.name, Path.of(e.left), Path.of(e.right),
+          Path.of(e.view), joinKeys = e.joinKeysLeft.zip(e.joinKeysRight),
+          keys = e.keys, sums = e.sums, mins = e.mins, maxs = e.maxs,
+          counts = e.counts)
+    }
+    es.size
+  }
+
+  /** What one [[maintainCatalog]] pass did, per view name. */
+  final case class CatalogMaintenance(
+      single: Map[String, MaintainResult],
+      joins: Map[String, MaintainJoinResult])
+
+  /** Maintain EVERY cataloged view — the one-call scheduled entry point a
+    * fresh session (or an orchestrator slot) runs. Single-base entries
+    * group per (base, pk) through [[maintainAll]], so views of one base
+    * share a change feed; join entries roll via [[maintainJoin]]. */
+  def maintainCatalog(spark: SparkSession, catalogDir: Path): CatalogMaintenance = {
+    val es = catalog(catalogDir)
+    val single = es.filter(_.kind == "single")
+      .groupBy(e => (e.base, e.pk)).toSeq.flatMap { case ((base, pk), grp) =>
+        val specs = grp.map(e => ViewSpec(Path.of(e.view), e.keys, e.sums,
+          e.mins, e.maxs, e.counts, e.keepVersions))
+        maintainAll(spark, Path.of(base), pk, specs)
+          .zip(grp).map { case (r, e) => e.name -> r }
+      }.toMap
+    val joins = es.filter(_.kind == "join").map { e =>
+      e.name -> maintainJoin(spark, Path.of(e.left), Path.of(e.right),
+        Path.of(e.view), pkLeft = e.pkLeft, pkRight = e.pkRight,
+        joinKeysLeft = e.joinKeysLeft, joinKeysRight = e.joinKeysRight,
+        keys = e.keys, sums = e.sums, counts = e.counts, mins = e.mins,
+        maxs = e.maxs, keepVersions = e.keepVersions)
+    }.toMap
+    CatalogMaintenance(single, joins)
+  }
 
   /** One scan, grouped once, answering min/max for (at least) the flagged
     * keys: stats-range-pruned + exact-key-filtered when the flagged key

@@ -1373,7 +1373,9 @@ object CoreQueries {
             joinKeysLeft = Seq("c_custkey"), joinKeysRight = Seq("o_custkey"),
             keys = Seq("c_nationkey"),
             sums = Map("o_totalprice" -> "sum_rev"),
-            counts = Map("o_totalprice" -> "cnt_rev"), keepVersions = 2)
+            counts = Map("o_totalprice" -> "cnt_rev"),
+            mins = Map("o_totalprice" -> "min_rev"),
+            maxs = Map("o_totalprice" -> "max_rev"), keepVersions = 2)
           loadCust(cTrue.filter(col("c_custkey") % 7 =!= 0)
             .withColumn("c_nationkey",
               when(col("c_custkey") % 10 === 0,
@@ -1397,7 +1399,9 @@ object CoreQueries {
           MatViews.registerJoinRewrite(s, "mv3", cust, ord, view,
             joinKeys = Seq("c_custkey" -> "o_custkey"), keys = Seq("c_nationkey"),
             sums = Map("o_totalprice" -> "sum_rev"),
-            counts = Map("o_totalprice" -> "cnt_rev"))
+            counts = Map("o_totalprice" -> "cnt_rev"),
+            mins = Map("o_totalprice" -> "min_rev"),
+            maxs = Map("o_totalprice" -> "max_rev"))
           s.experimental.extraOptimizations =
             s.experimental.extraOptimizations :+ MatViewJoinRewrite
           try {
@@ -1406,9 +1410,13 @@ object CoreQueries {
                 col("c_custkey") === col("o_custkey"))
               .groupBy(col("c_nationkey"))
               .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("sr"),
-                count(col("o_totalprice")).as("cnt_rev"))
+                count(col("o_totalprice")).as("cnt_rev"),
+                min(col("o_totalprice")).as("mn"),
+                max(col("o_totalprice")).as("mx"))
               .select(col("c_nationkey"), col("cnt"),
-                col("sr").cast("double").as("sum_rev"), col("cnt_rev"))
+                col("sr").cast("double").as("sum_rev"), col("cnt_rev"),
+                col("mn").cast("double").as("min_rev"),
+                col("mx").cast("double").as("max_rev"))
             val scans = q.queryExecution.optimizedPlan.collect {
               case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
                 lr.relation match {
@@ -1430,7 +1438,9 @@ object CoreQueries {
       },
       Some("""SELECT c_nationkey, count(*) AS cnt,
              |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_rev,
-             |       count(o_totalprice) AS cnt_rev
+             |       count(o_totalprice) AS cnt_rev,
+             |       CAST(min(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS min_rev,
+             |       CAST(max(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS max_rev
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |WHERE o_orderkey % 13 <> 0
              |GROUP BY c_nationkey""".stripMargin)),

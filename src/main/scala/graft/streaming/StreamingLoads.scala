@@ -263,7 +263,10 @@ object StreamingLoads {
     require(colsA.intersect(colsB).isEmpty,
       s"A and B columns must be disjoint (shared: ${colsA.intersect(colsB)})")
     Storage.repairOrphans(view) // single-writer startup contract
-    val Marker = "_APPLIED_AB_V"
+    // shared with MatViews.appliedBases/registerJoinRewrite — a
+    // stream-maintained join view is transparently rewritable the moment
+    // its marker pair matches both bases' committed versions
+    val Marker = graft.ops.MatViews.AppliedBasesMarker
     versions.writeStream
       .outputMode(OutputMode.Append)
       .trigger(trigger)

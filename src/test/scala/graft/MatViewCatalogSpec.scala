@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.{MatViews, MergeOps, Storage}
+import graft.plans.{MatView, MatViewJoinRewrite, MatViewRewrite}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+/** The persisted view catalog (`_MATVIEWS.json`): definitions survive the
+  * session — a fresh process re-registers every view with
+  * [[graft.ops.MatViews.loadCatalog]] and maintains the whole set with
+  * one [[graft.ops.MatViews.maintainCatalog]] call (single-base views
+  * grouped onto a shared change feed, join views via the delta-join
+  * rule). */
+class MatViewCatalogSpec extends SparkTestBase {
+
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten
+
+  test("define → maintain → reload in a 'fresh session' → every view rewrites and stays exact") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mv_cat")
+    val base = root.resolve("base")
+    val dim = root.resolve("dim")
+    val viewA = root.resolve("view_by_grp")
+    val viewB = root.resolve("view_by_par")
+    val viewJ = root.resolve("view_join")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+    def stamp(df: DataFrame) = df
+      .withColumn("loaded_at", lit(null).cast("timestamp"))
+      .withColumn("last_upd_at", lit(null).cast("timestamp"))
+    def loadBase(rows: Seq[(Long, Long, BigDecimal)]) =
+      MergeOps.prunedConditionalUpsert(base,
+        stamp(rows.toDF("id", "fdid", "x")
+          .select(col("id"), col("fdid"), dec(col("x")).as("x"))
+          .withColumn("grp", concat(lit("g"), col("id") % 3))),
+        pk = Seq("id"), tracked = Seq("fdid", "x", "grp"),
+        runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 4,
+        keepVersions = 8)
+    def loadDim(rows: Seq[(Long, String)]) =
+      MergeOps.prunedConditionalUpsert(dim, stamp(rows.toDF("did", "par")),
+        pk = Seq("did"), tracked = Seq("par"),
+        runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 4,
+        keepVersions = 8)
+    loadBase((1L to 40L).map(i => (i, i % 5 + 1, BigDecimal(i))))
+    loadDim((1L to 6L).map(i => (i, s"p${i % 2}")))
+
+    // three definitions land in ONE catalog file: two single-base views
+    // (shared feed at maintenance time) and a join view
+    MatViews.defineView(root, MatViews.CatalogEntry(
+      name = "by_grp", kind = "single", view = viewA.toString,
+      keys = Seq("grp"), base = base.toString, pk = Seq("id"),
+      sums = Map("x" -> "sum_x"), mins = Map("x" -> "min_x"),
+      counts = Map("x" -> "cnt_x"), keepVersions = 2))
+    MatViews.defineView(root, MatViews.CatalogEntry(
+      name = "by_did", kind = "single", view = viewB.toString,
+      keys = Seq("fdid"), base = base.toString, pk = Seq("id"),
+      sums = Map("x" -> "sum_x"), keepVersions = 2))
+    MatViews.defineView(root, MatViews.CatalogEntry(
+      name = "by_par", kind = "join", view = viewJ.toString,
+      keys = Seq("par"), left = dim.toString, right = base.toString,
+      pkLeft = Seq("did"), pkRight = Seq("id"),
+      joinKeysLeft = Seq("did"), joinKeysRight = Seq("fdid"),
+      sums = Map("x" -> "sum_x"), maxs = Map("x" -> "max_x"),
+      keepVersions = 2))
+    assert(MatViews.catalog(root).map(_.name).sorted ==
+      Seq("by_did", "by_grp", "by_par"))
+    // redefinition upserts, never duplicates
+    MatViews.defineView(root, MatViews.catalog(root).find(_.name == "by_did").get)
+    assert(MatViews.catalog(root).size == 3)
+
+    val m1 = MatViews.maintainCatalog(spark, root) // bootstraps all three
+    assert(m1.single.keySet == Set("by_grp", "by_did") &&
+      m1.joins.keySet == Set("by_par"), m1.toString)
+
+    def truthGrp() = Storage.readPartitionedVersion(spark, base)
+      .groupBy("grp").agg(count(lit(1)).as("count_rows"), sum("x").as("sum_x"),
+        min("x").as("min_x"), count(col("x")).as("cnt_x"))
+    def truthJoin() = Storage.readPartitionedVersion(spark, dim).alias("d")
+      .join(Storage.readPartitionedVersion(spark, base).alias("b"),
+        col("d.did") === col("b.fdid"))
+      .groupBy(col("par"))
+      .agg(count(lit(1)).as("count_rows"), sum("x").as("sum_x"),
+        max("x").as("max_x"))
+    def assertExact(): Unit = {
+      assert(Storage.readVersion(spark, viewA)
+        .select("grp", "count_rows", "sum_x", "min_x", "cnt_x")
+        .collect().map(_.toSeq).toSet ==
+        truthGrp().collect().map(_.toSeq).toSet, "by_grp diverged")
+      assert(Storage.readVersion(spark, viewJ)
+        .select("par", "count_rows", "sum_x", "max_x")
+        .collect().map(_.toSeq).toSet ==
+        truthJoin().collect().map(_.toSeq).toSet, "by_par diverged")
+    }
+    assertExact()
+
+    // "fresh session": nothing registered in-memory, then one loadCatalog
+    MatView.clear()
+    assert(MatViews.loadCatalog(spark, root) == 3)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations ++ Seq(MatViewRewrite, MatViewJoinRewrite)
+    try {
+      val qA = Storage.readPartitionedVersion(spark, base)
+        .groupBy("grp").agg(count(lit(1)).as("cnt"), sum("x").as("s"))
+      assert(scanPaths(qA).exists(_.contains(viewA.toString)),
+        "cataloged single view must rewrite after reload")
+      val qJ = Storage.readPartitionedVersion(spark, dim)
+        .join(Storage.readPartitionedVersion(spark, base),
+          col("did") === col("fdid"))
+        .groupBy("par").agg(sum("x").as("s"), max("x").as("mx"))
+      assert(scanPaths(qJ).exists(_.contains(viewJ.toString)),
+        "cataloged join view must rewrite after reload")
+
+      // churn + one catalog maintenance call: both single views roll on a
+      // SHARED feed, the join view by the delta-join rule — all exact
+      loadBase(Seq((3L, 2L, BigDecimal(300)), (41L, 6L, BigDecimal(7))))
+      val m2 = MatViews.maintainCatalog(spark, root)
+      assert(m2.single.size == 2 && m2.joins.size == 1)
+      assertExact()
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(r => (r eq MatViewRewrite) || (r eq MatViewJoinRewrite))
+      MatView.clear()
+    }
+    Storage.deleteRecursively(root)
+  }
+}

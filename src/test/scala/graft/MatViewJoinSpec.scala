@@ -74,7 +74,9 @@ class MatViewJoinSpec extends SparkTestBase {
       pkLeft = Seq("d_id"), pkRight = Seq("f_id"),
       joinKeysLeft = Seq("d_id"), joinKeysRight = Seq("f_did"),
       keys = Seq("d_grp"), sums = Map("f_val" -> "sum_val"),
-      counts = Map("f_val" -> "cnt_val"), keepVersions = 2)
+      counts = Map("f_val" -> "cnt_val"),
+      mins = Map("f_val" -> "min_val"), maxs = Map("f_val" -> "max_val"),
+      keepVersions = 2)
 
   private def truth(dim: java.nio.file.Path,
       fact: java.nio.file.Path): DataFrame =
@@ -83,12 +85,13 @@ class MatViewJoinSpec extends SparkTestBase {
         col("d.d_id") === col("f.f_did"))
       .groupBy(col("d_grp"))
       .agg(count(lit(1)).as("count_rows"), sum("f_val").as("sum_val"),
-        count(col("f_val")).as("cnt_val"))
+        count(col("f_val")).as("cnt_val"),
+        min("f_val").as("min_val"), max("f_val").as("max_val"))
 
   private def assertExact(dim: java.nio.file.Path, fact: java.nio.file.Path,
       view: java.nio.file.Path): Unit = {
     val got = Storage.readVersion(spark, view)
-      .select("d_grp", "count_rows", "sum_val", "cnt_val")
+      .select("d_grp", "count_rows", "sum_val", "cnt_val", "min_val", "max_val")
       .collect().map(r => r.toSeq.map(String.valueOf)).toSet
     val want = truth(dim, fact)
       .collect().map(r => r.toSeq.map(String.valueOf)).toSet
@@ -102,7 +105,10 @@ class MatViewJoinSpec extends SparkTestBase {
     maintain(dim, fact, view)
     assertExact(dim, fact, view)
     // fact-side churn: value updates, deletes, inserts (incl. an orphan
-    // FK that matches no dim row — must not appear in any group)
+    // FK that matches no dim row — must not appear in any group). Row 3
+    // (id 3 → dim 4 → g1) jumps to 300, a new per-group max; id 60 held
+    // g1's old max (60) and SURVIVES, so the raised max is the
+    // ins-beats-ret exemption, not a recompute
     import spark.implicits._
     loadFact(fact, Seq((3L, 4L, BigDecimal(300)), (61L, 99L, BigDecimal(7)),
       (62L, 5L, BigDecimal(8))))
@@ -111,6 +117,15 @@ class MatViewJoinSpec extends SparkTestBase {
     val r1 = maintain(dim, fact, view)
     assertExact(dim, fact, view)
     assert(MatViews.appliedBases(view).contains((r1.appliedLeft, r1.appliedRight)))
+    // delete the row now holding g1's MAX (id 3, value 300): the
+    // retraction ties the stored max with no covering insert → exactly
+    // that one group re-joins (g1's min, 6, is untouched by the delete)
+    MergeOps.prunedDelete(fact, Seq(3L).toDF("f_id"), pk = Seq("f_id"),
+      nParts = 4)
+    val rMax = maintain(dim, fact, view)
+    assert(rMax.recomputedGroups == 1,
+      s"max-holder delete must re-join its group: $rMax")
+    assertExact(dim, fact, view)
     // dim-side churn: moving a member between groups re-buckets ALL its
     // fact rows (the ΔA ⋈ B₁ term carries retract+insert per row)
     loadDim(dim, Seq((4L, "g9")))

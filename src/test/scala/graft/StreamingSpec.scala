@@ -393,6 +393,11 @@ class StreamingSpec extends SparkTestBase {
     try q3.processAllAvailable() finally q3.stop()
     assert(Storage.currentVersion(view) == vAfter, "duplicates must not commit")
     assert(state() == Seq(("g2", 2L, 7.0)))
+
+    // the marker is MatViews' applied-bases format: the stream-maintained
+    // view plugs straight into registerJoinRewrite freshness
+    assert(graft.ops.MatViews.appliedBases(view).contains((va1, vb1)),
+      "streaming marker must satisfy MatViews.appliedBases")
   }
 
   test("join-view maintenance: a first delivery naming only ONE side bootstraps the other at its current version") {
