@@ -47,9 +47,14 @@ object MatViewJoinRewrite extends Rule[LogicalPlan] {
   def apply(plan: LogicalPlan): LogicalPlan = {
     val defs = MatView.allJoins
     if (defs.isEmpty || !conf.getConfString(EnabledKey, "true").toBoolean) plan
-    else plan.transform {
-      case agg @ Aggregate(_, _, _, _) =>
-        tryRewrite(agg, defs).getOrElse(agg)
+    else {
+      // one filesystem probe per registration per PASS, not per Aggregate
+      val leftOf = MatViewSupport.memo((d: MatView.JoinDef) => d.leftRoots())
+      val rightOf = MatViewSupport.memo((d: MatView.JoinDef) => d.rightRoots())
+      plan.transform {
+        case agg @ Aggregate(_, _, _, _) =>
+          tryRewrite(agg, defs, leftOf, rightOf).getOrElse(agg)
+      }
     }
   }
 
@@ -68,8 +73,9 @@ object MatViewJoinRewrite extends Rule[LogicalPlan] {
     case x => Seq(x)
   }
 
-  private def tryRewrite(agg: Aggregate, defs: Seq[MatView.JoinDef])
-      : Option[LogicalPlan] = {
+  private def tryRewrite(agg: Aggregate, defs: Seq[MatView.JoinDef],
+      leftOf: MatView.JoinDef => Set[String],
+      rightOf: MatView.JoinDef => Set[String]): Option[LogicalPlan] = {
     val (topFilters, join) = stripToJoin(agg.child, Nil) match {
       case Some(x) => x
       case None => return None
@@ -104,10 +110,10 @@ object MatViewJoinRewrite extends Rule[LogicalPlan] {
     defs.view.flatMap { d =>
       // orientation: query(left,right) = registration(left,right) or flipped
       val oriented: Option[Seq[(String, String)]] =
-        if (MatViewSupport.covers(lRoots, d.leftRoots()) &&
-            MatViewSupport.covers(rRoots, d.rightRoots())) Some(pairs)
-        else if (MatViewSupport.covers(lRoots, d.rightRoots()) &&
-            MatViewSupport.covers(rRoots, d.leftRoots())) Some(pairs.map(_.swap))
+        if (MatViewSupport.covers(lRoots, leftOf(d)) &&
+            MatViewSupport.covers(rRoots, rightOf(d))) Some(pairs)
+        else if (MatViewSupport.covers(lRoots, rightOf(d)) &&
+            MatViewSupport.covers(rRoots, leftOf(d))) Some(pairs.map(_.swap))
         else None
       oriented.flatMap { ps =>
         if (ps.toSet != d.joinKeys.toSet) None

@@ -145,6 +145,12 @@ object MatView {
   * matched underneath (single scan or join). */
 private[plans] object MatViewSupport {
 
+  /** Single-threaded per-pass memo (optimizer rules run on one thread). */
+  def memo[K, V](f: K => V): K => V = {
+    val cache = scala.collection.mutable.HashMap.empty[K, V]
+    k => cache.getOrElseUpdate(k, f(k))
+  }
+
   final case class Partials(
       countCol: Option[String],
       sums: Map[String, String],
@@ -330,6 +336,158 @@ private[plans] object MatViewSupport {
     }
     Some(Aggregate(gExprs, outs, filtered, None))
   }
+
+  /** ROLLUP / CUBE / GROUPING SETS navigation: rewrite
+    *     Aggregate(keys ++ gid, aggs, Expand(projections, out, Scan(base)))
+    * to the SAME Aggregate-over-Expand over the view. The Expand mechanics
+    * (per-set null placeholders + spark_grouping_id) are kept verbatim —
+    * that is what keeps a GENUINE null key distinguishable from a rollup
+    * placeholder, exactly as over the base — only the pass-through data
+    * columns become view partials and the aggregates re-aggregate them.
+    * Every grouping set is a key subset, and all admitted aggregates are
+    * reassociable, so re-aggregating |keys| view rows per set is exact.
+    *
+    * Guards (each failing toward the base): every Expand slot must
+    * classify as (a) the SAME pass-through column in all sets, (b) a
+    * view-key column alternating with a typed null, or (c) the literal
+    * grouping-id slot; key types must match the view's; filters under the
+    * Expand must be key-only; the aggregate list must validate exactly as
+    * in [[rebuildOntoView]]. Shapes like the distinct-aggregate Expand
+    * fail classification and fall through untouched. */
+  def rebuildRollupOntoView(
+      agg: Aggregate,
+      expand: org.apache.spark.sql.catalyst.plans.logical.Expand,
+      filters: Seq[Expression],
+      keys: Seq[String],
+      partials: Partials,
+      fresh: () => Boolean,
+      view: () => DataFrame): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Expand
+    val keySet = keys.toSet
+    if (expand.projections.isEmpty) return None
+    val width = expand.output.size
+    if (expand.projections.exists(_.size != width)) return None
+
+    // classify each expand output slot across ALL grouping sets
+    sealed trait Slot
+    case class Pass(a: AttributeReference) extends Slot
+    case class Key(a: AttributeReference, out: Attribute) extends Slot
+    case object Gid extends Slot
+    val slots: Seq[Slot] = (0 until width).map { i =>
+      val vals = expand.projections.map(_(i))
+      val attrs = vals.collect { case a: AttributeReference => a }.distinct
+      val allLitInts = vals.forall {
+        case Literal(_, t) =>
+          t == org.apache.spark.sql.types.IntegerType ||
+            t == org.apache.spark.sql.types.LongType
+        case _ => false
+      }
+      if (attrs.size == 1 && vals.forall(_.isInstanceOf[AttributeReference]))
+        Pass(attrs.head)
+      else if (attrs.size == 1 && vals.forall {
+          case _: AttributeReference => true
+          case Literal(null, t) => t == attrs.head.dataType
+          case _ => false
+        }) Key(attrs.head, expand.output(i))
+      else if (allLitInts) Gid
+      else return None
+    }
+    val keySlots = slots.collect { case k: Key => k }
+    if (!keySlots.forall(k => keySet.contains(k.a.name))) return None
+    // filters under the Expand commute only over keys
+    if (!filters.forall(_.references.forall(a => keySet.contains(a.name))))
+      return None
+    // aggregate list: grouping attrs are the Expand's key/gid OUTPUTS;
+    // everything else must be a rewritable aggregate over pass-through
+    // columns (validated exactly as the flat rewrite does)
+    val groupedAttrs = agg.groupingExpressions.collect {
+      case a: AttributeReference => a.exprId }.toSet
+    agg.aggregateExpressions.foreach {
+      case a: AttributeReference if groupedAttrs.contains(a.exprId) => ()
+      case Alias(a: AttributeReference, _) if groupedAttrs.contains(a.exprId) => ()
+      case Alias(e, _) if asAgg(e).exists { case (ae, _) =>
+          !ae.isDistinct && ae.filter.isEmpty &&
+            partialsFor(partials, ae.aggregateFunction).isDefined } => ()
+      case _ => return None
+    }
+    if (!fresh()) return None
+
+    val viewPlan = view().queryExecution.analyzed
+    val vAttr: Map[String, Attribute] = viewPlan.output.map(a => a.name -> a).toMap
+    val neededPartials = agg.aggregateExpressions.flatMap {
+      case Alias(e, _) => asAgg(e).toSeq.flatMap { case (ae, _) =>
+        partialsFor(partials, ae.aggregateFunction).get }
+      case _ => Nil
+    }.distinct
+    val neededKeys = keySlots.map(_.a.name) ++
+      filters.flatMap(_.references.map(_.name))
+    if (!(neededPartials ++ neededKeys).forall(vAttr.contains)) return None
+    // key types must match the view's columns — the null placeholders and
+    // the preserved output attrs keep the ORIGINAL types
+    if (!keySlots.forall(k => vAttr(k.a.name).dataType == k.a.dataType))
+      return None
+
+    val remapped = filters.map(_.transform {
+      case a: AttributeReference => vAttr(a.name)
+    })
+    val filtered = remapped.foldLeft(viewPlan)((p, c) => Filter(c, p))
+    // new expand: one pass-through slot per needed partial (the view attr
+    // rides through, same convention as the original plan's data columns),
+    // then the ORIGINAL key/gid slots with their output attrs preserved
+    // (the aggregate's grouping expressions keep resolving untouched)
+    val keptIdx = slots.zipWithIndex.collect {
+      case (_: Key, i) => i
+      case (Gid, i) => i
+    }
+    val newProjections = expand.projections.map { proj =>
+      neededPartials.map(p => vAttr(p): Expression) ++
+        keptIdx.map { i =>
+          proj(i) match {
+            case a: AttributeReference => vAttr(a.name): Expression
+            case other => other // typed null / gid literal, kept verbatim
+          }
+        }
+    }
+    val newOutput: Seq[Attribute] =
+      neededPartials.map(vAttr) ++ keptIdx.map(expand.output)
+    val newExpand = Expand(newProjections, newOutput, filtered)
+
+    def reAgg(fn: AggregateFunction): Option[Expression] = {
+      def complete(f: AggregateFunction): AggregateExpression =
+        AggregateExpression(f, Complete, isDistinct = false,
+          filter = None, resultId = NamedExpression.newExprId)
+      val cols = partialsFor(partials, fn).get
+      val rewritten: Expression = fn match {
+        case _: Count => complete(Sum(vAttr(cols.head)))
+        case _: Sum => complete(Sum(vAttr(cols.head)))
+        case _: Min => complete(Min(vAttr(cols.head)))
+        case _: Max => complete(Max(vAttr(cols.head)))
+        case _: Average =>
+          val Seq(s, c) = cols
+          Divide(Cast(complete(Sum(vAttr(s))), DoubleType),
+            Cast(complete(Sum(vAttr(c))), DoubleType), EvalMode.LEGACY)
+        case _ => return None
+      }
+      if (rewritten.dataType == fn.dataType) Some(rewritten)
+      else if (typeOk(rewritten.dataType, fn.dataType))
+        Some(Cast(rewritten, fn.dataType))
+      else None
+    }
+    val outs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference if groupedAttrs.contains(a.exprId) => a
+      case al @ Alias(a: AttributeReference, _) if groupedAttrs.contains(a.exprId) => al
+      case al @ Alias(e, name) =>
+        asAgg(e).flatMap { case (ae, wrap) =>
+          reAgg(ae.aggregateFunction).map(r =>
+            Alias(wrap(r), name)(exprId = al.exprId, qualifier = al.qualifier))
+        } match {
+          case Some(n) => n
+          case None => return None
+        }
+      case _ => return None // unreachable: validated above
+    }
+    Some(Aggregate(agg.groupingExpressions, outs, newExpand, None))
+  }
 }
 
 object MatViewRewrite extends Rule[LogicalPlan] {
@@ -339,22 +497,46 @@ object MatViewRewrite extends Rule[LogicalPlan] {
   def apply(plan: LogicalPlan): LogicalPlan = {
     val defs = MatView.all
     if (defs.isEmpty || !conf.getConfString(EnabledKey, "true").toBoolean) plan
-    else plan.transform {
-      case agg @ Aggregate(_, _, _, _) =>
-        tryRewrite(agg, defs).getOrElse(agg)
+    else {
+      // memoize each registration's root-set probe for THE ONE pass over
+      // this plan: baseRoots() reads version pointers/manifests from the
+      // filesystem, and a multi-aggregate query must not pay (nor
+      // inconsistently re-read) it once per Aggregate node per view
+      val rootsOf = MatViewSupport.memo((d: MatView.Def) => d.baseRoots())
+      plan.transform {
+        case agg @ Aggregate(_, _, _, _) =>
+          tryRewrite(agg, defs, rootsOf).getOrElse(agg)
+      }
     }
   }
 
-  private def tryRewrite(agg: Aggregate, defs: Seq[MatView.Def]): Option[LogicalPlan] = {
-    val (filters, rel) = MatViewSupport.strip(agg.child, Nil) match {
-      case Some(x) => x
-      case None => return None
+  private def tryRewrite(agg: Aggregate, defs: Seq[MatView.Def],
+      rootsOf: MatView.Def => Set[String]): Option[LogicalPlan] =
+    agg.child match {
+      case expand: org.apache.spark.sql.catalyst.plans.logical.Expand =>
+        // ROLLUP / CUBE / GROUPING SETS shape
+        val (filters, rel) = MatViewSupport.strip(expand.child, Nil) match {
+          case Some(x) => x
+          case None => return None
+        }
+        val roots = MatViewSupport.scanRoots(rel)
+        if (roots.isEmpty) return None
+        defs.view.flatMap { d =>
+          if (!MatViewSupport.covers(roots, rootsOf(d))) None
+          else MatViewSupport.rebuildRollupOntoView(agg, expand, filters,
+            d.keys, d.partials, d.fresh, d.view)
+        }.headOption
+      case _ =>
+        val (filters, rel) = MatViewSupport.strip(agg.child, Nil) match {
+          case Some(x) => x
+          case None => return None
+        }
+        val roots = MatViewSupport.scanRoots(rel)
+        if (roots.isEmpty) return None
+        defs.view.flatMap { d =>
+          if (!MatViewSupport.covers(roots, rootsOf(d))) None
+          else MatViewSupport.rebuildOntoView(agg, filters, d.keys, d.partials,
+            d.fresh, d.view)
+        }.headOption
     }
-    val roots = MatViewSupport.scanRoots(rel)
-    defs.view.flatMap { d =>
-      if (!MatViewSupport.covers(roots, d.baseRoots())) None
-      else MatViewSupport.rebuildOntoView(agg, filters, d.keys, d.partials,
-        d.fresh, d.view)
-    }.headOption
-  }
 }

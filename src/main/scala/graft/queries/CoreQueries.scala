@@ -1216,6 +1216,73 @@ object CoreQueries {
              |FROM events WHERE user_id BETWEEN 1 AND 8000
              |GROUP BY event_type""".stripMargin)),
 
+    // ROLLUP navigation: the BI-tool shape (GROUP BY ROLLUP over the base)
+    // re-plans onto the SAME per-(event_type, user_id) view — the rewrite
+    // keeps the Aggregate-over-Expand mechanics (null placeholders +
+    // spark_grouping_id) and swaps the Expand's child for the view, so
+    // every grouping set re-aggregates |keys| partial rows instead of the
+    // base. The row REQUIREs the view scan; correctness rides the DuckDB
+    // ROLLUP oracle (placeholder rows included).
+    Q("mv4_rollup_navigation",
+      (s, d) => {
+        import graft.plans.{MatView, MatViewRewrite}
+        val dir = java.nio.file.Files.createTempDirectory("mv4")
+        val base = dir.resolve("base")
+        val view = dir.resolve("view")
+        try {
+          graft.ops.Storage.commitVersion(
+            Tables.events(s, d).select(col("event_type"), col("user_id"),
+              col("value").cast("decimal(38,6)").as("value")), base)
+          graft.ops.Storage.commitVersion(
+            graft.ops.Storage.readVersion(s, base)
+              .groupBy("event_type", "user_id")
+              .agg(count(lit(1)).as("count_rows"), sum("value").as("sum_value"),
+                min("value").as("min_value"), max("value").as("max_value")),
+            view)
+          MatView.register(MatView.Def(
+            name = "mv4", baseRoots = () => Set(MatView.root(base.resolve("v0"))),
+            view = () => graft.ops.Storage.readVersion(s, view),
+            keys = Seq("event_type", "user_id"), countCol = Some("count_rows"),
+            sums = Map("value" -> "sum_value"), mins = Map("value" -> "min_value"),
+            maxs = Map("value" -> "max_value")))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ MatViewRewrite
+          try {
+            val q = graft.ops.Storage.readVersion(s, base)
+              .filter(col("user_id").between(1, 2000))
+              .rollup(col("event_type"), col("user_id"))
+              .agg(count(lit(1)).as("cnt"), sum("value").as("sv"),
+                min("value").as("mnv"), max("value").as("mxv"))
+              .select(col("event_type"), col("user_id"), col("cnt"),
+                col("sv").cast("double").as("sum_value"),
+                col("mnv").cast("double").as("min_value"),
+                col("mxv").cast("double").as("max_value"))
+            val scans = q.queryExecution.optimizedPlan.collect {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                lr.relation match {
+                  case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                    fs.location.rootPaths.map(_.toString)
+                  case _ => Nil
+                }
+            }.flatten
+            require(scans.exists(_.contains(view.toString)) &&
+                !scans.exists(_.contains(base.toString)),
+              s"rollup was not navigated onto the materialized view: $scans")
+            q.localCheckpoint()
+          } finally {
+            s.experimental.extraOptimizations =
+              s.experimental.extraOptimizations.filterNot(_ eq MatViewRewrite)
+            MatView.drop("mv4")
+          }
+        } finally graft.ops.Storage.deleteRecursively(dir)
+      },
+      Some("""SELECT event_type, user_id, count(*) AS cnt,
+             |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+             |  CAST(min(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS min_value,
+             |  CAST(max(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS max_value
+             |FROM events WHERE user_id BETWEEN 1 AND 2000
+             |GROUP BY ROLLUP (event_type, user_id)""".stripMargin)),
+
     // MV1's loop CLOSED END-TO-END over the incremental layout — the full
     // self-maintaining datamart: a partition-pruned upsert base (two
     // loads), its aggregate view bootstrapped and rolled forward by ONE

@@ -192,6 +192,71 @@ class MatViewSpec extends SparkTestBase {
     Storage.deleteRecursively(root)
   }
 
+  test("ROLLUP / CUBE / GROUPING SETS re-plan onto the view with Expand semantics intact") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mv_rollup")
+    val base = root.resolve("base")
+    val view = root.resolve("view")
+    // a GENUINE null key — the rewrite must keep it distinguishable from
+    // the rollup's own null placeholders (spark_grouping_id mechanics)
+    val rows = (1 to 300).map { i =>
+      (if (i % 7 == 0) None else Some(s"k${i % 3}"), (i % 4).toLong,
+        BigDecimal(i), if (i % 11 == 0) None else Some(i.toDouble))
+    }.toDF("k1", "k2", "x", "y")
+      .select(col("k1"), col("k2"), col("x").cast("decimal(38,6)").as("x"), col("y"))
+    Storage.commitVersion(rows, base)
+    val v = Storage.readVersion(spark, base).groupBy("k1", "k2")
+      .agg(count(lit(1)).as("count_rows"), sum("x").as("sum_x"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        sum("y").as("sum_y"), count("y").as("cnt_y"))
+    Storage.commitVersion(v, view)
+    val vdir = base.resolve(s"v${Storage.currentVersion(base).get}")
+    def register(): Unit = MatView.register(MatView.Def(
+      name = "roll_t", baseRoots = () => Set(MatView.root(vdir)),
+      view = () => Storage.readVersion(spark, view),
+      keys = Seq("k1", "k2"), countCol = Some("count_rows"),
+      sums = Map("x" -> "sum_x", "y" -> "sum_y"),
+      mins = Map("x" -> "min_x"), maxs = Map("x" -> "max_x"),
+      counts = Map("y" -> "cnt_y")))
+    register()
+    withRule {
+      def shapes(df: DataFrame): Seq[DataFrame] = Seq(
+        df.rollup("k1", "k2").agg(count(lit(1)).as("cnt"), sum("x").as("s"),
+          min("x").as("mn"), avg("y").as("a")),
+        df.cube("k1", "k2").agg(max("x").as("mx"), count(col("y")).as("c")),
+        df.filter(col("k2") =!= 2L).rollup("k1")
+          .agg(sum("x").as("s"), count(lit(1)).as("cnt")))
+      val qs = shapes(Storage.readVersion(spark, base))
+      qs.foreach { q =>
+        val paths = scanPaths(q)
+        assert(paths.exists(_.contains(view.toString)),
+          s"rollup shape must rewrite onto the view: $paths")
+        assert(!paths.exists(_.contains(base.toString)))
+      }
+      val got = qs.map(_.collect().map(r => r.toSeq.map(String.valueOf)).toSet)
+      MatView.clear()
+      val want = shapes(Storage.readVersion(spark, base))
+        .map(_.collect().map(r => r.toSeq.map(String.valueOf)).toSet)
+      got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+        assert(g == w, s"rollup shape $i diverged:\n got  $g\n want $w")
+      }
+      // grouping_id() resolves to the spark_grouping_id attr itself — a
+      // grouping expression the rewrite preserves verbatim, so it rewrites
+      // AND stays exact
+      register()
+      def gq() = Storage.readVersion(spark, base).rollup("k1")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"))
+      val gotG = gq()
+      assert(scanPaths(gotG).exists(_.contains(view.toString)),
+        "grouping_id rides the preserved gid slot")
+      val g = gotG.collect().map(r => r.toSeq.map(String.valueOf)).toSet
+      MatView.clear()
+      val w = gq().collect().map(r => r.toSeq.map(String.valueOf)).toSet
+      assert(g == w, s"grouping_id diverged:\n got  $g\n want $w")
+    }
+    Storage.deleteRecursively(root)
+  }
+
   test("maintained registration follows the base: fresh rewrites, lag falls back, re-maintain resumes") {
     import graft.ops.{MatViews, MergeOps}
     val root = Files.createTempDirectory("mv_maint")
