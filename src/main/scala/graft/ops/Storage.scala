@@ -1732,6 +1732,44 @@ object Storage {
     * iff its manifest entry (owning version) changed — carried-by-reference
     * partitions are byte-identical by construction, so everything else can
     * be skipped without reading it. Metadata-only: two manifest reads. */
+  /** Marker a maintenance commit leaves when its VISIBLE state is
+    * byte-for-byte the named predecessor's (compaction: same rows, same
+    * bucket names, fewer files). Written post-commit and only when the
+    * commit landed exactly one slot above the version it composed — a
+    * racing writer makes the claim unprovable, so the marker is simply
+    * absent and diffs pay the full scan they always did. The marker is an
+    * OPTIMIZATION HINT: absence is always safe, presence is only ever
+    * written for provably identical states. */
+  private[graft] val StateIdenticalMarker = "_STATE_IDENTICAL_TO"
+
+  private def stateIdenticalPredecessor(table: Path, v: Long): Option[Long] = {
+    val f = table.resolve(s"v$v").resolve(StateIdenticalMarker)
+    if (!Files.exists(f)) None
+    else Some(new String(Files.readAllBytes(f), "UTF-8").trim.toLong)
+  }
+
+  /** Walk state-identical markers down from `toV` (chains compose): the
+    * earliest retained version whose visible state equals `toV`'s, never
+    * below `fromV`. At 100 TB this is what keeps scheduled compaction
+    * from turning every maintained view's NEXT refresh into a full-table
+    * diff — the post-compaction feed interval resolves to empty
+    * metadata-only. Safe because compaction preserves bucket NAMES, so a
+    * partially-resolved interval's changed-bucket set still addresses the
+    * final version's layout. */
+  private def resolveStateIdentical(table: Path, fromV: Long, toV: Long): Long = {
+    var to = toV
+    var continue = true
+    while (continue && to > fromV) {
+      stateIdenticalPredecessor(table, to) match {
+        case Some(p) if p >= fromV && p < to &&
+            Files.exists(table.resolve(s"v$p").resolve(PartsManifest)) =>
+          to = p
+        case _ => continue = false
+      }
+    }
+    to
+  }
+
   def partitionsChangedBetween(table: Path, fromV: Long, toV: Long): Set[String] = {
     require(fromV <= toV, s"fromV $fromV must be <= toV $toV")
     def manifestAt(v: Long): Map[String, Long] = {
@@ -1740,8 +1778,10 @@ object Storage {
         s"$table v$v is not retained or has no partition manifest")
       readPartsManifest(vdir)
     }
+    val resolved = resolveStateIdentical(table, fromV, toV)
+    if (resolved == fromV) return Set.empty
     val from = manifestAt(fromV)
-    val to = manifestAt(toV)
+    val to = manifestAt(resolved)
     (from.keySet ++ to.keySet).filter(p => from.get(p) != to.get(p))
   }
 
@@ -1752,8 +1792,14 @@ object Storage {
     * feed above all) must union both. Metadata-only: two sidecar reads. */
   def dvChangedBuckets(table: Path, fromV: Long, toV: Long): Set[String] = {
     require(fromV <= toV, s"fromV $fromV must be <= toV $toV")
+    // same resolution as the manifest diff: visible-state-identical
+    // commits contribute nothing (a compaction APPLIES outstanding DVs —
+    // its cleared sidecar differs from the predecessor's, but the visible
+    // rows do not)
+    val resolved = resolveStateIdentical(table, fromV, toV)
+    if (resolved == fromV) return Set.empty
     val a = readDeletionVector(table.resolve(s"v$fromV"))
-    val b = readDeletionVector(table.resolve(s"v$toV"))
+    val b = readDeletionVector(table.resolve(s"v$resolved"))
     (a.keySet ++ b.keySet).filter(f => a.get(f) != b.get(f)).flatMap(dvBucketOf)
   }
 
@@ -1871,8 +1917,16 @@ object Storage {
           org.apache.spark.sql.functions.xxhash64(
             composed.columns.map(composed(_)).toIndexedSeq: _*),
           org.apache.spark.sql.functions.lit(splitsPerBucket))
-        commitPartitions(
+        val landed = commitPartitions(
           composed.repartition(target, composed(partCol), rowSplit), table, partCol)
+        // landed == v+1 proves no writer interleaved between the compose
+        // read (v) and the commit, so the new state is VISIBLY identical
+        // to v — record it, and change feeds across this commit become
+        // metadata-only instead of an all-buckets diff. Written after the
+        // commit: a crash leaves the marker absent (slower, never wrong).
+        if (landed == v + 1)
+          Files.write(table.resolve(s"v$landed").resolve(StateIdenticalMarker),
+            v.toString.getBytes("UTF-8"))
         target
       // versioned table: compaction is just another commit of the latest
       // snapshot, rewritten into fewer files — never touch the layout

@@ -244,11 +244,19 @@ class CdfSpec extends SparkTestBase {
       Storage.compact(spark, table, targetBytes = 1L << 30)
       val vPost = Storage.currentVersion(table).get
       assert(vPost == vPre + 1)
-      // every bucket's bytes moved, so the manifest diff names them all —
-      // but the value compare drops every row: a maintenance rewrite must
-      // never masquerade as data change to downstream consumers
-      assert(Storage.partitionsChangedBetween(table, vPre, vPost).size == NParts)
+      // every bucket's bytes moved, but the commit carries the
+      // state-identical marker: the diff is METADATA-ONLY empty — at
+      // 100 TB this is what keeps scheduled compaction from turning the
+      // next view refresh into a full-table scan-and-compare
+      assert(Storage.partitionsChangedBetween(table, vPre, vPost).isEmpty)
       assert(feed(table, vPre, vPost).isEmpty)
+      // an interval ENDING at the compaction resolves through the marker
+      // to the pre-compaction version: only the data commits' buckets
+      // diff, even though every owner moved at vPost
+      val first = vPre - 1 // the bootstrap load
+      assert(Storage.partitionsChangedBetween(table, first, vPost) ==
+        Storage.partitionsChangedBetween(table, first, vPre))
+      assert(Storage.partitionsChangedBetween(table, first, vPre).nonEmpty)
     } finally Storage.deleteRecursively(dir)
   }
 
