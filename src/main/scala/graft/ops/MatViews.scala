@@ -568,6 +568,25 @@ object MatViews {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Remove one entry (by name) from the catalog and drop any in-session
+    * registration of the same name — the view's DATA is untouched (drop
+    * the table separately if it should go too). Missing names no-op. */
+  def dropView(catalogDir: Path, name: String): Unit = {
+    import org.json4s.JArray
+    import org.json4s.jackson.JsonMethods
+    val next = catalog(catalogDir).filterNot(_.name == name)
+    val f = catalogDir.resolve(CatalogFile)
+    if (Files.exists(f)) {
+      val tmp = Files.createTempFile(catalogDir, ".matviews", ".tmp")
+      Files.write(tmp, JsonMethods.compact(JsonMethods.render(
+        JArray(next.sortBy(_.name).map(entryJson).toList))).getBytes("UTF-8"))
+      Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    MatView.drop(name)
+  }
+
   /** Re-register every cataloged view for transparent rewrite in THIS
     * session ([[registerRewrite]] / [[registerJoinRewrite]]) — the
     * new-session bootstrap. Returns how many were registered. */

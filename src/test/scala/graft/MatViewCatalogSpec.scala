@@ -124,6 +124,14 @@ class MatViewCatalogSpec extends SparkTestBase {
       val m2 = MatViews.maintainCatalog(spark, root)
       assert(m2.single.size == 2 && m2.joins.size == 1)
       assertExact()
+
+      // dropView removes the definition AND the in-session registration;
+      // the next maintenance pass no longer touches it
+      MatViews.dropView(root, "by_did")
+      assert(MatViews.catalog(root).map(_.name).sorted == Seq("by_grp", "by_par"))
+      val m3 = MatViews.maintainCatalog(spark, root)
+      assert(m3.single.keySet == Set("by_grp") && m3.joins.keySet == Set("by_par"))
+      MatViews.dropView(root, "never_existed") // missing names no-op
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations
