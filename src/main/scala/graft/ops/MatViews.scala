@@ -124,10 +124,18 @@ object MatViews {
   private def readBase(spark: SparkSession, base: Path): DataFrame = {
     val v = Storage.currentVersion(base).getOrElse(
       throw new IllegalStateException(s"no committed version at $base"))
-    if (Files.exists(base.resolve(s"v$v").resolve("_PARTS.json")))
-      Storage.readPartitionedVersion(spark, base)
-    else Storage.readVersion(spark, base)
+    readBaseAt(spark, base, v)
   }
+
+  /** Read the base AT a pinned version — every bootstrap/recompute path
+    * must use this with the version captured up front, never a read that
+    * re-resolves the current version: a base that commits mid-call would
+    * otherwise leave the view's STATE one version ahead of its MARKER,
+    * and the next roll-forward would double-apply that interval's feed. */
+  private def readBaseAt(spark: SparkSession, base: Path, v: Long): DataFrame =
+    if (Files.exists(base.resolve(s"v$v").resolve("_PARTS.json")))
+      Storage.readPartitionedVersionAt(spark, base, v)
+    else Storage.readVersionAt(spark, base, v)
 
   /** One-call incremental maintenance of an aggregate view over a
     * versioned base table — the full IVM loop that [[registerRewrite]]
@@ -211,7 +219,7 @@ object MatViews {
     states.map {
       case (sp, None) =>
         MaintainResult(to,
-          commitMaintained(bootstrapState(spark, base, sp), sp.view, to,
+          commitMaintained(bootstrapState(spark, base, sp, to), sp.view, to,
             sp.keepVersions), 0)
       case (sp, Some(f)) if f == to =>
         MaintainResult(to, Storage.currentVersion(sp.view).get, 0)
@@ -220,13 +228,15 @@ object MatViews {
     }
   }
 
+  // bootstraps from the PINNED version captured by maintainAll — a base
+  // that commits mid-call must not leave the state ahead of the marker
   private def bootstrapState(spark: SparkSession, base: Path,
-      sp: ViewSpec): DataFrame = {
+      sp: ViewSpec, to: Long): DataFrame = {
     val aggs = sp.sums.map { case (b, v) => sum(col(b)).as(v) } ++
       sp.mins.map { case (b, v) => min(col(b)).as(v) } ++
       sp.maxs.map { case (b, v) => max(col(b)).as(v) } ++
       sp.counts.map { case (b, v) => count(col(b)).as(v) }
-    readBase(spark, base).groupBy(sp.keys.map(col): _*)
+    readBaseAt(spark, base, to).groupBy(sp.keys.map(col): _*)
       .agg(count(lit(1)).as("count_rows"), aggs.toSeq: _*)
   }
 
@@ -286,7 +296,7 @@ object MatViews {
       Storage.readVersion(spark, sp.view), deltaAgg, keys,
       (sp.sums.values ++ sp.counts.values).toSeq,
       sp.mins.values.toSeq, sp.maxs.values.toSeq,
-      (flaggedKeys, n0) => recomputeExtremes(spark, base, keys, sp.mins,
+      (flaggedKeys, n0) => recomputeExtremes(spark, base, to, keys, sp.mins,
         sp.maxs, flaggedKeys, n0, sp.maxCollectedGroups))
     MaintainResult(to, commitMaintained(next, sp.view, to, sp.keepVersions), n)
   }
@@ -383,8 +393,11 @@ object MatViews {
       flat.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("count_rows"), aggs.toSeq: _*)
     }
-    val aAll = readBase(spark, left).columns.toSeq
-    val bAll = readBase(spark, right).columns.toSeq
+    // pinned reads throughout (schema resolution included): a base that
+    // commits mid-call must never bleed into state the marker claims as
+    // toA/toB — the same race [[bootstrapState]] pins against
+    val aAll = readBaseAt(spark, left, toA).columns.toSeq
+    val bAll = readBaseAt(spark, right, toB).columns.toSeq
     val aCols = sideCols(aAll, joinKeysLeft)
     val bCols = sideCols(bAll, joinKeysRight)
     // only the columns the view USES must be disjoint — storage
@@ -449,8 +462,8 @@ object MatViews {
         MaintainJoinResult(toA, toB, commit(next), n)
       case None =>
         val boot = bootAgged(
-          joined(readBase(spark, left).select(aCols.map(col): _*),
-            readBase(spark, right).select(bCols.map(col): _*)))
+          joined(readBaseAt(spark, left, toA).select(aCols.map(col): _*),
+            readBaseAt(spark, right, toB).select(bCols.map(col): _*)))
         MaintainJoinResult(toA, toB, commit(boot))
     }
   }
@@ -640,11 +653,11 @@ object MatViews {
     * multi-column key is a cartesian SUPERSET of the flagged set — safe,
     * the caller's left join picks only the groups it flagged). */
   private def recomputeExtremes(
-      spark: SparkSession, base: Path, keys: Seq[String],
+      spark: SparkSession, base: Path, to: Long, keys: Seq[String],
       mins: Map[String, String], maxs: Map[String, String],
       flaggedKeys: DataFrame, n: Long, maxCollectedGroups: Int): DataFrame = {
     val scan: DataFrame =
-      if (n > maxCollectedGroups) readBase(spark, base)
+      if (n > maxCollectedGroups) readBaseAt(spark, base, to)
       else {
         val rows = flaggedKeys.collect()
         val perCol = keys.zipWithIndex.map { case (k, i) =>
@@ -675,7 +688,15 @@ object MatViews {
             if (nn.isEmpty) lit(false) else col(k).isin(nn: _*)
           if (vs.contains(null)) base0 || col(k).isNull else base0
         }.reduce(_ && _)
-        MetaAgg.readPrunedWhere(spark, base, ranges).filter(pred)
+        // readPrunedWhere resolves the CURRENT version internally (its
+        // file selection happens eagerly, at build). If the base is still
+        // at the pinned `to` AFTER that selection, the captured version v
+        // satisfies to <= v <= current == to, so the pruned scan reads
+        // exactly version `to`; a base that advanced mid-build falls back
+        // to the pinned unpruned read — rare, never wrong.
+        val pruned = MetaAgg.readPrunedWhere(spark, base, ranges)
+        if (Storage.currentVersion(base).contains(to)) pruned.filter(pred)
+        else readBaseAt(spark, base, to).filter(pred)
       }
     val aggs = mins.map { case (b, v) => min(col(b)).as(v) } ++
       maxs.map { case (b, v) => max(col(b)).as(v) }

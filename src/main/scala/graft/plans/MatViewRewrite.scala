@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{DataType, DoubleType, NumericType}
+import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Transparent materialized-view rewrite — the classic warehouse
   * query-rewrite the reference's datamart layer aspires to
@@ -37,8 +37,8 @@ import org.apache.spark.sql.types.{DataType, DoubleType, NumericType}
   *     commute with the group-by, so they apply verbatim to the view);
   *   - every aggregate is a non-DISTINCT, un-FILTERed COUNT(*) / COUNT(1)
   *     / SUM / MIN / MAX / COUNT(col) / AVG over a maintained column,
-  *     with a loss-free result type (identical, or numeric-to-numeric
-  *     cast). AVG — not reassociable itself — rewrites to
+  *     with a loss-free result type (identical, or a `Cast.canUpCast`
+  *     widening — decimal narrowing refused). AVG — not reassociable itself — rewrites to
   *     SUM(sum)/SUM(count) and is therefore admitted only when its
   *     result type is DOUBLE (integral/float/double inputs): the decimal
   *     family's internal precision bookkeeping differs between Average
@@ -200,9 +200,12 @@ private[plans] object MatViewSupport {
     roots.nonEmpty && roots.toSet == expected
 
   // a rewritten aggregate's result must be byte-identical or a loss-free
-  // numeric widening of the original's — otherwise no rewrite
+  // upcast of the original's — otherwise no rewrite. Cast.canUpCast is
+  // the exact "no precision loss, no overflow" relation (it refuses
+  // decimal narrowing and the long→double family), so the guard matches
+  // its contract instead of admitting any numeric→numeric cast.
   def typeOk(from: DataType, to: DataType): Boolean =
-    from == to || (from.isInstanceOf[NumericType] && to.isInstanceOf[NumericType])
+    from == to || Cast.canUpCast(from, to)
 
   /** An output slot's aggregate, possibly under a Cast (CollapseProject
     * merges a projection's casts INTO the aggregate list before extra
@@ -259,8 +262,12 @@ private[plans] object MatViewSupport {
       case a: AttributeReference if keySet.contains(a.name) => a.name
       case _ => return None
     }
-    // filters: only view-key columns (commute with the group-by)
-    if (!filters.forall(_.references.forall(a => keySet.contains(a.name))))
+    // filters: only view-key columns (commute with the group-by), and
+    // DETERMINISTIC — a reference-free rand() < 0.5 would pass the key
+    // check vacuously, yet re-applying it over the view turns row-level
+    // sampling into group-level sampling (different COUNT/SUM answers)
+    if (!filters.forall(f => f.deterministic &&
+        f.references.forall(a => keySet.contains(a.name))))
       return None
     // every output is either a grouping column or a rewritable aggregate
     val groupedAttrs = agg.groupingExpressions.collect {
@@ -286,6 +293,14 @@ private[plans] object MatViewSupport {
         case _ => Nil
       }
     if (!needed.forall(vAttr.contains)) return None
+    // key column types must equal the view's (mirrors the rollup path's
+    // guard): with a mis-registered view the rewritten Aggregate would
+    // rebind preserved exprIds to attributes of a DIFFERENT dataType —
+    // an invalid or silently wrong plan instead of a base fallback
+    val keyRefs = agg.groupingExpressions.collect {
+      case a: AttributeReference => a } ++
+      filters.flatMap(_.references.collect { case a: AttributeReference => a })
+    if (!keyRefs.forall(a => vAttr(a.name).dataType == a.dataType)) return None
 
     val remapped = filters.map(_.transform {
       case a: AttributeReference => vAttr(a.name)
@@ -294,13 +309,19 @@ private[plans] object MatViewSupport {
     val gExprs: Seq[Expression] = agg.groupingExpressions.map {
       case a: AttributeReference => vAttr(a.name)
     }
+    // a GLOBAL aggregate (no GROUP BY) always emits one row, even over an
+    // empty view scan (empty base, or a key filter matching no groups) —
+    // and SUM over zero rows is NULL where COUNT must answer 0
+    val globalAgg = agg.groupingExpressions.isEmpty
     def reAgg(fn: AggregateFunction): Option[Expression] = {
       def complete(f: AggregateFunction): AggregateExpression =
         AggregateExpression(f, Complete, isDistinct = false,
           filter = None, resultId = NamedExpression.newExprId)
       val cols = partialsFor(partials, fn).get
       val rewritten: Expression = fn match {
-        case _: Count => complete(Sum(vAttr(cols.head))) // partial counts re-add
+        case _: Count => // partial counts re-add
+          val s = complete(Sum(vAttr(cols.head)))
+          if (globalAgg) Coalesce(Seq(s, Literal(0L))) else s
         case _: Sum => complete(Sum(vAttr(cols.head)))
         case _: Min => complete(Min(vAttr(cols.head)))
         case _: Max => complete(Max(vAttr(cols.head)))
@@ -395,7 +416,8 @@ private[plans] object MatViewSupport {
     val keySlots = slots.collect { case k: Key => k }
     if (!keySlots.forall(k => keySet.contains(k.a.name))) return None
     // filters under the Expand commute only over keys
-    if (!filters.forall(_.references.forall(a => keySet.contains(a.name))))
+    if (!filters.forall(f => f.deterministic &&
+        f.references.forall(a => keySet.contains(a.name))))
       return None
     // aggregate list: grouping attrs are the Expand's key/gid OUTPUTS;
     // everything else must be a rewritable aggregate over pass-through
@@ -452,13 +474,18 @@ private[plans] object MatViewSupport {
       neededPartials.map(vAttr) ++ keptIdx.map(expand.output)
     val newExpand = Expand(newProjections, newOutput, filtered)
 
+    // rollup grouping is never empty in practice (key/gid outputs), but a
+    // global COUNT over an empty view must still answer 0, not NULL
+    val globalAgg = agg.groupingExpressions.isEmpty
     def reAgg(fn: AggregateFunction): Option[Expression] = {
       def complete(f: AggregateFunction): AggregateExpression =
         AggregateExpression(f, Complete, isDistinct = false,
           filter = None, resultId = NamedExpression.newExprId)
       val cols = partialsFor(partials, fn).get
       val rewritten: Expression = fn match {
-        case _: Count => complete(Sum(vAttr(cols.head)))
+        case _: Count =>
+          val s = complete(Sum(vAttr(cols.head)))
+          if (globalAgg) Coalesce(Seq(s, Literal(0L))) else s
         case _: Sum => complete(Sum(vAttr(cols.head)))
         case _: Min => complete(Min(vAttr(cols.head)))
         case _: Max => complete(Max(vAttr(cols.head)))

@@ -306,6 +306,85 @@ class MatViewSpec extends SparkTestBase {
     }
   }
 
+  test("global COUNT over an empty view scan answers 0, not NULL") {
+    val (base, view) = fixture()
+    withRule {
+      // key filter matching no groups: the view scan is EMPTY, and the
+      // rewritten SUM(count partial) alone would yield NULL where COUNT
+      // must yield 0 — the Coalesce guard closes exactly that
+      def shape(df: DataFrame) = df.filter(col("k1") === "absent")
+        .agg(count(lit(1)).as("cnt"), sum("x").as("s"), min("x").as("mn"))
+      val q = shape(Storage.readVersion(spark, base))
+      assert(scanPaths(q).exists(_.contains(view.toString)),
+        "empty-matching global aggregate must still rewrite")
+      val got = q.collect().toSeq
+      MatView.clear()
+      val want = shape(Storage.readVersion(spark, base)).collect().toSeq
+      assert(got == want, s"global-over-empty diverged:\n got  $got\n want $want")
+      assert(want.head.getLong(0) == 0L && want.head.isNullAt(1),
+        "fixture must exercise COUNT=0 alongside NULL-valued SUM/MIN")
+    }
+  }
+
+  test("non-deterministic filter never commutes with the group-by: fallback") {
+    val (base, view) = fixture()
+    withRule {
+      // rand() < 0.5 references no column, so the key-only check passes
+      // vacuously — only the determinism guard keeps row-level sampling
+      // from silently becoming group-level sampling over the view
+      // (rand() < 1.0 would be folded away by OptimizeRand before the
+      // rewrite ever sees it)
+      val q = Storage.readVersion(spark, base).filter(rand() < 0.5)
+        .groupBy("k1").agg(count(lit(1)).as("cnt"))
+      val paths = scanPaths(q)
+      assert(paths.exists(_.contains(base.toString)) &&
+        !paths.exists(_.contains(view.toString)),
+        s"non-deterministic filter must fall back to the base: $paths")
+    }
+  }
+
+  test("mis-registered view (key type or lossy partial type) falls back") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mv_mistyped")
+    val base = root.resolve("base")
+    val view = root.resolve("view")
+    val rows = (1 to 100).map(i => (s"k${i % 3}", (i % 5).toLong, i.toLong))
+      .toDF("k1", "k2", "y")
+    Storage.commitVersion(rows, base)
+    // k2 narrowed to int, sum_y widened to double — BOTH partial shapes a
+    // sloppy registration could produce; each must fail toward the base
+    val v = Storage.readVersion(spark, base).groupBy("k1", "k2")
+      .agg(count(lit(1)).as("count_rows"), sum("y").as("sum_y"))
+      .select(col("k1"), col("k2").cast("int").as("k2"),
+        col("count_rows"), col("sum_y").cast("double").as("sum_y"))
+    Storage.commitVersion(v, view)
+    val vdir = base.resolve(s"v${Storage.currentVersion(base).get}")
+    MatView.register(MatView.Def(
+      name = "bad_t", baseRoots = () => Set(MatView.root(vdir)),
+      view = () => Storage.readVersion(spark, view),
+      keys = Seq("k1", "k2"), countCol = Some("count_rows"),
+      sums = Map("y" -> "sum_y")))
+    withRule {
+      // grouping on the mis-typed key: rebinding k2's exprId to an INT
+      // view attr would be an invalid plan — the type guard must refuse
+      val q1 = Storage.readVersion(spark, base).groupBy("k2")
+        .agg(count(lit(1)).as("cnt"))
+      assert(!scanPaths(q1).exists(_.contains(view.toString)),
+        "mis-typed grouping key must fall back")
+      // SUM(y): base answers LONG, the view partial re-aggregates to
+      // DOUBLE — double→long is not an upcast, so no rewrite (the old
+      // any-numeric-cast guard would have silently truncated)
+      val q2 = Storage.readVersion(spark, base).groupBy("k1")
+        .agg(sum("y").as("s"))
+      assert(!scanPaths(q2).exists(_.contains(view.toString)),
+        "lossy partial type must fall back")
+      assert(q2.orderBy("k1").collect().map(_.getLong(1)).toSeq ==
+        Storage.readVersion(spark, base).groupBy("k1").agg(sum("y"))
+          .orderBy("k1").collect().map(_.getLong(1)).toSeq)
+    }
+    Storage.deleteRecursively(root)
+  }
+
   test("downstream operators over the rewritten aggregate keep working") {
     val (base, view) = fixture()
     withRule {
