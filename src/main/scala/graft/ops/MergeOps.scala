@@ -405,8 +405,18 @@ object MergeOps {
     // (the commitPartitions empty-rewrite contract)
     val live = rows.select(col("pbucket")).distinct()
       .collect().map(r => s"pbucket=${r.get(0)}").toSet
-    Storage.commitPartitions(rows, table, "pbucket",
+    val landed = Storage.commitPartitions(rows, table, "pbucket",
       keepVersions = keepVersions, dropParts = buckets -- live)
+    // the DV-applying read handed back exactly the predecessor's visible
+    // rows, so if no writer interleaved the new state is VISIBLY identical
+    // to `cur` — record it (same contract as Storage.compact's marker:
+    // written post-commit, absence is always safe) and change feeds across
+    // this maintenance commit stay metadata-only
+    if (landed == cur + 1)
+      java.nio.file.Files.write(
+        table.resolve(s"v$landed").resolve(Storage.StateIdenticalMarker),
+        cur.toString.getBytes("UTF-8"))
+    landed
   }
 
   /** S3: last-writer-wins keyed snapshot (ref: extract_api_operator.py:36-43,

@@ -1770,6 +1770,21 @@ object Storage {
     to
   }
 
+  /** The marker steps strictly inside (fromV, toV]: versions whose
+    * visible state provably equals their IMMEDIATE predecessor's (the
+    * only form [[compact]] writes). A diff interval that merely CROSSES
+    * one of these — rather than ending at it — can skip the step
+    * entirely when composing per-step diffs. */
+  private def markerStepsIn(table: Path, fromV: Long, toV: Long): Set[Long] =
+    (fromV + 1 to toV).filter(v =>
+      stateIdenticalPredecessor(table, v).contains(v - 1)).toSet
+
+  /** True when every version in [fromV, toV] still carries its partition
+    * manifest — the retention precondition for composing per-step diffs. */
+  private def allManifested(table: Path, fromV: Long, toV: Long): Boolean =
+    (fromV to toV).forall(v =>
+      Files.exists(table.resolve(s"v$v").resolve(PartsManifest)))
+
   def partitionsChangedBetween(table: Path, fromV: Long, toV: Long): Set[String] = {
     require(fromV <= toV, s"fromV $fromV must be <= toV $toV")
     def manifestAt(v: Long): Map[String, Long] = {
@@ -1778,11 +1793,27 @@ object Storage {
         s"$table v$v is not retained or has no partition manifest")
       readPartsManifest(vdir)
     }
+    def diff(a: Map[String, Long], b: Map[String, Long]): Set[String] =
+      (a.keySet ++ b.keySet).filter(p => a.get(p) != b.get(p))
     val resolved = resolveStateIdentical(table, fromV, toV)
     if (resolved == fromV) return Set.empty
-    val from = manifestAt(fromV)
-    val to = manifestAt(resolved)
-    (from.keySet ++ to.keySet).filter(p => from.get(p) != to.get(p))
+    // an interval CROSSING a compaction (not ending at it) gets nothing
+    // from the endpoint resolution, yet the compaction rewrote EVERY
+    // bucket's owner — an endpoint manifest diff would report the whole
+    // table changed. Compose per-step diffs instead, skipping the marker
+    // steps (state-identical: contribute nothing): the union touches only
+    // the buckets the REAL commits changed. Safe because compaction
+    // preserves bucket names, so per-step names address the final layout;
+    // the union is a SUPERSET of the endpoint diff (a bucket changed and
+    // changed back still surfaces — its rows diff to empty downstream).
+    // Falls back to the endpoint diff when any intermediate version was
+    // vacuumed — slower on the crossing case, never wrong.
+    val markers = markerStepsIn(table, fromV, resolved)
+    if (markers.nonEmpty && allManifested(table, fromV, resolved))
+      (fromV + 1 to resolved).filterNot(markers.contains).foldLeft(Set.empty[String]) {
+        (acc, v) => acc ++ diff(manifestAt(v - 1), manifestAt(v))
+      }
+    else diff(manifestAt(fromV), manifestAt(resolved))
   }
 
   /** The partition-dir names whose VISIBLE rows differ between `fromV` and
@@ -1798,9 +1829,22 @@ object Storage {
     // rows do not)
     val resolved = resolveStateIdentical(table, fromV, toV)
     if (resolved == fromV) return Set.empty
-    val a = readDeletionVector(table.resolve(s"v$fromV"))
-    val b = readDeletionVector(table.resolve(s"v$resolved"))
-    (a.keySet ++ b.keySet).filter(f => a.get(f) != b.get(f)).flatMap(dvBucketOf)
+    def sidecarDiff(x: Long, y: Long): Set[String] = {
+      val a = readDeletionVector(table.resolve(s"v$x"))
+      val b = readDeletionVector(table.resolve(s"v$y"))
+      (a.keySet ++ b.keySet).filter(f => a.get(f) != b.get(f)).flatMap(dvBucketOf)
+    }
+    // per-step composition across an interval that CROSSES a compaction,
+    // mirroring [[partitionsChangedBetween]]: a compaction clears the
+    // sidecar (it applied the DVs), so an endpoint diff against a
+    // pre-compaction sidecar reports every DV'd bucket changed even
+    // though the marker proves the visible rows did not move
+    val markers = markerStepsIn(table, fromV, resolved)
+    if (markers.nonEmpty && allManifested(table, fromV, resolved))
+      (fromV + 1 to resolved).filterNot(markers.contains).foldLeft(Set.empty[String]) {
+        (acc, v) => acc ++ sidecarDiff(v - 1, v)
+      }
+    else sidecarDiff(fromV, resolved)
   }
 
   /** TTL retention for a partition-manifested table: DROP every committed

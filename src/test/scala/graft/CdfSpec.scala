@@ -260,6 +260,82 @@ class CdfSpec extends SparkTestBase {
     } finally Storage.deleteRecursively(dir)
   }
 
+  test("an interval CROSSING a compaction composes per-step: only the real commits' buckets diff") {
+    val dir = Files.createTempDirectory("cdf_cross")
+    val table = dir.resolve("t")
+    def loadK(rows: Seq[(Int, String, Double)], ts: String): Long =
+      MergeOps.prunedConditionalUpsert(table,
+        rows.toDF("id", "name", "score")
+          .withColumn("loaded_at", lit(null).cast("timestamp"))
+          .withColumn("last_upd_at", lit(null).cast("timestamp")),
+        pk = Seq("id"), tracked = Seq("name", "score"),
+        runTs = lit(ts).cast("timestamp"), nParts = NParts, keepVersions = 20)
+    try {
+      val v0 = loadK((1 to 120).map(i => (i, s"n$i", i.toDouble)), "2024-01-01 00:00:00")
+      val v1 = loadK(Seq((3, "upd3", 0.5)), "2024-01-02 00:00:00")
+      Storage.compact(spark, table, targetBytes = 1L << 30)
+      val vC = Storage.currentVersion(table).get
+      val v2 = loadK(Seq((5, "upd5", 1.5), (121, "n121", 121.0)), "2024-01-03 00:00:00")
+      // the compaction moved EVERY bucket's owner: an endpoint manifest
+      // diff over the crossing interval v0→v2 would report the whole table
+      val m0 = Storage.readPartsManifest(table.resolve(s"v$v0"))
+      val m2 = Storage.readPartsManifest(table.resolve(s"v$v2"))
+      assert(m0.keySet.forall(p => m0.get(p) != m2.get(p)),
+        "fixture must make the endpoint diff degenerate to all buckets")
+      // per-step composition skips the marker step: the crossing interval
+      // touches only the buckets the two REAL commits changed
+      val crossing = Storage.partitionsChangedBetween(table, v0, v2)
+      val perCommit = Storage.partitionsChangedBetween(table, v0, v1) ++
+        Storage.partitionsChangedBetween(table, vC, v2)
+      assert(crossing == perCommit, s"crossing=$crossing perCommit=$perCommit")
+      assert(crossing.size <= 3 && m0.size == NParts,
+        s"expected a sliver of the $NParts buckets, got $crossing")
+      // and the feed over the crossing interval is byte-identical to the
+      // full-diff answer (the same rows the naive snapshot diff yields)
+      assert(feed(table, v0, v2) == Seq(
+        (3, "upd3", 0.5, "update"), (5, "upd5", 1.5, "update"),
+        (121, "n121", 121.0, "insert")))
+      // a lagging-view shape: interval starting BEFORE the bootstrap's
+      // successor and ending past the compaction still composes
+      assert(feed(table, v1, v2) == Seq(
+        (5, "upd5", 1.5, "update"), (121, "n121", 121.0, "insert")))
+    } finally Storage.deleteRecursively(dir)
+  }
+
+  test("DV-compaction is marked state-identical; crossing feeds stay pruned and exact") {
+    val dir = Files.createTempDirectory("cdf_dvcross")
+    val table = dir.resolve("t")
+    def loadK(rows: Seq[(Int, String, Double)], ts: String): Long =
+      MergeOps.prunedConditionalUpsert(table,
+        rows.toDF("id", "name", "score")
+          .withColumn("loaded_at", lit(null).cast("timestamp"))
+          .withColumn("last_upd_at", lit(null).cast("timestamp")),
+        pk = Seq("id"), tracked = Seq("name", "score"),
+        runTs = lit(ts).cast("timestamp"), nParts = NParts, keepVersions = 20)
+    try {
+      val v0 = loadK((1 to 120).map(i => (i, s"n$i", i.toDouble)), "2024-01-01 00:00:00")
+      // DV takedown (metadata-only), then materialize it (rewrites only
+      // the tombstoned buckets, marked state-identical), then a real load
+      val vD = MergeOps.deleteWithVectors(table,
+        Seq(11, 12).toDF("id"), pk = Seq("id"), nParts = NParts, keepVersions = 20)
+      val vM = MergeOps.compactDeletionVectors(spark, table, keepVersions = 20)
+      assert(vM == vD + 1)
+      // the materialization is invisible to the feed on its own...
+      assert(Storage.partitionsChangedBetween(table, vD, vM).isEmpty)
+      assert(Storage.dvChangedBuckets(table, vD, vM).isEmpty)
+      assert(feed(table, vD, vM).isEmpty)
+      val v2 = loadK(Seq((20, "upd20", 2.5)), "2024-01-03 00:00:00")
+      // ...and an interval crossing it unions the DV'd buckets (from the
+      // takedown step) with the load's buckets — never the whole table
+      val crossing = Storage.partitionsChangedBetween(table, v0, v2) ++
+        Storage.dvChangedBuckets(table, v0, v2)
+      assert(crossing.size <= 3, s"expected at most 3 buckets, got $crossing")
+      assert(feed(table, v0, v2) == Seq(
+        (11, "n11", 11.0, "delete"), (12, "n12", 12.0, "delete"),
+        (20, "upd20", 2.5, "update")))
+    } finally Storage.deleteRecursively(dir)
+  }
+
   test("randomized: feed(vi, vj) ≡ the naive snapshot diff for EVERY version pair") {
     val dir = Files.createTempDirectory("cdf_random")
     val table = dir.resolve("t")
