@@ -123,17 +123,30 @@ object AggMaintain {
     * mergeable) and `__ret_<name>` (the extreme over retracted rows,
     * used by [[applyDeltaRetractable]] only to decide whether the stored
     * extreme might be gone). Map-side combinable throughout; output is
-    * one row per touched key. */
+    * one row per touched key.
+    *
+    * `weight` is a per-row multiplicity (≥1) for PRE-CANCELED feeds
+    * ([[ViewMaintain.starDelta]] net rows): counts and sums scale by it;
+    * extremes ignore it (k copies of a value have its value). IMPORTANT —
+    * a feed whose insert/retract rows can CANCEL (the same value added
+    * and removed by different join-delta terms) must be canceled to net
+    * multiplicities BEFORE this call: [[applyDeltaRetractable]]'s
+    * ins-ties-ret exemption is proved on the premise that an inserted
+    * value exists in the after-state and a retracted one existed before,
+    * which raw multi-term deltas violate (a transient pair could bait the
+    * exemption into keeping a phantom extreme). */
   def retractableDeltaAggregates(
       cdf: DataFrame,
       keys: Seq[String],
       sums: Map[String, Column],
       mins: Map[String, Column] = Map.empty,
       maxs: Map[String, Column] = Map.empty,
-      changeType: Column = col("change_type")): DataFrame = {
+      changeType: Column = col("change_type"),
+      weight: Column = lit(1L)): DataFrame = {
     val added = changeType.isin("insert", "update_postimage")
     val aggs =
-      sums.map { case (n, c) => sum(when(added, c).otherwise(-c)).as(n) } ++
+      sums.map { case (n, c) =>
+        sum(when(added, c).otherwise(-c) * weight).as(n) } ++
         mins.flatMap { case (n, c) => Seq(
           min(when(added, c)).as(s"__ins_$n"),
           min(when(!added, c)).as(s"__ret_$n")) } ++
@@ -141,7 +154,8 @@ object AggMaintain {
           max(when(added, c)).as(s"__ins_$n"),
           max(when(!added, c)).as(s"__ret_$n")) }
     cdf.groupBy(keys.map(col): _*)
-      .agg(sum(when(added, 1L).otherwise(-1L)).as("count_rows"), aggs.toSeq: _*)
+      .agg(sum(when(added, weight).otherwise(-weight)).as("count_rows"),
+        aggs.toSeq: _*)
   }
 
   /** The retraction-aware counterpart of [[applyDelta]]: merge a

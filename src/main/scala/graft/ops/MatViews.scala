@@ -206,8 +206,17 @@ object MatViews {
     val to = Storage.currentVersion(base).getOrElse(
       throw new IllegalStateException(s"no committed version at $base"))
     val states = specs.map(sp => sp -> appliedBase(sp.view))
+    // a lagging view can roll INCREMENTALLY only when both interval
+    // endpoints still carry partition manifests; a flat commitVersion
+    // base (full rewrites — the Workspace.commitAll shape) or a marker
+    // that aged past the base's retention re-BOOTSTRAPS instead — the
+    // full-aggregate cost, proportional to a base that was itself just
+    // fully rewritten, and the self-heal for consumers that lag too far
+    def feedable(f: Long): Boolean =
+      Storage.partitionManifestRetained(base, f) &&
+        Storage.partitionManifestRetained(base, to)
     val feeds: Map[Long, DataFrame] = states
-      .collect { case (sp, Some(f)) if f != to => (sp, f) }
+      .collect { case (sp, Some(f)) if f != to && feedable(f) => (sp, f) }
       .groupBy(_._2)
       .map { case (f, grp) =>
         val cols = grp.flatMap { case (sp, _) => sp.compareCols(pk) }.distinct
@@ -223,8 +232,12 @@ object MatViews {
             sp.keepVersions), 0)
       case (sp, Some(f)) if f == to =>
         MaintainResult(to, Storage.currentVersion(sp.view).get, 0)
-      case (sp, Some(f)) =>
+      case (sp, Some(f)) if feedable(f) =>
         rollForward(spark, base, sp, feeds(f), to)
+      case (sp, Some(_)) =>
+        MaintainResult(to,
+          commitMaintained(bootstrapState(spark, base, sp, to), sp.view, to,
+            sp.keepVersions), 0)
     }
   }
 
@@ -301,21 +314,25 @@ object MatViews {
     MaintainResult(to, commitMaintained(next, sp.view, to, sp.keepVersions), n)
   }
 
-  /** Marker file inside each maintained JOIN-view commit naming the PAIR
-    * of base versions its state reflects, as "vA,vB". */
+  /** Marker file inside each maintained JOIN/STAR-view commit naming the
+    * TUPLE of base versions its state reflects, as "v1,v2[,…]" in side
+    * order. */
   val AppliedBasesMarker = "_APPLIED_BASES_V"
 
-  /** The (left, right) base versions the join view's CURRENT commit
-    * reflects, if recorded. */
-  def appliedBases(view: Path): Option[(Long, Long)] =
+  /** The base versions (one per side, in side order) the join/star view's
+    * CURRENT commit reflects, if recorded. */
+  def appliedVersions(view: Path): Option[Seq[Long]] =
     Storage.currentVersion(view).flatMap { v =>
       val f = view.resolve(s"v$v").resolve(AppliedBasesMarker)
       if (!Files.exists(f)) None
-      else new String(Files.readAllBytes(f), "UTF-8").trim.split(",") match {
-        case Array(a, b) => Some((a.toLong, b.toLong))
-        case _ => None
-      }
+      else Some(new String(Files.readAllBytes(f), "UTF-8")
+        .trim.split(",").toSeq.map(_.toLong))
     }
+
+  /** The (left, right) base versions of a TWO-side join view, if
+    * recorded — the [[appliedVersions]] pair form. */
+  def appliedBases(view: Path): Option[(Long, Long)] =
+    appliedVersions(view).collect { case Seq(a, b) => (a, b) }
 
   /** Outcome of one [[maintainJoin]] call: the base-version pair the view
     * now reflects, the view commit holding it, and how many groups needed
@@ -372,73 +389,145 @@ object MatViews {
       maxCollectedGroups: Int = 10000): MaintainJoinResult = {
     require(joinKeysLeft.size == joinKeysRight.size && joinKeysLeft.nonEmpty,
       "joinKeysLeft/joinKeysRight must pair up")
-    val toA = Storage.currentVersion(left).getOrElse(
-      throw new IllegalStateException(s"no committed version at $left"))
-    val toB = Storage.currentVersion(right).getOrElse(
-      throw new IllegalStateException(s"no committed version at $right"))
+    val r = maintainStar(spark,
+      Seq(StarSide(left, pkLeft), StarSide(right, pkRight)), view,
+      joinKeys = joinKeysLeft.zip(joinKeysRight), keys = keys,
+      sums = sums, counts = counts, mins = mins, maxs = maxs,
+      keepVersions = keepVersions, maxCollectedGroups = maxCollectedGroups)
+    MaintainJoinResult(r.applied.head, r.applied(1), r.viewVersion,
+      r.recomputedGroups)
+  }
+
+  /** One side of a star view: its table and primary key (the change-feed
+    * row identity). */
+  final case class StarSide(table: Path, pk: Seq[String])
+
+  /** Outcome of one [[maintainStar]] call: the base versions (side order)
+    * the view now reflects, the view commit holding it, and how many
+    * groups needed a min/max re-join recompute. */
+  final case class MaintainStarResult(
+      applied: Seq[Long], viewVersion: Long, recomputedGroups: Long = 0)
+
+  /** Incremental maintenance of an aggregate view over the N-ary INNER
+    * EQUI-JOIN of versioned bases — the fact ⋈ dim₁ ⋈ … ⋈ dimₖ star the
+    * reference's richest fact resolves in one load
+    * (/root/reference/dags/dwh_fact_charer_location.py:103-115) and
+    * [[graft.plans.MatViewJoinRewrite]] navigates. Brings `view` (keys ++
+    * count_rows ++ partials) from the base-version TUPLE its marker
+    * records to every side's CURRENT version by the generalized delta
+    * rule ([[ViewMaintain.starDelta]]: one term per changed side, each a
+    * broadcast feed probing the other sides — earlier sides OLD, later
+    * sides NEW — so no base ⋈ base shuffle ever forms), then one
+    * view-sized signed merge. First call bootstraps with one full join +
+    * aggregate.
+    *
+    * `joinKeys` pair equi-join columns by GLOBAL name (each name must
+    * belong to exactly one side; the pair graph must connect all sides).
+    * COUNT(*) / SUM / non-null COUNT partials are self-maintainable;
+    * MIN/MAX ride the retractable machinery: merged where provably exact,
+    * recomputed for flagged groups by ONE re-join of the current
+    * snapshots filtered to the flagged key set when driver-collectable
+    * (≤ `maxCollectedGroups`), degrading past the budget to one full
+    * re-join — the bootstrap cost, never more.
+    *
+    * Contract mirrors [[maintain]]: single maintainer per view; roll-
+    * forward needs partition-manifested sides (the feeds are manifest-
+    * diff pruned) while bootstrap accepts any versioned layout; every
+    * read is PINNED to the versions captured up front, so concurrent base
+    * commits just leave the view one step behind and freshness keeps
+    * rewrites honest. At 100 TB the per-call cost is O(Σ|Δᵢ| × join
+    * fan-out + touched groups), never a table scan. */
+  def maintainStar(
+      spark: SparkSession,
+      sides: Seq[StarSide],
+      view: Path,
+      joinKeys: Seq[(String, String)],
+      keys: Seq[String],
+      sums: Map[String, String] = Map.empty,
+      counts: Map[String, String] = Map.empty,
+      mins: Map[String, String] = Map.empty,
+      maxs: Map[String, String] = Map.empty,
+      keepVersions: Int = 1,
+      maxCollectedGroups: Int = 10000): MaintainStarResult = {
+    require(sides.size >= 2, "maintainStar needs at least two sides")
+    require(joinKeys.nonEmpty, "joinKeys must be non-empty")
+    val tos = sides.map(s => Storage.currentVersion(s.table).getOrElse(
+      throw new IllegalStateException(s"no committed version at ${s.table}")))
     val aggBase = (sums.keys ++ counts.keys ++ mins.keys ++ maxs.keys)
       .toSeq.distinct
-    def sideCols(all: Seq[String], jk: Seq[String]): Seq[String] =
-      ((keys ++ aggBase).filter(all.contains) ++ jk).distinct
+    val jkNames = joinKeys.flatMap { case (a, b) => Seq(a, b) }.distinct
+    // pinned schema resolution — same race discipline as readBaseAt's doc
+    val allPerSide = sides.zip(tos).map { case (s, v) =>
+      readBaseAt(spark, s.table, v).columns.toSeq }
+    val used = allPerSide.map { all =>
+      ((keys ++ aggBase).filter(all.contains) ++
+        jkNames.filter(all.contains)).distinct }
+    // only the columns the view USES must be side-unambiguous — storage
+    // bookkeeping columns (pbucket, load timestamps) may collide freely
+    val shared = used.flatten.groupBy(identity).collect {
+      case (c, occ) if occ.sizeIs > 1 => c }
+    require(shared.isEmpty,
+      s"star-view columns must be side-unambiguous (shared: $shared)")
+    jkNames.foreach(k => require(used.exists(_.contains(k)),
+      s"join key '$k' is not a column of any side"))
     def commit(state: DataFrame): Long =
       Storage.commitVersion(state, view, keepVersions = keepVersions,
-        extraFiles = Map(AppliedBasesMarker -> s"$toA,$toB"),
+        extraFiles = Map(AppliedBasesMarker -> tos.mkString(",")),
         fileStats = false)
-    def bootAgged(flat: DataFrame): DataFrame = {
-      val aggs =
-        sums.map { case (b, v) => sum(col(b)).as(v) } ++
-          counts.map { case (b, v) => count(col(b)).as(v) } ++
-          mins.map { case (b, v) => min(col(b)).as(v) } ++
-          maxs.map { case (b, v) => max(col(b)).as(v) }
+    def snapsAt(vs: Seq[Long]): Seq[DataFrame] =
+      sides.zip(vs).zip(used).map { case ((s, v), cols) =>
+        readBaseAt(spark, s.table, v).select(cols.map(col): _*) }
+    def joinedAll(snaps: Seq[DataFrame]): DataFrame =
+      ViewMaintain.joinConnected(snaps.head, snaps.tail, joinKeys)
+    def agged(flat: DataFrame): DataFrame = {
+      val aggs = sums.map { case (b, v) => sum(col(b)).as(v) } ++
+        counts.map { case (b, v) => count(col(b)).as(v) } ++
+        mins.map { case (b, v) => min(col(b)).as(v) } ++
+        maxs.map { case (b, v) => max(col(b)).as(v) }
       flat.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("count_rows"), aggs.toSeq: _*)
     }
-    // pinned reads throughout (schema resolution included): a base that
-    // commits mid-call must never bleed into state the marker claims as
-    // toA/toB — the same race [[bootstrapState]] pins against
-    val aAll = readBaseAt(spark, left, toA).columns.toSeq
-    val bAll = readBaseAt(spark, right, toB).columns.toSeq
-    val aCols = sideCols(aAll, joinKeysLeft)
-    val bCols = sideCols(bAll, joinKeysRight)
-    // only the columns the view USES must be disjoint — storage
-    // bookkeeping columns (pbucket, load timestamps) may collide freely
-    require((aCols.toSet & bCols.toSet).isEmpty,
-      s"join-view columns must be side-unambiguous (shared: ${aCols.toSet & bCols.toSet})")
-    def joined(a: DataFrame, b: DataFrame): DataFrame =
-      a.alias("a").join(b.alias("b"),
-        joinKeysLeft.zip(joinKeysRight).map { case (ka, kb) =>
-          col(s"a.$ka") === col(s"b.$kb") }.reduce(_ && _))
-    appliedBases(view) match {
-      case Some((fa, fb)) if fa == toA && fb == toB =>
-        MaintainJoinResult(toA, toB, Storage.currentVersion(view).get)
-      case Some((fa, fb)) =>
-        val dA = ViewMaintain.signed(Cdc.changeDataFeed(spark, left, fa, toA,
-            pkLeft, aAll.filterNot(pkLeft.contains), preImages = true))
-          .select((aCols :+ "sign").map(col): _*)
-        val dB = ViewMaintain.signed(Cdc.changeDataFeed(spark, right, fb, toB,
-            pkRight, bAll.filterNot(pkRight.contains), preImages = true))
-          .select((bCols :+ "sign").map(col): _*)
-        val aOld = Storage.readPartitionedVersionAt(spark, left, fa)
-          .select(aCols.map(col): _*)
-        val bNew = Storage.readPartitionedVersionAt(spark, right, toB)
-          .select(bCols.map(col): _*)
-        val viewDelta = ViewMaintain.joinDelta(aOld, dA, bNew, dB,
-          keysA = joinKeysLeft, keysB = joinKeysRight)
-        val deltaAgg = AggMaintain.retractableDeltaAggregates(viewDelta, keys,
+    appliedVersions(view) match {
+      case Some(fas) if fas == tos =>
+        MaintainStarResult(tos, Storage.currentVersion(view).get)
+      case Some(fas) if fas.size == sides.size &&
+          sides.lazyZip(fas).lazyZip(tos).forall { (s, fa, to1) =>
+            fa == to1 || (Storage.partitionManifestRetained(s.table, fa) &&
+              Storage.partitionManifestRetained(s.table, to1)) } =>
+        val deltas = sides.lazyZip(fas).lazyZip(tos).lazyZip(allPerSide).toSeq
+          .zip(used).map { case ((s, fa, to, all), cols) =>
+            if (fa == to) None
+            else Some(ViewMaintain.signed(Cdc.changeDataFeed(spark, s.table,
+                fa, to, s.pk, all.filterNot(s.pk.contains), preImages = true))
+              .select((cols :+ "sign").map(col): _*))
+          }
+        val dSides = snapsAt(fas).lazyZip(snapsAt(tos)).lazyZip(deltas).toSeq
+          .map { case (o, n, d) => ViewMaintain.DeltaSide(o, n, d) }
+        val viewDelta = ViewMaintain.starDelta(dSides, joinKeys)
+        // CANCEL to net multiplicities per row-tuple before aggregating:
+        // distinct delta terms can emit the same joined row with opposite
+        // signs (a fact row re-pointed in the same interval its dim row
+        // moved — the transient cross term), and a phantom ± pair at an
+        // extreme value would bait applyDeltaRetractable's ins-ties-ret
+        // exemption into keeping an extreme no surviving row holds. After
+        // canceling, net > 0 proves the row exists in the after-state and
+        // net < 0 that it existed before — the premises the exemption's
+        // proof needs. One delta-sized shuffle; counts/sums scale by |net|.
+        val rowCols = viewDelta.columns.filterNot(_ == "sign").toSeq
+        val canceled = viewDelta.groupBy(rowCols.map(col): _*)
+          .agg(sum(col("sign")).as("__net")).filter(col("__net") =!= 0)
+        val deltaAgg = AggMaintain.retractableDeltaAggregates(canceled, keys,
           sums.map { case (b, v) => v -> col(b) } ++ countsAsSums(counts),
           mins.map { case (b, v) => v -> col(b) },
           maxs.map { case (b, v) => v -> col(b) },
-          changeType = when(col("sign") === 1, lit("insert"))
-            .otherwise(lit("delete")))
+          changeType = when(col("__net") > 0, lit("insert"))
+            .otherwise(lit("delete")),
+          weight = abs(col("__net")))
         // flagged extremes recompute by ONE re-join of the CURRENT
         // snapshots, filtered to the flagged key set (the predicate
-        // pushes below the join into whichever side carries the key)
+        // pushes below the joins into whichever side carries each key)
         def recomputeJoin(flaggedKeys: DataFrame, n: Long): DataFrame = {
-          val full = joined(
-            Storage.readPartitionedVersionAt(spark, left, toA)
-              .select(aCols.map(col): _*),
-            Storage.readPartitionedVersionAt(spark, right, toB)
-              .select(bCols.map(col): _*))
+          val full = joinedAll(snapsAt(tos))
           val scan =
             if (n > maxCollectedGroups) full
             else {
@@ -459,12 +548,13 @@ object MatViews {
           Storage.readVersion(spark, view), deltaAgg, keys,
           (sums.values ++ counts.values).toSeq,
           mins.values.toSeq, maxs.values.toSeq, recomputeJoin)
-        MaintainJoinResult(toA, toB, commit(next), n)
-      case None =>
-        val boot = bootAgged(
-          joined(readBaseAt(spark, left, toA).select(aCols.map(col): _*),
-            readBaseAt(spark, right, toB).select(bCols.map(col): _*)))
-        MaintainJoinResult(toA, toB, commit(boot))
+        MaintainStarResult(tos, commit(next), n)
+      case _ =>
+        // first call, a marker from a different side list, a flat
+        // (commitVersion full-rewrite) side, or a marker past a side's
+        // retention: one full join + aggregate re-bootstraps the state —
+        // the same self-heal shape as [[maintainAll]]'s
+        MaintainStarResult(tos, commit(agged(joinedAll(snapsAt(tos)))))
     }
   }
 
@@ -481,23 +571,41 @@ object MatViews {
       mins: Map[String, String] = Map.empty,
       maxs: Map[String, String] = Map.empty,
       counts: Map[String, String] = Map.empty): Unit =
-    MatView.registerJoin(MatView.JoinDef(
+    registerStarRewrite(spark, name, Seq(left, right), view, joinKeys,
+      keys, countCol, sums, mins, maxs, counts)
+
+  /** Register a maintained N-ary star-aggregate table as a transparent
+    * materialized view over `tables.head ⋈ … ⋈ tables.last` — the
+    * [[maintainStar]] counterpart of [[registerRewrite]]: freshness = the
+    * view's applied-versions marker equals EVERY side's committed
+    * version (side order is the marker's order, so pass `tables` in the
+    * same order maintenance uses); each side's scan roots follow that
+    * base's current composition. */
+  def registerStarRewrite(spark: SparkSession, name: String,
+      tables: Seq[Path], view: Path,
+      joinKeys: Seq[(String, String)], keys: Seq[String],
+      countCol: Option[String] = Some("count_rows"),
+      sums: Map[String, String] = Map.empty,
+      mins: Map[String, String] = Map.empty,
+      maxs: Map[String, String] = Map.empty,
+      counts: Map[String, String] = Map.empty): Unit =
+    MatView.registerStar(MatView.StarDef(
       name = name,
-      leftRoots = () => expectedRoots(left),
-      rightRoots = () => expectedRoots(right),
+      roots = tables.map(t => () => expectedRoots(t)),
       joinKeys = joinKeys,
       view = () => Storage.readVersion(spark, view),
       keys = keys, countCol = countCol, sums = sums, mins = mins,
       maxs = maxs, counts = counts,
-      fresh = () => appliedBases(view).exists { case (a, b) =>
-        Storage.currentVersion(left).contains(a) &&
-          Storage.currentVersion(right).contains(b) }))
+      fresh = () => appliedVersions(view).exists(vs =>
+        vs.size == tables.size && tables.zip(vs).forall { case (t, v) =>
+          Storage.currentVersion(t).contains(v) })))
 
   /** One catalog row — everything a FRESH session needs to re-register
     * ([[loadCatalog]]) and re-maintain ([[maintainCatalog]]) a view
     * without code: paths are stored absolute, partials by name. `kind`
-    * is "single" (base/pk) or "join" (left/right/pkLeft/pkRight/join
-    * keys). */
+    * is "single" (base/pk), "join" (left/right/pkLeft/pkRight/join
+    * keys), or "star" (tables/pks in side order, join keys as the
+    * positionally-paired joinKeysLeft/joinKeysRight name lists). */
   final case class CatalogEntry(
       name: String,
       kind: String,
@@ -515,8 +623,13 @@ object MatViews {
       mins: Map[String, String] = Map.empty,
       maxs: Map[String, String] = Map.empty,
       counts: Map[String, String] = Map.empty,
-      keepVersions: Int = 1) {
-    require(kind == "single" || kind == "join", s"unknown kind '$kind'")
+      keepVersions: Int = 1,
+      tables: Seq[String] = Nil,
+      pks: Seq[Seq[String]] = Nil) {
+    require(kind == "single" || kind == "join" || kind == "star",
+      s"unknown kind '$kind'")
+    require(kind != "star" || (tables.size >= 2 && pks.size == tables.size),
+      s"star entry '$name' needs tables (≥2) with one pk list per table")
   }
 
   /** The catalog file a warehouse directory carries. */
@@ -524,13 +637,17 @@ object MatViews {
 
   private def entryJson(e: CatalogEntry): org.json4s.JValue = {
     import org.json4s.JsonDSL._
+    import org.json4s.{JArray, JString}
     ("name" -> e.name) ~ ("kind" -> e.kind) ~ ("view" -> e.view) ~
       ("keys" -> e.keys) ~ ("base" -> e.base) ~ ("pk" -> e.pk) ~
       ("left" -> e.left) ~ ("right" -> e.right) ~
       ("pkLeft" -> e.pkLeft) ~ ("pkRight" -> e.pkRight) ~
       ("joinKeysLeft" -> e.joinKeysLeft) ~ ("joinKeysRight" -> e.joinKeysRight) ~
       ("sums" -> e.sums) ~ ("mins" -> e.mins) ~ ("maxs" -> e.maxs) ~
-      ("counts" -> e.counts) ~ ("keepVersions" -> e.keepVersions)
+      ("counts" -> e.counts) ~ ("keepVersions" -> e.keepVersions) ~
+      ("tables" -> e.tables) ~
+      ("pks" -> JArray(e.pks.map(pk =>
+        JArray(pk.map(JString(_)).toList)).toList))
   }
 
   /** Every entry in `catalogDir`'s catalog (empty if none yet). */
@@ -559,7 +676,9 @@ object MatViews {
           mins = (j \ "mins").extractOrElse[Map[String, String]](Map.empty),
           maxs = (j \ "maxs").extractOrElse[Map[String, String]](Map.empty),
           counts = (j \ "counts").extractOrElse[Map[String, String]](Map.empty),
-          keepVersions = (j \ "keepVersions").extractOrElse[Int](1))
+          keepVersions = (j \ "keepVersions").extractOrElse[Int](1),
+          tables = (j \ "tables").extractOrElse[Seq[String]](Nil),
+          pks = (j \ "pks").extractOrElse[Seq[Seq[String]]](Nil))
       }
       case _ => Seq.empty
     }
@@ -610,6 +729,11 @@ object MatViews {
         registerRewrite(spark, e.name, Path.of(e.base), Path.of(e.view),
           keys = e.keys, sums = e.sums, mins = e.mins, maxs = e.maxs,
           counts = e.counts)
+      case e if e.kind == "star" =>
+        registerStarRewrite(spark, e.name, e.tables.map(Path.of(_)),
+          Path.of(e.view), joinKeys = e.joinKeysLeft.zip(e.joinKeysRight),
+          keys = e.keys, sums = e.sums, mins = e.mins, maxs = e.maxs,
+          counts = e.counts)
       case e =>
         registerJoinRewrite(spark, e.name, Path.of(e.left), Path.of(e.right),
           Path.of(e.view), joinKeys = e.joinKeysLeft.zip(e.joinKeysRight),
@@ -622,12 +746,14 @@ object MatViews {
   /** What one [[maintainCatalog]] pass did, per view name. */
   final case class CatalogMaintenance(
       single: Map[String, MaintainResult],
-      joins: Map[String, MaintainJoinResult])
+      joins: Map[String, MaintainJoinResult],
+      stars: Map[String, MaintainStarResult] = Map.empty)
 
   /** Maintain EVERY cataloged view — the one-call scheduled entry point a
     * fresh session (or an orchestrator slot) runs. Single-base entries
     * group per (base, pk) through [[maintainAll]], so views of one base
-    * share a change feed; join entries roll via [[maintainJoin]]. */
+    * share a change feed; join entries roll via [[maintainJoin]], star
+    * entries via [[maintainStar]]. */
   def maintainCatalog(spark: SparkSession, catalogDir: Path): CatalogMaintenance = {
     val es = catalog(catalogDir)
     val single = es.filter(_.kind == "single")
@@ -644,7 +770,66 @@ object MatViews {
         keys = e.keys, sums = e.sums, counts = e.counts, mins = e.mins,
         maxs = e.maxs, keepVersions = e.keepVersions)
     }.toMap
-    CatalogMaintenance(single, joins)
+    val stars = es.filter(_.kind == "star").map { e =>
+      e.name -> maintainStar(spark,
+        e.tables.zip(e.pks).map { case (t, pk) => StarSide(Path.of(t), pk) },
+        Path.of(e.view),
+        joinKeys = e.joinKeysLeft.zip(e.joinKeysRight),
+        keys = e.keys, sums = e.sums, counts = e.counts, mins = e.mins,
+        maxs = e.maxs, keepVersions = e.keepVersions)
+    }.toMap
+    CatalogMaintenance(single, joins, stars)
+  }
+
+  /** One ATOMIC publish of a workspace transaction AND the views it makes
+    * stale — the composition [[Workspace.commitAll]] + [[maintainCatalog]]
+    * could previously only run as two separate publishes, leaving a
+    * window where a snapshot reader saw the new bases pinned beside
+    * not-yet-rolled views (safe — freshness guards kept rewrites honest —
+    * but visible). Here the member tables commit through their CAS logs,
+    * every cataloged view rolls forward to the versions just committed,
+    * and base + view pins land in ONE workspace manifest: a reader
+    * resolving any manifest sees bases and views of the same instant.
+    *
+    * Views whose table lives DIRECTLY inside `ws` are pinned by their
+    * member name; views outside the workspace still maintain but ride no
+    * pin (they are not members). Tables written by [[Workspace.commitAll]]
+    * are flat full rewrites, so their views re-bootstrap per
+    * [[maintainAll]]'s fallback — proportional to a base the transaction
+    * itself just rewrote; manifested bases (alsoPin members fed by pruned
+    * upserts) keep their incremental feeds. A redelivered same-token
+    * transaction returns its twin's manifest without re-maintaining.
+    *
+    * Returns (manifest id, the maintenance outcomes — None on an
+    * idempotent replay). */
+  def workspaceCommitWithViews(
+      spark: SparkSession,
+      ws: Path,
+      catalogDir: Path,
+      writes: Map[String, DataFrame],
+      alsoPin: Set[String] = Set.empty,
+      keepVersions: Int = 4,
+      idempotencyToken: Option[String] = None,
+      basedOn: Option[Map[String, Long]] = None): (Long, Option[CatalogMaintenance]) = {
+    var maint: Option[CatalogMaintenance] = None
+    val m = Workspace.commitAll(ws, writes, alsoPin, keepVersions,
+      idempotencyToken, basedOn,
+      afterCommit = _ => {
+        val cm = maintainCatalog(spark, catalogDir)
+        maint = Some(cm)
+        val versions: Map[String, Long] =
+          cm.single.map { case (n, r) => n -> r.viewVersion } ++
+            cm.joins.map { case (n, r) => n -> r.viewVersion } ++
+            cm.stars.map { case (n, r) => n -> r.viewVersion }
+        val wsRoot = ws.toAbsolutePath.normalize
+        catalog(catalogDir).flatMap { e =>
+          val vp = Path.of(e.view).toAbsolutePath.normalize
+          if (Option(vp.getParent).contains(wsRoot))
+            versions.get(e.name).map(v => vp.getFileName.toString -> v)
+          else None
+        }.toMap
+      })
+    (m, maint)
   }
 
   /** One scan, grouped once, answering min/max for (at least) the flagged

@@ -104,4 +104,103 @@ object ViewMaintain {
         col(s"db.$signCol").as(signCol): _*)
     term1.unionByName(term2)
   }
+
+  /** One relation of an N-ary join for [[starDelta]]: its PRE-change and
+    * POST-change snapshots and, when it changed this interval, its signed
+    * delta ([[signed]]; columns = `old`'s ++ the sign column). Column
+    * names must be globally unique across all sides — joins and the
+    * output address them by bare name. */
+  final case class DeltaSide(
+      old: DataFrame, nu: DataFrame, delta: Option[DataFrame])
+
+  /** The signed delta of the N-ary INNER equi-join T₁ ⋈ … ⋈ Tₙ — the
+    * generalized delta-join rule the two-table [[joinDelta]] specializes:
+    *
+    *     Δ(T₁⋈…⋈Tₙ) = Σᵢ  T₁⁰ ⋈ … ⋈ Tᵢ₋₁⁰ ⋈ ΔTᵢ ⋈ Tᵢ₊₁¹ ⋈ … ⋈ Tₙ¹
+    *
+    * (telescoping: term i accounts for exactly the change of side i
+    * against earlier sides' OLD and later sides' NEW states; every cross
+    * term of multiple deltas lands in exactly one term — the same
+    * old/new asymmetry that makes the 2-ary rule exact). Sides whose
+    * delta is None (unchanged this interval) contribute no term but
+    * still participate in the others' joins.
+    *
+    * `pairs` are the equi-join column pairs by GLOBAL name (each name
+    * belongs to exactly one side). Each term starts from its (broadcast)
+    * delta and joins outward through whatever sides the pair graph
+    * connects next — so the small feed drives every probe and no
+    * dim ⋈ dim cross product ever forms; the pair graph must connect all
+    * sides (a star's fact, or a chain, both do).
+    *
+    * Scale shape: per term, one broadcast feed probing n−1 base
+    * relations — work O(|Δ| × fan-out), never a base-×-base shuffle.
+    * Output: every side's columns ++ `signCol`. */
+  def starDelta(
+      sides: Seq[DeltaSide],
+      pairs: Seq[(String, String)],
+      signCol: String = "sign",
+      broadcastDeltas: Boolean = true): DataFrame = {
+    require(sides.size >= 2, "starDelta needs at least two sides")
+    val colsOf = sides.map(_.old.columns.toSeq)
+    val allCols = colsOf.flatten
+    require(allCols.distinct.size == allCols.size,
+      s"side columns must be globally unique (got $allCols)")
+    require(!allCols.contains(signCol), s"'$signCol' must not be a data column")
+    sides.foreach { s =>
+      require(s.nu.columns.toSeq == s.old.columns.toSeq,
+        s"old/new column mismatch: ${s.old.columns.toSeq} vs ${s.nu.columns.toSeq}")
+      s.delta.foreach(d => require(
+        d.columns.toSet == (s.old.columns.toSet + signCol),
+        s"delta columns ${d.columns.toSeq} != side's ++ $signCol"))
+    }
+    pairs.foreach { case (a, b) =>
+      require(allCols.contains(a) && allCols.contains(b),
+        s"join pair ($a, $b) names an unknown column") }
+    def bc(feed: DataFrame) = if (broadcastDeltas) broadcast(feed) else feed
+    val outCols = allCols.map(col) :+ col(signCol)
+    val terms = sides.zipWithIndex.flatMap { case (side, i) =>
+      side.delta.map { d =>
+        val others = sides.zipWithIndex.collect {
+          case (s, j) if j < i => s.old
+          case (s, j) if j > i => s.nu
+        }
+        joinConnected(bc(d), others, pairs).select(outCols: _*)
+      }
+    }
+    require(terms.nonEmpty, "starDelta with every side unchanged — nothing to roll")
+    terms.reduce(_.unionByName(_))
+  }
+
+  /** Greedy connectivity fold from `start`: repeatedly INNER-join the next
+    * relation the pair graph reaches from the accumulated columns, with
+    * every applicable pair as the equi-condition. Column names must be
+    * globally unique; the pair graph must connect every relation (a
+    * star's fact or a chain both do) — a stranded relation would be a
+    * cross product, refused loudly. Starting from a broadcast delta, this
+    * is what keeps each [[starDelta]] term feed-driven: the small side
+    * probes outward and no base ⋈ base product ever forms. */
+  def joinConnected(start: DataFrame, rest: Seq[DataFrame],
+      pairs: Seq[(String, String)]): DataFrame = {
+    var acc = start
+    var remaining = rest
+    while (remaining.nonEmpty) {
+      val accCols = acc.columns.toSet
+      val idx = remaining.indexWhere { r =>
+        val rc = r.columns.toSet
+        pairs.exists { case (a, b) =>
+          (accCols(a) && rc(b)) || (accCols(b) && rc(a)) }
+      }
+      require(idx >= 0,
+        s"join pair graph is disconnected (stranded: ${remaining.map(_.columns.mkString("[", ",", "]"))})")
+      val r = remaining(idx)
+      val rc = r.columns.toSet
+      val conds = pairs.collect {
+        case (a, b) if accCols(a) && rc(b) => col(a) === col(b)
+        case (a, b) if accCols(b) && rc(a) => col(a) === col(b)
+      }
+      acc = acc.join(r, conds.reduce(_ && _))
+      remaining = remaining.patch(idx, Nil, 1)
+    }
+    acc
+  }
 }

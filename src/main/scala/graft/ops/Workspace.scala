@@ -157,12 +157,24 @@ object Workspace {
     * `keepVersions` applies to each member table's own log and must cover
     * the workspace's manifest window for time travel across manifests
     * (a pinned version only stays readable while its table retains it).
+    *
+    * `afterCommit` runs ONCE after the table versions land (durable,
+    * unpublished at the WORKSPACE level) and before the publish loop; it
+    * receives the committed {table → version} map and returns EXTRA
+    * member pins to ride the same manifest — the hook
+    * [[MatViews.workspaceCommitWithViews]] uses to roll materialized
+    * views of the written tables and publish base + view pins in one
+    * atomic manifest (a snapshot reader can then never observe a base
+    * ahead of its views). A redelivered same-token transaction returns
+    * its twin's manifest BEFORE the hook runs (nothing to re-apply).
+    *
     * Returns the new manifest id. */
   def commitAll(ws: Path, writes: Map[String, DataFrame],
       alsoPin: Set[String] = Set.empty,
       keepVersions: Int = 4,
       idempotencyToken: Option[String] = None,
-      basedOn: Option[Map[String, Long]] = None): Long = {
+      basedOn: Option[Map[String, Long]] = None,
+      afterCommit: Map[String, Long] => Map[String, Long] = _ => Map.empty): Long = {
     require(writes.nonEmpty, "empty transaction")
     writes.keys.foreach(validName)
     alsoPin.foreach(validName)
@@ -194,6 +206,12 @@ object Workspace {
         throw new IllegalArgumentException(
           s"alsoPin table '$name' has no committed version at $ws"))
     }.toMap
+    // derived pins (maintained views of the just-committed tables): the
+    // hook's table commits are durable like step 1's — a conflict abort
+    // below leaves them unpublished at the workspace level but consistent
+    // with the (table-published) base versions, so a retry re-derives
+    val derived = afterCommit(committed)
+    derived.keys.foreach(validName)
     // 2. publish: ONE manifest create is the atomic commit point; losers
     //    rebase onto the winner when disjoint, abort loudly on overlap
     var attempts = 0
@@ -221,7 +239,7 @@ object Workspace {
             s"${conflict.toSeq.sorted.map(t => s"$t=${base(t).fold("∅")(_.toString)}").mkString(", ")}, " +
             s"published ${conflict.toSeq.sorted.map(t => s"$t=${prev.get(t).fold("∅")(_.toString)}").mkString(", ")})" +
             " — re-read and rerun")
-      val next = prev ++ committed ++ pinned
+      val next = prev ++ committed ++ pinned ++ derived
       import org.json4s._
       import org.json4s.jackson.JsonMethods
       val body = JsonMethods.compact(JsonMethods.render(JObject(

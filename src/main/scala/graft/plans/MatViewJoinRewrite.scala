@@ -2,70 +2,75 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
 
-/** Aggregate navigation: rewrite
-  *     Aggregate(G, aggs, [Filter]* Join(A, B, Inner, a.k = b.k [AND …]))
-  * onto a registered maintained JOIN view ([[MatView.JoinDef]]) —
+/** Aggregate navigation over an N-ary join: rewrite
+  *     Aggregate(G, aggs, [Filter]* Join(… Join(T₁, T₂) …, Tₙ, Inner, eq))
+  * onto a registered maintained star view ([[MatView.StarDef]]) —
   *     Aggregate(G', aggs', [Filter']* Scan(view))
-  * — the two-table form of [[MatViewRewrite]], sharing its shape
-  * validation and rebuild ([[MatViewSupport.rebuildOntoView]]): grouping
-  * columns must be view keys, filters must reference only view keys,
-  * aggregates must be servable partials, the view must be fresh.
+  * — the join form of [[MatViewRewrite]], sharing its shape validation
+  * and rebuild ([[MatViewSupport.rebuildOntoView]] /
+  * [[MatViewSupport.rebuildRollupOntoView]] for ROLLUP/CUBE/GROUPING SETS
+  * over the join): grouping columns must be view keys, filters must
+  * reference only view keys, aggregates must be servable partials, the
+  * view must be fresh. The reference's richest fact resolves THREE
+  * dimensions in one load (/root/reference/dags/dwh_fact_charer_location
+  * .py:103-115, FKs at configure.py:344-354) — exactly the fact⋈dim⋈dim
+  * rollup this rule navigates.
   *
   * What is join-specific:
-  *   - BOTH sides must strip (through Filters / pass-through Projects) to
-  *     file scans whose root sets EQUAL the registration's two declared
-  *     sets, in either orientation (A⋈B and B⋈A both match);
-  *   - the join must be INNER with a condition that is exactly the
-  *     registered conjunction of column equalities — a missing or extra
-  *     conjunct is a different relation and never matches;
-  *   - the two sides' output column names must be fully DISJOINT: the
-  *     view addresses columns by bare name, and an ambiguous name could
-  *     silently bind to the wrong side (star schemas' o_/c_ prefix
-  *     conventions satisfy this; anything else falls back to the base);
+  *   - the plan under the Aggregate must FLATTEN to a tree of INNER joins
+  *     whose every leaf strips (through Filters / pass-through Projects)
+  *     to a file scan, with every join carrying a condition of PURE
+  *     column-equality conjuncts — any other node, join type, or
+  *     condition shape fails the flatten and falls back;
+  *   - the leaves must match the registration's sides ONE-TO-ONE by scan
+  *     root set, in any order and any tree shape (A⋈B, B⋈A, and every
+  *     parenthesization of a 3-way join all match the same view);
+  *   - the pooled condition conjuncts — as UNORDERED name pairs, valid
+  *     because all side columns are disjoint by contract — must equal the
+  *     registered `joinKeys` set exactly: a missing or extra conjunct is
+  *     a different relation and never matches;
+  *   - every column name the rewrite BINDS (grouping, filters, aggregate
+  *     children, join keys) must belong to exactly one side: the view
+  *     addresses columns by bare name, and an ambiguous name could
+  *     silently bind to the wrong side (star schemas' o_/c_/n_ prefix
+  *     conventions satisfy this; anything else falls back to the base).
+  *     Unreferenced collisions — the bookkeeping columns every stored
+  *     table carries — are harmless and ignored;
   *   - `IsNotNull(join key)` filters are accepted and DROPPED rather than
-  *     remapped: the optimizer infers them from the inner join's
+  *     remapped: the optimizer infers them from the inner joins'
   *     constraints, and every view row is a joined row, so they are
   *     tautological over the view (which need not even carry the key).
   *
-  * Filters pushed below the join commute back up: a predicate over one
+  * Filters pushed below a join commute back up: a predicate over one
   * side's view-key columns satisfies Filter(A) ⋈ B = Filter(A ⋈ B), and
   * view-key predicates commute with the group-by — so side filters and
   * above-join filters are pooled and applied to the view verbatim.
   *
-  * Scale shape: at 100 TB an ad-hoc fact⋈dim rollup is a giant shuffle
-  * join; the rewrite turns it into a scan of |keys| pre-joined,
+  * Scale shape: at 100 TB an ad-hoc fact⋈dim⋈dim rollup is two giant
+  * shuffle joins; the rewrite turns it into a scan of |keys| pre-joined,
   * pre-aggregated rows, maintained for O(Δ) per refresh by
-  * [[graft.ops.ViewMaintain.joinDelta]].
+  * [[graft.ops.ViewMaintain.starDelta]].
   */
 object MatViewJoinRewrite extends Rule[LogicalPlan] {
 
   val EnabledKey = "spark.graft.matviewJoinRewrite.enabled"
 
   def apply(plan: LogicalPlan): LogicalPlan = {
-    val defs = MatView.allJoins
+    val defs = MatView.allStars
     if (defs.isEmpty || !conf.getConfString(EnabledKey, "true").toBoolean) plan
     else {
-      // one filesystem probe per registration per PASS, not per Aggregate
-      val leftOf = MatViewSupport.memo((d: MatView.JoinDef) => d.leftRoots())
-      val rightOf = MatViewSupport.memo((d: MatView.JoinDef) => d.rightRoots())
+      // one filesystem probe per registration SIDE per pass, not per
+      // Aggregate (root thunks read version pointers/manifests)
+      val rootsOf = MatViewSupport.memo((d: MatView.StarDef) => d.roots.map(_()))
       plan.transform {
         case agg @ Aggregate(_, _, _, _) =>
-          tryRewrite(agg, defs, leftOf, rightOf).getOrElse(agg)
+          tryRewrite(agg, defs, rootsOf).getOrElse(agg)
       }
     }
-  }
-
-  /** Peel Filters / pass-through Projects down to a Join node. */
-  private def stripToJoin(p: LogicalPlan, filters: Seq[Expression])
-      : Option[(Seq[Expression], Join)] = p match {
-    case Filter(cond, child) => stripToJoin(child, filters :+ cond)
-    case Project(exprs, child) if exprs.forall(MatViewSupport.alignOnly) =>
-      stripToJoin(child, filters)
-    case j: Join => Some((filters, j))
-    case _ => None
   }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -73,66 +78,109 @@ object MatViewJoinRewrite extends Rule[LogicalPlan] {
     case x => Seq(x)
   }
 
-  private def tryRewrite(agg: Aggregate, defs: Seq[MatView.JoinDef],
-      leftOf: MatView.JoinDef => Set[String],
-      rightOf: MatView.JoinDef => Set[String]): Option[LogicalPlan] = {
-    val (topFilters, join) = stripToJoin(agg.child, Nil) match {
+  /** Flatten a tree of INNER equi-joins: peel Filters / pass-through
+    * Projects at every level, recurse through Join nodes, and strip each
+    * leaf to a file-source relation. Returns the pooled filter conjuncts,
+    * the leaves in tree order, and the pooled join-condition conjuncts —
+    * or None if ANY node fails (an outer join, a joinless subquery, a
+    * condition-less cross join, a renaming projection). */
+  private def flatten(p: LogicalPlan)
+      : Option[(Seq[Expression], Seq[LogicalRelation], Seq[Expression])] =
+    p match {
+      case Filter(cond, child) =>
+        flatten(child).map { case (f, ls, cs) => (cond +: f, ls, cs) }
+      case Project(exprs, child) if exprs.forall(MatViewSupport.alignOnly) =>
+        flatten(child)
+      case j: Join if j.joinType == Inner && j.condition.isDefined =>
+        for {
+          (fl, ll, cl) <- flatten(j.left)
+          (fr, lr, cr) <- flatten(j.right)
+        } yield (fl ++ fr, ll ++ lr, cl ++ cr ++ conjuncts(j.condition.get))
+      case lr: LogicalRelation => Some((Nil, Seq(lr), Nil))
+      case _ => None
+    }
+
+  private def tryRewrite(agg: Aggregate, defs: Seq[MatView.StarDef],
+      rootsOf: MatView.StarDef => Seq[Set[String]]): Option[LogicalPlan] = {
+    // ROLLUP/CUBE/GROUPING SETS over the join keeps its Expand mechanics;
+    // a flat aggregate flattens its child directly
+    val (expandOpt, source) = agg.child match {
+      case e: Expand => (Some(e), e.child)
+      case other => (None, other)
+    }
+    val (filters, leaves, condConjuncts) = flatten(source) match {
       case Some(x) => x
       case None => return None
     }
-    if (join.joinType != Inner || join.condition.isEmpty) return None
-    val (lFilters, lRel) = MatViewSupport.strip(join.left, Nil) match {
-      case Some(x) => x
-      case None => return None
-    }
-    val (rFilters, rRel) = MatViewSupport.strip(join.right, Nil) match {
-      case Some(x) => x
-      case None => return None
-    }
-    // ambiguity guard: the view binds columns by bare name
-    val lNames = join.left.output.map(_.name).toSet
-    val rNames = join.right.output.map(_.name).toSet
-    if ((lNames & rNames).nonEmpty) return None
-    // the condition must be PURE column-equality conjuncts, each pairing
-    // one left column with one right column
-    val pairs: Seq[(String, String)] = conjuncts(join.condition.get).map {
+    if (leaves.size < 2) return None
+    // every condition conjunct must be a column equality across two leaves
+    val pairs: Set[Set[String]] = condConjuncts.map {
       case EqualTo(a: AttributeReference, b: AttributeReference)
-          if lNames.contains(a.name) && rNames.contains(b.name) =>
-        (a.name, b.name)
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-          if rNames.contains(a.name) && lNames.contains(b.name) =>
-        (b.name, a.name)
+          if a.name != b.name => Set(a.name, b.name)
       case _ => return None
-    }
-    val lRoots = MatViewSupport.scanRoots(lRel)
-    val rRoots = MatViewSupport.scanRoots(rRel)
+    }.toSet
+    // ambiguity guard: the view binds columns by bare name, so every name
+    // the rewrite will bind — grouping columns, filter references,
+    // aggregate children, join keys, Expand slots — must belong to
+    // exactly one leaf relation. Names NO ONE references (the storage
+    // bookkeeping columns every table carries: load timestamps, bucket
+    // ids) may collide freely; a referenced collision (two dims exposing
+    // the same key name) could silently bind the wrong side, so it falls
+    // back instead.
+    val namesPerLeaf = leaves.map(_.output.map(_.name).toSet)
+    val refNames: Set[String] =
+      (agg.aggregateExpressions ++ agg.groupingExpressions ++ filters)
+        .flatMap(_.references.map(_.name)).toSet ++
+        expandOpt.toSeq.flatMap(_.projections.flatten.collect {
+          case a: AttributeReference => a.name }) ++
+        pairs.flatten
+    if (refNames.exists(n => namesPerLeaf.count(_.contains(n)) > 1)) return None
+    val leafRoots = leaves.map(MatViewSupport.scanRoots)
+    if (leafRoots.exists(_.isEmpty)) return None
 
     defs.view.flatMap { d =>
-      // orientation: query(left,right) = registration(left,right) or flipped
-      val oriented: Option[Seq[(String, String)]] =
-        if (MatViewSupport.covers(lRoots, leftOf(d)) &&
-            MatViewSupport.covers(rRoots, rightOf(d))) Some(pairs)
-        else if (MatViewSupport.covers(lRoots, rightOf(d)) &&
-            MatViewSupport.covers(rRoots, leftOf(d))) Some(pairs.map(_.swap))
-        else None
-      oriented.flatMap { ps =>
-        if (ps.toSet != d.joinKeys.toSet) None
+      matchSides(leafRoots, rootsOf(d)).flatMap { _ =>
+        if (pairs != d.pairSet) None
         else {
           // split every filter into conjuncts first (the optimizer folds
           // inferred guards into one AND); IsNotNull on a join-key column
-          // is implied by the inner join — drop it; every remaining
-          // conjunct must survive the key-only check
+          // is implied by the inner joins — drop it; every remaining
+          // conjunct must survive rebuildOntoView's key-only check
           val keyNames = d.joinKeys.flatMap { case (a, b) => Seq(a, b) }.toSet
-          val kept = (topFilters ++ lFilters ++ rFilters)
+          val kept = filters
             .flatMap(conjuncts)
             .filterNot {
               case IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
               case _ => false
             }
-          MatViewSupport.rebuildOntoView(agg, kept, d.keys, d.partials,
-            d.fresh, d.view)
+          expandOpt match {
+            case Some(expand) =>
+              MatViewSupport.rebuildRollupOntoView(agg, expand, kept, d.keys,
+                d.partials, d.fresh, d.view)
+            case None =>
+              MatViewSupport.rebuildOntoView(agg, kept, d.keys, d.partials,
+                d.fresh, d.view)
+          }
         }
       }
     }.headOption
+  }
+
+  /** A perfect one-to-one matching of query leaves onto registration
+    * sides by root-set equality — order-free, so every join orientation
+    * and parenthesization matches. Registrations keep their sides' root
+    * sets pairwise distinct (a self-join view is unsupported), so greedy
+    * assignment is unambiguous. */
+  private def matchSides(leafRoots: Seq[Seq[String]],
+      sides: Seq[Set[String]]): Option[Unit] = {
+    if (leafRoots.size != sides.size) return None
+    val taken = scala.collection.mutable.BitSet.empty
+    leafRoots.foreach { lr =>
+      sides.indices.find(i => !taken(i) && MatViewSupport.covers(lr, sides(i))) match {
+        case Some(i) => taken.add(i)
+        case None => return None
+      }
+    }
+    Some(())
   }
 }

@@ -56,9 +56,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * (aliases carry the original exprIds), so the surrounding plan — joins,
   * sorts, further projections — is undisturbed.
   *
-  * [[MatViewJoinRewrite]] is the two-table form of the same idea
-  * (aggregate navigation over a maintained JOIN view); it shares this
-  * file's matching machinery via [[MatViewSupport]].
+  * [[MatViewJoinRewrite]] is the N-ary join form of the same idea
+  * (aggregate navigation over a maintained star/join view); it shares
+  * this file's matching machinery via [[MatViewSupport]].
   *
   * Install session-wide via [[GraftExtensions]] or per-query via
   * `spark.experimental.extraOptimizations`.
@@ -89,18 +89,19 @@ object MatView {
       MatViewSupport.Partials(countCol, sums, mins, maxs, counts)
   }
 
-  /** A registered view over an INNER EQUI-JOIN of two base tables
-    * (aggregate navigation: `Aggregate(Join(A, B))` re-plans onto the
-    * maintained join view). `joinKeys` pair a left base column with the
-    * right base column it must equal; the matched query's join condition
-    * must be exactly that conjunction (either side order). All referenced
-    * column names must be UNAMBIGUOUS across the two bases — a name
-    * appearing on both sides never matches (the view's columns are
-    * addressed by bare name). */
-  final case class JoinDef(
+  /** A registered view over the N-ary INNER EQUI-JOIN of base tables —
+    * the star/chain shape (fact ⋈ dim₁ ⋈ … ⋈ dimₖ) aggregate navigation
+    * serves. `roots` gives, per side, the exact scan-root set that side's
+    * composed read produces; a matched query's join tree must have
+    * exactly one leaf per side (any tree shape / side order). `joinKeys`
+    * pair equi-joined columns by GLOBAL name: all referenced column names
+    * must be UNAMBIGUOUS across the sides (the view addresses columns by
+    * bare name), so an unordered name-pair identifies the edge no matter
+    * which side of the query's EqualTo each column appears on. The
+    * matched condition conjuncts must be exactly this pair set. */
+  final case class StarDef(
       name: String,
-      leftRoots: () => Set[String],
-      rightRoots: () => Set[String],
+      roots: Seq[() => Set[String]],
       joinKeys: Seq[(String, String)],
       view: () => DataFrame,
       keys: Seq[String],
@@ -110,24 +111,27 @@ object MatView {
       maxs: Map[String, String] = Map.empty,
       counts: Map[String, String] = Map.empty,
       fresh: () => Boolean = () => true) {
+    require(roots.size >= 2, s"star view '$name' needs at least two sides")
     private[plans] def partials: MatViewSupport.Partials =
       MatViewSupport.Partials(countCol, sums, mins, maxs, counts)
+    private[plans] def pairSet: Set[Set[String]] =
+      joinKeys.map { case (a, b) => Set(a, b) }.toSet
   }
 
   private val reg = new java.util.concurrent.ConcurrentHashMap[String, Def]
-  private val joinReg = new java.util.concurrent.ConcurrentHashMap[String, JoinDef]
+  private val starReg = new java.util.concurrent.ConcurrentHashMap[String, StarDef]
 
   def register(d: Def): Unit = reg.put(d.name, d)
-  def registerJoin(d: JoinDef): Unit = joinReg.put(d.name, d)
-  def drop(name: String): Unit = { reg.remove(name); joinReg.remove(name) }
-  def clear(): Unit = { reg.clear(); joinReg.clear() }
+  def registerStar(d: StarDef): Unit = starReg.put(d.name, d)
+  def drop(name: String): Unit = { reg.remove(name); starReg.remove(name) }
+  def clear(): Unit = { reg.clear(); starReg.clear() }
   def all: Seq[Def] = {
     import scala.jdk.CollectionConverters._
     reg.values.asScala.toSeq.sortBy(_.name)
   }
-  def allJoins: Seq[JoinDef] = {
+  def allStars: Seq[StarDef] = {
     import scala.jdk.CollectionConverters._
-    joinReg.values.asScala.toSeq.sortBy(_.name)
+    starReg.values.asScala.toSeq.sortBy(_.name)
   }
 
   private[plans] def canonical(p: String): String =
@@ -207,19 +211,19 @@ private[plans] object MatViewSupport {
   def typeOk(from: DataType, to: DataType): Boolean =
     from == to || Cast.canUpCast(from, to)
 
-  /** An output slot's aggregate, possibly under a Cast (CollapseProject
-    * merges a projection's casts INTO the aggregate list before extra
-    * optimizations run). */
-  def asAgg(e: Expression): Option[(AggregateExpression, Expression => Expression)] =
-    e match {
-      case ae: AggregateExpression => Some((ae, identity[Expression]))
-      case c: Cast => c.child match {
-        case ae: AggregateExpression =>
-          Some((ae, (x: Expression) => c.withNewChildren(Seq(x))))
-        case _ => None
-      }
-      case _ => None
-    }
+  /** Every view column name an output expression's aggregates read:
+    * partial columns for partial-served functions, the KEY column itself
+    * for key-exact distinct/HLL aggregates. Call only on validated
+    * expressions (partialsFor is non-empty for every non-key aggregate). */
+  def neededBy(e: Expression, partials: Partials): Seq[String] =
+    e.collect {
+      case ae: AggregateExpression =>
+        if (ae.isDistinct) ae.references.map(_.name).toSeq
+        else ae.aggregateFunction match {
+          case hll: HyperLogLogPlusPlus => hll.references.map(_.name).toSeq
+          case fn => partialsFor(partials, fn).get
+        }
+    }.flatten
 
   /** The view partial column(s) an aggregate re-aggregates from, or None
     * when the view cannot serve it. AVG needs BOTH a sum and a non-null
@@ -269,15 +273,40 @@ private[plans] object MatViewSupport {
     if (!filters.forall(f => f.deterministic &&
         f.references.forall(a => keySet.contains(a.name))))
       return None
-    // every output is either a grouping column or a rewritable aggregate
+    // every output is either a grouping column or an expression tree whose
+    // aggregate leaves are all servable, whose attribute leaves are
+    // grouping columns, and whose interior nodes are deterministic —
+    // ratio-of-aggregates (SUM(a)/SUM(b)), measure arithmetic, and CASE
+    // over keys are all exactly rewritable when each aggregate leaf is.
+    // Servable leaves: the partial-backed COUNT/SUM/MIN/MAX/AVG family,
+    // plus the KEY-EXACT distinct family — COUNT(DISTINCT k) and
+    // approx_count_distinct(k) for a view KEY column k are exact over the
+    // view, because its key columns hold precisely the distinct
+    // (group, k) combinations the base does (HLL++ is duplicate-
+    // insensitive, so even the approximate answer is bit-identical).
     val groupedAttrs = agg.groupingExpressions.collect {
       case a: AttributeReference => a.exprId }.toSet
+    def servable(ae: AggregateExpression): Boolean =
+      ae.filter.isEmpty && (
+        if (ae.isDistinct) ae.aggregateFunction match {
+          case Count(Seq(a: AttributeReference)) => keySet.contains(a.name)
+          case _ => false
+        } else ae.aggregateFunction match {
+          case hll: HyperLogLogPlusPlus => hll.child match {
+            case a: AttributeReference => keySet.contains(a.name)
+            case _ => false
+          }
+          case fn => partialsFor(partials, fn).isDefined
+        })
+    def exprOk(e: Expression): Boolean = e match {
+      case ae: AggregateExpression => servable(ae)
+      case a: AttributeReference => groupedAttrs.contains(a.exprId)
+      case _: Literal => true
+      case o => o.deterministic && o.children.nonEmpty && o.children.forall(exprOk)
+    }
     agg.aggregateExpressions.foreach {
       case a: AttributeReference if groupedAttrs.contains(a.exprId) => ()
-      case Alias(a: AttributeReference, _) if groupedAttrs.contains(a.exprId) => ()
-      case Alias(e, _) if asAgg(e).exists { case (ae, _) =>
-          !ae.isDistinct && ae.filter.isEmpty &&
-            partialsFor(partials, ae.aggregateFunction).isDefined } => ()
+      case Alias(e, _) if exprOk(e) => ()
       case _ => return None
     }
     if (!fresh()) return None
@@ -287,20 +316,24 @@ private[plans] object MatViewSupport {
     // the view must actually carry every column the rewrite needs
     val needed = groupNames ++ filters.flatMap(_.references.map(_.name)) ++
       agg.aggregateExpressions.flatMap {
-        case Alias(e, _) =>
-          asAgg(e).toSeq.flatMap { case (ae, _) =>
-            partialsFor(partials, ae.aggregateFunction).get }
+        case Alias(e, _) => neededBy(e, partials)
         case _ => Nil
       }
     if (!needed.forall(vAttr.contains)) return None
     // key column types must equal the view's (mirrors the rollup path's
     // guard): with a mis-registered view the rewritten Aggregate would
     // rebind preserved exprIds to attributes of a DIFFERENT dataType —
-    // an invalid or silently wrong plan instead of a base fallback
+    // an invalid or silently wrong plan instead of a base fallback. The
+    // key-exact distinct aggregates read key columns too — same rule.
     val keyRefs = agg.groupingExpressions.collect {
       case a: AttributeReference => a } ++
-      filters.flatMap(_.references.collect { case a: AttributeReference => a })
-    if (!keyRefs.forall(a => vAttr(a.name).dataType == a.dataType)) return None
+      filters.flatMap(_.references.collect { case a: AttributeReference => a }) ++
+      agg.aggregateExpressions.flatMap(_.collect {
+        case ae: AggregateExpression =>
+          ae.references.filter(r => keySet.contains(r.name)).toSeq
+      }.flatten)
+    if (!keyRefs.forall(a =>
+        vAttr.get(a.name).exists(_.dataType == a.dataType))) return None
 
     val remapped = filters.map(_.transform {
       case a: AttributeReference => vAttr(a.name)
@@ -340,17 +373,46 @@ private[plans] object MatViewSupport {
         Some(Cast(rewritten, fn.dataType))
       else None
     }
+    // rewrite an aggregate LEAF over the view: key-exact distinct/HLL
+    // re-run over the view's key column; everything else re-aggregates
+    // partials through reAgg (which already casts to the original type)
+    def reAggE(ae: AggregateExpression): Option[Expression] = {
+      def complete(f: AggregateFunction, distinct: Boolean): AggregateExpression =
+        AggregateExpression(f, Complete, isDistinct = distinct,
+          filter = None, resultId = NamedExpression.newExprId)
+      if (ae.isDistinct) ae.aggregateFunction match {
+        case Count(Seq(a: AttributeReference)) =>
+          Some(complete(Count(Seq(vAttr(a.name))), distinct = true))
+        case _ => None
+      } else ae.aggregateFunction match {
+        case hll: HyperLogLogPlusPlus =>
+          Some(complete(hll.withNewChildren(hll.children.map {
+            case a: AttributeReference => vAttr(a.name)
+            case c => c
+          }).asInstanceOf[AggregateFunction], distinct = false))
+        case fn => reAgg(fn)
+      }
+    }
+    // explicit recursion, NOT transformDown: the replacement expressions
+    // contain fresh AggregateExpressions (Coalesce(Sum…), Divide(Sum…))
+    // that the rule must never re-enter — aggregate leaves replace whole,
+    // grouping attrs remap to the view, interior nodes rebuild around
+    // their rebuilt children
+    def rebuild(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => reAggE(ae)
+      case a: AttributeReference => vAttr.get(a.name)
+      case l: Literal => Some(l)
+      case o =>
+        val kids = o.children.map(rebuild)
+        if (kids.exists(_.isEmpty)) None
+        else Some(o.withNewChildren(kids.map(_.get)))
+    }
     val outs: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case a: AttributeReference =>
         Alias(vAttr(a.name), a.name)(exprId = a.exprId, qualifier = a.qualifier)
-      case al @ Alias(a: AttributeReference, name) if groupedAttrs.contains(a.exprId) =>
-        Alias(vAttr(a.name), name)(exprId = al.exprId, qualifier = al.qualifier)
       case al @ Alias(e, name) =>
-        asAgg(e).flatMap { case (ae, wrap) =>
-          reAgg(ae.aggregateFunction).map(r =>
-            Alias(wrap(r), name)(exprId = al.exprId, qualifier = al.qualifier))
-        } match {
-          case Some(n) => n
+        rebuild(e) match {
+          case Some(r) => Alias(r, name)(exprId = al.exprId, qualifier = al.qualifier)
           case None => return None
         }
       case _ => return None // unreachable: validated above
@@ -420,16 +482,26 @@ private[plans] object MatViewSupport {
         f.references.forall(a => keySet.contains(a.name))))
       return None
     // aggregate list: grouping attrs are the Expand's key/gid OUTPUTS;
-    // everything else must be a rewritable aggregate over pass-through
-    // columns (validated exactly as the flat rewrite does)
+    // everything else must be an expression tree over rewritable
+    // aggregates of pass-through columns — ratio-of-aggregates and
+    // measure arithmetic rewrite here exactly as on the flat path (the
+    // key-exact distinct family does NOT: inside a rollup the key
+    // columns ride the Expand as nulled placeholder slots, so a distinct
+    // over them is a different relation — partial-backed leaves only)
     val groupedAttrs = agg.groupingExpressions.collect {
       case a: AttributeReference => a.exprId }.toSet
+    def servable(ae: AggregateExpression): Boolean =
+      !ae.isDistinct && ae.filter.isEmpty &&
+        partialsFor(partials, ae.aggregateFunction).isDefined
+    def exprOk(e: Expression): Boolean = e match {
+      case ae: AggregateExpression => servable(ae)
+      case a: AttributeReference => groupedAttrs.contains(a.exprId)
+      case _: Literal => true
+      case o => o.deterministic && o.children.nonEmpty && o.children.forall(exprOk)
+    }
     agg.aggregateExpressions.foreach {
       case a: AttributeReference if groupedAttrs.contains(a.exprId) => ()
-      case Alias(a: AttributeReference, _) if groupedAttrs.contains(a.exprId) => ()
-      case Alias(e, _) if asAgg(e).exists { case (ae, _) =>
-          !ae.isDistinct && ae.filter.isEmpty &&
-            partialsFor(partials, ae.aggregateFunction).isDefined } => ()
+      case Alias(e, _) if exprOk(e) => ()
       case _ => return None
     }
     if (!fresh()) return None
@@ -437,8 +509,10 @@ private[plans] object MatViewSupport {
     val viewPlan = view().queryExecution.analyzed
     val vAttr: Map[String, Attribute] = viewPlan.output.map(a => a.name -> a).toMap
     val neededPartials = agg.aggregateExpressions.flatMap {
-      case Alias(e, _) => asAgg(e).toSeq.flatMap { case (ae, _) =>
-        partialsFor(partials, ae.aggregateFunction).get }
+      case Alias(e, _) => e.collect {
+        case ae: AggregateExpression =>
+          partialsFor(partials, ae.aggregateFunction).get
+      }.flatten
       case _ => Nil
     }.distinct
     val neededKeys = keySlots.map(_.a.name) ++
@@ -500,15 +574,24 @@ private[plans] object MatViewSupport {
         Some(Cast(rewritten, fn.dataType))
       else None
     }
+    // explicit recursion (see the flat path): aggregate leaves replace
+    // whole and are never re-entered; grouping attrs (Expand outputs) and
+    // literals pass through UNREMAPPED — the new Expand preserves their
+    // attribute ids
+    def rebuild(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => reAgg(ae.aggregateFunction)
+      case a: AttributeReference => Some(a)
+      case l: Literal => Some(l)
+      case o =>
+        val kids = o.children.map(rebuild)
+        if (kids.exists(_.isEmpty)) None
+        else Some(o.withNewChildren(kids.map(_.get)))
+    }
     val outs: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case a: AttributeReference if groupedAttrs.contains(a.exprId) => a
-      case al @ Alias(a: AttributeReference, _) if groupedAttrs.contains(a.exprId) => al
       case al @ Alias(e, name) =>
-        asAgg(e).flatMap { case (ae, wrap) =>
-          reAgg(ae.aggregateFunction).map(r =>
-            Alias(wrap(r), name)(exprId = al.exprId, qualifier = al.qualifier))
-        } match {
-          case Some(n) => n
+        rebuild(e) match {
+          case Some(r) => Alias(r, name)(exprId = al.exprId, qualifier = al.qualifier)
           case None => return None
         }
       case _ => return None // unreachable: validated above

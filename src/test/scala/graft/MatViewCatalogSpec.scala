@@ -140,4 +140,65 @@ class MatViewCatalogSpec extends SparkTestBase {
     }
     Storage.deleteRecursively(root)
   }
+
+  test("workspaceCommitWithViews: base and view pins land in ONE manifest — no stale-pair window") {
+    import spark.implicits._
+    import graft.ops.Workspace
+    val ws = Files.createTempDirectory("mv_wstx")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+    def facts(rows: Seq[(Long, BigDecimal)]): DataFrame =
+      rows.toDF("id", "x").select(col("id"), dec(col("x")).as("x"))
+        .withColumn("grp", concat(lit("g"), col("id") % 3))
+    MatViews.defineView(ws, MatViews.CatalogEntry(
+      name = "facts_by_grp", kind = "single",
+      view = ws.resolve("facts_by_grp").toString,
+      keys = Seq("grp"), base = ws.resolve("facts").toString,
+      pk = Seq("id"), sums = Map("x" -> "sum_x"), keepVersions = 8))
+
+    val (m0, maint0) = MatViews.workspaceCommitWithViews(spark, ws, ws,
+      writes = Map("facts" -> facts((1L to 30L).map(i => (i, BigDecimal(i))))),
+      keepVersions = 8)
+    assert(maint0.exists(_.single.contains("facts_by_grp")))
+    // ONE manifest pins BOTH the base and its view
+    val pins0 = Workspace.snapshotAt(ws, m0)
+    assert(pins0.keySet == Set("facts", "facts_by_grp"), pins0.toString)
+
+    // second transaction: a full rewrite of the base (commitAll
+    // semantics) — the view re-bootstraps (flat base has no feed) and
+    // the NEW pair publishes atomically
+    val (m1, _) = MatViews.workspaceCommitWithViews(spark, ws, ws,
+      writes = Map("facts" -> facts((1L to 40L).map(i => (i, BigDecimal(i * 2))))),
+      keepVersions = 8)
+    assert(m1 == m0 + 1)
+    def viewAsOf(m: Long): Set[Seq[Any]] = {
+      val pins = Workspace.snapshotAt(ws, m)
+      Workspace.readPinned(spark, ws, "facts_by_grp", pins("facts_by_grp"))
+        .select("grp", "count_rows", "sum_x")
+        .collect().map(_.toSeq.toIndexedSeq).toSet
+    }
+    def truthAsOf(m: Long): Set[Seq[Any]] = {
+      val pins = Workspace.snapshotAt(ws, m)
+      Workspace.readPinned(spark, ws, "facts", pins("facts"))
+        .groupBy("grp").agg(count(lit(1)).as("count_rows"), sum("x").as("sum_x"))
+        .collect().map(_.toSeq.toIndexedSeq).toSet
+    }
+    // every manifest serves a CONSISTENT (base, view) pair — the old
+    // manifest still serves the old pair after the new one published
+    assert(viewAsOf(m0) == truthAsOf(m0), "manifest m0 pair diverged")
+    assert(viewAsOf(m1) == truthAsOf(m1), "manifest m1 pair diverged")
+    assert(viewAsOf(m0) != viewAsOf(m1), "fixture must actually change the view")
+
+    // idempotent redelivery: the twin's manifest returns, the view is
+    // not re-maintained (no new view version, no new manifest)
+    val vBefore = Storage.currentVersion(ws.resolve("facts_by_grp")).get
+    val (m2, _) = MatViews.workspaceCommitWithViews(spark, ws, ws,
+      writes = Map("facts" -> facts(Seq((1L, BigDecimal(9))))),
+      keepVersions = 8, idempotencyToken = Some("tok-a"))
+    val (m2again, maintAgain) = MatViews.workspaceCommitWithViews(spark, ws, ws,
+      writes = Map("facts" -> facts(Seq((1L, BigDecimal(9))))),
+      keepVersions = 8, idempotencyToken = Some("tok-a"))
+    assert(m2again == m2 && maintAgain.isEmpty)
+    assert(Storage.currentVersion(ws.resolve("facts_by_grp")).get > vBefore)
+    Storage.deleteRecursively(ws)
+  }
 }

@@ -1,0 +1,281 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.{MatViews, MergeOps, Storage}
+import graft.plans.{MatView, MatViewJoinRewrite}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+/** N-ary star views: [[MatViews.maintainStar]] rolls an aggregate over
+  * fact ⋈ dim₁ ⋈ dim₂ forward from all three change feeds (the
+  * generalized delta rule), and [[graft.plans.MatViewJoinRewrite]]
+  * navigates matching 3-way aggregates — flat and ROLLUP — onto it.
+  * The reference's richest fact resolves three dimensions in one load
+  * (/root/reference/dags/dwh_fact_charer_location.py:103-115); this is
+  * that shape's maintained-view counterpart. */
+class MatViewStarSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten
+
+  private def withRule[A](body: => A): A = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ MatViewJoinRewrite
+    try body
+    finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq MatViewJoinRewrite)
+      MatView.clear()
+    }
+  }
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+
+  private def stamp(df: DataFrame): DataFrame = df
+    .withColumn("loaded_at", lit(null).cast("timestamp"))
+    .withColumn("last_upd_at", lit(null).cast("timestamp"))
+
+  private def loadA(a: java.nio.file.Path, rows: Seq[(Long, String)]): Long =
+    MergeOps.prunedConditionalUpsert(a,
+      stamp(rows.toDF("a_id", "a_grp")), pk = Seq("a_id"),
+      tracked = Seq("a_grp"),
+      runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 4,
+      keepVersions = 8)
+
+  private def loadB(b: java.nio.file.Path, rows: Seq[(Long, String)]): Long =
+    MergeOps.prunedConditionalUpsert(b,
+      stamp(rows.toDF("b_id", "b_grp")), pk = Seq("b_id"),
+      tracked = Seq("b_grp"),
+      runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 4,
+      keepVersions = 8)
+
+  private def loadF(f: java.nio.file.Path,
+      rows: Seq[(Long, Long, Long, BigDecimal)]): Long =
+    MergeOps.prunedConditionalUpsert(f,
+      stamp(rows.toDF("f_id", "f_aid", "f_bid", "f_val")
+        .select(col("f_id"), col("f_aid"), col("f_bid"),
+          dec(col("f_val")).as("f_val"))),
+      pk = Seq("f_id"), tracked = Seq("f_aid", "f_bid", "f_val"),
+      runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 4,
+      keepVersions = 8)
+
+  private def sides(a: java.nio.file.Path, b: java.nio.file.Path,
+      f: java.nio.file.Path) = Seq(
+    MatViews.StarSide(f, Seq("f_id")),
+    MatViews.StarSide(a, Seq("a_id")),
+    MatViews.StarSide(b, Seq("b_id")))
+
+  private val JoinKeys = Seq("f_aid" -> "a_id", "f_bid" -> "b_id")
+
+  private def maintain(a: java.nio.file.Path, b: java.nio.file.Path,
+      f: java.nio.file.Path, view: java.nio.file.Path): MatViews.MaintainStarResult =
+    MatViews.maintainStar(spark, sides(a, b, f), view,
+      joinKeys = JoinKeys, keys = Seq("a_grp", "b_grp"),
+      sums = Map("f_val" -> "sum_val"), counts = Map("f_val" -> "cnt_val"),
+      mins = Map("f_val" -> "min_val"), maxs = Map("f_val" -> "max_val"),
+      keepVersions = 2)
+
+  private def truth(a: java.nio.file.Path, b: java.nio.file.Path,
+      f: java.nio.file.Path): DataFrame =
+    Storage.readPartitionedVersion(spark, f)
+      .join(Storage.readPartitionedVersion(spark, a), col("f_aid") === col("a_id"))
+      .join(Storage.readPartitionedVersion(spark, b), col("f_bid") === col("b_id"))
+      .groupBy("a_grp", "b_grp")
+      .agg(count(lit(1)).as("count_rows"), sum("f_val").as("sum_val"),
+        count(col("f_val")).as("cnt_val"),
+        min("f_val").as("min_val"), max("f_val").as("max_val"))
+
+  private def assertExact(a: java.nio.file.Path, b: java.nio.file.Path,
+      f: java.nio.file.Path, view: java.nio.file.Path): Unit = {
+    val got = Storage.readVersion(spark, view)
+      .select("a_grp", "b_grp", "count_rows", "sum_val", "cnt_val",
+        "min_val", "max_val")
+      .collect().map(r => r.toSeq.map(String.valueOf)).toSet
+    val want = truth(a, b, f)
+      .collect().map(r => r.toSeq.map(String.valueOf)).toSet
+    assert(got == want, s"star view diverged:\n got  $got\n want $want")
+  }
+
+  test("maintainStar: bootstrap, churn on each of the three sides, multi-side interval, max-holder delete") {
+    val root = Files.createTempDirectory("mvstar")
+    val (a, b, f, view) = (root.resolve("dim_a"), root.resolve("dim_b"),
+      root.resolve("fact"), root.resolve("view"))
+    loadA(a, (1L to 8L).map(i => (i, s"a${i % 3}")))
+    loadB(b, (1L to 6L).map(i => (i, s"b${i % 2}")))
+    loadF(f, (1L to 80L).map(i => (i, i % 8 + 1, i % 6 + 1, BigDecimal(i))))
+    val r0 = maintain(a, b, f, view)
+    assert(r0.applied.size == 3)
+    assertExact(a, b, f, view)
+    // dim A churn: member 3 moves a0→a9 — every fact row keyed to it
+    // re-buckets (the ΔA term retracts+inserts each)
+    loadA(a, Seq((3L, "a9")))
+    maintain(a, b, f, view)
+    assertExact(a, b, f, view)
+    // fact churn: value update, insert with an ORPHAN dim-A key (joins
+    // nothing, must not appear), insert, delete
+    loadF(f, Seq((5L, 6L, 2L, BigDecimal(500)), (81L, 99L, 1L, BigDecimal(7)),
+      (82L, 2L, 3L, BigDecimal(8))))
+    MergeOps.prunedDelete(f, Seq(10L, 20L).toDF("f_id"), pk = Seq("f_id"),
+      nParts = 4)
+    maintain(a, b, f, view)
+    assertExact(a, b, f, view)
+    // BOTH dims and the fact change in ONE interval: the three delta
+    // terms' old/new asymmetry must account every cross term exactly once
+    loadA(a, Seq((7L, "a9")))
+    loadB(b, Seq((2L, "b7")))
+    loadF(f, Seq((83L, 7L, 2L, BigDecimal(11)), (1L, 1L, 2L, BigDecimal(100))))
+    maintain(a, b, f, view)
+    assertExact(a, b, f, view)
+    // delete the row holding a group's MAX (id 5 → 500 is the global max
+    // of its group): the retraction flags exactly that group for a
+    // re-join recompute
+    MergeOps.prunedDelete(f, Seq(5L).toDF("f_id"), pk = Seq("f_id"), nParts = 4)
+    val rMax = maintain(a, b, f, view)
+    assert(rMax.recomputedGroups >= 1,
+      s"max-holder delete must re-join its group: $rMax")
+    assertExact(a, b, f, view)
+    // no-op: all three unchanged → same view version back
+    assert(maintain(a, b, f, view).viewVersion ==
+      maintain(a, b, f, view).viewVersion)
+    Storage.deleteRecursively(root)
+  }
+
+  test("3-way aggregates — flat and ROLLUP, any join order — navigate onto the star view; guards fall back") {
+    val root = Files.createTempDirectory("mvstar_rw")
+    val (a, b, f, view) = (root.resolve("dim_a"), root.resolve("dim_b"),
+      root.resolve("fact"), root.resolve("view"))
+    loadA(a, (1L to 8L).map(i => (i, s"a${i % 3}")))
+    loadB(b, (1L to 6L).map(i => (i, s"b${i % 2}")))
+    loadF(f, (1L to 80L).map(i => (i, i % 8 + 1, i % 6 + 1, BigDecimal(i))))
+    maintain(a, b, f, view)
+    def register(): Unit = MatViews.registerStarRewrite(spark, "star",
+      Seq(f, a, b), view, joinKeys = JoinKeys, keys = Seq("a_grp", "b_grp"),
+      sums = Map("f_val" -> "sum_val"), counts = Map("f_val" -> "cnt_val"),
+      mins = Map("f_val" -> "min_val"), maxs = Map("f_val" -> "max_val"))
+    register()
+    withRule {
+      def aDf() = Storage.readPartitionedVersion(spark, a)
+      def bDf() = Storage.readPartitionedVersion(spark, b)
+      def fDf() = Storage.readPartitionedVersion(spark, f)
+      def agg(j: DataFrame) = j.groupBy("a_grp", "b_grp")
+        .agg(count(lit(1)).as("cnt"), sum("f_val").as("s"),
+          min("f_val").as("mn"), max("f_val").as("mx"))
+      // fact-first left-deep
+      val q1 = agg(fDf().join(aDf(), col("f_aid") === col("a_id"))
+        .join(bDf(), col("f_bid") === col("b_id")))
+      val p1 = scanPaths(q1)
+      assert(p1.exists(_.contains(view.toString)), s"expected view scan: $p1")
+      assert(!p1.exists(s => s.contains(f.toString) || s.contains(a.toString) ||
+        s.contains(b.toString)), s"no base may scan: $p1")
+      // dim-first order and flipped equalities: same relation, same view
+      val q2 = agg(bDf().join(fDf(), col("b_id") === col("f_bid"))
+        .join(aDf(), col("a_id") === col("f_aid")))
+      assert(scanPaths(q2).exists(_.contains(view.toString)),
+        "dim-first join order must still navigate")
+      MatView.clear()
+      val want1 = agg(fDf().join(aDf(), col("f_aid") === col("a_id"))
+        .join(bDf(), col("f_bid") === col("b_id")))
+        .orderBy("a_grp", "b_grp").collect().toSeq
+      assert(q1.orderBy("a_grp", "b_grp").collect().toSeq == want1)
+      assert(q2.orderBy("a_grp", "b_grp").collect().toSeq == want1)
+      // ROLLUP over the 3-way join keeps Expand semantics over the view
+      register()
+      // ROLLUP over the join through SQL — the BI-tool shape (the
+      // DataFrame rollup() API false-positives Spark's self-join detector
+      // on a multi-join even with no rule installed)
+      aDf().createOrReplaceTempView("star_a")
+      bDf().createOrReplaceTempView("star_b")
+      fDf().createOrReplaceTempView("star_f")
+      def roll() = spark.sql(
+        """SELECT a_grp, b_grp, count(1) AS cnt, sum(f_val) AS s,
+          |       max(f_val) AS mx
+          |FROM star_f JOIN star_a ON f_aid = a_id
+          |            JOIN star_b ON f_bid = b_id
+          |GROUP BY ROLLUP(a_grp, b_grp)""".stripMargin)
+      val q3 = roll()
+      val p3 = scanPaths(q3)
+      assert(p3.exists(_.contains(view.toString)),
+        s"rollup over the star must navigate: $p3")
+      val got3 = q3.collect().map(r => r.toSeq.map(String.valueOf)).toSet
+      MatView.clear()
+      val want3 = roll().collect().map(r => r.toSeq.map(String.valueOf)).toSet
+      assert(got3 == want3, s"star rollup diverged:\n got  $got3\n want $want3")
+      // guards: a 2-table subset join is a different relation; an extra
+      // conjunct is too
+      register()
+      val subset = agg(fDf().join(aDf(), col("f_aid") === col("a_id"))
+        .withColumn("b_grp", lit("x")))
+      assert(!scanPaths(subset).exists(_.contains(view.toString)),
+        "a 2-of-3-table join must fall back")
+      val extra = agg(fDf().join(aDf(), col("f_aid") === col("a_id"))
+        .join(bDf(), col("f_bid") === col("b_id") && col("b_id") =!= 3L))
+      assert(!scanPaths(extra).exists(_.contains(view.toString)),
+        "an extra join conjunct must fall back")
+      // staleness on ANY side falls back; re-maintain resumes
+      loadB(b, Seq((7L, "b7")))
+      val stale = agg(fDf().join(aDf(), col("f_aid") === col("a_id"))
+        .join(bDf(), col("f_bid") === col("b_id")))
+      assert(!scanPaths(stale).exists(_.contains(view.toString)),
+        "a lagging side must fall back")
+      // compact the churned side to single-owner (the rewrite's scan
+      // shape) — its state-identical marker keeps the catch-up feed
+      // metadata-only — then re-maintain
+      Storage.compact(spark, b)
+      maintain(a, b, f, view)
+      val resumed = agg(fDf().join(aDf(), col("f_aid") === col("a_id"))
+        .join(bDf(), col("f_bid") === col("b_id")))
+      assert(scanPaths(resumed).exists(_.contains(view.toString)),
+        "re-maintained star must navigate again")
+    }
+    Storage.deleteRecursively(root)
+  }
+
+  test("star catalog entries round-trip: define → maintainCatalog → loadCatalog in a fresh session") {
+    val root = Files.createTempDirectory("mvstar_cat")
+    val (a, b, f, view) = (root.resolve("dim_a"), root.resolve("dim_b"),
+      root.resolve("fact"), root.resolve("view"))
+    loadA(a, (1L to 8L).map(i => (i, s"a${i % 3}")))
+    loadB(b, (1L to 6L).map(i => (i, s"b${i % 2}")))
+    loadF(f, (1L to 40L).map(i => (i, i % 8 + 1, i % 6 + 1, BigDecimal(i))))
+    MatViews.defineView(root, MatViews.CatalogEntry(
+      name = "star_cat", kind = "star", view = view.toString,
+      keys = Seq("a_grp", "b_grp"),
+      tables = Seq(f.toString, a.toString, b.toString),
+      pks = Seq(Seq("f_id"), Seq("a_id"), Seq("b_id")),
+      joinKeysLeft = JoinKeys.map(_._1), joinKeysRight = JoinKeys.map(_._2),
+      sums = Map("f_val" -> "sum_val"), counts = Map("f_val" -> "cnt_val"),
+      mins = Map("f_val" -> "min_val"), maxs = Map("f_val" -> "max_val"),
+      keepVersions = 2))
+    // scheduled pass bootstraps; a second pass after churn rolls forward
+    val m1 = MatViews.maintainCatalog(spark, root)
+    assert(m1.stars.contains("star_cat") && m1.stars("star_cat").applied.size == 3)
+    loadF(f, Seq((41L, 2L, 3L, BigDecimal(9))))
+    loadA(a, Seq((2L, "a9")))
+    // compaction restores the single-owner composition the rewrite scans;
+    // the scheduled pass advances markers through the metadata-only feeds
+    Storage.compact(spark, f)
+    Storage.compact(spark, a)
+    MatViews.maintainCatalog(spark, root)
+    assertExact(a, b, f, view)
+    // fresh session: loadCatalog re-registers, the query navigates
+    MatView.clear()
+    assert(MatViews.loadCatalog(spark, root) == 1)
+    withRule {
+      val q = Storage.readPartitionedVersion(spark, f)
+        .join(Storage.readPartitionedVersion(spark, a), col("f_aid") === col("a_id"))
+        .join(Storage.readPartitionedVersion(spark, b), col("f_bid") === col("b_id"))
+        .groupBy("a_grp", "b_grp").agg(sum("f_val").as("s"))
+      assert(scanPaths(q).exists(_.contains(view.toString)),
+        "a cataloged star view must navigate after reload")
+    }
+    Storage.deleteRecursively(root)
+  }
+}
