@@ -1189,7 +1189,11 @@ object CoreQueries {
               .select(col("event_type"), col("cnt"),
                 col("sv").cast("double").as("sum_value"),
                 col("mnv").cast("double").as("min_value"),
-                col("mxv").cast("double").as("max_value"))
+                col("mxv").cast("double").as("max_value"),
+                // ratio-of-aggregates: SUM/COUNT composed in one output
+                // slot — the expression-tree rewrite path (each aggregate
+                // leaf re-aggregates a partial; the divide rides on top)
+                (col("sv").cast("double") / col("cnt")).as("avg_ratio"))
             val scans = q.queryExecution.optimizedPlan.collect {
               case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
                 lr.relation match {
@@ -1212,7 +1216,8 @@ object CoreQueries {
       Some("""SELECT event_type, count(*) AS cnt,
              |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
              |  CAST(min(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS min_value,
-             |  CAST(max(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS max_value
+             |  CAST(max(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS max_value,
+             |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_ratio
              |FROM events WHERE user_id BETWEEN 1 AND 8000
              |GROUP BY event_type""".stripMargin)),
 
@@ -1399,14 +1404,17 @@ object CoreQueries {
     // MAINTAINED join view instead of the join. Same churn script as
     // withJoinViewTables (dim nation-skew + missing keys restored; fact
     // evens-only with price skew, then truth + a %13 takedown), but the
-    // view rolls forward by MatViews.maintainJoin after every commit —
-    // bootstrap once, then one dim-side roll (ΔA⋈B₁), one fact-side roll
-    // carrying updates+inserts+deletes (A₀⋈ΔB), and a marker advance
-    // through both compactions' empty feeds. registerJoinRewrite +
-    // MatViewJoinRewrite then re-plan the ad-hoc Aggregate(Join) onto the
-    // view — the row REQUIREs the view scan and that NEITHER base is
-    // scanned. At 100 TB: the query's giant shuffle join becomes a read
-    // of 25 pre-joined rows, maintained for O(Δ) per refresh.
+    // view rolls forward by MatViews.maintainJoin — bootstrap once, then
+    // ONE interval where BOTH sides change (ΔA⋈B₁ ∪ A₀⋈ΔB with the
+    // updates+inserts+deletes all in flight — the net-multiplicity
+    // cancellation keeps the transient cross terms out of the extremes),
+    // then a marker advance through both compactions' empty feeds.
+    // registerJoinRewrite + MatViewJoinRewrite then re-plan the ad-hoc
+    // Aggregate(Join) onto the view — the row REQUIREs the view scan and
+    // that NEITHER base is scanned. At 100 TB: the query's giant shuffle
+    // join becomes a read of 25 pre-joined rows, maintained for O(Δ) per
+    // refresh. (Single-side rolls are MatViewJoinSpec-covered; merging
+    // the two data intervals halves the fixture's maintenance replays.)
     Q("mv3_join_agg_navigation",
       (s, d) => {
         import graft.plans.{MatView, MatViewJoinRewrite}
@@ -1454,12 +1462,11 @@ object CoreQueries {
                 .otherwise(col("o_totalprice")))), CutoffTs)
           maintain() // bootstrap at the churned pair
           loadCust(cTrue, RunTs)
-          maintain() // dim-side roll: ΔA ⋈ B₁
           loadOrd(oTrue, RunTs)
           MergeOps.prunedDelete(ord,
             oTrue.select(col("o_orderkey")).filter(col("o_orderkey") % 13 === 0),
             pk = Seq("o_orderkey"), nParts = 8, keepVersions = 4)
-          maintain() // fact-side roll: updates + inserts + deletes
+          maintain() // BOTH sides roll in one interval: ΔA⋈B₁ ∪ A₀⋈ΔB
           Storage.compact(s, cust)
           Storage.compact(s, ord)
           maintain() // owners unified; markers advance through empty feeds
@@ -1511,6 +1518,137 @@ object CoreQueries {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |WHERE o_orderkey % 13 <> 0
              |GROUP BY c_nationkey""".stripMargin)),
+
+    // N-ary STAR navigation: the reference's richest fact resolves THREE
+    // dimensions in one load (dwh_fact_charer_location.py:103-115, FKs at
+    // configure.py:344-354); this is that shape's maintained-view closure.
+    // orders ⋈ customer ⋈ nation rolls forward by MatViews.maintainStar —
+    // bootstrap at a churned triple (nation missing every 5th member,
+    // customer mis-bucketed, fact evens-only with price skew), then ONE
+    // interval where BOTH dims change (the multi-term delta rule's cross
+    // terms must cancel exactly — the net-multiplicity cancellation),
+    // then the fact's truth + a %13 takedown, then three compactions whose
+    // state-identical markers keep the catch-up feeds metadata-only.
+    // registerStarRewrite + MatViewJoinRewrite then re-plan the ad-hoc
+    // 3-way Aggregate(Join(Join)) onto the view — the row REQUIREs the
+    // view scan and that NONE of the three bases is scanned. At 100 TB:
+    // two giant shuffle joins become a read of 25 pre-aggregated rows.
+    Q("mv5_star_navigation",
+      (s, d) => {
+        import graft.plans.{MatView, MatViewJoinRewrite}
+        import graft.ops.{MatViews, MergeOps, Storage}
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+        val dir = java.nio.file.Files.createTempDirectory("mv5")
+        val nat = dir.resolve("dim_nation")
+        val cust = dir.resolve("dim_customer")
+        val ord = dir.resolve("fct_orders")
+        val view = dir.resolve("view")
+        try {
+          val nTrue = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+          val cTrue = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+          val oRaw = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"))
+          val oTrue = oRaw.withColumn("o_totalprice", dec(col("o_totalprice")))
+          def stamp(df: DataFrame) = df
+            .withColumn("loaded_at", lit(null).cast("timestamp"))
+            .withColumn("last_upd_at", lit(null).cast("timestamp"))
+          def loadNat(df: DataFrame, ts: String) =
+            MergeOps.prunedConditionalUpsert(nat, stamp(df),
+              pk = Seq("n_nationkey"), tracked = Seq("n_name"),
+              runTs = lit(ts).cast("timestamp"), nParts = 4, keepVersions = 4)
+          def loadCust(df: DataFrame, ts: String) =
+            MergeOps.prunedConditionalUpsert(cust, stamp(df),
+              pk = Seq("c_custkey"), tracked = Seq("c_nationkey"),
+              runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+          def loadOrd(df: DataFrame, ts: String) =
+            MergeOps.prunedConditionalUpsert(ord, stamp(df),
+              pk = Seq("o_orderkey"), tracked = Seq("o_custkey", "o_totalprice"),
+              runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+          val sides = Seq(MatViews.StarSide(ord, Seq("o_orderkey")),
+            MatViews.StarSide(cust, Seq("c_custkey")),
+            MatViews.StarSide(nat, Seq("n_nationkey")))
+          val jks = Seq("o_custkey" -> "c_custkey", "c_nationkey" -> "n_nationkey")
+          def maintain() = MatViews.maintainStar(s, sides, view,
+            joinKeys = jks, keys = Seq("n_name"),
+            sums = Map("o_totalprice" -> "sum_rev"),
+            counts = Map("o_totalprice" -> "cnt_rev"),
+            mins = Map("o_totalprice" -> "min_rev"),
+            maxs = Map("o_totalprice" -> "max_rev"), keepVersions = 2)
+          loadNat(nTrue.filter(col("n_nationkey") % 5 =!= 0), CutoffTs)
+          loadCust(cTrue.filter(col("c_custkey") % 7 =!= 0)
+            .withColumn("c_nationkey",
+              when(col("c_custkey") % 10 === 0,
+                ((col("c_nationkey") + 1) % 25).cast("int"))
+                .otherwise(col("c_nationkey"))), CutoffTs)
+          loadOrd(oRaw.filter(col("o_orderkey") % 2 === 0)
+            .withColumn("o_totalprice",
+              dec(when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 42.0)
+                .otherwise(col("o_totalprice")))), CutoffTs)
+          maintain() // bootstrap at the churned triple
+          loadNat(nTrue, RunTs)
+          loadCust(cTrue, RunTs)
+          maintain() // BOTH dims roll in one interval — cross terms cancel
+          loadOrd(oTrue, RunTs)
+          MergeOps.prunedDelete(ord,
+            oTrue.select(col("o_orderkey")).filter(col("o_orderkey") % 13 === 0),
+            pk = Seq("o_orderkey"), nParts = 8, keepVersions = 4)
+          maintain() // fact-side roll: updates + inserts + deletes
+          Storage.compact(s, nat)
+          Storage.compact(s, cust)
+          Storage.compact(s, ord)
+          maintain() // owners unified; markers advance through empty feeds
+          MatViews.registerStarRewrite(s, "mv5", Seq(ord, cust, nat), view,
+            joinKeys = jks, keys = Seq("n_name"),
+            sums = Map("o_totalprice" -> "sum_rev"),
+            counts = Map("o_totalprice" -> "cnt_rev"),
+            mins = Map("o_totalprice" -> "min_rev"),
+            maxs = Map("o_totalprice" -> "max_rev"))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ MatViewJoinRewrite
+          try {
+            val q = Storage.readPartitionedVersion(s, ord)
+              .join(Storage.readPartitionedVersion(s, cust),
+                col("o_custkey") === col("c_custkey"))
+              .join(Storage.readPartitionedVersion(s, nat),
+                col("c_nationkey") === col("n_nationkey"))
+              .groupBy(col("n_name"))
+              .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("sr"),
+                count(col("o_totalprice")).as("cnt_rev"),
+                min(col("o_totalprice")).as("mn"),
+                max(col("o_totalprice")).as("mx"))
+              .select(col("n_name"), col("cnt"),
+                col("sr").cast("double").as("sum_rev"), col("cnt_rev"),
+                col("mn").cast("double").as("min_rev"),
+                col("mx").cast("double").as("max_rev"))
+            val scans = q.queryExecution.optimizedPlan.collect {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                lr.relation match {
+                  case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                    fs.location.rootPaths.map(_.toString)
+                  case _ => Nil
+                }
+            }.flatten
+            require(scans.exists(_.contains(view.toString)) &&
+                !scans.exists(p => p.contains(nat.toString) ||
+                  p.contains(cust.toString) || p.contains(ord.toString)),
+              s"star aggregate was not navigated onto the view: $scans")
+            q.localCheckpoint()
+          } finally {
+            s.experimental.extraOptimizations =
+              s.experimental.extraOptimizations.filterNot(_ eq MatViewJoinRewrite)
+            MatView.drop("mv5")
+          }
+        } finally Storage.deleteRecursively(dir)
+      },
+      Some("""SELECT n_name, count(*) AS cnt,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_rev,
+             |       count(o_totalprice) AS cnt_rev,
+             |       CAST(min(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS min_rev,
+             |       CAST(max(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS max_rev
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |            JOIN nation ON c_nationkey = n_nationkey
+             |WHERE o_orderkey % 13 <> 0
+             |GROUP BY n_name""".stripMargin)),
 
     Q("io5_dv_delta_export",
       (s, d) => {

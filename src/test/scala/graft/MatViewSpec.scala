@@ -58,6 +58,18 @@ class MatViewSpec extends SparkTestBase {
     (base, view)
   }
 
+  /** Re-register the [[fixture]] view (tests clear the registry to
+    * compute truths without the rewrite). */
+  private def reRegister(base: java.nio.file.Path, view: java.nio.file.Path): Unit = {
+    val vdir = base.resolve(s"v${Storage.currentVersion(base).get}")
+    MatView.register(MatView.Def(
+      name = "t", baseRoots = () => Set(MatView.root(vdir)),
+      view = () => Storage.readVersion(spark, view),
+      keys = Seq("k1", "k2"), countCol = Some("count_rows"),
+      sums = Map("x" -> "sum_x"), mins = Map("x" -> "min_x"),
+      maxs = Map("x" -> "max_x")))
+  }
+
   test("matching aggregate re-plans onto the view; results identical") {
     val (base, view) = fixture()
     withRule {
@@ -123,9 +135,10 @@ class MatViewSpec extends SparkTestBase {
       // bookkeeping differs from an explicit Divide — double family only)
       val q1 = Storage.readVersion(spark, base).groupBy("k1").agg(avg("x").as("a"))
       assert(!scanPaths(q1).exists(_.contains(view.toString)))
-      // distinct count cannot come from partials
+      // distinct count over a MEASURE cannot come from partials (a view
+      // KEY column is the exact exception — covered below)
       val q2 = Storage.readVersion(spark, base).groupBy("k1")
-        .agg(countDistinct("k2").as("d"))
+        .agg(countDistinct("x").as("d"))
       assert(!scanPaths(q2).exists(_.contains(view.toString)))
       // filter on a NON-key column does not commute with the group-by
       val q3 = Storage.readVersion(spark, base).filter(col("x") > 1)
@@ -303,6 +316,65 @@ class MatViewSpec extends SparkTestBase {
       val q2 = q()
       assert(scanPaths(q2).exists(_.contains(view.toString)), "re-maintained view must rewrite")
       assert(q2.collect().map(_.getLong(1)).sum == 75)
+    }
+  }
+
+  test("ratio-of-aggregates and measure arithmetic rewrite as expression trees") {
+    val (base, view) = fixture()
+    withRule {
+      // SUM/COUNT composed in one output slot — the BI ratio shape that
+      // previously failed slot validation and fell back to the base
+      def shape(df: DataFrame) = df.groupBy("k1").agg(
+        (sum("x").cast("double") / count(lit(1))).as("ratio"),
+        (sum("x") * lit(2)).as("dbl"),
+        (max("x").cast("double") - min("x").cast("double")).as("range"),
+        (count(lit(1)) + lit(1)).as("cntp1"))
+      val q = shape(Storage.readVersion(spark, base))
+      val paths = scanPaths(q)
+      assert(paths.exists(_.contains(view.toString)),
+        s"ratio aggregate must rewrite onto the view: $paths")
+      val got = q.orderBy("k1").collect().toSeq
+      MatView.clear()
+      val want = shape(Storage.readVersion(spark, base)).orderBy("k1").collect().toSeq
+      assert(got == want, s"ratio rewrite diverged:\n got  $got\n want $want")
+      // a tree containing an UNSERVABLE leaf still falls back whole
+      val (b2, v2) = (base, view)
+      MatView.clear(); reRegister(b2, v2)
+      val bad = Storage.readVersion(spark, b2).groupBy("k1")
+        .agg((sum("x") / stddev("x")).as("r"))
+      assert(!scanPaths(bad).exists(_.contains(v2.toString)),
+        "a tree with an unservable aggregate leaf must fall back")
+    }
+  }
+
+  test("COUNT(DISTINCT key) and approx_count_distinct(key) navigate exactly") {
+    val (base, view) = fixture()
+    withRule {
+      // k2 is a view KEY: the view's rows carry exactly the distinct
+      // (k1, k2) pairs, so both the exact and the HLL++ distinct counts
+      // over k2 are bit-identical over the view
+      def shape(df: DataFrame) = df.groupBy("k1").agg(
+        countDistinct("k2").as("dk"),
+        approx_count_distinct("k2").as("adk"),
+        count(lit(1)).as("cnt"), sum("x").as("s"))
+      val q = shape(Storage.readVersion(spark, base))
+      val paths = scanPaths(q)
+      assert(paths.exists(_.contains(view.toString)),
+        s"key-distinct aggregate must rewrite onto the view: $paths")
+      val got = q.orderBy("k1").collect().toSeq
+      MatView.clear()
+      val want = shape(Storage.readVersion(spark, base)).orderBy("k1").collect().toSeq
+      assert(got == want, s"key-distinct rewrite diverged:\n got  $got\n want $want")
+      // GLOBAL distinct over a key works too (distinct pairs collapse)
+      reRegister(base, view)
+      val g = Storage.readVersion(spark, base)
+        .agg(countDistinct("k2").as("dk"), count(lit(1)).as("cnt"))
+      assert(scanPaths(g).exists(_.contains(view.toString)))
+      val gGot = g.collect().toSeq
+      MatView.clear()
+      val gWant = Storage.readVersion(spark, base)
+        .agg(countDistinct("k2").as("dk"), count(lit(1)).as("cnt")).collect().toSeq
+      assert(gGot == gWant)
     }
   }
 
