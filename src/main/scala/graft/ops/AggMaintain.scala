@@ -142,7 +142,8 @@ object AggMaintain {
       mins: Map[String, Column] = Map.empty,
       maxs: Map[String, Column] = Map.empty,
       changeType: Column = col("change_type"),
-      weight: Column = lit(1L)): DataFrame = {
+      weight: Column = lit(1L),
+      kmvs: Map[String, (Column, Int)] = Map.empty): DataFrame = {
     val added = changeType.isin("insert", "update_postimage")
     val aggs =
       sums.map { case (n, c) =>
@@ -152,7 +153,14 @@ object AggMaintain {
           min(when(!added, c)).as(s"__ret_$n")) } ++
         maxs.flatMap { case (n, c) => Seq(
           max(when(added, c)).as(s"__ins_$n"),
-          max(when(!added, c)).as(s"__ret_$n")) }
+          max(when(!added, c)).as(s"__ret_$n")) } ++
+        // KMV sketch partials: inserts fold into a mergeable k-min array;
+        // for retractions only the SMALLEST retracted hash matters — the
+        // merge flags a recompute iff it could sit inside the stored
+        // sketch (hashes can't be removed from a k-min set)
+        kmvs.flatMap { case (n, (c, k)) => Seq(
+          graft.plans.KmvSketch.partialCol(when(added, c), k).as(s"__ins_$n"),
+          min(when(!added, graft.plans.KmvSketch.hashCol(c))).as(s"__ret_$n")) }
     cdf.groupBy(keys.map(col): _*)
       .agg(sum(when(added, weight).otherwise(-weight)).as("count_rows"),
         aggs.toSeq: _*)
@@ -182,12 +190,16 @@ object AggMaintain {
       sumCols: Seq[String],
       minCols: Seq[String] = Seq.empty,
       maxCols: Seq[String] = Seq.empty,
-      flagCol: String = "__recompute"): DataFrame = {
-    require(!((keys ++ Seq("count_rows") ++ sumCols ++ minCols ++ maxCols)
-        .contains(flagCol)), s"flagCol '$flagCol' collides with a state column")
-    val sCols = keys ++ Seq("count_rows") ++ sumCols ++ minCols ++ maxCols
+      flagCol: String = "__recompute",
+      kmvCols: Seq[(String, Int)] = Seq.empty): DataFrame = {
+    require(!((keys ++ Seq("count_rows") ++ sumCols ++ minCols ++ maxCols ++
+        kmvCols.map(_._1)).contains(flagCol)),
+      s"flagCol '$flagCol' collides with a state column")
+    val sCols = keys ++ Seq("count_rows") ++ sumCols ++ minCols ++ maxCols ++
+      kmvCols.map(_._1)
     val dCols = keys ++ Seq("count_rows") ++ sumCols ++
-      (minCols ++ maxCols).flatMap(c => Seq(s"__ins_$c", s"__ret_$c"))
+      (minCols ++ maxCols ++ kmvCols.map(_._1))
+        .flatMap(c => Seq(s"__ins_$c", s"__ret_$c"))
     val s = state.select(sCols.map(col): _*).alias("s")
     val d = deltaAgg.select(dCols.map(col): _*).alias("d")
     val joined = s.join(d,
@@ -231,15 +243,32 @@ object AggMaintain {
         (col(s"s.$c").isNull || beats(col(s"d.__ret_$c"), col(s"s.$c"))) &&
         !(col(s"d.__ins_$c").isNotNull &&
           beats(col(s"d.__ins_$c"), col(s"d.__ret_$c")))
+    // KMV partials: the stored k-min hash array unions with the batch's
+    // insert sketch (k-min of a union = trimmed union of k-mins — exact);
+    // a hash can never be REMOVED from a k-min set, so any retraction
+    // whose hash sits at or below the stored k-th minimum (array_max of
+    // the sorted stored array; an empty/absent store with a retraction is
+    // inconsistent and flags) forces the group's recompute. No
+    // ins-covers-ret exemption: a re-inserted value may not be the LAST
+    // live copy of the retracted one — conservative, never wrong.
+    def kmvMerged(c: String, k: Int): Column =
+      when(stateAbsent, col(s"d.__ins_$c")).when(deltaAbsent, col(s"s.$c"))
+        .otherwise(slice(array_sort(
+          array_union(col(s"s.$c"), col(s"d.__ins_$c"))), 1, k)).as(c)
+    def kmvUncertain(c: String): Column =
+      !stateAbsent && !deltaAbsent && col(s"d.__ret_$c").isNotNull &&
+        coalesce(col(s"d.__ret_$c") <= array_max(col(s"s.$c")), lit(true))
     val flags =
       minCols.map(c => uncertain(c, _ <= _)) ++
-        maxCols.map(c => uncertain(c, _ >= _))
+        maxCols.map(c => uncertain(c, _ >= _)) ++
+        kmvCols.map { case (c, _) => kmvUncertain(c) }
     joined.select(
       keys.map(k => coalesce(col(s"d.$k"), col(s"s.$k")).as(k)) ++
         Seq(add("count_rows")) ++
         sumCols.map(add) ++
         minCols.map(extreme(_, least(_, _))) ++
-        maxCols.map(extreme(_, greatest(_, _))) :+
+        maxCols.map(extreme(_, greatest(_, _))) ++
+        kmvCols.map { case (c, k) => kmvMerged(c, k) } :+
         flags.reduceOption(_ || _).getOrElse(lit(false)).as(flagCol): _*)
       .filter(col("count_rows") =!= 0)
   }

@@ -83,7 +83,9 @@ object MatViews {
       sums: Map[String, String] = Map.empty,
       mins: Map[String, String] = Map.empty,
       maxs: Map[String, String] = Map.empty,
-      counts: Map[String, String] = Map.empty): Unit =
+      counts: Map[String, String] = Map.empty,
+      kmvs: Map[String, String] = Map.empty,
+      kmvK: Int = 64): Unit =
     MatView.register(MatView.Def(
       name = name,
       baseRoots = () => expectedRoots(base),
@@ -91,7 +93,8 @@ object MatViews {
       keys = keys, countCol = countCol, sums = sums, mins = mins, maxs = maxs,
       counts = counts,
       fresh = () => appliedBase(view).exists(a =>
-        Storage.currentVersion(base).contains(a))))
+        Storage.currentVersion(base).contains(a)),
+      kmvs = kmvs, kmvK = kmvK))
 
   /** Outcome of one [[maintain]] call: the base version the view now
     * reflects, the view commit that holds it, and how many groups needed
@@ -110,9 +113,12 @@ object MatViews {
       maxs: Map[String, String] = Map.empty,
       counts: Map[String, String] = Map.empty,
       keepVersions: Int = 1,
-      maxCollectedGroups: Int = 10000) {
+      maxCollectedGroups: Int = 10000,
+      kmvs: Map[String, String] = Map.empty,
+      kmvK: Int = 64) {
     private[MatViews] def aggCols: Seq[String] =
-      (sums.keys ++ mins.keys ++ maxs.keys ++ counts.keys).toSeq.distinct
+      (sums.keys ++ mins.keys ++ maxs.keys ++ counts.keys ++ kmvs.keys)
+        .toSeq.distinct
     private[MatViews] def compareCols(pk: Seq[String]): Seq[String] = {
       val cc = (keys ++ aggCols).distinct.filterNot(pk.contains)
       require(cc.nonEmpty,
@@ -179,9 +185,11 @@ object MatViews {
       maxs: Map[String, String] = Map.empty,
       counts: Map[String, String] = Map.empty,
       keepVersions: Int = 1,
-      maxCollectedGroups: Int = 10000): MaintainResult =
+      maxCollectedGroups: Int = 10000,
+      kmvs: Map[String, String] = Map.empty,
+      kmvK: Int = 64): MaintainResult =
     maintainAll(spark, base, pk, Seq(ViewSpec(view, keys, sums, mins, maxs,
-      counts, keepVersions, maxCollectedGroups))).head
+      counts, keepVersions, maxCollectedGroups, kmvs, kmvK))).head
 
   /** [[maintain]] for EVERY aggregate view of one base in a single call —
     * the shape scheduled maintenance should use. The 100 TB win is feed
@@ -248,7 +256,9 @@ object MatViews {
     val aggs = sp.sums.map { case (b, v) => sum(col(b)).as(v) } ++
       sp.mins.map { case (b, v) => min(col(b)).as(v) } ++
       sp.maxs.map { case (b, v) => max(col(b)).as(v) } ++
-      sp.counts.map { case (b, v) => count(col(b)).as(v) }
+      sp.counts.map { case (b, v) => count(col(b)).as(v) } ++
+      sp.kmvs.map { case (b, v) =>
+        graft.plans.KmvSketch.partialCol(col(b), sp.kmvK).as(v) }
     readBaseAt(spark, base, to).groupBy(sp.keys.map(col): _*)
       .agg(count(lit(1)).as("count_rows"), aggs.toSeq: _*)
   }
@@ -270,12 +280,13 @@ object MatViews {
   private def mergeRetractable(
       state: DataFrame, deltaAgg: DataFrame, keys: Seq[String],
       sumCols: Seq[String], minCols: Seq[String], maxCols: Seq[String],
-      recompute: (DataFrame, Long) => DataFrame): (DataFrame, Long) = {
+      recompute: (DataFrame, Long) => DataFrame,
+      kmvCols: Seq[(String, Int)] = Seq.empty): (DataFrame, Long) = {
     val flag = "__recompute"
     // checkpointed: the merged state is read twice (flag count +
     // final commit) and feeds a join — view-sized, not base-sized
     val merged = AggMaintain.applyDeltaRetractable(
-      state, deltaAgg, keys, sumCols, minCols, maxCols, flag)
+      state, deltaAgg, keys, sumCols, minCols, maxCols, flag, kmvCols)
       .localCheckpoint()
     val flagged = merged.filter(col(flag))
     val n = flagged.count()
@@ -291,7 +302,7 @@ object MatViews {
           keys.map(k => col(s"m.$k").as(k)) ++
             Seq(col("m.count_rows").as("count_rows")) ++
             sumCols.map(c => col(s"m.$c").as(c)) ++
-            (minCols ++ maxCols).map(c =>
+            (minCols ++ maxCols ++ kmvCols.map(_._1)).map(c =>
               when(col(s"m.$flag"), col(s"r.$c"))
                 .otherwise(col(s"m.$c")).as(c)): _*)
       }
@@ -304,13 +315,15 @@ object MatViews {
     val deltaAgg = AggMaintain.retractableDeltaAggregates(cdf, keys,
       sp.sums.map { case (b, v) => v -> col(b) } ++ countsAsSums(sp.counts),
       sp.mins.map { case (b, v) => v -> col(b) },
-      sp.maxs.map { case (b, v) => v -> col(b) })
+      sp.maxs.map { case (b, v) => v -> col(b) },
+      kmvs = sp.kmvs.map { case (b, v) => v -> (col(b), sp.kmvK) })
     val (next, n) = mergeRetractable(
       Storage.readVersion(spark, sp.view), deltaAgg, keys,
       (sp.sums.values ++ sp.counts.values).toSeq,
       sp.mins.values.toSeq, sp.maxs.values.toSeq,
       (flaggedKeys, n0) => recomputeExtremes(spark, base, to, keys, sp.mins,
-        sp.maxs, flaggedKeys, n0, sp.maxCollectedGroups))
+        sp.maxs, flaggedKeys, n0, sp.maxCollectedGroups, sp.kmvs, sp.kmvK),
+      kmvCols = sp.kmvs.values.map(v => v -> sp.kmvK).toSeq)
     MaintainResult(to, commitMaintained(next, sp.view, to, sp.keepVersions), n)
   }
 
@@ -625,7 +638,9 @@ object MatViews {
       counts: Map[String, String] = Map.empty,
       keepVersions: Int = 1,
       tables: Seq[String] = Nil,
-      pks: Seq[Seq[String]] = Nil) {
+      pks: Seq[Seq[String]] = Nil,
+      kmvs: Map[String, String] = Map.empty,
+      kmvK: Int = 64) {
     require(kind == "single" || kind == "join" || kind == "star",
       s"unknown kind '$kind'")
     require(kind != "star" || (tables.size >= 2 && pks.size == tables.size),
@@ -647,7 +662,8 @@ object MatViews {
       ("counts" -> e.counts) ~ ("keepVersions" -> e.keepVersions) ~
       ("tables" -> e.tables) ~
       ("pks" -> JArray(e.pks.map(pk =>
-        JArray(pk.map(JString(_)).toList)).toList))
+        JArray(pk.map(JString(_)).toList)).toList)) ~
+      ("kmvs" -> e.kmvs) ~ ("kmvK" -> e.kmvK)
   }
 
   /** Every entry in `catalogDir`'s catalog (empty if none yet). */
@@ -678,7 +694,9 @@ object MatViews {
           counts = (j \ "counts").extractOrElse[Map[String, String]](Map.empty),
           keepVersions = (j \ "keepVersions").extractOrElse[Int](1),
           tables = (j \ "tables").extractOrElse[Seq[String]](Nil),
-          pks = (j \ "pks").extractOrElse[Seq[Seq[String]]](Nil))
+          pks = (j \ "pks").extractOrElse[Seq[Seq[String]]](Nil),
+          kmvs = (j \ "kmvs").extractOrElse[Map[String, String]](Map.empty),
+          kmvK = (j \ "kmvK").extractOrElse[Int](64))
       }
       case _ => Seq.empty
     }
@@ -728,7 +746,7 @@ object MatViews {
       case e if e.kind == "single" =>
         registerRewrite(spark, e.name, Path.of(e.base), Path.of(e.view),
           keys = e.keys, sums = e.sums, mins = e.mins, maxs = e.maxs,
-          counts = e.counts)
+          counts = e.counts, kmvs = e.kmvs, kmvK = e.kmvK)
       case e if e.kind == "star" =>
         registerStarRewrite(spark, e.name, e.tables.map(Path.of(_)),
           Path.of(e.view), joinKeys = e.joinKeysLeft.zip(e.joinKeysRight),
@@ -759,7 +777,8 @@ object MatViews {
     val single = es.filter(_.kind == "single")
       .groupBy(e => (e.base, e.pk)).toSeq.flatMap { case ((base, pk), grp) =>
         val specs = grp.map(e => ViewSpec(Path.of(e.view), e.keys, e.sums,
-          e.mins, e.maxs, e.counts, e.keepVersions))
+          e.mins, e.maxs, e.counts, e.keepVersions, kmvs = e.kmvs,
+          kmvK = e.kmvK))
         maintainAll(spark, Path.of(base), pk, specs)
           .zip(grp).map { case (r, e) => e.name -> r }
       }.toMap
@@ -840,7 +859,8 @@ object MatViews {
   private def recomputeExtremes(
       spark: SparkSession, base: Path, to: Long, keys: Seq[String],
       mins: Map[String, String], maxs: Map[String, String],
-      flaggedKeys: DataFrame, n: Long, maxCollectedGroups: Int): DataFrame = {
+      flaggedKeys: DataFrame, n: Long, maxCollectedGroups: Int,
+      kmvs: Map[String, String] = Map.empty, kmvK: Int = 64): DataFrame = {
     val scan: DataFrame =
       if (n > maxCollectedGroups) readBaseAt(spark, base, to)
       else {
@@ -884,7 +904,9 @@ object MatViews {
         else readBaseAt(spark, base, to).filter(pred)
       }
     val aggs = mins.map { case (b, v) => min(col(b)).as(v) } ++
-      maxs.map { case (b, v) => max(col(b)).as(v) }
+      maxs.map { case (b, v) => max(col(b)).as(v) } ++
+      kmvs.map { case (b, v) =>
+        graft.plans.KmvSketch.partialCol(col(b), kmvK).as(v) }
     scan.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail.toSeq: _*)
   }
 }

@@ -90,6 +90,95 @@ case class KmvSketch(
     copy(child = c.head)
 }
 
+/** The PARTIAL form of [[KmvSketch]]: same buffer and hash, but evaluates
+  * to the sorted k-min hash ARRAY — the shape a materialized view stores
+  * per group ([[graft.ops.MatViews]] `kmvs` partials) and [[KmvMerge]]
+  * re-aggregates. Union of k-min sets trimmed to k IS the k-min set of
+  * the union, so navigating a query's [[KmvSketch]] onto merged partials
+  * returns the bit-identical estimate. */
+case class KmvPartial(
+    child: Expression,
+    k: Int = 64,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvSketch.Buffer] {
+  import KmvSketch._
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 1) TypeCheckResult.TypeCheckFailure(s"graft_kmv_partial k must be >= 1 (got $k)")
+    else child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_kmv_partial requires an integral column, got ${t.simpleString}")
+    }
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def createAggregationBuffer(): Buffer = new Buffer(k)
+  override def update(buf: Buffer, input: InternalRow): Buffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(hash(v.asInstanceOf[Number].longValue()))
+    buf
+  }
+  override def merge(buf: Buffer, other: Buffer): Buffer = {
+    other.values.foreach(buf.add); buf
+  }
+  override def eval(buf: Buffer): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.values.toArray)
+  override def serialize(buf: Buffer): Array[Byte] = KmvSketch.ser(buf)
+  override def deserialize(bytes: Array[Byte]): Buffer = KmvSketch.deser(bytes, k)
+  override def withNewMutableAggBufferOffset(o: Int): KmvPartial =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvPartial =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KmvPartial =
+    copy(child = c.head)
+}
+
+/** Re-aggregate stored [[KmvPartial]] hash arrays back into the
+  * distinct-count ESTIMATE — what [[graft.plans.MatViewRewrite]] swaps a
+  * query's [[KmvSketch]] for when the view maintains the sketch. */
+case class KmvMerge(
+    child: Expression,
+    k: Int = 64,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvSketch.Buffer] {
+  import KmvSketch._
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 1) TypeCheckResult.TypeCheckFailure(s"graft_kmv_merge k must be >= 1 (got $k)")
+    else child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_kmv_merge requires array<bigint> (a graft_kmv_partial column), got ${t.simpleString}")
+    }
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+  override def createAggregationBuffer(): Buffer = new Buffer(k)
+  override def update(buf: Buffer, input: InternalRow): Buffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < arr.numElements()) { buf.add(arr.getLong(i)); i += 1 }
+    }
+    buf
+  }
+  override def merge(buf: Buffer, other: Buffer): Buffer = {
+    other.values.foreach(buf.add); buf
+  }
+  override def eval(buf: Buffer): Any = buf.estimate
+  override def serialize(buf: Buffer): Array[Byte] = KmvSketch.ser(buf)
+  override def deserialize(bytes: Array[Byte]): Buffer = KmvSketch.deser(bytes, k)
+  override def withNewMutableAggBufferOffset(o: Int): KmvMerge =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvMerge =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KmvMerge =
+    copy(child = c.head)
+}
+
 object KmvSketch {
   /** p = 2³¹−1 (prime); a, b fixed — the same constants the oracle uses. */
   val P = 2147483647L
@@ -123,13 +212,52 @@ object KmvSketch {
       else (k - 1).toDouble / (arr(k - 1).toDouble / P.toDouble)
   }
 
-  /** Column API via the function-registry route (see FixedPointDot.dot). */
-  def distinctEstimate(c: Column, k: Int = 64): Column = {
+  private[plans] def ser(buf: Buffer): Array[Byte] = {
+    val vs = buf.values
+    val bb = ByteBuffer.allocate(4 + 8 * vs.length)
+    bb.putInt(vs.length)
+    vs.foreach(bb.putLong)
+    bb.array()
+  }
+
+  private[plans] def deser(bytes: Array[Byte], k: Int): Buffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new Buffer(k)
+    (0 until n).foreach(_ => buf.add(bb.getLong))
+    buf
+  }
+
+  private def viaRegistry(name: String,
+      mk: Seq[Expression] => Expression, c: Column): Column = {
     import org.apache.spark.sql.classic.ClassicConversions.castToImpl
     val spark = castToImpl(org.apache.spark.sql.SparkSession.active)
-    val name = s"graft_kmv_$k"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => KmvSketch(exprs.head, k).toAggregateExpression(), "built-in")
+      name, mk, "built-in")
     org.apache.spark.sql.functions.call_function(name, c)
+  }
+
+  /** Column API via the function-registry route (see FixedPointDot.dot). */
+  def distinctEstimate(c: Column, k: Int = 64): Column =
+    viaRegistry(s"graft_kmv_$k",
+      exprs => KmvSketch(exprs.head, k).toAggregateExpression(), c)
+
+  /** [[KmvPartial]] as a Column aggregate — the view-side partial. */
+  def partialCol(c: Column, k: Int = 64): Column =
+    viaRegistry(s"graft_kmv_partial_$k",
+      exprs => KmvPartial(exprs.head, k).toAggregateExpression(), c)
+
+  /** [[KmvMerge]] as a Column aggregate — re-aggregate stored partials. */
+  def mergeCol(c: Column, k: Int = 64): Column =
+    viaRegistry(s"graft_kmv_merge_$k",
+      exprs => KmvMerge(exprs.head, k).toAggregateExpression(), c)
+
+  /** The sketch's hash as a Column — what maintenance uses to decide
+    * whether a RETRACTED value could be inside a stored sketch (its hash
+    * at or below the stored k-th minimum). Matches [[hash]] exactly:
+    * the product fits a long (both factors < 2³¹). */
+  def hashCol(c: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, pmod}
+    pmod(pmod(c.cast("long"), lit(P)) * lit(A) + lit(B), lit(P))
   }
 }

@@ -84,9 +84,11 @@ object MatView {
       mins: Map[String, String] = Map.empty,
       maxs: Map[String, String] = Map.empty,
       counts: Map[String, String] = Map.empty,
-      fresh: () => Boolean = () => true) {
+      fresh: () => Boolean = () => true,
+      kmvs: Map[String, String] = Map.empty,
+      kmvK: Int = 64) {
     private[plans] def partials: MatViewSupport.Partials =
-      MatViewSupport.Partials(countCol, sums, mins, maxs, counts)
+      MatViewSupport.Partials(countCol, sums, mins, maxs, counts, kmvs, kmvK)
   }
 
   /** A registered view over the N-ary INNER EQUI-JOIN of base tables —
@@ -160,7 +162,9 @@ private[plans] object MatViewSupport {
       sums: Map[String, String],
       mins: Map[String, String],
       maxs: Map[String, String],
-      counts: Map[String, String])
+      counts: Map[String, String],
+      kmvs: Map[String, String] = Map.empty,
+      kmvK: Int = 64)
 
   /** A Project passes when every output is a bare column or a SAME-NAMED
     * loss-free upcast of one — the shape the versioned read paths emit to
@@ -213,14 +217,19 @@ private[plans] object MatViewSupport {
 
   /** Every view column name an output expression's aggregates read:
     * partial columns for partial-served functions, the KEY column itself
-    * for key-exact distinct/HLL aggregates. Call only on validated
-    * expressions (partialsFor is non-empty for every non-key aggregate). */
-  def neededBy(e: Expression, partials: Partials): Seq[String] =
+    * for key-exact distinct/HLL aggregates, the sketch partial for
+    * KMV-served ones. Call only on validated expressions (partialsFor is
+    * non-empty for every partial-served aggregate). */
+  def neededBy(e: Expression, partials: Partials, keys: Set[String]): Seq[String] =
     e.collect {
       case ae: AggregateExpression =>
-        if (ae.isDistinct) ae.references.map(_.name).toSeq
+        if (ae.isDistinct) ae.references.toSeq.flatMap(r =>
+          if (keys.contains(r.name)) Seq(r.name)
+          else partials.kmvs.get(r.name).toSeq)
         else ae.aggregateFunction match {
           case hll: HyperLogLogPlusPlus => hll.references.map(_.name).toSeq
+          case ks: graft.plans.KmvSketch =>
+            ks.references.toSeq.flatMap(r => partials.kmvs.get(r.name).toSeq)
           case fn => partialsFor(partials, fn).get
         }
     }.flatten
@@ -259,7 +268,8 @@ private[plans] object MatViewSupport {
       keys: Seq[String],
       partials: Partials,
       fresh: () => Boolean,
-      view: () => DataFrame): Option[LogicalPlan] = {
+      view: () => DataFrame,
+      approxDistinct: Boolean = false): Option[LogicalPlan] = {
     val keySet = keys.toSet
     // grouping: plain base columns, each a view key
     val groupNames = agg.groupingExpressions.map {
@@ -286,14 +296,40 @@ private[plans] object MatViewSupport {
     // insensitive, so even the approximate answer is bit-identical).
     val groupedAttrs = agg.groupingExpressions.collect {
       case a: AttributeReference => a.exprId }.toSet
+    // the whole DISTINCT family is exact over view KEYS: the view's rows
+    // carry precisely the distinct (group, keys…) combinations the base
+    // does, so any deterministic distinct aggregate whose references are
+    // all key columns — COUNT/SUM/AVG(DISTINCT …), multi-column,
+    // expressions over keys — computes the identical value over the view
+    def distinctOverKeys(ae: AggregateExpression): Boolean = {
+      val refs = ae.aggregateFunction.references.toSeq
+      refs.nonEmpty && refs.forall(r => keySet.contains(r.name)) &&
+        ae.aggregateFunction.deterministic &&
+        (ae.aggregateFunction match {
+          case _: Count | _: Sum | _: Average => true
+          case _ => false
+        })
+    }
     def servable(ae: AggregateExpression): Boolean =
       ae.filter.isEmpty && (
-        if (ae.isDistinct) ae.aggregateFunction match {
-          case Count(Seq(a: AttributeReference)) => keySet.contains(a.name)
+        if (ae.isDistinct) distinctOverKeys(ae) || (ae.aggregateFunction match {
+          case Count(Seq(a: AttributeReference)) =>
+            // OPT-IN approximate navigation: COUNT(DISTINCT x) over a
+            // maintained KMV sketch partial — the ONE rewrite in this
+            // rule that changes results (to the sketch's estimate), so
+            // it is gated on an explicit session conf, never the default
+            approxDistinct && partials.kmvs.contains(a.name)
           case _ => false
-        } else ae.aggregateFunction match {
+        }) else ae.aggregateFunction match {
           case hll: HyperLogLogPlusPlus => hll.child match {
             case a: AttributeReference => keySet.contains(a.name)
+            case _ => false
+          }
+          case ks: graft.plans.KmvSketch => ks.child match {
+            // a query's own KMV estimate navigates EXACTLY: union of
+            // k-min sets trimmed to k is the k-min set of the union
+            case a: AttributeReference =>
+              partials.kmvs.contains(a.name) && ks.k == partials.kmvK
             case _ => false
           }
           case fn => partialsFor(partials, fn).isDefined
@@ -316,7 +352,7 @@ private[plans] object MatViewSupport {
     // the view must actually carry every column the rewrite needs
     val needed = groupNames ++ filters.flatMap(_.references.map(_.name)) ++
       agg.aggregateExpressions.flatMap {
-        case Alias(e, _) => neededBy(e, partials)
+        case Alias(e, _) => neededBy(e, partials, keySet)
         case _ => Nil
       }
     if (!needed.forall(vAttr.contains)) return None
@@ -380,9 +416,33 @@ private[plans] object MatViewSupport {
       def complete(f: AggregateFunction, distinct: Boolean): AggregateExpression =
         AggregateExpression(f, Complete, isDistinct = distinct,
           filter = None, resultId = NamedExpression.newExprId)
+      def kmvOver(name: String, k: Int): Option[Expression] =
+        partials.kmvs.get(name).map(vAttr).collect {
+          // the partial must really be a hash array — a mis-registered
+          // column falls back to the base instead of misbehaving
+          case a if a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+              a.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+                .elementType == org.apache.spark.sql.types.LongType =>
+            complete(graft.plans.KmvMerge(a, k), distinct = false)
+        }
+      def allKeyRefs(fn: AggregateFunction): Boolean = {
+        val refs = fn.references.toSeq
+        refs.nonEmpty && refs.forall(r => keySet.contains(r.name))
+      }
       if (ae.isDistinct) ae.aggregateFunction match {
-        case Count(Seq(a: AttributeReference)) =>
-          Some(complete(Count(Seq(vAttr(a.name))), distinct = true))
+        case fn @ (_: Count | _: Sum | _: Average) if allKeyRefs(fn) &&
+            fn.deterministic =>
+          // identical distinct value set over the view → the SAME distinct
+          // aggregate, key attrs remapped (exact for any input type — no
+          // re-aggregation happens, so even decimal AVG is admissible)
+          Some(complete(fn.transform {
+            case a: AttributeReference => vAttr(a.name)
+          }.asInstanceOf[AggregateFunction], distinct = true))
+        case Count(Seq(a: AttributeReference)) if approxDistinct =>
+          // COUNT returns LONG; the sketch estimates in double — round to
+          // the nearest count (explicitly approximate, conf-gated)
+          kmvOver(a.name, partials.kmvK).map(est =>
+            Cast(Round(est, Literal(0)), org.apache.spark.sql.types.LongType))
         case _ => None
       } else ae.aggregateFunction match {
         case hll: HyperLogLogPlusPlus =>
@@ -390,6 +450,10 @@ private[plans] object MatViewSupport {
             case a: AttributeReference => vAttr(a.name)
             case c => c
           }).asInstanceOf[AggregateFunction], distinct = false))
+        case ks: graft.plans.KmvSketch => ks.child match {
+          case a: AttributeReference => kmvOver(a.name, ks.k)
+          case _ => None
+        }
         case fn => reAgg(fn)
       }
     }
@@ -604,10 +668,16 @@ object MatViewRewrite extends Rule[LogicalPlan] {
 
   val EnabledKey = "spark.graft.matviewRewrite.enabled"
 
+  /** OPT-IN: admit COUNT(DISTINCT x) → KMV sketch estimate over a view
+    * maintaining a `kmvs` partial for x. The only rewrite that CHANGES a
+    * result (to the estimate), so it is off unless the session says so. */
+  val ApproxDistinctKey = "spark.graft.matviewRewrite.approxDistinct"
+
   def apply(plan: LogicalPlan): LogicalPlan = {
     val defs = MatView.all
     if (defs.isEmpty || !conf.getConfString(EnabledKey, "true").toBoolean) plan
     else {
+      val approx = conf.getConfString(ApproxDistinctKey, "false").toBoolean
       // memoize each registration's root-set probe for THE ONE pass over
       // this plan: baseRoots() reads version pointers/manifests from the
       // filesystem, and a multi-aggregate query must not pay (nor
@@ -615,13 +685,14 @@ object MatViewRewrite extends Rule[LogicalPlan] {
       val rootsOf = MatViewSupport.memo((d: MatView.Def) => d.baseRoots())
       plan.transform {
         case agg @ Aggregate(_, _, _, _) =>
-          tryRewrite(agg, defs, rootsOf).getOrElse(agg)
+          tryRewrite(agg, defs, rootsOf, approx).getOrElse(agg)
       }
     }
   }
 
   private def tryRewrite(agg: Aggregate, defs: Seq[MatView.Def],
-      rootsOf: MatView.Def => Set[String]): Option[LogicalPlan] =
+      rootsOf: MatView.Def => Set[String],
+      approxDistinct: Boolean): Option[LogicalPlan] =
     agg.child match {
       case expand: org.apache.spark.sql.catalyst.plans.logical.Expand =>
         // ROLLUP / CUBE / GROUPING SETS shape
@@ -646,7 +717,7 @@ object MatViewRewrite extends Rule[LogicalPlan] {
         defs.view.flatMap { d =>
           if (!MatViewSupport.covers(roots, rootsOf(d))) None
           else MatViewSupport.rebuildOntoView(agg, filters, d.keys, d.partials,
-            d.fresh, d.view)
+            d.fresh, d.view, approxDistinct)
         }.headOption
     }
 }

@@ -1650,6 +1650,80 @@ object CoreQueries {
              |WHERE o_orderkey % 13 <> 0
              |GROUP BY n_name""".stripMargin)),
 
+    // KMV sketch NAVIGATION: the distinct-count estimate served from a
+    // maintained sketch PARTIAL (plans.KmvPartial — the k smallest
+    // distinct hashes per group, stored as an array column) instead of
+    // the base scan. Union of k-min sets trimmed to k IS the k-min set
+    // of the union, so the navigated estimate (plans.KmvMerge over the
+    // partials) is bit-identical to running the sketch over the base —
+    // and the whole pipeline stays differential-testable: the oracle
+    // reproduces hash + estimator in SQL exactly as sketch1 does. At
+    // 100 TB a distinct-count dashboard reads |keys| sketch rows, and
+    // the conf-gated approxDistinct path (spec-covered) can serve plain
+    // COUNT(DISTINCT) the same way when a session opts in.
+    Q("mv6_kmv_navigation",
+      (s, d) => {
+        import graft.plans.{KmvSketch, MatView, MatViewRewrite}
+        val dir = java.nio.file.Files.createTempDirectory("mv6")
+        val base = dir.resolve("base")
+        val view = dir.resolve("view")
+        try {
+          graft.ops.Storage.commitVersion(
+            Tables.lineitem(s, d).select(col("l_returnflag"), col("l_partkey")),
+            base)
+          graft.ops.Storage.commitVersion(
+            graft.ops.Storage.readVersion(s, base).groupBy("l_returnflag")
+              .agg(count(lit(1)).as("count_rows"),
+                KmvSketch.partialCol(col("l_partkey"), 64).as("kmv_parts")),
+            view)
+          val vdir = base.resolve(s"v${graft.ops.Storage.currentVersion(base).get}")
+          MatView.register(MatView.Def(
+            name = "mv6", baseRoots = () => Set(MatView.root(vdir)),
+            view = () => graft.ops.Storage.readVersion(s, view),
+            keys = Seq("l_returnflag"), countCol = Some("count_rows"),
+            kmvs = Map("l_partkey" -> "kmv_parts")))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ MatViewRewrite
+          try {
+            val q = graft.ops.Storage.readVersion(s, base)
+              .groupBy(col("l_returnflag"))
+              .agg(count(lit(1)).as("cnt"),
+                KmvSketch.distinctEstimate(col("l_partkey"), 64)
+                  .as("est_distinct_parts"))
+            val scans = q.queryExecution.optimizedPlan.collect {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                lr.relation match {
+                  case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                    fs.location.rootPaths.map(_.toString)
+                  case _ => Nil
+                }
+            }.flatten
+            require(scans.exists(_.contains(view.toString)) &&
+                !scans.exists(_.contains(base.toString)),
+              s"sketch estimate was not navigated onto the view: $scans")
+            q.localCheckpoint()
+          } finally {
+            s.experimental.extraOptimizations =
+              s.experimental.extraOptimizations.filterNot(_ eq MatViewRewrite)
+            MatView.drop("mv6")
+          }
+        } finally graft.ops.Storage.deleteRecursively(dir)
+      },
+      Some("""WITH h AS (SELECT DISTINCT l_returnflag,
+             |    ((l_partkey % 2147483647 + 2147483647) % 2147483647 * 1103515245 + 12345) % 2147483647 AS hv
+             |  FROM lineitem),
+             |r AS (SELECT l_returnflag, hv,
+             |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
+             |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+             |  FROM h),
+             |est AS (SELECT l_returnflag,
+             |    CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+             |         ELSE 63.0 / (CAST(hv AS DOUBLE) / 2147483647.0) END AS est_distinct_parts
+             |  FROM r WHERE rn = (CASE WHEN n < 64 THEN n ELSE 64 END)),
+             |c AS (SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, cnt, est_distinct_parts
+             |FROM c JOIN est USING (l_returnflag)""".stripMargin)),
+
     Q("io5_dv_delta_export",
       (s, d) => {
         val dir = java.nio.file.Files.createTempDirectory("iodv")

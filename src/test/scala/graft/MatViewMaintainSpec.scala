@@ -230,4 +230,78 @@ class MatViewMaintainSpec extends SparkTestBase {
     assertExact(base, view)
     Storage.deleteRecursively(root)
   }
+
+  test("KMV sketch partials: inserts merge, sketch-hit deletes recompute, misses don't") {
+    import graft.plans.KmvSketch
+    import spark.implicits._
+    val root = Files.createTempDirectory("mvm_kmv")
+    val base = root.resolve("base")
+    val view = root.resolve("view")
+    val K = 4 // small k: sketches saturate, so some hashes stay OUTSIDE
+    // uid carries the distinct-count signal: uid = id * 7 (all distinct)
+    def uidRows(ids: Seq[Int]): DataFrame =
+      ids.map(i => (i.toLong, s"g${i % 2}", (i * 7).toLong))
+        .toDF("id", "grp", "uid")
+        .select(col("id"), col("grp"), col("uid"),
+          lit(null).cast("timestamp").as("loaded_at"),
+          lit(null).cast("timestamp").as("last_upd_at"))
+    def loadU(ids: Seq[Int]): Long =
+      MergeOps.prunedConditionalUpsert(base, uidRows(ids), pk = Seq("id"),
+        tracked = Seq("grp", "uid"),
+        runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 4,
+        keepVersions = 8)
+    def maintainK(): MatViews.MaintainResult =
+      MatViews.maintain(spark, base, view, pk = Seq("id"), keys = Seq("grp"),
+        kmvs = Map("uid" -> "kmv_uid"), kmvK = K, keepVersions = 2)
+    // the view's sketch must be BIT-IDENTICAL to one built from the base
+    def assertSketchExact(): Unit = {
+      val got = Storage.readVersion(spark, view)
+        .select(col("grp"), col("kmv_uid"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val want = Storage.readPartitionedVersion(spark, base)
+        .groupBy("grp").agg(KmvSketch.partialCol(col("uid"), K).as("kmv_uid"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(got == want, s"sketch diverged:\n got  $got\n want $want")
+    }
+    loadU(1 to 40)
+    maintainK()
+    assertSketchExact()
+    // insert-only advance: hashes merge into the k-min set, no recompute
+    loadU(41 to 50)
+    val rIns = maintainK()
+    assert(rIns.recomputedGroups == 0, s"insert-only must merge: $rIns")
+    assertSketchExact()
+    // delete a row whose hash is OUTSIDE the stored sketch (> k-th min):
+    // the sketch cannot be affected, no recompute
+    val byGroup = (1 to 50).groupBy(i => s"g${i % 2}")
+    val sketchHashes = byGroup.map { case (g, ids) =>
+      g -> ids.map(i => KmvSketch.hash(i * 7L)).sorted.take(K).toSet
+    }
+    val outside = (1 to 50).find(i =>
+      !sketchHashes(s"g${i % 2}").contains(KmvSketch.hash(i * 7L))).get
+    MergeOps.prunedDelete(base, Seq(outside.toLong).toDF("id"),
+      pk = Seq("id"), nParts = 4)
+    val rMiss = maintainK()
+    assert(rMiss.recomputedGroups == 0,
+      s"delete outside the sketch must not recompute: $rMiss")
+    assertSketchExact()
+    // delete a row whose hash IS in the sketch: flagged, recomputed, exact
+    val inside = (1 to 50).find(i => i != outside &&
+      sketchHashes(s"g${i % 2}").contains(KmvSketch.hash(i * 7L))).get
+    MergeOps.prunedDelete(base, Seq(inside.toLong).toDF("id"),
+      pk = Seq("id"), nParts = 4)
+    val rHit = maintainK()
+    assert(rHit.recomputedGroups >= 1,
+      s"delete inside the sketch must recompute its group: $rHit")
+    assertSketchExact()
+    // the re-aggregated ESTIMATE matches running the sketch on the base
+    val est = Storage.readVersion(spark, view)
+      .groupBy().agg(KmvSketch.mergeCol(col("kmv_uid"), K).as("e"))
+      .collect().head.getDouble(0)
+    val want = Storage.readPartitionedVersion(spark, base)
+      .agg(KmvSketch.distinctEstimate(col("uid"), K).as("e"))
+      .collect().head.getDouble(0)
+    assert(est == want, s"merged estimate $est != direct $want")
+    Storage.deleteRecursively(root)
+  }
 }

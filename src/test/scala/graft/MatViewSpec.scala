@@ -353,9 +353,16 @@ class MatViewSpec extends SparkTestBase {
       // k2 is a view KEY: the view's rows carry exactly the distinct
       // (k1, k2) pairs, so both the exact and the HLL++ distinct counts
       // over k2 are bit-identical over the view
+      // one distinct ARGUMENT SET per query: two different sets make the
+      // main optimizer expand the aggregate (RewriteDistinctAggregates)
+      // before this rule ever sees it — correctly falling back
       def shape(df: DataFrame) = df.groupBy("k1").agg(
         countDistinct("k2").as("dk"),
         approx_count_distinct("k2").as("adk"),
+        // the distinct family over one key set: SUM/AVG(DISTINCT key)
+        // are exact too (identical distinct value sets over the view)
+        sum_distinct(col("k2")).as("sdk"),
+        expr("avg(DISTINCT k2)").as("avgdk"),
         count(lit(1)).as("cnt"), sum("x").as("s"))
       val q = shape(Storage.readVersion(spark, base))
       val paths = scanPaths(q)
@@ -375,7 +382,92 @@ class MatViewSpec extends SparkTestBase {
       val gWant = Storage.readVersion(spark, base)
         .agg(countDistinct("k2").as("dk"), count(lit(1)).as("cnt")).collect().toSeq
       assert(gGot == gWant)
+      // multi-column and expression distincts over keys navigate too
+      reRegister(base, view)
+      def multi(df: DataFrame) = df.groupBy("k1")
+        .agg(countDistinct(col("k1"), col("k2")).as("dk2"))
+      def exprD(df: DataFrame) = df.groupBy("k1")
+        .agg(countDistinct(col("k2") % 3).as("dke"))
+      val (m, x) = (multi(Storage.readVersion(spark, base)),
+        exprD(Storage.readVersion(spark, base)))
+      assert(scanPaths(m).exists(_.contains(view.toString)),
+        "multi-key distinct must navigate")
+      assert(scanPaths(x).exists(_.contains(view.toString)),
+        "expression-over-key distinct must navigate")
+      val (mGot, xGot) = (m.orderBy("k1").collect().toSeq,
+        x.orderBy("k1").collect().toSeq)
+      MatView.clear()
+      assert(mGot == multi(Storage.readVersion(spark, base))
+        .orderBy("k1").collect().toSeq)
+      assert(xGot == exprD(Storage.readVersion(spark, base))
+        .orderBy("k1").collect().toSeq)
     }
+  }
+
+  test("KMV estimate navigates exactly; COUNT(DISTINCT measure) only under the opt-in conf") {
+    import graft.plans.KmvSketch
+    import spark.implicits._
+    val root = Files.createTempDirectory("mv_kmv")
+    val base = root.resolve("base")
+    val view = root.resolve("view")
+    // uid is a MEASURE (not a view key): distinct counts over it can only
+    // come from the maintained sketch partial
+    val rows = (1 to 300).map(i => (s"k${i % 3}", (i % 4).toLong, (i % 37).toLong))
+      .toDF("k1", "k2", "uid")
+    Storage.commitVersion(rows, base)
+    Storage.commitVersion(
+      Storage.readVersion(spark, base).groupBy("k1", "k2")
+        .agg(count(lit(1)).as("count_rows"),
+          KmvSketch.partialCol(col("uid"), 64).as("kmv_uid")),
+      view)
+    val vdir = base.resolve(s"v${Storage.currentVersion(base).get}")
+    def register(): Unit = MatView.register(MatView.Def(
+      name = "kmv_t", baseRoots = () => Set(MatView.root(vdir)),
+      view = () => Storage.readVersion(spark, view),
+      keys = Seq("k1", "k2"), countCol = Some("count_rows"),
+      kmvs = Map("uid" -> "kmv_uid")))
+    register()
+    withRule {
+      // the query's own sketch estimate navigates EXACTLY (k-min of the
+      // union = trimmed union of k-mins), bit-identical values
+      def est(df: DataFrame) = df.groupBy("k1")
+        .agg(KmvSketch.distinctEstimate(col("uid"), 64).as("e"),
+          count(lit(1)).as("cnt"))
+      val q = est(Storage.readVersion(spark, base))
+      assert(scanPaths(q).exists(_.contains(view.toString)),
+        "sketch estimate must navigate onto the view")
+      val got = q.orderBy("k1").collect().toSeq
+      MatView.clear()
+      val want = est(Storage.readVersion(spark, base)).orderBy("k1").collect().toSeq
+      assert(got == want, s"navigated estimate diverged:\n got  $got\n want $want")
+      // a k MISMATCH is a different sketch — falls back
+      register()
+      val wrongK = Storage.readVersion(spark, base).groupBy("k1")
+        .agg(KmvSketch.distinctEstimate(col("uid"), 32).as("e"))
+      assert(!scanPaths(wrongK).exists(_.contains(view.toString)),
+        "k mismatch must fall back")
+      // COUNT(DISTINCT measure): DEFAULT = exact answer from the base
+      def cd(df: DataFrame) = df.groupBy("k1")
+        .agg(countDistinct("uid").as("du"))
+      assert(!scanPaths(cd(Storage.readVersion(spark, base)))
+        .exists(_.contains(view.toString)),
+        "COUNT(DISTINCT) must NOT use the sketch without the opt-in")
+      // ...and under the explicit opt-in it serves the ROUNDED estimate
+      spark.conf.set(graft.plans.MatViewRewrite.ApproxDistinctKey, "true")
+      try {
+        val qa = cd(Storage.readVersion(spark, base))
+        assert(scanPaths(qa).exists(_.contains(view.toString)),
+          "opted-in COUNT(DISTINCT) must navigate onto the sketch")
+        val gotA = qa.orderBy("k1").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        MatView.clear()
+        val wantA = est(Storage.readVersion(spark, base)).orderBy("k1").collect()
+          .map(r => (r.getString(0), math.round(r.getDouble(1)))).toSeq
+        assert(gotA == wantA,
+          s"opt-in approx distinct diverged:\n got  $gotA\n want $wantA")
+      } finally spark.conf.unset(graft.plans.MatViewRewrite.ApproxDistinctKey)
+    }
+    Storage.deleteRecursively(root)
   }
 
   test("global COUNT over an empty view scan answers 0, not NULL") {
