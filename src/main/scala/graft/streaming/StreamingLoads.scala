@@ -246,6 +246,52 @@ object StreamingLoads {
     * are pkA++compareA and pkB++compareB (must be disjoint across sides —
     * joinDelta's flat-row contract). `groupKeys` and `sums` shape the
     * maintained aggregate. */
+  /** Continuous N-ARY STAR-view maintenance — the streaming twin of
+    * [[graft.ops.MatViews.maintainStar]] and the generalization of
+    * [[foreachBatchJoinViewMaintain]] past two tables. The input stream
+    * is the merged commit-log tail of the sides; here the events are a
+    * WAKE-UP HINT, not the unit of progress — each non-empty micro-batch
+    * rolls the view from its `_APPLIED_BASES_V` marker to every side's
+    * CURRENT committed version through the generalized delta rule, and
+    * the marker commits WITH the state. Consequences, all inherited from
+    * maintainStar's contract: duplicate delivery and full replays are
+    * no-ops (the marker already names the current versions); a fresh
+    * query resumes from the marker; lagging past any side's retention —
+    * or a side that is a flat full-rewrite table — re-BOOTSTRAPS with
+    * one join+aggregate; and the moment the marker tuple matches the
+    * committed versions, [[graft.ops.MatViews.registerStarRewrite]]
+    * freshness holds and ad-hoc star aggregates re-plan onto the view.
+    * A batch delivered before every side has a first commit waits (the
+    * join needs all sides). Per-batch cost: O(Σ|Δ| × fan-out + touched
+    * groups), the base tables joined in full exactly once at bootstrap. */
+  def foreachBatchStarViewMaintain(
+      versions: DataFrame,
+      sides: Seq[graft.ops.MatViews.StarSide],
+      view: java.nio.file.Path,
+      joinKeys: Seq[(String, String)],
+      keys: Seq[String],
+      sums: Map[String, String] = Map.empty,
+      counts: Map[String, String] = Map.empty,
+      mins: Map[String, String] = Map.empty,
+      maxs: Map[String, String] = Map.empty,
+      keepVersions: Int = 1,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] = {
+    graft.ops.Storage.repairOrphans(view) // single-writer startup contract
+    versions.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty &&
+            sides.forall(s => graft.ops.Storage.currentVersion(s.table).nonEmpty)) {
+          graft.ops.MatViews.maintainStar(spark, sides, view, joinKeys, keys,
+            sums = sums, counts = counts, mins = mins, maxs = maxs,
+            keepVersions = keepVersions)
+        }
+        ()
+      }
+  }
+
   def foreachBatchJoinViewMaintain(
       versions: DataFrame,
       tableA: java.nio.file.Path,

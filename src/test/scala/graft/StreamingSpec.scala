@@ -400,6 +400,91 @@ class StreamingSpec extends SparkTestBase {
       "streaming marker must satisfy MatViews.appliedBases")
   }
 
+  test("star-view maintenance: three sides roll from the marker; duplicates no-op; rewrite freshness holds") {
+    import graft.ops.{MatViews, MergeOps, Storage}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("star_view_stream")
+    val (a, b, f, view) = (dir.resolve("dim_a"), dir.resolve("dim_b"),
+      dir.resolve("fact"), dir.resolve("view"))
+    def stamp(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("loaded_at", lit(null).cast("timestamp"))
+      .withColumn("last_upd_at", lit(null).cast("timestamp"))
+    def loadA(rows: Seq[(Long, String)]) =
+      MergeOps.prunedConditionalUpsert(a, stamp(rows.toDF("a_id", "a_grp")),
+        pk = Seq("a_id"), tracked = Seq("a_grp"),
+        runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 4,
+        keepVersions = 4)
+    def loadB(rows: Seq[(Long, String)]) =
+      MergeOps.prunedConditionalUpsert(b, stamp(rows.toDF("b_id", "b_grp")),
+        pk = Seq("b_id"), tracked = Seq("b_grp"),
+        runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 4,
+        keepVersions = 4)
+    def loadF(rows: Seq[(Long, Long, Long, Double)]) =
+      MergeOps.prunedConditionalUpsert(f,
+        stamp(rows.toDF("f_id", "f_aid", "f_bid", "f_val")
+          .select(col("f_id"), col("f_aid"), col("f_bid"),
+            col("f_val").cast("decimal(38,6)").as("f_val"))),
+        pk = Seq("f_id"), tracked = Seq("f_aid", "f_bid", "f_val"),
+        runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 4,
+        keepVersions = 4)
+    val sides = Seq(MatViews.StarSide(f, Seq("f_id")),
+      MatViews.StarSide(a, Seq("a_id")), MatViews.StarSide(b, Seq("b_id")))
+    def consumer(input: MemoryStream[(String, Long)]) =
+      StreamingLoads.foreachBatchStarViewMaintain(
+        input.toDF().toDF("tbl", "v"), sides, view,
+        joinKeys = Seq("f_aid" -> "a_id", "f_bid" -> "b_id"),
+        keys = Seq("a_grp", "b_grp"),
+        sums = Map("f_val" -> "sum_val"), counts = Map("f_val" -> "cnt_val"),
+        keepVersions = 2, trigger = Trigger.ProcessingTime(0)).start()
+    def state() = Storage.readVersion(spark, view)
+      .select(col("a_grp"), col("b_grp"), col("count_rows"),
+        col("sum_val").cast("double"))
+      .as[(String, String, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    def truth() = Storage.readPartitionedVersion(spark, f)
+      .join(Storage.readPartitionedVersion(spark, a), col("f_aid") === col("a_id"))
+      .join(Storage.readPartitionedVersion(spark, b), col("f_bid") === col("b_id"))
+      .groupBy("a_grp", "b_grp")
+      .agg(count(lit(1)).as("c"), sum("f_val").cast("double").as("s"))
+      .as[(String, String, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+    // bootstrap from the first delivery
+    val va0 = loadA(Seq(1L -> "g1", 2L -> "g2"))
+    val vb0 = loadB(Seq(1L -> "h1", 2L -> "h2"))
+    val vf0 = loadF(Seq((10L, 1L, 1L, 1.0), (11L, 2L, 2L, 2.0), (12L, 1L, 2L, 4.0)))
+    val in1 = MemoryStream[(String, Long)]
+    in1.addData(("f", vf0), ("a", va0), ("b", vb0))
+    val q1 = consumer(in1)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(state() == truth(), s"bootstrap diverged: ${state()} vs ${truth()}")
+
+    // a fresh query resumes from the marker and rolls ONE interval where
+    // all THREE sides changed (dim moves + a fact re-parent)
+    val va1 = loadA(Seq(1L -> "g2"))
+    val vb1 = loadB(Seq(2L -> "h9"))
+    val vf1 = loadF(Seq((10L, 2L, 1L, 7.0)))
+    val in2 = MemoryStream[(String, Long)]
+    in2.addData(("a", va1), ("b", vb1), ("f", vf1))
+    val q2 = consumer(in2)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(state() == truth(), s"3-side roll diverged: ${state()} vs ${truth()}")
+    val vAfter = Storage.currentVersion(view)
+    assert(MatViews.appliedVersions(view).contains(Seq(vf1, va1, vb1)),
+      "streaming marker must satisfy MatViews.appliedVersions in side order")
+
+    // duplicate redelivery of EVERYTHING: marker == current versions, so
+    // maintainStar no-ops — no new commit, no double-applied delta
+    val in3 = MemoryStream[(String, Long)]
+    in3.addData(("f", vf0), ("a", va0), ("b", vb0), ("a", va1), ("b", vb1), ("f", vf1))
+    val q3 = consumer(in3)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(Storage.currentVersion(view) == vAfter, "duplicates must not commit")
+    assert(state() == truth())
+    Storage.deleteRecursively(dir)
+  }
+
   test("join-view maintenance: a first delivery naming only ONE side bootstraps the other at its current version") {
     import graft.ops.{MergeOps, Storage}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
