@@ -1724,6 +1724,60 @@ object CoreQueries {
              |SELECT l_returnflag, cnt, est_distinct_parts
              |FROM c JOIN est USING (l_returnflag)""".stripMargin)),
 
+    // ATOMIC workspace+view publish: a transaction's base tables AND its
+    // maintained views land in ONE manifest (MatViews.workspaceCommitWith
+    // Views — member commits through the table CAS logs, every cataloged
+    // view rolled to exactly those versions, one atomic manifest create),
+    // so a snapshot reader can never observe a base ahead of its views.
+    // The row reads the VIEW as of BOTH manifests through the pinned path
+    // and hash-matches each against the relational aggregate of that
+    // manifest's base content — generation 1 (evens-only) stays coherent
+    // after generation 2 (full) publishes. The REQUIRE asserts both
+    // manifests pin the base+view pair. At 100 TB: refresh five marts and
+    // their dashboards' views in one metadata commit, no stale-pair
+    // window for any reader.
+    Q("txn3_atomic_view_publish",
+      (s, d) => {
+        import graft.ops.{MatViews, Workspace}
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+        val ws = java.nio.file.Files.createTempDirectory("ws_txn3")
+        try {
+          val ev = Tables.events(s, d).select(col("event_id"),
+            col("event_type"), dec(col("value")).as("value"))
+          MatViews.defineView(ws, MatViews.CatalogEntry(
+            name = "facts_by_type", kind = "single",
+            view = ws.resolve("facts_by_type").toString,
+            keys = Seq("event_type"), base = ws.resolve("facts").toString,
+            pk = Seq("event_id"), sums = Map("value" -> "sum_value"),
+            keepVersions = 8))
+          val (m0, _) = MatViews.workspaceCommitWithViews(s, ws, ws,
+            writes = Map("facts" -> ev.filter(col("event_id") % 2 === 0)),
+            keepVersions = 8)
+          val (m1, _) = MatViews.workspaceCommitWithViews(s, ws, ws,
+            writes = Map("facts" -> ev), keepVersions = 8)
+          require(m1 == m0 + 1 &&
+            Workspace.snapshotAt(ws, m0).keySet == Set("facts", "facts_by_type") &&
+            Workspace.snapshotAt(ws, m1).keySet == Set("facts", "facts_by_type"),
+            "each manifest must pin the base AND its view atomically")
+          def viewAsOf(m: Long, label: Int): DataFrame = {
+            val pins = Workspace.snapshotAt(ws, m)
+            Workspace.readPinned(s, ws, "facts_by_type", pins("facts_by_type"))
+              .select(lit(label).as("asof"), col("event_type"),
+                col("count_rows"), col("sum_value").cast("double").as("sum_value"))
+          }
+          viewAsOf(m0, 1).unionByName(viewAsOf(m1, 2)).localCheckpoint()
+        } finally graft.ops.Storage.deleteRecursively(ws)
+      },
+      Some("""WITH e AS (SELECT event_id, event_type,
+             |            CAST(value AS DECIMAL(38,6)) AS value FROM events)
+             |SELECT 1 AS asof, event_type, count(*) AS count_rows,
+             |       CAST(sum(value) AS DOUBLE) AS sum_value
+             |FROM e WHERE event_id % 2 = 0 GROUP BY event_type
+             |UNION ALL
+             |SELECT 2 AS asof, event_type, count(*) AS count_rows,
+             |       CAST(sum(value) AS DOUBLE) AS sum_value
+             |FROM e GROUP BY event_type""".stripMargin)),
+
     Q("io5_dv_delta_export",
       (s, d) => {
         val dir = java.nio.file.Files.createTempDirectory("iodv")
