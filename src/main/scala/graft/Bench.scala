@@ -180,7 +180,8 @@ object Bench {
         // compaction replays per rep; the operator under test (the
         // transparent rewrite + one delta apply) is a sliver of the row
         n == "mv2_maintained_rewrite" || n == "mv3_join_agg_navigation" ||
-        n == "mv5_star_navigation" // three-table loads + star maintenance + 3 compactions per rep
+        n == "mv5_star_navigation" || // three-table loads + star maintenance + 3 compactions per rep
+        n == "mv7_filtered_view" // two churned loads + 3 maintenance calls + a compaction per rep
     val (harnessRows, coreRows) = results.partition { case (n, _) => isHarness(n) }
     def mean(rows: Seq[(String, Double)]): Double =
       if (rows.isEmpty) 0.0 else rows.map(_._2).sum / rows.size

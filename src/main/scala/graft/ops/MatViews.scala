@@ -85,7 +85,8 @@ object MatViews {
       maxs: Map[String, String] = Map.empty,
       counts: Map[String, String] = Map.empty,
       kmvs: Map[String, String] = Map.empty,
-      kmvK: Int = 64): Unit =
+      kmvK: Int = 64,
+      where: Option[Column] = None): Unit =
     MatView.register(MatView.Def(
       name = name,
       baseRoots = () => expectedRoots(base),
@@ -94,7 +95,30 @@ object MatViews {
       counts = counts,
       fresh = () => appliedBase(view).exists(a =>
         Storage.currentVersion(base).contains(a)),
-      kmvs = kmvs, kmvK = kmvK))
+      kmvs = kmvs, kmvK = kmvK,
+      where = resolveWhere(spark, base, where)))
+
+  /** Resolve a FILTERED view's predicate against the base's schema ONCE,
+    * into the conjuncts [[graft.plans.MatViewSupport.consumeWhere]]
+    * matches query filters against — resolution through the same analyzer
+    * AND optimizer the query goes through is what makes literal
+    * promotions, cast folding, and inferred not-null guards line up on
+    * both sides (a matched query's filters are read from the OPTIMIZED
+    * plan). */
+  private def resolveWhere(spark: SparkSession, base: Path,
+      where: Option[Column]): Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    where.toSeq.flatMap { w =>
+      def split(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          split(l) ++ split(r)
+        case x => Seq(x)
+      }
+      readBase(spark, base).filter(w).queryExecution.optimizedPlan.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          split(f.condition)
+      }.getOrElse(Nil)
+    }
 
   /** Outcome of one [[maintain]] call: the base version the view now
     * reflects, the view commit that holds it, and how many groups needed
@@ -115,7 +139,8 @@ object MatViews {
       keepVersions: Int = 1,
       maxCollectedGroups: Int = 10000,
       kmvs: Map[String, String] = Map.empty,
-      kmvK: Int = 64) {
+      kmvK: Int = 64,
+      filter: Option[Column] = None) {
     private[MatViews] def aggCols: Seq[String] =
       (sums.keys ++ mins.keys ++ maxs.keys ++ counts.keys ++ kmvs.keys)
         .toSeq.distinct
@@ -125,6 +150,8 @@ object MatViews {
         s"every grouping/aggregated column of $view is a pk column — nothing to diff")
       cc
     }
+    private[MatViews] def applyFilter(df: DataFrame): DataFrame =
+      filter.fold(df)(df.filter)
   }
 
   private def readBase(spark: SparkSession, base: Path): DataFrame = {
@@ -187,9 +214,10 @@ object MatViews {
       keepVersions: Int = 1,
       maxCollectedGroups: Int = 10000,
       kmvs: Map[String, String] = Map.empty,
-      kmvK: Int = 64): MaintainResult =
+      kmvK: Int = 64,
+      filter: Option[Column] = None): MaintainResult =
     maintainAll(spark, base, pk, Seq(ViewSpec(view, keys, sums, mins, maxs,
-      counts, keepVersions, maxCollectedGroups, kmvs, kmvK))).head
+      counts, keepVersions, maxCollectedGroups, kmvs, kmvK, filter))).head
 
   /** [[maintain]] for EVERY aggregate view of one base in a single call —
     * the shape scheduled maintenance should use. The 100 TB win is feed
@@ -223,11 +251,26 @@ object MatViews {
     def feedable(f: Long): Boolean =
       Storage.partitionManifestRetained(base, f) &&
         Storage.partitionManifestRetained(base, to)
+    // a FILTERED view's predicate columns must ride the change feed too:
+    // a row crossing the filter boundary must surface as an insert/delete
+    // of the view. The refs come from ONE analysis of the predicate over
+    // the base's schema — the same resolution the maintenance filter and
+    // the rewrite matcher go through.
+    def filterRefsOf(sp: ViewSpec): Seq[String] =
+      sp.filter.toSeq.flatMap { f =>
+        readBaseAt(spark, base, to).filter(f).queryExecution.analyzed
+          .collectFirst {
+            case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              fl.condition.references.map(_.name).toSeq
+          }.getOrElse(Nil)
+      }
     val feeds: Map[Long, DataFrame] = states
       .collect { case (sp, Some(f)) if f != to && feedable(f) => (sp, f) }
       .groupBy(_._2)
       .map { case (f, grp) =>
-        val cols = grp.flatMap { case (sp, _) => sp.compareCols(pk) }.distinct
+        val cols = grp.flatMap { case (sp, _) =>
+          sp.compareCols(pk) ++ filterRefsOf(sp).filterNot(pk.contains)
+        }.distinct
         val cdf = Cdc.changeDataFeed(spark, base, f, to, pk, cols,
           preImages = true)
         // materialize only when actually shared — a lone view reads once
@@ -259,7 +302,7 @@ object MatViews {
       sp.counts.map { case (b, v) => count(col(b)).as(v) } ++
       sp.kmvs.map { case (b, v) =>
         graft.plans.KmvSketch.partialCol(col(b), sp.kmvK).as(v) }
-    readBaseAt(spark, base, to).groupBy(sp.keys.map(col): _*)
+    sp.applyFilter(readBaseAt(spark, base, to)).groupBy(sp.keys.map(col): _*)
       .agg(count(lit(1)).as("count_rows"), aggs.toSeq: _*)
   }
 
@@ -310,8 +353,13 @@ object MatViews {
   }
 
   private def rollForward(spark: SparkSession, base: Path, sp: ViewSpec,
-      cdf: DataFrame, to: Long): MaintainResult = {
+      cdf0: DataFrame, to: Long): MaintainResult = {
     val keys = sp.keys
+    // filtered view: the predicate applies PER IMAGE ROW, which is exactly
+    // the transition semantics — a pre-image outside the filter was never
+    // in the view (nothing to retract), a post-image inside it is a plain
+    // insert, so boundary crossings reduce to one-sided feed rows
+    val cdf = sp.applyFilter(cdf0)
     val deltaAgg = AggMaintain.retractableDeltaAggregates(cdf, keys,
       sp.sums.map { case (b, v) => v -> col(b) } ++ countsAsSums(sp.counts),
       sp.mins.map { case (b, v) => v -> col(b) },
@@ -322,7 +370,8 @@ object MatViews {
       (sp.sums.values ++ sp.counts.values).toSeq,
       sp.mins.values.toSeq, sp.maxs.values.toSeq,
       (flaggedKeys, n0) => recomputeExtremes(spark, base, to, keys, sp.mins,
-        sp.maxs, flaggedKeys, n0, sp.maxCollectedGroups, sp.kmvs, sp.kmvK),
+        sp.maxs, flaggedKeys, n0, sp.maxCollectedGroups, sp.kmvs, sp.kmvK,
+        sp.filter),
       kmvCols = sp.kmvs.values.map(v => v -> sp.kmvK).toSeq)
     MaintainResult(to, commitMaintained(next, sp.view, to, sp.keepVersions), n)
   }
@@ -640,7 +689,8 @@ object MatViews {
       tables: Seq[String] = Nil,
       pks: Seq[Seq[String]] = Nil,
       kmvs: Map[String, String] = Map.empty,
-      kmvK: Int = 64) {
+      kmvK: Int = 64,
+      where: String = "") {
     require(kind == "single" || kind == "join" || kind == "star",
       s"unknown kind '$kind'")
     require(kind != "star" || (tables.size >= 2 && pks.size == tables.size),
@@ -663,7 +713,7 @@ object MatViews {
       ("tables" -> e.tables) ~
       ("pks" -> JArray(e.pks.map(pk =>
         JArray(pk.map(JString(_)).toList)).toList)) ~
-      ("kmvs" -> e.kmvs) ~ ("kmvK" -> e.kmvK)
+      ("kmvs" -> e.kmvs) ~ ("kmvK" -> e.kmvK) ~ ("where" -> e.where)
   }
 
   /** Every entry in `catalogDir`'s catalog (empty if none yet). */
@@ -696,7 +746,8 @@ object MatViews {
           tables = (j \ "tables").extractOrElse[Seq[String]](Nil),
           pks = (j \ "pks").extractOrElse[Seq[Seq[String]]](Nil),
           kmvs = (j \ "kmvs").extractOrElse[Map[String, String]](Map.empty),
-          kmvK = (j \ "kmvK").extractOrElse[Int](64))
+          kmvK = (j \ "kmvK").extractOrElse[Int](64),
+          where = (j \ "where").extractOrElse[String](""))
       }
       case _ => Seq.empty
     }
@@ -746,7 +797,8 @@ object MatViews {
       case e if e.kind == "single" =>
         registerRewrite(spark, e.name, Path.of(e.base), Path.of(e.view),
           keys = e.keys, sums = e.sums, mins = e.mins, maxs = e.maxs,
-          counts = e.counts, kmvs = e.kmvs, kmvK = e.kmvK)
+          counts = e.counts, kmvs = e.kmvs, kmvK = e.kmvK,
+          where = if (e.where.isEmpty) None else Some(expr(e.where)))
       case e if e.kind == "star" =>
         registerStarRewrite(spark, e.name, e.tables.map(Path.of(_)),
           Path.of(e.view), joinKeys = e.joinKeysLeft.zip(e.joinKeysRight),
@@ -778,7 +830,8 @@ object MatViews {
       .groupBy(e => (e.base, e.pk)).toSeq.flatMap { case ((base, pk), grp) =>
         val specs = grp.map(e => ViewSpec(Path.of(e.view), e.keys, e.sums,
           e.mins, e.maxs, e.counts, e.keepVersions, kmvs = e.kmvs,
-          kmvK = e.kmvK))
+          kmvK = e.kmvK,
+          filter = if (e.where.isEmpty) None else Some(expr(e.where))))
         maintainAll(spark, Path.of(base), pk, specs)
           .zip(grp).map { case (r, e) => e.name -> r }
       }.toMap
@@ -860,7 +913,8 @@ object MatViews {
       spark: SparkSession, base: Path, to: Long, keys: Seq[String],
       mins: Map[String, String], maxs: Map[String, String],
       flaggedKeys: DataFrame, n: Long, maxCollectedGroups: Int,
-      kmvs: Map[String, String] = Map.empty, kmvK: Int = 64): DataFrame = {
+      kmvs: Map[String, String] = Map.empty, kmvK: Int = 64,
+      filter: Option[Column] = None): DataFrame = {
     val scan: DataFrame =
       if (n > maxCollectedGroups) readBaseAt(spark, base, to)
       else {
@@ -907,6 +961,7 @@ object MatViews {
       maxs.map { case (b, v) => max(col(b)).as(v) } ++
       kmvs.map { case (b, v) =>
         graft.plans.KmvSketch.partialCol(col(b), kmvK).as(v) }
-    scan.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail.toSeq: _*)
+    filter.fold(scan)(scan.filter).groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail.toSeq: _*)
   }
 }

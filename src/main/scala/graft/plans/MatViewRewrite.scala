@@ -74,6 +74,17 @@ object MatView {
     * `sums`/`mins`/`maxs`/`counts` map base column name → view partial
     * column (`counts` = per-column NON-NULL counts, serving COUNT(col)
     * and — paired with `sums` — AVG). */
+  /** `where`: a FILTERED (partial) view's predicate, as the RESOLVED
+    * conjuncts of the filter over the base's schema
+    * ([[graft.ops.MatViews.registerRewrite]] resolves the user's Column
+    * once at registration). A query navigates onto a filtered view only
+    * when its own filter conjuncts CONTAIN every `where` conjunct
+    * (matched semantically, attribute names normalized — syntactic
+    * subsumption like `x >= 6` for a view's `x > 5` deliberately falls
+    * back: sound, not complete); the matched conjuncts are consumed (the
+    * view's rows already satisfy them — the filter column need not even
+    * be a view column) and only the remainder must pass the key-only
+    * commute check. */
   final case class Def(
       name: String,
       baseRoots: () => Set[String],
@@ -86,7 +97,8 @@ object MatView {
       counts: Map[String, String] = Map.empty,
       fresh: () => Boolean = () => true,
       kmvs: Map[String, String] = Map.empty,
-      kmvK: Int = 64) {
+      kmvK: Int = 64,
+      where: Seq[Expression] = Nil) {
     private[plans] def partials: MatViewSupport.Partials =
       MatViewSupport.Partials(countCol, sums, mins, maxs, counts, kmvs, kmvK)
   }
@@ -206,6 +218,49 @@ private[plans] object MatViewSupport {
   // aggregate a partial state the view does not represent.
   def covers(roots: Seq[String], expected: Set[String]): Boolean =
     roots.nonEmpty && roots.toSet == expected
+
+  def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+    case x => Seq(x)
+  }
+
+  // name-normalized canonical form: resolved attribute references become
+  // their bare names, so a registration-time resolution of the view's
+  // WHERE and a query-time conjunct over the same base schema compare
+  // equal regardless of exprIds (both sides saw the same analyzer, so
+  // literal promotions and inserted casts line up too)
+  private def nameCanon(e: Expression): Expression =
+    e.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
+    }.canonicalized
+
+  /** Consume a filtered view's required conjuncts out of the query's
+    * filter set: every `required` conjunct must match one query conjunct
+    * semantically (each query conjunct consumed at most once); returns
+    * the REMAINING query conjuncts, or None when any requirement is
+    * unmatched. `required` empty → pass-through (unfiltered view). */
+  def consumeWhere(filters: Seq[Expression],
+      required: Seq[Expression]): Option[Seq[Expression]] = {
+    if (required.isEmpty) return Some(filters)
+    var remaining = filters.flatMap(conjunctsOf).map(q => (q, nameCanon(q)))
+    required.foreach { r =>
+      val rc = nameCanon(r)
+      val i = remaining.indexWhere(_._2 == rc)
+      if (i < 0) return None
+      remaining = remaining.patch(i, Nil, 1)
+    }
+    // the optimizer infers IsNotNull guards from the query's own filter
+    // (x > 100 ⇒ isnotnull(x)); once the implying conjunct is consumed,
+    // such a guard over a consumed conjunct's column is tautological for
+    // every row the view aggregated — drop it rather than let a non-key
+    // reference block the rewrite
+    val requiredRefs = required.flatMap(_.references.map(_.name)).toSet
+    Some(remaining.map(_._1).filterNot {
+      case IsNotNull(a: AttributeReference) => requiredRefs.contains(a.name)
+      case _ => false
+    })
+  }
 
   // a rewritten aggregate's result must be byte-identical or a loss-free
   // upcast of the original's — otherwise no rewrite. Cast.canUpCast is
@@ -704,8 +759,10 @@ object MatViewRewrite extends Rule[LogicalPlan] {
         if (roots.isEmpty) return None
         defs.view.flatMap { d =>
           if (!MatViewSupport.covers(roots, rootsOf(d))) None
-          else MatViewSupport.rebuildRollupOntoView(agg, expand, filters,
-            d.keys, d.partials, d.fresh, d.view)
+          else MatViewSupport.consumeWhere(filters, d.where).flatMap { kept =>
+            MatViewSupport.rebuildRollupOntoView(agg, expand, kept,
+              d.keys, d.partials, d.fresh, d.view)
+          }
         }.headOption
       case _ =>
         val (filters, rel) = MatViewSupport.strip(agg.child, Nil) match {
@@ -716,8 +773,10 @@ object MatViewRewrite extends Rule[LogicalPlan] {
         if (roots.isEmpty) return None
         defs.view.flatMap { d =>
           if (!MatViewSupport.covers(roots, rootsOf(d))) None
-          else MatViewSupport.rebuildOntoView(agg, filters, d.keys, d.partials,
-            d.fresh, d.view, approxDistinct)
+          else MatViewSupport.consumeWhere(filters, d.where).flatMap { kept =>
+            MatViewSupport.rebuildOntoView(agg, kept, d.keys, d.partials,
+              d.fresh, d.view, approxDistinct)
+          }
         }.headOption
     }
 }

@@ -1724,6 +1724,98 @@ object CoreQueries {
              |SELECT l_returnflag, cnt, est_distinct_parts
              |FROM c JOIN est USING (l_returnflag)""".stripMargin)),
 
+    // FILTERED (partial) materialized view, maintained end-to-end: the
+    // view aggregates ONLY rows passing its predicate (value > 500 — a
+    // MEASURE, not even a view column), the change feed applies the
+    // predicate per image row so boundary crossings reduce to one-sided
+    // inserts/deletes, and the rewrite navigates a query only when its
+    // own filter CARRIES the view's conjunct (consumed on match; a query
+    // without it falls back — the partial view lacks rows it needs). The
+    // classic "hot slice" datamart: at 100 TB a last-quarter or
+    // high-value view is a sliver of the base, maintained for O(Δ), and
+    // every dashboard query that repeats the slice predicate reads
+    // |keys| rows. The row REQUIREs the view scan.
+    Q("mv7_filtered_view",
+      (s, d) => {
+        import graft.plans.{MatView, MatViewRewrite}
+        import graft.ops.{MatViews, MergeOps, Storage}
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+        val dir = java.nio.file.Files.createTempDirectory("mv7")
+        val table = dir.resolve("base")
+        val view = dir.resolve("view")
+        try {
+          val pred = col("value") > 500
+          val ev = Tables.events(s, d).select(col("event_id"),
+            col("event_type"), col("value"))
+          def load(df: DataFrame, ts: String) =
+            MergeOps.prunedConditionalUpsert(table,
+              df.select(col("event_id"), col("event_type"),
+                dec(col("value")).as("value"),
+                lit(null).cast("timestamp").as("loaded_at"),
+                lit(null).cast("timestamp").as("last_upd_at")),
+              pk = Seq("event_id"), tracked = Seq("event_type", "value"),
+              runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+          def maintain() = MatViews.maintain(s, table, view,
+            pk = Seq("event_id"), keys = Seq("event_type"),
+            sums = Map("value" -> "sum_value"),
+            mins = Map("value" -> "min_value"),
+            maxs = Map("value" -> "max_value"),
+            keepVersions = 2, filter = Some(pred))
+          // churned bootstrap: %7 missing, %11 values shifted — the truth
+          // load then moves rows ACROSS the predicate boundary both ways
+          load(ev.filter(col("event_id") % 7 =!= 0)
+            .withColumn("value",
+              when(col("event_id") % 11 === 0, col("value") + 300.0)
+                .otherwise(col("value"))), CutoffTs)
+          maintain()
+          load(ev, RunTs)
+          maintain() // crossings feed as one-sided rows; extremes re-flag
+          Storage.compact(s, table)
+          maintain() // marker advances through the empty feed
+          MatViews.registerRewrite(s, "mv7", table, view,
+            keys = Seq("event_type"),
+            sums = Map("value" -> "sum_value"),
+            mins = Map("value" -> "min_value"),
+            maxs = Map("value" -> "max_value"),
+            where = Some(pred))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ MatViewRewrite
+          try {
+            val q = Storage.readPartitionedVersion(s, table)
+              .filter(pred)
+              .groupBy(col("event_type"))
+              .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"),
+                min(col("value")).as("mnv"), max(col("value")).as("mxv"))
+              .select(col("event_type"), col("cnt"),
+                col("sv").cast("double").as("sum_value"),
+                col("mnv").cast("double").as("min_value"),
+                col("mxv").cast("double").as("max_value"))
+            val scans = q.queryExecution.optimizedPlan.collect {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                lr.relation match {
+                  case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                    fs.location.rootPaths.map(_.toString)
+                  case _ => Nil
+                }
+            }.flatten
+            require(scans.exists(_.contains(view.toString)) &&
+                !scans.exists(_.contains(table.toString)),
+              s"filtered aggregate was not navigated onto the partial view: $scans")
+            q.localCheckpoint()
+          } finally {
+            s.experimental.extraOptimizations =
+              s.experimental.extraOptimizations.filterNot(_ eq MatViewRewrite)
+            MatView.drop("mv7")
+          }
+        } finally Storage.deleteRecursively(dir)
+      },
+      Some("""SELECT event_type, count(*) AS cnt,
+             |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+             |  CAST(min(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS min_value,
+             |  CAST(max(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS max_value
+             |FROM events WHERE CAST(value AS DECIMAL(38,6)) > 500
+             |GROUP BY event_type""".stripMargin)),
+
     // ATOMIC workspace+view publish: a transaction's base tables AND its
     // maintained views land in ONE manifest (MatViews.workspaceCommitWith
     // Views — member commits through the table CAS logs, every cataloged

@@ -231,6 +231,51 @@ class MatViewMaintainSpec extends SparkTestBase {
     Storage.deleteRecursively(root)
   }
 
+  test("FILTERED view maintenance: boundary crossings feed as one-sided rows; recompute scans the filtered base") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mvm_where")
+    val base = root.resolve("base")
+    val view = root.resolve("view")
+    val pred = col("x") > lit(BigDecimal(30)).cast("decimal(38,6)")
+    def maintainF(): MatViews.MaintainResult =
+      MatViews.maintain(spark, base, view, pk = Seq("id"), keys = Seq("grp"),
+        sums = Map("x" -> "sum_x"), mins = Map("x" -> "min_x"),
+        maxs = Map("x" -> "max_x"), keepVersions = 2, filter = Some(pred))
+    def assertFilteredExact(): Unit = {
+      val got = Storage.readVersion(spark, view)
+        .select("grp", "count_rows", "sum_x", "min_x", "max_x")
+        .collect().map(_.toSeq).toSet
+      val want = Storage.readPartitionedVersion(spark, base).filter(pred)
+        .groupBy("grp")
+        .agg(count(lit(1)).as("count_rows"), sum("x").as("sum_x"),
+          min("x").as("min_x"), max("x").as("max_x"))
+        .collect().map(_.toSeq).toSet
+      assert(got == want, s"filtered view diverged:\n got  $got\n want $want")
+    }
+    load(base, rows(1 to 60, i => BigDecimal(i)))
+    maintainF() // bootstrap aggregates ONLY x > 30
+    assertFilteredExact()
+    // crossings in one interval: id 10 ENTERS (10→100), id 40 LEAVES
+    // (40→5), id 50 moves within (50→45); an outside-only change (5→7)
+    // must not touch the view at all
+    load(base, rows(Seq(10), _ => BigDecimal(100)) unionByName
+      rows(Seq(40), _ => BigDecimal(5)) unionByName
+      rows(Seq(50), _ => BigDecimal(45)) unionByName
+      rows(Seq(5), _ => BigDecimal(7)))
+    maintainF()
+    assertFilteredExact()
+    // delete the filtered MAX holder: the recompute scan must apply the
+    // filter, or the recomputed extreme would re-admit excluded rows
+    val maxHolder = Storage.readPartitionedVersion(spark, base).filter(pred)
+      .orderBy(col("x").desc).select(col("id")).as[Long].head()
+    MergeOps.prunedDelete(base, Seq(maxHolder).toDF("id"), pk = Seq("id"),
+      nParts = 4)
+    val r = maintainF()
+    assert(r.recomputedGroups >= 1, s"filtered max delete must recompute: $r")
+    assertFilteredExact()
+    Storage.deleteRecursively(root)
+  }
+
   test("KMV sketch partials: inserts merge, sketch-hit deletes recompute, misses don't") {
     import graft.plans.KmvSketch
     import spark.implicits._

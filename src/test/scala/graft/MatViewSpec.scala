@@ -470,6 +470,77 @@ class MatViewSpec extends SparkTestBase {
     Storage.deleteRecursively(root)
   }
 
+  test("FILTERED (partial) views: the query must carry the view's predicate; leftovers commute") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mv_where")
+    val base = root.resolve("base")
+    val view = root.resolve("view")
+    val rows = (1 to 400).map(i => (s"k${i % 3}", (i % 7).toLong, i.toLong))
+      .toDF("k1", "k2", "x")
+    Storage.commitVersion(rows, base)
+    // the view aggregates ONLY x > 100 rows — x is a measure, absent from
+    // the view itself
+    Storage.commitVersion(
+      Storage.readVersion(spark, base).filter(col("x") > 100)
+        .groupBy("k1", "k2")
+        .agg(count(lit(1)).as("count_rows"), sum("x").as("sum_x")),
+      view)
+    val vdir = base.resolve(s"v${Storage.currentVersion(base).get}")
+    // resolve the predicate the way registerRewrite does: one analysis +
+    // optimization over the base's schema (cast folding and inferred
+    // guards then line up with the matched query's optimized filters)
+    def split(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        split(l) ++ split(r)
+      case x => Seq(x)
+    }
+    val whereConjuncts = Storage.readVersion(spark, base).filter(col("x") > 100)
+      .queryExecution.optimizedPlan.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          split(f.condition)
+      }.get
+    def register(): Unit = MatView.register(MatView.Def(
+      name = "part_t", baseRoots = () => Set(MatView.root(vdir)),
+      view = () => Storage.readVersion(spark, view),
+      keys = Seq("k1", "k2"), countCol = Some("count_rows"),
+      sums = Map("x" -> "sum_x"), where = whereConjuncts))
+    register()
+    withRule {
+      // the exact predicate (plus an extra key conjunct) navigates; the
+      // matched conjunct is consumed, the key conjunct re-applies
+      def shape(df: DataFrame) = df.filter(col("x") > 100 && col("k2") <= 4)
+        .groupBy("k1").agg(count(lit(1)).as("cnt"), sum("x").as("s"))
+      val q = shape(Storage.readVersion(spark, base))
+      assert(scanPaths(q).exists(_.contains(view.toString)),
+        "a query carrying the view's predicate must navigate")
+      val got = q.orderBy("k1").collect().toSeq
+      MatView.clear()
+      val want = shape(Storage.readVersion(spark, base)).orderBy("k1").collect().toSeq
+      assert(got == want, s"filtered-view rewrite diverged:\n got  $got\n want $want")
+      // the flipped-operand form is the SAME predicate (canonicalized)
+      register()
+      val flipped = Storage.readVersion(spark, base).filter(lit(100) < col("x"))
+        .groupBy("k1").agg(count(lit(1)).as("cnt"))
+      assert(scanPaths(flipped).exists(_.contains(view.toString)),
+        "operand order must not matter")
+      // a query WITHOUT the predicate sees rows the partial view lacks —
+      // it must fall back to the base
+      val unfiltered = Storage.readVersion(spark, base)
+        .groupBy("k1").agg(count(lit(1)).as("cnt"))
+      assert(!scanPaths(unfiltered).exists(_.contains(view.toString)),
+        "a query missing the view's predicate must fall back")
+      // a semantically DIFFERENT predicate falls back too (even though
+      // x > 150 is subsumed by x > 100, subsumption is not containment
+      // of the view's rows-as-aggregated — groups mix both sides)
+      val different = Storage.readVersion(spark, base).filter(col("x") > 150)
+        .groupBy("k1").agg(count(lit(1)).as("cnt"))
+      assert(!scanPaths(different).exists(_.contains(view.toString)),
+        "a different predicate must fall back")
+    }
+    Storage.deleteRecursively(root)
+  }
+
   test("global COUNT over an empty view scan answers 0, not NULL") {
     val (base, view) = fixture()
     withRule {
