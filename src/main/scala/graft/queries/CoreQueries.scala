@@ -1725,7 +1725,7 @@ object CoreQueries {
              |FROM c JOIN est USING (l_returnflag)""".stripMargin)),
 
     // FILTERED (partial) materialized view, maintained end-to-end: the
-    // view aggregates ONLY rows passing its predicate (value > 500 — a
+    // view aggregates ONLY rows passing its predicate (value > 50 — a
     // MEASURE, not even a view column), the change feed applies the
     // predicate per image row so boundary crossings reduce to one-sided
     // inserts/deletes, and the rewrite navigates a query only when its
@@ -1744,7 +1744,7 @@ object CoreQueries {
         val table = dir.resolve("base")
         val view = dir.resolve("view")
         try {
-          val pred = col("value") > 500
+          val pred = col("value") > 50
           val ev = Tables.events(s, d).select(col("event_id"),
             col("event_type"), col("value"))
           def load(df: DataFrame, ts: String) =
@@ -1813,7 +1813,7 @@ object CoreQueries {
              |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
              |  CAST(min(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS min_value,
              |  CAST(max(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS max_value
-             |FROM events WHERE CAST(value AS DECIMAL(38,6)) > 500
+             |FROM events WHERE CAST(value AS DECIMAL(38,6)) > 50
              |GROUP BY event_type""".stripMargin)),
 
     // ATOMIC workspace+view publish: a transaction's base tables AND its
