@@ -238,17 +238,20 @@ object AggMaintain {
     // UNRELATED column's change in a shared multi-view feed) — and a
     // min-holder being lowered / max-holder raised — maintenance-exact
     // with zero recompute.
+    // A retraction for a group ABSENT from state is only reachable on an
+    // inconsistent feed — flag it too (the recompute self-heals) rather
+    // than emit the group with __ins-only extremes beside a negative count.
     def uncertain(c: String, beats: (Column, Column) => Column): Column =
-      !stateAbsent && !deltaAbsent && col(s"d.__ret_$c").isNotNull &&
-        (col(s"s.$c").isNull || beats(col(s"d.__ret_$c"), col(s"s.$c"))) &&
-        !(col(s"d.__ins_$c").isNotNull &&
-          beats(col(s"d.__ins_$c"), col(s"d.__ret_$c")))
+      !deltaAbsent && col(s"d.__ret_$c").isNotNull && (stateAbsent ||
+        ((col(s"s.$c").isNull || beats(col(s"d.__ret_$c"), col(s"s.$c"))) &&
+          !(col(s"d.__ins_$c").isNotNull &&
+            beats(col(s"d.__ins_$c"), col(s"d.__ret_$c")))))
     // KMV partials: the stored k-min hash array unions with the batch's
     // insert sketch (k-min of a union = trimmed union of k-mins — exact);
     // a hash can never be REMOVED from a k-min set, so any retraction
     // whose hash sits at or below the stored k-th minimum (array_max of
-    // the sorted stored array; an empty/absent store with a retraction is
-    // inconsistent and flags) forces the group's recompute. No
+    // the sorted stored array; an empty/ABSENT store with a retraction is
+    // inconsistent and likewise flags) forces the group's recompute. No
     // ins-covers-ret exemption: a re-inserted value may not be the LAST
     // live copy of the retracted one — conservative, never wrong.
     def kmvMerged(c: String, k: Int): Column =
@@ -256,8 +259,8 @@ object AggMaintain {
         .otherwise(slice(array_sort(
           array_union(col(s"s.$c"), col(s"d.__ins_$c"))), 1, k)).as(c)
     def kmvUncertain(c: String): Column =
-      !stateAbsent && !deltaAbsent && col(s"d.__ret_$c").isNotNull &&
-        coalesce(col(s"d.__ret_$c") <= array_max(col(s"s.$c")), lit(true))
+      !deltaAbsent && col(s"d.__ret_$c").isNotNull && (stateAbsent ||
+        coalesce(col(s"d.__ret_$c") <= array_max(col(s"s.$c")), lit(true)))
     val flags =
       minCols.map(c => uncertain(c, _ <= _)) ++
         maxCols.map(c => uncertain(c, _ >= _)) ++

@@ -27,12 +27,15 @@ object MatViews {
     * exactly-once apply. */
   val AppliedMarker = "_APPLIED_BASE_V"
 
-  /** The base version the view's CURRENT commit reflects, if recorded. */
+  /** The base version the view's CURRENT commit reflects, if recorded.
+    * A corrupt/garbled marker parses to None — maintenance then
+    * re-bootstraps (self-heal) instead of aborting on the damaged file. */
   def appliedBase(view: Path): Option[Long] =
     Storage.currentVersion(view).flatMap { v =>
       val f = view.resolve(s"v$v").resolve(AppliedMarker)
       if (Files.exists(f))
-        Some(new String(Files.readAllBytes(f), "UTF-8").trim.toLong)
+        scala.util.Try(
+          new String(Files.readAllBytes(f), "UTF-8").trim.toLong).toOption
       else None
     }
 
@@ -96,7 +99,7 @@ object MatViews {
       fresh = () => appliedBase(view).exists(a =>
         Storage.currentVersion(base).contains(a)),
       kmvs = kmvs, kmvK = kmvK,
-      where = resolveWhere(spark, base, where)))
+      where = { lazy val w = resolveWhere(spark, base, where); () => w }))
 
   /** Resolve a FILTERED view's predicate against the base's schema ONCE,
     * into the conjuncts [[graft.plans.MatViewSupport.consumeWhere]]
@@ -104,7 +107,11 @@ object MatViews {
     * AND optimizer the query goes through is what makes literal
     * promotions, cast folding, and inferred not-null guards line up on
     * both sides (a matched query's filters are read from the OPTIMIZED
-    * plan). */
+    * plan). Invoked LAZILY (memoized `lazy val` in [[registerRewrite]]):
+    * registration stays metadata-only, and a filtered view over a base
+    * with no committed version yet registers fine — the thunk only runs at
+    * the first match attempt, which the root-set check already guarantees
+    * happens after the base's first commit. */
   private def resolveWhere(spark: SparkSession, base: Path,
       where: Option[Column]): Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
     where.toSeq.flatMap { w =>
@@ -255,10 +262,14 @@ object MatViews {
     // a row crossing the filter boundary must surface as an insert/delete
     // of the view. The refs come from ONE analysis of the predicate over
     // the base's schema — the same resolution the maintenance filter and
-    // the rewrite matcher go through.
+    // the rewrite matcher go through. The base read is built ONCE and
+    // shared across every filtered spec of this call (its construction
+    // lists the version's manifest — per-spec rebuilds would put that on
+    // the hot maintenance path for nothing).
+    lazy val baseForRefs = readBaseAt(spark, base, to)
     def filterRefsOf(sp: ViewSpec): Seq[String] =
       sp.filter.toSeq.flatMap { f =>
-        readBaseAt(spark, base, to).filter(f).queryExecution.analyzed
+        baseForRefs.filter(f).queryExecution.analyzed
           .collectFirst {
             case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
               fl.condition.references.map(_.name).toSeq
@@ -382,13 +393,14 @@ object MatViews {
   val AppliedBasesMarker = "_APPLIED_BASES_V"
 
   /** The base versions (one per side, in side order) the join/star view's
-    * CURRENT commit reflects, if recorded. */
+    * CURRENT commit reflects, if recorded. A corrupt/garbled marker parses
+    * to None — maintenance re-bootstraps instead of aborting. */
   def appliedVersions(view: Path): Option[Seq[Long]] =
     Storage.currentVersion(view).flatMap { v =>
       val f = view.resolve(s"v$v").resolve(AppliedBasesMarker)
       if (!Files.exists(f)) None
-      else Some(new String(Files.readAllBytes(f), "UTF-8")
-        .trim.split(",").toSeq.map(_.toLong))
+      else scala.util.Try(new String(Files.readAllBytes(f), "UTF-8")
+        .trim.split(",").toSeq.map(_.toLong)).toOption
     }
 
   /** The (left, right) base versions of a TWO-side join view, if
@@ -853,15 +865,29 @@ object MatViews {
     CatalogMaintenance(single, joins, stars)
   }
 
-  /** One ATOMIC publish of a workspace transaction AND the views it makes
+  /** One publish of a workspace transaction AND the views it makes
     * stale — the composition [[Workspace.commitAll]] + [[maintainCatalog]]
     * could previously only run as two separate publishes, leaving a
     * window where a snapshot reader saw the new bases pinned beside
     * not-yet-rolled views (safe — freshness guards kept rewrites honest —
     * but visible). Here the member tables commit through their CAS logs,
-    * every cataloged view rolls forward to the versions just committed,
-    * and base + view pins land in ONE workspace manifest: a reader
-    * resolving any manifest sees bases and views of the same instant.
+    * every cataloged view rolls forward, and base + view pins land in ONE
+    * workspace manifest.
+    *
+    * Coherence guarantee (exact, not a blanket atomicity claim): a view
+    * pin rides the manifest ONLY when every member base the view derives
+    * from was WRITTEN by this transaction and the view's applied-version
+    * markers equal exactly those committed versions. The CAS conflict
+    * guard in [[Workspace.commitAll]] aborts if a written table's
+    * published pin moved, so every manifest this call publishes pins such
+    * a view beside precisely the base versions it reflects — a reader can
+    * never observe one of OUR pins placing a view AHEAD of its base. If a
+    * concurrent writer advances a base between our table commits and the
+    * maintenance hook (maintenance then reflects the NEWER base), or a
+    * view derives from a member base this transaction did not write, the
+    * view still maintains but its pin is DROPPED for this manifest — the
+    * manifest keeps the view's previous pin, a stale-but-safe pair the
+    * freshness guard already handles, never a view ahead of its base.
     *
     * Views whose table lives DIRECTLY inside `ws` are pinned by their
     * member name; views outside the workspace still maintain but ride no
@@ -886,19 +912,39 @@ object MatViews {
     var maint: Option[CatalogMaintenance] = None
     val m = Workspace.commitAll(ws, writes, alsoPin, keepVersions,
       idempotencyToken, basedOn,
-      afterCommit = _ => {
+      afterCommit = committed => {
         val cm = maintainCatalog(spark, catalogDir)
         maint = Some(cm)
-        val versions: Map[String, Long] =
-          cm.single.map { case (n, r) => n -> r.viewVersion } ++
-            cm.joins.map { case (n, r) => n -> r.viewVersion } ++
-            cm.stars.map { case (n, r) => n -> r.viewVersion }
         val wsRoot = ws.toAbsolutePath.normalize
-        catalog(catalogDir).flatMap { e =>
-          val vp = Path.of(e.view).toAbsolutePath.normalize
-          if (Option(vp.getParent).contains(wsRoot))
-            versions.get(e.name).map(v => vp.getFileName.toString -> v)
+        def memberName(p: String): Option[String] = {
+          val ap = Path.of(p).toAbsolutePath.normalize
+          if (Option(ap.getParent).contains(wsRoot))
+            Some(ap.getFileName.toString)
           else None
+        }
+        catalog(catalogDir).flatMap { e =>
+          memberName(e.view).flatMap { viewMember =>
+            // (base path, version the view's state reflects) per side,
+            // straight from the maintenance results — no disk re-read
+            val applied: Option[(Long, Seq[(String, Long)])] = e.kind match {
+              case "single" => cm.single.get(e.name).map(r =>
+                r.viewVersion -> Seq(e.base -> r.appliedBase))
+              case "join" => cm.joins.get(e.name).map(r =>
+                r.viewVersion ->
+                  Seq(e.left -> r.appliedLeft, e.right -> r.appliedRight))
+              case _ => cm.stars.get(e.name)
+                .filter(_.applied.size == e.tables.size).map(r =>
+                  r.viewVersion -> e.tables.zip(r.applied))
+            }
+            applied.collect {
+              // pin only when EVERY member base was written this txn AND
+              // the view reflects exactly the committed version — see the
+              // coherence guarantee above
+              case (viewV, bases) if bases.forall { case (bp, av) =>
+                  memberName(bp).exists(bn => committed.get(bn).contains(av))
+                } => viewMember -> viewV
+            }
+          }
         }.toMap
       })
     (m, maint)

@@ -98,7 +98,7 @@ object MatView {
       fresh: () => Boolean = () => true,
       kmvs: Map[String, String] = Map.empty,
       kmvK: Int = 64,
-      where: Seq[Expression] = Nil) {
+      where: () => Seq[Expression] = () => Nil) {
     private[plans] def partials: MatViewSupport.Partials =
       MatViewSupport.Partials(countCol, sums, mins, maxs, counts, kmvs, kmvK)
   }
@@ -759,7 +759,7 @@ object MatViewRewrite extends Rule[LogicalPlan] {
         if (roots.isEmpty) return None
         defs.view.flatMap { d =>
           if (!MatViewSupport.covers(roots, rootsOf(d))) None
-          else MatViewSupport.consumeWhere(filters, d.where).flatMap { kept =>
+          else MatViewSupport.consumeWhere(filters, d.where()).flatMap { kept =>
             MatViewSupport.rebuildRollupOntoView(agg, expand, kept,
               d.keys, d.partials, d.fresh, d.view)
           }
@@ -773,7 +773,7 @@ object MatViewRewrite extends Rule[LogicalPlan] {
         if (roots.isEmpty) return None
         defs.view.flatMap { d =>
           if (!MatViewSupport.covers(roots, rootsOf(d))) None
-          else MatViewSupport.consumeWhere(filters, d.where).flatMap { kept =>
+          else MatViewSupport.consumeWhere(filters, d.where()).flatMap { kept =>
             MatViewSupport.rebuildOntoView(agg, kept, d.keys, d.partials,
               d.fresh, d.view, approxDistinct)
           }

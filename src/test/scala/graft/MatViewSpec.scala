@@ -504,7 +504,7 @@ class MatViewSpec extends SparkTestBase {
       name = "part_t", baseRoots = () => Set(MatView.root(vdir)),
       view = () => Storage.readVersion(spark, view),
       keys = Seq("k1", "k2"), countCol = Some("count_rows"),
-      sums = Map("x" -> "sum_x"), where = whereConjuncts))
+      sums = Map("x" -> "sum_x"), where = () => whereConjuncts))
     register()
     withRule {
       // the exact predicate (plus an extra key conjunct) navigates; the
