@@ -235,11 +235,77 @@ private[plans] object MatViewSupport {
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
     }.canonicalized
 
+  /** A conjunct of the shape `column <cmp> literal` (either operand
+    * order), normalized to attribute-left: (column name, op, literal). */
+  private def cmpOf(e: Expression): Option[(String, String, Literal)] = e match {
+    case GreaterThan(a: AttributeReference, l: Literal) => Some((a.name, ">", l))
+    case GreaterThan(l: Literal, a: AttributeReference) => Some((a.name, "<", l))
+    case GreaterThanOrEqual(a: AttributeReference, l: Literal) => Some((a.name, ">=", l))
+    case GreaterThanOrEqual(l: Literal, a: AttributeReference) => Some((a.name, "<=", l))
+    case LessThan(a: AttributeReference, l: Literal) => Some((a.name, "<", l))
+    case LessThan(l: Literal, a: AttributeReference) => Some((a.name, ">", l))
+    case LessThanOrEqual(a: AttributeReference, l: Literal) => Some((a.name, "<=", l))
+    case LessThanOrEqual(l: Literal, a: AttributeReference) => Some((a.name, ">=", l))
+    case EqualTo(a: AttributeReference, l: Literal) => Some((a.name, "=", l))
+    case EqualTo(l: Literal, a: AttributeReference) => Some((a.name, "=", l))
+    case _ => None
+  }
+
+  // types whose interpreted ordering IS SQL comparison: no collations,
+  // no nested/interval surprises — anything else falls back
+  private def rangeComparable(t: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | StringType | DateType | TimestampType |
+           TimestampNTZType | BooleanType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** Does query conjunct `q` IMPLY view conjunct `r`? — single-column
+    * range analysis over `column <cmp> literal` shapes: `x > 300` implies
+    * `x > 50`, `x >= 6` implies `x > 5`, `x = 7` implies `x >= 7`.
+    * Both literals must share the column's exact type (the analyzer
+    * promoted both sides through the same rules, so they do whenever the
+    * conjuncts are genuinely comparable) and be orderable atomics — the
+    * interpreted ordering then matches SQL comparison semantics
+    * (integrals, decimals, strings, date/timestamp; for float/double the
+    * −0.0/0.0 java-vs-SQL edge only produces false NEGATIVES, i.e. a
+    * fallback, never a wrong match). Everything unrecognized answers
+    * false: sound, not complete. */
+  def impliesRange(q: Expression, r: Expression): Boolean =
+    (cmpOf(q), cmpOf(r)) match {
+      case (Some((qc, qo, ql)), Some((rc, ro, rl))) if qc == rc &&
+          ql.value != null && rl.value != null &&
+          ql.dataType == rl.dataType && rangeComparable(ql.dataType) =>
+        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(ql.dataType)
+        val cmp = ord.compare(ql.value, rl.value)
+        (qo, ro) match {
+          case (">", ">") | (">", ">=") | (">=", ">=") => cmp >= 0
+          case (">=", ">") | ("=", ">") => cmp > 0
+          case ("=", ">=") => cmp >= 0
+          case ("<", "<") | ("<", "<=") | ("<=", "<=") => cmp <= 0
+          case ("<=", "<") | ("=", "<") => cmp < 0
+          case ("=", "<=") => cmp <= 0
+          case _ => false
+        }
+      case _ => false
+    }
+
   /** Consume a filtered view's required conjuncts out of the query's
-    * filter set: every `required` conjunct must match one query conjunct
-    * semantically (each query conjunct consumed at most once); returns
-    * the REMAINING query conjuncts, or None when any requirement is
-    * unmatched. `required` empty → pass-through (unfiltered view). */
+    * filter set: every `required` conjunct must either match one query
+    * conjunct semantically (that conjunct is consumed — the view's rows
+    * already satisfy it) or be IMPLIED by one ([[impliesRange]]: a
+    * strictly-tighter range over the same column), in which case the
+    * implying conjunct is KEPT as a residual — it must then pass the
+    * caller's key-only commute check, so a tighter range over a view KEY
+    * navigates with the residual re-applied over the view while a tighter
+    * range over a measure still falls back (group partials cannot be
+    * re-sliced). Returns the remaining query conjuncts, or None when any
+    * requirement is unmatched. `required` empty → pass-through. */
   def consumeWhere(filters: Seq[Expression],
       required: Seq[Expression]): Option[Seq[Expression]] = {
     if (required.isEmpty) return Some(filters)
@@ -247,8 +313,9 @@ private[plans] object MatViewSupport {
     required.foreach { r =>
       val rc = nameCanon(r)
       val i = remaining.indexWhere(_._2 == rc)
-      if (i < 0) return None
-      remaining = remaining.patch(i, Nil, 1)
+      if (i >= 0) remaining = remaining.patch(i, Nil, 1)
+      else if (!remaining.exists { case (q, _) => impliesRange(q, r) })
+        return None
     }
     // the optimizer infers IsNotNull guards from the query's own filter
     // (x > 100 ⇒ isnotnull(x)); once the implying conjunct is consumed,

@@ -1816,6 +1816,96 @@ object CoreQueries {
              |FROM events WHERE CAST(value AS DECIMAL(38,6)) > 50
              |GROUP BY event_type""".stripMargin)),
 
+    // PREDICATE-IMPLICATION navigation over a filtered view: the view
+    // slices on a KEY column (order date >= 1997-01-01 — the classic
+    // "recent history" hot-slice datamart) and the dashboard asks a
+    // STRICTLY TIGHTER range (>= 1998-01-01). Exact conjunct equality
+    // would fall back; the range matcher proves the query's conjunct
+    // implies the view's and keeps it as a RESIDUAL, which — being over a
+    // view key — re-applies over the view's rows exactly. A tighter range
+    // over a measure still falls back (partials can't be re-sliced;
+    // spec-asserted). The view is maintained through churned loads with
+    // rows crossing the slice boundary BOTH ways. At 100 TB: one
+    // last-quarter view serves every nested date range under it, each
+    // query reading |keys| rows with the residual pushed into the view
+    // scan. The row REQUIREs the navigated plan.
+    Q("mv7b_implied_range_navigation",
+      (s, d) => {
+        import graft.plans.{MatView, MatViewRewrite}
+        import graft.ops.{MatViews, MergeOps, Storage}
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+        val dir = java.nio.file.Files.createTempDirectory("mv7b")
+        val table = dir.resolve("base")
+        val view = dir.resolve("view")
+        try {
+          val slice = col("o_orderdate") >= lit("1997-01-01").cast("date")
+          val orders = Tables.orders(s, d).select(col("o_orderkey"),
+            col("o_orderpriority"), col("o_orderdate").cast("date").as("o_orderdate"),
+            col("o_totalprice"))
+          def load(df: DataFrame, ts: String) =
+            MergeOps.prunedConditionalUpsert(table,
+              df.select(col("o_orderkey"), col("o_orderpriority"),
+                col("o_orderdate"), dec(col("o_totalprice")).as("o_totalprice"),
+                lit(null).cast("timestamp").as("loaded_at"),
+                lit(null).cast("timestamp").as("last_upd_at")),
+              pk = Seq("o_orderkey"),
+              tracked = Seq("o_orderpriority", "o_orderdate", "o_totalprice"),
+              runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+          def maintain() = MatViews.maintain(s, table, view,
+            pk = Seq("o_orderkey"), keys = Seq("o_orderpriority", "o_orderdate"),
+            sums = Map("o_totalprice" -> "sum_rev"),
+            maxs = Map("o_totalprice" -> "max_rev"),
+            keepVersions = 2, filter = Some(slice))
+          // churned bootstrap: %7 missing; %9 dates shifted back 400 days —
+          // the truth load then moves rows across the slice boundary
+          load(orders.filter(col("o_orderkey") % 7 =!= 0)
+            .withColumn("o_orderdate",
+              when(col("o_orderkey") % 9 === 0, date_sub(col("o_orderdate"), 400))
+                .otherwise(col("o_orderdate"))), CutoffTs)
+          maintain()
+          load(orders, RunTs)
+          maintain() // boundary crossings feed as one-sided rows
+          MatViews.registerRewrite(s, "mv7b", table, view,
+            keys = Seq("o_orderpriority", "o_orderdate"),
+            sums = Map("o_totalprice" -> "sum_rev"),
+            maxs = Map("o_totalprice" -> "max_rev"),
+            where = Some(slice))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ MatViewRewrite
+          try {
+            val q = Storage.readPartitionedVersion(s, table)
+              .filter(col("o_orderdate") >= lit("1998-01-01").cast("date"))
+              .groupBy(col("o_orderpriority"))
+              .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("sr"),
+                max(col("o_totalprice")).as("mx"))
+              .select(col("o_orderpriority"), col("cnt"),
+                col("sr").cast("double").as("sum_rev"),
+                col("mx").cast("double").as("max_rev"))
+            val scans = q.queryExecution.optimizedPlan.collect {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                lr.relation match {
+                  case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                    fs.location.rootPaths.map(_.toString)
+                  case _ => Nil
+                }
+            }.flatten
+            require(scans.exists(_.contains(view.toString)) &&
+                !scans.exists(_.contains(table.toString)),
+              s"implied tighter range was not navigated onto the view: $scans")
+            q.localCheckpoint()
+          } finally {
+            s.experimental.extraOptimizations =
+              s.experimental.extraOptimizations.filterNot(_ eq MatViewRewrite)
+            MatView.drop("mv7b")
+          }
+        } finally Storage.deleteRecursively(dir)
+      },
+      Some("""SELECT o_orderpriority, count(*) AS cnt,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_rev,
+             |  CAST(max(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS max_rev
+             |FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+             |GROUP BY o_orderpriority""".stripMargin)),
+
     // ATOMIC workspace+view publish: a transaction's base tables AND its
     // maintained views land in ONE manifest (MatViews.workspaceCommitWith
     // Views — member commits through the table CAS logs, every cataloged

@@ -530,9 +530,10 @@ class MatViewSpec extends SparkTestBase {
         .groupBy("k1").agg(count(lit(1)).as("cnt"))
       assert(!scanPaths(unfiltered).exists(_.contains(view.toString)),
         "a query missing the view's predicate must fall back")
-      // a semantically DIFFERENT predicate falls back too (even though
-      // x > 150 is subsumed by x > 100, subsumption is not containment
-      // of the view's rows-as-aggregated — groups mix both sides)
+      // a TIGHTER predicate over a MEASURE falls back too: x > 150 does
+      // imply the view's x > 100 (the implication matcher accepts it),
+      // but the residual x > 150 cannot re-apply over group-level
+      // partials — the key-only commute check rejects it
       val different = Storage.readVersion(spark, base).filter(col("x") > 150)
         .groupBy("k1").agg(count(lit(1)).as("cnt"))
       assert(!scanPaths(different).exists(_.contains(view.toString)),
@@ -633,5 +634,66 @@ class MatViewSpec extends SparkTestBase {
       assert(scanPaths(q).exists(_.contains(view.toString)))
       assert(q.count() == 21) // 3 k1 × 7 k2 groups, all positive sums
     }
+  }
+
+  test("implication navigation: a strictly-tighter KEY range rides the view as a residual") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mv_imply")
+    val base = root.resolve("base")
+    val view = root.resolve("view")
+    val rows = (1 to 400).map(i => (s"k${i % 3}", (i % 7).toLong, i.toLong))
+      .toDF("k1", "k2", "x")
+    Storage.commitVersion(rows, base)
+    // the view slices on a KEY column (k2 > 1) — tighter query ranges over
+    // k2 can then re-apply over the view's rows exactly
+    Storage.commitVersion(
+      Storage.readVersion(spark, base).filter(col("k2") > 1)
+        .groupBy("k1", "k2")
+        .agg(count(lit(1)).as("count_rows"), sum("x").as("sum_x")),
+      view)
+    val vdir = base.resolve(s"v${Storage.currentVersion(base).get}")
+    def split(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        split(l) ++ split(r)
+      case x => Seq(x)
+    }
+    val whereConjuncts = Storage.readVersion(spark, base).filter(col("k2") > 1)
+      .queryExecution.optimizedPlan.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          split(f.condition)
+      }.get
+    def register(): Unit = MatView.register(MatView.Def(
+      name = "imply_t", baseRoots = () => Set(MatView.root(vdir)),
+      view = () => Storage.readVersion(spark, view),
+      keys = Seq("k1", "k2"), countCol = Some("count_rows"),
+      sums = Map("x" -> "sum_x"), where = () => whereConjuncts))
+    register()
+    withRule {
+      // k2 >= 3 implies the view's k2 > 1; the residual is key-only, so it
+      // re-applies over the view and the answer is exact
+      def tight(df: DataFrame) = df.filter(col("k2") >= 3)
+        .groupBy("k1").agg(count(lit(1)).as("cnt"), sum("x").as("s"))
+      val q = tight(Storage.readVersion(spark, base))
+      assert(scanPaths(q).exists(_.contains(view.toString)),
+        "a strictly-tighter key range must navigate with a residual")
+      val got = q.orderBy("k1").collect().toSeq
+      MatView.clear()
+      val want = tight(Storage.readVersion(spark, base)).orderBy("k1").collect().toSeq
+      assert(got == want, s"implication rewrite diverged:\n got  $got\n want $want")
+      register()
+      // an equality pin inside the view's range implies it too
+      val eq = Storage.readVersion(spark, base).filter(col("k2") === 5)
+        .groupBy("k1").agg(count(lit(1)).as("cnt"))
+      assert(scanPaths(eq).exists(_.contains(view.toString)),
+        "an equality inside the view's range must navigate")
+      // a LOOSER range (k2 > 0 does not imply k2 > 1) must fall back —
+      // the view lacks the k2 = 1 rows the query needs
+      val loose = Storage.readVersion(spark, base).filter(col("k2") > 0)
+        .groupBy("k1").agg(count(lit(1)).as("cnt"))
+      assert(!scanPaths(loose).exists(_.contains(view.toString)),
+        "a looser range must fall back to the base")
+    }
+    Storage.deleteRecursively(root)
   }
 }
