@@ -157,10 +157,13 @@ object AggMaintain {
         // KMV sketch partials: inserts fold into a mergeable k-min array;
         // for retractions only the SMALLEST retracted hash matters — the
         // merge flags a recompute iff it could sit inside the stored
-        // sketch (hashes can't be removed from a k-min set)
+        // sketch (hashes can't be removed from a k-min set). The hash
+        // dispatches on the column's resolved type (strings pre-hash
+        // through the md5-prefix long, in lock-step with the aggregate)
         kmvs.flatMap { case (n, (c, k)) => Seq(
           graft.plans.KmvSketch.partialCol(when(added, c), k).as(s"__ins_$n"),
-          min(when(!added, graft.plans.KmvSketch.hashCol(c))).as(s"__ret_$n")) }
+          min(when(!added, graft.plans.KmvSketch.hashCol(c,
+            cdf.select(c).schema.head.dataType))).as(s"__ret_$n")) }
     cdf.groupBy(keys.map(col): _*)
       .agg(sum(when(added, weight).otherwise(-weight)).as("count_rows"),
         aggs.toSeq: _*)

@@ -33,18 +33,21 @@ case class KmvSketch(
 
   import KmvSketch._
 
-  // integral only: Number.longValue() on fractional input would silently
-  // collapse distinct values (1.2 and 1.4 both hash as 1); a non-numeric
-  // child would ClassCastException at runtime — fail at ANALYSIS instead
+  // integral or string only: Number.longValue() on fractional input would
+  // silently collapse distinct values (1.2 and 1.4 both hash as 1); other
+  // types would ClassCastException at runtime — fail at ANALYSIS instead.
+  // Strings pre-hash through md5 ([[KmvSketch.md5Prefix60]]), the same
+  // engine-portable trick the split/fingerprint family uses, so the
+  // DuckDB oracle stays bit-exact for URL/doc-id distinct counts.
   override def checkInputDataTypes(): TypeCheckResult =
     if (k < 1)
       // analysis-time, not arr(-1) inside an executor task
       TypeCheckResult.TypeCheckFailure(s"graft_kmv k must be >= 1 (got $k)")
     else child.dataType match {
-      case ByteType | ShortType | IntegerType | LongType =>
+      case ByteType | ShortType | IntegerType | LongType | StringType =>
         TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(
-        s"graft_kmv requires an integral column, got ${t.simpleString}")
+        s"graft_kmv requires an integral or string column, got ${t.simpleString}")
     }
 
   override def children: Seq[Expression] = Seq(child)
@@ -55,7 +58,7 @@ case class KmvSketch(
 
   override def update(buf: Buffer, input: InternalRow): Buffer = {
     val v = child.eval(input)
-    if (v != null) buf.add(hash(v.asInstanceOf[Number].longValue()))
+    if (v != null) buf.add(hashOf(v, child.dataType))
     buf
   }
 
@@ -106,10 +109,10 @@ case class KmvPartial(
   override def checkInputDataTypes(): TypeCheckResult =
     if (k < 1) TypeCheckResult.TypeCheckFailure(s"graft_kmv_partial k must be >= 1 (got $k)")
     else child.dataType match {
-      case ByteType | ShortType | IntegerType | LongType =>
+      case ByteType | ShortType | IntegerType | LongType | StringType =>
         TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(
-        s"graft_kmv_partial requires an integral column, got ${t.simpleString}")
+        s"graft_kmv_partial requires an integral or string column, got ${t.simpleString}")
     }
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -117,7 +120,7 @@ case class KmvPartial(
   override def createAggregationBuffer(): Buffer = new Buffer(k)
   override def update(buf: Buffer, input: InternalRow): Buffer = {
     val v = child.eval(input)
-    if (v != null) buf.add(hash(v.asInstanceOf[Number].longValue()))
+    if (v != null) buf.add(hashOf(v, child.dataType))
     buf
   }
   override def merge(buf: Buffer, other: Buffer): Buffer = {
@@ -187,6 +190,31 @@ object KmvSketch {
 
   def hash(x: Long): Long = (((x % P + P) % P) * A + B) % P
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Engine-portable string pre-hash: the value of the first 15 hex chars
+    * of md5 (= the digest's top 60 bits) — exactly Spark's
+    * `conv(substring(md5(s), 1, 15), 16, 10)` and DuckDB's
+    * `CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)`, the same trick
+    * the split/fingerprint family uses, so string distinct counts stay
+    * differential-testable bit-for-bit. */
+  def md5Prefix60(bytes: Array[Byte]): Long = {
+    val md = md5Local.get(); md.reset()
+    java.nio.ByteBuffer.wrap(md.digest(bytes)).getLong >>> 4
+  }
+
+  /** The sketch hash of one runtime value, by input type: strings pre-hash
+    * through [[md5Prefix60]]; integrals feed [[hash]] directly. Must stay
+    * in lock-step with [[hashCol]]'s expression form. */
+  def hashOf(v: Any, t: DataType): Long = t match {
+    case StringType => hash(md5Prefix60(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes))
+    case _ => hash(v.asInstanceOf[Number].longValue())
+  }
+
   /** k smallest distinct hashes. Sorted-array buffer: k is small and
     * insertion is rare once the buffer saturates (only values below the
     * current k-th minimum enter). */
@@ -254,10 +282,18 @@ object KmvSketch {
 
   /** The sketch's hash as a Column — what maintenance uses to decide
     * whether a RETRACTED value could be inside a stored sketch (its hash
-    * at or below the stored k-th minimum). Matches [[hash]] exactly:
-    * the product fits a long (both factors < 2³¹). */
-  def hashCol(c: Column): Column = {
-    import org.apache.spark.sql.functions.{lit, pmod}
-    pmod(pmod(c.cast("long"), lit(P)) * lit(A) + lit(B), lit(P))
+    * at or below the stored k-th minimum). Matches [[hashOf]] exactly:
+    * strings pre-hash through the md5-prefix long, the product fits a
+    * long (both factors < 2³¹). */
+  def hashCol(c: Column, dt: DataType): Column = {
+    import org.apache.spark.sql.functions.{conv, lit, md5, pmod, substring}
+    val pre = dt match {
+      case StringType => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      case _ => c.cast("long")
+    }
+    pmod(pmod(pre, lit(P)) * lit(A) + lit(B), lit(P))
   }
+
+  /** Integral-input form, kept for callers that know their type. */
+  def hashCol(c: Column): Column = hashCol(c, LongType)
 }

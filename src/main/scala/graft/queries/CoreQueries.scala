@@ -1650,46 +1650,69 @@ object CoreQueries {
              |WHERE o_orderkey % 13 <> 0
              |GROUP BY n_name""".stripMargin)),
 
-    // KMV sketch NAVIGATION: the distinct-count estimate served from a
-    // maintained sketch PARTIAL (plans.KmvPartial — the k smallest
-    // distinct hashes per group, stored as an array column) instead of
-    // the base scan. Union of k-min sets trimmed to k IS the k-min set
-    // of the union, so the navigated estimate (plans.KmvMerge over the
-    // partials) is bit-identical to running the sketch over the base —
-    // and the whole pipeline stays differential-testable: the oracle
-    // reproduces hash + estimator in SQL exactly as sketch1 does. At
-    // 100 TB a distinct-count dashboard reads |keys| sketch rows, and
-    // the conf-gated approxDistinct path (spec-covered) can serve plain
-    // COUNT(DISTINCT) the same way when a session opts in.
+    // KMV sketch NAVIGATION under CHURN, over STRING keys: the
+    // distinct-count estimate served from a maintained sketch PARTIAL
+    // (plans.KmvPartial — the k smallest distinct hashes per group,
+    // stored as an array column; strings pre-hash through the
+    // engine-portable md5-prefix long) instead of the base scan. The
+    // view rolls through churned loads: renamed members retract hashes
+    // that sit INSIDE stored sketches and deletes retract more, so the
+    // conservative retraction flag (AggMaintain.kmvUncertain) forces the
+    // per-group recompute path — the row REQUIREs recomputedGroups > 0
+    // on the final roll. Union of k-min sets trimmed to k IS the k-min
+    // set of the union, so the navigated estimate (plans.KmvMerge over
+    // the partials) is bit-identical to running the sketch over the
+    // base, and the oracle reproduces hash + estimator in SQL. At
+    // 100 TB a distinct-URL dashboard reads |keys| sketch rows,
+    // maintained for O(Δ + flagged groups) per refresh.
     Q("mv6_kmv_navigation",
       (s, d) => {
         import graft.plans.{KmvSketch, MatView, MatViewRewrite}
+        import graft.ops.{MatViews, MergeOps, Storage}
         val dir = java.nio.file.Files.createTempDirectory("mv6")
         val base = dir.resolve("base")
         val view = dir.resolve("view")
         try {
-          graft.ops.Storage.commitVersion(
-            Tables.lineitem(s, d).select(col("l_returnflag"), col("l_partkey")),
-            base)
-          graft.ops.Storage.commitVersion(
-            graft.ops.Storage.readVersion(s, base).groupBy("l_returnflag")
-              .agg(count(lit(1)).as("count_rows"),
-                KmvSketch.partialCol(col("l_partkey"), 64).as("kmv_parts")),
-            view)
-          val vdir = base.resolve(s"v${graft.ops.Storage.currentVersion(base).get}")
-          MatView.register(MatView.Def(
-            name = "mv6", baseRoots = () => Set(MatView.root(vdir)),
-            view = () => graft.ops.Storage.readVersion(s, view),
-            keys = Seq("l_returnflag"), countCol = Some("count_rows"),
-            kmvs = Map("l_partkey" -> "kmv_parts")))
+          val cust = Tables.customer(s, d).select(col("c_custkey"),
+            col("c_mktsegment"), col("c_name"))
+          def load(df: DataFrame, ts: String) =
+            MergeOps.prunedConditionalUpsert(base,
+              df.select(col("c_custkey"), col("c_mktsegment"), col("c_name"),
+                lit(null).cast("timestamp").as("loaded_at"),
+                lit(null).cast("timestamp").as("last_upd_at")),
+              pk = Seq("c_custkey"), tracked = Seq("c_mktsegment", "c_name"),
+              runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+          def maintain() = MatViews.maintain(s, base, view,
+            pk = Seq("c_custkey"), keys = Seq("c_mktsegment"),
+            kmvs = Map("c_name" -> "kmv_names"), kmvK = 64, keepVersions = 2)
+          // churned bootstrap: %7 missing, %3 names mangled — the truth
+          // load then RETRACTS the mangled names (hashes inside the
+          // stored sketches) and the delete retracts real members
+          load(cust.filter(col("c_custkey") % 7 =!= 0)
+            .withColumn("c_name",
+              when(col("c_custkey") % 3 === 0, concat(lit("X-"), col("c_name")))
+                .otherwise(col("c_name"))), CutoffTs)
+          maintain()
+          load(cust, RunTs)
+          MergeOps.prunedDelete(base,
+            cust.select(col("c_custkey")).filter(col("c_custkey") % 13 === 0),
+            pk = Seq("c_custkey"), nParts = 8, keepVersions = 4)
+          val rolled = maintain()
+          require(rolled.recomputedGroups > 0,
+            "the churn must force the sketch-retraction recompute path")
+          Storage.compact(s, base)
+          maintain() // owners unified; marker advances through the empty feed
+          MatViews.registerRewrite(s, "mv6", base, view,
+            keys = Seq("c_mktsegment"),
+            kmvs = Map("c_name" -> "kmv_names"), kmvK = 64)
           s.experimental.extraOptimizations =
             s.experimental.extraOptimizations :+ MatViewRewrite
           try {
-            val q = graft.ops.Storage.readVersion(s, base)
-              .groupBy(col("l_returnflag"))
+            val q = Storage.readPartitionedVersion(s, base)
+              .groupBy(col("c_mktsegment"))
               .agg(count(lit(1)).as("cnt"),
-                KmvSketch.distinctEstimate(col("l_partkey"), 64)
-                  .as("est_distinct_parts"))
+                KmvSketch.distinctEstimate(col("c_name"), 64)
+                  .as("est_distinct_names"))
             val scans = q.queryExecution.optimizedPlan.collect {
               case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
                 lr.relation match {
@@ -1707,22 +1730,26 @@ object CoreQueries {
               s.experimental.extraOptimizations.filterNot(_ eq MatViewRewrite)
             MatView.drop("mv6")
           }
-        } finally graft.ops.Storage.deleteRecursively(dir)
+        } finally Storage.deleteRecursively(dir)
       },
-      Some("""WITH h AS (SELECT DISTINCT l_returnflag,
-             |    ((l_partkey % 2147483647 + 2147483647) % 2147483647 * 1103515245 + 12345) % 2147483647 AS hv
-             |  FROM lineitem),
-             |r AS (SELECT l_returnflag, hv,
-             |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
-             |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      Some("""WITH live AS (SELECT c_mktsegment, c_name FROM customer
+             |    WHERE c_custkey % 13 <> 0),
+             |h AS (SELECT DISTINCT c_mktsegment,
+             |    ((CAST(CONCAT('0x', substring(md5(c_name), 1, 15)) AS BIGINT)
+             |      % 2147483647 + 2147483647) % 2147483647
+             |     * 1103515245 + 12345) % 2147483647 AS hv
+             |  FROM live),
+             |r AS (SELECT c_mktsegment, hv,
+             |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY hv) AS rn,
+             |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
              |  FROM h),
-             |est AS (SELECT l_returnflag,
+             |est AS (SELECT c_mktsegment,
              |    CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
-             |         ELSE 63.0 / (CAST(hv AS DOUBLE) / 2147483647.0) END AS est_distinct_parts
+             |         ELSE 63.0 / (CAST(hv AS DOUBLE) / 2147483647.0) END AS est_distinct_names
              |  FROM r WHERE rn = (CASE WHEN n < 64 THEN n ELSE 64 END)),
-             |c AS (SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY 1)
-             |SELECT l_returnflag, cnt, est_distinct_parts
-             |FROM c JOIN est USING (l_returnflag)""".stripMargin)),
+             |c AS (SELECT c_mktsegment, COUNT(*) AS cnt FROM live GROUP BY 1)
+             |SELECT c_mktsegment, cnt, est_distinct_names
+             |FROM c JOIN est USING (c_mktsegment)""".stripMargin)),
 
     // FILTERED (partial) materialized view, maintained end-to-end: the
     // view aggregates ONLY rows passing its predicate (value > 50 — a
