@@ -1933,6 +1933,92 @@ object CoreQueries {
              |FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
              |GROUP BY o_orderpriority""".stripMargin)),
 
+    // EXACT COUNT(DISTINCT measure) navigation — no sketch, no conf gate:
+    // maintain an auxiliary (group, measure) DISTINCT view (just a
+    // maintained aggregate keyed on BOTH columns; its count_rows makes
+    // deletes exact — a (group, m) row disappears when its last copy
+    // retracts), then COUNT(DISTINCT m) / SUM(DISTINCT m) / COUNT(*) all
+    // navigate through the key-exact distinct family: the view's rows ARE
+    // precisely the distinct (group, m) combinations of the base. Closes
+    // the r16/r17 gap where measure-distinct was approx-behind-a-conf
+    // only. At 100 TB the aux view holds |distinct pairs| rows (≪ base
+    // for low-cardinality measures) and maintains for O(Δ + touched
+    // pairs); the dashboard's distinct panel reads it with no base scan.
+    // The row drives churn (update/insert/delete with value shifts whose
+    // retractions must cancel pairs exactly) and REQUIREs the navigated
+    // plan.
+    Q("mv9_exact_distinct_measure",
+      (s, d) => {
+        import graft.plans.{MatView, MatViewRewrite}
+        import graft.ops.{MatViews, MergeOps, Storage}
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+        val dir = java.nio.file.Files.createTempDirectory("mv9")
+        val table = dir.resolve("base")
+        val view = dir.resolve("view")
+        try {
+          val ev = Tables.events(s, d).select(col("event_id"),
+            col("event_type"), col("value"))
+          def load(df: DataFrame, ts: String) =
+            MergeOps.prunedConditionalUpsert(table,
+              df.select(col("event_id"), col("event_type"),
+                dec(col("value")).as("value"),
+                lit(null).cast("timestamp").as("loaded_at"),
+                lit(null).cast("timestamp").as("last_upd_at")),
+              pk = Seq("event_id"), tracked = Seq("event_type", "value"),
+              runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+          def maintain() = MatViews.maintain(s, table, view,
+            pk = Seq("event_id"), keys = Seq("event_type", "value"),
+            keepVersions = 2)
+          load(ev.filter(col("event_id") % 7 =!= 0)
+            .withColumn("value",
+              when(col("event_id") % 11 === 0, col("value") + 300.0)
+                .otherwise(col("value"))), CutoffTs)
+          maintain()
+          load(ev, RunTs)
+          MergeOps.prunedDelete(table,
+            ev.select(col("event_id")).filter(col("event_id") % 13 === 0),
+            pk = Seq("event_id"), nParts = 8, keepVersions = 4)
+          maintain() // value shifts retract pairs; deletes cancel last copies
+          Storage.compact(s, table)
+          maintain()
+          MatViews.registerRewrite(s, "mv9", table, view,
+            keys = Seq("event_type", "value"))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ MatViewRewrite
+          try {
+            val q = Storage.readPartitionedVersion(s, table)
+              .groupBy(col("event_type"))
+              .agg(count(lit(1)).as("cnt"),
+                countDistinct(col("value")).as("n_values"),
+                sum_distinct(col("value")).as("sdv"))
+              .select(col("event_type"), col("cnt"), col("n_values"),
+                col("sdv").cast("double").as("sum_distinct_value"))
+            val scans = q.queryExecution.optimizedPlan.collect {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                lr.relation match {
+                  case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                    fs.location.rootPaths.map(_.toString)
+                  case _ => Nil
+                }
+            }.flatten
+            require(scans.exists(_.contains(view.toString)) &&
+                !scans.exists(_.contains(table.toString)),
+              s"exact distinct-measure was not navigated onto the aux view: $scans")
+            q.localCheckpoint()
+          } finally {
+            s.experimental.extraOptimizations =
+              s.experimental.extraOptimizations.filterNot(_ eq MatViewRewrite)
+            MatView.drop("mv9")
+          }
+        } finally Storage.deleteRecursively(dir)
+      },
+      Some("""WITH e AS (SELECT event_type, CAST(value AS DECIMAL(38,6)) AS value
+             |  FROM events WHERE event_id % 13 <> 0)
+             |SELECT event_type, count(*) AS cnt,
+             |  count(DISTINCT value) AS n_values,
+             |  CAST(sum(DISTINCT value) AS DOUBLE) AS sum_distinct_value
+             |FROM e GROUP BY event_type""".stripMargin)),
+
     // ATOMIC workspace+view publish: a transaction's base tables AND its
     // maintained views land in ONE manifest (MatViews.workspaceCommitWith
     // Views — member commits through the table CAS logs, every cataloged
