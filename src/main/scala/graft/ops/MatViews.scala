@@ -161,6 +161,19 @@ object MatViews {
       filter.fold(df)(df.filter)
   }
 
+  /** Column names a star predicate references, resolved by ONE analysis
+    * of the predicate over the stacked side schemas (a limit-0 cross join
+    * — analyzed, never executed). Star predicates address columns by
+    * globally-unique bare name (the star contract), so resolution is
+    * unambiguous even though bookkeeping columns may collide. */
+  private def starFilterRefs(sideReads: Seq[DataFrame], f: Column): Seq[String] = {
+    val stacked = sideReads.map(_.limit(0)).reduce(_ crossJoin _)
+    stacked.filter(f).queryExecution.analyzed.collectFirst {
+      case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        fl.condition.references.map(_.name).toSeq.distinct
+    }.getOrElse(Nil)
+  }
+
   private def readBase(spark: SparkSession, base: Path): DataFrame = {
     val v = Storage.currentVersion(base).getOrElse(
       throw new IllegalStateException(s"no committed version at $base"))
@@ -504,6 +517,16 @@ object MatViews {
     * (≤ `maxCollectedGroups`), degrading past the budget to one full
     * re-join — the bootstrap cost, never more.
     *
+    * `filter` is an optional POST-JOIN predicate (a FILTERED star view —
+    * the last-quarter slice of a fact⋈dim rollup): the view aggregates
+    * only joined rows satisfying it. Maintenance applies it PER IMAGE ROW
+    * of the joined delta — exactly the transition semantics the
+    * single-base filtered path uses: a pre-image outside the slice was
+    * never in the view (its retraction filters away), a post-image inside
+    * it is a plain insert, so boundary crossings reduce to one-sided
+    * delta rows. Its column references (bare, globally-unique side column
+    * names) ride the change feeds automatically.
+    *
     * Contract mirrors [[maintain]]: single maintainer per view; roll-
     * forward needs partition-manifested sides (the feeds are manifest-
     * diff pruned) while bootstrap accepts any versioned layout; every
@@ -522,7 +545,8 @@ object MatViews {
       mins: Map[String, String] = Map.empty,
       maxs: Map[String, String] = Map.empty,
       keepVersions: Int = 1,
-      maxCollectedGroups: Int = 10000): MaintainStarResult = {
+      maxCollectedGroups: Int = 10000,
+      filter: Option[Column] = None): MaintainStarResult = {
     require(sides.size >= 2, "maintainStar needs at least two sides")
     require(joinKeys.nonEmpty, "joinKeys must be non-empty")
     val tos = sides.map(s => Storage.currentVersion(s.table).getOrElse(
@@ -531,11 +555,16 @@ object MatViews {
       .toSeq.distinct
     val jkNames = joinKeys.flatMap { case (a, b) => Seq(a, b) }.distinct
     // pinned schema resolution — same race discipline as readBaseAt's doc
-    val allPerSide = sides.zip(tos).map { case (s, v) =>
-      readBaseAt(spark, s.table, v).columns.toSeq }
+    val sideReads = sides.zip(tos).map { case (s, v) =>
+      readBaseAt(spark, s.table, v) }
+    val allPerSide = sideReads.map(_.columns.toSeq)
+    val filterRefs = filter.toSeq.flatMap(starFilterRefs(sideReads, _))
     val used = allPerSide.map { all =>
       ((keys ++ aggBase).filter(all.contains) ++
-        jkNames.filter(all.contains)).distinct }
+        (jkNames ++ filterRefs).filter(all.contains)).distinct }
+    filterRefs.foreach(r => require(used.exists(_.contains(r)),
+      s"filter column '$r' is not a column of any side"))
+    def applyF(df: DataFrame): DataFrame = filter.fold(df)(df.filter)
     // only the columns the view USES must be side-unambiguous — storage
     // bookkeeping columns (pbucket, load timestamps) may collide freely
     val shared = used.flatten.groupBy(identity).collect {
@@ -552,7 +581,7 @@ object MatViews {
       sides.zip(vs).zip(used).map { case ((s, v), cols) =>
         readBaseAt(spark, s.table, v).select(cols.map(col): _*) }
     def joinedAll(snaps: Seq[DataFrame]): DataFrame =
-      ViewMaintain.joinConnected(snaps.head, snaps.tail, joinKeys)
+      applyF(ViewMaintain.joinConnected(snaps.head, snaps.tail, joinKeys))
     def agged(flat: DataFrame): DataFrame = {
       val aggs = sums.map { case (b, v) => sum(col(b)).as(v) } ++
         counts.map { case (b, v) => count(col(b)).as(v) } ++
@@ -577,7 +606,9 @@ object MatViews {
           }
         val dSides = snapsAt(fas).lazyZip(snapsAt(tos)).lazyZip(deltas).toSeq
           .map { case (o, n, d) => ViewMaintain.DeltaSide(o, n, d) }
-        val viewDelta = ViewMaintain.starDelta(dSides, joinKeys)
+        // a FILTERED view's predicate applies per joined IMAGE ROW —
+        // transition semantics: crossings reduce to one-sided delta rows
+        val viewDelta = applyF(ViewMaintain.starDelta(dSides, joinKeys))
         // CANCEL to net multiplicities per row-tuple before aggregating:
         // distinct delta terms can emit the same joined row with opposite
         // signs (a fact row re-pointed in the same interval its dim row
@@ -662,7 +693,8 @@ object MatViews {
       sums: Map[String, String] = Map.empty,
       mins: Map[String, String] = Map.empty,
       maxs: Map[String, String] = Map.empty,
-      counts: Map[String, String] = Map.empty): Unit =
+      counts: Map[String, String] = Map.empty,
+      where: Option[Column] = None): Unit =
     MatView.registerStar(MatView.StarDef(
       name = name,
       roots = tables.map(t => () => expectedRoots(t)),
@@ -672,7 +704,45 @@ object MatViews {
       maxs = maxs, counts = counts,
       fresh = () => appliedVersions(view).exists(vs =>
         vs.size == tables.size && tables.zip(vs).forall { case (t, v) =>
-          Storage.currentVersion(t).contains(v) })))
+          Storage.currentVersion(t).contains(v) }),
+      where = {
+        lazy val w = resolveStarWhere(spark, tables, joinKeys, where)
+        () => w
+      }))
+
+  /** [[resolveWhere]] for a FILTERED STAR view: resolve the post-join
+    * predicate through the SAME join + filter + optimizer pipeline a
+    * matching query goes through — the optimizer pushes conjuncts below
+    * the join and infers the same constraint closure on both sides, so
+    * the pooled Filter conjuncts of this plan are exactly what
+    * [[graft.plans.MatViewJoinRewrite]]'s flatten pools from the query.
+    * Join-key IsNotNull guards are stripped here as they are there
+    * (tautological over inner-joined rows). Lazy like [[resolveWhere]]:
+    * only runs at the first match attempt, after every side has commits. */
+  private def resolveStarWhere(spark: SparkSession, tables: Seq[Path],
+      joinKeys: Seq[(String, String)], where: Option[Column])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    where.toSeq.flatMap { w =>
+      import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression, IsNotNull}
+      def split(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => split(l) ++ split(r)
+        case x => Seq(x)
+      }
+      val jkNames = joinKeys.flatMap { case (a, b) => Seq(a, b) }.toSet
+      val reads = tables.map(readBase(spark, _))
+      val refs = (starFilterRefs(reads, w) ++ jkNames).distinct
+      val snaps = reads.map { df =>
+        df.select(refs.filter(df.columns.contains).map(col): _*)
+      }
+      ViewMaintain.joinConnected(snaps.head, snaps.tail, joinKeys)
+        .filter(w).queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            split(f.condition)
+        }.flatten.filterNot {
+          case IsNotNull(a: AttributeReference) => jkNames.contains(a.name)
+          case _ => false
+        }
+    }
 
   /** One catalog row — everything a FRESH session needs to re-register
     * ([[loadCatalog]]) and re-maintain ([[maintainCatalog]]) a view
@@ -815,7 +885,8 @@ object MatViews {
         registerStarRewrite(spark, e.name, e.tables.map(Path.of(_)),
           Path.of(e.view), joinKeys = e.joinKeysLeft.zip(e.joinKeysRight),
           keys = e.keys, sums = e.sums, mins = e.mins, maxs = e.maxs,
-          counts = e.counts)
+          counts = e.counts,
+          where = if (e.where.isEmpty) None else Some(expr(e.where)))
       case e =>
         registerJoinRewrite(spark, e.name, Path.of(e.left), Path.of(e.right),
           Path.of(e.view), joinKeys = e.joinKeysLeft.zip(e.joinKeysRight),
@@ -860,7 +931,8 @@ object MatViews {
         Path.of(e.view),
         joinKeys = e.joinKeysLeft.zip(e.joinKeysRight),
         keys = e.keys, sums = e.sums, counts = e.counts, mins = e.mins,
-        maxs = e.maxs, keepVersions = e.keepVersions)
+        maxs = e.maxs, keepVersions = e.keepVersions,
+        filter = if (e.where.isEmpty) None else Some(expr(e.where)))
     }.toMap
     CatalogMaintenance(single, joins, stars)
   }

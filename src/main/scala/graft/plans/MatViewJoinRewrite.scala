@@ -144,22 +144,26 @@ object MatViewJoinRewrite extends Rule[LogicalPlan] {
         else {
           // split every filter into conjuncts first (the optimizer folds
           // inferred guards into one AND); IsNotNull on a join-key column
-          // is implied by the inner joins — drop it; every remaining
-          // conjunct must survive rebuildOntoView's key-only check
+          // is implied by the inner joins — drop it; then a FILTERED star
+          // view's required conjuncts are consumed/implied exactly as on
+          // the single-base path; every remaining conjunct must survive
+          // rebuildOntoView's key-only check
           val keyNames = d.joinKeys.flatMap { case (a, b) => Seq(a, b) }.toSet
-          val kept = filters
+          val pooled = filters
             .flatMap(conjuncts)
             .filterNot {
               case IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
               case _ => false
             }
-          expandOpt match {
-            case Some(expand) =>
-              MatViewSupport.rebuildRollupOntoView(agg, expand, kept, d.keys,
-                d.partials, d.fresh, d.view)
-            case None =>
-              MatViewSupport.rebuildOntoView(agg, kept, d.keys, d.partials,
-                d.fresh, d.view)
+          MatViewSupport.consumeWhere(pooled, d.where()).flatMap { kept =>
+            expandOpt match {
+              case Some(expand) =>
+                MatViewSupport.rebuildRollupOntoView(agg, expand, kept, d.keys,
+                  d.partials, d.fresh, d.view)
+              case None =>
+                MatViewSupport.rebuildOntoView(agg, kept, d.keys, d.partials,
+                  d.fresh, d.view)
+            }
           }
         }
       }

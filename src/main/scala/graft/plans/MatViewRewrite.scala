@@ -113,6 +113,11 @@ object MatView {
     * bare name), so an unordered name-pair identifies the edge no matter
     * which side of the query's EqualTo each column appears on. The
     * matched condition conjuncts must be exactly this pair set. */
+  /** `where`: a FILTERED star view's post-join predicate, as resolved
+    * conjuncts over the joined relation (lazy thunk — see [[Def]]'s
+    * `where`); the same consumption/implication rules apply, with
+    * join-key IsNotNull guards stripped on both sides (tautological over
+    * inner-joined rows). */
   final case class StarDef(
       name: String,
       roots: Seq[() => Set[String]],
@@ -124,7 +129,8 @@ object MatView {
       mins: Map[String, String] = Map.empty,
       maxs: Map[String, String] = Map.empty,
       counts: Map[String, String] = Map.empty,
-      fresh: () => Boolean = () => true) {
+      fresh: () => Boolean = () => true,
+      where: () => Seq[Expression] = () => Nil) {
     require(roots.size >= 2, s"star view '$name' needs at least two sides")
     private[plans] def partials: MatViewSupport.Partials =
       MatViewSupport.Partials(countCol, sums, mins, maxs, counts)

@@ -2019,6 +2019,121 @@ object CoreQueries {
              |  CAST(sum(DISTINCT value) AS DOUBLE) AS sum_distinct_value
              |FROM e GROUP BY event_type""".stripMargin)),
 
+    // FILTERED STAR view — the most common partial datamart: a hot slice
+    // (o_totalprice > 1000) of a fact⋈dim rollup, maintained end-to-end.
+    // The post-join predicate applies PER JOINED IMAGE ROW of the star
+    // delta (transition semantics: crossings reduce to one-sided rows) and
+    // its columns ride the change feeds automatically; the rewrite
+    // resolves the predicate through the SAME join+optimizer pipeline a
+    // query goes through, so consumption lines up conjunct-for-conjunct.
+    // Fixture churn crosses the slice boundary BOTH ways (prices shifted
+    // ±5000 then restored), re-points dim groups, and deletes facts — the
+    // min partial forces the flagged re-join recompute, which re-applies
+    // the slice predicate. The row REQUIREs the navigated plan (no Join
+    // node survives). At 100 TB: the slice view is a sliver of the join,
+    // maintained for O(Δ × fan-out), serving every dashboard that repeats
+    // the slice predicate from |keys| rows.
+    Q("mv7s_filtered_star_view",
+      (s, d) => {
+        import graft.plans.{MatView, MatViewJoinRewrite}
+        import graft.ops.{MatViews, MergeOps, Storage}
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+        val dir = java.nio.file.Files.createTempDirectory("mv7s")
+        val cust = dir.resolve("dim_customer")
+        val ord = dir.resolve("fct_orders")
+        val view = dir.resolve("view")
+        try {
+          val pred = col("o_totalprice") > 1000
+          val cTrue = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+          val oTrue = Tables.orders(s, d).select(col("o_orderkey"),
+            col("o_custkey"), col("o_totalprice"))
+          def stamp(df: DataFrame) = df
+            .withColumn("loaded_at", lit(null).cast("timestamp"))
+            .withColumn("last_upd_at", lit(null).cast("timestamp"))
+          def loadCust(df: DataFrame, ts: String) =
+            MergeOps.prunedConditionalUpsert(cust, stamp(df),
+              pk = Seq("c_custkey"), tracked = Seq("c_mktsegment"),
+              runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+          def loadOrd(df: DataFrame, ts: String) =
+            MergeOps.prunedConditionalUpsert(ord,
+              stamp(df.withColumn("o_totalprice", dec(col("o_totalprice")))),
+              pk = Seq("o_orderkey"), tracked = Seq("o_custkey", "o_totalprice"),
+              runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+          val sides = Seq(MatViews.StarSide(ord, Seq("o_orderkey")),
+            MatViews.StarSide(cust, Seq("c_custkey")))
+          val jks = Seq("o_custkey" -> "c_custkey")
+          def maintain() = MatViews.maintainStar(s, sides, view,
+            joinKeys = jks, keys = Seq("c_mktsegment"),
+            sums = Map("o_totalprice" -> "sum_rev"),
+            mins = Map("o_totalprice" -> "min_rev"),
+            keepVersions = 2, filter = Some(pred))
+          // churned bootstrap: prices shifted across the slice boundary
+          // both ways, some facts/dims missing, some dim groups mangled
+          loadCust(cTrue.filter(col("c_custkey") % 10 =!= 0)
+            .withColumn("c_mktsegment",
+              when(col("c_custkey") % 9 === 0, lit("XX")).otherwise(col("c_mktsegment"))),
+            CutoffTs)
+          loadOrd(oTrue.filter(col("o_orderkey") % 7 =!= 0)
+            .withColumn("o_totalprice",
+              when(col("o_orderkey") % 11 === 0, col("o_totalprice") - 5000.0)
+                .when(col("o_orderkey") % 17 === 0, col("o_totalprice") + 5000.0)
+                .otherwise(col("o_totalprice"))), CutoffTs)
+          maintain()
+          loadCust(cTrue, RunTs)
+          loadOrd(oTrue, RunTs)
+          MergeOps.prunedDelete(ord,
+            oTrue.select(col("o_orderkey")).filter(col("o_orderkey") % 13 === 0),
+            pk = Seq("o_orderkey"), nParts = 8, keepVersions = 4)
+          maintain() // crossings, re-pointed dims, deletes — one interval
+          Storage.compact(s, cust)
+          Storage.compact(s, ord)
+          maintain()
+          MatViews.registerStarRewrite(s, "mv7s", Seq(ord, cust), view,
+            joinKeys = jks, keys = Seq("c_mktsegment"),
+            sums = Map("o_totalprice" -> "sum_rev"),
+            mins = Map("o_totalprice" -> "min_rev"),
+            where = Some(pred))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ MatViewJoinRewrite
+          try {
+            val q = Storage.readPartitionedVersion(s, ord)
+              .join(Storage.readPartitionedVersion(s, cust),
+                col("o_custkey") === col("c_custkey"))
+              .filter(pred)
+              .groupBy(col("c_mktsegment"))
+              .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("sr"),
+                min(col("o_totalprice")).as("mn"))
+              .select(col("c_mktsegment"), col("cnt"),
+                col("sr").cast("double").as("sum_rev"),
+                col("mn").cast("double").as("min_rev"))
+            val scans = q.queryExecution.optimizedPlan.collect {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                lr.relation match {
+                  case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                    fs.location.rootPaths.map(_.toString)
+                  case _ => Nil
+                }
+            }.flatten
+            require(scans.exists(_.contains(view.toString)) &&
+                !scans.exists(p => p.contains(ord.toString) || p.contains(cust.toString)),
+              s"filtered star aggregate was not navigated onto the view: $scans")
+            q.localCheckpoint()
+          } finally {
+            s.experimental.extraOptimizations =
+              s.experimental.extraOptimizations.filterNot(_ eq MatViewJoinRewrite)
+            MatView.drop("mv7s")
+          }
+        } finally Storage.deleteRecursively(dir)
+      },
+      Some("""WITH o AS (SELECT o_custkey, CAST(o_totalprice AS DECIMAL(38,6)) AS p
+             |  FROM orders WHERE o_orderkey % 13 <> 0)
+             |SELECT c_mktsegment, count(*) AS cnt,
+             |  CAST(sum(p) AS DOUBLE) AS sum_rev,
+             |  CAST(min(p) AS DOUBLE) AS min_rev
+             |FROM o JOIN customer ON o_custkey = c_custkey
+             |WHERE p > 1000
+             |GROUP BY c_mktsegment""".stripMargin)),
+
     // ATOMIC workspace+view publish: a transaction's base tables AND its
     // maintained views land in ONE manifest (MatViews.workspaceCommitWith
     // Views — member commits through the table CAS logs, every cataloged

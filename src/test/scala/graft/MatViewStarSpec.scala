@@ -278,4 +278,92 @@ class MatViewStarSpec extends SparkTestBase {
     }
     Storage.deleteRecursively(root)
   }
+
+  test("FILTERED star view: transition-semantics maintenance, predicate-consuming navigation, fallbacks") {
+    val root = Files.createTempDirectory("mvstar_where")
+    val (a, b, f, view) = (root.resolve("dim_a"), root.resolve("dim_b"),
+      root.resolve("fact"), root.resolve("view"))
+    val pred = col("f_val") > 40
+    def maintainW(): MatViews.MaintainStarResult =
+      MatViews.maintainStar(spark, sides(a, b, f), view,
+        joinKeys = JoinKeys, keys = Seq("a_grp", "b_grp"),
+        sums = Map("f_val" -> "sum_val"),
+        mins = Map("f_val" -> "min_val"),
+        keepVersions = 2, filter = Some(pred))
+    def truthW(): DataFrame =
+      Storage.readPartitionedVersion(spark, f)
+        .join(Storage.readPartitionedVersion(spark, a), col("f_aid") === col("a_id"))
+        .join(Storage.readPartitionedVersion(spark, b), col("f_bid") === col("b_id"))
+        .filter(pred)
+        .groupBy("a_grp", "b_grp")
+        .agg(count(lit(1)).as("count_rows"), sum("f_val").as("sum_val"),
+          min("f_val").as("min_val"))
+    def assertExactW(): Unit = {
+      val got = Storage.readVersion(spark, view)
+        .select("a_grp", "b_grp", "count_rows", "sum_val", "min_val")
+        .collect().map(_.toSeq.map(String.valueOf)).toSet
+      val want = truthW().collect().map(_.toSeq.map(String.valueOf)).toSet
+      assert(got == want, s"filtered star view diverged:\n got  $got\n want $want")
+    }
+    loadA(a, (1L to 8L).map(i => (i, s"a${i % 3}")))
+    loadB(b, (1L to 6L).map(i => (i, s"b${i % 2}")))
+    loadF(f, (1L to 80L).map(i => (i, i % 8 + 1, i % 6 + 1, BigDecimal(i))))
+    maintainW()
+    assertExactW()
+    // crossings BOTH ways in one interval: row 40→41 enters the slice,
+    // row 50→30 leaves it, row 45→44 stays; plus a dim re-point dragging
+    // in-slice rows across groups, and a delete of an in-slice row
+    loadF(f, Seq((40L, 1L, 1L, BigDecimal(41)), (50L, 3L, 3L, BigDecimal(30)),
+      (45L, 6L, 4L, BigDecimal(44))))
+    loadA(a, Seq((2L, "a9")))
+    MergeOps.prunedDelete(f, Seq(77L).toDF("f_id"), pk = Seq("f_id"), nParts = 4)
+    maintainW()
+    assertExactW()
+    // delete the slice's MIN holder (41 is now the smallest in-slice value
+    // of its group): the retraction flags a re-join recompute, which must
+    // re-apply the slice predicate
+    MergeOps.prunedDelete(f, Seq(40L).toDF("f_id"), pk = Seq("f_id"), nParts = 4)
+    val r = maintainW()
+    assert(r.recomputedGroups >= 1,
+      s"deleting the slice's min holder must re-join its group: $r")
+    assertExactW()
+    // unify owners so the scan roots match the registration, and advance
+    // the marker through the empty feeds
+    Storage.compact(spark, a); Storage.compact(spark, b); Storage.compact(spark, f)
+    maintainW()
+    assertExactW()
+    // navigation: a query CARRYING the predicate navigates (conjunct
+    // consumed); one missing it falls back; a TIGHTER range over the
+    // measure falls back (residual not key-only)
+    MatViews.registerStarRewrite(spark, "star_w", Seq(f, a, b), view,
+      joinKeys = JoinKeys, keys = Seq("a_grp", "b_grp"),
+      sums = Map("f_val" -> "sum_val"), mins = Map("f_val" -> "min_val"),
+      where = Some(pred))
+    withRule {
+      def joined = Storage.readPartitionedVersion(spark, f)
+        .join(Storage.readPartitionedVersion(spark, a), col("f_aid") === col("a_id"))
+        .join(Storage.readPartitionedVersion(spark, b), col("f_bid") === col("b_id"))
+      def shape(df: DataFrame) = df.filter(pred).groupBy("a_grp")
+        .agg(count(lit(1)).as("cnt"), sum("f_val").as("sv"), min("f_val").as("mn"))
+      val q = shape(joined)
+      assert(scanPaths(q).exists(_.contains(view.toString)),
+        "a star query carrying the slice predicate must navigate")
+      val got = q.orderBy("a_grp").collect().toSeq
+      MatView.clear()
+      val want = shape(joined).orderBy("a_grp").collect().toSeq
+      assert(got == want, s"filtered star rewrite diverged:\n got  $got\n want $want")
+      MatViews.registerStarRewrite(spark, "star_w", Seq(f, a, b), view,
+        joinKeys = JoinKeys, keys = Seq("a_grp", "b_grp"),
+        sums = Map("f_val" -> "sum_val"), mins = Map("f_val" -> "min_val"),
+        where = Some(pred))
+      val unfiltered = joined.groupBy("a_grp").agg(count(lit(1)).as("cnt"))
+      assert(!scanPaths(unfiltered).exists(_.contains(view.toString)),
+        "a star query missing the slice predicate must fall back")
+      val tighter = joined.filter(col("f_val") > 60).groupBy("a_grp")
+        .agg(count(lit(1)).as("cnt"))
+      assert(!scanPaths(tighter).exists(_.contains(view.toString)),
+        "a tighter measure range must fall back (residual is not key-only)")
+    }
+    Storage.deleteRecursively(root)
+  }
 }
