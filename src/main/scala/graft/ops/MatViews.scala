@@ -174,6 +174,15 @@ object MatViews {
     }.getOrElse(Nil)
   }
 
+  /** Column names a (non-boolean) expression references over one side's
+    * schema — same one-analysis trick as [[starFilterRefs]], via a
+    * limit-0 projection. */
+  private def exprRefs(sideRead: DataFrame, c: Column): Seq[String] =
+    sideRead.limit(0).select(c).queryExecution.analyzed.collectFirst {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.flatMap(_.references.map(_.name)).distinct
+    }.getOrElse(Nil)
+
   private def readBase(spark: SparkSession, base: Path): DataFrame = {
     val v = Storage.currentVersion(base).getOrElse(
       throw new IllegalStateException(s"no committed version at $base"))
@@ -486,8 +495,20 @@ object MatViews {
   }
 
   /** One side of a star view: its table and primary key (the change-feed
-    * row identity). */
-  final case class StarSide(table: Path, pk: Seq[String])
+    * row identity). `derive` adds DETERMINISTIC computed columns to the
+    * side before joining — snapshots and delta feeds alike — so join keys
+    * can be synthesized expressions rather than stored columns. The
+    * canonical use is the reference's unknown-member join
+    * (/root/reference/dags/dwh_fact_charer_location.py:107-112, rewritten
+    * to an equi-key per [[Facts.unknownMemberKey]]): the fact derives
+    * `coalesce(url, SENTINEL)`, the dim derives
+    * `IF(id = -1, SENTINEL, url)`, and the star joins the derived pair —
+    * a hash join at any scale, maintained like any other edge (a derived
+    * key is a pure per-row function, so it is correct on pre- and
+    * post-images both). Derived names must not collide with stored
+    * columns and are globally unique like all star columns. */
+  final case class StarSide(table: Path, pk: Seq[String],
+      derive: Seq[(String, Column)] = Nil)
 
   /** Outcome of one [[maintainStar]] call: the base versions (side order)
     * the view now reflects, the view commit holding it, and how many
@@ -558,10 +579,26 @@ object MatViews {
     val sideReads = sides.zip(tos).map { case (s, v) =>
       readBaseAt(spark, s.table, v) }
     val allPerSide = sideReads.map(_.columns.toSeq)
-    val filterRefs = filter.toSeq.flatMap(starFilterRefs(sideReads, _))
-    val used = allPerSide.map { all =>
-      ((keys ++ aggBase).filter(all.contains) ++
-        (jkNames ++ filterRefs).filter(all.contains)).distinct }
+    // derived join columns: computed per image row on snapshots and feeds
+    // alike (deterministic by contract), so a synthesized key maintains
+    // exactly like a stored one
+    def withDerives(df: DataFrame, s: StarSide): DataFrame =
+      s.derive.foldLeft(df) { case (d0, (n, c)) => d0.withColumn(n, c) }
+    val derivedPerSide = sides.map(_.derive.map(_._1))
+    sides.zip(allPerSide).foreach { case (s, all) =>
+      s.derive.foreach { case (n, _) => require(!all.contains(n),
+        s"derived column '$n' collides with a stored column of ${s.table}") } }
+    val deriveRefsPerSide = sides.zip(sideReads).map { case (s, df) =>
+      s.derive.flatMap(d => exprRefs(df, d._2)).distinct }
+    // filters may reference stored AND derived columns of any side
+    val effReads = sides.zip(sideReads).map { case (s, df) => withDerives(df, s) }
+    val filterRefs = filter.toSeq.flatMap(starFilterRefs(effReads, _))
+    val used = allPerSide.lazyZip(deriveRefsPerSide).lazyZip(derivedPerSide)
+      .toSeq.map { case (all, dRefs, dNames) =>
+        (((keys ++ aggBase).filter(all.contains) ++
+          (jkNames ++ filterRefs ++ dRefs).filter(all.contains)).distinct,
+          dNames)
+      }.map { case (stored, dNames) => stored ++ dNames }
     filterRefs.foreach(r => require(used.exists(_.contains(r)),
       s"filter column '$r' is not a column of any side"))
     def applyF(df: DataFrame): DataFrame = filter.fold(df)(df.filter)
@@ -579,7 +616,7 @@ object MatViews {
         fileStats = false)
     def snapsAt(vs: Seq[Long]): Seq[DataFrame] =
       sides.zip(vs).zip(used).map { case ((s, v), cols) =>
-        readBaseAt(spark, s.table, v).select(cols.map(col): _*) }
+        withDerives(readBaseAt(spark, s.table, v), s).select(cols.map(col): _*) }
     def joinedAll(snaps: Seq[DataFrame]): DataFrame =
       applyF(ViewMaintain.joinConnected(snaps.head, snaps.tail, joinKeys))
     def agged(flat: DataFrame): DataFrame = {
@@ -600,8 +637,10 @@ object MatViews {
         val deltas = sides.lazyZip(fas).lazyZip(tos).lazyZip(allPerSide).toSeq
           .zip(used).map { case ((s, fa, to, all), cols) =>
             if (fa == to) None
-            else Some(ViewMaintain.signed(Cdc.changeDataFeed(spark, s.table,
-                fa, to, s.pk, all.filterNot(s.pk.contains), preImages = true))
+            else Some(withDerives(
+                ViewMaintain.signed(Cdc.changeDataFeed(spark, s.table,
+                  fa, to, s.pk, all.filterNot(s.pk.contains),
+                  preImages = true)), s)
               .select((cols :+ "sign").map(col): _*))
           }
         val dSides = snapsAt(fas).lazyZip(snapsAt(tos)).lazyZip(deltas).toSeq
@@ -694,7 +733,13 @@ object MatViews {
       mins: Map[String, String] = Map.empty,
       maxs: Map[String, String] = Map.empty,
       counts: Map[String, String] = Map.empty,
-      where: Option[Column] = None): Unit =
+      where: Option[Column] = None,
+      derives: Seq[Seq[(String, Column)]] = Seq.empty): Unit = {
+    require(derives.isEmpty || derives.size == tables.size,
+      "derives must be empty or parallel to tables (one list per side)")
+    val padded =
+      if (derives.isEmpty) tables.map(_ => Seq.empty[(String, Column)])
+      else derives
     MatView.registerStar(MatView.StarDef(
       name = name,
       roots = tables.map(t => () => expectedRoots(t)),
@@ -706,9 +751,32 @@ object MatViews {
         vs.size == tables.size && tables.zip(vs).forall { case (t, v) =>
           Storage.currentVersion(t).contains(v) }),
       where = {
-        lazy val w = resolveStarWhere(spark, tables, joinKeys, where)
+        lazy val w = resolveStarWhere(spark, tables, joinKeys, where, padded)
         () => w
+      },
+      derives = tables.zip(padded).map { case (t, ds) =>
+        ds.map { case (n, c) =>
+          lazy val e = resolveDeriveExpr(spark, t, c)
+          (n, () => e)
+        }
       }))
+  }
+
+  /** Resolve one derived join-key Column against its side's schema —
+    * analyzed only (the comparison-time normalization in
+    * [[graft.plans.MatViewSupport.normalizeDerived]] folds constants the
+    * way the query's optimizer does). Lazy like the `where` resolution. */
+  private def resolveDeriveExpr(spark: SparkSession, table: Path, c: Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    readBase(spark, table).limit(0).select(c).queryExecution.analyzed
+      .collectFirst {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.head match {
+            case al: org.apache.spark.sql.catalyst.expressions.Alias => al.child
+            case e => e
+          }
+      }.getOrElse(throw new IllegalStateException(
+        s"cannot resolve derived join key over $table"))
 
   /** [[resolveWhere]] for a FILTERED STAR view: resolve the post-join
     * predicate through the SAME join + filter + optimizer pipeline a
@@ -720,7 +788,8 @@ object MatViews {
     * (tautological over inner-joined rows). Lazy like [[resolveWhere]]:
     * only runs at the first match attempt, after every side has commits. */
   private def resolveStarWhere(spark: SparkSession, tables: Seq[Path],
-      joinKeys: Seq[(String, String)], where: Option[Column])
+      joinKeys: Seq[(String, String)], where: Option[Column],
+      derives: Seq[Seq[(String, Column)]] = Seq.empty)
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
     where.toSeq.flatMap { w =>
       import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression, IsNotNull}
@@ -729,7 +798,12 @@ object MatViews {
         case x => Seq(x)
       }
       val jkNames = joinKeys.flatMap { case (a, b) => Seq(a, b) }.toSet
-      val reads = tables.map(readBase(spark, _))
+      val ds = if (derives.isEmpty) tables.map(_ => Seq.empty[(String, Column)])
+        else derives
+      val reads = tables.zip(ds).map { case (t, dcols) =>
+        dcols.foldLeft(readBase(spark, t)) { case (df, (n, c)) =>
+          df.withColumn(n, c) }
+      }
       val refs = (starFilterRefs(reads, w) ++ jkNames).distinct
       val snaps = reads.map { df =>
         df.select(refs.filter(df.columns.contains).map(col): _*)
@@ -772,11 +846,17 @@ object MatViews {
       pks: Seq[Seq[String]] = Nil,
       kmvs: Map[String, String] = Map.empty,
       kmvK: Int = 64,
-      where: String = "") {
+      where: String = "",
+      derives: Seq[Map[String, String]] = Nil) {
     require(kind == "single" || kind == "join" || kind == "star",
       s"unknown kind '$kind'")
     require(kind != "star" || (tables.size >= 2 && pks.size == tables.size),
       s"star entry '$name' needs tables (≥2) with one pk list per table")
+    require(derives.isEmpty || derives.size == tables.size,
+      s"entry '$name': derives must be empty or one map per star side")
+    private[MatViews] def deriveCols: Seq[Seq[(String, Column)]] =
+      if (derives.isEmpty) tables.map(_ => Seq.empty[(String, Column)])
+      else derives.map(_.toSeq.sortBy(_._1).map { case (n, e) => n -> expr(e) })
   }
 
   /** The catalog file a warehouse directory carries. */
@@ -795,7 +875,8 @@ object MatViews {
       ("tables" -> e.tables) ~
       ("pks" -> JArray(e.pks.map(pk =>
         JArray(pk.map(JString(_)).toList)).toList)) ~
-      ("kmvs" -> e.kmvs) ~ ("kmvK" -> e.kmvK) ~ ("where" -> e.where)
+      ("kmvs" -> e.kmvs) ~ ("kmvK" -> e.kmvK) ~ ("where" -> e.where) ~
+      ("derives" -> e.derives)
   }
 
   /** Every entry in `catalogDir`'s catalog (empty if none yet). */
@@ -829,7 +910,8 @@ object MatViews {
           pks = (j \ "pks").extractOrElse[Seq[Seq[String]]](Nil),
           kmvs = (j \ "kmvs").extractOrElse[Map[String, String]](Map.empty),
           kmvK = (j \ "kmvK").extractOrElse[Int](64),
-          where = (j \ "where").extractOrElse[String](""))
+          where = (j \ "where").extractOrElse[String](""),
+          derives = (j \ "derives").extractOrElse[Seq[Map[String, String]]](Nil))
       }
       case _ => Seq.empty
     }
@@ -886,7 +968,8 @@ object MatViews {
           Path.of(e.view), joinKeys = e.joinKeysLeft.zip(e.joinKeysRight),
           keys = e.keys, sums = e.sums, mins = e.mins, maxs = e.maxs,
           counts = e.counts,
-          where = if (e.where.isEmpty) None else Some(expr(e.where)))
+          where = if (e.where.isEmpty) None else Some(expr(e.where)),
+          derives = if (e.derives.isEmpty) Seq.empty else e.deriveCols)
       case e =>
         registerJoinRewrite(spark, e.name, Path.of(e.left), Path.of(e.right),
           Path.of(e.view), joinKeys = e.joinKeysLeft.zip(e.joinKeysRight),
@@ -927,7 +1010,8 @@ object MatViews {
     }.toMap
     val stars = es.filter(_.kind == "star").map { e =>
       e.name -> maintainStar(spark,
-        e.tables.zip(e.pks).map { case (t, pk) => StarSide(Path.of(t), pk) },
+        e.tables.lazyZip(e.pks).lazyZip(e.deriveCols).toSeq.map {
+          case (t, pk, ds) => StarSide(Path.of(t), pk, ds) },
         Path.of(e.view),
         joinKeys = e.joinKeysLeft.zip(e.joinKeysRight),
         keys = e.keys, sums = e.sums, counts = e.counts, mins = e.mins,

@@ -78,25 +78,44 @@ object MatViewJoinRewrite extends Rule[LogicalPlan] {
     case x => Seq(x)
   }
 
-  /** Flatten a tree of INNER equi-joins: peel Filters / pass-through
-    * Projects at every level, recurse through Join nodes, and strip each
-    * leaf to a file-source relation. Returns the pooled filter conjuncts,
-    * the leaves in tree order, and the pooled join-condition conjuncts —
+  /** Flatten a tree of INNER equi-joins: peel Filters / Projects at every
+    * level, recurse through Join nodes, and strip each leaf to a
+    * file-source relation. Project outputs are pass-through columns
+    * ([[MatViewSupport.alignOnly]]) or DETERMINISTIC computed aliases —
+    * the synthesized join keys of the unknown-member shape — which are
+    * recorded in a substitution map (alias id → defining expression,
+    * chained derivations resolved transitively) instead of failing the
+    * flatten. Returns the pooled filter conjuncts, the leaves in tree
+    * order, the pooled join-condition conjuncts, and the substitution —
     * or None if ANY node fails (an outer join, a joinless subquery, a
-    * condition-less cross join, a renaming projection). */
+    * condition-less cross join, a non-deterministic projection). */
   private def flatten(p: LogicalPlan)
-      : Option[(Seq[Expression], Seq[LogicalRelation], Seq[Expression])] =
+      : Option[(Seq[Expression], Seq[LogicalRelation], Seq[Expression],
+          Map[ExprId, Expression])] =
     p match {
       case Filter(cond, child) =>
-        flatten(child).map { case (f, ls, cs) => (cond +: f, ls, cs) }
-      case Project(exprs, child) if exprs.forall(MatViewSupport.alignOnly) =>
-        flatten(child)
+        flatten(child).map { case (f, ls, cs, m) => (cond +: f, ls, cs, m) }
+      case Project(exprs, child) =>
+        flatten(child).flatMap { case (f, ls, cs, m) =>
+          val extra = Map.newBuilder[ExprId, Expression]
+          val ok = exprs.forall {
+            case e if MatViewSupport.alignOnly(e) => true
+            case al @ Alias(e, _) if e.deterministic =>
+              extra += al.exprId -> e.transform {
+                case a: AttributeReference if m.contains(a.exprId) => m(a.exprId)
+              }
+              true
+            case _ => false
+          }
+          if (ok) Some((f, ls, cs, m ++ extra.result())) else None
+        }
       case j: Join if j.joinType == Inner && j.condition.isDefined =>
         for {
-          (fl, ll, cl) <- flatten(j.left)
-          (fr, lr, cr) <- flatten(j.right)
-        } yield (fl ++ fr, ll ++ lr, cl ++ cr ++ conjuncts(j.condition.get))
-      case lr: LogicalRelation => Some((Nil, Seq(lr), Nil))
+          (fl, ll, cl, ml) <- flatten(j.left)
+          (fr, lr, cr, mr) <- flatten(j.right)
+        } yield (fl ++ fr, ll ++ lr, cl ++ cr ++ conjuncts(j.condition.get),
+          ml ++ mr)
+      case lr: LogicalRelation => Some((Nil, Seq(lr), Nil, Map.empty))
       case _ => None
     }
 
@@ -108,54 +127,99 @@ object MatViewJoinRewrite extends Rule[LogicalPlan] {
       case e: Expand => (Some(e), e.child)
       case other => (None, other)
     }
-    val (filters, leaves, condConjuncts) = flatten(source) match {
+    val (filters, leaves, condConjuncts, subst) = flatten(source) match {
       case Some(x) => x
       case None => return None
     }
     if (leaves.size < 2) return None
-    // every condition conjunct must be a column equality across two leaves
-    val pairs: Set[Set[String]] = condConjuncts.map {
+    // canonical identity of any expression over the leaves: a plain
+    // column by bare name, anything touching a computed alias by its
+    // substituted, normalized expression (see StarDef.pairIdSet)
+    def idOf(e: Expression): MatViewSupport.JoinKeyId = e match {
+      case a: AttributeReference if !subst.contains(a.exprId) => scala.Left(a.name)
+      case other => scala.Right(MatViewSupport.normalizeDerived(other.transform {
+        case a: AttributeReference if subst.contains(a.exprId) => subst(a.exprId)
+      }))
+    }
+    // every condition conjunct must be an equality of two DISTINCT keys —
+    // each a leaf column or a derived (computed-alias) key
+    val pairIds: Set[Set[MatViewSupport.JoinKeyId]] = condConjuncts.map {
       case EqualTo(a: AttributeReference, b: AttributeReference)
-          if a.name != b.name => Set(a.name, b.name)
+          if idOf(a) != idOf(b) => Set(idOf(a), idOf(b))
       case _ => return None
     }.toSet
     // ambiguity guard: the view binds columns by bare name, so every name
-    // the rewrite will bind — grouping columns, filter references,
-    // aggregate children, join keys, Expand slots — must belong to
-    // exactly one leaf relation. Names NO ONE references (the storage
-    // bookkeeping columns every table carries: load timestamps, bucket
-    // ids) may collide freely; a referenced collision (two dims exposing
-    // the same key name) could silently bind the wrong side, so it falls
-    // back instead.
+    // the rewrite will bind — grouping columns, aggregate children,
+    // Expand slots, stored join keys, and the columns inside derived-key
+    // expressions — must belong to EXACTLY one leaf relation. Names NO
+    // ONE references (the storage bookkeeping columns every table
+    // carries) may collide freely; a referenced collision could silently
+    // bind the wrong side, so it falls back instead. Grouping/aggregate/
+    // Expand references must also be REAL leaf columns — an aggregate
+    // over a computed alias has no view counterpart and falls back.
     val namesPerLeaf = leaves.map(_.output.map(_.name).toSet)
-    val refNames: Set[String] =
-      (agg.aggregateExpressions ++ agg.groupingExpressions ++ filters)
-        .flatMap(_.references.map(_.name)).toSet ++
+    def unambiguous(n: String): Boolean = namesPerLeaf.count(_.contains(n)) == 1
+    // grouping/aggregate/Expand-slot references must not be computed
+    // aliases (no view counterpart) and must not AMBIGUOUSLY name a leaf
+    // column; Expand OUTPUT attrs (rollup key slots, spark_grouping_id)
+    // legitimately belong to no leaf and pass through
+    val shapeAttrs: Seq[AttributeReference] =
+      (agg.aggregateExpressions ++ agg.groupingExpressions)
+        .flatMap(_.references.collect { case a: AttributeReference => a }) ++
         expandOpt.toSeq.flatMap(_.projections.flatten.collect {
-          case a: AttributeReference => a.name }) ++
-        pairs.flatten
-    if (refNames.exists(n => namesPerLeaf.count(_.contains(n)) > 1)) return None
+          case a: AttributeReference => a })
+    if (shapeAttrs.exists(a => subst.contains(a.exprId) ||
+        namesPerLeaf.count(_.contains(a.name)) > 1)) return None
+    val condRefNames: Set[String] = condConjuncts.flatMap(_.references.flatMap {
+      case a: AttributeReference if subst.contains(a.exprId) =>
+        subst(a.exprId).references.map(_.name).toSeq
+      case a => Seq(a.name)
+    }).toSet
+    if (!condRefNames.forall(unambiguous)) return None
     val leafRoots = leaves.map(MatViewSupport.scanRoots)
     if (leafRoots.exists(_.isEmpty)) return None
 
     defs.view.flatMap { d =>
       matchSides(leafRoots, rootsOf(d)).flatMap { _ =>
-        if (pairs != d.pairSet) None
+        val keyIds = d.pairIdSet
+        if (pairIds != keyIds) None
         else {
           // split every filter into conjuncts first (the optimizer folds
-          // inferred guards into one AND); IsNotNull on a join-key column
-          // is implied by the inner joins — drop it; then a FILTERED star
-          // view's required conjuncts are consumed/implied exactly as on
-          // the single-base path; every remaining conjunct must survive
-          // rebuildOntoView's key-only check
-          val keyNames = d.joinKeys.flatMap { case (a, b) => Seq(a, b) }.toSet
+          // inferred guards into one AND); IsNotNull on a join key —
+          // stored column or derived expression (the optimizer infers
+          // them from the equi-join and pushes them through the computed
+          // Projects) — is implied by the inner joins and dropped; then a
+          // FILTERED star view's required conjuncts are consumed/implied
+          // exactly as on the single-base path. Every remaining conjunct
+          // must reference only real, unambiguous leaf columns and
+          // survive rebuildOntoView's key-only check.
+          val flatKeyIds = keyIds.flatten
+          // a derived key's inferred null-guard reaches the plan pushed
+          // through the computed Project and simplified (IF/CASE with
+          // folded literal branches) — recognize it structurally
+          val derivedGuards: Set[Expression] = flatKeyIds.collect {
+            case scala.Right(e) =>
+              MatViewSupport.normalizeDerived(MatViewSupport.nullGuardOf(e))
+          }
+          def canonOf(e: Expression): Expression =
+            MatViewSupport.normalizeDerived(e.transform {
+              case a: AttributeReference if subst.contains(a.exprId) =>
+                subst(a.exprId)
+            })
           val pooled = filters
             .flatMap(conjuncts)
-            .filterNot {
-              case IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
-              case _ => false
+            .filterNot { c =>
+              (c match {
+                case IsNotNull(x) => flatKeyIds.contains(idOf(x))
+                case _ => false
+              }) || derivedGuards.contains(canonOf(c))
             }
-          MatViewSupport.consumeWhere(pooled, d.where()).flatMap { kept =>
+          if (pooled.exists(_.references.exists {
+              case a: AttributeReference =>
+                subst.contains(a.exprId) || !unambiguous(a.name)
+              case _ => true
+            })) None
+          else MatViewSupport.consumeWhere(pooled, d.where()).flatMap { kept =>
             expandOpt match {
               case Some(expand) =>
                 MatViewSupport.rebuildRollupOntoView(agg, expand, kept, d.keys,

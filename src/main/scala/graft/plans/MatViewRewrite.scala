@@ -130,12 +130,26 @@ object MatView {
       maxs: Map[String, String] = Map.empty,
       counts: Map[String, String] = Map.empty,
       fresh: () => Boolean = () => true,
-      where: () => Seq[Expression] = () => Nil) {
+      where: () => Seq[Expression] = () => Nil,
+      derives: Seq[Seq[(String, () => Expression)]] = Nil) {
     require(roots.size >= 2, s"star view '$name' needs at least two sides")
     private[plans] def partials: MatViewSupport.Partials =
       MatViewSupport.Partials(countCol, sums, mins, maxs, counts)
-    private[plans] def pairSet: Set[Set[String]] =
-      joinKeys.map { case (a, b) => Set(a, b) }.toSet
+    /** Join edges as canonical key IDS: a stored column by name, a
+      * DERIVED key ([[derives]], e.g. the unknown-member synthetic key)
+      * by its normalized expression — what the query's condition
+      * conjuncts are matched against, independent of the alias names the
+      * query chose for its computed keys. Thunked derives resolve lazily
+      * (first match attempt), like `where`. */
+    private[plans] def pairIdSet: Set[Set[MatViewSupport.JoinKeyId]] = {
+      val byName: Map[String, MatViewSupport.JoinKeyId] =
+        derives.flatten.map { case (n, e) =>
+          n -> (scala.Right(MatViewSupport.normalizeDerived(e())): MatViewSupport.JoinKeyId)
+        }.toMap
+      joinKeys.map { case (a, b) =>
+        Set(byName.getOrElse(a, scala.Left(a): MatViewSupport.JoinKeyId),
+          byName.getOrElse(b, scala.Left(b): MatViewSupport.JoinKeyId)) }.toSet
+    }
   }
 
   private val reg = new java.util.concurrent.ConcurrentHashMap[String, Def]
@@ -235,11 +249,52 @@ private[plans] object MatViewSupport {
   // WHERE and a query-time conjunct over the same base schema compare
   // equal regardless of exprIds (both sides saw the same analyzer, so
   // literal promotions and inserted casts line up too)
-  private def nameCanon(e: Expression): Expression =
+  private[plans] def nameCanon(e: Expression): Expression =
     e.transform {
       case a: AttributeReference =>
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
     }.canonicalized
+
+  /** Identity of a join-key slot: a STORED column by bare name, or a
+    * DERIVED key (an unknown-member synthetic key, any computed join
+    * expression) by its normalized defining expression. */
+  type JoinKeyId = Either[String, Expression]
+
+  /** Normalize a derived-key expression for cross-plan comparison: fold
+    * constant subtrees (a registration-time analyzed expression must
+    * compare equal to the query's optimizer-folded form), strip no-op
+    * casts ([[RewriteUnknownMemberJoin]] wraps string keys in
+    * string→string casts), unify the single-branch CaseWhen and If forms
+    * (`when().otherwise()` builds CaseWhen where the unknown-member rule
+    * builds If), then name-canonicalize (exprIds erased). */
+  def normalizeDerived(e: Expression): Expression =
+    nameCanon(e.transformUp {
+      case c: Cast if c.child.dataType == c.dataType => c.child
+      case CaseWhen(Seq((p, v)), Some(el)) => If(p, v, el)
+      case x if x.foldable && !x.isInstanceOf[Literal] =>
+        Literal.create(x.eval(), x.dataType)
+    })
+
+  /** The null-guard the optimizer infers for a derived join key and
+    * pushes through its computed Project: `isnotnull(K)` distributed over
+    * K's conditional branches with literal branches folded — e.g. for the
+    * unknown-member dim key `IF(id = -1, SENTINEL, url)` the plan carries
+    * `IF(id = -1, true, isnotnull(url))`. Built over a NORMALIZED key
+    * expression ([[normalizeDerived]]); compare the result (normalized
+    * again) against a query conjunct's normalized form to recognize the
+    * guard. Dropping a matched conjunct is sound: every view row came
+    * from a matched inner join, whose key was necessarily non-null. */
+  def nullGuardOf(e: Expression): Expression = e match {
+    case If(p, a, b) => If(p, nullGuardOf(a), nullGuardOf(b))
+    case CaseWhen(bs, el) =>
+      CaseWhen(bs.map { case (p, v) => (p, nullGuardOf(v)) }, el.map(nullGuardOf))
+    case l: Literal => Literal(l.value != null)
+    case c: Coalesce if c.children.exists {
+        case l: Literal => l.value != null
+        case _ => false
+      } => Literal(true)
+    case x => IsNotNull(x)
+  }
 
   /** A conjunct of the shape `column <cmp> literal` (either operand
     * order), normalized to attribute-left: (column name, op, literal). */

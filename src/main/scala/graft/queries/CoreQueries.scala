@@ -2134,6 +2134,136 @@ object CoreQueries {
              |WHERE p > 1000
              |GROUP BY c_mktsegment""".stripMargin)),
 
+    // UNKNOWN-MEMBER STAR navigation — the reference's own richest join
+    // shape (dwh_fact_charer_location.py:107-112: facts with NULL URLs
+    // resolve to the dim's -1 member) as a MAINTAINED, NAVIGABLE view.
+    // Maintenance joins on DERIVED synthetic keys (StarSide.derive:
+    // fact coalesce(url, SENTINEL) ⋈ dim IF(id=-1, SENTINEL, url) — the
+    // same equi-rewrite Facts.joinWithUnknownMember uses query-side, so
+    // the join is a hash join at any scale and a derived key maintains
+    // per image row like a stored one). The rewrite matches the query's
+    // computed-alias join keys STRUCTURALLY (normalized expressions, not
+    // alias names), so an ad-hoc aggregate over the engine's own
+    // unknown-member join re-plans onto the view — including the NULL-url
+    // facts bucketed under the unknown member. Churn: dim members appear
+    // late (facts enter the join when their member lands), segments
+    // re-point, facts delete. The row REQUIREs the navigated plan.
+    Q("mv8_unknown_member_star",
+      (s, d) => {
+        import graft.plans.{MatView, MatViewJoinRewrite}
+        import graft.ops.{Facts, MatViews, MergeOps, Storage}
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+        val dir = java.nio.file.Files.createTempDirectory("mv8")
+        val dim = dir.resolve("dim_customer")
+        val fct = dir.resolve("fct_orders")
+        val view = dir.resolve("view")
+        try {
+          val seed = s.range(1).select(lit(-1L).as("dim_id"),
+            lit(null).cast("string").as("c_url"),
+            lit("UNKNOWN").as("c_mktsegment"))
+          val dTrue = Tables.customer(s, d).select(
+            col("c_custkey").as("dim_id"),
+            concat(lit("cust-"), col("c_custkey")).as("c_url"),
+            col("c_mktsegment")).unionByName(seed)
+          val fTrue = Tables.orders(s, d).select(col("o_orderkey"),
+            when(col("o_custkey") % 50 === 0, lit(null).cast("string"))
+              .otherwise(concat(lit("cust-"), col("o_custkey"))).as("o_custurl"),
+            col("o_totalprice"))
+          def stamp(df: DataFrame) = df
+            .withColumn("loaded_at", lit(null).cast("timestamp"))
+            .withColumn("last_upd_at", lit(null).cast("timestamp"))
+          def loadDim(df: DataFrame, ts: String) =
+            MergeOps.prunedConditionalUpsert(dim, stamp(df),
+              pk = Seq("dim_id"), tracked = Seq("c_url", "c_mktsegment"),
+              runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+          def loadFct(df: DataFrame, ts: String) =
+            MergeOps.prunedConditionalUpsert(fct,
+              stamp(df.withColumn("o_totalprice", dec(col("o_totalprice")))),
+              pk = Seq("o_orderkey"), tracked = Seq("o_custurl", "o_totalprice"),
+              runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+          val fJk = "f_jk" -> Facts.unknownMemberKey(col("o_custurl"))
+          val dJk = "d_jk" -> Facts.unknownMemberDimKey(col("c_url"), col("dim_id"))
+          val sides = Seq(
+            MatViews.StarSide(fct, Seq("o_orderkey"), derive = Seq(fJk)),
+            MatViews.StarSide(dim, Seq("dim_id"), derive = Seq(dJk)))
+          val jks = Seq("f_jk" -> "d_jk")
+          def maintain() = MatViews.maintainStar(s, sides, view,
+            joinKeys = jks, keys = Seq("c_mktsegment"),
+            sums = Map("o_totalprice" -> "sum_rev"),
+            mins = Map("o_totalprice" -> "min_rev"), keepVersions = 2)
+          // churned bootstrap: dim members %10 missing (their facts drop
+          // out of the inner join until the member lands), %9 segments
+          // mangled; fact prices shifted, %7 facts missing
+          loadDim(dTrue.filter(col("dim_id") === -1L || col("dim_id") % 10 =!= 0)
+            .withColumn("c_mktsegment",
+              when(col("dim_id") % 9 === 0, lit("XX")).otherwise(col("c_mktsegment"))),
+            CutoffTs)
+          loadFct(fTrue.filter(col("o_orderkey") % 7 =!= 0)
+            .withColumn("o_totalprice",
+              when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 42.0)
+                .otherwise(col("o_totalprice"))), CutoffTs)
+          maintain()
+          loadDim(dTrue, RunTs)
+          loadFct(fTrue, RunTs)
+          MergeOps.prunedDelete(fct,
+            fTrue.select(col("o_orderkey")).filter(col("o_orderkey") % 13 === 0),
+            pk = Seq("o_orderkey"), nParts = 8, keepVersions = 4)
+          maintain()
+          Storage.compact(s, dim)
+          Storage.compact(s, fct)
+          maintain()
+          MatViews.registerStarRewrite(s, "mv8", Seq(fct, dim), view,
+            joinKeys = jks, keys = Seq("c_mktsegment"),
+            sums = Map("o_totalprice" -> "sum_rev"),
+            mins = Map("o_totalprice" -> "min_rev"),
+            derives = Seq(Seq(fJk), Seq(dJk)))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ MatViewJoinRewrite
+          try {
+            val q = Facts.joinWithUnknownMember(
+                Storage.readPartitionedVersion(s, fct),
+                Storage.readPartitionedVersion(s, dim),
+                factKey = "o_custurl", dimNaturalKey = "c_url", dimId = "dim_id")
+              .groupBy(col("c_mktsegment"))
+              .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("sr"),
+                min(col("o_totalprice")).as("mn"))
+              .select(col("c_mktsegment"), col("cnt"),
+                col("sr").cast("double").as("sum_rev"),
+                col("mn").cast("double").as("min_rev"))
+            val scans = q.queryExecution.optimizedPlan.collect {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                lr.relation match {
+                  case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                    fs.location.rootPaths.map(_.toString)
+                  case _ => Nil
+                }
+            }.flatten
+            require(scans.exists(_.contains(view.toString)) &&
+                !scans.exists(p => p.contains(fct.toString) || p.contains(dim.toString)),
+              s"unknown-member star was not navigated onto the view: $scans")
+            q.localCheckpoint()
+          } finally {
+            s.experimental.extraOptimizations =
+              s.experimental.extraOptimizations.filterNot(_ eq MatViewJoinRewrite)
+            MatView.drop("mv8")
+          }
+        } finally Storage.deleteRecursively(dir)
+      },
+      Some("""WITH f AS (SELECT o_orderkey,
+             |    CASE WHEN o_custkey % 50 = 0 THEN NULL
+             |         ELSE 'cust-' || CAST(o_custkey AS VARCHAR) END AS url,
+             |    CAST(o_totalprice AS DECIMAL(38,6)) AS p
+             |  FROM orders WHERE o_orderkey % 13 <> 0),
+             |d AS (SELECT c_custkey AS dim_id,
+             |    'cust-' || CAST(c_custkey AS VARCHAR) AS url, c_mktsegment
+             |  FROM customer
+             |  UNION ALL SELECT -1, NULL, 'UNKNOWN')
+             |SELECT c_mktsegment, count(*) AS cnt,
+             |  CAST(sum(p) AS DOUBLE) AS sum_rev,
+             |  CAST(min(p) AS DOUBLE) AS min_rev
+             |FROM f JOIN d ON f.url = d.url OR (f.url IS NULL AND d.dim_id = -1)
+             |GROUP BY c_mktsegment""".stripMargin)),
+
     // ATOMIC workspace+view publish: a transaction's base tables AND its
     // maintained views land in ONE manifest (MatViews.workspaceCommitWith
     // Views — member commits through the table CAS logs, every cataloged

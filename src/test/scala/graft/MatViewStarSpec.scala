@@ -366,4 +366,110 @@ class MatViewStarSpec extends SparkTestBase {
     }
     Storage.deleteRecursively(root)
   }
+
+  test("DERIVED join keys (unknown-member): maintenance across NULL transitions, structural navigation, fallbacks") {
+    import graft.ops.Facts
+    val root = Files.createTempDirectory("mvstar_derive")
+    val (dim, f, view) = (root.resolve("dim"), root.resolve("fact"),
+      root.resolve("view"))
+    def loadDim(rows: Seq[(Long, String, String)]): Long =
+      MergeOps.prunedConditionalUpsert(dim,
+        stamp(rows.toDF("dim_id", "d_url", "seg")), pk = Seq("dim_id"),
+        tracked = Seq("d_url", "seg"),
+        runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 4,
+        keepVersions = 8)
+    def loadFact(rows: Seq[(Long, String, Long)]): Long =
+      MergeOps.prunedConditionalUpsert(f,
+        stamp(rows.toDF("f_id", "f_url", "v")), pk = Seq("f_id"),
+        tracked = Seq("f_url", "v"),
+        runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 4,
+        keepVersions = 8)
+    val fJk = "f_jk" -> Facts.unknownMemberKey(col("f_url"))
+    val dJk = "d_jk" -> Facts.unknownMemberDimKey(col("d_url"), col("dim_id"))
+    val starSides = Seq(
+      MatViews.StarSide(f, Seq("f_id"), derive = Seq(fJk)),
+      MatViews.StarSide(dim, Seq("dim_id"), derive = Seq(dJk)))
+    def maintainU(): MatViews.MaintainStarResult =
+      MatViews.maintainStar(spark, starSides, view,
+        joinKeys = Seq("f_jk" -> "d_jk"), keys = Seq("seg"),
+        sums = Map("v" -> "sum_v"), keepVersions = 2)
+    def truthU(): DataFrame =
+      Facts.joinWithUnknownMember(
+          Storage.readPartitionedVersion(spark, f),
+          Storage.readPartitionedVersion(spark, dim),
+          factKey = "f_url", dimNaturalKey = "d_url", dimId = "dim_id")
+        .groupBy("seg")
+        .agg(count(lit(1)).as("count_rows"), sum("v").as("sum_v"))
+    def assertExactU(): Unit = {
+      val got = Storage.readVersion(spark, view)
+        .select("seg", "count_rows", "sum_v")
+        .collect().map(_.toSeq.map(String.valueOf)).toSet
+      val want = truthU().collect().map(_.toSeq.map(String.valueOf)).toSet
+      assert(got == want, s"derived-key view diverged:\n got  $got\n want $want")
+    }
+    loadDim(Seq((1L, "u1", "A"), (2L, "u2", "B"), (3L, "u3", "A"),
+      (-1L, null, "UNK")))
+    loadFact((1L to 30L).map(i =>
+      (i, if (i % 5 == 0) null else s"u${i % 3 + 1}", i)))
+    maintainU()
+    assertExactU()
+    // NULL transitions BOTH ways: fact 3 loses its url (moves to the
+    // unknown member), fact 5 gains one (leaves it); a dim url changes
+    // (facts re-key to the unknown? no — u2 still matches via dim 2's
+    // NEW url? old u2 facts now orphan); plus a delete
+    loadFact(Seq((3L, null.asInstanceOf[String], 300L), (5L, "u1", 50L)))
+    loadDim(Seq((2L, "u2b", "B")))
+    MergeOps.prunedDelete(f, Seq(10L).toDF("f_id"), pk = Seq("f_id"), nParts = 4)
+    maintainU()
+    assertExactU()
+    Storage.compact(spark, dim); Storage.compact(spark, f)
+    maintainU()
+    assertExactU()
+    // navigation: the engine's own unknown-member join navigates; a PLAIN
+    // equi-join over the same tables (different relation) falls back
+    MatViews.registerStarRewrite(spark, "star_u", Seq(f, dim), view,
+      joinKeys = Seq("f_jk" -> "d_jk"), keys = Seq("seg"),
+      sums = Map("v" -> "sum_v"), derives = Seq(Seq(fJk), Seq(dJk)))
+    withRule {
+      def shape(df: DataFrame) = df.groupBy("seg")
+        .agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
+      val q = shape(Facts.joinWithUnknownMember(
+        Storage.readPartitionedVersion(spark, f),
+        Storage.readPartitionedVersion(spark, dim),
+        factKey = "f_url", dimNaturalKey = "d_url", dimId = "dim_id"))
+      assert(scanPaths(q).exists(_.contains(view.toString)),
+        "the unknown-member join aggregate must navigate")
+      val got = q.orderBy("seg").collect().toSeq
+      MatView.clear()
+      val want = shape(Facts.joinWithUnknownMember(
+        Storage.readPartitionedVersion(spark, f),
+        Storage.readPartitionedVersion(spark, dim),
+        factKey = "f_url", dimNaturalKey = "d_url", dimId = "dim_id"))
+        .orderBy("seg").collect().toSeq
+      assert(got == want, s"unknown-member rewrite diverged:\n got  $got\n want $want")
+      MatViews.registerStarRewrite(spark, "star_u", Seq(f, dim), view,
+        joinKeys = Seq("f_jk" -> "d_jk"), keys = Seq("seg"),
+        sums = Map("v" -> "sum_v"), derives = Seq(Seq(fJk), Seq(dJk)))
+      // a PLAIN equi-join (f_url = d_url) is a DIFFERENT relation — its
+      // key ids don't match the registered derived pair → fallback
+      val plain = Storage.readPartitionedVersion(spark, f)
+        .join(Storage.readPartitionedVersion(spark, dim),
+          col("f_url") === col("d_url"))
+        .groupBy("seg").agg(count(lit(1)).as("cnt"))
+      assert(!scanPaths(plain).exists(_.contains(view.toString)),
+        "a plain equi-join must not navigate onto the unknown-member view")
+      // a DIFFERENT sentinel mapping (unknownId = -2) is a different
+      // derived key → fallback
+      val other = Storage.readPartitionedVersion(spark, f)
+        .withColumn("__jk", Facts.unknownMemberKey(col("f_url")))
+        .join(Storage.readPartitionedVersion(spark, dim)
+          .withColumn("__jk",
+            Facts.unknownMemberDimKey(col("d_url"), col("dim_id"), unknownId = -2L))
+          .drop("d_url"), Seq("__jk"), "inner").drop("__jk")
+        .groupBy("seg").agg(count(lit(1)).as("cnt"))
+      assert(!scanPaths(other).exists(_.contains(view.toString)),
+        "a different unknown-member mapping must fall back")
+    }
+    Storage.deleteRecursively(root)
+  }
 }
