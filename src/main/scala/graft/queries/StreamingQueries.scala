@@ -653,6 +653,112 @@ object StreamingQueries {
       Some("""SELECT event_type, count(*) AS cnt,
              |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
              |       (SELECT count(DISTINCT user_id) FROM events) AS users_total
-             |FROM events GROUP BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // Continuous N-ARY STAR-view maintenance, gated end-to-end: the
+    // streaming twin of MatViews.maintainStar (foreachBatchStarViewMaintain
+    // — previously spec-only) consumes the MERGED commit-log tail of
+    // three tables through a real Structured Streaming query and rolls a
+    // fact⋈dim⋈dim rollup forward per micro-batch by the generalized
+    // delta rule. The replay drives a ONE-SIDED interval (dim truth), a
+    // MULTI-SIDE interval (second dim + fact truth + a takedown delete in
+    // one batch — cross terms must cancel, the deleted min-holders
+    // re-join), and a duplicate wake-up (the marker already names the
+    // current versions → REQUIREd no-op, the resume/duplicate-delivery
+    // proof). The final view hash-matches DuckDB's full recompute. At
+    // 100 TB this is the always-fresh datamart: per batch O(Σ|Δ| ×
+    // fan-out + touched groups), never a base re-join after bootstrap.
+    Q("stream11_star_view_maintain",
+      (s, d) => withShufflePartitions(s, 4) {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx = s.sqlContext
+        import graft.ops.{MatViews, MergeOps, Storage}
+        def dec(c: Column) = c.cast("decimal(38,6)")
+        val dir = java.nio.file.Files.createTempDirectory("stream11")
+        val nat = dir.resolve("dim_nation")
+        val cust = dir.resolve("dim_customer")
+        val ord = dir.resolve("fct_orders")
+        val view = dir.resolve("view")
+        try {
+          val nTrue = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+          val cTrue = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+          val oTrue = Tables.orders(s, d).select(col("o_orderkey"),
+            col("o_custkey"), col("o_totalprice"))
+          def stamp(df: org.apache.spark.sql.DataFrame) = df
+            .withColumn("loaded_at", lit(null).cast("timestamp"))
+            .withColumn("last_upd_at", lit(null).cast("timestamp"))
+          def loadNat(df: org.apache.spark.sql.DataFrame, ts: String) =
+            MergeOps.prunedConditionalUpsert(nat, stamp(df),
+              pk = Seq("n_nationkey"), tracked = Seq("n_name"),
+              runTs = lit(ts).cast("timestamp"), nParts = 4, keepVersions = 4)
+          def loadCust(df: org.apache.spark.sql.DataFrame, ts: String) =
+            MergeOps.prunedConditionalUpsert(cust, stamp(df),
+              pk = Seq("c_custkey"), tracked = Seq("c_nationkey"),
+              runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+          def loadOrd(df: org.apache.spark.sql.DataFrame, ts: String) =
+            MergeOps.prunedConditionalUpsert(ord,
+              stamp(df.withColumn("o_totalprice", dec(col("o_totalprice")))),
+              pk = Seq("o_orderkey"), tracked = Seq("o_custkey", "o_totalprice"),
+              runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+          // churned bootstrap state BEFORE the stream starts
+          loadNat(nTrue.filter(col("n_nationkey") % 5 =!= 0), "2024-01-15 00:00:00")
+          loadCust(cTrue.filter(col("c_custkey") % 7 =!= 0)
+            .withColumn("c_nationkey",
+              when(col("c_custkey") % 10 === 0,
+                ((col("c_nationkey") + 1) % 25).cast("int"))
+                .otherwise(col("c_nationkey"))), "2024-01-15 00:00:00")
+          loadOrd(oTrue.filter(col("o_orderkey") % 2 === 0)
+            .withColumn("o_totalprice",
+              when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 42.0)
+                .otherwise(col("o_totalprice"))), "2024-01-15 00:00:00")
+          val sides = Seq(MatViews.StarSide(ord, Seq("o_orderkey")),
+            MatViews.StarSide(cust, Seq("c_custkey")),
+            MatViews.StarSide(nat, Seq("n_nationkey")))
+          val input = MemoryStream[Int]
+          val q = StreamingLoads.foreachBatchStarViewMaintain(
+            input.toDF(), sides, view,
+            joinKeys = Seq("o_custkey" -> "c_custkey",
+              "c_nationkey" -> "n_nationkey"),
+            keys = Seq("n_name"),
+            sums = Map("o_totalprice" -> "sum_rev"),
+            counts = Map("o_totalprice" -> "cnt_rev"),
+            mins = Map("o_totalprice" -> "min_rev"),
+            keepVersions = 2, trigger = Trigger.ProcessingTime(0)).start()
+          try {
+            input.addData(1); q.processAllAvailable() // bootstrap
+            loadCust(cTrue, "2024-02-01 00:00:00") // one-sided interval
+            input.addData(2); q.processAllAvailable()
+            // multi-side interval: dim truth + fact truth + takedown,
+            // rolled in ONE batch
+            loadNat(nTrue, "2024-02-01 00:00:00")
+            loadOrd(oTrue, "2024-02-01 00:00:00")
+            MergeOps.prunedDelete(ord,
+              oTrue.select(col("o_orderkey")).filter(col("o_orderkey") % 13 === 0),
+              pk = Seq("o_orderkey"), nParts = 8, keepVersions = 4)
+            input.addData(3); q.processAllAvailable()
+            val vDone = Storage.currentVersion(view).get
+            require(MatViews.appliedVersions(view).exists(_ ==
+              sides.map(x => Storage.currentVersion(x.table).get)),
+              "the marker must name every side's current version")
+            input.addData(4); q.processAllAvailable() // duplicate wake
+            require(Storage.currentVersion(view).get == vDone,
+              "a wake-up with no new commits must not re-commit the view")
+          } finally q.stop()
+          Storage.readVersion(s, view)
+            .select(col("n_name"), col("count_rows").as("cnt"),
+              col("sum_rev").cast("double").as("sum_rev"), col("cnt_rev"),
+              col("min_rev").cast("double").as("min_rev"))
+            .localCheckpoint()
+        } finally Storage.deleteRecursively(dir)
+      },
+      Some("""SELECT n_name, count(*) AS cnt,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_rev,
+             |  count(o_totalprice) AS cnt_rev,
+             |  CAST(min(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS min_rev
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |            JOIN nation ON c_nationkey = n_nationkey
+             |WHERE o_orderkey % 13 <> 0
+             |GROUP BY n_name""".stripMargin))
   )
 }
