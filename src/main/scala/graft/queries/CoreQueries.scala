@@ -1428,9 +1428,13 @@ object CoreQueries {
           val cTrue = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
           // churn on the RAW double, cast to decimal LAST — `dec + 42.0`
           // would silently widen the whole column back to double and trade
-          // the exact decimal sums for fp drift
+          // the exact decimal sums for fp drift. The fact universe is a
+          // %3 slice: the row times the MAINTENANCE OPERATOR, and the
+          // churned fixture loads dominated its harness cost at full SF
+          // (every churn/interval/compaction shape is preserved; the rest
+          // of the load surface is covered by m1b/io2/io3 and the specs).
           val oRaw = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
-            col("o_totalprice"))
+            col("o_totalprice")).filter(col("o_orderkey") % 3 === 0)
           val oTrue = oRaw.withColumn("o_totalprice", dec(col("o_totalprice")))
           def stamp(df: DataFrame) = df
             .withColumn("loaded_at", lit(null).cast("timestamp"))
@@ -1438,11 +1442,11 @@ object CoreQueries {
           def loadCust(df: DataFrame, ts: String) =
             MergeOps.prunedConditionalUpsert(cust, stamp(df),
               pk = Seq("c_custkey"), tracked = Seq("c_nationkey"),
-              runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+              runTs = lit(ts).cast("timestamp"), nParts = 4, keepVersions = 4)
           def loadOrd(df: DataFrame, ts: String) =
             MergeOps.prunedConditionalUpsert(ord, stamp(df),
               pk = Seq("o_orderkey"), tracked = Seq("o_custkey", "o_totalprice"),
-              runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+              runTs = lit(ts).cast("timestamp"), nParts = 4, keepVersions = 4)
           def maintain() = MatViews.maintainJoin(s, cust, ord, view,
             pkLeft = Seq("c_custkey"), pkRight = Seq("o_orderkey"),
             joinKeysLeft = Seq("c_custkey"), joinKeysRight = Seq("o_custkey"),
@@ -1465,8 +1469,14 @@ object CoreQueries {
           loadOrd(oTrue, RunTs)
           MergeOps.prunedDelete(ord,
             oTrue.select(col("o_orderkey")).filter(col("o_orderkey") % 13 === 0),
-            pk = Seq("o_orderkey"), nParts = 8, keepVersions = 4)
-          maintain() // BOTH sides roll in one interval: ΔA⋈B₁ ∪ A₀⋈ΔB
+            pk = Seq("o_orderkey"), nParts = 4, keepVersions = 4)
+          // BOTH sides roll in one interval: ΔA⋈B₁ ∪ A₀⋈ΔB. The REQUIRE
+          // pins the row to the INCREMENTAL path: the %13 takedown deletes
+          // extreme-holders, which only the roll flags for recompute — a
+          // silent re-bootstrap (e.g. a vacuumed from-version) returns 0
+          val rolled = maintain()
+          require(rolled.recomputedGroups >= 1,
+            "the takedown interval must roll incrementally and flag extremes")
           Storage.compact(s, cust)
           Storage.compact(s, ord)
           maintain() // owners unified; markers advance through empty feeds
@@ -1516,7 +1526,7 @@ object CoreQueries {
              |       CAST(min(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS min_rev,
              |       CAST(max(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS max_rev
              |FROM orders JOIN customer ON o_custkey = c_custkey
-             |WHERE o_orderkey % 13 <> 0
+             |WHERE o_orderkey % 3 = 0 AND o_orderkey % 13 <> 0
              |GROUP BY c_nationkey""".stripMargin)),
 
     // N-ary STAR navigation: the reference's richest fact resolves THREE
@@ -1546,8 +1556,9 @@ object CoreQueries {
         try {
           val nTrue = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
           val cTrue = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+          // %3 fact slice — same fixture-cost rationale as mv3
           val oRaw = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
-            col("o_totalprice"))
+            col("o_totalprice")).filter(col("o_orderkey") % 3 === 0)
           val oTrue = oRaw.withColumn("o_totalprice", dec(col("o_totalprice")))
           def stamp(df: DataFrame) = df
             .withColumn("loaded_at", lit(null).cast("timestamp"))
@@ -1559,11 +1570,11 @@ object CoreQueries {
           def loadCust(df: DataFrame, ts: String) =
             MergeOps.prunedConditionalUpsert(cust, stamp(df),
               pk = Seq("c_custkey"), tracked = Seq("c_nationkey"),
-              runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+              runTs = lit(ts).cast("timestamp"), nParts = 4, keepVersions = 4)
           def loadOrd(df: DataFrame, ts: String) =
             MergeOps.prunedConditionalUpsert(ord, stamp(df),
               pk = Seq("o_orderkey"), tracked = Seq("o_custkey", "o_totalprice"),
-              runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+              runTs = lit(ts).cast("timestamp"), nParts = 4, keepVersions = 4)
           val sides = Seq(MatViews.StarSide(ord, Seq("o_orderkey")),
             MatViews.StarSide(cust, Seq("c_custkey")),
             MatViews.StarSide(nat, Seq("n_nationkey")))
@@ -1591,7 +1602,7 @@ object CoreQueries {
           loadOrd(oTrue, RunTs)
           MergeOps.prunedDelete(ord,
             oTrue.select(col("o_orderkey")).filter(col("o_orderkey") % 13 === 0),
-            pk = Seq("o_orderkey"), nParts = 8, keepVersions = 4)
+            pk = Seq("o_orderkey"), nParts = 4, keepVersions = 4)
           maintain() // fact-side roll: updates + inserts + deletes
           Storage.compact(s, nat)
           Storage.compact(s, cust)
@@ -1647,7 +1658,7 @@ object CoreQueries {
              |       CAST(max(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS max_rev
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |            JOIN nation ON c_nationkey = n_nationkey
-             |WHERE o_orderkey % 13 <> 0
+             |WHERE o_orderkey % 3 = 0 AND o_orderkey % 13 <> 0
              |GROUP BY n_name""".stripMargin)),
 
     // KMV sketch NAVIGATION under CHURN, over STRING keys: the

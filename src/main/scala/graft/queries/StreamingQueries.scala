@@ -683,8 +683,11 @@ object StreamingQueries {
         try {
           val nTrue = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
           val cTrue = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+          // %3 fact slice — the row times the streaming maintainer, not
+          // the fixture loads (same rationale as mv3/mv5)
           val oTrue = Tables.orders(s, d).select(col("o_orderkey"),
             col("o_custkey"), col("o_totalprice"))
+            .filter(col("o_orderkey") % 3 === 0)
           def stamp(df: org.apache.spark.sql.DataFrame) = df
             .withColumn("loaded_at", lit(null).cast("timestamp"))
             .withColumn("last_upd_at", lit(null).cast("timestamp"))
@@ -758,7 +761,7 @@ object StreamingQueries {
              |  CAST(min(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS min_rev
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |            JOIN nation ON c_nationkey = n_nationkey
-             |WHERE o_orderkey % 13 <> 0
+             |WHERE o_orderkey % 3 = 0 AND o_orderkey % 13 <> 0
              |GROUP BY n_name""".stripMargin))
   )
 }
