@@ -181,7 +181,13 @@ object Bench {
         // transparent rewrite + one delta apply) is a sliver of the row
         n == "mv2_maintained_rewrite" || n == "mv3_join_agg_navigation" ||
         n == "mv5_star_navigation" || // three-table loads + star maintenance + 3 compactions per rep
-        n == "mv7_filtered_view" // two churned loads + 3 maintenance calls + a compaction per rep
+        n == "mv7_filtered_view" || // two churned loads + 3 maintenance calls + a compaction per rep
+        // round 18: the same churned-loads + maintenance + compaction
+        // class — each row's operator under test (one navigated read /
+        // one delta roll) is a sliver of its fixture replays
+        n == "mv6_kmv_navigation" || n == "mv7b_implied_range_navigation" ||
+        n == "mv7s_filtered_star_view" || n == "mv8_unknown_member_star" ||
+        n == "mv9_exact_distinct_measure"
     val (harnessRows, coreRows) = results.partition { case (n, _) => isHarness(n) }
     def mean(rows: Seq[(String, Double)]): Double =
       if (rows.isEmpty) 0.0 else rows.map(_._2).sum / rows.size
