@@ -808,13 +808,29 @@ object MatViews {
       val snaps = reads.map { df =>
         df.select(refs.filter(df.columns.contains).map(col): _*)
       }
+      // the optimizer infers a derived join key's null-guard on THIS plan
+      // too (pushed through the computed Project and simplified) — strip
+      // it from the required set exactly as the query side drops it from
+      // its pooled conjuncts, or a filtered+derived star could never
+      // match (the requirement would demand a conjunct the query side
+      // just dropped as tautological)
+      import graft.plans.MatViewSupport
+      val derivedGuards: Set[Expression] = tables.zip(ds).flatMap {
+        case (t, dcols) => dcols.flatMap { case (_, c) =>
+          val norm = MatViewSupport.normalizeDerived(resolveDeriveExpr(spark, t, c))
+          Seq(MatViewSupport.normalizeDerived(MatViewSupport.nullGuardOf(norm)),
+            MatViewSupport.normalizeDerived(IsNotNull(norm)))
+        }
+      }.toSet
       ViewMaintain.joinConnected(snaps.head, snaps.tail, joinKeys)
         .filter(w).queryExecution.optimizedPlan.collect {
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
             split(f.condition)
-        }.flatten.filterNot {
-          case IsNotNull(a: AttributeReference) => jkNames.contains(a.name)
-          case _ => false
+        }.flatten.filterNot { c =>
+          (c match {
+            case IsNotNull(a: AttributeReference) => jkNames.contains(a.name)
+            case _ => false
+          }) || derivedGuards.contains(MatViewSupport.normalizeDerived(c))
         }
     }
 

@@ -181,7 +181,7 @@ object MatView {
   * from under Filters/pass-through Projects, root-set matching, and the
   * aggregate-shape validation + rebuild that is independent of WHAT was
   * matched underneath (single scan or join). */
-private[plans] object MatViewSupport {
+private[graft] object MatViewSupport {
 
   /** Single-threaded per-pass memo (optimizer rules run on one thread). */
   def memo[K, V](f: K => V): K => V = {

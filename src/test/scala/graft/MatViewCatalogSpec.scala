@@ -201,4 +201,110 @@ class MatViewCatalogSpec extends SparkTestBase {
     assert(Storage.currentVersion(ws.resolve("facts_by_grp")).get > vBefore)
     Storage.deleteRecursively(ws)
   }
+
+  test("star catalog entries round-trip where + derives: filtered unknown-member star from a fresh session") {
+    import spark.implicits._
+    import graft.ops.Facts
+    val root = Files.createTempDirectory("mv_cat_star18")
+    val (dim, f, view) = (root.resolve("dim"), root.resolve("fact"),
+      root.resolve("view"))
+    def stamp(df: DataFrame) = df
+      .withColumn("loaded_at", lit(null).cast("timestamp"))
+      .withColumn("last_upd_at", lit(null).cast("timestamp"))
+    def loadDim(rows: Seq[(Long, String, String)]): Long =
+      MergeOps.prunedConditionalUpsert(dim,
+        stamp(rows.toDF("dim_id", "d_url", "seg")), pk = Seq("dim_id"),
+        tracked = Seq("d_url", "seg"),
+        runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 4,
+        keepVersions = 8)
+    def loadFact(rows: Seq[(Long, String, Long)]): Long =
+      MergeOps.prunedConditionalUpsert(f,
+        stamp(rows.toDF("f_id", "f_url", "v")), pk = Seq("f_id"),
+        tracked = Seq("f_url", "v"),
+        runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 4,
+        keepVersions = 8)
+    loadDim(Seq((1L, "u1", "A"), (2L, "u2", "B"), (-1L, null, "UNK")))
+    loadFact((1L to 40L).map(i =>
+      (i, if (i % 5 == 0) null else s"u${i % 2 + 1}", i)))
+    // the derive expressions, as the SQL strings the catalog persists —
+    // the engine-side Columns (Facts.unknownMemberKey / unknownMemberDimKey)
+    // must parse back to the SAME resolved expressions
+    val sentinelSql = "'" + Facts.UnknownSentinel.replace("'", "''") + "'"
+    MatViews.defineView(root, MatViews.CatalogEntry(
+      name = "star18", kind = "star",
+      view = view.toString, keys = Seq("seg"),
+      tables = Seq(f.toString, dim.toString),
+      pks = Seq(Seq("f_id"), Seq("dim_id")),
+      joinKeysLeft = Seq("f_jk"), joinKeysRight = Seq("d_jk"),
+      sums = Map("v" -> "sum_v"),
+      where = "v > 10",
+      derives = Seq(
+        Map("f_jk" -> s"coalesce(f_url, $sentinelSql)"),
+        Map("d_jk" -> s"CASE WHEN dim_id = -1 THEN $sentinelSql ELSE d_url END"))))
+    // "fresh session": nothing registered, maintenance driven purely by
+    // the persisted catalog
+    MatView.clear()
+    val m0 = MatViews.maintainCatalog(spark, root)
+    assert(m0.stars.keySet == Set("star18"))
+    // churn across the slice boundary and a NULL transition, re-maintain
+    loadFact(Seq((3L, null.asInstanceOf[String], 9L), (5L, "u1", 50L)))
+    MergeOps.prunedDelete(f, Seq(12L).toDF("f_id"), pk = Seq("f_id"), nParts = 4)
+    MatViews.maintainCatalog(spark, root)
+    Storage.compact(spark, dim); Storage.compact(spark, f)
+    MatViews.maintainCatalog(spark, root)
+    def truth(): DataFrame =
+      Facts.joinWithUnknownMember(
+          Storage.readPartitionedVersion(spark, f),
+          Storage.readPartitionedVersion(spark, dim),
+          factKey = "f_url", dimNaturalKey = "d_url", dimId = "dim_id")
+        .filter(col("v") > 10)
+        .groupBy("seg")
+        .agg(count(lit(1)).as("count_rows"), sum("v").as("sum_v"))
+    val got = Storage.readVersion(spark, view)
+      .select("seg", "count_rows", "sum_v")
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+    val want = truth().collect().map(_.toSeq.map(String.valueOf)).toSet
+    assert(got == want, s"cataloged filtered unknown-member star diverged:\n got  $got\n want $want")
+    // reload registers the rewrite from the catalog alone; the engine's
+    // own unknown-member join carrying the slice predicate navigates, a
+    // TIGHTER key... (v is a measure, so a tighter v range must fall
+    // back; the exact predicate navigates)
+    assert(MatViews.loadCatalog(spark, root) >= 1)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ MatViewJoinRewrite
+    try {
+      def shape(df: DataFrame) = df.filter(col("v") > 10).groupBy("seg")
+        .agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
+      val q = shape(Facts.joinWithUnknownMember(
+        Storage.readPartitionedVersion(spark, f),
+        Storage.readPartitionedVersion(spark, dim),
+        factKey = "f_url", dimNaturalKey = "d_url", dimId = "dim_id"))
+      assert(scanPaths(q).exists(_.contains(view.toString)),
+        "a cataloged filtered unknown-member star must navigate after reload")
+      val gotQ = q.orderBy("seg").collect().toSeq
+      MatView.clear()
+      val wantQ = shape(Facts.joinWithUnknownMember(
+        Storage.readPartitionedVersion(spark, f),
+        Storage.readPartitionedVersion(spark, dim),
+        factKey = "f_url", dimNaturalKey = "d_url", dimId = "dim_id"))
+        .orderBy("seg").collect().toSeq
+      assert(gotQ == wantQ, s"navigated result diverged:\n got  $gotQ\n want $wantQ")
+      // a tighter MEASURE range implies the slice but cannot re-apply
+      // over partials → falls back
+      MatViews.loadCatalog(spark, root)
+      val tighter = Facts.joinWithUnknownMember(
+          Storage.readPartitionedVersion(spark, f),
+          Storage.readPartitionedVersion(spark, dim),
+          factKey = "f_url", dimNaturalKey = "d_url", dimId = "dim_id")
+        .filter(col("v") > 30).groupBy("seg").agg(count(lit(1)).as("cnt"))
+      assert(!scanPaths(tighter).exists(_.contains(view.toString)),
+        "a tighter measure range must fall back")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ eq MatViewJoinRewrite)
+      MatView.clear()
+    }
+    Storage.deleteRecursively(root)
+  }
 }
