@@ -325,36 +325,81 @@ private[graft] object MatViewSupport {
     }
   }
 
+  // does "column = v" (with compare(v, r's literal) = cmp) imply r?
+  private def eqImplies(cmp: Int, ro: String): Boolean = ro match {
+    case ">" => cmp > 0
+    case ">=" => cmp >= 0
+    case "<" => cmp < 0
+    case "<=" => cmp <= 0
+    case _ => false
+  }
+
   /** Does query conjunct `q` IMPLY view conjunct `r`? — single-column
     * range analysis over `column <cmp> literal` shapes: `x > 300` implies
-    * `x > 50`, `x >= 6` implies `x > 5`, `x = 7` implies `x >= 7`.
-    * Both literals must share the column's exact type (the analyzer
-    * promoted both sides through the same rules, so they do whenever the
-    * conjuncts are genuinely comparable) and be orderable atomics — the
-    * interpreted ordering then matches SQL comparison semantics
-    * (integrals, decimals, strings, date/timestamp; for float/double the
-    * −0.0/0.0 java-vs-SQL edge only produces false NEGATIVES, i.e. a
-    * fallback, never a wrong match). Everything unrecognized answers
-    * false: sound, not complete. */
-  def impliesRange(q: Expression, r: Expression): Boolean =
-    (cmpOf(q), cmpOf(r)) match {
-      case (Some((qc, qo, ql)), Some((rc, ro, rl))) if qc == rc &&
-          ql.value != null && rl.value != null &&
-          ql.dataType == rl.dataType && rangeComparable(ql.dataType) =>
-        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
-          .getInterpretedOrdering(ql.dataType)
-        val cmp = ord.compare(ql.value, rl.value)
-        (qo, ro) match {
-          case (">", ">") | (">", ">=") | (">=", ">=") => cmp >= 0
-          case (">=", ">") | ("=", ">") => cmp > 0
-          case ("=", ">=") => cmp >= 0
-          case ("<", "<") | ("<", "<=") | ("<=", "<=") => cmp <= 0
-          case ("<=", "<") | ("=", "<") => cmp < 0
-          case ("=", "<=") => cmp <= 0
+    * `x > 50`, `x >= 6` implies `x > 5`, `x = 7` implies `x >= 7`, and
+    * `x IN (7, 8)` / its optimizer InSet form imply `x > 5` when every
+    * member does. Literals must share the column's exact type (the
+    * analyzer promoted both sides through the same rules, so they do
+    * whenever the conjuncts are genuinely comparable) and be orderable
+    * atomics — the interpreted ordering then matches SQL comparison
+    * semantics (integrals, decimals, strings, date/timestamp; for
+    * float/double the −0.0/0.0 java-vs-SQL edge only produces false
+    * NEGATIVES, i.e. a fallback, never a wrong match). Everything
+    * unrecognized answers false: sound, not complete. */
+  def impliesRange(q: Expression, r: Expression): Boolean = r match {
+    // a null-REJECTING query conjunct over the same column implies its
+    // inferred isnotnull guard (nullable base columns put one in the
+    // view's resolved conjuncts even when the query's own optimization
+    // materializes only the range/IN predicate)
+    case IsNotNull(ra: AttributeReference) => q match {
+      case In(a: AttributeReference, vs) =>
+        a.name == ra.name && vs.forall(_.isInstanceOf[Literal])
+      case is: InSet => is.child match {
+        case a: AttributeReference => a.name == ra.name
+        case _ => false
+      }
+      case _ => cmpOf(q).exists(_._1 == ra.name)
+    }
+    case _ => impliesCmp(q, r)
+  }
+
+  private def impliesCmp(q: Expression, r: Expression): Boolean = cmpOf(r) match {
+    case Some((rc, ro, rl)) if rl.value != null &&
+        rangeComparable(rl.dataType) =>
+      lazy val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(rl.dataType)
+      q match {
+        case In(a: AttributeReference, vs) if a.name == rc && vs.nonEmpty &&
+            vs.forall {
+              case l: Literal => l.value != null && l.dataType == rl.dataType
+              case _ => false
+            } =>
+          vs.forall { case l: Literal =>
+            eqImplies(ord.compare(l.value, rl.value), ro) }
+        case is: InSet => is.child match {
+          case a: AttributeReference if a.name == rc &&
+              a.dataType == rl.dataType && is.hset.nonEmpty =>
+            is.hset.forall(v =>
+              v != null && eqImplies(ord.compare(v, rl.value), ro))
           case _ => false
         }
-      case _ => false
-    }
+        case _ => cmpOf(q) match {
+          case Some((qc, qo, ql)) if qc == rc && ql.value != null &&
+              ql.dataType == rl.dataType =>
+            val cmp = ord.compare(ql.value, rl.value)
+            (qo, ro) match {
+              case (">", ">") | (">", ">=") | (">=", ">=") => cmp >= 0
+              case (">=", ">") => cmp > 0
+              case ("=", _) => eqImplies(cmp, ro)
+              case ("<", "<") | ("<", "<=") | ("<=", "<=") => cmp <= 0
+              case ("<=", "<") => cmp < 0
+              case _ => false
+            }
+          case _ => false
+        }
+      }
+    case _ => false
+  }
 
   /** Consume a filtered view's required conjuncts out of the query's
     * filter set: every `required` conjunct must either match one query

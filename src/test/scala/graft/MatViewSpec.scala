@@ -687,6 +687,30 @@ class MatViewSpec extends SparkTestBase {
         .groupBy("k1").agg(count(lit(1)).as("cnt"))
       assert(scanPaths(eq).exists(_.contains(view.toString)),
         "an equality inside the view's range must navigate")
+      // an IN-list entirely inside the view's range implies it (and the
+      // IN residual is key-only, so it re-applies over the view exactly)
+      def inShape(df: DataFrame) = df.filter(col("k2").isin(3L, 5L))
+        .groupBy("k1").agg(count(lit(1)).as("cnt"), sum("x").as("s"))
+      val qIn = inShape(Storage.readVersion(spark, base))
+      assert(scanPaths(qIn).exists(_.contains(view.toString)),
+        "an IN-list inside the view's range must navigate")
+      val gotIn = qIn.orderBy("k1").collect().toSeq
+      MatView.clear()
+      val wantIn = inShape(Storage.readVersion(spark, base)).orderBy("k1").collect().toSeq
+      assert(gotIn == wantIn, s"IN-list implication diverged:\n got  $gotIn\n want $wantIn")
+      register()
+      // an IN-list STRADDLING the boundary (1 is outside k2 > 1) falls back
+      val qInBad = Storage.readVersion(spark, base).filter(col("k2").isin(1L, 5L))
+        .groupBy("k1").agg(count(lit(1)).as("cnt"))
+      assert(!scanPaths(qInBad).exists(_.contains(view.toString)),
+        "an IN-list straddling the view's boundary must fall back")
+      // a two-sided range: the lower bound implies the view's, the upper
+      // bound is a plain extra key conjunct — both re-apply as residuals
+      val qBand = Storage.readVersion(spark, base)
+        .filter(col("k2") >= 3 && col("k2") <= 5)
+        .groupBy("k1").agg(count(lit(1)).as("cnt"))
+      assert(scanPaths(qBand).exists(_.contains(view.toString)),
+        "a two-sided key range must navigate")
       // a LOOSER range (k2 > 0 does not imply k2 > 1) must fall back —
       // the view lacks the k2 = 1 rows the query needs
       val loose = Storage.readVersion(spark, base).filter(col("k2") > 0)
