@@ -27,11 +27,16 @@ import org.apache.spark.sql.functions._
   *     recompute of the whole old corpus.
   *
   * Maintenance: [[append]] encodes ONLY the new batch and rewrites ONLY
-  * the buckets it touches (idempotent: a re-delivered doc_id replaces its
-  * posting rows; fingerprints are set-union). The corpus contract is
-  * APPEND-ONLY — a training set grows; an in-place text update or a
-  * takedown needs [[bootstrap]] over the corrected corpus (same rebuild
-  * contract as the reference dedup pipelines).
+  * the buckets it touches (idempotent: a re-delivered doc_id replaces
+  * its fingerprint and posting rows). The corpus contract is APPEND-OR-
+  * TAKEDOWN: a training set grows, and [[takedown]] removes documents —
+  * the right-to-be-forgotten flow — in O(request + touched buckets),
+  * never a rebuild. An in-place text UPDATE is still out of contract
+  * (re-[[bootstrap]] over the corrected corpus). Fingerprints are stored
+  * PER DOC (not as a distinct set) exactly so a takedown can be precise:
+  * a fingerprint shared with a surviving duplicate stays visible through
+  * that doc's own row, and exact-dup probes keep flagging copies of
+  * retained content.
   *
   * Shingle/fingerprint definitions are [[Text.fingerprint]] and
   * [[NearDup.hashedShingleSet]] — the SAME column expressions the batch
@@ -73,7 +78,7 @@ object DedupIndex {
     Storage.validateGeometry(fpT(dir), nBuckets)
     Storage.validateGeometry(shT(dir), nBuckets)
     Storage.commitPartitions(
-      fingerprints(docs, idCol, textCol).select(col("fp")).distinct()
+      fingerprints(docs, idCol, textCol)
         .withColumn("pbucket", fpBucket(nBuckets)),
       fpT(dir), "pbucket", dropAbsent = true, extraFiles = extraFiles)
     Storage.commitPartitions(
@@ -96,7 +101,7 @@ object DedupIndex {
       throw new IllegalStateException(s"no dedup index at $dir — bootstrap first"))
     Storage.validateGeometry(shT(dir), nBuckets)
 
-    val encFp = fingerprints(newDocs, idCol, textCol).select(col("fp")).distinct()
+    val encFp = fingerprints(newDocs, idCol, textCol)
       .withColumn("pbucket", fpBucket(nBuckets)).localCheckpoint()
     val fpTouched = encFp.select(col("pbucket")).distinct()
       .collect().map(r => s"pbucket=${r.get(0)}").toSet // O(buckets)
@@ -106,9 +111,11 @@ object DedupIndex {
         extraFiles = extraFiles)
     else {
       val existing = Storage.readPartitionedVersion(spark, fpT(dir), Some(fpTouched))
+      // re-delivered docs replace their fingerprint rows — idempotent
+      val goneFp = encFp.select(col(idCol)).distinct()
       Storage.commitPartitions(
-        existing.unionByName(encFp).dropDuplicates("fp"), fpT(dir), "pbucket",
-        extraFiles = extraFiles)
+        existing.join(goneFp, Seq(idCol), "left_anti").unionByName(encFp),
+        fpT(dir), "pbucket", extraFiles = extraFiles)
     }
 
     val encSh = postings(newDocs, n, idCol, textCol)
@@ -129,6 +136,65 @@ object DedupIndex {
         existing.join(gone, Seq(idCol), "left_anti").unionByName(encSh),
         shT(dir), "pbucket", extraFiles = extraFiles)
     }
+    (vFp, vSh)
+  }
+
+  /** REMOVE documents from the index — the right-to-be-forgotten /
+    * takedown flow a governed 100 TB training corpus needs: O(request
+    * encode + touched buckets), never a rebuild. The request must carry
+    * the documents' INDEXED text (a real takedown notice names its
+    * subject, and the append-only text contract means it never changed):
+    * bucket placement is content-addressed, so the text names exactly
+    * the buckets holding the doc's fingerprint and posting rows. A
+    * fingerprint shared with a SURVIVING duplicate stays visible through
+    * that doc's own row. Ids absent from the index no-op; the call is
+    * idempotent. Returns the two committed versions (fp, shingles). */
+  def takedown(
+      spark: SparkSession,
+      dir: Path,
+      docs: DataFrame,
+      n: Int = 3,
+      extraFiles: Map[String, String] = Map.empty,
+      idCol: String = "doc_id",
+      textCol: String = "text"): (Long, Long) = {
+    val nBuckets = Storage.declaredGeometry(fpT(dir)).getOrElse(
+      throw new IllegalStateException(s"no dedup index at $dir — bootstrap first"))
+    Storage.validateGeometry(shT(dir), nBuckets)
+
+    // one shape for both tables: prune to the content-addressed touched
+    // buckets, anti-join the removed ids away, and DROP buckets the
+    // removal emptied from the manifest (a bucket with no surviving rows
+    // writes no partition — without the explicit drop the manifest would
+    // keep pointing at the OLD bucket and the removed rows would
+    // resurface, the prunedDelete wiped-bucket lesson)
+    def removeRows(tdir: Path, enc: DataFrame): Long = {
+      val touched = enc.select(col("pbucket")).distinct()
+        .collect().map(r => s"pbucket=${r.get(0)}").toSet // O(buckets)
+      if (touched.isEmpty)
+        Storage.commitPartitions(
+          Storage.readPartitionedVersion(spark, tdir).limit(0), tdir,
+          "pbucket", extraFiles = extraFiles)
+      else {
+        val survivors = Storage.readPartitionedVersion(spark, tdir, Some(touched))
+          .join(enc.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+          .localCheckpoint() // read twice: alive-bucket census + commit
+        val alive = survivors.select(col("pbucket")).distinct()
+          .collect().map(r => s"pbucket=${r.get(0)}").toSet
+        // only manifest-present buckets can drop — a request naming
+        // content the index never held touches buckets that never existed
+        val present = Storage.readPartsManifest(
+          tdir.resolve(s"v${Storage.currentVersion(tdir).get}")).keySet
+        Storage.commitPartitions(survivors, tdir, "pbucket",
+          dropParts = (touched -- alive).intersect(present),
+          extraFiles = extraFiles)
+      }
+    }
+    val vFp = removeRows(fpT(dir),
+      fingerprints(docs, idCol, textCol)
+        .withColumn("pbucket", fpBucket(nBuckets)).localCheckpoint())
+    val vSh = removeRows(shT(dir),
+      postings(docs, n, idCol, textCol)
+        .withColumn("pbucket", gBucket(nBuckets)).localCheckpoint())
     (vFp, vSh)
   }
 

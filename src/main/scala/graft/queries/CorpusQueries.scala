@@ -237,6 +237,49 @@ object CorpusQueries {
              |SELECT doc_id FROM documents
              |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin)),
 
+    // TAKEDOWN-aware dedup index — the right-to-be-forgotten flow a
+    // governed training corpus needs: removed documents leave the
+    // persisted index in O(request + touched buckets) (their content
+    // names exactly the fingerprint/shingle buckets holding their rows —
+    // no rebuild, no full-index scan), and a later batch probe judges
+    // survivors against ONLY the retained corpus: near-dups of removed
+    // docs come back into the training set, dups of retained docs stay
+    // out, and a fingerprint shared with a surviving duplicate keeps
+    // flagging exact copies (fingerprints are stored per doc). The
+    // oracle replicates the retained-corpus semantics relationally.
+    Q("d14_dedup_index_takedown",
+      (s, d) => {
+        import graft.ops.{DedupIndex, Storage}
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val dir = java.nio.file.Files.createTempDirectory("dedupidx_td")
+        try {
+          DedupIndex.bootstrap(dir, docs.filter(col("doc_id") < 250), nBuckets = 16)
+          DedupIndex.takedown(s, dir,
+            docs.filter(col("doc_id") >= 100 && col("doc_id") < 150))
+          DedupIndex.dedupNew(s, dir, docs.filter(col("doc_id") >= 250))
+            .localCheckpoint()
+        } finally Storage.deleteRecursively(dir)
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, $wordsSql AS ws, text FROM documents),
+             |kept AS (SELECT doc_id FROM documents
+             |  WHERE doc_id < 250 AND NOT (doc_id >= 100 AND doc_id < 150)),
+             |sh AS (SELECT DISTINCT doc_id,
+             |    unnest(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) AS g
+             |  FROM docs),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+             |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |near AS (SELECT doc_b AS doc_id FROM inter
+             |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+             |  WHERE doc_a IN (SELECT doc_id FROM kept) AND doc_b >= 250
+             |    AND CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.2),
+             |exact AS (SELECT n.doc_id FROM docs n JOIN docs o
+             |  ON array_to_string(n.ws, ' ') = array_to_string(o.ws, ' ')
+             |  AND n.doc_id >= 250 AND o.doc_id IN (SELECT doc_id FROM kept)),
+             |dups AS (SELECT doc_id FROM near UNION SELECT doc_id FROM exact)
+             |SELECT doc_id FROM documents
+             |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin)),
+
     Q("d9_chunk_dedup",
       (s, d) => Corpus.chunkDedup(Tables.documents(s, d), chunkWords = 10),
       Some(s"""WITH docs AS (SELECT doc_id, $wordsSql AS ws FROM documents),

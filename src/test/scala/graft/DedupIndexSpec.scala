@@ -182,4 +182,63 @@ class DedupIndexSpec extends SparkTestBase {
         "corrupting non-probed buckets changed (or broke) the probe — it read them")
     } finally Storage.deleteRecursively(dir)
   }
+
+  test("takedown: O(touched buckets), equals a rebuild without the removed docs; shared fingerprints survive") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("dedupidx_td")
+    val idx = root.resolve("idx")
+    val ref = root.resolve("ref")
+    try {
+      // controlled corpus: doc 5 and doc 6 are EXACT duplicates (shared
+      // fingerprint); doc 7 is removed later; batch docs probe each case
+      val mk = (id: Long, t: String) => (id, t)
+      val corpus = Seq(
+        mk(1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        mk(5L, "the quick brown fox jumps over the lazy dog tonight"),
+        mk(6L, "the quick brown fox jumps over the lazy dog tonight"),
+        mk(7L, "pack my box with five dozen liquor jugs right now"),
+        mk(8L, "sphinx of black quartz judge my vow immediately today"))
+        .toDF("doc_id", "text")
+      DedupIndex.bootstrap(idx, corpus, nBuckets = 16)
+      val fpV0 = Storage.currentVersion(idx.resolve("fp")).get
+      val manBefore = Storage.readPartsManifest(
+        idx.resolve("fp").resolve(s"v$fpV0"))
+      // remove docs 6 (shared fp with 5) and 7 (unique content)
+      val removed = corpus.filter(col("doc_id").isin(6L, 7L))
+      DedupIndex.takedown(spark, idx, removed)
+      // O(touched): only the removed docs' fingerprint buckets changed owner
+      val fpV1 = Storage.currentVersion(idx.resolve("fp")).get
+      val manAfter = Storage.readPartsManifest(
+        idx.resolve("fp").resolve(s"v$fpV1"))
+      val changed = manAfter.collect {
+        case (p, v) if !manBefore.get(p).contains(v) => p }.toSet
+      val expectedTouched = removed
+        .select(graft.ops.Text.fingerprint(col("text")).as("fp"))
+        .select(pmod(xxhash64(col("fp")), lit(16)).cast("int").as("b"))
+        .collect().map(r => s"pbucket=${r.getInt(0)}").toSet
+      assert(changed.subsetOf(expectedTouched),
+        s"takedown must rewrite only the removed docs' buckets: $changed vs $expectedTouched")
+      // state equals a rebuild over the retained corpus
+      DedupIndex.bootstrap(ref, corpus.filter(!col("doc_id").isin(6L, 7L)),
+        nBuckets = 16)
+      assert(fpRows(idx) == fpRows(ref) && shRows(idx) == shRows(ref),
+        "takedown must equal indexing the retained corpus")
+      // probe: an exact copy of REMOVED-BUT-SHARED content (doc 5 kept)
+      // is still a dup; a copy of doc 7's removed content now survives;
+      // a near-dup of doc 8's retained content stays out
+      val batch = Seq(
+        mk(100L, "the quick brown fox jumps over the lazy dog tonight"),
+        mk(101L, "pack my box with five dozen liquor jugs right now"),
+        mk(102L, "sphinx of black quartz judge my vow immediately tonight"))
+        .toDF("doc_id", "text")
+      val survivors = DedupIndex.dedupNew(spark, idx, batch)
+        .collect().map(_.getLong(0)).toSet
+      assert(survivors == Set(101L),
+        s"expected only the removed doc's copy to survive, got $survivors")
+      // idempotent: a re-delivered takedown leaves the same state
+      DedupIndex.takedown(spark, idx, removed)
+      assert(fpRows(idx) == fpRows(ref) && shRows(idx) == shRows(ref),
+        "a re-delivered takedown must be a no-op on state")
+    } finally Storage.deleteRecursively(root)
+  }
 }
