@@ -176,6 +176,7 @@ object Bench {
       n.startsWith("stream") || n == "m11_join_view_maintenance" ||
         n == "sim6_ivfpq_topk" || n == "sim7_persisted_ann_index" ||
         n == "d13_persisted_dedup_index" || // bootstraps + appends the whole index per rep
+        n == "d14_dedup_index_takedown" || // bootstraps the whole index per rep (the takedown itself is O(touched))
         // same class as m11: multi-load fixture + per-commit maintenance +
         // compaction replays per rep; the operator under test (the
         // transparent rewrite + one delta apply) is a sliver of the row

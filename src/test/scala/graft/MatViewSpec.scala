@@ -538,6 +538,19 @@ class MatViewSpec extends SparkTestBase {
         .groupBy("k1").agg(count(lit(1)).as("cnt"))
       assert(!scanPaths(different).exists(_.contains(view.toString)),
         "a different predicate must fall back")
+      // ROLLUP over the filtered view: the predicate consumption runs on
+      // the Expand path too — the grouping-set mechanics ride the view
+      def ru(df: DataFrame) = df.filter(col("x") > 100)
+        .rollup("k1", "k2").agg(count(lit(1)).as("cnt"), sum("x").as("s"))
+      val qRu = ru(Storage.readVersion(spark, base))
+      assert(scanPaths(qRu).exists(_.contains(view.toString)),
+        "a rollup carrying the view's predicate must navigate")
+      val gotRu = qRu.orderBy("k1", "k2").collect().toSeq
+      MatView.clear()
+      val wantRu = ru(Storage.readVersion(spark, base))
+        .orderBy("k1", "k2").collect().toSeq
+      assert(gotRu == wantRu,
+        s"filtered rollup rewrite diverged:\n got  $gotRu\n want $wantRu")
     }
     Storage.deleteRecursively(root)
   }
