@@ -280,6 +280,73 @@ object CorpusQueries {
              |SELECT doc_id FROM documents
              |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin)),
 
+    // The dedup index maintained CONTINUOUSLY from the corpus table's
+    // commit-log tail (foreachBatchDedupIndexMaintain — previously
+    // spec-only): a real Structured Streaming query replays bootstrap,
+    // an insert-only append window, and a TAKEDOWN window (pre-image
+    // deletes leave via content-addressed bucket-pruned removal), and
+    // the final batch probe must hash-match the retained-corpus oracle
+    // — identical to d14's, proving stream ≡ batch for the whole
+    // index-maintenance surface. At 100 TB this is the always-fresh
+    // governance loop: corpus commits (including right-to-be-forgotten
+    // deletes) flow to the index in O(Δ + touched buckets) per batch.
+    Q("stream12_dedup_index_maintain",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import org.apache.spark.sql.streaming.Trigger
+        implicit val sqlCtx = s.sqlContext
+        import graft.ops.{DedupIndex, MergeOps, Storage}
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val dir = java.nio.file.Files.createTempDirectory("stream12")
+        val base = dir.resolve("corpus")
+        val idx = dir.resolve("idx")
+        def load(df: org.apache.spark.sql.DataFrame, ts: String): Long =
+          MergeOps.prunedConditionalUpsert(base,
+            df.withColumn("loaded_at", lit(null).cast("timestamp"))
+              .withColumn("last_upd_at", lit(null).cast("timestamp")),
+            pk = Seq("doc_id"), tracked = Seq("text"),
+            runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 8)
+        try {
+          val v0 = load(docs.filter(col("doc_id") < 200), "2024-01-15 00:00:00")
+          val input = MemoryStream[Long]
+          val q = graft.streaming.StreamingLoads.foreachBatchDedupIndexMaintain(
+            input.toDF().toDF("v"), base, idx,
+            trigger = Trigger.ProcessingTime(0)).start()
+          try {
+            input.addData(v0); q.processAllAvailable() // bootstrap
+            val v1 = load(docs.filter(col("doc_id") < 250), "2024-02-01 00:00:00")
+            input.addData(v1); q.processAllAvailable() // append window
+            val v2 = MergeOps.prunedDelete(base,
+              docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+                .select(col("doc_id")),
+              pk = Seq("doc_id"), nParts = 8, keepVersions = 8)
+            input.addData(v2); q.processAllAvailable() // takedown window
+          } finally q.stop()
+          DedupIndex.dedupNew(s, idx, docs.filter(col("doc_id") >= 250))
+            .localCheckpoint()
+        } finally Storage.deleteRecursively(dir)
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, $wordsSql AS ws, text FROM documents),
+             |kept AS (SELECT doc_id FROM documents
+             |  WHERE doc_id < 250 AND NOT (doc_id >= 100 AND doc_id < 150)),
+             |sh AS (SELECT DISTINCT doc_id,
+             |    unnest(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) AS g
+             |  FROM docs),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+             |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |near AS (SELECT doc_b AS doc_id FROM inter
+             |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+             |  WHERE doc_a IN (SELECT doc_id FROM kept) AND doc_b >= 250
+             |    AND CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.2),
+             |exact AS (SELECT n.doc_id FROM docs n JOIN docs o
+             |  ON array_to_string(n.ws, ' ') = array_to_string(o.ws, ' ')
+             |  AND n.doc_id >= 250 AND o.doc_id IN (SELECT doc_id FROM kept)),
+             |dups AS (SELECT doc_id FROM near UNION SELECT doc_id FROM exact)
+             |SELECT doc_id FROM documents
+             |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin)),
+
     Q("d9_chunk_dedup",
       (s, d) => Corpus.chunkDedup(Tables.documents(s, d), chunkWords = 10),
       Some(s"""WITH docs AS (SELECT doc_id, $wordsSql AS ws FROM documents),

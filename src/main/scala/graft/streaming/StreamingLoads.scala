@@ -528,20 +528,23 @@ object StreamingLoads {
   /** Continuous maintenance of the persisted CROSS-CORPUS DEDUP INDEX
     * ([[graft.ops.DedupIndex]]) from its base corpus table's commit-log
     * tail — the [[foreachBatchAnnIndexMaintain]] shape for dedup: each
-    * micro-batch folds the documents ADDED since the applied version into
-    * the fingerprint + shingle-posting tables (bucket-pruned append).
+    * micro-batch folds the interval's changes into the fingerprint +
+    * shingle-posting tables, all bucket-pruned. The feed carries
+    * PRE-IMAGES, so every change kind maintains incrementally (round 18 —
+    * previously only inserts did and anything else failed the batch):
+    * pre-image rows (deletes, update pre-images) leave via
+    * [[graft.ops.DedupIndex.takedown]] — the pre-image TEXT names the
+    * exact buckets holding the doc's rows — and post-image rows land via
+    * [[graft.ops.DedupIndex.append]]; a text update is exactly
+    * takedown(old) + append(new), so a stale fingerprint can never pass
+    * a future duplicate of text that left the corpus.
     *
-    * Delivery contract — simpler than the ANN maintainer's, by design:
-    * the corpus is APPEND-ONLY and [[graft.ops.DedupIndex.append]] is
-    * idempotent per doc, so at-least-once delivery is already effectively
-    * exactly-once; the applied-version marker riding each commit exists
-    * to SKIP duplicate work (and to locate the feed window), not for
-    * correctness. A delete or text UPDATE in the feed VIOLATES the
-    * append-only contract and fails the batch loudly — silently keeping
-    * the stale fingerprint would let a future duplicate of the old text
-    * through; re-[[graft.ops.DedupIndex.bootstrap]] over the corrected
-    * snapshot is the documented fix. Lagging past base retention (or the
-    * first delivery) self-heals the same way: full bootstrap from the
+    * Delivery contract: both halves are idempotent per doc, so
+    * at-least-once delivery is effectively exactly-once; the
+    * applied-version marker rides the APPEND half's commit (the second),
+    * so a crash between the halves redelivers the whole window — the
+    * re-run takedown is a no-op on state. Lagging past base retention
+    * (or the first delivery) self-heals with a full bootstrap from the
     * snapshot at the delivered version (`nBuckets` sizes that path). */
   def foreachBatchDedupIndexMaintain(
       versions: DataFrame,
@@ -568,7 +571,8 @@ object StreamingLoads {
           val applied = Storage.currentVersion(fp).flatMap { cv =>
             val f = fp.resolve(s"v$cv").resolve(Marker)
             if (java.nio.file.Files.exists(f))
-              Some(new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong)
+              scala.util.Try(new String(java.nio.file.Files.readAllBytes(f),
+                "UTF-8").trim.toLong).toOption // corrupt marker → rebuild
             else None
           }
           val marker = Map(Marker -> v.toString)
@@ -579,18 +583,22 @@ object StreamingLoads {
               n, nBuckets, marker, idCol, textCol)
           def feedStep(a: Long): Unit = {
             val cdf = Cdc.changeDataFeed(spark, base, a, v,
-              pk = Seq(idCol), compareCols = Seq(textCol))
+              pk = Seq(idCol), compareCols = Seq(textCol), preImages = true)
               .localCheckpoint()
-            val bad = cdf.filter(!col("change_type").isin("insert"))
-              .select(col("change_type")).distinct()
-              .collect().map(_.getString(0))
-            if (bad.nonEmpty) throw new IllegalStateException(
-              s"dedup index base $base produced ${bad.mkString(",")} rows in " +
-                s"($a,$v] — the corpus contract is APPEND-ONLY (stale " +
-                "fingerprints would pass future duplicates); rebuild via " +
-                "DedupIndex.bootstrap over the corrected snapshot")
+            // pre-images leave FIRST and carry no marker: a crash between
+            // the halves redelivers the window, and the re-run takedown
+            // is a state no-op; the append half (which also runs for a
+            // delete-only window, committing the marker via its empty
+            // path) is what advances the applied version
+            val removed = cdf
+              .filter(col("change_type").isin("delete", "update_preimage"))
+              .select(col(idCol), col(textCol))
+            if (!removed.isEmpty)
+              DedupIndex.takedown(spark, indexDir, removed, n,
+                Map.empty, idCol, textCol)
             DedupIndex.append(spark, indexDir,
-              cdf.select(col(idCol), col(textCol)), n, marker, idCol, textCol)
+              cdf.filter(col("change_type").isin("insert", "update_postimage"))
+                .select(col(idCol), col(textCol)), n, marker, idCol, textCol)
             ()
           }
           applied match {

@@ -80,7 +80,7 @@ class DedupIndexSpec extends SparkTestBase {
     } finally Storage.deleteRecursively(dir)
   }
 
-  test("streaming maintainer: bootstrap, append-only feed, duplicate no-op, loud on update") {
+  test("streaming maintainer: bootstrap, appends, update+delete windows, duplicate no-op") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
     import graft.ops.MergeOps
@@ -120,22 +120,32 @@ class DedupIndexSpec extends SparkTestBase {
           "duplicate delivery must not commit")
       } finally q.stop()
 
-      // a text UPDATE violates the append-only contract: loud, not stale
+      // a text UPDATE and a DELETE in one window maintain incrementally:
+      // pre-images leave via takedown (the OLD text names their buckets),
+      // post-images land via append — the index must equal a rebuild over
+      // the corrected corpus, with no stale fingerprint of the old text
       val v2 = load(
         docs.filter(col("doc_id") === 0)
           .withColumn("text", concat(col("text"), lit(" MUTATED"))),
         "2024-02-01 00:00:00")
+      val v3 = MergeOps.prunedDelete(base,
+        docs.filter(col("doc_id") === 7).select(col("doc_id")),
+        pk = Seq("doc_id"), nParts = 4, keepVersions = 8)
       val input2 = MemoryStream[Long]
       val q2 = graft.streaming.StreamingLoads.foreachBatchDedupIndexMaintain(
         input2.toDF().toDF("v"), base, idx,
         trigger = Trigger.ProcessingTime(0)).start()
       try {
-        input2.addData(v2)
-        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-          q2.processAllAvailable()
-        }
-        assert(e.getMessage.contains("APPEND-ONLY"),
-          s"update must fail the batch loudly, got: ${e.getMessage}")
+        input2.addData(v2, v3); q2.processAllAvailable()
+        DedupIndex.bootstrap(ref,
+          Storage.readPartitionedVersion(spark, base)
+            .select(col("doc_id"), col("text")), nBuckets = 16)
+        assert(fpRows(idx) == fpRows(ref) && shRows(idx) == shRows(ref),
+          "update+delete window must equal a rebuild over the corrected corpus")
+        val before2 = Storage.currentVersion(idx.resolve("fp"))
+        input2.addData(v3); q2.processAllAvailable() // duplicate delivery
+        assert(Storage.currentVersion(idx.resolve("fp")) == before2,
+          "duplicate delivery after an update window must not commit")
       } finally q2.stop()
     } finally Storage.deleteRecursively(root)
   }
