@@ -472,4 +472,79 @@ class MatViewStarSpec extends SparkTestBase {
     }
     Storage.deleteRecursively(root)
   }
+
+  test("mixed edges: one unknown-member DERIVED edge + one stored equi edge in a 3-side star") {
+    import spark.implicits._
+    import graft.ops.Facts
+    val root = Files.createTempDirectory("mvstar_mixed")
+    val (dimU, dimR, f, view) = (root.resolve("dim_u"), root.resolve("dim_r"),
+      root.resolve("fact"), root.resolve("view"))
+    MergeOps.prunedConditionalUpsert(dimU,
+      stamp(Seq((1L, "u1", "A"), (2L, "u2", "B"), (-1L, null.asInstanceOf[String], "UNK"))
+        .toDF("dim_id", "d_url", "seg")),
+      pk = Seq("dim_id"), tracked = Seq("d_url", "seg"),
+      runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 4, keepVersions = 8)
+    MergeOps.prunedConditionalUpsert(dimR,
+      stamp(Seq((10L, "emea"), (20L, "apac")).toDF("r_id", "r_name")),
+      pk = Seq("r_id"), tracked = Seq("r_name"),
+      runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 4, keepVersions = 8)
+    def loadFact(rows: Seq[(Long, String, Long, Long)]): Long =
+      MergeOps.prunedConditionalUpsert(f,
+        stamp(rows.toDF("f_id", "f_url", "f_rid", "v")), pk = Seq("f_id"),
+        tracked = Seq("f_url", "f_rid", "v"),
+        runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 4, keepVersions = 8)
+    loadFact((1L to 30L).map(i =>
+      (i, if (i % 5 == 0) null else s"u${i % 2 + 1}", if (i % 3 == 0) 10L else 20L, i)))
+    val fJk = "f_jk" -> Facts.unknownMemberKey(col("f_url"))
+    val dJk = "d_jk" -> Facts.unknownMemberDimKey(col("d_url"), col("dim_id"))
+    val starSides = Seq(
+      MatViews.StarSide(f, Seq("f_id"), derive = Seq(fJk)),
+      MatViews.StarSide(dimU, Seq("dim_id"), derive = Seq(dJk)),
+      MatViews.StarSide(dimR, Seq("r_id")))
+    val jks = Seq("f_jk" -> "d_jk", "f_rid" -> "r_id")
+    def maintainM(): MatViews.MaintainStarResult =
+      MatViews.maintainStar(spark, starSides, view, joinKeys = jks,
+        keys = Seq("seg", "r_name"), sums = Map("v" -> "sum_v"), keepVersions = 2)
+    def joined = Facts.joinWithUnknownMember(
+        Storage.readPartitionedVersion(spark, f),
+        Storage.readPartitionedVersion(spark, dimU),
+        factKey = "f_url", dimNaturalKey = "d_url", dimId = "dim_id")
+      .join(Storage.readPartitionedVersion(spark, dimR),
+        col("f_rid") === col("r_id"))
+    def truthM(): DataFrame = joined.groupBy("seg", "r_name")
+      .agg(count(lit(1)).as("count_rows"), sum("v").as("sum_v"))
+    def assertExactM(): Unit = {
+      val got = Storage.readVersion(spark, view)
+        .select("seg", "r_name", "count_rows", "sum_v")
+        .collect().map(_.toSeq.map(String.valueOf)).toSet
+      val want = truthM().collect().map(_.toSeq.map(String.valueOf)).toSet
+      assert(got == want, s"mixed-edge star diverged:\n got  $got\n want $want")
+    }
+    maintainM()
+    assertExactM()
+    // churn every edge class at once: a NULL transition on the derived
+    // edge, a stored-key re-point, a delete
+    loadFact(Seq((4L, null.asInstanceOf[String], 10L, 40L), (5L, "u1", 20L, 50L)))
+    MergeOps.prunedDelete(f, Seq(9L).toDF("f_id"), pk = Seq("f_id"), nParts = 4)
+    maintainM()
+    assertExactM()
+    Storage.compact(spark, dimU); Storage.compact(spark, dimR); Storage.compact(spark, f)
+    maintainM()
+    assertExactM()
+    // navigation: the mixed-edge query re-plans onto the view
+    MatViews.registerStarRewrite(spark, "star_m", Seq(f, dimU, dimR), view,
+      joinKeys = jks, keys = Seq("seg", "r_name"), sums = Map("v" -> "sum_v"),
+      derives = Seq(Seq(fJk), Seq(dJk), Seq()))
+    withRule {
+      val q = joined.groupBy("seg").agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
+      assert(scanPaths(q).exists(_.contains(view.toString)),
+        "a mixed derived+stored-edge star aggregate must navigate")
+      val got = q.orderBy("seg").collect().toSeq
+      MatView.clear()
+      val want = joined.groupBy("seg").agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
+        .orderBy("seg").collect().toSeq
+      assert(got == want, s"mixed-edge navigation diverged:\n got  $got\n want $want")
+    }
+    Storage.deleteRecursively(root)
+  }
 }
