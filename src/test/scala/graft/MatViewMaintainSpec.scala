@@ -349,4 +349,57 @@ class MatViewMaintainSpec extends SparkTestBase {
     assert(est == want, s"merged estimate $est != direct $want")
     Storage.deleteRecursively(root)
   }
+
+  test("FILTERED view with a STRING-keyed KMV partial: crossings and retractions stay exact") {
+    import graft.plans.KmvSketch
+    import spark.implicits._
+    val root = Files.createTempDirectory("mvm_kmv_where")
+    val base = root.resolve("base")
+    val view = root.resolve("view")
+    val K = 4
+    val pred = col("score") > 10
+    def rows(data: Seq[(Long, String, String, Long)]): DataFrame =
+      data.toDF("id", "grp", "name", "score")
+        .select(col("id"), col("grp"), col("name"), col("score"),
+          lit(null).cast("timestamp").as("loaded_at"),
+          lit(null).cast("timestamp").as("last_upd_at"))
+    def load(data: Seq[(Long, String, String, Long)]): Long =
+      MergeOps.prunedConditionalUpsert(base, rows(data), pk = Seq("id"),
+        tracked = Seq("grp", "name", "score"),
+        runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 4,
+        keepVersions = 8)
+    def maintainW(): MatViews.MaintainResult =
+      MatViews.maintain(spark, base, view, pk = Seq("id"), keys = Seq("grp"),
+        kmvs = Map("name" -> "kmv_names"), kmvK = K, keepVersions = 2,
+        filter = Some(pred))
+    // the view's sketch must be BIT-IDENTICAL to one built from the
+    // FILTERED base
+    def assertExactW(): Unit = {
+      val got = Storage.readVersion(spark, view)
+        .select(col("grp"), col("kmv_names"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val want = Storage.readPartitionedVersion(spark, base).filter(pred)
+        .groupBy("grp").agg(KmvSketch.partialCol(col("name"), K).as("kmv_names"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(got == want, s"filtered string sketch diverged:\n got  $got\n want $want")
+    }
+    val init = (1L to 40L).map(i =>
+      (i, s"g${i % 2}", s"user-$i", if (i % 4 == 0) 5L else 20L))
+    load(init)
+    maintainW()
+    assertExactW()
+    // crossings both ways: id 4 (below) rises into the slice, id 2
+    // (inside) drops out — its name's hash may sit inside the stored
+    // sketch, forcing the recompute path over the FILTERED base; plus a
+    // rename inside the slice (retract old hash, insert new)
+    load(Seq((4L, "g0", "user-4", 30L), (2L, "g0", "user-2", 3L),
+      (7L, "g1", "user-7b", 25L)))
+    maintainW()
+    assertExactW()
+    // delete an in-slice member outright
+    MergeOps.prunedDelete(base, Seq(3L).toDF("id"), pk = Seq("id"), nParts = 4)
+    maintainW()
+    assertExactW()
+    Storage.deleteRecursively(root)
+  }
 }
