@@ -307,4 +307,57 @@ class MatViewCatalogSpec extends SparkTestBase {
     }
     Storage.deleteRecursively(root)
   }
+
+  test("workspaceCommitWithViews coherence: a view whose base was NOT written this txn is maintained but not pinned") {
+    import spark.implicits._
+    import graft.ops.Workspace
+    val ws = Files.createTempDirectory("mv_wstx_coh")
+    def facts(rows: Seq[(Long, BigDecimal)], grpMod: Long = 3L): DataFrame =
+      rows.toDF("id", "x")
+        .select(col("id"), col("x").cast("decimal(38,6)").as("x"))
+        .withColumn("grp", concat(lit("g"), col("id") % grpMod))
+    for (t <- Seq("facts_a", "facts_b"))
+      MatViews.defineView(ws, MatViews.CatalogEntry(
+        name = s"${t}_by_grp", kind = "single",
+        view = ws.resolve(s"${t}_by_grp").toString,
+        keys = Seq("grp"), base = ws.resolve(t).toString,
+        pk = Seq("id"), sums = Map("x" -> "sum_x"), keepVersions = 8))
+    // txn 1 writes BOTH bases: both views pin
+    val (m0, _) = MatViews.workspaceCommitWithViews(spark, ws, ws,
+      writes = Map(
+        "facts_a" -> facts((1L to 20L).map(i => (i, BigDecimal(i)))),
+        "facts_b" -> facts((1L to 10L).map(i => (i, BigDecimal(i * 3))))),
+      keepVersions = 8)
+    assert(Workspace.snapshotAt(ws, m0).keySet ==
+      Set("facts_a", "facts_b", "facts_a_by_grp", "facts_b_by_grp"))
+    // txn 2 writes ONLY facts_a: facts_b's view still maintains (its
+    // base is unchanged, so its state is still correct) but its pin must
+    // come from the PREVIOUS manifest, never from this transaction —
+    // the coherence rule pins only views of bases written here
+    val (m1, maint1) = MatViews.workspaceCommitWithViews(spark, ws, ws,
+      writes = Map("facts_a" -> facts((1L to 25L).map(i => (i, BigDecimal(i * 2))))),
+      keepVersions = 8)
+    assert(maint1.exists(_.single.keySet ==
+      Set("facts_a_by_grp", "facts_b_by_grp")))
+    val pins0 = Workspace.snapshotAt(ws, m0)
+    val pins1 = Workspace.snapshotAt(ws, m1)
+    assert(pins1("facts_a_by_grp") > pins0("facts_a_by_grp"),
+      "the written base's view must re-pin at its new version")
+    assert(pins1("facts_b_by_grp") == pins0("facts_b_by_grp"),
+      "the unwritten base's view must carry its previous pin forward")
+    // both manifests still serve coherent pairs
+    def pairOk(m: Long, t: String): Unit = {
+      val pins = Workspace.snapshotAt(ws, m)
+      val got = Workspace.readPinned(spark, ws, s"${t}_by_grp", pins(s"${t}_by_grp"))
+        .select("grp", "count_rows", "sum_x")
+        .collect().map(_.toSeq.toIndexedSeq).toSet
+      val want = Workspace.readPinned(spark, ws, t, pins(t))
+        .groupBy("grp").agg(count(lit(1)).as("count_rows"), sum("x").as("sum_x"))
+        .collect().map(_.toSeq.toIndexedSeq).toSet
+      assert(got == want, s"manifest w$m pair for $t diverged")
+    }
+    pairOk(m0, "facts_a"); pairOk(m0, "facts_b")
+    pairOk(m1, "facts_a"); pairOk(m1, "facts_b")
+    Storage.deleteRecursively(ws)
+  }
 }
