@@ -363,6 +363,31 @@ class MatViewStarSpec extends SparkTestBase {
         .agg(count(lit(1)).as("cnt"))
       assert(!scanPaths(tighter).exists(_.contains(view.toString)),
         "a tighter measure range must fall back (residual is not key-only)")
+      // ROLLUP over the filtered star: predicate consumption composes
+      // with the Expand-preserving rollup path (SQL form — the DataFrame
+      // rollup() API false-positives Spark's self-join detector on a
+      // multi-join, same as the 3-way test)
+      MatViews.registerStarRewrite(spark, "star_w", Seq(f, a, b), view,
+        joinKeys = JoinKeys, keys = Seq("a_grp", "b_grp"),
+        sums = Map("f_val" -> "sum_val"), mins = Map("f_val" -> "min_val"),
+        where = Some(pred))
+      Storage.readPartitionedVersion(spark, a).createOrReplaceTempView("sw_a")
+      Storage.readPartitionedVersion(spark, b).createOrReplaceTempView("sw_b")
+      Storage.readPartitionedVersion(spark, f).createOrReplaceTempView("sw_f")
+      def ru() = spark.sql(
+        """SELECT a_grp, b_grp, count(1) AS cnt, sum(f_val) AS sv
+          |FROM sw_f JOIN sw_a ON f_aid = a_id
+          |          JOIN sw_b ON f_bid = b_id
+          |WHERE f_val > 40
+          |GROUP BY ROLLUP(a_grp, b_grp)""".stripMargin)
+      val qRu = ru()
+      assert(scanPaths(qRu).exists(_.contains(view.toString)),
+        "a rollup carrying the slice predicate must navigate the star view")
+      val gotRu = qRu.collect().map(_.toSeq.map(String.valueOf)).toSet
+      MatView.clear()
+      val wantRu = ru().collect().map(_.toSeq.map(String.valueOf)).toSet
+      assert(gotRu == wantRu,
+        s"filtered-star rollup diverged:\n got  $gotRu\n want $wantRu")
     }
     Storage.deleteRecursively(root)
   }
