@@ -205,10 +205,19 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",$split,"queries":$qs,"failed":$failedJson,"regressions":${regsJson(regs)},"retried":$retriedJson,"reps":3,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","load_warning":$busy,"calib_ms":${r3(calibMs)},"sf":"$sfDir"}"""
     }
     // Full per-query breakdown → file (the consumer of stdout keeps only the
-    // last ~2000 chars, which an 82-entry map overflows).
+    // last ~2000 chars, which an 82-entry map overflows). The default output
+    // is bench_out.json — a per-run scratch artifact — NOT bench_full.json:
+    // bench_full.json is the COMMITTED provenance baseline the regression
+    // detector above compares against, and three rounds running the driver's
+    // post-round bench (often on a contended host) clobbered it in the
+    // working tree. Refreshing the baseline is now an explicit act:
+    // SPARK_GRAFT_BASELINE=1 on a quiet host, then commit the file.
     val full = line(results, regressions)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (sys.env.get("SPARK_GRAFT_BASELINE").contains("1")) "bench_full.json"
+      else "bench_out.json")
     if (only.isEmpty) try {
-      val w = new java.io.PrintWriter("bench_full.json")
+      val w = new java.io.PrintWriter(outPath)
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
     // Final stdout line: slowest queries first, trimmed so the LINE stays
