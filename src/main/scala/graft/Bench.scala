@@ -188,7 +188,11 @@ object Bench {
         // one delta roll) is a sliver of its fixture replays
         n == "mv6_kmv_navigation" || n == "mv7b_implied_range_navigation" ||
         n == "mv7s_filtered_star_view" || n == "mv8_unknown_member_star" ||
-        n == "mv9_exact_distinct_measure"
+        n == "mv9_exact_distinct_measure" ||
+        // round 19: same class — two star views maintained through three
+        // churned sides / a distribution view through three loads; the
+        // navigated reads are sub-second slivers of the fixture replay
+        n == "mv10_star_distinct_navigation" || n == "mv11_percentile_navigation"
     val (harnessRows, coreRows) = results.partition { case (n, _) => isHarness(n) }
     def mean(rows: Seq[(String, Double)]): Double =
       if (rows.isEmpty) 0.0 else rows.map(_._2).sum / rows.size

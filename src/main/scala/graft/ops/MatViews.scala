@@ -532,7 +532,9 @@ object MatViews {
     * `joinKeys` pair equi-join columns by GLOBAL name (each name must
     * belong to exactly one side; the pair graph must connect all sides).
     * COUNT(*) / SUM / non-null COUNT partials are self-maintainable;
-    * MIN/MAX ride the retractable machinery: merged where provably exact,
+    * MIN/MAX — and `kmvs` sketch partials (the k-min hash arrays serving
+    * approx COUNT(DISTINCT) navigation, exactly as on the single-base
+    * path) — ride the retractable machinery: merged where provably exact,
     * recomputed for flagged groups by ONE re-join of the current
     * snapshots filtered to the flagged key set when driver-collectable
     * (≤ `maxCollectedGroups`), degrading past the budget to one full
@@ -567,13 +569,15 @@ object MatViews {
       maxs: Map[String, String] = Map.empty,
       keepVersions: Int = 1,
       maxCollectedGroups: Int = 10000,
-      filter: Option[Column] = None): MaintainStarResult = {
+      filter: Option[Column] = None,
+      kmvs: Map[String, String] = Map.empty,
+      kmvK: Int = 64): MaintainStarResult = {
     require(sides.size >= 2, "maintainStar needs at least two sides")
     require(joinKeys.nonEmpty, "joinKeys must be non-empty")
     val tos = sides.map(s => Storage.currentVersion(s.table).getOrElse(
       throw new IllegalStateException(s"no committed version at ${s.table}")))
-    val aggBase = (sums.keys ++ counts.keys ++ mins.keys ++ maxs.keys)
-      .toSeq.distinct
+    val aggBase = (sums.keys ++ counts.keys ++ mins.keys ++ maxs.keys ++
+      kmvs.keys).toSeq.distinct
     val jkNames = joinKeys.flatMap { case (a, b) => Seq(a, b) }.distinct
     // pinned schema resolution — same race discipline as readBaseAt's doc
     val sideReads = sides.zip(tos).map { case (s, v) =>
@@ -623,7 +627,9 @@ object MatViews {
       val aggs = sums.map { case (b, v) => sum(col(b)).as(v) } ++
         counts.map { case (b, v) => count(col(b)).as(v) } ++
         mins.map { case (b, v) => min(col(b)).as(v) } ++
-        maxs.map { case (b, v) => max(col(b)).as(v) }
+        maxs.map { case (b, v) => max(col(b)).as(v) } ++
+        kmvs.map { case (b, v) =>
+          graft.plans.KmvSketch.partialCol(col(b), kmvK).as(v) }
       flat.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("count_rows"), aggs.toSeq: _*)
     }
@@ -666,7 +672,12 @@ object MatViews {
           maxs.map { case (b, v) => v -> col(b) },
           changeType = when(col("__net") > 0, lit("insert"))
             .otherwise(lit("delete")),
-          weight = abs(col("__net")))
+          weight = abs(col("__net")),
+          // KMV ignores multiplicity (a sketch is over DISTINCT values):
+          // net > 0 proves the value exists after — its hash may enter the
+          // sketch; net < 0 proves copies left — conservative recompute
+          // flagging via the smallest retracted hash, same as single-base
+          kmvs = kmvs.map { case (b, v) => v -> (col(b), kmvK) })
         // flagged extremes recompute by ONE re-join of the CURRENT
         // snapshots, filtered to the flagged key set (the predicate
         // pushes below the joins into whichever side carries each key)
@@ -685,13 +696,16 @@ object MatViews {
               full.filter(pred)
             }
           val aggs = mins.map { case (b, v) => min(col(b)).as(v) } ++
-            maxs.map { case (b, v) => max(col(b)).as(v) }
+            maxs.map { case (b, v) => max(col(b)).as(v) } ++
+            kmvs.map { case (b, v) =>
+              graft.plans.KmvSketch.partialCol(col(b), kmvK).as(v) }
           scan.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail.toSeq: _*)
         }
         val (next, n) = mergeRetractable(
           Storage.readVersion(spark, view), deltaAgg, keys,
           (sums.values ++ counts.values).toSeq,
-          mins.values.toSeq, maxs.values.toSeq, recomputeJoin)
+          mins.values.toSeq, maxs.values.toSeq, recomputeJoin,
+          kmvCols = kmvs.values.map(v => v -> kmvK).toSeq)
         MaintainStarResult(tos, commit(next), n)
       case _ =>
         // first call, a marker from a different side list, a flat
@@ -734,7 +748,9 @@ object MatViews {
       maxs: Map[String, String] = Map.empty,
       counts: Map[String, String] = Map.empty,
       where: Option[Column] = None,
-      derives: Seq[Seq[(String, Column)]] = Seq.empty): Unit = {
+      derives: Seq[Seq[(String, Column)]] = Seq.empty,
+      kmvs: Map[String, String] = Map.empty,
+      kmvK: Int = 64): Unit = {
     require(derives.isEmpty || derives.size == tables.size,
       "derives must be empty or parallel to tables (one list per side)")
     val padded =
@@ -746,7 +762,7 @@ object MatViews {
       joinKeys = joinKeys,
       view = () => Storage.readVersion(spark, view),
       keys = keys, countCol = countCol, sums = sums, mins = mins,
-      maxs = maxs, counts = counts,
+      maxs = maxs, counts = counts, kmvs = kmvs, kmvK = kmvK,
       fresh = () => appliedVersions(view).exists(vs =>
         vs.size == tables.size && tables.zip(vs).forall { case (t, v) =>
           Storage.currentVersion(t).contains(v) }),
@@ -985,7 +1001,8 @@ object MatViews {
           keys = e.keys, sums = e.sums, mins = e.mins, maxs = e.maxs,
           counts = e.counts,
           where = if (e.where.isEmpty) None else Some(expr(e.where)),
-          derives = if (e.derives.isEmpty) Seq.empty else e.deriveCols)
+          derives = if (e.derives.isEmpty) Seq.empty else e.deriveCols,
+          kmvs = e.kmvs, kmvK = e.kmvK)
       case e =>
         registerJoinRewrite(spark, e.name, Path.of(e.left), Path.of(e.right),
           Path.of(e.view), joinKeys = e.joinKeysLeft.zip(e.joinKeysRight),
@@ -1032,7 +1049,8 @@ object MatViews {
         joinKeys = e.joinKeysLeft.zip(e.joinKeysRight),
         keys = e.keys, sums = e.sums, counts = e.counts, mins = e.mins,
         maxs = e.maxs, keepVersions = e.keepVersions,
-        filter = if (e.where.isEmpty) None else Some(expr(e.where)))
+        filter = if (e.where.isEmpty) None else Some(expr(e.where)),
+        kmvs = e.kmvs, kmvK = e.kmvK)
     }.toMap
     CatalogMaintenance(single, joins, stars)
   }

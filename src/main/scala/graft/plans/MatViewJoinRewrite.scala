@@ -63,12 +63,16 @@ object MatViewJoinRewrite extends Rule[LogicalPlan] {
     val defs = MatView.allStars
     if (defs.isEmpty || !conf.getConfString(EnabledKey, "true").toBoolean) plan
     else {
+      // the KMV approx-distinct gate is shared with the single-base rule:
+      // one session conf opts into estimate-for-exact on both shapes
+      val approx = conf.getConfString(
+        MatViewRewrite.ApproxDistinctKey, "false").toBoolean
       // one filesystem probe per registration SIDE per pass, not per
       // Aggregate (root thunks read version pointers/manifests)
       val rootsOf = MatViewSupport.memo((d: MatView.StarDef) => d.roots.map(_()))
       plan.transform {
         case agg @ Aggregate(_, _, _, _) =>
-          tryRewrite(agg, defs, rootsOf).getOrElse(agg)
+          tryRewrite(agg, defs, rootsOf, approx).getOrElse(agg)
       }
     }
   }
@@ -120,7 +124,8 @@ object MatViewJoinRewrite extends Rule[LogicalPlan] {
     }
 
   private def tryRewrite(agg: Aggregate, defs: Seq[MatView.StarDef],
-      rootsOf: MatView.StarDef => Seq[Set[String]]): Option[LogicalPlan] = {
+      rootsOf: MatView.StarDef => Seq[Set[String]],
+      approxDistinct: Boolean): Option[LogicalPlan] = {
     // ROLLUP/CUBE/GROUPING SETS over the join keeps its Expand mechanics;
     // a flat aggregate flattens its child directly
     val (expandOpt, source) = agg.child match {
@@ -226,7 +231,7 @@ object MatViewJoinRewrite extends Rule[LogicalPlan] {
                   d.partials, d.fresh, d.view)
               case None =>
                 MatViewSupport.rebuildOntoView(agg, kept, d.keys, d.partials,
-                  d.fresh, d.view)
+                  d.fresh, d.view, approxDistinct)
             }
           }
         }

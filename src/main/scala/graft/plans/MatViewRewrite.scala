@@ -131,10 +131,12 @@ object MatView {
       counts: Map[String, String] = Map.empty,
       fresh: () => Boolean = () => true,
       where: () => Seq[Expression] = () => Nil,
-      derives: Seq[Seq[(String, () => Expression)]] = Nil) {
+      derives: Seq[Seq[(String, () => Expression)]] = Nil,
+      kmvs: Map[String, String] = Map.empty,
+      kmvK: Int = 64) {
     require(roots.size >= 2, s"star view '$name' needs at least two sides")
     private[plans] def partials: MatViewSupport.Partials =
-      MatViewSupport.Partials(countCol, sums, mins, maxs, counts)
+      MatViewSupport.Partials(countCol, sums, mins, maxs, counts, kmvs, kmvK)
     /** Join edges as canonical key IDS: a stored column by name, a
       * DERIVED key ([[derives]], e.g. the unknown-member synthetic key)
       * by its normalized expression — what the query's condition
@@ -458,6 +460,10 @@ private[graft] object MatViewSupport {
           case hll: HyperLogLogPlusPlus => hll.references.map(_.name).toSeq
           case ks: graft.plans.KmvSketch =>
             ks.references.toSeq.flatMap(r => partials.kmvs.get(r.name).toSeq)
+          // exact percentile over a distribution view: the measure IS a
+          // view key; count_rows becomes the frequency (validated servable)
+          case pc: Percentile =>
+            pc.child.references.map(_.name).toSeq ++ partials.countCol.toSeq
           case fn => partialsFor(partials, fn).get
         }
     }.flatten
@@ -529,15 +535,38 @@ private[graft] object MatViewSupport {
     // does, so any deterministic distinct aggregate whose references are
     // all key columns — COUNT/SUM/AVG(DISTINCT …), multi-column,
     // expressions over keys — computes the identical value over the view
+    // (Percentile joins the family: DISTINCT dedups its input tuples, and
+    // the view's key rows are exactly that distinct set)
     def distinctOverKeys(ae: AggregateExpression): Boolean = {
       val refs = ae.aggregateFunction.references.toSeq
       refs.nonEmpty && refs.forall(r => keySet.contains(r.name)) &&
         ae.aggregateFunction.deterministic &&
         (ae.aggregateFunction match {
-          case _: Count | _: Sum | _: Average => true
+          case _: Count | _: Sum | _: Average | _: Percentile => true
           case _ => false
         })
     }
+    // EXACT median/percentile navigation over a DISTRIBUTION view — one
+    // keyed by (group keys…, measure): each view row is a distinct
+    // (group, value) pair and count_rows its multiplicity, so
+    // Percentile(measure, p) over the base re-expresses EXACTLY as
+    // Percentile(measure, p, frequency = count_rows) over the view
+    // (Spark's own frequency semantics: each value counted freq times —
+    // the identical expanded multiset, identical interpolation). Admits
+    // only the un-weighted query form (frequency = 1 literal): a query
+    // that already carries a frequency column has per-row weights the
+    // view cannot reproduce. Median and percentile_cont land here too —
+    // the optimizer's ReplaceExpressions lowers both to Percentile before
+    // this rule runs.
+    def percentileOverKey(pc: Percentile): Boolean =
+      (pc.child match {
+        case a: AttributeReference => keySet.contains(a.name)
+        case _ => false
+      }) && pc.percentageExpression.foldable &&
+        (pc.frequencyExpression match {
+          case l: Literal => l.value == 1L // numeric-equality across Int/Long
+          case _ => false
+        }) && partials.countCol.isDefined
     def servable(ae: AggregateExpression): Boolean =
       ae.filter.isEmpty && (
         if (ae.isDistinct) distinctOverKeys(ae) || (ae.aggregateFunction match {
@@ -560,6 +589,7 @@ private[graft] object MatViewSupport {
               partials.kmvs.contains(a.name) && ks.k == partials.kmvK
             case _ => false
           }
+          case pc: Percentile => percentileOverKey(pc)
           case fn => partialsFor(partials, fn).isDefined
         })
     def exprOk(e: Expression): Boolean = e match {
@@ -658,8 +688,8 @@ private[graft] object MatViewSupport {
         refs.nonEmpty && refs.forall(r => keySet.contains(r.name))
       }
       if (ae.isDistinct) ae.aggregateFunction match {
-        case fn @ (_: Count | _: Sum | _: Average) if allKeyRefs(fn) &&
-            fn.deterministic =>
+        case fn @ (_: Count | _: Sum | _: Average | _: Percentile)
+            if allKeyRefs(fn) && fn.deterministic =>
           // identical distinct value set over the view → the SAME distinct
           // aggregate, key attrs remapped (exact for any input type — no
           // re-aggregation happens, so even decimal AVG is admissible)
@@ -680,6 +710,16 @@ private[graft] object MatViewSupport {
           }).asInstanceOf[AggregateFunction], distinct = false))
         case ks: graft.plans.KmvSketch => ks.child match {
           case a: AttributeReference => kmvOver(a.name, ks.k)
+          case _ => None
+        }
+        case pc: Percentile if percentileOverKey(pc) => pc.child match {
+          case a: AttributeReference =>
+            // same value type (the measure IS the view key column), same
+            // percentage expression → identical result type; frequency
+            // becomes the maintained per-value multiplicity
+            partials.countCol.map(vAttr).map(freq => complete(
+              Percentile(vAttr(a.name), pc.percentageExpression, freq,
+                0, 0, pc.reverse), distinct = false))
           case _ => None
         }
         case fn => reAgg(fn)

@@ -2275,6 +2275,239 @@ object CoreQueries {
              |FROM f JOIN d ON f.url = d.url OR (f.url IS NULL AND d.dim_id = -1)
              |GROUP BY c_mktsegment""".stripMargin)),
 
+    // DISTINCT-COUNT navigation over a STAR — "distinct customers per
+    // nation" over fact⋈dim⋈dim, the standard dashboard distinct panel,
+    // served BOTH ways with no base scanned. (a) EXACT: an auxiliary
+    // DISTINCT star view keyed (n_name, c_custkey) — its rows ARE the
+    // join's distinct pairs, count_rows making deletes exact — serves
+    // COUNT(DISTINCT c_custkey) through the key-exact distinct family
+    // (and COUNT(*) from the same view's count_rows). (b) SKETCH: a
+    // per-nation KMV partial (`kmvs` now rides StarDef + maintainStar —
+    // the r18 composition gap) serves the explicit KmvSketch estimate;
+    // union of k-min sets trimmed to k is the k-min set of the union, so
+    // the navigated estimate is bit-identical and the oracle reproduces
+    // hash + estimator in SQL. The truth interval re-points customers
+    // between nations and deletes facts — retracted hashes sit inside
+    // stored sketches, so the row REQUIREs recomputedGroups > 0 on the
+    // sketch view's roll, and REQUIREs both aggregates navigated. At
+    // 100 TB: two shuffle joins + a distinct shuffle become reads of
+    // |nations| + |distinct pairs| maintained rows.
+    Q("mv10_star_distinct_navigation",
+      (s, d) => {
+        import graft.plans.{KmvSketch, MatView, MatViewJoinRewrite}
+        import graft.ops.{MatViews, MergeOps, Storage}
+        val dir = java.nio.file.Files.createTempDirectory("mv10")
+        val nat = dir.resolve("dim_nation")
+        val cust = dir.resolve("dim_customer")
+        val ord = dir.resolve("fct_orders")
+        val viewK = dir.resolve("view_kmv")
+        val viewD = dir.resolve("view_distinct")
+        try {
+          val nTrue = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+          val cTrue = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+          // %3 fact slice — the mv3/mv5 fixture-cost rationale
+          val oTrue = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+            .filter(col("o_orderkey") % 3 === 0)
+          def stamp(df: DataFrame) = df
+            .withColumn("loaded_at", lit(null).cast("timestamp"))
+            .withColumn("last_upd_at", lit(null).cast("timestamp"))
+          def loadNat(df: DataFrame, ts: String) =
+            MergeOps.prunedConditionalUpsert(nat, stamp(df),
+              pk = Seq("n_nationkey"), tracked = Seq("n_name"),
+              runTs = lit(ts).cast("timestamp"), nParts = 4, keepVersions = 4)
+          def loadCust(df: DataFrame, ts: String) =
+            MergeOps.prunedConditionalUpsert(cust, stamp(df),
+              pk = Seq("c_custkey"), tracked = Seq("c_nationkey"),
+              runTs = lit(ts).cast("timestamp"), nParts = 4, keepVersions = 4)
+          def loadOrd(df: DataFrame, ts: String) =
+            MergeOps.prunedConditionalUpsert(ord, stamp(df),
+              pk = Seq("o_orderkey"), tracked = Seq("o_custkey"),
+              runTs = lit(ts).cast("timestamp"), nParts = 4, keepVersions = 4)
+          val sides = Seq(MatViews.StarSide(ord, Seq("o_orderkey")),
+            MatViews.StarSide(cust, Seq("c_custkey")),
+            MatViews.StarSide(nat, Seq("n_nationkey")))
+          val jks = Seq("o_custkey" -> "c_custkey", "c_nationkey" -> "n_nationkey")
+          def maintainK() = MatViews.maintainStar(s, sides, viewK,
+            joinKeys = jks, keys = Seq("n_name"),
+            kmvs = Map("c_custkey" -> "kmv_cust"), kmvK = 64, keepVersions = 2)
+          def maintainD() = MatViews.maintainStar(s, sides, viewD,
+            joinKeys = jks, keys = Seq("n_name", "c_custkey"), keepVersions = 2)
+          // churned bootstrap: customers mis-bucketed between nations,
+          // facts halved
+          loadNat(nTrue, CutoffTs)
+          loadCust(cTrue.withColumn("c_nationkey",
+            when(col("c_custkey") % 10 === 0,
+              ((col("c_nationkey") + 1) % 25).cast("int"))
+              .otherwise(col("c_nationkey"))), CutoffTs)
+          loadOrd(oTrue.filter(col("o_orderkey") % 2 === 0), CutoffTs)
+          maintainK(); maintainD()
+          // truth: each re-pointed customer RETRACTS its hash from the old
+          // nation's sketch; the fact takedown retracts last copies too
+          loadCust(cTrue, RunTs)
+          loadOrd(oTrue, RunTs)
+          MergeOps.prunedDelete(ord,
+            oTrue.select(col("o_orderkey")).filter(col("o_orderkey") % 13 === 0),
+            pk = Seq("o_orderkey"), nParts = 4, keepVersions = 4)
+          val rolledK = maintainK()
+          require(rolledK.recomputedGroups > 0,
+            "the churn must force the star sketch-retraction recompute path")
+          maintainD()
+          Storage.compact(s, nat)
+          Storage.compact(s, cust)
+          Storage.compact(s, ord)
+          maintainK(); maintainD() // markers advance through empty feeds
+          MatViews.registerStarRewrite(s, "mv10d", Seq(ord, cust, nat), viewD,
+            joinKeys = jks, keys = Seq("n_name", "c_custkey"))
+          MatViews.registerStarRewrite(s, "mv10k", Seq(ord, cust, nat), viewK,
+            joinKeys = jks, keys = Seq("n_name"),
+            kmvs = Map("c_custkey" -> "kmv_cust"), kmvK = 64)
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ MatViewJoinRewrite
+          try {
+            def joined = Storage.readPartitionedVersion(s, ord)
+              .join(Storage.readPartitionedVersion(s, cust),
+                col("o_custkey") === col("c_custkey"))
+              .join(Storage.readPartitionedVersion(s, nat),
+                col("c_nationkey") === col("n_nationkey"))
+            // each Aggregate picks ITS view: the exact panel fails the
+            // sketch view (c_custkey is no key there; approx is conf-off)
+            // and lands on the distinct view, the estimate the reverse
+            val exact = joined.groupBy(col("n_name"))
+              .agg(count(lit(1)).as("cnt"),
+                countDistinct(col("c_custkey")).as("n_cust"))
+            val est = joined.groupBy(col("n_name"))
+              .agg(KmvSketch.distinctEstimate(col("c_custkey"), 64).as("est_cust"))
+            val q = exact.join(est, Seq("n_name"))
+            val scans = q.queryExecution.optimizedPlan.collect {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                lr.relation match {
+                  case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                    fs.location.rootPaths.map(_.toString)
+                  case _ => Nil
+                }
+            }.flatten
+            require(scans.exists(_.contains(viewD.toString)) &&
+                scans.exists(_.contains(viewK.toString)) &&
+                !scans.exists(p => p.contains(nat.toString) ||
+                  p.contains(cust.toString) || p.contains(ord.toString)),
+              s"star distinct panel was not navigated onto both views: $scans")
+            q.localCheckpoint()
+          } finally {
+            s.experimental.extraOptimizations =
+              s.experimental.extraOptimizations.filterNot(_ eq MatViewJoinRewrite)
+            MatView.drop("mv10d")
+            MatView.drop("mv10k")
+          }
+        } finally Storage.deleteRecursively(dir)
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey FROM orders
+             |    WHERE o_orderkey % 3 = 0 AND o_orderkey % 13 <> 0),
+             |j AS (SELECT n_name, c_custkey
+             |    FROM o JOIN customer ON o_custkey = c_custkey
+             |           JOIN nation ON c_nationkey = n_nationkey),
+             |c AS (SELECT n_name, count(*) AS cnt,
+             |    count(DISTINCT c_custkey) AS n_cust
+             |  FROM j GROUP BY 1),
+             |h AS (SELECT DISTINCT n_name,
+             |    (CAST(c_custkey AS BIGINT) % 2147483647 * 1103515245 + 12345)
+             |      % 2147483647 AS hv
+             |  FROM j),
+             |r AS (SELECT n_name, hv,
+             |    row_number() OVER (PARTITION BY n_name ORDER BY hv) AS rn,
+             |    COUNT(*) OVER (PARTITION BY n_name) AS n
+             |  FROM h),
+             |est AS (SELECT n_name,
+             |    CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+             |         ELSE 63.0 / (CAST(hv AS DOUBLE) / 2147483647.0) END AS est_cust
+             |  FROM r WHERE rn = (CASE WHEN n < 64 THEN n ELSE 64 END))
+             |SELECT n_name, cnt, n_cust, est_cust
+             |FROM c JOIN est USING (n_name)""".stripMargin)),
+
+    // EXACT median/percentile navigation: the auxiliary DISTRIBUTION view
+    // keyed (event_type, value) — mv9's machinery, whose count_rows IS the
+    // per-value multiplicity — serves median(x) and percentile(x, p) as
+    // Percentile(value, p, frequency = count_rows) over |distinct values|
+    // rows. Spark's frequency semantics expand the identical multiset, so
+    // the interpolated result is bit-identical to the base scan (and to
+    // DuckDB's quantile_cont — exact-repr verified at sf0.001/sf0.01).
+    // median() and percentile_cont() lower to Percentile before the rule
+    // runs, so all three surfaces navigate; a query already carrying a
+    // frequency column falls back. Churned loads shift values across
+    // refreshes (the median itself moves) and delete rows (count_rows
+    // decrements keep retractions exact, rows at zero disappear). The row
+    // REQUIREs the navigated plan. At 100 TB: a median panel reads the
+    // distribution view — no re-sort of the base, ever.
+    Q("mv11_percentile_navigation",
+      (s, d) => {
+        import graft.plans.{MatView, MatViewRewrite}
+        import graft.ops.{MatViews, MergeOps, Storage}
+        val dir = java.nio.file.Files.createTempDirectory("mv11")
+        val table = dir.resolve("base")
+        val view = dir.resolve("view")
+        try {
+          val ev = Tables.events(s, d).select(col("event_id"),
+            col("event_type"), col("value"))
+          def load(df: DataFrame, ts: String) =
+            MergeOps.prunedConditionalUpsert(table,
+              df.select(col("event_id"), col("event_type"), col("value"),
+                lit(null).cast("timestamp").as("loaded_at"),
+                lit(null).cast("timestamp").as("last_upd_at")),
+              pk = Seq("event_id"), tracked = Seq("event_type", "value"),
+              runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+          def maintain() = MatViews.maintain(s, table, view,
+            pk = Seq("event_id"), keys = Seq("event_type", "value"),
+            keepVersions = 2)
+          // churned bootstrap: %7 missing, %11 values shifted +300 — the
+          // truth load pulls those back DOWN through the median
+          load(ev.filter(col("event_id") % 7 =!= 0)
+            .withColumn("value",
+              when(col("event_id") % 11 === 0, col("value") + 300.0)
+                .otherwise(col("value"))), CutoffTs)
+          maintain()
+          load(ev, RunTs)
+          MergeOps.prunedDelete(table,
+            ev.select(col("event_id")).filter(col("event_id") % 13 === 0),
+            pk = Seq("event_id"), nParts = 8, keepVersions = 4)
+          maintain() // every group's distribution (and median) moves
+          Storage.compact(s, table)
+          maintain()
+          MatViews.registerRewrite(s, "mv11", table, view,
+            keys = Seq("event_type", "value"))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ MatViewRewrite
+          try {
+            val q = Storage.readPartitionedVersion(s, table)
+              .groupBy(col("event_type"))
+              .agg(count(lit(1)).as("cnt"),
+                median(col("value")).as("med"),
+                percentile(col("value"), lit(0.25)).as("p25"),
+                percentile(col("value"), lit(0.75)).as("p75"))
+            val scans = q.queryExecution.optimizedPlan.collect {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                lr.relation match {
+                  case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                    fs.location.rootPaths.map(_.toString)
+                  case _ => Nil
+                }
+            }.flatten
+            require(scans.exists(_.contains(view.toString)) &&
+                !scans.exists(_.contains(table.toString)),
+              s"median/percentile was not navigated onto the distribution view: $scans")
+            q.localCheckpoint()
+          } finally {
+            s.experimental.extraOptimizations =
+              s.experimental.extraOptimizations.filterNot(_ eq MatViewRewrite)
+            MatView.drop("mv11")
+          }
+        } finally Storage.deleteRecursively(dir)
+      },
+      Some("""WITH e AS (SELECT event_type, value FROM events
+             |    WHERE event_id % 13 <> 0)
+             |SELECT event_type, count(*) AS cnt, median(value) AS med,
+             |       quantile_cont(value, 0.25) AS p25,
+             |       quantile_cont(value, 0.75) AS p75
+             |FROM e GROUP BY event_type""".stripMargin)),
+
     // ATOMIC workspace+view publish: a transaction's base tables AND its
     // maintained views land in ONE manifest (MatViews.workspaceCommitWith
     // Views — member commits through the table CAS logs, every cataloged

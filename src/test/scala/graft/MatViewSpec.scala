@@ -733,4 +733,78 @@ class MatViewSpec extends SparkTestBase {
     }
     Storage.deleteRecursively(root)
   }
+
+  test("median/percentile navigate a distribution view exactly; weighted, measure, and rollup forms fall back") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mv_pct")
+    val base = root.resolve("base")
+    val view = root.resolve("view")
+    // x repeats within groups (the frequency column matters); y is a
+    // measure the view does NOT key
+    val rows = (1 to 101).map(i =>
+      (s"k${i % 3}", (i % 13).toDouble * 1.5, i.toDouble)).toDF("k1", "x", "y")
+    Storage.commitVersion(rows, base)
+    // the DISTRIBUTION view: keyed (k1, x), count_rows = per-value multiplicity
+    Storage.commitVersion(
+      Storage.readVersion(spark, base).groupBy("k1", "x")
+        .agg(count(lit(1)).as("count_rows")),
+      view)
+    val vdir = base.resolve(s"v${Storage.currentVersion(base).get}")
+    def register(): Unit = MatView.register(MatView.Def(
+      name = "dist_t", baseRoots = () => Set(MatView.root(vdir)),
+      view = () => Storage.readVersion(spark, view),
+      keys = Seq("k1", "x"), countCol = Some("count_rows")))
+    register()
+    withRule {
+      // median / percentile / a percentile ARRAY all rewrite to
+      // Percentile(x, p, count_rows) over the view — bit-identical
+      def shape(df: DataFrame) = df.groupBy("k1").agg(
+        median(col("x")).as("med"),
+        percentile(col("x"), lit(0.75)).as("p75"),
+        percentile(col("x"), array(lit(0.25), lit(0.9))).as("ps"),
+        count(lit(1)).as("cnt"))
+      val q = shape(Storage.readVersion(spark, base))
+      assert(scanPaths(q).exists(_.contains(view.toString)) &&
+        !scanPaths(q).exists(_.contains(base.toString)),
+        "median/percentile over the distribution view's key must navigate")
+      val got = q.orderBy("k1").collect().toSeq
+      MatView.clear()
+      val want = shape(Storage.readVersion(spark, base)).orderBy("k1").collect().toSeq
+      assert(got.toString == want.toString,
+        s"navigated percentile diverged:\n got  $got\n want $want")
+      register()
+      // DISTINCT percentile: the view's rows ARE the distinct (k1, x)
+      // pairs, so the same distinct aggregate re-runs over the view
+      def dshape(df: DataFrame) = df.groupBy("k1")
+        .agg(expr("percentile(DISTINCT x, 0.5)").as("dm"))
+      val dq = dshape(Storage.readVersion(spark, base))
+      assert(scanPaths(dq).exists(_.contains(view.toString)),
+        "DISTINCT percentile over a key must navigate")
+      val gotD = dq.orderBy("k1").collect().toSeq
+      MatView.clear()
+      val wantD = dshape(Storage.readVersion(spark, base)).orderBy("k1").collect().toSeq
+      assert(gotD.toString == wantD.toString,
+        s"distinct percentile diverged:\n got  $gotD\n want $wantD")
+      register()
+      // a query already carrying a real FREQUENCY (weight 2 per row) has
+      // per-row weights the view cannot reproduce — falls back
+      val wq = Storage.readVersion(spark, base).groupBy("k1")
+        .agg(expr("percentile(x, 0.5, 2)").as("m"))
+      assert(!scanPaths(wq).exists(_.contains(view.toString)),
+        "a weighted percentile must fall back")
+      // a percentile over a MEASURE (y is not a view key) falls back —
+      // the view does not carry y's distribution
+      val mq = Storage.readVersion(spark, base).groupBy("k1")
+        .agg(expr("percentile(y, 0.5)").as("m"))
+      assert(!scanPaths(mq).exists(_.contains(view.toString)),
+        "a percentile over a non-key measure must fall back")
+      // under ROLLUP the key columns ride Expand as nulled placeholders —
+      // a percentile over them is a different relation: falls back
+      val rq = Storage.readVersion(spark, base).rollup("k1")
+        .agg(expr("percentile(x, 0.5)").as("m"))
+      assert(!scanPaths(rq).exists(_.contains(view.toString)),
+        "a rollup percentile must fall back")
+    }
+    Storage.deleteRecursively(root)
+  }
 }

@@ -572,4 +572,128 @@ class MatViewStarSpec extends SparkTestBase {
     }
     Storage.deleteRecursively(root)
   }
+
+  test("star KMV + aux-distinct views serve the distinct panel; measure distinct stays conf-gated") {
+    import graft.plans.KmvSketch
+    val root = Files.createTempDirectory("mvstar_dist")
+    val (a, b, f) = (root.resolve("dim_a"), root.resolve("dim_b"),
+      root.resolve("fact"))
+    val viewK = root.resolve("view_kmv")
+    val viewD = root.resolve("view_dist")
+    loadA(a, (1L to 8L).map(i => (i, s"a${i % 3}")))
+    loadB(b, (1L to 6L).map(i => (i, s"b${i % 2}")))
+    loadF(f, (1L to 80L).map(i => (i, i % 8 + 1, i % 6 + 1, BigDecimal(i))))
+    def maintainK() = MatViews.maintainStar(spark, sides(a, b, f), viewK,
+      joinKeys = JoinKeys, keys = Seq("a_grp"),
+      kmvs = Map("f_bid" -> "kmv_b"), kmvK = 8, keepVersions = 2)
+    def maintainD() = MatViews.maintainStar(spark, sides(a, b, f), viewD,
+      joinKeys = JoinKeys, keys = Seq("a_grp", "f_bid"), keepVersions = 2)
+    maintainK(); maintainD()
+    // re-point every f_bid = 6 fact to 1: the 6-hash RETRACTS from each
+    // touched group's sketch — inside the stored k-min array (k = 8,
+    // unsaturated), so the conservative flag must force the re-join
+    // recompute; the aux-distinct view's (grp, 6) rows cancel to zero
+    loadF(f, (1L to 80L).filter(i => i % 6 + 1 == 6)
+      .map(i => (i, i % 8 + 1, 1L, BigDecimal(i))))
+    val rolled = maintainK()
+    assert(rolled.recomputedGroups > 0,
+      "a retraction inside stored sketches must flag the recompute path")
+    maintainD()
+    def register(): Unit = {
+      MatViews.registerStarRewrite(spark, "sd", Seq(f, a, b), viewD,
+        joinKeys = JoinKeys, keys = Seq("a_grp", "f_bid"))
+      MatViews.registerStarRewrite(spark, "sk", Seq(f, a, b), viewK,
+        joinKeys = JoinKeys, keys = Seq("a_grp"),
+        kmvs = Map("f_bid" -> "kmv_b"), kmvK = 8)
+    }
+    register()
+    withRule {
+      def joined = Storage.readPartitionedVersion(spark, f)
+        .join(Storage.readPartitionedVersion(spark, a), col("f_aid") === col("a_id"))
+        .join(Storage.readPartitionedVersion(spark, b), col("f_bid") === col("b_id"))
+      // the sketch estimate navigates onto the KMV view (k must match)
+      def eShape(j: DataFrame) = j.groupBy("a_grp")
+        .agg(KmvSketch.distinctEstimate(col("f_bid"), 8).as("e"))
+      val qe = eShape(joined)
+      val pe = scanPaths(qe)
+      assert(pe.exists(_.contains(viewK.toString)) &&
+        !pe.exists(s => s.contains(f.toString) || s.contains(a.toString) ||
+          s.contains(b.toString)), s"sketch estimate must navigate: $pe")
+      val gotE = qe.orderBy("a_grp").collect().toSeq
+      // exact COUNT(DISTINCT) + COUNT(*) navigate onto the aux-distinct view
+      def dShape(j: DataFrame) = j.groupBy("a_grp")
+        .agg(countDistinct("f_bid").as("db"), count(lit(1)).as("cnt"))
+      val qd = dShape(joined)
+      assert(scanPaths(qd).exists(_.contains(viewD.toString)),
+        "exact distinct must navigate onto the aux-distinct star view")
+      val gotD = qd.orderBy("a_grp").collect().toSeq
+      MatView.clear()
+      val wantE = eShape(joined).orderBy("a_grp").collect().toSeq
+      val wantD = dShape(joined).orderBy("a_grp").collect().toSeq
+      assert(gotE == wantE, s"star sketch diverged:\n got  $gotE\n want $wantE")
+      assert(gotD == wantD, s"star distinct diverged:\n got  $gotD\n want $wantD")
+      // without the aux view, COUNT(DISTINCT measure) must NOT use the
+      // sketch by default (estimate-for-exact is an explicit opt-in)...
+      MatViews.registerStarRewrite(spark, "sk", Seq(f, a, b), viewK,
+        joinKeys = JoinKeys, keys = Seq("a_grp"),
+        kmvs = Map("f_bid" -> "kmv_b"), kmvK = 8)
+      val qGated = dShape(joined)
+      assert(!scanPaths(qGated).exists(_.contains(viewK.toString)),
+        "COUNT(DISTINCT) must not use the star sketch without the opt-in")
+      // ...and under the conf it serves the rounded estimate
+      spark.conf.set(graft.plans.MatViewRewrite.ApproxDistinctKey, "true")
+      try {
+        val qa = joined.groupBy("a_grp").agg(countDistinct("f_bid").as("db"))
+        assert(scanPaths(qa).exists(_.contains(viewK.toString)),
+          "opted-in COUNT(DISTINCT) must navigate onto the star sketch")
+        val gotA = qa.orderBy("a_grp").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        val wantA = wantE.map(r => (r.getString(0), math.round(r.getDouble(1))))
+        assert(gotA == wantA,
+          s"opt-in star approx distinct diverged:\n got  $gotA\n want $wantA")
+      } finally spark.conf.unset(graft.plans.MatViewRewrite.ApproxDistinctKey)
+    }
+    Storage.deleteRecursively(root)
+  }
+
+  test("a LEFT OUTER join aggregate never navigates onto an inner-join star view") {
+    // generic outer-join star views are deliberately unsupported — the
+    // unknown-member DERIVED key (mv8 / the reference's own fact design)
+    // is the supported idiom for keep-the-unmatched-facts semantics (see
+    // ARCHITECTURE.md). What must hold is the guard: an outer-join
+    // aggregate is a DIFFERENT relation, so it falls back to the base
+    // scan — never a silently-wrong read of the inner-join view.
+    val root = Files.createTempDirectory("mvstar_left")
+    val (a, b, f, view) = (root.resolve("dim_a"), root.resolve("dim_b"),
+      root.resolve("fact"), root.resolve("view"))
+    loadA(a, (1L to 8L).map(i => (i, s"a${i % 3}")))
+    loadB(b, (1L to 6L).map(i => (i, s"b${i % 2}")))
+    // f_aid = 9 matches no dim member: the left join KEEPS those facts,
+    // the inner-join view does not
+    loadF(f, (1L to 80L).map(i => (i, i % 10 + 1, i % 6 + 1, BigDecimal(i))))
+    maintain(a, b, f, view)
+    MatViews.registerStarRewrite(spark, "star_l", Seq(f, a, b), view,
+      joinKeys = JoinKeys, keys = Seq("a_grp", "b_grp"),
+      sums = Map("f_val" -> "sum_val"), counts = Map("f_val" -> "cnt_val"),
+      mins = Map("f_val" -> "min_val"), maxs = Map("f_val" -> "max_val"))
+    withRule {
+      def fDf() = Storage.readPartitionedVersion(spark, f)
+      def aDf() = Storage.readPartitionedVersion(spark, a)
+      def bDf() = Storage.readPartitionedVersion(spark, b)
+      def shape(kind: String) = fDf()
+        .join(aDf(), col("f_aid") === col("a_id"), kind)
+        .join(bDf(), col("f_bid") === col("b_id"), kind)
+        .groupBy("a_grp").agg(count(lit(1)).as("cnt"), sum("f_val").as("s"))
+      val q = shape("left")
+      assert(!scanPaths(q).exists(_.contains(view.toString)),
+        "a LEFT JOIN aggregate must fall back to the base scan")
+      val got = q.orderBy("a_grp").collect().toSeq
+      MatView.clear()
+      val want = shape("left").orderBy("a_grp").collect().toSeq
+      assert(got == want, "the fallback must compute the outer-join answer")
+      assert(got.exists(_.isNullAt(0)),
+        "the fixture must actually exercise unmatched facts (null a_grp)")
+    }
+    Storage.deleteRecursively(root)
+  }
 }
