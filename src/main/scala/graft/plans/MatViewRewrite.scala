@@ -333,14 +333,74 @@ private[graft] object MatViewSupport {
     case ">=" => cmp >= 0
     case "<" => cmp < 0
     case "<=" => cmp <= 0
+    case "=" => cmp == 0
     case _ => false
   }
 
+  /** An equality-DISJUNCTION shape over one column, as its member-value
+    * set: `x = 1`, `x IN (…)`, its optimizer `InSet` form, and raw
+    * `x = 1 OR x = 2` trees (any nesting) all normalize here. Literal
+    * types must agree across members (the analyzer promotes both sides of
+    * genuinely comparable conjuncts identically); null members refuse —
+    * sound, not complete. */
+  private final case class Members(col: String, dt: DataType, values: Set[Any])
+  private def membersOf(e: Expression): Option[Members] = e match {
+    case EqualTo(a: AttributeReference, l: Literal) if l.value != null =>
+      Some(Members(a.name, l.dataType, Set(l.value)))
+    case EqualTo(l: Literal, a: AttributeReference) if l.value != null =>
+      Some(Members(a.name, l.dataType, Set(l.value)))
+    case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall {
+        case l: Literal => l.value != null
+        case _ => false
+      } =>
+      val ls = vs.map(_.asInstanceOf[Literal])
+      if (ls.map(_.dataType).distinct.sizeIs == 1)
+        Some(Members(a.name, ls.head.dataType, ls.map(_.value).toSet))
+      else None
+    case is: InSet => is.child match {
+      case a: AttributeReference if is.hset.nonEmpty && !is.hset.contains(null) =>
+        Some(Members(a.name, a.dataType, is.hset.toSet))
+      case _ => None
+    }
+    case Or(l, r) =>
+      for {
+        ml <- membersOf(l); mr <- membersOf(r)
+        if ml.col == mr.col && ml.dt == mr.dt
+      } yield Members(ml.col, ml.dt, ml.values ++ mr.values)
+    case _ => None
+  }
+
+  /** The least string strictly greater than EVERY string with prefix `p`
+    * under UTF8 binary comparison (Spark's string ordering): increment
+    * p's last non-0xFF byte and truncate. `{s : s startsWith p}` is then
+    * exactly the half-open range [p, nextPrefix(p)). All-0xFF prefixes
+    * have no upper bound → None (only lower-bound implications hold). The
+    * result may not be valid UTF-8 — it is only ever an ORDERING probe,
+    * never materialized into a plan. */
+  private def nextPrefix(p: org.apache.spark.unsafe.types.UTF8String)
+      : Option[org.apache.spark.unsafe.types.UTF8String] = {
+    val bytes = p.getBytes.clone()
+    var i = bytes.length - 1
+    while (i >= 0 && bytes(i) == -1) i -= 1 // 0xFF as a signed byte
+    if (i < 0) None
+    else {
+      bytes(i) = (bytes(i) + 1).toByte
+      Some(org.apache.spark.unsafe.types.UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(bytes, 0, i + 1)))
+    }
+  }
+
   /** Does query conjunct `q` IMPLY view conjunct `r`? — single-column
-    * range analysis over `column <cmp> literal` shapes: `x > 300` implies
-    * `x > 50`, `x >= 6` implies `x > 5`, `x = 7` implies `x >= 7`, and
-    * `x IN (7, 8)` / its optimizer InSet form imply `x > 5` when every
-    * member does. Literals must share the column's exact type (the
+    * analysis over four shape families, any of which may appear on either
+    * side: ranges (`column <cmp> literal`: `x > 300` implies `x > 50`,
+    * `x >= 6` implies `x > 5`, `x = 7` implies `x >= 7`), equality
+    * disjunctions (`=`, IN, InSet, and raw `x = 1 OR x = 2` trees — every
+    * member must imply a range `r`; member-SUBSET implies a disjunction
+    * `r`), LIKE prefixes (`StartsWith` — a longer prefix implies a
+    * shorter one; as a query conjunct against a range `r` it is the
+    * half-open string range [p, nextPrefix(p)) under the same UTF8-binary
+    * ordering), and the inferred IsNotNull guards every null-rejecting
+    * shape implies. Literals must share the column's exact type (the
     * analyzer promoted both sides through the same rules, so they do
     * whenever the conjuncts are genuinely comparable) and be orderable
     * atomics — the interpreted ordering then matches SQL comparison
@@ -360,10 +420,36 @@ private[graft] object MatViewSupport {
         case a: AttributeReference => a.name == ra.name
         case _ => false
       }
-      case _ => cmpOf(q).exists(_._1 == ra.name)
+      case StartsWith(a: AttributeReference, l: Literal) =>
+        a.name == ra.name && l.value != null
+      case _ => cmpOf(q).exists(_._1 == ra.name) ||
+        membersOf(q).exists(_.col == ra.name)
     }
-    case _ => impliesCmp(q, r)
+    // a PREFIX-sliced view (`url LIKE 'https://en.%'` — the optimizer
+    // lowers both sides to StartsWith): implied by a longer prefix, an
+    // equality with the prefix, or an equality-disjunction whose every
+    // member carries it
+    case StartsWith(ra: AttributeReference, rl: Literal) if rl.value != null =>
+      val rp = rl.value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      q match {
+        case StartsWith(a: AttributeReference, l: Literal) =>
+          a.name == ra.name && l.value != null &&
+            l.value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+              .startsWith(rp)
+        case _ => membersOf(q).exists(m => m.col == ra.name &&
+          m.dt == org.apache.spark.sql.types.StringType &&
+          m.values.forall(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+            .startsWith(rp)))
+      }
+    case _ => impliesCmp(q, r) || impliesSubset(q, r)
   }
+
+  // a view sliced by an equality-disjunction (IN / InSet / OR-of-=):
+  // implied by any equality-disjunction query whose members are a subset
+  private def impliesSubset(q: Expression, r: Expression): Boolean =
+    (for { mr <- membersOf(r); mq <- membersOf(q) }
+      yield mq.col == mr.col && mq.dt == mr.dt &&
+        mq.values.subsetOf(mr.values)).getOrElse(false)
 
   private def impliesCmp(q: Expression, r: Expression): Boolean = cmpOf(r) match {
     case Some((rc, ro, rl)) if rl.value != null &&
@@ -371,33 +457,38 @@ private[graft] object MatViewSupport {
       lazy val ord = org.apache.spark.sql.catalyst.util.TypeUtils
         .getInterpretedOrdering(rl.dataType)
       q match {
-        case In(a: AttributeReference, vs) if a.name == rc && vs.nonEmpty &&
-            vs.forall {
-              case l: Literal => l.value != null && l.dataType == rl.dataType
-              case _ => false
-            } =>
-          vs.forall { case l: Literal =>
-            eqImplies(ord.compare(l.value, rl.value), ro) }
-        case is: InSet => is.child match {
-          case a: AttributeReference if a.name == rc &&
-              a.dataType == rl.dataType && is.hset.nonEmpty =>
-            is.hset.forall(v =>
-              v != null && eqImplies(ord.compare(v, rl.value), ro))
-          case _ => false
-        }
-        case _ => cmpOf(q) match {
-          case Some((qc, qo, ql)) if qc == rc && ql.value != null &&
-              ql.dataType == rl.dataType =>
-            val cmp = ord.compare(ql.value, rl.value)
-            (qo, ro) match {
-              case (">", ">") | (">", ">=") | (">=", ">=") => cmp >= 0
-              case (">=", ">") => cmp > 0
-              case ("=", _) => eqImplies(cmp, ro)
-              case ("<", "<") | ("<", "<=") | ("<=", "<=") => cmp <= 0
-              case ("<=", "<") => cmp < 0
-              case _ => false
-            }
-          case _ => false
+        // LIKE-prefix query conjunct: {s startsWith p} = [p, nextPrefix(p))
+        // under the same UTF8-binary ordering string comparison uses
+        case StartsWith(a: AttributeReference, l: Literal)
+            if a.name == rc && l.value != null &&
+              rl.dataType == org.apache.spark.sql.types.StringType =>
+          val p = l.value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          ro match {
+            case ">" => ord.compare(p, rl.value) > 0
+            case ">=" => ord.compare(p, rl.value) >= 0
+            // every s < nextPrefix(p) ≤ bound ⇒ s < bound (⇒ s ≤ bound)
+            case "<" | "<=" =>
+              nextPrefix(p).exists(np => ord.compare(np, rl.value) <= 0)
+            case _ => false
+          }
+        case _ => membersOf(q) match {
+          // =, IN, InSet, and raw OR-of-equalities: every member implies
+          case Some(m) if m.col == rc && m.dt == rl.dataType =>
+            m.values.forall(v => eqImplies(ord.compare(v, rl.value), ro))
+          case _ => cmpOf(q) match {
+            case Some((qc, qo, ql)) if qc == rc && ql.value != null &&
+                ql.dataType == rl.dataType =>
+              val cmp = ord.compare(ql.value, rl.value)
+              (qo, ro) match {
+                case (">", ">") | (">", ">=") | (">=", ">=") => cmp >= 0
+                case (">=", ">") => cmp > 0
+                case ("=", _) => eqImplies(cmp, ro)
+                case ("<", "<") | ("<", "<=") | ("<=", "<=") => cmp <= 0
+                case ("<=", "<") => cmp < 0
+                case _ => false
+              }
+            case _ => false
+          }
         }
       }
     case _ => false

@@ -1919,7 +1919,7 @@ object CoreQueries {
               .select(col("o_orderpriority"), col("cnt"),
                 col("sr").cast("double").as("sum_rev"),
                 col("mx").cast("double").as("max_rev"))
-            val scans = q.queryExecution.optimizedPlan.collect {
+            def scansOf(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
               case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
                 lr.relation match {
                   case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
@@ -1927,9 +1927,22 @@ object CoreQueries {
                   case _ => Nil
                 }
             }.flatten
+            val scans = scansOf(q)
             require(scans.exists(_.contains(view.toString)) &&
                 !scans.exists(_.contains(table.toString)),
               s"implied tighter range was not navigated onto the view: $scans")
+            // an OR-of-dates inside the slice navigates too (raw Or trees
+            // normalize to the equality-disjunction implication; the full
+            // navigate/fallback matrix is spec'd in MatViewSpec)
+            val qOr = Storage.readPartitionedVersion(s, table)
+              .filter(col("o_orderdate") === lit("1998-03-01").cast("date") ||
+                col("o_orderdate") === lit("1998-06-01").cast("date"))
+              .groupBy(col("o_orderpriority"))
+              .agg(sum(col("o_totalprice")).as("sr"))
+            val scansOr = scansOf(qOr)
+            require(scansOr.exists(_.contains(view.toString)) &&
+                !scansOr.exists(_.contains(table.toString)),
+              s"OR-of-equalities inside the slice was not navigated: $scansOr")
             q.localCheckpoint()
           } finally {
             s.experimental.extraOptimizations =

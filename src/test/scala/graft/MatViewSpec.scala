@@ -734,6 +734,113 @@ class MatViewSpec extends SparkTestBase {
     Storage.deleteRecursively(root)
   }
 
+  test("OR-of-equalities, IN-subset, and LIKE-prefix implication navigate filtered views; looser shapes fall back") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mv_impl2")
+    val base = root.resolve("base")
+    val rows = (1 to 400).map { i =>
+      val url = if (i % 3 == 0) s"en.wiki/p$i" else if (i % 3 == 1) s"en.news/p$i"
+        else s"de.wiki/p$i"
+      (s"k${i % 3}", (i % 11).toLong, url, i.toLong)
+    }.toDF("k1", "k2", "url", "x")
+    Storage.commitVersion(rows, base)
+    val vdir = base.resolve(s"v${Storage.currentVersion(base).get}")
+    def whereConjunctsOf(c: org.apache.spark.sql.Column)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+      def split(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          split(l) ++ split(r)
+        case x => Seq(x)
+      }
+      Storage.readVersion(spark, base).filter(c)
+        .queryExecution.optimizedPlan.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            split(f.condition)
+        }.get
+    }
+    // three partial views: a LIKE-prefix slice, a string lower-bound
+    // range, and an IN-list slice — all keyed (k1, k2, url)
+    def mkView(name: String, c: org.apache.spark.sql.Column): java.nio.file.Path = {
+      val v = root.resolve(name)
+      Storage.commitVersion(
+        Storage.readVersion(spark, base).filter(c).groupBy("k1", "k2", "url")
+          .agg(count(lit(1)).as("count_rows"), sum("x").as("sum_x")), v)
+      val conj = whereConjunctsOf(c)
+      MatView.register(MatView.Def(
+        name = name, baseRoots = () => Set(MatView.root(vdir)),
+        view = () => Storage.readVersion(spark, v),
+        keys = Seq("k1", "k2", "url"), countCol = Some("count_rows"),
+        sums = Map("x" -> "sum_x"), where = () => conj))
+      v
+    }
+    val prefixView = mkView("v_prefix", col("url").like("en.%"))
+    withRule {
+      def agg(df: DataFrame) = df.groupBy("k1")
+        .agg(count(lit(1)).as("cnt"), sum("x").as("s"))
+      def navigated(q: DataFrame, v: java.nio.file.Path): Boolean =
+        scanPaths(q).exists(_.contains(v.toString))
+      // a LONGER prefix implies the view's slice; the residual re-applies
+      // over the view's url key
+      def qLong() = agg(Storage.readVersion(spark, base)
+        .filter(col("url").like("en.wiki%")))
+      assert(navigated(qLong(), prefixView),
+        "a tighter LIKE prefix must navigate onto the prefix-sliced view")
+      val got = qLong().orderBy("k1").collect().toSeq
+      MatView.clear()
+      val want = qLong().orderBy("k1").collect().toSeq
+      assert(got == want, s"prefix navigation diverged:\n got  $got\n want $want")
+      mkView("v_prefix", col("url").like("en.%"))
+      // an equality carrying the prefix implies it too
+      assert(navigated(agg(Storage.readVersion(spark, base)
+        .filter(col("url") === "en.wiki/p3")), prefixView),
+        "an equality inside the prefix must navigate")
+      // a SHORTER (looser) prefix must fall back — the view lacks rows
+      assert(!navigated(agg(Storage.readVersion(spark, base)
+        .filter(col("url").like("en%"))), prefixView),
+        "a looser LIKE prefix must fall back")
+      MatView.clear()
+      // a LIKE prefix against a string RANGE slice: [p, nextPrefix(p))
+      val rangeView = mkView("v_range", col("url") >= "en." && col("url") < "en/")
+      def qPref() = agg(Storage.readVersion(spark, base)
+        .filter(col("url").like("en.w%")))
+      assert(navigated(qPref(), rangeView),
+        "a LIKE prefix inside the string range must navigate")
+      val gotR = qPref().orderBy("k1").collect().toSeq
+      MatView.clear()
+      val wantR = qPref().orderBy("k1").collect().toSeq
+      assert(gotR == wantR, s"prefix-vs-range diverged:\n got  $gotR\n want $wantR")
+      // OR-of-equalities and IN-subset against an IN-sliced view
+      val inView = mkView("v_in", col("k2").isin(2L, 3L, 5L, 7L))
+      def qOr() = agg(Storage.readVersion(spark, base)
+        .filter(col("k2") === 3L || col("k2") === 5L))
+      assert(navigated(qOr(), inView),
+        "an OR-of-equalities subset must navigate onto the IN-sliced view")
+      val gotO = qOr().orderBy("k1").collect().toSeq
+      MatView.clear()
+      val wantO = qOr().orderBy("k1").collect().toSeq
+      assert(gotO == wantO, s"or-of-eq navigation diverged:\n got  $gotO\n want $wantO")
+      val inView2 = mkView("v_in", col("k2").isin(2L, 3L, 5L, 7L))
+      assert(navigated(agg(Storage.readVersion(spark, base)
+        .filter(col("k2").isin(5L, 7L))), inView2),
+        "an IN-list subset must navigate")
+      // a member OUTSIDE the slice (4 ∉ {2,3,5,7}) must fall back
+      assert(!navigated(agg(Storage.readVersion(spark, base)
+        .filter(col("k2") === 3L || col("k2") === 4L)), inView2),
+        "an OR with a member outside the slice must fall back")
+      MatView.clear()
+      // OR-of-equalities against a plain numeric RANGE slice
+      val numView = mkView("v_num", col("k2") > 1L)
+      assert(navigated(agg(Storage.readVersion(spark, base)
+        .filter(col("k2") === 3L || col("k2") === 5L)), numView),
+        "an OR-of-equalities inside the range must navigate")
+      assert(!navigated(agg(Storage.readVersion(spark, base)
+        .filter(col("k2") === 1L || col("k2") === 5L)), numView),
+        "an OR straddling the range boundary must fall back")
+    }
+    Storage.deleteRecursively(root)
+  }
+
   test("median/percentile navigate a distribution view exactly; weighted, measure, and rollup forms fall back") {
     import spark.implicits._
     val root = Files.createTempDirectory("mv_pct")
