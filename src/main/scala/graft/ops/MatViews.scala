@@ -1140,6 +1140,19 @@ object MatViews {
     (m, maint)
   }
 
+  /** Navigation observability ([[graft.plans.MatViewExplain]]): which
+    * registered view served each Aggregate of `df` — and, per fallen-back
+    * Aggregate, each registration's first failing guard (root mismatch,
+    * unmatched WHERE slice, stale markers, join-edge mismatch, unservable
+    * shape), produced by the SAME probe code path the rewrite rules run.
+    * Use [[explainNavigationString]] for the rendered block. */
+  def explainNavigation(df: DataFrame): Seq[graft.plans.MatViewExplain.AggReport] =
+    graft.plans.MatViewExplain.explain(df)
+
+  /** [[explainNavigation]], rendered. */
+  def explainNavigationString(df: DataFrame): String =
+    graft.plans.MatViewExplain.explainString(df)
+
   /** One scan, grouped once, answering min/max for (at least) the flagged
     * keys: stats-range-pruned + exact-key-filtered when the flagged key
     * set fits the driver, else the full base (a per-column `isin` over a

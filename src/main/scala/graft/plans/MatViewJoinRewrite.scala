@@ -123,9 +123,28 @@ object MatViewJoinRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def tryRewrite(agg: Aggregate, defs: Seq[MatView.StarDef],
-      rootsOf: MatView.StarDef => Seq[Set[String]],
-      approxDistinct: Boolean): Option[LogicalPlan] = {
+  /** The def-independent part of the star match: flatten, validate the
+    * condition/ambiguity guards, and package what every per-def probe
+    * needs. Left = why this aggregate can never match ANY star view
+    * (shared by [[MatViewExplain]] as the human-readable reason). */
+  private[plans] final case class StarShape(
+      expand: Option[Expand],
+      filters: Seq[Expression],
+      pairIds: Set[Set[MatViewSupport.JoinKeyId]],
+      subst: Map[ExprId, Expression],
+      leafRoots: Seq[Seq[String]],
+      namesPerLeaf: Seq[Set[String]]) {
+    private[plans] def unambiguous(n: String): Boolean =
+      namesPerLeaf.count(_.contains(n)) == 1
+    private[plans] def idOf(e: Expression): MatViewSupport.JoinKeyId = e match {
+      case a: AttributeReference if !subst.contains(a.exprId) => scala.Left(a.name)
+      case other => scala.Right(MatViewSupport.normalizeDerived(other.transform {
+        case a: AttributeReference if subst.contains(a.exprId) => subst(a.exprId)
+      }))
+    }
+  }
+
+  private[plans] def starShapeOf(agg: Aggregate): Either[String, StarShape] = {
     // ROLLUP/CUBE/GROUPING SETS over the join keeps its Expand mechanics;
     // a flat aggregate flattens its child directly
     val (expandOpt, source) = agg.child match {
@@ -134,24 +153,24 @@ object MatViewJoinRewrite extends Rule[LogicalPlan] {
     }
     val (filters, leaves, condConjuncts, subst) = flatten(source) match {
       case Some(x) => x
-      case None => return None
+      case None => return scala.Left("the plan under the aggregate is not a " +
+        "tree of INNER equi-joins over file scans (an outer join, a " +
+        "non-equi condition, or another operator in between)")
     }
-    if (leaves.size < 2) return None
+    if (leaves.size < 2)
+      return scala.Left("a single-table aggregate — probe single-base views instead")
     // canonical identity of any expression over the leaves: a plain
     // column by bare name, anything touching a computed alias by its
     // substituted, normalized expression (see StarDef.pairIdSet)
-    def idOf(e: Expression): MatViewSupport.JoinKeyId = e match {
-      case a: AttributeReference if !subst.contains(a.exprId) => scala.Left(a.name)
-      case other => scala.Right(MatViewSupport.normalizeDerived(other.transform {
-        case a: AttributeReference if subst.contains(a.exprId) => subst(a.exprId)
-      }))
-    }
+    val shape0 = StarShape(expandOpt, filters, Set.empty, subst,
+      leaves.map(MatViewSupport.scanRoots), leaves.map(_.output.map(_.name).toSet))
     // every condition conjunct must be an equality of two DISTINCT keys —
     // each a leaf column or a derived (computed-alias) key
     val pairIds: Set[Set[MatViewSupport.JoinKeyId]] = condConjuncts.map {
       case EqualTo(a: AttributeReference, b: AttributeReference)
-          if idOf(a) != idOf(b) => Set(idOf(a), idOf(b))
-      case _ => return None
+          if shape0.idOf(a) != shape0.idOf(b) => Set(shape0.idOf(a), shape0.idOf(b))
+      case _ => return scala.Left("a join conjunct is not a plain equality of " +
+        "two distinct (stored or derived) keys")
     }.toSet
     // ambiguity guard: the view binds columns by bare name, so every name
     // the rewrite will bind — grouping columns, aggregate children,
@@ -162,82 +181,108 @@ object MatViewJoinRewrite extends Rule[LogicalPlan] {
     // bind the wrong side, so it falls back instead. Grouping/aggregate/
     // Expand references must also be REAL leaf columns — an aggregate
     // over a computed alias has no view counterpart and falls back.
-    val namesPerLeaf = leaves.map(_.output.map(_.name).toSet)
-    def unambiguous(n: String): Boolean = namesPerLeaf.count(_.contains(n)) == 1
-    // grouping/aggregate/Expand-slot references must not be computed
-    // aliases (no view counterpart) and must not AMBIGUOUSLY name a leaf
-    // column; Expand OUTPUT attrs (rollup key slots, spark_grouping_id)
-    // legitimately belong to no leaf and pass through
+    // Expand OUTPUT attrs (rollup key slots, spark_grouping_id)
+    // legitimately belong to no leaf and pass through.
     val shapeAttrs: Seq[AttributeReference] =
       (agg.aggregateExpressions ++ agg.groupingExpressions)
         .flatMap(_.references.collect { case a: AttributeReference => a }) ++
         expandOpt.toSeq.flatMap(_.projections.flatten.collect {
           case a: AttributeReference => a })
     if (shapeAttrs.exists(a => subst.contains(a.exprId) ||
-        namesPerLeaf.count(_.contains(a.name)) > 1)) return None
+        shape0.namesPerLeaf.count(_.contains(a.name)) > 1))
+      return scala.Left("a grouping/aggregate column is a computed alias or an " +
+        "ambiguous name — the view binds columns by bare name")
     val condRefNames: Set[String] = condConjuncts.flatMap(_.references.flatMap {
       case a: AttributeReference if subst.contains(a.exprId) =>
         subst(a.exprId).references.map(_.name).toSeq
       case a => Seq(a.name)
     }).toSet
-    if (!condRefNames.forall(unambiguous)) return None
-    val leafRoots = leaves.map(MatViewSupport.scanRoots)
-    if (leafRoots.exists(_.isEmpty)) return None
-
-    defs.view.flatMap { d =>
-      matchSides(leafRoots, rootsOf(d)).flatMap { _ =>
-        val keyIds = d.pairIdSet
-        if (pairIds != keyIds) None
-        else {
-          // split every filter into conjuncts first (the optimizer folds
-          // inferred guards into one AND); IsNotNull on a join key —
-          // stored column or derived expression (the optimizer infers
-          // them from the equi-join and pushes them through the computed
-          // Projects) — is implied by the inner joins and dropped; then a
-          // FILTERED star view's required conjuncts are consumed/implied
-          // exactly as on the single-base path. Every remaining conjunct
-          // must reference only real, unambiguous leaf columns and
-          // survive rebuildOntoView's key-only check.
-          val flatKeyIds = keyIds.flatten
-          // a derived key's inferred null-guard reaches the plan pushed
-          // through the computed Project and simplified (IF/CASE with
-          // folded literal branches) — recognize it structurally
-          val derivedGuards: Set[Expression] = flatKeyIds.collect {
-            case scala.Right(e) =>
-              MatViewSupport.normalizeDerived(MatViewSupport.nullGuardOf(e))
-          }
-          def canonOf(e: Expression): Expression =
-            MatViewSupport.normalizeDerived(e.transform {
-              case a: AttributeReference if subst.contains(a.exprId) =>
-                subst(a.exprId)
-            })
-          val pooled = filters
-            .flatMap(conjuncts)
-            .filterNot { c =>
-              (c match {
-                case IsNotNull(x) => flatKeyIds.contains(idOf(x))
-                case _ => false
-              }) || derivedGuards.contains(canonOf(c))
-            }
-          if (pooled.exists(_.references.exists {
-              case a: AttributeReference =>
-                subst.contains(a.exprId) || !unambiguous(a.name)
-              case _ => true
-            })) None
-          else MatViewSupport.consumeWhere(pooled, d.where()).flatMap { kept =>
-            expandOpt match {
-              case Some(expand) =>
-                MatViewSupport.rebuildRollupOntoView(agg, expand, kept, d.keys,
-                  d.partials, d.fresh, d.view)
-              case None =>
-                MatViewSupport.rebuildOntoView(agg, kept, d.keys, d.partials,
-                  d.fresh, d.view, approxDistinct)
-            }
-          }
-        }
-      }
-    }.headOption
+    if (!condRefNames.forall(shape0.unambiguous))
+      return scala.Left("a join-key name is ambiguous across the joined tables")
+    if (shape0.leafRoots.exists(_.isEmpty))
+      return scala.Left("a join leaf is not a file source")
+    scala.Right(shape0.copy(pairIds = pairIds))
   }
+
+  /** Probe ONE star registration against a shaped aggregate. Right = the
+    * rewritten plan; Left = a LAZY reason ([[MatViewExplain]] forces it,
+    * the hot rewrite path never does). */
+  private[plans] def probeStar(agg: Aggregate, sh: StarShape,
+      d: MatView.StarDef, sideRoots: Seq[Set[String]],
+      approxDistinct: Boolean): Either[() => String, LogicalPlan] = {
+    if (matchSides(sh.leafRoots, sideRoots).isEmpty)
+      return scala.Left(() => "side mismatch: the joined tables do not match " +
+        "the registration's sides one-to-one by scan roots")
+    val keyIds = d.pairIdSet
+    if (sh.pairIds != keyIds)
+      return scala.Left(() => "join-edge mismatch: the query's equi-join pairs " +
+        "differ from the registered joinKeys (a missing/extra conjunct " +
+        "is a different relation)")
+    // split every filter into conjuncts first (the optimizer folds
+    // inferred guards into one AND); IsNotNull on a join key —
+    // stored column or derived expression (the optimizer infers
+    // them from the equi-join and pushes them through the computed
+    // Projects) — is implied by the inner joins and dropped; then a
+    // FILTERED star view's required conjuncts are consumed/implied
+    // exactly as on the single-base path. Every remaining conjunct
+    // must reference only real, unambiguous leaf columns and
+    // survive rebuildOntoView's key-only check.
+    val flatKeyIds = keyIds.flatten
+    // a derived key's inferred null-guard reaches the plan pushed
+    // through the computed Project and simplified (IF/CASE with
+    // folded literal branches) — recognize it structurally
+    val derivedGuards: Set[Expression] = flatKeyIds.collect {
+      case scala.Right(e) =>
+        MatViewSupport.normalizeDerived(MatViewSupport.nullGuardOf(e))
+    }
+    def canonOf(e: Expression): Expression =
+      MatViewSupport.normalizeDerived(e.transform {
+        case a: AttributeReference if sh.subst.contains(a.exprId) =>
+          sh.subst(a.exprId)
+      })
+    val pooled = sh.filters
+      .flatMap(conjuncts)
+      .filterNot { c =>
+        (c match {
+          case IsNotNull(x) => flatKeyIds.contains(sh.idOf(x))
+          case _ => false
+        }) || derivedGuards.contains(canonOf(c))
+      }
+    if (pooled.exists(_.references.exists {
+        case a: AttributeReference =>
+          sh.subst.contains(a.exprId) || !sh.unambiguous(a.name)
+        case _ => true
+      }))
+      return scala.Left(() => "a filter references a computed alias or an " +
+        "ambiguous column name")
+    MatViewSupport.consumeWhere(pooled, d.where()) match {
+      case None => scala.Left(() => "the view's WHERE slice is not carried or " +
+        "implied by the query's filter conjuncts")
+      case Some(kept) =>
+        val rebuilt = sh.expand match {
+          case Some(expand) =>
+            MatViewSupport.rebuildRollupOntoView(agg, expand, kept, d.keys,
+              d.partials, d.fresh, d.view)
+          case None =>
+            MatViewSupport.rebuildOntoView(agg, kept, d.keys, d.partials,
+              d.fresh, d.view, approxDistinct)
+        }
+        rebuilt.toRight(() =>
+          if (!scala.util.Try(d.fresh()).getOrElse(false))
+            "stale: the view's applied-version markers lag a side's " +
+              "committed version — re-run maintenance"
+          else "shape: a grouping column, filter, or aggregate is not " +
+            "servable from the view's keys/partials")
+    }
+  }
+
+  private def tryRewrite(agg: Aggregate, defs: Seq[MatView.StarDef],
+      rootsOf: MatView.StarDef => Seq[Set[String]],
+      approxDistinct: Boolean): Option[LogicalPlan] =
+    starShapeOf(agg).toOption.flatMap { sh =>
+      defs.view.flatMap(d =>
+        probeStar(agg, sh, d, rootsOf(d), approxDistinct).toOption).headOption
+    }
 
   /** A perfect one-to-one matching of query leaves onto registration
     * sides by root-set equality — order-free, so every join orientation

@@ -1049,38 +1049,67 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** The def-independent part of the match — peel the Aggregate's child
+    * (rollup Expand kept aside) down to one file scan. Left = why this
+    * aggregate can never match ANY single-base view (shared by
+    * [[MatViewExplain]] as the human-readable reason). */
+  private[plans] def shapeOf(agg: Aggregate): Either[String,
+      (Option[org.apache.spark.sql.catalyst.plans.logical.Expand],
+        Seq[Expression], Seq[String])] = {
+    val (expandOpt, src) = agg.child match {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand =>
+        (Some(e), e.child)
+      case other => (None, other)
+    }
+    MatViewSupport.strip(src, Nil) match {
+      case None => scala.Left("no single file scan under the aggregate " +
+        "(a join, renaming projection, or other operator in between)")
+      case Some((filters, rel)) =>
+        val roots = MatViewSupport.scanRoots(rel)
+        if (roots.isEmpty) scala.Left("the scanned relation is not a file source")
+        else scala.Right((expandOpt, filters, roots))
+    }
+  }
+
+  /** Probe ONE registration against a shaped aggregate. Right = the
+    * rewritten plan; Left = a LAZY reason (the hot rewrite path never
+    * forces it — [[MatViewExplain]] does, paying the freshness probe only
+    * when a human asked). Guard order preserved from the original rule:
+    * roots (pure) → where (pure) → rebuild (shape checks first, freshness
+    * IO only after the shape matched). */
+  private[plans] def probeDef(agg: Aggregate,
+      expandOpt: Option[org.apache.spark.sql.catalyst.plans.logical.Expand],
+      filters: Seq[Expression], roots: Seq[String], d: MatView.Def,
+      expected: Set[String],
+      approxDistinct: Boolean): Either[() => String, LogicalPlan] = {
+    if (!MatViewSupport.covers(roots, expected))
+      scala.Left(() => "scan-root mismatch: the query reads a different (or " +
+        "pruned/partial) relation than the registered base")
+    else MatViewSupport.consumeWhere(filters, d.where()) match {
+      case None => scala.Left(() => "the view's WHERE slice is not carried or " +
+        "implied by the query's filter conjuncts")
+      case Some(kept) =>
+        val rebuilt = expandOpt match {
+          case Some(e) => MatViewSupport.rebuildRollupOntoView(agg, e, kept,
+            d.keys, d.partials, d.fresh, d.view)
+          case None => MatViewSupport.rebuildOntoView(agg, kept, d.keys,
+            d.partials, d.fresh, d.view, approxDistinct)
+        }
+        rebuilt.toRight(() =>
+          if (!scala.util.Try(d.fresh()).getOrElse(false))
+            "stale: the view's applied-version marker lags the base's " +
+              "committed version — re-run maintenance"
+          else "shape: a grouping column, filter, or aggregate is not " +
+            "servable from the view's keys/partials")
+    }
+  }
+
   private def tryRewrite(agg: Aggregate, defs: Seq[MatView.Def],
       rootsOf: MatView.Def => Set[String],
       approxDistinct: Boolean): Option[LogicalPlan] =
-    agg.child match {
-      case expand: org.apache.spark.sql.catalyst.plans.logical.Expand =>
-        // ROLLUP / CUBE / GROUPING SETS shape
-        val (filters, rel) = MatViewSupport.strip(expand.child, Nil) match {
-          case Some(x) => x
-          case None => return None
-        }
-        val roots = MatViewSupport.scanRoots(rel)
-        if (roots.isEmpty) return None
-        defs.view.flatMap { d =>
-          if (!MatViewSupport.covers(roots, rootsOf(d))) None
-          else MatViewSupport.consumeWhere(filters, d.where()).flatMap { kept =>
-            MatViewSupport.rebuildRollupOntoView(agg, expand, kept,
-              d.keys, d.partials, d.fresh, d.view)
-          }
-        }.headOption
-      case _ =>
-        val (filters, rel) = MatViewSupport.strip(agg.child, Nil) match {
-          case Some(x) => x
-          case None => return None
-        }
-        val roots = MatViewSupport.scanRoots(rel)
-        if (roots.isEmpty) return None
-        defs.view.flatMap { d =>
-          if (!MatViewSupport.covers(roots, rootsOf(d))) None
-          else MatViewSupport.consumeWhere(filters, d.where()).flatMap { kept =>
-            MatViewSupport.rebuildOntoView(agg, kept, d.keys, d.partials,
-              d.fresh, d.view, approxDistinct)
-          }
-        }.headOption
+    shapeOf(agg).toOption.flatMap { case (expandOpt, filters, roots) =>
+      defs.view.flatMap(d =>
+        probeDef(agg, expandOpt, filters, roots, d, rootsOf(d),
+          approxDistinct).toOption).headOption
     }
 }

@@ -841,6 +841,62 @@ class MatViewSpec extends SparkTestBase {
     Storage.deleteRecursively(root)
   }
 
+  test("explainNavigation names the serving view and each fallback's first failing guard") {
+    import graft.ops.MatViews
+    import spark.implicits._
+    val root = Files.createTempDirectory("mv_explain")
+    val base = root.resolve("base")
+    val view = root.resolve("view")
+    val rows = (1 to 100).map(i => (s"k${i % 3}", (i % 7).toLong, i.toLong))
+      .toDF("k1", "k2", "x")
+    Storage.commitVersion(rows, base)
+    Storage.commitVersion(
+      Storage.readVersion(spark, base).groupBy("k1")
+        .agg(count(lit(1)).as("count_rows"), sum("x").as("sum_x")), view)
+    val vdir = base.resolve(s"v${Storage.currentVersion(base).get}")
+    var freshFlag = true
+    MatView.register(MatView.Def(
+      name = "ex_t", baseRoots = () => Set(MatView.root(vdir)),
+      view = () => Storage.readVersion(spark, view),
+      keys = Seq("k1"), countCol = Some("count_rows"),
+      sums = Map("x" -> "sum_x"), fresh = () => freshFlag))
+    def q() = Storage.readVersion(spark, base).groupBy("k1")
+      .agg(count(lit(1)).as("cnt"), sum("x").as("s"))
+    def reasonFor(df: DataFrame): String =
+      MatViews.explainNavigation(df).head.reasons.collectFirst {
+        case ("ex_t", r) => r }.getOrElse("<no ex_t reason>")
+    try {
+      // rule NOT installed: the probe fully matches — the report tells
+      // the user the rule is missing, the most common real-world cause
+      val r0 = MatViews.explainNavigation(q())
+      assert(r0.nonEmpty && r0.head.servedBy.isEmpty &&
+        reasonFor(q()).contains("would navigate"),
+        s"expected the rule-not-installed tell: $r0")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MatViewRewrite
+      try {
+        // navigated: the report names the serving view
+        assert(MatViews.explainNavigation(q()).head.servedBy.contains("ex_t"))
+        // unservable shape (grouping by a non-key)
+        assert(reasonFor(Storage.readVersion(spark, base).groupBy("k2")
+          .agg(count(lit(1)).as("cnt"))).contains("shape"))
+        // stale view
+        freshFlag = false
+        assert(reasonFor(q()).contains("stale"))
+        freshFlag = true
+        // a different table: root mismatch
+        val other = root.resolve("other")
+        Storage.commitVersion(rows, other)
+        assert(reasonFor(Storage.readVersion(spark, other).groupBy("k1")
+          .agg(count(lit(1)).as("cnt"))).contains("scan-root mismatch"))
+        // the rendered form carries the same content
+        assert(MatViews.explainNavigationString(q()).contains("served by view 'ex_t'"))
+      } finally spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq MatViewRewrite)
+    } finally MatView.clear()
+    Storage.deleteRecursively(root)
+  }
+
   test("median/percentile navigate a distribution view exactly; weighted, measure, and rollup forms fall back") {
     import spark.implicits._
     val root = Files.createTempDirectory("mv_pct")
