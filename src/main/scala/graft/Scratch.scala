@@ -68,6 +68,97 @@ object Scratch {
       ops.Storage.deleteRecursively(dir)
       spark.stop(); sys.exit(0)
     }
+    if (args.headOption.contains("plan-mv1011")) {
+      // PLANS.md source for the round-19 navigated shapes, BEFORE the gate
+      // rows' localCheckpoint truncates the logical plan: a minimal
+      // (no-churn) fixture of the mv10 star distinct/sketch views and the
+      // mv11 distribution view, then the three navigated optimized plans.
+      import org.apache.spark.sql.functions._
+      import graft.ops.{MatViews, MergeOps, Storage}
+      import graft.plans.{KmvSketch, MatView, MatViewJoinRewrite, MatViewRewrite}
+      val dir = java.nio.file.Files.createTempDirectory("plan_mv1011")
+      val (nat, cust, ord) = (dir.resolve("dim_nation"),
+        dir.resolve("dim_customer"), dir.resolve("fct_orders"))
+      val (viewK, viewD, evB, evV) = (dir.resolve("view_kmv"),
+        dir.resolve("view_distinct"), dir.resolve("ev_base"), dir.resolve("ev_view"))
+      def stamp(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("loaded_at", lit(null).cast("timestamp"))
+        .withColumn("last_upd_at", lit(null).cast("timestamp"))
+      def load(t: java.nio.file.Path, df: org.apache.spark.sql.DataFrame,
+          pk: String, tracked: Seq[String]) =
+        MergeOps.prunedConditionalUpsert(t, stamp(df), pk = Seq(pk),
+          tracked = tracked, runTs = lit("2024-01-01 00:00:00").cast("timestamp"),
+          nParts = 4, keepVersions = 4)
+      load(nat, Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name")),
+        "n_nationkey", Seq("n_name"))
+      load(cust, Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey")),
+        "c_custkey", Seq("c_nationkey"))
+      load(ord, Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey")),
+        "o_orderkey", Seq("o_custkey"))
+      val sides = Seq(MatViews.StarSide(ord, Seq("o_orderkey")),
+        MatViews.StarSide(cust, Seq("c_custkey")),
+        MatViews.StarSide(nat, Seq("n_nationkey")))
+      val jks = Seq("o_custkey" -> "c_custkey", "c_nationkey" -> "n_nationkey")
+      MatViews.maintainStar(spark, sides, viewK, jks, keys = Seq("n_name"),
+        kmvs = Map("c_custkey" -> "kmv_cust"), kmvK = 64)
+      MatViews.maintainStar(spark, sides, viewD, jks,
+        keys = Seq("n_name", "c_custkey"))
+      Seq(nat, cust, ord).foreach(Storage.compact(spark, _))
+      MatViews.maintainStar(spark, sides, viewK, jks, keys = Seq("n_name"),
+        kmvs = Map("c_custkey" -> "kmv_cust"), kmvK = 64)
+      MatViews.maintainStar(spark, sides, viewD, jks,
+        keys = Seq("n_name", "c_custkey"))
+      MatViews.registerStarRewrite(spark, "mv10d", Seq(ord, cust, nat), viewD,
+        joinKeys = jks, keys = Seq("n_name", "c_custkey"))
+      MatViews.registerStarRewrite(spark, "mv10k", Seq(ord, cust, nat), viewK,
+        joinKeys = jks, keys = Seq("n_name"),
+        kmvs = Map("c_custkey" -> "kmv_cust"), kmvK = 64)
+      val ev = Tables.events(spark, sfDir).select(col("event_id"),
+        col("event_type"), col("value"))
+      load(evB, ev, "event_id", Seq("event_type", "value"))
+      MatViews.maintain(spark, evB, evV, pk = Seq("event_id"),
+        keys = Seq("event_type", "value"))
+      Storage.compact(spark, evB)
+      MatViews.maintain(spark, evB, evV, pk = Seq("event_id"),
+        keys = Seq("event_type", "value"))
+      MatViews.registerRewrite(spark, "mv11", evB, evV,
+        keys = Seq("event_type", "value"))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations ++ Seq(MatViewRewrite, MatViewJoinRewrite)
+      def joined = Storage.readPartitionedVersion(spark, ord)
+        .join(Storage.readPartitionedVersion(spark, cust),
+          col("o_custkey") === col("c_custkey"))
+        .join(Storage.readPartitionedVersion(spark, nat),
+          col("c_nationkey") === col("n_nationkey"))
+      val shapes = Seq(
+        "mv10-exact: COUNT(DISTINCT c_custkey) per n_name over fact⋈cust⋈nation" ->
+          joined.groupBy(col("n_name")).agg(count(lit(1)).as("cnt"),
+            countDistinct(col("c_custkey")).as("n_cust")),
+        "mv10-sketch: KMV estimate per n_name over the same star" ->
+          joined.groupBy(col("n_name"))
+            .agg(KmvSketch.distinctEstimate(col("c_custkey"), 64).as("est_cust")),
+        "mv11: median/percentile per event_type" ->
+          Storage.readPartitionedVersion(spark, evB).groupBy(col("event_type"))
+            .agg(median(col("value")).as("med"),
+              percentile(col("value"), lit(0.75)).as("p75")))
+      shapes.foreach { case (label, df) =>
+        df.collect()
+        println(s"[plan-begin] $label")
+        println(df.queryExecution.optimizedPlan.treeString)
+        println("[plan-end]")
+      }
+      println("[explain-begin]")
+      println(MatViews.explainNavigationString(
+        Storage.readPartitionedVersion(spark, evB).groupBy(col("event_type"))
+          .agg(median(col("value")).as("med"))))
+      println(MatViews.explainNavigationString(
+        Storage.readPartitionedVersion(spark, evB).groupBy(col("value"))
+          .agg(avg(col("value")).as("a"))))
+      println("[explain-end]")
+      MatView.clear()
+      Storage.deleteRecursively(dir)
+      spark.stop(); sys.exit(0)
+    }
     spark.read.parquet(s"$sfDir/documents.parquet").count() // warmup
 
     for (n <- names; rep <- 1 to 2) {

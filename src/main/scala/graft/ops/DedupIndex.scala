@@ -56,6 +56,20 @@ object DedupIndex {
   private def fingerprints(docs: DataFrame, idCol: String, textCol: String) =
     docs.select(col(idCol), Text.fingerprint(col(textCol)).as("fp"))
 
+  /** Fail loudly on a PRE-DOC-ID index layout (or a mismatched idCol):
+    * the fp table once stored distinct fingerprints without the doc id,
+    * and [[Storage.declaredGeometry]] checks only bucket count — an
+    * append/takedown against the old layout would otherwise surface as an
+    * opaque missing-column AnalysisException deep inside a join. Schema
+    * probe only (manifest metadata, no data read). */
+  private def requireDocLayout(spark: SparkSession, dir: Path, idCol: String): Unit = {
+    val cols = Storage.readPartitionedVersion(spark, fpT(dir)).columns
+    require(cols.contains(idCol),
+      s"dedup index at $dir stores fingerprints without a '$idCol' column " +
+        s"(pre-doc-id layout, or a different idCol — found ${cols.mkString(", ")}): " +
+        "re-bootstrap the index from the corpus")
+  }
+
   private def postings(docs: DataFrame, n: Int, idCol: String, textCol: String) = {
     val sh = NearDup.hashedShingleSet(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), n)
@@ -100,6 +114,7 @@ object DedupIndex {
     val nBuckets = Storage.declaredGeometry(fpT(dir)).getOrElse(
       throw new IllegalStateException(s"no dedup index at $dir — bootstrap first"))
     Storage.validateGeometry(shT(dir), nBuckets)
+    requireDocLayout(spark, dir, idCol)
 
     val encFp = fingerprints(newDocs, idCol, textCol)
       .withColumn("pbucket", fpBucket(nBuckets)).localCheckpoint()
@@ -147,8 +162,25 @@ object DedupIndex {
     * bucket placement is content-addressed, so the text names exactly
     * the buckets holding the doc's fingerprint and posting rows. A
     * fingerprint shared with a SURVIVING duplicate stays visible through
-    * that doc's own row. Ids absent from the index no-op; the call is
-    * idempotent. Returns the two committed versions (fp, shingles). */
+    * that doc's own row. Ids absent from the index no-op — WITHOUT
+    * committing (a request that touches no buckets returns the current
+    * versions; no version churn for a documented no-op) — and the call
+    * is idempotent.
+    *
+    * CONTRACT-BREACH DETECTION (`audit = true`): content addressing is
+    * also the failure mode — a caller supplying text that differs from
+    * the indexed text prunes to the WRONG buckets and the doc's real
+    * rows silently survive, which for this feature's stated purpose is a
+    * compliance hazard. The audit re-scans BOTH tables (full read — the
+    * one deliberate O(index) cost in this file, which is why it is a
+    * flag and not the default) for the requested ids after the commit
+    * and throws if any row survived, naming the ids. Run it on the
+    * requests where proof matters; the exception means the request's
+    * text does not match what was indexed — re-issue with the indexed
+    * text, or re-bootstrap from the corrected corpus.
+    *
+    * Returns the two committed (or current, on no-op) versions
+    * (fp, shingles). */
   def takedown(
       spark: SparkSession,
       dir: Path,
@@ -156,10 +188,12 @@ object DedupIndex {
       n: Int = 3,
       extraFiles: Map[String, String] = Map.empty,
       idCol: String = "doc_id",
-      textCol: String = "text"): (Long, Long) = {
+      textCol: String = "text",
+      audit: Boolean = false): (Long, Long) = {
     val nBuckets = Storage.declaredGeometry(fpT(dir)).getOrElse(
       throw new IllegalStateException(s"no dedup index at $dir — bootstrap first"))
     Storage.validateGeometry(shT(dir), nBuckets)
+    requireDocLayout(spark, dir, idCol)
 
     // one shape for both tables: prune to the content-addressed touched
     // buckets, anti-join the removed ids away, and DROP buckets the
@@ -170,10 +204,7 @@ object DedupIndex {
     def removeRows(tdir: Path, enc: DataFrame): Long = {
       val touched = enc.select(col("pbucket")).distinct()
         .collect().map(r => s"pbucket=${r.get(0)}").toSet // O(buckets)
-      if (touched.isEmpty)
-        Storage.commitPartitions(
-          Storage.readPartitionedVersion(spark, tdir).limit(0), tdir,
-          "pbucket", extraFiles = extraFiles)
+      if (touched.isEmpty) Storage.currentVersion(tdir).get // pure no-op
       else {
         val survivors = Storage.readPartitionedVersion(spark, tdir, Some(touched))
           .join(enc.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
@@ -195,6 +226,20 @@ object DedupIndex {
     val vSh = removeRows(shT(dir),
       postings(docs, n, idCol, textCol)
         .withColumn("pbucket", gBucket(nBuckets)).localCheckpoint())
+    if (audit) {
+      val ids = docs.select(col(idCol)).distinct().localCheckpoint()
+      def survivors(tdir: Path): Array[Any] =
+        Storage.readPartitionedVersion(spark, tdir) // FULL scan, by design
+          .join(ids, Seq(idCol), "left_semi")
+          .select(col(idCol)).distinct().collect().map(_.get(0))
+      val leftovers = (survivors(fpT(dir)) ++ survivors(shT(dir))).distinct
+      if (leftovers.nonEmpty) throw new IllegalStateException(
+        s"takedown audit FAILED at $dir: rows survived for ids " +
+          s"${leftovers.take(10).mkString(", ")} (${leftovers.length} total) — " +
+          "the request's text does not match the indexed text (content-" +
+          "addressed pruning missed their buckets); re-issue the takedown " +
+          "with the indexed text or re-bootstrap from the corrected corpus")
+    }
     (vFp, vSh)
   }
 

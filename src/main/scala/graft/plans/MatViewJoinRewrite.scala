@@ -136,11 +136,18 @@ object MatViewJoinRewrite extends Rule[LogicalPlan] {
       namesPerLeaf: Seq[Set[String]]) {
     private[plans] def unambiguous(n: String): Boolean =
       namesPerLeaf.count(_.contains(n)) == 1
-    private[plans] def idOf(e: Expression): MatViewSupport.JoinKeyId = e match {
-      case a: AttributeReference if !subst.contains(a.exprId) => scala.Left(a.name)
-      case other => scala.Right(MatViewSupport.normalizeDerived(other.transform {
+    private[plans] def idOf(e: Expression): MatViewSupport.JoinKeyId = {
+      val substituted = e.transform {
         case a: AttributeReference if subst.contains(a.exprId) => subst(a.exprId)
-      }))
+      }
+      substituted match {
+        // a substitution that resolves to a BARE column is a pure rename
+        // alias (`withColumnRenamed` on a join key) — identity is the
+        // stored column, or a renamed stored key could never match a
+        // registration's Left(name) edge
+        case a: AttributeReference => scala.Left(a.name)
+        case other => scala.Right(MatViewSupport.normalizeDerived(other))
+      }
     }
   }
 

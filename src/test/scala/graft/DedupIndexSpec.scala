@@ -251,4 +251,61 @@ class DedupIndexSpec extends SparkTestBase {
         "a re-delivered takedown must be a no-op on state")
     } finally Storage.deleteRecursively(root)
   }
+
+  test("takedown guards: no-op commits nothing, the audit catches text mismatch, old layouts fail loudly") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("dedupidx_guard")
+    val idx = root.resolve("idx")
+    try {
+      val corpus = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "the quick brown fox jumps over the lazy dog tonight"),
+        (3L, "pack my box with five dozen liquor jugs right now"))
+        .toDF("doc_id", "text")
+      DedupIndex.bootstrap(idx, corpus, nBuckets = 16)
+      val v0 = (Storage.currentVersion(idx.resolve("fp")).get,
+        Storage.currentVersion(idx.resolve("shingles")).get)
+      // a request over content the index never held touches no buckets:
+      // pure no-op — the CURRENT versions come back, no version churn
+      val noop = DedupIndex.takedown(spark, idx,
+        corpus.filter(col("doc_id") > 100))
+      assert(noop == v0 &&
+        Storage.currentVersion(idx.resolve("fp")).get == v0._1 &&
+        Storage.currentVersion(idx.resolve("shingles")).get == v0._2,
+        "an empty takedown must not commit new versions")
+      // contract breach: the request names doc 2 with the WRONG text —
+      // content-addressed pruning misses its real buckets, so its rows
+      // survive; the audit flag must catch exactly that (silently-kept
+      // rows are the compliance hazard the feature exists to prevent)
+      val wrongText = Seq((2L, "completely different words than were indexed ok"))
+        .toDF("doc_id", "text")
+      val e = intercept[IllegalStateException] {
+        DedupIndex.takedown(spark, idx, wrongText, audit = true)
+      }
+      assert(e.getMessage.contains("audit FAILED") && e.getMessage.contains("2"),
+        s"the audit must name the surviving ids: ${e.getMessage}")
+      // the CORRECT text passes the audit and removes the doc
+      DedupIndex.takedown(spark, idx,
+        corpus.filter(col("doc_id") === 2L), audit = true)
+      assert(Storage.readPartitionedVersion(spark, idx.resolve("fp"))
+          .filter(col("doc_id") === 2L).isEmpty &&
+        Storage.readPartitionedVersion(spark, idx.resolve("shingles"))
+          .filter(col("doc_id") === 2L).isEmpty,
+        "a correct-text takedown must remove the doc's rows")
+      // PRE-DOC-ID layout (a distinct-fp table with no id column, built
+      // the way the old bootstrap wrote it): append/takedown fail with
+      // the explicit re-bootstrap message, not an opaque AnalysisException
+      val old = root.resolve("old_idx")
+      Storage.validateGeometry(old.resolve("fp"), 4)
+      Storage.commitPartitions(
+        corpus.select(Text.fingerprint(col("text")).as("fp")).distinct()
+          .withColumn("pbucket", pmod(xxhash64(col("fp")), lit(4)).cast("int")),
+        old.resolve("fp"), "pbucket")
+      val e2 = intercept[IllegalArgumentException] {
+        DedupIndex.append(spark, old, corpus.limit(1))
+      }
+      assert(e2.getMessage.contains("re-bootstrap"),
+        s"old layout must ask for a re-bootstrap: ${e2.getMessage}")
+    } finally Storage.deleteRecursively(root)
+  }
 }

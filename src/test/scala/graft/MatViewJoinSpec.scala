@@ -197,6 +197,14 @@ class MatViewJoinSpec extends SparkTestBase {
       assert(scanPaths(again).exists(_.contains(view.toString)),
         "re-maintained view must rewrite")
       assert(again.collect().map(_.getLong(1)).sum == 61)
+      // a RENAMED join key (withColumnRenamed before the join) still
+      // navigates: the substitution collapses the pure rename alias back
+      // to the stored column's identity
+      val renamed = shape(factDf().withColumnRenamed("f_did", "fk")
+        .join(dimDf(), col("fk") === col("d_id")))
+      assert(scanPaths(renamed).exists(_.contains(view.toString)),
+        "a renamed join key must still navigate")
+      assert(renamed.orderBy("d_grp").collect().map(_.getLong(1)).sum == 61)
     }
     Storage.deleteRecursively(dim.getParent)
   }

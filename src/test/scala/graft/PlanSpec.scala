@@ -75,10 +75,11 @@ class PlanSpec extends SparkTestBase {
       "sim6_ivfpq_topk", "sim8_batched_topk", // bounded query micro-batch
       "q22_dormant_rich_customers", "q11_important_parts", "q15_top_supplier",
       "tfidf1_top_terms", "mix1_mixture_weights")
-    Registry.all.filterNot(q => allowed(q.name)).foreach { q =>
-      val p = q.fn(spark, Sf001).queryExecution.executedPlan.toString
-      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-        s"${q.name} plans a nested-loop/cartesian join:\n$p")
+    BuiltQueries.all(spark, Sf001).filterNot(q => allowed(q._1)).foreach {
+      case (name, df) =>
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+          s"$name plans a nested-loop/cartesian join:\n$p")
     }
   }
 
@@ -122,12 +123,13 @@ class PlanSpec extends SparkTestBase {
     // is hash-compared against.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val allowed = Set("m5_surrogate_keys")
-    Registry.all.filterNot(q => allowed(q.name)).foreach { q =>
-      val global = q.fn(spark, Sf001).queryExecution.optimizedPlan.collect {
-        case w: LWindow if w.partitionSpec.isEmpty => w
-      }
-      assert(global.isEmpty,
-        s"${q.name} plans a partition-unbounded window: ${global.mkString(";")}")
+    BuiltQueries.all(spark, Sf001).filterNot(q => allowed(q._1)).foreach {
+      case (name, df) =>
+        val global = df.queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+        assert(global.isEmpty,
+          s"$name plans a partition-unbounded window: ${global.mkString(";")}")
     }
   }
 

@@ -14,10 +14,10 @@ class QueriesSpec extends SparkTestBase {
     // d3 is the banding-recall INVARIANT — empty IS the correct answer
     val mayBeEmpty = Set("j3_customers_without_orders",
       "sub2_not_in_null_semantics", "d3_minhash_lsh_recall")
-    Registry.all.foreach { q =>
-      val n = q.fn(spark, Sf001).count()
-      assert(n >= 0, q.name)
-      if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
+    BuiltQueries.all(spark, Sf001).foreach { case (name, df) =>
+      val n = df.count()
+      assert(n >= 0, name)
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
     }
   }
 
@@ -28,9 +28,9 @@ class QueriesSpec extends SparkTestBase {
   }
 
   test("query outputs have no duplicate column names (driver hash safety)") {
-    Registry.all.foreach { q =>
-      val cols = q.fn(spark, Sf001).columns
-      assert(cols.distinct.length == cols.length, s"${q.name}: ${cols.mkString(",")}")
+    BuiltQueries.all(spark, Sf001).foreach { case (name, df) =>
+      val cols = df.columns
+      assert(cols.distinct.length == cols.length, s"$name: ${cols.mkString(",")}")
     }
   }
 }
