@@ -547,7 +547,7 @@ private[graft] object MatViewSupport {
         if (ae.isDistinct) ae.references.toSeq.flatMap(r =>
           if (keys.contains(r.name)) Seq(r.name)
           else partials.kmvs.get(r.name).toSeq)
-        else ae.aggregateFunction match {
+        else (ae.aggregateFunction match {
           case hll: HyperLogLogPlusPlus => hll.references.map(_.name).toSeq
           case ks: graft.plans.KmvSketch =>
             ks.references.toSeq.flatMap(r => partials.kmvs.get(r.name).toSeq)
@@ -556,7 +556,7 @@ private[graft] object MatViewSupport {
           case pc: Percentile =>
             pc.child.references.map(_.name).toSeq ++ partials.countCol.toSeq
           case fn => partialsFor(partials, fn).get
-        }
+        }) ++ ae.filter.toSeq.flatMap(_.references.map(_.name)) // FILTER keys
     }.flatten
 
   /** The view partial column(s) an aggregate re-aggregates from, or None
@@ -658,8 +658,17 @@ private[graft] object MatViewSupport {
           case l: Literal => l.value == 1L // numeric-equality across Int/Long
           case _ => false
         }) && partials.countCol.isDefined
+    // a FILTER (WHERE …) clause over view KEYS is admissible on EVERY
+    // served family: a key-only predicate partitions WHOLE groups (it is
+    // constant within each), so filtering the view's rows selects exactly
+    // the base rows the query's filter selects — partial re-aggregation,
+    // key-exact distinct, sketch merges, and frequency percentiles all
+    // stay exact with the remapped filter attached. Non-deterministic or
+    // non-key filters fall back.
+    def filterOverKeys(ae: AggregateExpression): Boolean = ae.filter.forall(
+      f => f.deterministic && f.references.forall(a => keySet.contains(a.name)))
     def servable(ae: AggregateExpression): Boolean =
-      ae.filter.isEmpty && (
+      filterOverKeys(ae) && (
         if (ae.isDistinct) distinctOverKeys(ae) || (ae.aggregateFunction match {
           case Count(Seq(a: AttributeReference)) =>
             // OPT-IN approximate navigation: COUNT(DISTINCT x) over a
@@ -731,15 +740,15 @@ private[graft] object MatViewSupport {
     // empty view scan (empty base, or a key filter matching no groups) —
     // and SUM over zero rows is NULL where COUNT must answer 0
     val globalAgg = agg.groupingExpressions.isEmpty
-    def reAgg(fn: AggregateFunction): Option[Expression] = {
+    def reAgg(fn: AggregateFunction, filt: Option[Expression]): Option[Expression] = {
       def complete(f: AggregateFunction): AggregateExpression =
         AggregateExpression(f, Complete, isDistinct = false,
-          filter = None, resultId = NamedExpression.newExprId)
+          filter = filt, resultId = NamedExpression.newExprId)
       val cols = partialsFor(partials, fn).get
       val rewritten: Expression = fn match {
         case _: Count => // partial counts re-add
           val s = complete(Sum(vAttr(cols.head)))
-          if (globalAgg) Coalesce(Seq(s, Literal(0L))) else s
+          if (globalAgg || filt.isDefined) Coalesce(Seq(s, Literal(0L))) else s
         case _: Sum => complete(Sum(vAttr(cols.head)))
         case _: Min => complete(Min(vAttr(cols.head)))
         case _: Max => complete(Max(vAttr(cols.head)))
@@ -760,11 +769,18 @@ private[graft] object MatViewSupport {
     }
     // rewrite an aggregate LEAF over the view: key-exact distinct/HLL
     // re-run over the view's key column; everything else re-aggregates
-    // partials through reAgg (which already casts to the original type)
+    // partials through reAgg (which already casts to the original type).
+    // A validated FILTER clause (key-only — see filterOverKeys) remaps to
+    // the view's attributes and rides the rewritten aggregate: the
+    // predicate is constant within each group, so filtering view rows
+    // selects exactly the base rows the original filter selected.
     def reAggE(ae: AggregateExpression): Option[Expression] = {
+      val filt: Option[Expression] = ae.filter.map(_.transform {
+        case a: AttributeReference => vAttr(a.name)
+      })
       def complete(f: AggregateFunction, distinct: Boolean): AggregateExpression =
         AggregateExpression(f, Complete, isDistinct = distinct,
-          filter = None, resultId = NamedExpression.newExprId)
+          filter = filt, resultId = NamedExpression.newExprId)
       def kmvOver(name: String, k: Int): Option[Expression] =
         partials.kmvs.get(name).map(vAttr).collect {
           // the partial must really be a hash array — a mis-registered
@@ -813,7 +829,7 @@ private[graft] object MatViewSupport {
                 0, 0, pc.reverse), distinct = false))
           case _ => None
         }
-        case fn => reAgg(fn)
+        case fn => reAgg(fn, filt)
       }
     }
     // explicit recursion, NOT transformDown: the replacement expressions

@@ -275,7 +275,9 @@ object StreamingLoads {
       mins: Map[String, String] = Map.empty,
       maxs: Map[String, String] = Map.empty,
       keepVersions: Int = 1,
-      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      kmvs: Map[String, String] = Map.empty,
+      kmvK: Int = 64): DataStreamWriter[Row] = {
     graft.ops.Storage.repairOrphans(view) // single-writer startup contract
     versions.writeStream
       .outputMode(OutputMode.Append)
@@ -286,7 +288,7 @@ object StreamingLoads {
             sides.forall(s => graft.ops.Storage.currentVersion(s.table).nonEmpty)) {
           graft.ops.MatViews.maintainStar(spark, sides, view, joinKeys, keys,
             sums = sums, counts = counts, mins = mins, maxs = maxs,
-            keepVersions = keepVersions)
+            keepVersions = keepVersions, kmvs = kmvs, kmvK = kmvK)
         }
         ()
       }

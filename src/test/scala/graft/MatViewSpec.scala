@@ -841,6 +841,49 @@ class MatViewSpec extends SparkTestBase {
     Storage.deleteRecursively(root)
   }
 
+  test("FILTER (WHERE key-pred) aggregates navigate exactly; measure filters fall back") {
+    val (base, view) = fixture()
+    withRule {
+      // a key-only FILTER clause partitions whole groups: every served
+      // family stays exact with the remapped filter attached
+      def shape(df: DataFrame) = df.groupBy("k1").agg(
+        count(lit(1)).as("cnt"),
+        expr("count(*) FILTER (WHERE k2 > 3)").as("cnt_hi"),
+        expr("sum(x) FILTER (WHERE k2 <= 2)").as("s_lo"),
+        expr("max(x) FILTER (WHERE k2 = 6)").as("mx6"))
+      val q = shape(Storage.readVersion(spark, base))
+      assert(scanPaths(q).exists(_.contains(view.toString)),
+        "key-filtered aggregates must navigate")
+      val got = q.orderBy("k1").collect().toSeq
+      MatView.clear()
+      val want = shape(Storage.readVersion(spark, base)).orderBy("k1").collect().toSeq
+      assert(got == want, s"filtered-aggregate rewrite diverged:\n got  $got\n want $want")
+      reRegister(base, view)
+      // a filter NO row satisfies: COUNT answers 0 (not NULL), global too
+      val g = Storage.readVersion(spark, base)
+        .agg(expr("count(*) FILTER (WHERE k2 > 100)").as("none"))
+      assert(scanPaths(g).exists(_.contains(view.toString)))
+      assert(g.collect().head.getLong(0) == 0L,
+        "an unsatisfied filter must count 0, not NULL")
+      reRegister(base, view)
+      // DISTINCT + FILTER: the optimizer's RewriteDistinctAggregates
+      // lowers the pair to its Expand form BEFORE this rule runs, which
+      // the rollup classifier rejects — documented sound fallback (the
+      // answer comes from the base, never a wrong view read)
+      val dq = Storage.readVersion(spark, base).groupBy("k1")
+        .agg(expr("count(DISTINCT k2) FILTER (WHERE k2 > 3)").as("dk_hi"))
+      assert(!scanPaths(dq).exists(_.contains(view.toString)),
+        "filtered distinct lowers to the Expand form and falls back")
+      assert(dq.orderBy("k1").collect().nonEmpty)
+      // a filter over the MEASURE cannot re-slice partials: fall back
+      val bad = Storage.readVersion(spark, base).groupBy("k1")
+        .agg(expr("count(*) FILTER (WHERE x > 100)").as("c"))
+      assert(!scanPaths(bad).exists(_.contains(view.toString)),
+        "a measure filter must fall back")
+    }
+    Storage.deleteRecursively(base.getParent)
+  }
+
   test("explainNavigation names the serving view and each fallback's first failing guard") {
     import graft.ops.MatViews
     import spark.implicits._

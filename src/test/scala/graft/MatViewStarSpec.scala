@@ -265,16 +265,75 @@ class MatViewStarSpec extends SparkTestBase {
     Storage.compact(spark, a)
     MatViews.maintainCatalog(spark, root)
     assertExact(a, b, f, view)
-    // fresh session: loadCatalog re-registers, the query navigates
+    // a SECOND cataloged star entry carrying a KMV sketch partial: the
+    // kmvs/kmvK fields must round-trip through the catalog JSON into
+    // maintainCatalog (bootstrap with the partial) and loadCatalog (the
+    // registered rewrite serves the estimate)
+    val viewK = root.resolve("view_kmv")
+    MatViews.defineView(root, MatViews.CatalogEntry(
+      name = "star_kmv", kind = "star", view = viewK.toString,
+      keys = Seq("a_grp"),
+      tables = Seq(f.toString, a.toString, b.toString),
+      pks = Seq(Seq("f_id"), Seq("a_id"), Seq("b_id")),
+      joinKeysLeft = JoinKeys.map(_._1), joinKeysRight = JoinKeys.map(_._2),
+      kmvs = Map("f_bid" -> "kmv_b"), kmvK = 8, keepVersions = 2))
+    MatViews.maintainCatalog(spark, root)
+    // fresh session: loadCatalog re-registers, the queries navigate
     MatView.clear()
-    assert(MatViews.loadCatalog(spark, root) == 1)
+    assert(MatViews.loadCatalog(spark, root) == 2)
     withRule {
-      val q = Storage.readPartitionedVersion(spark, f)
+      def joined = Storage.readPartitionedVersion(spark, f)
         .join(Storage.readPartitionedVersion(spark, a), col("f_aid") === col("a_id"))
         .join(Storage.readPartitionedVersion(spark, b), col("f_bid") === col("b_id"))
-        .groupBy("a_grp", "b_grp").agg(sum("f_val").as("s"))
+      val q = joined.groupBy("a_grp", "b_grp").agg(sum("f_val").as("s"))
       assert(scanPaths(q).exists(_.contains(view.toString)),
         "a cataloged star view must navigate after reload")
+      val qk = joined.groupBy("a_grp")
+        .agg(graft.plans.KmvSketch.distinctEstimate(col("f_bid"), 8).as("e"))
+      assert(scanPaths(qk).exists(_.contains(viewK.toString)),
+        "a cataloged KMV star view must serve the estimate after reload")
+      val got = qk.orderBy("a_grp").collect().toSeq
+      MatView.clear()
+      val want = joined.groupBy("a_grp")
+        .agg(graft.plans.KmvSketch.distinctEstimate(col("f_bid"), 8).as("e"))
+        .orderBy("a_grp").collect().toSeq
+      assert(got == want, s"cataloged star sketch diverged:\n got  $got\n want $want")
+    }
+    Storage.deleteRecursively(root)
+  }
+
+  test("median over a STAR distribution view navigates (aux keyed (group, measure) via maintainStar)") {
+    val root = Files.createTempDirectory("mvstar_pct")
+    val (a, b, f) = (root.resolve("dim_a"), root.resolve("dim_b"),
+      root.resolve("fact"))
+    val viewP = root.resolve("view_dist")
+    loadA(a, (1L to 8L).map(i => (i, s"a${i % 3}")))
+    loadB(b, (1L to 6L).map(i => (i, s"b${i % 2}")))
+    // duplicate f_val values within groups so count_rows > 1 matters
+    loadF(f, (1L to 80L).map(i => (i, i % 8 + 1, i % 6 + 1, BigDecimal(i % 11))))
+    MatViews.maintainStar(spark, sides(a, b, f), viewP,
+      joinKeys = JoinKeys, keys = Seq("a_grp", "f_val"), keepVersions = 2)
+    MatViews.registerStarRewrite(spark, "star_p", Seq(f, a, b), viewP,
+      joinKeys = JoinKeys, keys = Seq("a_grp", "f_val"))
+    withRule {
+      def joined = Storage.readPartitionedVersion(spark, f)
+        .join(Storage.readPartitionedVersion(spark, a), col("f_aid") === col("a_id"))
+        .join(Storage.readPartitionedVersion(spark, b), col("f_bid") === col("b_id"))
+      def shape(j: DataFrame) = j.groupBy("a_grp")
+        .agg(median(col("f_val")).as("med"),
+          percentile(col("f_val"), lit(0.9)).as("p90"),
+          count(lit(1)).as("cnt"))
+      val q = shape(joined)
+      val paths = scanPaths(q)
+      assert(paths.exists(_.contains(viewP.toString)) &&
+        !paths.exists(s => s.contains(f.toString) || s.contains(a.toString) ||
+          s.contains(b.toString)),
+        s"median over the star must navigate onto the distribution view: $paths")
+      val got = shape(joined).orderBy("a_grp").collect().toSeq
+      MatView.clear()
+      val want = shape(joined).orderBy("a_grp").collect().toSeq
+      assert(got.toString == want.toString,
+        s"star percentile diverged:\n got  $got\n want $want")
     }
     Storage.deleteRecursively(root)
   }
