@@ -866,15 +866,22 @@ class MatViewSpec extends SparkTestBase {
       assert(g.collect().head.getLong(0) == 0L,
         "an unsatisfied filter must count 0, not NULL")
       reRegister(base, view)
-      // DISTINCT + FILTER: the optimizer's RewriteDistinctAggregates
-      // lowers the pair to its Expand form BEFORE this rule runs, which
-      // the rollup classifier rejects — documented sound fallback (the
-      // answer comes from the base, never a wrong view read)
+      // DISTINCT + FILTER is install-path-dependent: on the per-query
+      // experimental path the optimizer's RewriteDistinctAggregates has
+      // already lowered the pair to its Expand form (sound fallback),
+      // while the session-wide GraftExtensions injection runs BEFORE that
+      // lowering and serves it exactly from the key-exact distinct family
+      // (the shared suite session carries the injected rules once
+      // RewriteRuleSpec has run). Don't pin the plan — pin the ANSWER.
       val dq = Storage.readVersion(spark, base).groupBy("k1")
         .agg(expr("count(DISTINCT k2) FILTER (WHERE k2 > 3)").as("dk_hi"))
-      assert(!scanPaths(dq).exists(_.contains(view.toString)),
-        "filtered distinct lowers to the Expand form and falls back")
-      assert(dq.orderBy("k1").collect().nonEmpty)
+      val gotD = dq.orderBy("k1").collect().toSeq
+      MatView.clear()
+      val wantD = Storage.readVersion(spark, base).groupBy("k1")
+        .agg(expr("count(DISTINCT k2) FILTER (WHERE k2 > 3)").as("dk_hi"))
+        .orderBy("k1").collect().toSeq
+      assert(gotD == wantD, s"filtered distinct diverged:\n got  $gotD\n want $wantD")
+      reRegister(base, view)
       // a filter over the MEASURE cannot re-slice partials: fall back
       val bad = Storage.readVersion(spark, base).groupBy("k1")
         .agg(expr("count(*) FILTER (WHERE x > 100)").as("c"))
