@@ -76,8 +76,8 @@ object MatViewExplain {
           defs.map { d =>
             d.name -> (flat match {
               case Left(r) => r
-              case Right((e, f, roots)) =>
-                MatViewRewrite.probeDef(agg, e, f, roots, d,
+              case Right((aggS, e, f, roots)) =>
+                MatViewRewrite.probeDef(aggS, e, f, roots, d,
                   scala.util.Try(d.baseRoots()).getOrElse(Set.empty), approx)
                   .fold(reason => reason(), _ =>
                     "matches — would navigate (is MatViewRewrite installed " +
@@ -87,7 +87,7 @@ object MatViewExplain {
             d.name -> (star match {
               case Left(r) => r
               case Right(sh) =>
-                MatViewJoinRewrite.probeStar(agg, sh, d,
+                MatViewJoinRewrite.probeStar(sh, d,
                   scala.util.Try(d.roots.map(_())).getOrElse(
                     d.roots.map(_ => Set.empty[String])), approx)
                   .fold(reason => reason(), _ =>

@@ -128,6 +128,7 @@ object MatViewJoinRewrite extends Rule[LogicalPlan] {
     * needs. Left = why this aggregate can never match ANY star view
     * (shared by [[MatViewExplain]] as the human-readable reason). */
   private[plans] final case class StarShape(
+      agg: Aggregate,
       expand: Option[Expand],
       filters: Seq[Expression],
       pairIds: Set[Set[MatViewSupport.JoinKeyId]],
@@ -169,7 +170,23 @@ object MatViewJoinRewrite extends Rule[LogicalPlan] {
     // canonical identity of any expression over the leaves: a plain
     // column by bare name, anything touching a computed alias by its
     // substituted, normalized expression (see StarDef.pairIdSet)
-    val shape0 = StarShape(expandOpt, filters, Set.empty, subst,
+    // substitute computed aliases back into the aggregate FIRST: a
+    // GROUP BY over an expression of leaf columns (the analyzer pulls it
+    // out as a _groupingexpression Project above the join) and a rename
+    // alias both become plain expressions over leaf columns, which the
+    // shared rebuild's expression-grouping path understands
+    def sub(e: Expression): Expression = e.transform {
+      case a: AttributeReference if subst.contains(a.exprId) => subst(a.exprId)
+    }
+    def subNamed(ne: NamedExpression): NamedExpression = ne match {
+      case a: AttributeReference if subst.contains(a.exprId) =>
+        Alias(subst(a.exprId), a.name)(exprId = a.exprId, qualifier = a.qualifier)
+      case other => sub(other).asInstanceOf[NamedExpression]
+    }
+    val aggS = if (subst.isEmpty) agg else agg.copy(
+      groupingExpressions = agg.groupingExpressions.map(sub),
+      aggregateExpressions = agg.aggregateExpressions.map(subNamed))
+    val shape0 = StarShape(aggS, expandOpt, filters, Set.empty, subst,
       leaves.map(MatViewSupport.scanRoots), leaves.map(_.output.map(_.name).toSet))
     // every condition conjunct must be an equality of two DISTINCT keys —
     // each a leaf column or a derived (computed-alias) key
@@ -191,7 +208,7 @@ object MatViewJoinRewrite extends Rule[LogicalPlan] {
     // Expand OUTPUT attrs (rollup key slots, spark_grouping_id)
     // legitimately belong to no leaf and pass through.
     val shapeAttrs: Seq[AttributeReference] =
-      (agg.aggregateExpressions ++ agg.groupingExpressions)
+      (aggS.aggregateExpressions ++ aggS.groupingExpressions)
         .flatMap(_.references.collect { case a: AttributeReference => a }) ++
         expandOpt.toSeq.flatMap(_.projections.flatten.collect {
           case a: AttributeReference => a })
@@ -214,7 +231,7 @@ object MatViewJoinRewrite extends Rule[LogicalPlan] {
   /** Probe ONE star registration against a shaped aggregate. Right = the
     * rewritten plan; Left = a LAZY reason ([[MatViewExplain]] forces it,
     * the hot rewrite path never does). */
-  private[plans] def probeStar(agg: Aggregate, sh: StarShape,
+  private[plans] def probeStar(sh: StarShape,
       d: MatView.StarDef, sideRoots: Seq[Set[String]],
       approxDistinct: Boolean): Either[() => String, LogicalPlan] = {
     if (matchSides(sh.leafRoots, sideRoots).isEmpty)
@@ -268,10 +285,10 @@ object MatViewJoinRewrite extends Rule[LogicalPlan] {
       case Some(kept) =>
         val rebuilt = sh.expand match {
           case Some(expand) =>
-            MatViewSupport.rebuildRollupOntoView(agg, expand, kept, d.keys,
+            MatViewSupport.rebuildRollupOntoView(sh.agg, expand, kept, d.keys,
               d.partials, d.fresh, d.view)
           case None =>
-            MatViewSupport.rebuildOntoView(agg, kept, d.keys, d.partials,
+            MatViewSupport.rebuildOntoView(sh.agg, kept, d.keys, d.partials,
               d.fresh, d.view, approxDistinct)
         }
         rebuilt.toRight(() =>
@@ -288,7 +305,7 @@ object MatViewJoinRewrite extends Rule[LogicalPlan] {
       approxDistinct: Boolean): Option[LogicalPlan] =
     starShapeOf(agg).toOption.flatMap { sh =>
       defs.view.flatMap(d =>
-        probeStar(agg, sh, d, rootsOf(d), approxDistinct).toOption).headOption
+        probeStar(sh, d, rootsOf(d), approxDistinct).toOption).headOption
     }
 
   /** A perfect one-to-one matching of query leaves onto registration

@@ -29,10 +29,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * when:
   *   - the scan's root-path set EQUALS a registration's declared set (a
   *     pruned partial read never rewrites to the full view);
-  *   - every grouping expression is a plain base column that is a view
-  *     key (a SUBSET of the keys is fine — the rewrite re-aggregates the
-  *     view: COUNT→SUM(count_rows), SUM→SUM(sum), MIN→MIN(min),
-  *     MAX→MAX(max) are all reassociable);
+  *   - every grouping expression is a plain view-key column OR a
+  *     deterministic expression over view keys (a SUBSET of the keys is
+  *     fine, and so is `date_trunc('mon', day)` over a daily-keyed view —
+  *     an expression of keys is constant within each view group, so
+  *     re-grouping the view by the same expression partitions whole
+  *     groups; the rewrite re-aggregates: COUNT→SUM(count_rows),
+  *     SUM→SUM(sum), MIN→MIN(min), MAX→MAX(max) are all reassociable);
   *   - every filter references only view-key columns (such filters
   *     commute with the group-by, so they apply verbatim to the view);
   *   - every aggregate is a non-DISTINCT, un-FILTERed COUNT(*) / COUNT(1)
@@ -220,11 +223,36 @@ private[graft] object MatViewSupport {
   /** Peel Filters and pass-through Projects, accumulating filter
     * conditions, down to a file-source relation. */
   def strip(p: LogicalPlan, filters: Seq[Expression])
-      : Option[(Seq[Expression], LogicalRelation)] = p match {
-    case Filter(cond, child) => strip(child, filters :+ cond)
-    case Project(exprs, child) if exprs.forall(alignOnly) =>
-      strip(child, filters)
-    case lr: LogicalRelation => Some((filters, lr))
+      : Option[(Seq[Expression], LogicalRelation)] =
+    stripSubst(p, filters).collect { case (f, lr, m) if m.isEmpty => (f, lr) }
+
+  /** [[strip]] that also tolerates COMPUTED deterministic aliases in the
+    * peeled Projects, recording them in a substitution map (alias id →
+    * defining expression over the scan, chained derivations resolved) —
+    * the shape the analyzer's PullOutGroupingExpressions creates for a
+    * GROUP BY over an expression, and what withColumnRenamed leaves for
+    * a rename. The caller substitutes the map back into the aggregate and
+    * the filters, turning both into expressions over the BASE columns
+    * that the view-key checks understand. */
+  def stripSubst(p: LogicalPlan, filters: Seq[Expression])
+      : Option[(Seq[Expression], LogicalRelation,
+          Map[ExprId, Expression])] = p match {
+    case Filter(cond, child) => stripSubst(child, filters :+ cond)
+    case Project(exprs, child) =>
+      stripSubst(child, filters).flatMap { case (f, lr, m) =>
+        val extra = Map.newBuilder[ExprId, Expression]
+        val ok = exprs.forall {
+          case e if alignOnly(e) => true
+          case al @ Alias(e, _) if e.deterministic =>
+            extra += al.exprId -> e.transform {
+              case a: AttributeReference if m.contains(a.exprId) => m(a.exprId)
+            }
+            true
+          case _ => false
+        }
+        if (ok) Some((f, lr, m ++ extra.result())) else None
+      }
+    case lr: LogicalRelation => Some((filters, lr, Map.empty))
     case _ => None
   }
 
@@ -596,11 +624,19 @@ private[graft] object MatViewSupport {
       view: () => DataFrame,
       approxDistinct: Boolean = false): Option[LogicalPlan] = {
     val keySet = keys.toSet
-    // grouping: plain base columns, each a view key
-    val groupNames = agg.groupingExpressions.map {
-      case a: AttributeReference if keySet.contains(a.name) => a.name
-      case _ => return None
+    // grouping: each expression is a plain view-key column, or a
+    // DETERMINISTIC expression over view keys — date_trunc('mon', day),
+    // CASE over a key, concat of keys: the month-rollup-over-a-daily-view
+    // shape. An expression of keys is CONSTANT within each view group, so
+    // re-grouping the view by the same expression partitions whole
+    // groups and partial re-aggregation stays exact.
+    val groupOk = agg.groupingExpressions.forall {
+      case a: AttributeReference => keySet.contains(a.name)
+      case e => e.deterministic && e.references.nonEmpty &&
+        e.references.forall(a => keySet.contains(a.name))
     }
+    if (!groupOk) return None
+    val groupRefNames = agg.groupingExpressions.flatMap(_.references.map(_.name))
     // filters: only view-key columns (commute with the group-by), and
     // DETERMINISTIC — a reference-free rand() < 0.5 would pass the key
     // check vacuously, yet re-applying it over the view turns row-level
@@ -692,8 +728,15 @@ private[graft] object MatViewSupport {
           case pc: Percentile => percentileOverKey(pc)
           case fn => partialsFor(partials, fn).isDefined
         })
+    // an output subtree that IS one of the grouping expressions (the
+    // expression-grouping shape: Alias(date_trunc(…), "month")) passes
+    // whole — its key refs remap to the view and the SAME expression
+    // re-evaluates per re-grouped view row
+    def isGroupExpr(e: Expression): Boolean =
+      agg.groupingExpressions.exists(_.semanticEquals(e))
     def exprOk(e: Expression): Boolean = e match {
       case ae: AggregateExpression => servable(ae)
+      case e if isGroupExpr(e) => true
       case a: AttributeReference => groupedAttrs.contains(a.exprId)
       case _: Literal => true
       case o => o.deterministic && o.children.nonEmpty && o.children.forall(exprOk)
@@ -708,7 +751,7 @@ private[graft] object MatViewSupport {
     val viewPlan = view().queryExecution.analyzed
     val vAttr: Map[String, Attribute] = viewPlan.output.map(a => a.name -> a).toMap
     // the view must actually carry every column the rewrite needs
-    val needed = groupNames ++ filters.flatMap(_.references.map(_.name)) ++
+    val needed = groupRefNames ++ filters.flatMap(_.references.map(_.name)) ++
       agg.aggregateExpressions.flatMap {
         case Alias(e, _) => neededBy(e, partials, keySet)
         case _ => Nil
@@ -719,8 +762,8 @@ private[graft] object MatViewSupport {
     // rebind preserved exprIds to attributes of a DIFFERENT dataType —
     // an invalid or silently wrong plan instead of a base fallback. The
     // key-exact distinct aggregates read key columns too — same rule.
-    val keyRefs = agg.groupingExpressions.collect {
-      case a: AttributeReference => a } ++
+    val keyRefs = agg.groupingExpressions.flatMap(_.references.collect {
+      case a: AttributeReference => a }) ++
       filters.flatMap(_.references.collect { case a: AttributeReference => a }) ++
       agg.aggregateExpressions.flatMap(_.collect {
         case ae: AggregateExpression =>
@@ -733,9 +776,9 @@ private[graft] object MatViewSupport {
       case a: AttributeReference => vAttr(a.name)
     })
     val filtered = remapped.foldLeft(viewPlan)((p, c) => Filter(c, p))
-    val gExprs: Seq[Expression] = agg.groupingExpressions.map {
+    val gExprs: Seq[Expression] = agg.groupingExpressions.map(_.transform {
       case a: AttributeReference => vAttr(a.name)
-    }
+    })
     // a GLOBAL aggregate (no GROUP BY) always emits one row, even over an
     // empty view scan (empty base, or a key filter matching no groups) —
     // and SUM over zero rows is NULL where COUNT must answer 0
@@ -1066,24 +1109,49 @@ object MatViewRewrite extends Rule[LogicalPlan] {
   }
 
   /** The def-independent part of the match — peel the Aggregate's child
-    * (rollup Expand kept aside) down to one file scan. Left = why this
-    * aggregate can never match ANY single-base view (shared by
-    * [[MatViewExplain]] as the human-readable reason). */
+    * (rollup Expand kept aside) down to one file scan, SUBSTITUTING any
+    * computed deterministic aliases the peeled Projects carry back into
+    * the aggregate and the filters (the analyzer's
+    * PullOutGroupingExpressions hides a GROUP BY expression behind a
+    * `_groupingexpression` Project; withColumnRenamed leaves a rename
+    * alias — both become plain expressions over base columns here, which
+    * the view-key checks understand). Returns the substituted Aggregate.
+    * Left = why this aggregate can never match ANY single-base view
+    * (shared by [[MatViewExplain]] as the human-readable reason). */
   private[plans] def shapeOf(agg: Aggregate): Either[String,
-      (Option[org.apache.spark.sql.catalyst.plans.logical.Expand],
+      (Aggregate, Option[org.apache.spark.sql.catalyst.plans.logical.Expand],
         Seq[Expression], Seq[String])] = {
     val (expandOpt, src) = agg.child match {
       case e: org.apache.spark.sql.catalyst.plans.logical.Expand =>
         (Some(e), e.child)
       case other => (None, other)
     }
-    MatViewSupport.strip(src, Nil) match {
+    MatViewSupport.stripSubst(src, Nil) match {
       case None => scala.Left("no single file scan under the aggregate " +
-        "(a join, renaming projection, or other operator in between)")
-      case Some((filters, rel)) =>
+        "(a join, non-deterministic projection, or other operator in between)")
+      // a computed Project under a rollup Expand would need the same
+      // substitution inside the Expand's slot classification — unsupported
+      case Some((_, _, m)) if m.nonEmpty && expandOpt.isDefined =>
+        scala.Left("computed projections under a ROLLUP/CUBE Expand are " +
+          "unsupported — fall back")
+      case Some((filters0, rel, m)) =>
         val roots = MatViewSupport.scanRoots(rel)
         if (roots.isEmpty) scala.Left("the scanned relation is not a file source")
-        else scala.Right((expandOpt, filters, roots))
+        else {
+          def sub(e: Expression): Expression = e.transform {
+            case a: AttributeReference if m.contains(a.exprId) => m(a.exprId)
+          }
+          def subNamed(ne: NamedExpression): NamedExpression = ne match {
+            case a: AttributeReference if m.contains(a.exprId) =>
+              Alias(m(a.exprId), a.name)(exprId = a.exprId,
+                qualifier = a.qualifier)
+            case other => sub(other).asInstanceOf[NamedExpression]
+          }
+          val aggS = if (m.isEmpty) agg else agg.copy(
+            groupingExpressions = agg.groupingExpressions.map(sub),
+            aggregateExpressions = agg.aggregateExpressions.map(subNamed))
+          scala.Right((aggS, expandOpt, filters0.map(sub), roots))
+        }
     }
   }
 
@@ -1123,9 +1191,9 @@ object MatViewRewrite extends Rule[LogicalPlan] {
   private def tryRewrite(agg: Aggregate, defs: Seq[MatView.Def],
       rootsOf: MatView.Def => Set[String],
       approxDistinct: Boolean): Option[LogicalPlan] =
-    shapeOf(agg).toOption.flatMap { case (expandOpt, filters, roots) =>
+    shapeOf(agg).toOption.flatMap { case (aggS, expandOpt, filters, roots) =>
       defs.view.flatMap(d =>
-        probeDef(agg, expandOpt, filters, roots, d, rootsOf(d),
+        probeDef(aggS, expandOpt, filters, roots, d, rootsOf(d),
           approxDistinct).toOption).headOption
     }
 }

@@ -841,6 +841,66 @@ class MatViewSpec extends SparkTestBase {
     Storage.deleteRecursively(root)
   }
 
+  test("GROUP BY an expression of keys navigates (month rollup over a daily view); non-key exprs fall back") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mv_gexpr")
+    val base = root.resolve("base")
+    val view = root.resolve("view")
+    // daily-grained base: (day, k2, x)
+    val rows = (1 to 400).map { i =>
+      (java.sql.Date.valueOf(s"2024-0${i % 3 + 1}-${i % 27 + 1}"),
+        (i % 7).toLong, i.toLong)
+    }.toDF("day", "k2", "x")
+    Storage.commitVersion(rows, base)
+    Storage.commitVersion(
+      Storage.readVersion(spark, base).groupBy("day", "k2")
+        .agg(count(lit(1)).as("count_rows"), sum("x").as("sum_x"),
+          max("x").as("max_x")),
+      view)
+    val vdir = base.resolve(s"v${Storage.currentVersion(base).get}")
+    def register(): Unit = MatView.register(MatView.Def(
+      name = "daily_t", baseRoots = () => Set(MatView.root(vdir)),
+      view = () => Storage.readVersion(spark, view),
+      keys = Seq("day", "k2"), countCol = Some("count_rows"),
+      sums = Map("x" -> "sum_x"), maxs = Map("x" -> "max_x")))
+    register()
+    withRule {
+      // the month-rollup-over-a-daily-view shape: trunc(day) and a CASE
+      // over k2 both group exactly (constant within each daily group)
+      def shape(df: DataFrame) = df.groupBy(
+          trunc(col("day"), "mon").as("month"),
+          when(col("k2") < 3, lit("lo")).otherwise(lit("hi")).as("band"))
+        .agg(count(lit(1)).as("cnt"), sum("x").as("s"), max("x").as("mx"))
+      val q = shape(Storage.readVersion(spark, base))
+      assert(scanPaths(q).exists(_.contains(view.toString)) &&
+        !scanPaths(q).exists(_.contains(base.toString)),
+        "grouping by expressions of keys must navigate")
+      val got = q.orderBy("month", "band").collect().toSeq
+      MatView.clear()
+      val want = shape(Storage.readVersion(spark, base))
+        .orderBy("month", "band").collect().toSeq
+      assert(got == want, s"expression grouping diverged:\n got  $got\n want $want")
+      register()
+      // a key filter composes with expression grouping
+      val fq = Storage.readVersion(spark, base).filter(col("k2") > 1)
+        .groupBy(trunc(col("day"), "mon").as("month"))
+        .agg(sum("x").as("s"))
+      assert(scanPaths(fq).exists(_.contains(view.toString)),
+        "key filter + expression grouping must navigate")
+      // an expression over the MEASURE can't group the view: fall back
+      val bad = Storage.readVersion(spark, base)
+        .groupBy((col("x") % 10).as("xm")).agg(count(lit(1)).as("cnt"))
+      assert(!scanPaths(bad).exists(_.contains(view.toString)),
+        "grouping by a measure expression must fall back")
+      // a NON-DETERMINISTIC grouping expression falls back
+      val rnd = Storage.readVersion(spark, base)
+        .groupBy((rand() * 0).cast("long").as("r")).agg(count(lit(1)).as("cnt"))
+      assert(!scanPaths(rnd).exists(_.contains(view.toString)),
+        "non-deterministic grouping must fall back")
+    }
+    Storage.deleteRecursively(root)
+  }
+
   test("FILTER (WHERE key-pred) aggregates navigate exactly; measure filters fall back") {
     val (base, view) = fixture()
     withRule {

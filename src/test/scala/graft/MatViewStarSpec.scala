@@ -334,6 +334,21 @@ class MatViewStarSpec extends SparkTestBase {
       val want = shape(joined).orderBy("a_grp").collect().toSeq
       assert(got.toString == want.toString,
         s"star percentile diverged:\n got  $got\n want $want")
+      // expression grouping rides the star path too: the analyzer pulls
+      // upper(a_grp) out as a computed Project above the join, and the
+      // flatten's substitution turns it back into a key expression
+      MatViews.registerStarRewrite(spark, "star_p", Seq(f, a, b), viewP,
+        joinKeys = JoinKeys, keys = Seq("a_grp", "f_val"))
+      val eg = joined.groupBy(upper(col("a_grp")).as("g"))
+        .agg(count(lit(1)).as("cnt"), median(col("f_val")).as("med"))
+      assert(scanPaths(eg).exists(_.contains(viewP.toString)),
+        "expression grouping over the star must navigate")
+      val gotE = eg.orderBy("g").collect().toSeq
+      MatView.clear()
+      val wantE = joined.groupBy(upper(col("a_grp")).as("g"))
+        .agg(count(lit(1)).as("cnt"), median(col("f_val")).as("med"))
+        .orderBy("g").collect().toSeq
+      assert(gotE == wantE, s"star expression grouping diverged:\n got  $gotE\n want $wantE")
     }
     Storage.deleteRecursively(root)
   }
