@@ -140,7 +140,12 @@ object Scratch {
         "mv11: median/percentile per event_type" ->
           Storage.readPartitionedVersion(spark, evB).groupBy(col("event_type"))
             .agg(median(col("value")).as("med"),
-              percentile(col("value"), lit(0.75)).as("p75")))
+              percentile(col("value"), lit(0.75)).as("p75")),
+        "expression grouping: substr(event_type) band + key-only FILTER agg" ->
+          Storage.readPartitionedVersion(spark, evB)
+            .groupBy(substring(col("event_type"), 1, 1).as("initial"))
+            .agg(count(lit(1)).as("cnt"),
+              expr("count(*) FILTER (WHERE value > 50)").as("cnt_hi")))
       shapes.foreach { case (label, df) =>
         df.collect()
         println(s"[plan-begin] $label")
