@@ -951,6 +951,50 @@ class MatViewSpec extends SparkTestBase {
     Storage.deleteRecursively(base.getParent)
   }
 
+  test("top-k per group (heavy-hitters panel) serves from the aux-distinct view by composition") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val root = Files.createTempDirectory("mv_topk")
+    val base = root.resolve("base")
+    val view = root.resolve("view")
+    // event log: (k1 group, item) with skewed item frequencies
+    val rows = (1 to 600).map { i =>
+      (s"k${i % 3}", s"item${(i * i) % 17}")
+    }.toDF("k1", "item")
+    Storage.commitVersion(rows, base)
+    // the aux view keyed (k1, item): count_rows IS the item frequency —
+    // no sketch needed for an EXACT top-k; the view holds |distinct
+    // (group, item)| rows, a sliver of the log at 100 TB
+    Storage.commitVersion(
+      Storage.readVersion(spark, base).groupBy("k1", "item")
+        .agg(count(lit(1)).as("count_rows")),
+      view)
+    val vdir = base.resolve(s"v${Storage.currentVersion(base).get}")
+    MatView.register(MatView.Def(
+      name = "topk_t", baseRoots = () => Set(MatView.root(vdir)),
+      view = () => Storage.readVersion(spark, view),
+      keys = Seq("k1", "item"), countCol = Some("count_rows")))
+    withRule {
+      // the classic dashboard shape: rank per-group item counts, keep 3.
+      // The INNER aggregate navigates; the Window ranks view-sized rows.
+      def shape(df: DataFrame) = df.groupBy("k1", "item")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("k1").orderBy(col("cnt").desc, col("item"))))
+        .filter(col("rn") <= 3)
+      val q = shape(Storage.readVersion(spark, base))
+      assert(scanPaths(q).exists(_.contains(view.toString)) &&
+        !scanPaths(q).exists(_.contains(base.toString)),
+        "the top-k panel's aggregate must navigate onto the aux view")
+      val got = q.orderBy("k1", "rn").collect().toSeq
+      MatView.clear()
+      val want = shape(Storage.readVersion(spark, base))
+        .orderBy("k1", "rn").collect().toSeq
+      assert(got == want, s"top-k composition diverged:\n got  $got\n want $want")
+    }
+    Storage.deleteRecursively(root)
+  }
+
   test("explainNavigation names the serving view and each fallback's first failing guard") {
     import graft.ops.MatViews
     import spark.implicits._
