@@ -220,13 +220,9 @@ private[graft] object MatViewSupport {
     case _ => false
   }
 
-  /** Peel Filters and pass-through Projects, accumulating filter
-    * conditions, down to a file-source relation. */
-  def strip(p: LogicalPlan, filters: Seq[Expression])
-      : Option[(Seq[Expression], LogicalRelation)] =
-    stripSubst(p, filters).collect { case (f, lr, m) if m.isEmpty => (f, lr) }
-
-  /** [[strip]] that also tolerates COMPUTED deterministic aliases in the
+  /** Peel Filters and Projects down to a file-source relation,
+    * accumulating filter conditions and tolerating COMPUTED deterministic
+    * aliases in the
     * peeled Projects, recording them in a substitution map (alias id →
     * defining expression over the scan, chained derivations resolved) —
     * the shape the analyzer's PullOutGroupingExpressions creates for a
