@@ -192,7 +192,9 @@ object Bench {
         // round 19: same class — two star views maintained through three
         // churned sides / a distribution view through three loads; the
         // navigated reads are sub-second slivers of the fixture replay
-        n == "mv10_star_distinct_navigation" || n == "mv11_percentile_navigation"
+        n == "mv10_star_distinct_navigation" || n == "mv11_percentile_navigation" ||
+        // round 20: same churned-loads + maintenance + compaction class
+        n == "mv12_variance_navigation" || n == "mv13_topk_navigation"
     val (harnessRows, coreRows) = results.partition { case (n, _) => isHarness(n) }
     def mean(rows: Seq[(String, Double)]): Double =
       if (rows.isEmpty) 0.0 else rows.map(_._2).sum / rows.size

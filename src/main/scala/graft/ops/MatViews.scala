@@ -89,7 +89,8 @@ object MatViews {
       counts: Map[String, String] = Map.empty,
       kmvs: Map[String, String] = Map.empty,
       kmvK: Int = 64,
-      where: Option[Column] = None): Unit =
+      where: Option[Column] = None,
+      sumsqs: Map[String, String] = Map.empty): Unit =
     MatView.register(MatView.Def(
       name = name,
       baseRoots = () => expectedRoots(base),
@@ -99,7 +100,8 @@ object MatViews {
       fresh = () => appliedBase(view).exists(a =>
         Storage.currentVersion(base).contains(a)),
       kmvs = kmvs, kmvK = kmvK,
-      where = { lazy val w = resolveWhere(spark, base, where); () => w }))
+      where = { lazy val w = resolveWhere(spark, base, where); () => w },
+      sumsqs = sumsqs))
 
   /** Resolve a FILTERED view's predicate against the base's schema ONCE,
     * into the conjuncts [[graft.plans.MatViewSupport.consumeWhere]]
@@ -147,10 +149,11 @@ object MatViews {
       maxCollectedGroups: Int = 10000,
       kmvs: Map[String, String] = Map.empty,
       kmvK: Int = 64,
-      filter: Option[Column] = None) {
+      filter: Option[Column] = None,
+      sumsqs: Map[String, String] = Map.empty) {
     private[MatViews] def aggCols: Seq[String] =
-      (sums.keys ++ mins.keys ++ maxs.keys ++ counts.keys ++ kmvs.keys)
-        .toSeq.distinct
+      (sums.keys ++ mins.keys ++ maxs.keys ++ counts.keys ++ kmvs.keys ++
+        sumsqs.keys).toSeq.distinct
     private[MatViews] def compareCols(pk: Seq[String]): Seq[String] = {
       val cc = (keys ++ aggCols).distinct.filterNot(pk.contains)
       require(cc.nonEmpty,
@@ -244,9 +247,11 @@ object MatViews {
       maxCollectedGroups: Int = 10000,
       kmvs: Map[String, String] = Map.empty,
       kmvK: Int = 64,
-      filter: Option[Column] = None): MaintainResult =
+      filter: Option[Column] = None,
+      sumsqs: Map[String, String] = Map.empty): MaintainResult =
     maintainAll(spark, base, pk, Seq(ViewSpec(view, keys, sums, mins, maxs,
-      counts, keepVersions, maxCollectedGroups, kmvs, kmvK, filter))).head
+      counts, keepVersions, maxCollectedGroups, kmvs, kmvK, filter,
+      sumsqs))).head
 
   /** [[maintain]] for EVERY aggregate view of one base in a single call —
     * the shape scheduled maintenance should use. The 100 TB win is feed
@@ -333,6 +338,7 @@ object MatViews {
       sp.mins.map { case (b, v) => min(col(b)).as(v) } ++
       sp.maxs.map { case (b, v) => max(col(b)).as(v) } ++
       sp.counts.map { case (b, v) => count(col(b)).as(v) } ++
+      sp.sumsqs.map { case (b, v) => sum(squaredCol(b)).as(v) } ++
       sp.kmvs.map { case (b, v) =>
         graft.plans.KmvSketch.partialCol(col(b), sp.kmvK).as(v) }
     sp.applyFilter(readBaseAt(spark, base, to)).groupBy(sp.keys.map(col): _*)
@@ -345,6 +351,20 @@ object MatViews {
     * recompute. */
   private def countsAsSums(counts: Map[String, String]): Map[String, Column] =
     counts.map { case (b, v) => v -> when(col(b).isNotNull, 1L).otherwise(0L) }
+
+  /** The Σx² partial's per-row term, in the DOUBLE domain the serving
+    * formula ([[graft.plans.MatViewSupport.varianceOnto]]) divides in —
+    * the same cast-to-double the variance family's analyzed child carries.
+    * A null x yields a null term, which sum skips: variance counts only
+    * non-null values, exactly the `counts` partial's n. Signed and purely
+    * additive under retraction, like any sum — deletes subtract the exact
+    * stored pre-image term, so Σx² never flags a recompute. */
+  private def squaredCol(b: String): Column =
+    col(b).cast("double") * col(b).cast("double")
+
+  /** Σx² partials ride the signed-sum path of the delta aggregates. */
+  private def sumsqsAsSums(sumsqs: Map[String, String]): Map[String, Column] =
+    sumsqs.map { case (b, v) => v -> squaredCol(b) }
 
   /** The retractable merge both maintainers share: apply the delta, count
     * the groups whose stored extreme may have been retracted, and — only
@@ -394,13 +414,14 @@ object MatViews {
     // insert, so boundary crossings reduce to one-sided feed rows
     val cdf = sp.applyFilter(cdf0)
     val deltaAgg = AggMaintain.retractableDeltaAggregates(cdf, keys,
-      sp.sums.map { case (b, v) => v -> col(b) } ++ countsAsSums(sp.counts),
+      sp.sums.map { case (b, v) => v -> col(b) } ++ countsAsSums(sp.counts) ++
+        sumsqsAsSums(sp.sumsqs),
       sp.mins.map { case (b, v) => v -> col(b) },
       sp.maxs.map { case (b, v) => v -> col(b) },
       kmvs = sp.kmvs.map { case (b, v) => v -> (col(b), sp.kmvK) })
     val (next, n) = mergeRetractable(
       Storage.readVersion(spark, sp.view), deltaAgg, keys,
-      (sp.sums.values ++ sp.counts.values).toSeq,
+      (sp.sums.values ++ sp.counts.values ++ sp.sumsqs.values).toSeq,
       sp.mins.values.toSeq, sp.maxs.values.toSeq,
       (flaggedKeys, n0) => recomputeExtremes(spark, base, to, keys, sp.mins,
         sp.maxs, flaggedKeys, n0, sp.maxCollectedGroups, sp.kmvs, sp.kmvK,
@@ -482,14 +503,16 @@ object MatViews {
       mins: Map[String, String] = Map.empty,
       maxs: Map[String, String] = Map.empty,
       keepVersions: Int = 1,
-      maxCollectedGroups: Int = 10000): MaintainJoinResult = {
+      maxCollectedGroups: Int = 10000,
+      sumsqs: Map[String, String] = Map.empty): MaintainJoinResult = {
     require(joinKeysLeft.size == joinKeysRight.size && joinKeysLeft.nonEmpty,
       "joinKeysLeft/joinKeysRight must pair up")
     val r = maintainStar(spark,
       Seq(StarSide(left, pkLeft), StarSide(right, pkRight)), view,
       joinKeys = joinKeysLeft.zip(joinKeysRight), keys = keys,
       sums = sums, counts = counts, mins = mins, maxs = maxs,
-      keepVersions = keepVersions, maxCollectedGroups = maxCollectedGroups)
+      keepVersions = keepVersions, maxCollectedGroups = maxCollectedGroups,
+      sumsqs = sumsqs)
     MaintainJoinResult(r.applied.head, r.applied(1), r.viewVersion,
       r.recomputedGroups)
   }
@@ -571,13 +594,14 @@ object MatViews {
       maxCollectedGroups: Int = 10000,
       filter: Option[Column] = None,
       kmvs: Map[String, String] = Map.empty,
-      kmvK: Int = 64): MaintainStarResult = {
+      kmvK: Int = 64,
+      sumsqs: Map[String, String] = Map.empty): MaintainStarResult = {
     require(sides.size >= 2, "maintainStar needs at least two sides")
     require(joinKeys.nonEmpty, "joinKeys must be non-empty")
     val tos = sides.map(s => Storage.currentVersion(s.table).getOrElse(
       throw new IllegalStateException(s"no committed version at ${s.table}")))
     val aggBase = (sums.keys ++ counts.keys ++ mins.keys ++ maxs.keys ++
-      kmvs.keys).toSeq.distinct
+      kmvs.keys ++ sumsqs.keys).toSeq.distinct
     val jkNames = joinKeys.flatMap { case (a, b) => Seq(a, b) }.distinct
     // pinned schema resolution — same race discipline as readBaseAt's doc
     val sideReads = sides.zip(tos).map { case (s, v) =>
@@ -628,6 +652,7 @@ object MatViews {
         counts.map { case (b, v) => count(col(b)).as(v) } ++
         mins.map { case (b, v) => min(col(b)).as(v) } ++
         maxs.map { case (b, v) => max(col(b)).as(v) } ++
+        sumsqs.map { case (b, v) => sum(squaredCol(b)).as(v) } ++
         kmvs.map { case (b, v) =>
           graft.plans.KmvSketch.partialCol(col(b), kmvK).as(v) }
       flat.groupBy(keys.map(col): _*)
@@ -667,7 +692,8 @@ object MatViews {
         val canceled = viewDelta.groupBy(rowCols.map(col): _*)
           .agg(sum(col("sign")).as("__net")).filter(col("__net") =!= 0)
         val deltaAgg = AggMaintain.retractableDeltaAggregates(canceled, keys,
-          sums.map { case (b, v) => v -> col(b) } ++ countsAsSums(counts),
+          sums.map { case (b, v) => v -> col(b) } ++ countsAsSums(counts) ++
+            sumsqsAsSums(sumsqs),
           mins.map { case (b, v) => v -> col(b) },
           maxs.map { case (b, v) => v -> col(b) },
           changeType = when(col("__net") > 0, lit("insert"))
@@ -703,7 +729,7 @@ object MatViews {
         }
         val (next, n) = mergeRetractable(
           Storage.readVersion(spark, view), deltaAgg, keys,
-          (sums.values ++ counts.values).toSeq,
+          (sums.values ++ counts.values ++ sumsqs.values).toSeq,
           mins.values.toSeq, maxs.values.toSeq, recomputeJoin,
           kmvCols = kmvs.values.map(v => v -> kmvK).toSeq)
         MaintainStarResult(tos, commit(next), n)
@@ -728,9 +754,10 @@ object MatViews {
       sums: Map[String, String] = Map.empty,
       mins: Map[String, String] = Map.empty,
       maxs: Map[String, String] = Map.empty,
-      counts: Map[String, String] = Map.empty): Unit =
+      counts: Map[String, String] = Map.empty,
+      sumsqs: Map[String, String] = Map.empty): Unit =
     registerStarRewrite(spark, name, Seq(left, right), view, joinKeys,
-      keys, countCol, sums, mins, maxs, counts)
+      keys, countCol, sums, mins, maxs, counts, sumsqs = sumsqs)
 
   /** Register a maintained N-ary star-aggregate table as a transparent
     * materialized view over `tables.head ⋈ … ⋈ tables.last` — the
@@ -750,7 +777,8 @@ object MatViews {
       where: Option[Column] = None,
       derives: Seq[Seq[(String, Column)]] = Seq.empty,
       kmvs: Map[String, String] = Map.empty,
-      kmvK: Int = 64): Unit = {
+      kmvK: Int = 64,
+      sumsqs: Map[String, String] = Map.empty): Unit = {
     require(derives.isEmpty || derives.size == tables.size,
       "derives must be empty or parallel to tables (one list per side)")
     val padded =
@@ -763,6 +791,7 @@ object MatViews {
       view = () => Storage.readVersion(spark, view),
       keys = keys, countCol = countCol, sums = sums, mins = mins,
       maxs = maxs, counts = counts, kmvs = kmvs, kmvK = kmvK,
+      sumsqs = sumsqs,
       fresh = () => appliedVersions(view).exists(vs =>
         vs.size == tables.size && tables.zip(vs).forall { case (t, v) =>
           Storage.currentVersion(t).contains(v) }),
@@ -879,7 +908,8 @@ object MatViews {
       kmvs: Map[String, String] = Map.empty,
       kmvK: Int = 64,
       where: String = "",
-      derives: Seq[Map[String, String]] = Nil) {
+      derives: Seq[Map[String, String]] = Nil,
+      sumsqs: Map[String, String] = Map.empty) {
     require(kind == "single" || kind == "join" || kind == "star",
       s"unknown kind '$kind'")
     require(kind != "star" || (tables.size >= 2 && pks.size == tables.size),
@@ -908,7 +938,7 @@ object MatViews {
       ("pks" -> JArray(e.pks.map(pk =>
         JArray(pk.map(JString(_)).toList)).toList)) ~
       ("kmvs" -> e.kmvs) ~ ("kmvK" -> e.kmvK) ~ ("where" -> e.where) ~
-      ("derives" -> e.derives)
+      ("derives" -> e.derives) ~ ("sumsqs" -> e.sumsqs)
   }
 
   /** Every entry in `catalogDir`'s catalog (empty if none yet). */
@@ -943,7 +973,8 @@ object MatViews {
           kmvs = (j \ "kmvs").extractOrElse[Map[String, String]](Map.empty),
           kmvK = (j \ "kmvK").extractOrElse[Int](64),
           where = (j \ "where").extractOrElse[String](""),
-          derives = (j \ "derives").extractOrElse[Seq[Map[String, String]]](Nil))
+          derives = (j \ "derives").extractOrElse[Seq[Map[String, String]]](Nil),
+          sumsqs = (j \ "sumsqs").extractOrElse[Map[String, String]](Map.empty))
       }
       case _ => Seq.empty
     }
@@ -994,7 +1025,8 @@ object MatViews {
         registerRewrite(spark, e.name, Path.of(e.base), Path.of(e.view),
           keys = e.keys, sums = e.sums, mins = e.mins, maxs = e.maxs,
           counts = e.counts, kmvs = e.kmvs, kmvK = e.kmvK,
-          where = if (e.where.isEmpty) None else Some(expr(e.where)))
+          where = if (e.where.isEmpty) None else Some(expr(e.where)),
+          sumsqs = e.sumsqs)
       case e if e.kind == "star" =>
         registerStarRewrite(spark, e.name, e.tables.map(Path.of(_)),
           Path.of(e.view), joinKeys = e.joinKeysLeft.zip(e.joinKeysRight),
@@ -1002,12 +1034,12 @@ object MatViews {
           counts = e.counts,
           where = if (e.where.isEmpty) None else Some(expr(e.where)),
           derives = if (e.derives.isEmpty) Seq.empty else e.deriveCols,
-          kmvs = e.kmvs, kmvK = e.kmvK)
+          kmvs = e.kmvs, kmvK = e.kmvK, sumsqs = e.sumsqs)
       case e =>
         registerJoinRewrite(spark, e.name, Path.of(e.left), Path.of(e.right),
           Path.of(e.view), joinKeys = e.joinKeysLeft.zip(e.joinKeysRight),
           keys = e.keys, sums = e.sums, mins = e.mins, maxs = e.maxs,
-          counts = e.counts)
+          counts = e.counts, sumsqs = e.sumsqs)
     }
     es.size
   }
@@ -1030,7 +1062,8 @@ object MatViews {
         val specs = grp.map(e => ViewSpec(Path.of(e.view), e.keys, e.sums,
           e.mins, e.maxs, e.counts, e.keepVersions, kmvs = e.kmvs,
           kmvK = e.kmvK,
-          filter = if (e.where.isEmpty) None else Some(expr(e.where))))
+          filter = if (e.where.isEmpty) None else Some(expr(e.where)),
+          sumsqs = e.sumsqs))
         maintainAll(spark, Path.of(base), pk, specs)
           .zip(grp).map { case (r, e) => e.name -> r }
       }.toMap
@@ -1039,7 +1072,7 @@ object MatViews {
         Path.of(e.view), pkLeft = e.pkLeft, pkRight = e.pkRight,
         joinKeysLeft = e.joinKeysLeft, joinKeysRight = e.joinKeysRight,
         keys = e.keys, sums = e.sums, counts = e.counts, mins = e.mins,
-        maxs = e.maxs, keepVersions = e.keepVersions)
+        maxs = e.maxs, keepVersions = e.keepVersions, sumsqs = e.sumsqs)
     }.toMap
     val stars = es.filter(_.kind == "star").map { e =>
       e.name -> maintainStar(spark,
@@ -1050,7 +1083,7 @@ object MatViews {
         keys = e.keys, sums = e.sums, counts = e.counts, mins = e.mins,
         maxs = e.maxs, keepVersions = e.keepVersions,
         filter = if (e.where.isEmpty) None else Some(expr(e.where)),
-        kmvs = e.kmvs, kmvK = e.kmvK)
+        kmvs = e.kmvs, kmvK = e.kmvK, sumsqs = e.sumsqs)
     }.toMap
     CatalogMaintenance(single, joins, stars)
   }

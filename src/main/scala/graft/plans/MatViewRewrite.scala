@@ -19,8 +19,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * root — registrations name one immutable version directory, so a base
   * commit auto-invalidates the match), its key columns (same names as the
   * base columns by contract), and which partial-aggregate columns it
-  * maintains (`count_rows`-style COUNT(*), per-column SUM/MIN/MAX and
-  * non-null COUNT — the last also serving AVG as SUM(sum)/SUM(count)).
+  * maintains (`count_rows`-style COUNT(*), per-column SUM/MIN/MAX,
+  * non-null COUNT — the last also serving AVG as SUM(sum)/SUM(count) —
+  * and Σx² `sumsqs` partials serving the variance/stddev family, see
+  * [[MatViewSupport.varianceOnto]]).
   *
   * The rule rewrites
   *     Aggregate(G, aggs, [Filter f]* [Project attrs]* Scan(base))
@@ -101,9 +103,11 @@ object MatView {
       fresh: () => Boolean = () => true,
       kmvs: Map[String, String] = Map.empty,
       kmvK: Int = 64,
-      where: () => Seq[Expression] = () => Nil) {
+      where: () => Seq[Expression] = () => Nil,
+      sumsqs: Map[String, String] = Map.empty) {
     private[plans] def partials: MatViewSupport.Partials =
-      MatViewSupport.Partials(countCol, sums, mins, maxs, counts, kmvs, kmvK)
+      MatViewSupport.Partials(countCol, sums, mins, maxs, counts, kmvs, kmvK,
+        sumsqs)
   }
 
   /** A registered view over the N-ary INNER EQUI-JOIN of base tables —
@@ -136,10 +140,12 @@ object MatView {
       where: () => Seq[Expression] = () => Nil,
       derives: Seq[Seq[(String, () => Expression)]] = Nil,
       kmvs: Map[String, String] = Map.empty,
-      kmvK: Int = 64) {
+      kmvK: Int = 64,
+      sumsqs: Map[String, String] = Map.empty) {
     require(roots.size >= 2, s"star view '$name' needs at least two sides")
     private[plans] def partials: MatViewSupport.Partials =
-      MatViewSupport.Partials(countCol, sums, mins, maxs, counts, kmvs, kmvK)
+      MatViewSupport.Partials(countCol, sums, mins, maxs, counts, kmvs, kmvK,
+        sumsqs)
     /** Join edges as canonical key IDS: a stored column by name, a
       * DERIVED key ([[derives]], e.g. the unknown-member synthetic key)
       * by its normalized expression — what the query's condition
@@ -201,7 +207,8 @@ private[graft] object MatViewSupport {
       maxs: Map[String, String],
       counts: Map[String, String],
       kmvs: Map[String, String] = Map.empty,
-      kmvK: Int = 64)
+      kmvK: Int = 64,
+      sumsqs: Map[String, String] = Map.empty)
 
   /** A Project passes when every output is a bare column or a SAME-NAMED
     * loss-free upcast of one — the shape the versioned read paths emit to
@@ -602,8 +609,87 @@ private[graft] object MatViewSupport {
           if avg.dataType == DoubleType =>
         for { s <- d.sums.get(a.name); c <- d.counts.get(a.name) }
           yield Seq(s, c)
+      // the variance/stddev family re-expresses over the (Σx², Σx, n)
+      // triple — sumsq + sum + non-null count partials of the same column.
+      // The analyzer casts any non-double child to DOUBLE (the family's
+      // input type), so the measure column sits either bare or under that
+      // inserted cast; both denote the same base column.
+      case fn @ (_: VarianceSamp | _: VariancePop | _: StddevSamp |
+                 _: StddevPop) =>
+        varianceTarget(fn.asInstanceOf[CentralMomentAgg].child).flatMap { n =>
+          for { q <- d.sumsqs.get(n); s <- d.sums.get(n); c <- d.counts.get(n) }
+            yield Seq(q, s, c)
+        }
       case _ => None
     }
+
+  /** The base column a variance-family aggregate measures: its child is
+    * the bare attribute (double input) or the analyzer's inserted
+    * cast-to-double of one (any other numeric input). */
+  private def varianceTarget(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case c: Cast if c.dataType == DoubleType => c.child match {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Serve a VarianceSamp / VariancePop / StddevSamp / StddevPop leaf from
+    * its resolved partial attributes `Seq(Σx², Σx, n)` — the textbook
+    * re-expression M2 = Σx² − (Σx)²/n with Spark's exact edge semantics
+    * mirrored from CentralMomentAgg.getStatistic: n = 0 answers NULL; the
+    * sampled variants answer their divide-by-zero result at n = 1 (NULL
+    * under the default non-legacy conf, NaN under legacy — read from the
+    * matched function's own `nullOnDivideByZero`, so the rewrite follows
+    * whatever the session resolved). M2 is clamped at 0 against downward
+    * float cancellation — Welford's recurrence keeps m2 ≥ 0 by
+    * construction, so the clamp restores the invariant rather than
+    * changing a result (and NaN inputs still propagate: greatest treats
+    * NaN as the largest double, exactly the poisoning the base plan has).
+    *
+    * Double-domain stance (same envelope as the SUM/AVG family over
+    * doubles): the re-expressed value may differ from one particular base
+    * scan's in the last ULPs, because float aggregation is
+    * order-sensitive — but so is Spark's own CentralMomentAgg across
+    * partitionings; there is no single canonical bit pattern to preserve.
+    * Decimal measures fall back (their Σx partial is decimal — refused
+    * below), the same stance as AVG. */
+  def varianceOnto(fn: AggregateFunction, attrs: Seq[Attribute],
+      complete: AggregateFunction => AggregateExpression): Option[Expression] = {
+    import org.apache.spark.sql.types.LongType
+    val Seq(sqA, sxA, cntA) = attrs
+    // partial types must be what the maintenance paths write: Σx² double,
+    // Σx double or long (sum over double/float is double; over integrals,
+    // long — exact in double within 2^53, the same per-value cast error
+    // envelope the base plan's cast-to-double child has), n long. A
+    // decimal Σx (decimal measure) refuses — fall back to the base.
+    val (sampled, sqrtRes, nullOnDiv) = fn match {
+      case f: VarianceSamp => (true, false, f.nullOnDivideByZero)
+      case f: VariancePop => (false, false, f.nullOnDivideByZero)
+      case f: StddevSamp => (true, true, f.nullOnDivideByZero)
+      case f: StddevPop => (false, true, f.nullOnDivideByZero)
+      case _ => return None
+    }
+    if (sqA.dataType != DoubleType) return None
+    if (sxA.dataType != DoubleType && sxA.dataType != LongType) return None
+    if (cntA.dataType != LongType) return None
+    val sq: Expression = complete(Sum(sqA))
+    val sx: Expression = Cast(complete(Sum(sxA)), DoubleType)
+    val n: Expression = Cast(complete(Sum(cntA)), DoubleType)
+    val m2 = Greatest(Seq(
+      Subtract(sq, Divide(Multiply(sx, sx, EvalMode.LEGACY), n,
+        EvalMode.LEGACY), EvalMode.LEGACY),
+      Literal(0.0)))
+    val divisor =
+      if (sampled) Subtract(n, Literal(1.0), EvalMode.LEGACY) else n
+    val body0 = Divide(m2, divisor, EvalMode.LEGACY)
+    val body = if (sqrtRes) Sqrt(body0) else body0
+    val nullD = Literal.create(null, DoubleType)
+    val atOne = if (nullOnDiv) nullD else Literal(Double.NaN)
+    Some(If(EqualTo(n, Literal(0.0)), nullD,
+      if (sampled) If(EqualTo(n, Literal(1.0)), atOne, body) else body))
+  }
 
   /** Validate the aggregate's SHAPE against the registration and rebuild
     * it over the view — everything downstream of having matched the
@@ -687,7 +773,11 @@ private[graft] object MatViewSupport {
         case _ => false
       }) && pc.percentageExpression.foldable &&
         (pc.frequencyExpression match {
-          case l: Literal => l.value == 1L // numeric-equality across Int/Long
+          // the un-weighted query forms: an explicit 1 literal in either
+          // type the surfaces produce (percentile() analyzes to an Int
+          // literal, median()/percentile_cont() lower to a Long one)
+          case Literal(1L, org.apache.spark.sql.types.LongType) => true
+          case Literal(1, org.apache.spark.sql.types.IntegerType) => true
           case _ => false
         }) && partials.countCol.isDefined
     // a FILTER (WHERE …) clause over view KEYS is admissible on EVERY
@@ -799,6 +889,14 @@ private[graft] object MatViewSupport {
           val Seq(s, c) = cols
           Divide(Cast(complete(Sum(vAttr(s))), DoubleType),
             Cast(complete(Sum(vAttr(c))), DoubleType), EvalMode.LEGACY)
+        case _: VarianceSamp | _: VariancePop | _: StddevSamp |
+             _: StddevPop =>
+          // the (Σx², Σx, n) triple serves the whole family — see
+          // varianceOnto for the formula and the double-domain stance
+          varianceOnto(fn, cols.map(vAttr), complete) match {
+            case Some(e) => e
+            case None => return None
+          }
         case _ => return None
       }
       if (rewritten.dataType == fn.dataType) Some(rewritten)
@@ -1045,6 +1143,15 @@ private[graft] object MatViewSupport {
           val Seq(s, c) = cols
           Divide(Cast(complete(Sum(vAttr(s))), DoubleType),
             Cast(complete(Sum(vAttr(c))), DoubleType), EvalMode.LEGACY)
+        case _: VarianceSamp | _: VariancePop | _: StddevSamp |
+             _: StddevPop =>
+          // same (Σx², Σx, n) serving as the flat path — the family's
+          // partials are plain reassociable sums, so they ride the
+          // rollup's Expand like any other partial column
+          varianceOnto(fn, cols.map(vAttr), complete) match {
+            case Some(e) => e
+            case None => return None
+          }
         case _ => return None
       }
       if (rewritten.dataType == fn.dataType) Some(rewritten)

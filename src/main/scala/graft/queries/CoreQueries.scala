@@ -2521,6 +2521,204 @@ object CoreQueries {
              |       quantile_cont(value, 0.75) AS p75
              |FROM e GROUP BY event_type""".stripMargin)),
 
+    // VARIANCE/STDDEV NAVIGATION — the last standard dashboard aggregate
+    // re-expressed over maintained partials: a Σx² partial (signed, purely
+    // additive — deletes subtract the exact stored pre-image term, so it
+    // never flags a recompute) joins the sum and non-null-count partials,
+    // and var_samp/var_pop/stddev_samp/stddev_pop serve as
+    // (Σx² − (Σx)²/n)/divisor in the double family with Spark's exact
+    // n=0/n=1 edge semantics (MatViewSupport.varianceOnto; decimal
+    // measures fall back, the AVG stance). Churned loads shift values
+    // and delete rows — the variance itself moves between refreshes; the
+    // maintained triple tracks it through signed deltas alone. dval's
+    // integer-valued doubles keep every partial bit-exact; value's raw
+    // doubles exercise the ULP-envelope stance (both sides round(…, 6) —
+    // the re-expression and DuckDB's streaming algorithm agree to ~1e-9
+    // while ROUND only needs agreement at 5e-7). The row REQUIREs the
+    // navigated plan: zero base scans. At 100 TB: the stddev panel beside
+    // every AVG reads |groups| view rows — no base re-scan, ever.
+    Q("mv12_variance_navigation",
+      (s, d) => {
+        import graft.plans.{MatView, MatViewRewrite}
+        import graft.ops.{MatViews, MergeOps, Storage}
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+        val dir = java.nio.file.Files.createTempDirectory("mv12")
+        val table = dir.resolve("base")
+        val view = dir.resolve("view")
+        try {
+          val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+            col("event_type"), col("value"))
+          def load(df: DataFrame, ts: String) = {
+            // dval derives AFTER any churn shift: integer-valued double
+            // with deterministic nulls (n ≠ count_rows), floored through
+            // the decimal rendering so Spark and DuckDB floor agree
+            val dval = when(col("user_id") % 7 === 0, lit(null))
+              .otherwise(floor(dec(col("value"))).cast("double"))
+            MergeOps.prunedConditionalUpsert(table,
+              df.select(col("event_id"), col("event_type"), col("value"),
+                dval.as("dval"),
+                lit(null).cast("timestamp").as("loaded_at"),
+                lit(null).cast("timestamp").as("last_upd_at")),
+              pk = Seq("event_id"), tracked = Seq("event_type", "value", "dval"),
+              runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+          }
+          def maintain() = MatViews.maintain(s, table, view,
+            pk = Seq("event_id"), keys = Seq("event_type"),
+            sums = Map("value" -> "sum_v", "dval" -> "sum_d"),
+            counts = Map("value" -> "cnt_v", "dval" -> "cnt_d"),
+            sumsqs = Map("value" -> "ssq_v", "dval" -> "ssq_d"),
+            keepVersions = 2)
+          // churned bootstrap: %7 missing, %11 values shifted +300 — the
+          // truth load pulls the variance back DOWN through retractions
+          load(ev.filter(col("event_id") % 7 =!= 0)
+            .withColumn("value",
+              when(col("event_id") % 11 === 0, col("value") + 300.0)
+                .otherwise(col("value"))), CutoffTs)
+          maintain()
+          load(ev, RunTs)
+          MergeOps.prunedDelete(table,
+            ev.select(col("event_id")).filter(col("event_id") % 13 === 0),
+            pk = Seq("event_id"), nParts = 8, keepVersions = 4)
+          maintain() // deletes shift every group's variance
+          Storage.compact(s, table)
+          maintain()
+          MatViews.registerRewrite(s, "mv12", table, view,
+            keys = Seq("event_type"),
+            sums = Map("value" -> "sum_v", "dval" -> "sum_d"),
+            counts = Map("value" -> "cnt_v", "dval" -> "cnt_d"),
+            sumsqs = Map("value" -> "ssq_v", "dval" -> "ssq_d"))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ MatViewRewrite
+          try {
+            val q = Storage.readPartitionedVersion(s, table)
+              .groupBy(col("event_type"))
+              .agg(count(lit(1)).as("cnt"),
+                round(var_samp(col("dval")), 6).as("vs_d"),
+                round(var_pop(col("dval")), 6).as("vp_d"),
+                round(stddev_samp(col("dval")), 6).as("ss_d"),
+                round(stddev_pop(col("dval")), 6).as("sp_d"),
+                round(var_samp(col("value")), 6).as("vs_v"),
+                round(stddev_pop(col("value")), 6).as("sp_v"))
+            val scans = q.queryExecution.optimizedPlan.collect {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                lr.relation match {
+                  case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                    fs.location.rootPaths.map(_.toString)
+                  case _ => Nil
+                }
+            }.flatten
+            require(scans.exists(_.contains(view.toString)) &&
+                !scans.exists(_.contains(table.toString)),
+              s"variance family was not navigated onto the Σx² partials: $scans")
+            q.localCheckpoint()
+          } finally {
+            s.experimental.extraOptimizations =
+              s.experimental.extraOptimizations.filterNot(_ eq MatViewRewrite)
+            MatView.drop("mv12")
+          }
+        } finally Storage.deleteRecursively(dir)
+      },
+      Some("""WITH e AS (SELECT event_type, value,
+             |    CASE WHEN user_id % 7 = 0 THEN NULL
+             |         ELSE CAST(FLOOR(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+             |    END AS dval
+             |  FROM events WHERE event_id % 13 <> 0)
+             |SELECT event_type, count(*) AS cnt,
+             |       round(var_samp(dval), 6) AS vs_d,
+             |       round(var_pop(dval), 6) AS vp_d,
+             |       round(stddev_samp(dval), 6) AS ss_d,
+             |       round(stddev_pop(dval), 6) AS sp_d,
+             |       round(var_samp(value), 6) AS vs_v,
+             |       round(stddev_pop(value), 6) AS sp_v
+             |FROM e GROUP BY event_type""".stripMargin)),
+
+    // HEAVY-HITTERS TOP-K NAVIGATION — the dashboard's "top items per
+    // group" panel served by COMPOSITION: the inner (group, item) count
+    // navigates onto the aux-distinct view (count_rows IS the item
+    // frequency — mv9/mv10's multiplicity semantics, pinned here at the
+    // oracle gate), and the row_number window then ranks VIEW-SIZED rows.
+    // No sketch needed for an exact answer. Churned loads re-assign items
+    // (%11 rows bootstrap under a shifted item id) and delete rows — the
+    // per-item counts, and therefore the ranking itself, move between
+    // refreshes and the maintained multiplicities must track it. The row
+    // REQUIREs the navigated plan: zero base scans under the whole
+    // windowed query. At 100 TB: the top-k panel ranks |distinct
+    // (group, item)| view rows instead of re-counting the event log.
+    Q("mv13_topk_navigation",
+      (s, d) => {
+        import graft.plans.{MatView, MatViewRewrite}
+        import graft.ops.{MatViews, MergeOps, Storage}
+        import org.apache.spark.sql.expressions.Window
+        val dir = java.nio.file.Files.createTempDirectory("mv13")
+        val table = dir.resolve("base")
+        val view = dir.resolve("view")
+        try {
+          val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+            col("event_type"))
+          def load(df: DataFrame, ts: String) =
+            MergeOps.prunedConditionalUpsert(table,
+              df.select(col("event_id"), col("event_type"), col("item"),
+                lit(null).cast("timestamp").as("loaded_at"),
+                lit(null).cast("timestamp").as("last_upd_at")),
+              pk = Seq("event_id"), tracked = Seq("event_type", "item"),
+              runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+          def maintain() = MatViews.maintain(s, table, view,
+            pk = Seq("event_id"), keys = Seq("event_type", "item"),
+            keepVersions = 2)
+          // churned bootstrap: %11 rows carry a re-assigned item — the
+          // truth load moves their counts between items, re-ranking
+          load(ev.withColumn("item",
+            (col("user_id") + when(col("event_id") % 11 === 0, 7)
+              .otherwise(0)) % 53), CutoffTs)
+          maintain()
+          load(ev.withColumn("item", col("user_id") % 53), RunTs)
+          MergeOps.prunedDelete(table,
+            ev.select(col("event_id")).filter(col("event_id") % 13 === 0),
+            pk = Seq("event_id"), nParts = 8, keepVersions = 4)
+          maintain()
+          Storage.compact(s, table)
+          maintain()
+          MatViews.registerRewrite(s, "mv13", table, view,
+            keys = Seq("event_type", "item"))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ MatViewRewrite
+          try {
+            val q = Storage.readPartitionedVersion(s, table)
+              .groupBy(col("event_type"), col("item"))
+              .agg(count(lit(1)).as("cnt"))
+              .withColumn("rn", row_number().over(
+                Window.partitionBy("event_type")
+                  .orderBy(col("cnt").desc, col("item"))).cast("long"))
+              .filter(col("rn") <= 3)
+            val scans = q.queryExecution.optimizedPlan.collect {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                lr.relation match {
+                  case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                    fs.location.rootPaths.map(_.toString)
+                  case _ => Nil
+                }
+            }.flatten
+            require(scans.exists(_.contains(view.toString)) &&
+                !scans.exists(_.contains(table.toString)),
+              s"top-k panel was not navigated onto the aux view: $scans")
+            q.localCheckpoint()
+          } finally {
+            s.experimental.extraOptimizations =
+              s.experimental.extraOptimizations.filterNot(_ eq MatViewRewrite)
+            MatView.drop("mv13")
+          }
+        } finally Storage.deleteRecursively(dir)
+      },
+      Some("""WITH e AS (SELECT event_type, user_id % 53 AS item
+             |    FROM events WHERE event_id % 13 <> 0),
+             |c AS (SELECT event_type, item, count(*) AS cnt
+             |      FROM e GROUP BY 1, 2),
+             |r AS (SELECT event_type, item, cnt,
+             |        row_number() OVER (PARTITION BY event_type
+             |          ORDER BY cnt DESC, item) AS rn
+             |      FROM c)
+             |SELECT event_type, item, cnt, rn FROM r WHERE rn <= 3""".stripMargin)),
+
     // ATOMIC workspace+view publish: a transaction's base tables AND its
     // maintained views land in ONE manifest (MatViews.workspaceCommitWith
     // Views — member commits through the table CAS logs, every cataloged

@@ -1131,4 +1131,120 @@ class MatViewSpec extends SparkTestBase {
     }
     Storage.deleteRecursively(root)
   }
+
+  test("variance/stddev family navigates via the Σx² partial — flat, FILTER, rollup; fallbacks guard") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mv_var")
+    val base = root.resolve("base")
+    val view = root.resolve("view")
+    // d: integer-valued double with nulls (exact partial sums in IEEE
+    // doubles); i: an int measure (the analyzer casts the variance child
+    // to double — the partial triple must still match through that cast);
+    // m: decimal — the documented decimal fallback; lone: exactly one
+    // non-null value in group t9 (the n = 1 divide-by-zero edge)
+    val rows = (1 to 400).map { i =>
+      (if (i == 400) "t9" else s"t${i % 3}",
+        if (i % 5 == 0) None else Some(((i * 7) % 23).toDouble),
+        i % 11, BigDecimal(i) / 100)
+    }.toDF("k1", "d", "i", "m")
+      .select(col("k1"), col("d"), col("i"),
+        col("m").cast("decimal(38,6)").as("m"))
+    Storage.commitVersion(rows, base)
+    Storage.commitVersion(
+      Storage.readVersion(spark, base).groupBy("k1")
+        .agg(count(lit(1)).as("count_rows"),
+          sum("d").as("sum_d"), count(col("d")).as("cnt_d"),
+          sum(col("d") * col("d")).as("ssq_d"),
+          sum("i").as("sum_i"), count(col("i")).as("cnt_i"),
+          sum(col("i").cast("double") * col("i").cast("double")).as("ssq_i"),
+          sum("m").as("sum_m"), count(col("m")).as("cnt_m"),
+          sum(col("m").cast("double") * col("m").cast("double")).as("ssq_m")),
+      view)
+    val vdir = base.resolve(s"v${Storage.currentVersion(base).get}")
+    def register(): Unit = MatView.register(MatView.Def(
+      name = "var_t", baseRoots = () => Set(MatView.root(vdir)),
+      view = () => Storage.readVersion(spark, view),
+      keys = Seq("k1"), countCol = Some("count_rows"),
+      sums = Map("d" -> "sum_d", "i" -> "sum_i", "m" -> "sum_m"),
+      counts = Map("d" -> "cnt_d", "i" -> "cnt_i", "m" -> "cnt_m"),
+      sumsqs = Map("d" -> "ssq_d", "i" -> "ssq_i", "m" -> "ssq_m")))
+    register()
+    // double-domain envelope: the Σx² re-expression and Welford differ in
+    // the last ULPs (both are order-sensitive float algorithms); integer-
+    // valued inputs keep the partials exact, so agreement is ~1e-12
+    def close(a: Any, b: Any): Boolean = (a, b) match {
+      case (null, null) => true
+      case (x: Double, y: Double) =>
+        (x.isNaN && y.isNaN) || math.abs(x - y) <= 1e-9 * (1 + math.abs(y))
+      case (x, y) => x == y
+    }
+    def sameRows(got: Seq[org.apache.spark.sql.Row],
+        want: Seq[org.apache.spark.sql.Row], what: String): Unit = {
+      assert(got.size == want.size, s"$what: row counts differ")
+      got.zip(want).foreach { case (g, w) =>
+        assert((0 until g.size).forall(j => close(g.get(j), w.get(j))),
+          s"$what diverged:\n got  $g\n want $w") }
+    }
+    withRule {
+      def shape(df: DataFrame) = df.groupBy("k1").agg(
+        var_samp(col("d")).as("vs"), var_pop(col("d")).as("vp"),
+        stddev_samp(col("d")).as("ss"), stddev_pop(col("d")).as("sp"),
+        var_samp(col("i")).as("vi"),
+        // key-only FILTER rides the family like any served aggregate
+        expr("var_samp(d) FILTER (WHERE k1 <> 't9')").as("vf"),
+        count(lit(1)).as("cnt"))
+      val q = shape(Storage.readVersion(spark, base))
+      assert(scanPaths(q).exists(_.contains(view.toString)) &&
+        !scanPaths(q).exists(_.contains(base.toString)),
+        "the variance family must navigate onto the Σx² partials")
+      val got = q.orderBy("k1").collect().toSeq
+      MatView.clear()
+      val want = shape(Storage.readVersion(spark, base)).orderBy("k1").collect().toSeq
+      sameRows(got, want, "variance family")
+      // t9's lone non-null d: n = 1 → the divide-by-zero edge must match
+      // whatever this session's conf resolved (NULL by default)
+      val t9got = got.find(_.getString(0) == "t9").get
+      val t9want = want.find(_.getString(0) == "t9").get
+      assert(close(t9got.get(1), t9want.get(1)) && close(t9got.get(3), t9want.get(3)),
+        s"n=1 sampled-variance edge diverged: $t9got vs $t9want")
+      register()
+      // ROLLUP: the partial triple rides Expand like any partial column
+      def rshape(df: DataFrame) = df.rollup("k1").agg(
+        var_samp(col("d")).as("vs"), stddev_pop(col("d")).as("sp"),
+        count(lit(1)).as("cnt"))
+      val rq = rshape(Storage.readVersion(spark, base))
+      assert(scanPaths(rq).exists(_.contains(view.toString)) &&
+        !scanPaths(rq).exists(_.contains(base.toString)),
+        "rollup variance must navigate")
+      val rgot = rq.orderBy(col("k1").asc_nulls_first).collect().toSeq
+      MatView.clear()
+      val rwant = rshape(Storage.readVersion(spark, base))
+        .orderBy(col("k1").asc_nulls_first).collect().toSeq
+      sameRows(rgot, rwant, "rollup variance")
+      register()
+      // decimal measure: its Σx partial is decimal — documented fallback
+      // (same stance as decimal AVG)
+      val dq = Storage.readVersion(spark, base).groupBy("k1")
+        .agg(var_samp(col("m")).as("vm"))
+      assert(!scanPaths(dq).exists(_.contains(view.toString)),
+        "a decimal-measure variance must fall back")
+      // DISTINCT variance is a different relation than the partials hold
+      val xq = Storage.readVersion(spark, base).groupBy("k1")
+        .agg(expr("var_samp(DISTINCT d)").as("vd"))
+      assert(!scanPaths(xq).exists(_.contains(view.toString)),
+        "DISTINCT variance must fall back")
+      // a registration WITHOUT the Σx² partial cannot serve the family
+      MatView.clear()
+      MatView.register(MatView.Def(
+        name = "var_nosq", baseRoots = () => Set(MatView.root(vdir)),
+        view = () => Storage.readVersion(spark, view),
+        keys = Seq("k1"), countCol = Some("count_rows"),
+        sums = Map("d" -> "sum_d"), counts = Map("d" -> "cnt_d")))
+      val nq = Storage.readVersion(spark, base).groupBy("k1")
+        .agg(var_samp(col("d")).as("vs"))
+      assert(!scanPaths(nq).exists(_.contains(view.toString)),
+        "without a sumsq partial the variance must fall back")
+    }
+    Storage.deleteRecursively(root)
+  }
 }

@@ -353,6 +353,83 @@ class MatViewStarSpec extends SparkTestBase {
     Storage.deleteRecursively(root)
   }
 
+  test("variance over a STAR view navigates via maintained Σx² partials; churn keeps them exact") {
+    val root = Files.createTempDirectory("mvstar_var")
+    val (a, b, f) = (root.resolve("dim_a"), root.resolve("dim_b"),
+      root.resolve("fact"))
+    val viewV = root.resolve("view_var")
+    // fact carries a DOUBLE measure (integer-valued → exact partials);
+    // nulls on every 5th row make n ≠ count_rows
+    def loadFd(rows: Seq[(Long, Long, Long, Option[Double])]): Long = {
+      import spark.implicits._
+      MergeOps.prunedConditionalUpsert(f,
+        stamp(rows.toDF("f_id", "f_aid", "f_bid", "f_d")),
+        pk = Seq("f_id"), tracked = Seq("f_aid", "f_bid", "f_d"),
+        runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 4,
+        keepVersions = 8)
+    }
+    def fdRows(shift: Long => Double): Seq[(Long, Long, Long, Option[Double])] =
+      (1L to 90L).map(i => (i, i % 8 + 1, i % 6 + 1,
+        if (i % 5 == 0) None else Some(shift(i))))
+    loadA(a, (1L to 8L).map(i => (i, s"a${i % 3}")))
+    loadB(b, (1L to 6L).map(i => (i, s"b${i % 2}")))
+    loadFd(fdRows(i => ((i * 3) % 17).toDouble))
+    def maintainV() = MatViews.maintainStar(spark, sides(a, b, f), viewV,
+      joinKeys = JoinKeys, keys = Seq("a_grp"),
+      sums = Map("f_d" -> "sum_d"), counts = Map("f_d" -> "cnt_d"),
+      sumsqs = Map("f_d" -> "ssq_d"), keepVersions = 2)
+    maintainV()
+    // churn: values shift (update pre/post images retract exactly), a
+    // dim re-groups rows between a_grp values, rows delete — the signed
+    // Σx² must track all three transitions
+    loadFd(fdRows(i => ((i * 5) % 19).toDouble))
+    loadA(a, (1L to 8L).map(i => (i, s"a${(i + 1) % 3}")))
+    MergeOps.prunedDelete(f,
+      { import spark.implicits._
+        (1L to 90L).filter(_ % 13 == 0).toDF("f_id") },
+      pk = Seq("f_id"), nParts = 4, keepVersions = 8)
+    maintainV()
+    // maintained Σx² must equal a from-scratch aggregate (exact — the
+    // values are integer-valued doubles, so signed partials cancel
+    // bit-for-bit)
+    def joined = Storage.readPartitionedVersion(spark, f)
+      .join(Storage.readPartitionedVersion(spark, a), col("f_aid") === col("a_id"))
+      .join(Storage.readPartitionedVersion(spark, b), col("f_bid") === col("b_id"))
+    val gotP = Storage.readVersion(spark, viewV)
+      .select("a_grp", "count_rows", "sum_d", "cnt_d", "ssq_d")
+      .collect().map(r => r.toSeq.map(String.valueOf)).toSet
+    val wantP = joined.groupBy("a_grp")
+      .agg(count(lit(1)).as("count_rows"), sum("f_d").as("sum_d"),
+        count(col("f_d")).as("cnt_d"),
+        sum(col("f_d") * col("f_d")).as("ssq_d"))
+      .collect().map(r => r.toSeq.map(String.valueOf)).toSet
+    assert(gotP == wantP, s"churned Σx² diverged:\n got  $gotP\n want $wantP")
+    MatViews.registerStarRewrite(spark, "star_v", Seq(f, a, b), viewV,
+      joinKeys = JoinKeys, keys = Seq("a_grp"),
+      sums = Map("f_d" -> "sum_d"), counts = Map("f_d" -> "cnt_d"),
+      sumsqs = Map("f_d" -> "ssq_d"))
+    withRule {
+      def shape(j: DataFrame) = j.groupBy("a_grp")
+        .agg(var_samp(col("f_d")).as("vs"), stddev_pop(col("f_d")).as("sp"),
+          avg(col("f_d")).as("av"), count(lit(1)).as("cnt"))
+      val q = shape(joined)
+      val paths = scanPaths(q)
+      assert(paths.exists(_.contains(viewV.toString)) &&
+        !paths.exists(s => s.contains(f.toString) || s.contains(a.toString) ||
+          s.contains(b.toString)),
+        s"star variance must navigate onto the Σx² partials: $paths")
+      val got = q.orderBy("a_grp").collect().toSeq
+      MatView.clear()
+      val want = shape(joined).orderBy("a_grp").collect().toSeq
+      assert(got.size == want.size && got.zip(want).forall { case (g, w) =>
+        (0 until g.size).forall { j => (g.get(j), w.get(j)) match {
+          case (x: Double, y: Double) => math.abs(x - y) <= 1e-9 * (1 + math.abs(y))
+          case (x, y) => x == y
+        } } }, s"star variance diverged:\n got  $got\n want $want")
+    }
+    Storage.deleteRecursively(root)
+  }
+
   test("FILTERED star view: transition-semantics maintenance, predicate-consuming navigation, fallbacks") {
     val root = Files.createTempDirectory("mvstar_where")
     val (a, b, f, view) = (root.resolve("dim_a"), root.resolve("dim_b"),
