@@ -204,7 +204,12 @@ object DedupIndex {
     def removeRows(tdir: Path, enc: DataFrame): Long = {
       val touched = enc.select(col("pbucket")).distinct()
         .collect().map(r => s"pbucket=${r.get(0)}").toSet // O(buckets)
-      if (touched.isEmpty) Storage.currentVersion(tdir).get // pure no-op
+      if (touched.isEmpty) Storage.currentVersion(tdir).getOrElse(
+        // geometry file present but nothing ever committed (torn
+        // bootstrap): fail with the contract error, not a bare
+        // NoSuchElementException
+        throw new IllegalStateException(
+          s"no committed version at $tdir — bootstrap first")) // pure no-op
       else {
         val survivors = Storage.readPartitionedVersion(spark, tdir, Some(touched))
           .join(enc.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
@@ -238,7 +243,10 @@ object DedupIndex {
           s"${leftovers.take(10).mkString(", ")} (${leftovers.length} total) — " +
           "the request's text does not match the indexed text (content-" +
           "addressed pruning missed their buckets); re-issue the takedown " +
-          "with the indexed text or re-bootstrap from the corrected corpus")
+          "with the indexed text or re-bootstrap from the corrected corpus. " +
+          s"NOTE: the partially-effective takedown IS committed (fp v$vFp, " +
+          s"shingle v$vSh) — this exception reports an incomplete removal, " +
+          "not a rolled-back one")
     }
     (vFp, vSh)
   }

@@ -96,14 +96,28 @@ object FixedPointDot {
 
   val FnName = "graft_fixed_point_dot"
 
-  /** Column API: registers the expression in the active session's function
-    * registry (idempotent) and calls it — the supported route from the
-    * api-level Column to a custom Expression in Spark 4. */
-  def dot(a: Column, b: Column): Column = {
+  /** Register-ONCE-then-call via the active session's function registry —
+    * the supported route from the api-level Column to a custom Expression
+    * in Spark 4, shared by every graft registry-routed function. The
+    * existence probe keeps re-entry silent: an unconditional
+    * createOrReplaceTempFunction logs a "replaced a previously registered
+    * function" warning on every call after the first, which spammed each
+    * bench tail. Names are 1:1 with their builder (k-parameterized names
+    * embed k), so an already-registered name IS the same function and
+    * skipping the re-register never changes behavior; the benign race of
+    * two first-callers both registering resolves to identical entries. */
+  private[graft] def viaRegistry(name: String,
+      mk: Seq[Expression] => Expression, args: Column*): Column = {
     import org.apache.spark.sql.classic.ClassicConversions.castToImpl
     val spark = castToImpl(org.apache.spark.sql.SparkSession.active)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => FixedPointDot(exprs(0), exprs(1)), "built-in")
-    org.apache.spark.sql.functions.call_function(FnName, a, b)
+    val id = new org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+    if (!spark.sessionState.functionRegistry.functionExists(id))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, mk, "built-in")
+    org.apache.spark.sql.functions.call_function(name, args: _*)
   }
+
+  /** Column API: [[viaRegistry]] on [[FnName]]. */
+  def dot(a: Column, b: Column): Column =
+    viaRegistry(FnName, exprs => FixedPointDot(exprs(0), exprs(1)), a, b)
 }

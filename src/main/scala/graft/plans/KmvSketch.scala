@@ -257,13 +257,8 @@ object KmvSketch {
   }
 
   private def viaRegistry(name: String,
-      mk: Seq[Expression] => Expression, c: Column): Column = {
-    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
-    val spark = castToImpl(org.apache.spark.sql.SparkSession.active)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, mk, "built-in")
-    org.apache.spark.sql.functions.call_function(name, c)
-  }
+      mk: Seq[Expression] => Expression, c: Column): Column =
+    FixedPointDot.viaRegistry(name, mk, c)
 
   /** Column API via the function-registry route (see FixedPointDot.dot). */
   def distinctEstimate(c: Column, k: Int = 64): Column =

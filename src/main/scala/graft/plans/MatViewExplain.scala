@@ -64,9 +64,19 @@ object MatViewExplain {
           scansOf(d.view().queryExecution.analyzed)).getOrElse(Set.empty))
     plan.collect { case agg: Aggregate =>
       val aggScans = scansOf(agg)
-      val served = servedIndex.collectFirst {
-        case (n, vr) if vr.nonEmpty && aggScans.nonEmpty &&
-          aggScans.subsetOf(vr) => n
+      // served = the aggregate reads exactly some view's root set; two
+      // registrations can share a view table (e.g. an exact and an
+      // approx panel over one state), in which case naming the first
+      // would be a guess — report the ambiguity instead. A strict-subset
+      // read of a view's roots is NOT a served aggregate (the rewrite
+      // rules never produce one), so it falls through to probing.
+      val exact = servedIndex.collect {
+        case (n, vr) if vr.nonEmpty && vr == aggScans => n
+      }
+      val served = exact match {
+        case Seq(n) => Some(n)
+        case Seq() => None
+        case many => Some(many.mkString("<ambiguous: ", ", ", ">"))
       }
       val reasons: Seq[(String, String)] =
         if (served.isDefined) Nil

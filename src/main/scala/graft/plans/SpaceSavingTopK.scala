@@ -160,13 +160,7 @@ object SpaceSavingTopK {
   }
 
   /** Column API via the function-registry route (see FixedPointDot.dot). */
-  def topK(c: Column, capacity: Int): Column = {
-    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
-    val spark = castToImpl(org.apache.spark.sql.SparkSession.active)
-    val name = s"graft_space_saving_$capacity"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => SpaceSavingTopK(exprs.head, capacity).toAggregateExpression(),
-      "built-in")
-    org.apache.spark.sql.functions.call_function(name, c)
-  }
+  def topK(c: Column, capacity: Int): Column =
+    FixedPointDot.viaRegistry(s"graft_space_saving_$capacity",
+      exprs => SpaceSavingTopK(exprs.head, capacity).toAggregateExpression(), c)
 }

@@ -141,12 +141,7 @@ object TopKRows {
   /** Column API via the function-registry route (see FixedPointDot.dot):
     * `topK(struct(sortKeys…, payload…), k)` → sorted array of the k
     * smallest structs. */
-  def topK(c: Column, k: Int): Column = {
-    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
-    val spark = castToImpl(org.apache.spark.sql.SparkSession.active)
-    val name = s"graft_topk_$k"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => TopKRows(exprs.head, k).toAggregateExpression(), "built-in")
-    org.apache.spark.sql.functions.call_function(name, c)
-  }
+  def topK(c: Column, k: Int): Column =
+    FixedPointDot.viaRegistry(s"graft_topk_$k",
+      exprs => TopKRows(exprs.head, k).toAggregateExpression(), c)
 }

@@ -1132,6 +1132,47 @@ class MatViewSpec extends SparkTestBase {
     Storage.deleteRecursively(root)
   }
 
+  test("explainNavigation diagnoses the ROLLUP/Expand path: served panels name their view, measure slots name the guard") {
+    import graft.ops.MatViews
+    import spark.implicits._
+    val root = Files.createTempDirectory("mv_explain_ru")
+    val base = root.resolve("base")
+    val view = root.resolve("view")
+    val rows = (1 to 120).map(i => (s"k${i % 3}", (i % 5).toLong, i.toLong, i * 2.0))
+      .toDF("k1", "k2", "x", "y")
+    Storage.commitVersion(rows, base)
+    Storage.commitVersion(
+      Storage.readVersion(spark, base).groupBy("k1", "k2")
+        .agg(count(lit(1)).as("count_rows"), sum("x").as("sum_x")), view)
+    val vdir = base.resolve(s"v${Storage.currentVersion(base).get}")
+    MatView.register(MatView.Def(
+      name = "ru_t", baseRoots = () => Set(MatView.root(vdir)),
+      view = () => Storage.readVersion(spark, view),
+      keys = Seq("k1", "k2"), countCol = Some("count_rows"),
+      sums = Map("x" -> "sum_x")))
+    try {
+      def served() = Storage.readVersion(spark, base).rollup("k1", "k2")
+        .agg(count(lit(1)).as("cnt"), sum("x").as("s"))
+      // y has no sum partial: the rollup aggregate cannot be served —
+      // the report must carry ru_t's first failing guard, not silence
+      def unservable() = Storage.readVersion(spark, base).rollup("k1", "k2")
+        .agg(sum("y").as("s"))
+      withRule {
+        val r1 = MatViews.explainNavigation(served())
+        assert(r1.nonEmpty, "the rollup Aggregate must be reported")
+        assert(r1.head.servedBy.contains("ru_t"),
+          s"a navigated rollup must report its serving view: $r1")
+        val r2 = MatViews.explainNavigation(unservable())
+        assert(r2.nonEmpty && r2.head.servedBy.isEmpty,
+          s"an unservable rollup must not claim a server: $r2")
+        val reason = r2.head.reasons.collectFirst { case ("ru_t", r) => r }
+        assert(reason.exists(_.contains("shape")),
+          s"the measure-slot rollup must report the failing guard: $r2")
+      }
+    } finally MatView.clear()
+    Storage.deleteRecursively(root)
+  }
+
   test("variance/stddev family navigates via the Σx² partial — flat, FILTER, rollup; fallbacks guard") {
     import spark.implicits._
     val root = Files.createTempDirectory("mv_var")
