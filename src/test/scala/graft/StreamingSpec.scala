@@ -328,6 +328,102 @@ class StreamingSpec extends SparkTestBase {
     assert(after == got, "duplicates must not change the state")
   }
 
+  test("streaming-maintained DISTRIBUTION view serves the percentile panel continuously") {
+    // the (group, value) distribution view of mv11's batch path,
+    // maintained from the commit-log tail: keys = (grp, x) and NO sum
+    // partials — count_rows IS the per-value multiplicity. Deletes must
+    // drive fully-retracted value rows to ZERO AND OUT of the state
+    // (applyDelta's ghost filter), or the frequency percentile would
+    // re-count values that left the base; the marker then makes the
+    // registered rewrite navigate median/percentile the moment the tail
+    // is drained, with no batch maintenance call anywhere.
+    import graft.ops.{MatViews, MergeOps, Storage}
+    import graft.plans.{MatView, MatViewRewrite}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = Files.createTempDirectory("cdf_dist")
+    val base = dir.resolve("t")
+    val view = dir.resolve("dist")
+    def load(rows: Seq[(Long, String, Double)], ts: String) =
+      MergeOps.prunedConditionalUpsert(base,
+        rows.toDF("id", "grp", "x")
+          .withColumn("loaded_at", lit(null).cast("timestamp"))
+          .withColumn("last_upd_at", lit(null).cast("timestamp")),
+        pk = Seq("id"), tracked = Seq("grp", "x"),
+        runTs = lit(ts).cast("timestamp"), nParts = 4)
+    def consumer(input: MemoryStream[Long]) =
+      StreamingLoads.foreachBatchCdfAggMaintain(
+        input.toDF().toDF("v"), base, view,
+        pk = Seq("id"), compareCols = Seq("grp", "x"),
+        keys = Seq("grp", "x"), sums = Map.empty,
+        trigger = Trigger.ProcessingTime(0)).start()
+
+    // duplicated values within groups (multiplicity matters), then churn:
+    // id 2 moves its value 2.0→9.0, ids 5/6 delete (the LAST copies of
+    // 5.0 in a and 2.0 in b — those distribution rows must vanish)
+    val v0 = load((1L to 6L).map(i =>
+      (i, if (i % 2 == 0) "b" else "a",
+        Seq(1.0, 2.0, 1.0, 2.0, 5.0, 2.0)(i.toInt - 1))), "2024-01-01 00:00:00")
+    val v1 = load(Seq((2L, "b", 9.0)), "2024-01-02 00:00:00")
+    val v2 = MergeOps.prunedDelete(base, Seq(5L, 6L).toDF("id"),
+      pk = Seq("id"), nParts = 4)
+    val in = MemoryStream[Long]
+    in.addData(v0, v1, v2)
+    // scheduled compaction unifies bucket owners (the rewrite's single-
+    // owner scan shape); its version rides the same tail and advances the
+    // marker through an EMPTY change feed
+    Storage.compact(spark, base)
+    in.addData(Storage.currentVersion(base).get)
+    val q = consumer(in)
+    try q.processAllAvailable() finally q.stop()
+
+    // state: exactly the current base's (grp, x) multiplicities — and the
+    // fully-retracted (a, 5.0) / (b, 2.0) rows are GONE, not zero-count
+    val got = Storage.readVersion(spark, view)
+      .select(col("grp"), col("x"), col("count_rows"))
+      .as[(String, Double, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(("a", 1.0, 2L), ("b", 2.0, 1L), ("b", 9.0, 1L)),
+      s"distribution state diverged: $got")
+
+    // the percentile panel navigates off the STREAM-maintained state: the
+    // marker the maintainer wrote is exactly registerRewrite's freshness
+    MatViews.registerRewrite(spark, "dist_stream", base, view,
+      keys = Seq("grp", "x"))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ MatViewRewrite
+    try {
+      def shape(df: org.apache.spark.sql.DataFrame) = df.groupBy("grp")
+        .agg(median(col("x")).as("med"),
+          percentile(col("x"), lit(0.75)).as("p75"),
+          count(lit(1)).as("cnt"))
+      val panel = shape(Storage.readPartitionedVersion(spark, base))
+      val scans = panel.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+      assert(scans.exists(_.contains(view.toString)) &&
+        !scans.exists(_.contains(base.toString)),
+        s"the panel must navigate onto the stream-maintained view: $scans")
+      val gotP = panel.orderBy("grp").collect().toSeq
+      MatView.clear()
+      val wantP = shape(Storage.readPartitionedVersion(spark, base))
+        .orderBy("grp").collect().toSeq
+      assert(gotP.toString == wantP.toString,
+        s"navigated panel diverged:\n got  $gotP\n want $wantP")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq MatViewRewrite)
+      MatView.clear()
+    }
+  }
+
   test("join-view maintenance resumes from the committed (vA, vB) marker; duplicates apply nothing") {
     import graft.ops.{MergeOps, Storage}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
