@@ -164,6 +164,77 @@ object Scratch {
       Storage.deleteRecursively(dir)
       spark.stop(); sys.exit(0)
     }
+    if (args.headOption.contains("plan-mv1213")) {
+      // PLANS.md source for the round-20 navigated shapes: the variance/
+      // stddev family over Σx² partials (mv12) and the heavy-hitters
+      // top-k composition (mv13), before the gate rows' localCheckpoint
+      // truncates the logical plan. Minimal no-churn fixture.
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      import graft.ops.{MatViews, MergeOps, Storage}
+      import graft.plans.{MatView, MatViewRewrite}
+      val dir = java.nio.file.Files.createTempDirectory("plan_mv1213")
+      val (evB, evV, tkB, tkV) = (dir.resolve("ev_base"), dir.resolve("ev_view"),
+        dir.resolve("tk_base"), dir.resolve("tk_view"))
+      def stamp(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("loaded_at", lit(null).cast("timestamp"))
+        .withColumn("last_upd_at", lit(null).cast("timestamp"))
+      val ev = Tables.events(spark, sfDir).select(col("event_id"),
+        col("user_id"), col("event_type"), col("value"))
+      MergeOps.prunedConditionalUpsert(evB,
+        stamp(ev.select(col("event_id"), col("event_type"), col("value"))),
+        pk = Seq("event_id"), tracked = Seq("event_type", "value"),
+        runTs = lit("2024-01-01 00:00:00").cast("timestamp"),
+        nParts = 4, keepVersions = 4)
+      def maintainVar() = MatViews.maintain(spark, evB, evV,
+        pk = Seq("event_id"), keys = Seq("event_type"),
+        sums = Map("value" -> "sum_v"), counts = Map("value" -> "cnt_v"),
+        sumsqs = Map("value" -> "ssq_v"))
+      maintainVar(); Storage.compact(spark, evB); maintainVar()
+      MatViews.registerRewrite(spark, "mv12", evB, evV,
+        keys = Seq("event_type"), sums = Map("value" -> "sum_v"),
+        counts = Map("value" -> "cnt_v"), sumsqs = Map("value" -> "ssq_v"))
+      MergeOps.prunedConditionalUpsert(tkB,
+        stamp(ev.select(col("event_id"), col("event_type"),
+          (col("user_id") % 53).as("item"))),
+        pk = Seq("event_id"), tracked = Seq("event_type", "item"),
+        runTs = lit("2024-01-01 00:00:00").cast("timestamp"),
+        nParts = 4, keepVersions = 4)
+      def maintainTk() = MatViews.maintain(spark, tkB, tkV,
+        pk = Seq("event_id"), keys = Seq("event_type", "item"))
+      maintainTk(); Storage.compact(spark, tkB); maintainTk()
+      MatViews.registerRewrite(spark, "mv13", tkB, tkV,
+        keys = Seq("event_type", "item"))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MatViewRewrite
+      val shapes = Seq(
+        "mv12: variance/stddev panel per event_type (Σx² partials)" ->
+          Storage.readPartitionedVersion(spark, evB).groupBy(col("event_type"))
+            .agg(var_samp(col("value")).as("vs"),
+              stddev_pop(col("value")).as("sp"),
+              avg(col("value")).as("av"), count(lit(1)).as("cnt")),
+        "mv13: top-3 items per event_type (aux-view count + row_number)" ->
+          Storage.readPartitionedVersion(spark, tkB)
+            .groupBy(col("event_type"), col("item"))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+              .orderBy(col("cnt").desc, col("item"))))
+            .filter(col("rn") <= 3))
+      shapes.foreach { case (label, df) =>
+        df.collect()
+        println(s"[plan-begin] $label")
+        println(df.queryExecution.optimizedPlan.treeString)
+        println("[plan-end]")
+      }
+      println("[explain-begin]")
+      println(ops.MatViews.explainNavigationString(
+        Storage.readPartitionedVersion(spark, evB).groupBy(col("event_type"))
+          .agg(var_samp(col("value")).as("vs"))))
+      println("[explain-end]")
+      MatView.clear()
+      Storage.deleteRecursively(dir)
+      spark.stop(); sys.exit(0)
+    }
     spark.read.parquet(s"$sfDir/documents.parquet").count() // warmup
 
     for (n <- names; rep <- 1 to 2) {
