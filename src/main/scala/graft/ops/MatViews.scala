@@ -90,7 +90,9 @@ object MatViews {
       kmvs: Map[String, String] = Map.empty,
       kmvK: Int = 64,
       where: Option[Column] = None,
-      sumsqs: Map[String, String] = Map.empty): Unit =
+      sumsqs: Map[String, String] = Map.empty,
+      sumcubes: Map[String, String] = Map.empty,
+      sumquads: Map[String, String] = Map.empty): Unit =
     MatView.register(MatView.Def(
       name = name,
       baseRoots = () => expectedRoots(base),
@@ -101,7 +103,7 @@ object MatViews {
         Storage.currentVersion(base).contains(a)),
       kmvs = kmvs, kmvK = kmvK,
       where = { lazy val w = resolveWhere(spark, base, where); () => w },
-      sumsqs = sumsqs))
+      sumsqs = sumsqs, sumcubes = sumcubes, sumquads = sumquads))
 
   /** Resolve a FILTERED view's predicate against the base's schema ONCE,
     * into the conjuncts [[graft.plans.MatViewSupport.consumeWhere]]
@@ -150,10 +152,12 @@ object MatViews {
       kmvs: Map[String, String] = Map.empty,
       kmvK: Int = 64,
       filter: Option[Column] = None,
-      sumsqs: Map[String, String] = Map.empty) {
+      sumsqs: Map[String, String] = Map.empty,
+      sumcubes: Map[String, String] = Map.empty,
+      sumquads: Map[String, String] = Map.empty) {
     private[MatViews] def aggCols: Seq[String] =
       (sums.keys ++ mins.keys ++ maxs.keys ++ counts.keys ++ kmvs.keys ++
-        sumsqs.keys).toSeq.distinct
+        sumsqs.keys ++ sumcubes.keys ++ sumquads.keys).toSeq.distinct
     private[MatViews] def compareCols(pk: Seq[String]): Seq[String] = {
       val cc = (keys ++ aggCols).distinct.filterNot(pk.contains)
       require(cc.nonEmpty,
@@ -248,10 +252,12 @@ object MatViews {
       kmvs: Map[String, String] = Map.empty,
       kmvK: Int = 64,
       filter: Option[Column] = None,
-      sumsqs: Map[String, String] = Map.empty): MaintainResult =
+      sumsqs: Map[String, String] = Map.empty,
+      sumcubes: Map[String, String] = Map.empty,
+      sumquads: Map[String, String] = Map.empty): MaintainResult =
     maintainAll(spark, base, pk, Seq(ViewSpec(view, keys, sums, mins, maxs,
       counts, keepVersions, maxCollectedGroups, kmvs, kmvK, filter,
-      sumsqs))).head
+      sumsqs, sumcubes, sumquads))).head
 
   /** [[maintain]] for EVERY aggregate view of one base in a single call —
     * the shape scheduled maintenance should use. The 100 TB win is feed
@@ -338,7 +344,9 @@ object MatViews {
       sp.mins.map { case (b, v) => min(col(b)).as(v) } ++
       sp.maxs.map { case (b, v) => max(col(b)).as(v) } ++
       sp.counts.map { case (b, v) => count(col(b)).as(v) } ++
-      sp.sumsqs.map { case (b, v) => sum(squaredCol(b)).as(v) } ++
+      sp.sumsqs.map { case (b, v) => sum(powCol(b, 2)).as(v) } ++
+      sp.sumcubes.map { case (b, v) => sum(powCol(b, 3)).as(v) } ++
+      sp.sumquads.map { case (b, v) => sum(powCol(b, 4)).as(v) } ++
       sp.kmvs.map { case (b, v) =>
         graft.plans.KmvSketch.partialCol(col(b), sp.kmvK).as(v) }
     sp.applyFilter(readBaseAt(spark, base, to)).groupBy(sp.keys.map(col): _*)
@@ -352,19 +360,23 @@ object MatViews {
   private def countsAsSums(counts: Map[String, String]): Map[String, Column] =
     counts.map { case (b, v) => v -> when(col(b).isNotNull, 1L).otherwise(0L) }
 
-  /** The Σx² partial's per-row term, in the DOUBLE domain the serving
-    * formula ([[graft.plans.MatViewSupport.varianceOnto]]) divides in —
-    * the same cast-to-double the variance family's analyzed child carries.
-    * A null x yields a null term, which sum skips: variance counts only
-    * non-null values, exactly the `counts` partial's n. Signed and purely
-    * additive under retraction, like any sum — deletes subtract the exact
-    * stored pre-image term, so Σx² never flags a recompute. */
-  private def squaredCol(b: String): Column =
-    col(b).cast("double") * col(b).cast("double")
+  /** A power-sum partial's per-row term Σxᵏ, in the DOUBLE domain the
+    * serving formulas ([[graft.plans.MatViewSupport.momentsOnto]]) divide
+    * in — the same cast-to-double the moment family's analyzed child
+    * carries. A null x yields a null term, which sum skips: the moments
+    * count only non-null values, exactly the `counts` partial's n. Signed
+    * and purely additive under retraction, like any sum — deletes
+    * subtract the exact stored pre-image term, so power sums never flag a
+    * recompute. */
+  private def powCol(b: String, k: Int): Column = {
+    val d = col(b).cast("double")
+    Iterator.fill(k - 1)(d).foldLeft(d)(_ * _)
+  }
 
-  /** Σx² partials ride the signed-sum path of the delta aggregates. */
-  private def sumsqsAsSums(sumsqs: Map[String, String]): Map[String, Column] =
-    sumsqs.map { case (b, v) => v -> squaredCol(b) }
+  /** Power-sum partials ride the signed-sum path of the delta
+    * aggregates. */
+  private def powsAsSums(m: Map[String, String], k: Int): Map[String, Column] =
+    m.map { case (b, v) => v -> powCol(b, k) }
 
   /** The retractable merge both maintainers share: apply the delta, count
     * the groups whose stored extreme may have been retracted, and — only
@@ -415,13 +427,15 @@ object MatViews {
     val cdf = sp.applyFilter(cdf0)
     val deltaAgg = AggMaintain.retractableDeltaAggregates(cdf, keys,
       sp.sums.map { case (b, v) => v -> col(b) } ++ countsAsSums(sp.counts) ++
-        sumsqsAsSums(sp.sumsqs),
+        powsAsSums(sp.sumsqs, 2) ++ powsAsSums(sp.sumcubes, 3) ++
+        powsAsSums(sp.sumquads, 4),
       sp.mins.map { case (b, v) => v -> col(b) },
       sp.maxs.map { case (b, v) => v -> col(b) },
       kmvs = sp.kmvs.map { case (b, v) => v -> (col(b), sp.kmvK) })
     val (next, n) = mergeRetractable(
       Storage.readVersion(spark, sp.view), deltaAgg, keys,
-      (sp.sums.values ++ sp.counts.values ++ sp.sumsqs.values).toSeq,
+      (sp.sums.values ++ sp.counts.values ++ sp.sumsqs.values ++
+        sp.sumcubes.values ++ sp.sumquads.values).toSeq,
       sp.mins.values.toSeq, sp.maxs.values.toSeq,
       (flaggedKeys, n0) => recomputeExtremes(spark, base, to, keys, sp.mins,
         sp.maxs, flaggedKeys, n0, sp.maxCollectedGroups, sp.kmvs, sp.kmvK,
@@ -504,7 +518,9 @@ object MatViews {
       maxs: Map[String, String] = Map.empty,
       keepVersions: Int = 1,
       maxCollectedGroups: Int = 10000,
-      sumsqs: Map[String, String] = Map.empty): MaintainJoinResult = {
+      sumsqs: Map[String, String] = Map.empty,
+      sumcubes: Map[String, String] = Map.empty,
+      sumquads: Map[String, String] = Map.empty): MaintainJoinResult = {
     require(joinKeysLeft.size == joinKeysRight.size && joinKeysLeft.nonEmpty,
       "joinKeysLeft/joinKeysRight must pair up")
     val r = maintainStar(spark,
@@ -512,7 +528,7 @@ object MatViews {
       joinKeys = joinKeysLeft.zip(joinKeysRight), keys = keys,
       sums = sums, counts = counts, mins = mins, maxs = maxs,
       keepVersions = keepVersions, maxCollectedGroups = maxCollectedGroups,
-      sumsqs = sumsqs)
+      sumsqs = sumsqs, sumcubes = sumcubes, sumquads = sumquads)
     MaintainJoinResult(r.applied.head, r.applied(1), r.viewVersion,
       r.recomputedGroups)
   }
@@ -595,13 +611,16 @@ object MatViews {
       filter: Option[Column] = None,
       kmvs: Map[String, String] = Map.empty,
       kmvK: Int = 64,
-      sumsqs: Map[String, String] = Map.empty): MaintainStarResult = {
+      sumsqs: Map[String, String] = Map.empty,
+      sumcubes: Map[String, String] = Map.empty,
+      sumquads: Map[String, String] = Map.empty): MaintainStarResult = {
     require(sides.size >= 2, "maintainStar needs at least two sides")
     require(joinKeys.nonEmpty, "joinKeys must be non-empty")
     val tos = sides.map(s => Storage.currentVersion(s.table).getOrElse(
       throw new IllegalStateException(s"no committed version at ${s.table}")))
     val aggBase = (sums.keys ++ counts.keys ++ mins.keys ++ maxs.keys ++
-      kmvs.keys ++ sumsqs.keys).toSeq.distinct
+      kmvs.keys ++ sumsqs.keys ++ sumcubes.keys ++ sumquads.keys)
+      .toSeq.distinct
     val jkNames = joinKeys.flatMap { case (a, b) => Seq(a, b) }.distinct
     // pinned schema resolution — same race discipline as readBaseAt's doc
     val sideReads = sides.zip(tos).map { case (s, v) =>
@@ -652,7 +671,9 @@ object MatViews {
         counts.map { case (b, v) => count(col(b)).as(v) } ++
         mins.map { case (b, v) => min(col(b)).as(v) } ++
         maxs.map { case (b, v) => max(col(b)).as(v) } ++
-        sumsqs.map { case (b, v) => sum(squaredCol(b)).as(v) } ++
+        sumsqs.map { case (b, v) => sum(powCol(b, 2)).as(v) } ++
+        sumcubes.map { case (b, v) => sum(powCol(b, 3)).as(v) } ++
+        sumquads.map { case (b, v) => sum(powCol(b, 4)).as(v) } ++
         kmvs.map { case (b, v) =>
           graft.plans.KmvSketch.partialCol(col(b), kmvK).as(v) }
       flat.groupBy(keys.map(col): _*)
@@ -693,7 +714,8 @@ object MatViews {
           .agg(sum(col("sign")).as("__net")).filter(col("__net") =!= 0)
         val deltaAgg = AggMaintain.retractableDeltaAggregates(canceled, keys,
           sums.map { case (b, v) => v -> col(b) } ++ countsAsSums(counts) ++
-            sumsqsAsSums(sumsqs),
+            powsAsSums(sumsqs, 2) ++ powsAsSums(sumcubes, 3) ++
+            powsAsSums(sumquads, 4),
           mins.map { case (b, v) => v -> col(b) },
           maxs.map { case (b, v) => v -> col(b) },
           changeType = when(col("__net") > 0, lit("insert"))
@@ -729,7 +751,8 @@ object MatViews {
         }
         val (next, n) = mergeRetractable(
           Storage.readVersion(spark, view), deltaAgg, keys,
-          (sums.values ++ counts.values ++ sumsqs.values).toSeq,
+          (sums.values ++ counts.values ++ sumsqs.values ++
+            sumcubes.values ++ sumquads.values).toSeq,
           mins.values.toSeq, maxs.values.toSeq, recomputeJoin,
           kmvCols = kmvs.values.map(v => v -> kmvK).toSeq)
         MaintainStarResult(tos, commit(next), n)
@@ -755,9 +778,12 @@ object MatViews {
       mins: Map[String, String] = Map.empty,
       maxs: Map[String, String] = Map.empty,
       counts: Map[String, String] = Map.empty,
-      sumsqs: Map[String, String] = Map.empty): Unit =
+      sumsqs: Map[String, String] = Map.empty,
+      sumcubes: Map[String, String] = Map.empty,
+      sumquads: Map[String, String] = Map.empty): Unit =
     registerStarRewrite(spark, name, Seq(left, right), view, joinKeys,
-      keys, countCol, sums, mins, maxs, counts, sumsqs = sumsqs)
+      keys, countCol, sums, mins, maxs, counts, sumsqs = sumsqs,
+      sumcubes = sumcubes, sumquads = sumquads)
 
   /** Register a maintained N-ary star-aggregate table as a transparent
     * materialized view over `tables.head ⋈ … ⋈ tables.last` — the
@@ -778,7 +804,9 @@ object MatViews {
       derives: Seq[Seq[(String, Column)]] = Seq.empty,
       kmvs: Map[String, String] = Map.empty,
       kmvK: Int = 64,
-      sumsqs: Map[String, String] = Map.empty): Unit = {
+      sumsqs: Map[String, String] = Map.empty,
+      sumcubes: Map[String, String] = Map.empty,
+      sumquads: Map[String, String] = Map.empty): Unit = {
     require(derives.isEmpty || derives.size == tables.size,
       "derives must be empty or parallel to tables (one list per side)")
     val padded =
@@ -791,7 +819,7 @@ object MatViews {
       view = () => Storage.readVersion(spark, view),
       keys = keys, countCol = countCol, sums = sums, mins = mins,
       maxs = maxs, counts = counts, kmvs = kmvs, kmvK = kmvK,
-      sumsqs = sumsqs,
+      sumsqs = sumsqs, sumcubes = sumcubes, sumquads = sumquads,
       fresh = () => appliedVersions(view).exists(vs =>
         vs.size == tables.size && tables.zip(vs).forall { case (t, v) =>
           Storage.currentVersion(t).contains(v) }),
@@ -909,7 +937,9 @@ object MatViews {
       kmvK: Int = 64,
       where: String = "",
       derives: Seq[Map[String, String]] = Nil,
-      sumsqs: Map[String, String] = Map.empty) {
+      sumsqs: Map[String, String] = Map.empty,
+      sumcubes: Map[String, String] = Map.empty,
+      sumquads: Map[String, String] = Map.empty) {
     require(kind == "single" || kind == "join" || kind == "star",
       s"unknown kind '$kind'")
     require(kind != "star" || (tables.size >= 2 && pks.size == tables.size),
@@ -938,7 +968,8 @@ object MatViews {
       ("pks" -> JArray(e.pks.map(pk =>
         JArray(pk.map(JString(_)).toList)).toList)) ~
       ("kmvs" -> e.kmvs) ~ ("kmvK" -> e.kmvK) ~ ("where" -> e.where) ~
-      ("derives" -> e.derives) ~ ("sumsqs" -> e.sumsqs)
+      ("derives" -> e.derives) ~ ("sumsqs" -> e.sumsqs) ~
+      ("sumcubes" -> e.sumcubes) ~ ("sumquads" -> e.sumquads)
   }
 
   /** Every entry in `catalogDir`'s catalog (empty if none yet). */
@@ -974,7 +1005,9 @@ object MatViews {
           kmvK = (j \ "kmvK").extractOrElse[Int](64),
           where = (j \ "where").extractOrElse[String](""),
           derives = (j \ "derives").extractOrElse[Seq[Map[String, String]]](Nil),
-          sumsqs = (j \ "sumsqs").extractOrElse[Map[String, String]](Map.empty))
+          sumsqs = (j \ "sumsqs").extractOrElse[Map[String, String]](Map.empty),
+          sumcubes = (j \ "sumcubes").extractOrElse[Map[String, String]](Map.empty),
+          sumquads = (j \ "sumquads").extractOrElse[Map[String, String]](Map.empty))
       }
       case _ => Seq.empty
     }
@@ -1026,7 +1059,7 @@ object MatViews {
           keys = e.keys, sums = e.sums, mins = e.mins, maxs = e.maxs,
           counts = e.counts, kmvs = e.kmvs, kmvK = e.kmvK,
           where = if (e.where.isEmpty) None else Some(expr(e.where)),
-          sumsqs = e.sumsqs)
+          sumsqs = e.sumsqs, sumcubes = e.sumcubes, sumquads = e.sumquads)
       case e if e.kind == "star" =>
         registerStarRewrite(spark, e.name, e.tables.map(Path.of(_)),
           Path.of(e.view), joinKeys = e.joinKeysLeft.zip(e.joinKeysRight),
@@ -1034,12 +1067,14 @@ object MatViews {
           counts = e.counts,
           where = if (e.where.isEmpty) None else Some(expr(e.where)),
           derives = if (e.derives.isEmpty) Seq.empty else e.deriveCols,
-          kmvs = e.kmvs, kmvK = e.kmvK, sumsqs = e.sumsqs)
+          kmvs = e.kmvs, kmvK = e.kmvK, sumsqs = e.sumsqs,
+          sumcubes = e.sumcubes, sumquads = e.sumquads)
       case e =>
         registerJoinRewrite(spark, e.name, Path.of(e.left), Path.of(e.right),
           Path.of(e.view), joinKeys = e.joinKeysLeft.zip(e.joinKeysRight),
           keys = e.keys, sums = e.sums, mins = e.mins, maxs = e.maxs,
-          counts = e.counts, sumsqs = e.sumsqs)
+          counts = e.counts, sumsqs = e.sumsqs, sumcubes = e.sumcubes,
+          sumquads = e.sumquads)
     }
     es.size
   }
@@ -1063,7 +1098,7 @@ object MatViews {
           e.mins, e.maxs, e.counts, e.keepVersions, kmvs = e.kmvs,
           kmvK = e.kmvK,
           filter = if (e.where.isEmpty) None else Some(expr(e.where)),
-          sumsqs = e.sumsqs))
+          sumsqs = e.sumsqs, sumcubes = e.sumcubes, sumquads = e.sumquads))
         maintainAll(spark, Path.of(base), pk, specs)
           .zip(grp).map { case (r, e) => e.name -> r }
       }.toMap
@@ -1072,7 +1107,8 @@ object MatViews {
         Path.of(e.view), pkLeft = e.pkLeft, pkRight = e.pkRight,
         joinKeysLeft = e.joinKeysLeft, joinKeysRight = e.joinKeysRight,
         keys = e.keys, sums = e.sums, counts = e.counts, mins = e.mins,
-        maxs = e.maxs, keepVersions = e.keepVersions, sumsqs = e.sumsqs)
+        maxs = e.maxs, keepVersions = e.keepVersions, sumsqs = e.sumsqs,
+        sumcubes = e.sumcubes, sumquads = e.sumquads)
     }.toMap
     val stars = es.filter(_.kind == "star").map { e =>
       e.name -> maintainStar(spark,
@@ -1083,7 +1119,8 @@ object MatViews {
         keys = e.keys, sums = e.sums, counts = e.counts, mins = e.mins,
         maxs = e.maxs, keepVersions = e.keepVersions,
         filter = if (e.where.isEmpty) None else Some(expr(e.where)),
-        kmvs = e.kmvs, kmvK = e.kmvK, sumsqs = e.sumsqs)
+        kmvs = e.kmvs, kmvK = e.kmvK, sumsqs = e.sumsqs,
+        sumcubes = e.sumcubes, sumquads = e.sumquads)
     }.toMap
     CatalogMaintenance(single, joins, stars)
   }

@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * maintains (`count_rows`-style COUNT(*), per-column SUM/MIN/MAX,
   * non-null COUNT — the last also serving AVG as SUM(sum)/SUM(count) —
   * and Σx² `sumsqs` partials serving the variance/stddev family, see
-  * [[MatViewSupport.varianceOnto]]).
+  * [[MatViewSupport.momentsOnto]]).
   *
   * The rule rewrites
   *     Aggregate(G, aggs, [Filter f]* [Project attrs]* Scan(base))
@@ -104,10 +104,12 @@ object MatView {
       kmvs: Map[String, String] = Map.empty,
       kmvK: Int = 64,
       where: () => Seq[Expression] = () => Nil,
-      sumsqs: Map[String, String] = Map.empty) {
+      sumsqs: Map[String, String] = Map.empty,
+      sumcubes: Map[String, String] = Map.empty,
+      sumquads: Map[String, String] = Map.empty) {
     private[plans] def partials: MatViewSupport.Partials =
       MatViewSupport.Partials(countCol, sums, mins, maxs, counts, kmvs, kmvK,
-        sumsqs)
+        sumsqs, sumcubes, sumquads)
   }
 
   /** A registered view over the N-ary INNER EQUI-JOIN of base tables —
@@ -141,11 +143,13 @@ object MatView {
       derives: Seq[Seq[(String, () => Expression)]] = Nil,
       kmvs: Map[String, String] = Map.empty,
       kmvK: Int = 64,
-      sumsqs: Map[String, String] = Map.empty) {
+      sumsqs: Map[String, String] = Map.empty,
+      sumcubes: Map[String, String] = Map.empty,
+      sumquads: Map[String, String] = Map.empty) {
     require(roots.size >= 2, s"star view '$name' needs at least two sides")
     private[plans] def partials: MatViewSupport.Partials =
       MatViewSupport.Partials(countCol, sums, mins, maxs, counts, kmvs, kmvK,
-        sumsqs)
+        sumsqs, sumcubes, sumquads)
     /** Join edges as canonical key IDS: a stored column by name, a
       * DERIVED key ([[derives]], e.g. the unknown-member synthetic key)
       * by its normalized expression — what the query's condition
@@ -208,7 +212,9 @@ private[graft] object MatViewSupport {
       counts: Map[String, String],
       kmvs: Map[String, String] = Map.empty,
       kmvK: Int = 64,
-      sumsqs: Map[String, String] = Map.empty)
+      sumsqs: Map[String, String] = Map.empty,
+      sumcubes: Map[String, String] = Map.empty,
+      sumquads: Map[String, String] = Map.empty)
 
   /** A Project passes when every output is a bare column or a SAME-NAMED
     * loss-free upcast of one — the shape the versioned read paths emit to
@@ -620,6 +626,21 @@ private[graft] object MatViewSupport {
           for { q <- d.sumsqs.get(n); s <- d.sums.get(n); c <- d.counts.get(n) }
             yield Seq(q, s, c)
         }
+      // the higher central moments ride the same power-sum machinery:
+      // skewness from (Σx³, Σx², Σx, n), kurtosis additionally from Σx⁴
+      case fn: Skewness =>
+        varianceTarget(fn.child).flatMap { n =>
+          for { u <- d.sumcubes.get(n); q <- d.sumsqs.get(n)
+                s <- d.sums.get(n); c <- d.counts.get(n) }
+            yield Seq(u, q, s, c)
+        }
+      case fn: Kurtosis =>
+        varianceTarget(fn.child).flatMap { n =>
+          for { w <- d.sumquads.get(n); u <- d.sumcubes.get(n)
+                q <- d.sumsqs.get(n); s <- d.sums.get(n)
+                c <- d.counts.get(n) }
+            yield Seq(w, u, q, s, c)
+        }
       case _ => None
     }
 
@@ -635,18 +656,27 @@ private[graft] object MatViewSupport {
     case _ => None
   }
 
-  /** Serve a VarianceSamp / VariancePop / StddevSamp / StddevPop leaf from
-    * its resolved partial attributes `Seq(Σx², Σx, n)` — the textbook
-    * re-expression M2 = Σx² − (Σx)²/n with Spark's exact edge semantics
-    * mirrored from CentralMomentAgg.getStatistic: n = 0 answers NULL; the
-    * sampled variants answer their divide-by-zero result at n = 1 (NULL
-    * under the default non-legacy conf, NaN under legacy — read from the
-    * matched function's own `nullOnDivideByZero`, so the rewrite follows
-    * whatever the session resolved). M2 is clamped at 0 against downward
-    * float cancellation — Welford's recurrence keeps m2 ≥ 0 by
-    * construction, so the clamp restores the invariant rather than
+  /** Serve a central-moment family leaf from its resolved power-sum
+    * partial attributes — the textbook re-expression of the central sums
+    * from signed power sums (μ = Σx/n):
+    *     M2 = Σx² − (Σx)²/n
+    *     M3 = Σx³ − 3μΣx² + 2μ²Σx
+    *     M4 = Σx⁴ − 4μΣx³ + 6μ²Σx² − 3μ³Σx
+    * with Spark's exact edge semantics mirrored from
+    * CentralMomentAgg.getStatistic: n = 0 answers NULL; the sampled
+    * variance/stddev variants answer their divide-by-zero result at
+    * n = 1, and skewness/kurtosis answer it at M2 = 0 (NULL under the
+    * default non-legacy conf, NaN under legacy — read from the matched
+    * function's own `nullOnDivideByZero`, so the rewrite follows whatever
+    * the session resolved). M2 and M4 are clamped at 0 against downward
+    * float cancellation — both are sums of even powers of deviations, ≥ 0
+    * by construction, so the clamp restores the invariant rather than
     * changing a result (and NaN inputs still propagate: greatest treats
-    * NaN as the largest double, exactly the poisoning the base plan has).
+    * NaN as the largest double, exactly the poisoning the base plan has);
+    * M3 is legitimately signed and stays unclamped.
+    *
+    * `attrs` by function: variance/stddev → Seq(Σx², Σx, n); Skewness →
+    * Seq(Σx³, Σx², Σx, n); Kurtosis → Seq(Σx⁴, Σx³, Σx², Σx, n).
     *
     * Double-domain stance (same envelope as the SUM/AVG family over
     * doubles): the re-expressed value may differ from one particular base
@@ -655,40 +685,71 @@ private[graft] object MatViewSupport {
     * partitionings; there is no single canonical bit pattern to preserve.
     * Decimal measures fall back (their Σx partial is decimal — refused
     * below), the same stance as AVG. */
-  def varianceOnto(fn: AggregateFunction, attrs: Seq[Attribute],
+  def momentsOnto(fn: AggregateFunction, attrs: Seq[Attribute],
       complete: AggregateFunction => AggregateExpression): Option[Expression] = {
     import org.apache.spark.sql.types.LongType
-    val Seq(sqA, sxA, cntA) = attrs
-    // partial types must be what the maintenance paths write: Σx² double,
-    // Σx double or long (sum over double/float is double; over integrals,
-    // long — exact in double within 2^53, the same per-value cast error
-    // envelope the base plan's cast-to-double child has), n long. A
-    // decimal Σx (decimal measure) refuses — fall back to the base.
-    val (sampled, sqrtRes, nullOnDiv) = fn match {
-      case f: VarianceSamp => (true, false, f.nullOnDivideByZero)
-      case f: VariancePop => (false, false, f.nullOnDivideByZero)
-      case f: StddevSamp => (true, true, f.nullOnDivideByZero)
-      case f: StddevPop => (false, true, f.nullOnDivideByZero)
-      case _ => return None
-    }
-    if (sqA.dataType != DoubleType) return None
+    // attrs tail-aligned: (…higher powers…, Σx², Σx, n)
+    val (cntA, sxA, sqA) = (attrs.last, attrs(attrs.size - 2), attrs(attrs.size - 3))
+    // partial types must be what the maintenance paths write: power sums
+    // double, Σx double or long (sum over double/float is double; over
+    // integrals, long — exact in double within 2^53, the same per-value
+    // cast error envelope the base plan's cast-to-double child has),
+    // n long. A decimal Σx (decimal measure) refuses — fall back.
+    if (attrs.dropRight(2).exists(_.dataType != DoubleType)) return None
     if (sxA.dataType != DoubleType && sxA.dataType != LongType) return None
     if (cntA.dataType != LongType) return None
+    val nullOnDiv = fn match {
+      case f: VarianceSamp => f.nullOnDivideByZero
+      case f: VariancePop => f.nullOnDivideByZero
+      case f: StddevSamp => f.nullOnDivideByZero
+      case f: StddevPop => f.nullOnDivideByZero
+      case f: Skewness => f.nullOnDivideByZero
+      case f: Kurtosis => f.nullOnDivideByZero
+      case _ => return None
+    }
+    def dv(a: Expression, b: Expression) = Divide(a, b, EvalMode.LEGACY)
+    def ml(a: Expression, b: Expression) = Multiply(a, b, EvalMode.LEGACY)
+    def sb(a: Expression, b: Expression) = Subtract(a, b, EvalMode.LEGACY)
+    def ad(a: Expression, b: Expression) = Add(a, b, EvalMode.LEGACY)
     val sq: Expression = complete(Sum(sqA))
     val sx: Expression = Cast(complete(Sum(sxA)), DoubleType)
     val n: Expression = Cast(complete(Sum(cntA)), DoubleType)
-    val m2 = Greatest(Seq(
-      Subtract(sq, Divide(Multiply(sx, sx, EvalMode.LEGACY), n,
-        EvalMode.LEGACY), EvalMode.LEGACY),
-      Literal(0.0)))
-    val divisor =
-      if (sampled) Subtract(n, Literal(1.0), EvalMode.LEGACY) else n
-    val body0 = Divide(m2, divisor, EvalMode.LEGACY)
-    val body = if (sqrtRes) Sqrt(body0) else body0
+    lazy val mu = dv(sx, n)
+    val m2 = Greatest(Seq(sb(sq, dv(ml(sx, sx), n)), Literal(0.0)))
     val nullD = Literal.create(null, DoubleType)
-    val atOne = if (nullOnDiv) nullD else Literal(Double.NaN)
-    Some(If(EqualTo(n, Literal(0.0)), nullD,
-      if (sampled) If(EqualTo(n, Literal(1.0)), atOne, body) else body))
+    val divByZero = if (nullOnDiv) nullD else Literal(Double.NaN)
+    // guard(cond is the function's divide-by-zero condition)
+    def guarded(cond: Expression, body: Expression): Expression =
+      If(EqualTo(n, Literal(0.0)), nullD, If(cond, divByZero, body))
+    val atOne = EqualTo(n, Literal(1.0))
+    val m2Zero = EqualTo(m2, Literal(0.0))
+    val body: Expression = fn match {
+      case _: VarianceSamp =>
+        return Some(guarded(atOne, dv(m2, sb(n, Literal(1.0)))))
+      case _: StddevSamp =>
+        return Some(guarded(atOne, Sqrt(dv(m2, sb(n, Literal(1.0))))))
+      case _: VariancePop =>
+        return Some(If(EqualTo(n, Literal(0.0)), nullD, dv(m2, n)))
+      case _: StddevPop =>
+        return Some(If(EqualTo(n, Literal(0.0)), nullD, Sqrt(dv(m2, n))))
+      case _: Skewness =>
+        val cube: Expression = complete(Sum(attrs.head))
+        val m3 = ad(sb(cube, ml(ml(Literal(3.0), mu), sq)),
+          ml(ml(Literal(2.0), ml(mu, mu)), sx))
+        dv(ml(Sqrt(n), m3), Sqrt(ml(m2, ml(m2, m2))))
+      case _: Kurtosis =>
+        val Seq(quadA, cubeA, _, _, _) = attrs
+        val quad: Expression = complete(Sum(quadA))
+        val cube: Expression = complete(Sum(cubeA))
+        val m4 = Greatest(Seq(
+          sb(ad(sb(quad, ml(ml(Literal(4.0), mu), cube)),
+              ml(ml(Literal(6.0), ml(mu, mu)), sq)),
+            ml(ml(Literal(3.0), ml(mu, ml(mu, mu))), sx)),
+          Literal(0.0)))
+        sb(dv(ml(n, m4), ml(m2, m2)), Literal(3.0))
+      case _ => return None
+    }
+    Some(guarded(m2Zero, body))
   }
 
   /** Validate the aggregate's SHAPE against the registration and rebuild
@@ -890,10 +951,10 @@ private[graft] object MatViewSupport {
           Divide(Cast(complete(Sum(vAttr(s))), DoubleType),
             Cast(complete(Sum(vAttr(c))), DoubleType), EvalMode.LEGACY)
         case _: VarianceSamp | _: VariancePop | _: StddevSamp |
-             _: StddevPop =>
-          // the (Σx², Σx, n) triple serves the whole family — see
-          // varianceOnto for the formula and the double-domain stance
-          varianceOnto(fn, cols.map(vAttr), complete) match {
+             _: StddevPop | _: Skewness | _: Kurtosis =>
+          // the power-sum partials serve the whole central-moment family
+          // — see momentsOnto for the formulas and double-domain stance
+          momentsOnto(fn, cols.map(vAttr), complete) match {
             case Some(e) => e
             case None => return None
           }
@@ -1144,11 +1205,11 @@ private[graft] object MatViewSupport {
           Divide(Cast(complete(Sum(vAttr(s))), DoubleType),
             Cast(complete(Sum(vAttr(c))), DoubleType), EvalMode.LEGACY)
         case _: VarianceSamp | _: VariancePop | _: StddevSamp |
-             _: StddevPop =>
-          // same (Σx², Σx, n) serving as the flat path — the family's
+             _: StddevPop | _: Skewness | _: Kurtosis =>
+          // same power-sum serving as the flat path — the family's
           // partials are plain reassociable sums, so they ride the
           // rollup's Expand like any other partial column
-          varianceOnto(fn, cols.map(vAttr), complete) match {
+          momentsOnto(fn, cols.map(vAttr), complete) match {
             case Some(e) => e
             case None => return None
           }

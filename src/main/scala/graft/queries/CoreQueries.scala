@@ -2527,7 +2527,7 @@ object CoreQueries {
     // never flags a recompute) joins the sum and non-null-count partials,
     // and var_samp/var_pop/stddev_samp/stddev_pop serve as
     // (Σx² − (Σx)²/n)/divisor in the double family with Spark's exact
-    // n=0/n=1 edge semantics (MatViewSupport.varianceOnto; decimal
+    // n=0/n=1 edge semantics (MatViewSupport.momentsOnto; decimal
     // measures fall back, the AVG stance). Churned loads shift values
     // and delete rows — the variance itself moves between refreshes; the
     // maintained triple tracks it through signed deltas alone. dval's
@@ -2718,6 +2718,115 @@ object CoreQueries {
              |          ORDER BY cnt DESC, item) AS rn
              |      FROM c)
              |SELECT event_type, item, cnt, rn FROM r WHERE rn <= 3""".stripMargin)),
+
+    // SKEWNESS/KURTOSIS NAVIGATION — the central-moment family COMPLETED:
+    // Σx³ and Σx⁴ power-sum partials (signed, purely additive under
+    // retraction like every power sum) join mv12's triple, and
+    // skewness/kurtosis serve as Spark's population formulas
+    //   skew = √n·M3/√(M2³),  kurt = n·M4/M2² − 3
+    // with the central sums M2/M3/M4 re-expressed from the power sums
+    // (MatViewSupport.momentsOnto — n=0 and M2=0 edges mirrored from
+    // CentralMomentAgg). DuckDB's own skewness/kurtosis carry SAMPLE
+    // bias corrections, so the oracle computes the population formulas
+    // directly from SQL power sums — the honest cross-engine check of
+    // the identical algebra. Churned loads + deletes move every group's
+    // third and fourth moments; the row REQUIREs the navigated plan. At
+    // 100 TB: the full distribution-shape panel (avg/stddev/skew/kurt)
+    // reads |groups| view rows — one maintained state, zero base scans.
+    Q("mv14_moments_navigation",
+      (s, d) => {
+        import graft.plans.{MatView, MatViewRewrite}
+        import graft.ops.{MatViews, MergeOps, Storage}
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+        val dir = java.nio.file.Files.createTempDirectory("mv14")
+        val table = dir.resolve("base")
+        val view = dir.resolve("view")
+        try {
+          val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+            col("event_type"), col("value"))
+          def load(df: DataFrame, ts: String) = {
+            val dval = when(col("user_id") % 7 === 0, lit(null))
+              .otherwise(floor(dec(col("value"))).cast("double"))
+            MergeOps.prunedConditionalUpsert(table,
+              df.select(col("event_id"), col("event_type"), col("value"),
+                dval.as("dval"),
+                lit(null).cast("timestamp").as("loaded_at"),
+                lit(null).cast("timestamp").as("last_upd_at")),
+              pk = Seq("event_id"), tracked = Seq("event_type", "value", "dval"),
+              runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+          }
+          def maintain() = MatViews.maintain(s, table, view,
+            pk = Seq("event_id"), keys = Seq("event_type"),
+            sums = Map("dval" -> "sum_d"), counts = Map("dval" -> "cnt_d"),
+            sumsqs = Map("dval" -> "ssq_d"),
+            sumcubes = Map("dval" -> "scu_d"),
+            sumquads = Map("dval" -> "squ_d"), keepVersions = 2)
+          // churned bootstrap: %7 missing, %11 values shifted +300 (a fat
+          // right tail the truth load retracts — the skew itself flips)
+          load(ev.filter(col("event_id") % 7 =!= 0)
+            .withColumn("value",
+              when(col("event_id") % 11 === 0, col("value") + 300.0)
+                .otherwise(col("value"))), CutoffTs)
+          maintain()
+          load(ev, RunTs)
+          MergeOps.prunedDelete(table,
+            ev.select(col("event_id")).filter(col("event_id") % 13 === 0),
+            pk = Seq("event_id"), nParts = 8, keepVersions = 4)
+          maintain()
+          Storage.compact(s, table)
+          maintain()
+          MatViews.registerRewrite(s, "mv14", table, view,
+            keys = Seq("event_type"),
+            sums = Map("dval" -> "sum_d"), counts = Map("dval" -> "cnt_d"),
+            sumsqs = Map("dval" -> "ssq_d"),
+            sumcubes = Map("dval" -> "scu_d"),
+            sumquads = Map("dval" -> "squ_d"))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ MatViewRewrite
+          try {
+            val q = Storage.readPartitionedVersion(s, table)
+              .groupBy(col("event_type"))
+              .agg(count(lit(1)).as("cnt"),
+                round(skewness(col("dval")), 6).as("skew_d"),
+                round(kurtosis(col("dval")), 6).as("kurt_d"),
+                round(stddev_samp(col("dval")), 6).as("sd_d"))
+            val scans = q.queryExecution.optimizedPlan.collect {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                lr.relation match {
+                  case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                    fs.location.rootPaths.map(_.toString)
+                  case _ => Nil
+                }
+            }.flatten
+            require(scans.exists(_.contains(view.toString)) &&
+                !scans.exists(_.contains(table.toString)),
+              s"moment family was not navigated onto the power sums: $scans")
+            q.localCheckpoint()
+          } finally {
+            s.experimental.extraOptimizations =
+              s.experimental.extraOptimizations.filterNot(_ eq MatViewRewrite)
+            MatView.drop("mv14")
+          }
+        } finally Storage.deleteRecursively(dir)
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CASE WHEN user_id % 7 = 0 THEN NULL
+             |         ELSE CAST(FLOOR(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+             |    END AS dval
+             |  FROM events WHERE event_id % 13 <> 0),
+             |s AS (SELECT event_type, count(*) AS cnt, count(dval) AS n,
+             |        sum(dval) AS s1, sum(dval*dval) AS s2,
+             |        sum(dval*dval*dval) AS s3,
+             |        sum(dval*dval*dval*dval) AS s4
+             |      FROM e GROUP BY event_type)
+             |SELECT event_type, cnt,
+             |  round(sqrt(n) * (s3 - 3*(s1/n)*s2 + 2*(s1/n)*(s1/n)*s1)
+             |        / sqrt(pow(s2 - (s1*s1)/n, 3)), 6) AS skew_d,
+             |  round(n * (s4 - 4*(s1/n)*s3 + 6*(s1/n)*(s1/n)*s2
+             |             - 3*(s1/n)*(s1/n)*(s1/n)*s1)
+             |        / ((s2 - (s1*s1)/n) * (s2 - (s1*s1)/n)) - 3, 6) AS kurt_d,
+             |  round(sqrt((s2 - (s1*s1)/n) / (n - 1)), 6) AS sd_d
+             |FROM s""".stripMargin)),
 
     // ATOMIC workspace+view publish: a transaction's base tables AND its
     // maintained views land in ONE manifest (MatViews.workspaceCommitWith

@@ -1288,4 +1288,87 @@ class MatViewSpec extends SparkTestBase {
     }
     Storage.deleteRecursively(root)
   }
+
+  test("skewness/kurtosis navigate via Σx³/Σx⁴ power sums; the m2=0 and missing-partial guards hold") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mv_skew")
+    val base = root.resolve("base")
+    val view = root.resolve("view")
+    // d: asymmetric integer-valued double (squares of a rotating residue
+    // — genuinely skewed, so a wrong m3 shows) with nulls; group tc is
+    // CONSTANT-valued (m2 = 0: the family's divide-by-zero edge must
+    // match whatever this session's conf resolved, through the rewrite)
+    val rows = (1 to 360).map { i =>
+      if (i > 350) ("tc", Some(7.0), i % 9)
+      else (s"t${i % 3}",
+        if (i % 5 == 0) None else Some((((i * 7) % 23) * ((i * 7) % 23)).toDouble),
+        i % 9)
+    }.toDF("k1", "d", "i")
+    Storage.commitVersion(rows, base)
+    def p(c: org.apache.spark.sql.Column, k: Int) =
+      Seq.fill(k)(c.cast("double")).reduce(_ * _)
+    Storage.commitVersion(
+      Storage.readVersion(spark, base).groupBy("k1")
+        .agg(count(lit(1)).as("count_rows"),
+          sum("d").as("sum_d"), count(col("d")).as("cnt_d"),
+          sum(p(col("d"), 2)).as("ssq_d"), sum(p(col("d"), 3)).as("scu_d"),
+          sum(p(col("d"), 4)).as("squ_d"),
+          sum("i").as("sum_i"), count(col("i")).as("cnt_i"),
+          sum(p(col("i"), 2)).as("ssq_i"), sum(p(col("i"), 3)).as("scu_i")),
+      view)
+    val vdir = base.resolve(s"v${Storage.currentVersion(base).get}")
+    def register(): Unit = MatView.register(MatView.Def(
+      name = "skew_t", baseRoots = () => Set(MatView.root(vdir)),
+      view = () => Storage.readVersion(spark, view),
+      keys = Seq("k1"), countCol = Some("count_rows"),
+      sums = Map("d" -> "sum_d", "i" -> "sum_i"),
+      counts = Map("d" -> "cnt_d", "i" -> "cnt_i"),
+      sumsqs = Map("d" -> "ssq_d", "i" -> "ssq_i"),
+      sumcubes = Map("d" -> "scu_d", "i" -> "scu_i"),
+      sumquads = Map("d" -> "squ_d")))
+    register()
+    def close(a: Any, b: Any): Boolean = (a, b) match {
+      case (null, null) => true
+      case (x: Double, y: Double) =>
+        (x.isNaN && y.isNaN) || math.abs(x - y) <= 1e-9 * (1 + math.abs(y))
+      case (x, y) => x == y
+    }
+    withRule {
+      def shape(df: DataFrame) = df.groupBy("k1").agg(
+        skewness(col("d")).as("sk"), kurtosis(col("d")).as("ku"),
+        skewness(col("i")).as("ski"), // int measure: through the cast
+        count(lit(1)).as("cnt"))
+      val q = shape(Storage.readVersion(spark, base))
+      assert(scanPaths(q).exists(_.contains(view.toString)) &&
+        !scanPaths(q).exists(_.contains(base.toString)),
+        "skewness/kurtosis must navigate onto the power-sum partials")
+      val got = q.orderBy("k1").collect().toSeq
+      MatView.clear()
+      val want = shape(Storage.readVersion(spark, base)).orderBy("k1").collect().toSeq
+      assert(got.size == want.size && got.zip(want).forall { case (g, w) =>
+        (0 until g.size).forall(j => close(g.get(j), w.get(j))) },
+        s"moments diverged:\n got  $got\n want $want")
+      register()
+      // ROLLUP rides the power sums like any partial
+      val rq = Storage.readVersion(spark, base).rollup("k1")
+        .agg(skewness(col("d")).as("sk"), kurtosis(col("d")).as("ku"))
+      assert(scanPaths(rq).exists(_.contains(view.toString)),
+        "rollup skewness/kurtosis must navigate")
+      val rgot = rq.orderBy(col("k1").asc_nulls_first).collect().toSeq
+      MatView.clear()
+      val rwant = Storage.readVersion(spark, base).rollup("k1")
+        .agg(skewness(col("d")).as("sk"), kurtosis(col("d")).as("ku"))
+        .orderBy(col("k1").asc_nulls_first).collect().toSeq
+      assert(rgot.zip(rwant).forall { case (g, w) =>
+        (0 until g.size).forall(j => close(g.get(j), w.get(j))) },
+        s"rollup moments diverged:\n got  $rgot\n want $rwant")
+      register()
+      // kurtosis over i: the view has no Σi⁴ partial — falls back
+      val kq = Storage.readVersion(spark, base).groupBy("k1")
+        .agg(kurtosis(col("i")).as("ki"))
+      assert(!scanPaths(kq).exists(_.contains(view.toString)),
+        "kurtosis without a Σx⁴ partial must fall back")
+    }
+    Storage.deleteRecursively(root)
+  }
 }
