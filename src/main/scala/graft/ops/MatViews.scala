@@ -92,7 +92,8 @@ object MatViews {
       where: Option[Column] = None,
       sumsqs: Map[String, String] = Map.empty,
       sumcubes: Map[String, String] = Map.empty,
-      sumquads: Map[String, String] = Map.empty): Unit =
+      sumquads: Map[String, String] = Map.empty,
+      covs: Map[String, (String, String)] = Map.empty): Unit =
     MatView.register(MatView.Def(
       name = name,
       baseRoots = () => expectedRoots(base),
@@ -103,7 +104,8 @@ object MatViews {
         Storage.currentVersion(base).contains(a)),
       kmvs = kmvs, kmvK = kmvK,
       where = { lazy val w = resolveWhere(spark, base, where); () => w },
-      sumsqs = sumsqs, sumcubes = sumcubes, sumquads = sumquads))
+      sumsqs = sumsqs, sumcubes = sumcubes, sumquads = sumquads,
+      covs = covs))
 
   /** Resolve a FILTERED view's predicate against the base's schema ONCE,
     * into the conjuncts [[graft.plans.MatViewSupport.consumeWhere]]
@@ -154,10 +156,12 @@ object MatViews {
       filter: Option[Column] = None,
       sumsqs: Map[String, String] = Map.empty,
       sumcubes: Map[String, String] = Map.empty,
-      sumquads: Map[String, String] = Map.empty) {
+      sumquads: Map[String, String] = Map.empty,
+      covs: Map[String, (String, String)] = Map.empty) {
     private[MatViews] def aggCols: Seq[String] =
       (sums.keys ++ mins.keys ++ maxs.keys ++ counts.keys ++ kmvs.keys ++
-        sumsqs.keys ++ sumcubes.keys ++ sumquads.keys).toSeq.distinct
+        sumsqs.keys ++ sumcubes.keys ++ sumquads.keys ++
+        covs.values.flatMap { case (a, b) => Seq(a, b) }).toSeq.distinct
     private[MatViews] def compareCols(pk: Seq[String]): Seq[String] = {
       val cc = (keys ++ aggCols).distinct.filterNot(pk.contains)
       require(cc.nonEmpty,
@@ -254,10 +258,11 @@ object MatViews {
       filter: Option[Column] = None,
       sumsqs: Map[String, String] = Map.empty,
       sumcubes: Map[String, String] = Map.empty,
-      sumquads: Map[String, String] = Map.empty): MaintainResult =
+      sumquads: Map[String, String] = Map.empty,
+      covs: Map[String, (String, String)] = Map.empty): MaintainResult =
     maintainAll(spark, base, pk, Seq(ViewSpec(view, keys, sums, mins, maxs,
       counts, keepVersions, maxCollectedGroups, kmvs, kmvK, filter,
-      sumsqs, sumcubes, sumquads))).head
+      sumsqs, sumcubes, sumquads, covs))).head
 
   /** [[maintain]] for EVERY aggregate view of one base in a single call —
     * the shape scheduled maintenance should use. The 100 TB win is feed
@@ -347,6 +352,7 @@ object MatViews {
       sp.sumsqs.map { case (b, v) => sum(powCol(b, 2)).as(v) } ++
       sp.sumcubes.map { case (b, v) => sum(powCol(b, 3)).as(v) } ++
       sp.sumquads.map { case (b, v) => sum(powCol(b, 4)).as(v) } ++
+      covsAsSums(sp.covs).map { case (v, c) => sum(c).as(v) } ++
       sp.kmvs.map { case (b, v) =>
         graft.plans.KmvSketch.partialCol(col(b), sp.kmvK).as(v) }
     sp.applyFilter(readBaseAt(spark, base, to)).groupBy(sp.keys.map(col): _*)
@@ -377,6 +383,26 @@ object MatViews {
     * aggregates. */
   private def powsAsSums(m: Map[String, String], k: Int): Map[String, Column] =
     m.map { case (b, v) => v -> powCol(b, k) }
+
+  /** The six PAIRWISE-COMPLETE sum terms one `covs` pair maintains
+    * (view column → per-row term), named by the shared convention
+    * ([[graft.plans.MatViewSupport.covCols]]). Every term is gated on
+    * BOTH inputs being non-null — exactly the rows Spark's Covariance/
+    * PearsonCorrelation update consumes — and is a plain signed sum, so
+    * the whole set rides the additive path and never flags a recompute. */
+  private def covsAsSums(covs: Map[String, (String, String)]): Map[String, Column] =
+    covs.flatMap { case (p, (x, y)) =>
+      val both = col(x).isNotNull && col(y).isNotNull
+      val xd = col(x).cast("double")
+      val yd = col(y).cast("double")
+      val Seq(cn, csx, csy, csxx, csyy, csxy) =
+        graft.plans.MatViewSupport.covCols(p)
+      Seq(
+        cn -> when(both, 1L).otherwise(0L),
+        csx -> when(both, xd), csy -> when(both, yd),
+        csxx -> when(both, xd * xd), csyy -> when(both, yd * yd),
+        csxy -> when(both, xd * yd))
+    }
 
   /** The retractable merge both maintainers share: apply the delta, count
     * the groups whose stored extreme may have been retracted, and — only
@@ -428,14 +454,15 @@ object MatViews {
     val deltaAgg = AggMaintain.retractableDeltaAggregates(cdf, keys,
       sp.sums.map { case (b, v) => v -> col(b) } ++ countsAsSums(sp.counts) ++
         powsAsSums(sp.sumsqs, 2) ++ powsAsSums(sp.sumcubes, 3) ++
-        powsAsSums(sp.sumquads, 4),
+        powsAsSums(sp.sumquads, 4) ++ covsAsSums(sp.covs),
       sp.mins.map { case (b, v) => v -> col(b) },
       sp.maxs.map { case (b, v) => v -> col(b) },
       kmvs = sp.kmvs.map { case (b, v) => v -> (col(b), sp.kmvK) })
     val (next, n) = mergeRetractable(
       Storage.readVersion(spark, sp.view), deltaAgg, keys,
       (sp.sums.values ++ sp.counts.values ++ sp.sumsqs.values ++
-        sp.sumcubes.values ++ sp.sumquads.values).toSeq,
+        sp.sumcubes.values ++ sp.sumquads.values ++
+        sp.covs.keys.flatMap(graft.plans.MatViewSupport.covCols)).toSeq,
       sp.mins.values.toSeq, sp.maxs.values.toSeq,
       (flaggedKeys, n0) => recomputeExtremes(spark, base, to, keys, sp.mins,
         sp.maxs, flaggedKeys, n0, sp.maxCollectedGroups, sp.kmvs, sp.kmvK,
@@ -520,7 +547,8 @@ object MatViews {
       maxCollectedGroups: Int = 10000,
       sumsqs: Map[String, String] = Map.empty,
       sumcubes: Map[String, String] = Map.empty,
-      sumquads: Map[String, String] = Map.empty): MaintainJoinResult = {
+      sumquads: Map[String, String] = Map.empty,
+      covs: Map[String, (String, String)] = Map.empty): MaintainJoinResult = {
     require(joinKeysLeft.size == joinKeysRight.size && joinKeysLeft.nonEmpty,
       "joinKeysLeft/joinKeysRight must pair up")
     val r = maintainStar(spark,
@@ -528,7 +556,7 @@ object MatViews {
       joinKeys = joinKeysLeft.zip(joinKeysRight), keys = keys,
       sums = sums, counts = counts, mins = mins, maxs = maxs,
       keepVersions = keepVersions, maxCollectedGroups = maxCollectedGroups,
-      sumsqs = sumsqs, sumcubes = sumcubes, sumquads = sumquads)
+      sumsqs = sumsqs, sumcubes = sumcubes, sumquads = sumquads, covs = covs)
     MaintainJoinResult(r.applied.head, r.applied(1), r.viewVersion,
       r.recomputedGroups)
   }
@@ -613,13 +641,18 @@ object MatViews {
       kmvK: Int = 64,
       sumsqs: Map[String, String] = Map.empty,
       sumcubes: Map[String, String] = Map.empty,
-      sumquads: Map[String, String] = Map.empty): MaintainStarResult = {
+      sumquads: Map[String, String] = Map.empty,
+      covs: Map[String, (String, String)] = Map.empty): MaintainStarResult = {
     require(sides.size >= 2, "maintainStar needs at least two sides")
     require(joinKeys.nonEmpty, "joinKeys must be non-empty")
     val tos = sides.map(s => Storage.currentVersion(s.table).getOrElse(
       throw new IllegalStateException(s"no committed version at ${s.table}")))
+    // cov pair columns may span sides (fact measure × dim attribute):
+    // the terms evaluate over joined image rows, so each side only needs
+    // to CARRY its own column
     val aggBase = (sums.keys ++ counts.keys ++ mins.keys ++ maxs.keys ++
-      kmvs.keys ++ sumsqs.keys ++ sumcubes.keys ++ sumquads.keys)
+      kmvs.keys ++ sumsqs.keys ++ sumcubes.keys ++ sumquads.keys ++
+      covs.values.flatMap { case (a, b) => Seq(a, b) })
       .toSeq.distinct
     val jkNames = joinKeys.flatMap { case (a, b) => Seq(a, b) }.distinct
     // pinned schema resolution — same race discipline as readBaseAt's doc
@@ -674,6 +707,7 @@ object MatViews {
         sumsqs.map { case (b, v) => sum(powCol(b, 2)).as(v) } ++
         sumcubes.map { case (b, v) => sum(powCol(b, 3)).as(v) } ++
         sumquads.map { case (b, v) => sum(powCol(b, 4)).as(v) } ++
+        covsAsSums(covs).map { case (v, c) => sum(c).as(v) } ++
         kmvs.map { case (b, v) =>
           graft.plans.KmvSketch.partialCol(col(b), kmvK).as(v) }
       flat.groupBy(keys.map(col): _*)
@@ -715,7 +749,7 @@ object MatViews {
         val deltaAgg = AggMaintain.retractableDeltaAggregates(canceled, keys,
           sums.map { case (b, v) => v -> col(b) } ++ countsAsSums(counts) ++
             powsAsSums(sumsqs, 2) ++ powsAsSums(sumcubes, 3) ++
-            powsAsSums(sumquads, 4),
+            powsAsSums(sumquads, 4) ++ covsAsSums(covs),
           mins.map { case (b, v) => v -> col(b) },
           maxs.map { case (b, v) => v -> col(b) },
           changeType = when(col("__net") > 0, lit("insert"))
@@ -752,7 +786,8 @@ object MatViews {
         val (next, n) = mergeRetractable(
           Storage.readVersion(spark, view), deltaAgg, keys,
           (sums.values ++ counts.values ++ sumsqs.values ++
-            sumcubes.values ++ sumquads.values).toSeq,
+            sumcubes.values ++ sumquads.values ++
+            covs.keys.flatMap(graft.plans.MatViewSupport.covCols)).toSeq,
           mins.values.toSeq, maxs.values.toSeq, recomputeJoin,
           kmvCols = kmvs.values.map(v => v -> kmvK).toSeq)
         MaintainStarResult(tos, commit(next), n)
@@ -780,10 +815,11 @@ object MatViews {
       counts: Map[String, String] = Map.empty,
       sumsqs: Map[String, String] = Map.empty,
       sumcubes: Map[String, String] = Map.empty,
-      sumquads: Map[String, String] = Map.empty): Unit =
+      sumquads: Map[String, String] = Map.empty,
+      covs: Map[String, (String, String)] = Map.empty): Unit =
     registerStarRewrite(spark, name, Seq(left, right), view, joinKeys,
       keys, countCol, sums, mins, maxs, counts, sumsqs = sumsqs,
-      sumcubes = sumcubes, sumquads = sumquads)
+      sumcubes = sumcubes, sumquads = sumquads, covs = covs)
 
   /** Register a maintained N-ary star-aggregate table as a transparent
     * materialized view over `tables.head ⋈ … ⋈ tables.last` — the
@@ -806,7 +842,8 @@ object MatViews {
       kmvK: Int = 64,
       sumsqs: Map[String, String] = Map.empty,
       sumcubes: Map[String, String] = Map.empty,
-      sumquads: Map[String, String] = Map.empty): Unit = {
+      sumquads: Map[String, String] = Map.empty,
+      covs: Map[String, (String, String)] = Map.empty): Unit = {
     require(derives.isEmpty || derives.size == tables.size,
       "derives must be empty or parallel to tables (one list per side)")
     val padded =
@@ -820,6 +857,7 @@ object MatViews {
       keys = keys, countCol = countCol, sums = sums, mins = mins,
       maxs = maxs, counts = counts, kmvs = kmvs, kmvK = kmvK,
       sumsqs = sumsqs, sumcubes = sumcubes, sumquads = sumquads,
+      covs = covs,
       fresh = () => appliedVersions(view).exists(vs =>
         vs.size == tables.size && tables.zip(vs).forall { case (t, v) =>
           Storage.currentVersion(t).contains(v) }),
@@ -939,9 +977,14 @@ object MatViews {
       derives: Seq[Map[String, String]] = Nil,
       sumsqs: Map[String, String] = Map.empty,
       sumcubes: Map[String, String] = Map.empty,
-      sumquads: Map[String, String] = Map.empty) {
+      sumquads: Map[String, String] = Map.empty,
+      covs: Map[String, Seq[String]] = Map.empty) {
     require(kind == "single" || kind == "join" || kind == "star",
       s"unknown kind '$kind'")
+    require(covs.values.forall(_.size == 2),
+      s"entry '$name': each covs entry must name exactly [x, y]")
+    private[MatViews] def covPairs: Map[String, (String, String)] =
+      covs.map { case (p, xy) => p -> (xy.head, xy(1)) }
     require(kind != "star" || (tables.size >= 2 && pks.size == tables.size),
       s"star entry '$name' needs tables (≥2) with one pk list per table")
     require(derives.isEmpty || derives.size == tables.size,
@@ -969,7 +1012,8 @@ object MatViews {
         JArray(pk.map(JString(_)).toList)).toList)) ~
       ("kmvs" -> e.kmvs) ~ ("kmvK" -> e.kmvK) ~ ("where" -> e.where) ~
       ("derives" -> e.derives) ~ ("sumsqs" -> e.sumsqs) ~
-      ("sumcubes" -> e.sumcubes) ~ ("sumquads" -> e.sumquads)
+      ("sumcubes" -> e.sumcubes) ~ ("sumquads" -> e.sumquads) ~
+      ("covs" -> e.covs)
   }
 
   /** Every entry in `catalogDir`'s catalog (empty if none yet). */
@@ -1007,7 +1051,8 @@ object MatViews {
           derives = (j \ "derives").extractOrElse[Seq[Map[String, String]]](Nil),
           sumsqs = (j \ "sumsqs").extractOrElse[Map[String, String]](Map.empty),
           sumcubes = (j \ "sumcubes").extractOrElse[Map[String, String]](Map.empty),
-          sumquads = (j \ "sumquads").extractOrElse[Map[String, String]](Map.empty))
+          sumquads = (j \ "sumquads").extractOrElse[Map[String, String]](Map.empty),
+          covs = (j \ "covs").extractOrElse[Map[String, Seq[String]]](Map.empty))
       }
       case _ => Seq.empty
     }
@@ -1059,7 +1104,8 @@ object MatViews {
           keys = e.keys, sums = e.sums, mins = e.mins, maxs = e.maxs,
           counts = e.counts, kmvs = e.kmvs, kmvK = e.kmvK,
           where = if (e.where.isEmpty) None else Some(expr(e.where)),
-          sumsqs = e.sumsqs, sumcubes = e.sumcubes, sumquads = e.sumquads)
+          sumsqs = e.sumsqs, sumcubes = e.sumcubes, sumquads = e.sumquads,
+          covs = e.covPairs)
       case e if e.kind == "star" =>
         registerStarRewrite(spark, e.name, e.tables.map(Path.of(_)),
           Path.of(e.view), joinKeys = e.joinKeysLeft.zip(e.joinKeysRight),
@@ -1068,13 +1114,13 @@ object MatViews {
           where = if (e.where.isEmpty) None else Some(expr(e.where)),
           derives = if (e.derives.isEmpty) Seq.empty else e.deriveCols,
           kmvs = e.kmvs, kmvK = e.kmvK, sumsqs = e.sumsqs,
-          sumcubes = e.sumcubes, sumquads = e.sumquads)
+          sumcubes = e.sumcubes, sumquads = e.sumquads, covs = e.covPairs)
       case e =>
         registerJoinRewrite(spark, e.name, Path.of(e.left), Path.of(e.right),
           Path.of(e.view), joinKeys = e.joinKeysLeft.zip(e.joinKeysRight),
           keys = e.keys, sums = e.sums, mins = e.mins, maxs = e.maxs,
           counts = e.counts, sumsqs = e.sumsqs, sumcubes = e.sumcubes,
-          sumquads = e.sumquads)
+          sumquads = e.sumquads, covs = e.covPairs)
     }
     es.size
   }
@@ -1098,7 +1144,8 @@ object MatViews {
           e.mins, e.maxs, e.counts, e.keepVersions, kmvs = e.kmvs,
           kmvK = e.kmvK,
           filter = if (e.where.isEmpty) None else Some(expr(e.where)),
-          sumsqs = e.sumsqs, sumcubes = e.sumcubes, sumquads = e.sumquads))
+          sumsqs = e.sumsqs, sumcubes = e.sumcubes, sumquads = e.sumquads,
+          covs = e.covPairs))
         maintainAll(spark, Path.of(base), pk, specs)
           .zip(grp).map { case (r, e) => e.name -> r }
       }.toMap
@@ -1108,7 +1155,7 @@ object MatViews {
         joinKeysLeft = e.joinKeysLeft, joinKeysRight = e.joinKeysRight,
         keys = e.keys, sums = e.sums, counts = e.counts, mins = e.mins,
         maxs = e.maxs, keepVersions = e.keepVersions, sumsqs = e.sumsqs,
-        sumcubes = e.sumcubes, sumquads = e.sumquads)
+        sumcubes = e.sumcubes, sumquads = e.sumquads, covs = e.covPairs)
     }.toMap
     val stars = es.filter(_.kind == "star").map { e =>
       e.name -> maintainStar(spark,
@@ -1120,7 +1167,7 @@ object MatViews {
         maxs = e.maxs, keepVersions = e.keepVersions,
         filter = if (e.where.isEmpty) None else Some(expr(e.where)),
         kmvs = e.kmvs, kmvK = e.kmvK, sumsqs = e.sumsqs,
-        sumcubes = e.sumcubes, sumquads = e.sumquads)
+        sumcubes = e.sumcubes, sumquads = e.sumquads, covs = e.covPairs)
     }.toMap
     CatalogMaintenance(single, joins, stars)
   }

@@ -106,10 +106,11 @@ object MatView {
       where: () => Seq[Expression] = () => Nil,
       sumsqs: Map[String, String] = Map.empty,
       sumcubes: Map[String, String] = Map.empty,
-      sumquads: Map[String, String] = Map.empty) {
+      sumquads: Map[String, String] = Map.empty,
+      covs: Map[String, (String, String)] = Map.empty) {
     private[plans] def partials: MatViewSupport.Partials =
       MatViewSupport.Partials(countCol, sums, mins, maxs, counts, kmvs, kmvK,
-        sumsqs, sumcubes, sumquads)
+        sumsqs, sumcubes, sumquads, covs)
   }
 
   /** A registered view over the N-ary INNER EQUI-JOIN of base tables —
@@ -145,11 +146,12 @@ object MatView {
       kmvK: Int = 64,
       sumsqs: Map[String, String] = Map.empty,
       sumcubes: Map[String, String] = Map.empty,
-      sumquads: Map[String, String] = Map.empty) {
+      sumquads: Map[String, String] = Map.empty,
+      covs: Map[String, (String, String)] = Map.empty) {
     require(roots.size >= 2, s"star view '$name' needs at least two sides")
     private[plans] def partials: MatViewSupport.Partials =
       MatViewSupport.Partials(countCol, sums, mins, maxs, counts, kmvs, kmvK,
-        sumsqs, sumcubes, sumquads)
+        sumsqs, sumcubes, sumquads, covs)
     /** Join edges as canonical key IDS: a stored column by name, a
       * DERIVED key ([[derives]], e.g. the unknown-member synthetic key)
       * by its normalized expression — what the query's condition
@@ -214,7 +216,17 @@ private[graft] object MatViewSupport {
       kmvK: Int = 64,
       sumsqs: Map[String, String] = Map.empty,
       sumcubes: Map[String, String] = Map.empty,
-      sumquads: Map[String, String] = Map.empty)
+      sumquads: Map[String, String] = Map.empty,
+      covs: Map[String, (String, String)] = Map.empty)
+
+  /** The six convention-named view columns one `covs` PAIR partial set
+    * occupies, from its prefix: pairwise-complete row count, the two
+    * sums, the two square sums, and the cross sum — everything the
+    * corr/covar family re-expresses from. Shared by registration,
+    * maintenance, and serving so the convention can never drift. */
+  def covCols(prefix: String): Seq[String] =
+    Seq(s"${prefix}_n", s"${prefix}_sx", s"${prefix}_sy",
+      s"${prefix}_sxx", s"${prefix}_syy", s"${prefix}_sxy")
 
   /** A Project passes when every output is a bare column or a SAME-NAMED
     * loss-free upcast of one — the shape the versioned read paths emit to
@@ -641,6 +653,23 @@ private[graft] object MatViewSupport {
                 c <- d.counts.get(n) }
             yield Seq(w, u, q, s, c)
         }
+      // the cross-moment family (corr / covar_pop / covar_samp) serves
+      // from a registered PAIR's six pairwise-complete partials. All
+      // three formulas are symmetric in (x, y) — ck and the corr
+      // denominator are invariant under the swap — so a query naming the
+      // pair in either order matches the same registration.
+      case fn @ (_: Covariance | _: PearsonCorrelation) =>
+        val (l, r) = fn match {
+          case c: Covariance => (c.left, c.right)
+          case c: PearsonCorrelation => (c.left, c.right)
+        }
+        for {
+          xn <- varianceTarget(l); yn <- varianceTarget(r)
+          p <- d.covs.collectFirst {
+            case (p0, (a, b)) if (a == xn && b == yn) ||
+              (a == yn && b == xn) => p0
+          }
+        } yield covCols(p)
       case _ => None
     }
 
@@ -685,6 +714,61 @@ private[graft] object MatViewSupport {
     * partitionings; there is no single canonical bit pattern to preserve.
     * Decimal measures fall back (their Σx partial is decimal — refused
     * below), the same stance as AVG. */
+  /** Serve a cross-moment family leaf — `corr` / `covar_pop` /
+    * `covar_samp` — from a pair's six pairwise-complete partials
+    * `Seq(n, Σx, Σy, Σx², Σy², Σxy)` (all restricted to rows where BOTH
+    * inputs are non-null, exactly the rows Spark's Covariance/
+    * PearsonCorrelation update consumes):
+    *     ck  = Σxy − ΣxΣy/n
+    *     xMk = Σx² − (Σx)²/n,  yMk = Σy² − (Σy)²/n
+    *     covar_pop = ck/n;  covar_samp = ck/(n−1);
+    *     corr = ck/√(xMk·yMk)
+    * n = 0 answers NULL and the n = 1 sampled edges answer the
+    * function's own divide-by-zero result, mirroring the base classes.
+    * corr's denominator is deliberately NOT guarded and its division
+    * uses the SESSION eval mode: Spark's own Corr divides unguarded, so
+    * a constant-column corr THROWS under ANSI and answers NULL under
+    * legacy — the rewrite must reproduce exactly that, not soften it.
+    * xMk/yMk stay unclamped for the same reason (a clamped exact 0 would
+    * manufacture an ANSI error the base only raises when Welford's xMk
+    * is exactly 0 — i.e. a truly constant column, where the power-sum
+    * form is exactly 0 too for the integer-valued measures the partials
+    * keep exact). */
+  def covarianceOnto(fn: AggregateFunction, attrs: Seq[Attribute],
+      complete: AggregateFunction => AggregateExpression): Option[Expression] = {
+    import org.apache.spark.sql.types.LongType
+    val Seq(nA, sxA, syA, sxxA, syyA, sxyA) = attrs
+    if (nA.dataType != LongType) return None
+    if (Seq(sxA, syA, sxxA, syyA, sxyA).exists(_.dataType != DoubleType))
+      return None
+    val (guardOne, corrForm, nullOnDiv) = fn match {
+      case f: CovSample => (true, false, f.nullOnDivideByZero)
+      case f: CovPopulation => (false, false, f.nullOnDivideByZero)
+      case f: Corr => (true, true, f.nullOnDivideByZero)
+      case _ => return None
+    }
+    // session-mode arithmetic (no explicit evalMode): only corr's
+    // denominator can reach a zero divisor, and there the base plan's
+    // behavior IS mode-dependent — reproduce it
+    val n = Cast(complete(Sum(nA)), DoubleType)
+    val sx: Expression = complete(Sum(sxA))
+    val sy: Expression = complete(Sum(syA))
+    val ck = Subtract(complete(Sum(sxyA)), Divide(Multiply(sx, sy), n))
+    val body: Expression =
+      if (!corrForm) {
+        val divisor = if (guardOne) Subtract(n, Literal(1.0)) else n
+        Divide(ck, divisor)
+      } else {
+        val xMk = Subtract(complete(Sum(sxxA)), Divide(Multiply(sx, sx), n))
+        val yMk = Subtract(complete(Sum(syyA)), Divide(Multiply(sy, sy), n))
+        Divide(ck, Sqrt(Multiply(xMk, yMk)))
+      }
+    val nullD = Literal.create(null, DoubleType)
+    val atOne = if (nullOnDiv) nullD else Literal(Double.NaN)
+    Some(If(EqualTo(n, Literal(0.0)), nullD,
+      if (guardOne) If(EqualTo(n, Literal(1.0)), atOne, body) else body))
+  }
+
   def momentsOnto(fn: AggregateFunction, attrs: Seq[Attribute],
       complete: AggregateFunction => AggregateExpression): Option[Expression] = {
     import org.apache.spark.sql.types.LongType
@@ -958,6 +1042,12 @@ private[graft] object MatViewSupport {
             case Some(e) => e
             case None => return None
           }
+        case _: Covariance | _: PearsonCorrelation =>
+          // the pair partials serve the cross-moment family
+          covarianceOnto(fn, cols.map(vAttr), complete) match {
+            case Some(e) => e
+            case None => return None
+          }
         case _ => return None
       }
       if (rewritten.dataType == fn.dataType) Some(rewritten)
@@ -1210,6 +1300,11 @@ private[graft] object MatViewSupport {
           // partials are plain reassociable sums, so they ride the
           // rollup's Expand like any other partial column
           momentsOnto(fn, cols.map(vAttr), complete) match {
+            case Some(e) => e
+            case None => return None
+          }
+        case _: Covariance | _: PearsonCorrelation =>
+          covarianceOnto(fn, cols.map(vAttr), complete) match {
             case Some(e) => e
             case None => return None
           }

@@ -2828,6 +2828,108 @@ object CoreQueries {
              |  round(sqrt((s2 - (s1*s1)/n) / (n - 1)), 6) AS sd_d
              |FROM s""".stripMargin)),
 
+    // CORR/COVAR NAVIGATION — the cross-moment family: a registered PAIR
+    // maintains six pairwise-complete partials (n, Σx, Σy, Σx², Σy², Σxy
+    // — every term gated on BOTH inputs non-null, exactly the rows
+    // Spark's Covariance update consumes, all signed additive sums), and
+    // corr / covar_pop / covar_samp serve as ck/√(xMk·yMk), ck/n,
+    // ck/(n−1) with ck = Σxy − ΣxΣy/n (MatViewSupport.covarianceOnto;
+    // corr's unguarded denominator keeps the base plan's ANSI
+    // divide-by-zero behavior — spec'd). x and y carry DIFFERENT null
+    // patterns, so the pairwise n differs from both columns' counts and
+    // count(*): the gate distinguishes all three. Churned loads shift
+    // values (the correlation itself moves) and deletes retract exact
+    // pre-image terms. DuckDB's corr/covar share Spark's pairwise
+    // semantics, so the oracle uses them directly. The row REQUIREs the
+    // navigated plan. At 100 TB: the correlation matrix panel reads
+    // |groups| view rows per registered pair — no base re-scan.
+    Q("mv15_corr_navigation",
+      (s, d) => {
+        import graft.plans.{MatView, MatViewRewrite}
+        import graft.ops.{MatViews, MergeOps, Storage}
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+        val dir = java.nio.file.Files.createTempDirectory("mv15")
+        val table = dir.resolve("base")
+        val view = dir.resolve("view")
+        try {
+          val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+            col("event_type"), col("value"))
+          def load(df: DataFrame, ts: String) = {
+            // xv: floored value with nulls on user_id%7; yv: xv plus a
+            // user-dependent offset (genuinely correlated, not equal)
+            // with nulls on user_id%5 — both derived AFTER any churn
+            val fl = floor(dec(col("value"))).cast("double")
+            val xv = when(col("user_id") % 7 === 0, lit(null)).otherwise(fl)
+            val yv = when(col("user_id") % 5 === 0, lit(null))
+              .otherwise(fl + (col("user_id") % 10).cast("double") * 3.0)
+            MergeOps.prunedConditionalUpsert(table,
+              df.select(col("event_id"), col("event_type"),
+                xv.as("xv"), yv.as("yv"),
+                lit(null).cast("timestamp").as("loaded_at"),
+                lit(null).cast("timestamp").as("last_upd_at")),
+              pk = Seq("event_id"), tracked = Seq("event_type", "xv", "yv"),
+              runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+          }
+          def maintain() = MatViews.maintain(s, table, view,
+            pk = Seq("event_id"), keys = Seq("event_type"),
+            covs = Map("xy" -> ("xv", "yv")), keepVersions = 2)
+          load(ev.filter(col("event_id") % 7 =!= 0)
+            .withColumn("value",
+              when(col("event_id") % 11 === 0, col("value") + 300.0)
+                .otherwise(col("value"))), CutoffTs)
+          maintain()
+          load(ev, RunTs)
+          MergeOps.prunedDelete(table,
+            ev.select(col("event_id")).filter(col("event_id") % 13 === 0),
+            pk = Seq("event_id"), nParts = 8, keepVersions = 4)
+          maintain()
+          Storage.compact(s, table)
+          maintain()
+          MatViews.registerRewrite(s, "mv15", table, view,
+            keys = Seq("event_type"), covs = Map("xy" -> ("xv", "yv")))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ MatViewRewrite
+          try {
+            val q = Storage.readPartitionedVersion(s, table)
+              .groupBy(col("event_type"))
+              .agg(count(lit(1)).as("cnt"),
+                round(corr(col("xv"), col("yv")), 6).as("r_xy"),
+                round(covar_pop(col("xv"), col("yv")), 6).as("cp_xy"),
+                round(covar_samp(col("xv"), col("yv")), 6).as("cs_xy"))
+            val scans = q.queryExecution.optimizedPlan.collect {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                lr.relation match {
+                  case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                    fs.location.rootPaths.map(_.toString)
+                  case _ => Nil
+                }
+            }.flatten
+            require(scans.exists(_.contains(view.toString)) &&
+                !scans.exists(_.contains(table.toString)),
+              s"corr/covar was not navigated onto the pair partials: $scans")
+            q.localCheckpoint()
+          } finally {
+            s.experimental.extraOptimizations =
+              s.experimental.extraOptimizations.filterNot(_ eq MatViewRewrite)
+            MatView.drop("mv15")
+          }
+        } finally Storage.deleteRecursively(dir)
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CASE WHEN user_id % 7 = 0 THEN NULL
+             |         ELSE CAST(FLOOR(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+             |    END AS xv,
+             |    CASE WHEN user_id % 5 = 0 THEN NULL
+             |         ELSE CAST(FLOOR(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+             |              + (user_id % 10) * 3.0
+             |    END AS yv
+             |  FROM events WHERE event_id % 13 <> 0)
+             |SELECT event_type, count(*) AS cnt,
+             |       round(corr(xv, yv), 6) AS r_xy,
+             |       round(covar_pop(xv, yv), 6) AS cp_xy,
+             |       round(covar_samp(xv, yv), 6) AS cs_xy
+             |FROM e GROUP BY event_type""".stripMargin)),
+
     // ATOMIC workspace+view publish: a transaction's base tables AND its
     // maintained views land in ONE manifest (MatViews.workspaceCommitWith
     // Views — member commits through the table CAS logs, every cataloged

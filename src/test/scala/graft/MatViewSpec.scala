@@ -1371,4 +1371,108 @@ class MatViewSpec extends SparkTestBase {
     }
     Storage.deleteRecursively(root)
   }
+
+  test("corr/covar navigate via pairwise-complete cross sums; ANSI zero-denominator faithfulness holds") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mv_cov")
+    val base = root.resolve("base")
+    val view = root.resolve("view")
+    // x and y: integer-valued doubles with DIFFERENT null patterns, so
+    // pairwise-complete n ≠ either column's count; y tracks x with noise
+    // (a genuine partial correlation); z has no registered pair; group
+    // tc holds x CONSTANT — the Spark-4 ANSI corr of a constant column
+    // throws DIVIDE_BY_ZERO, and the rewrite must reproduce it
+    val rows = (1 to 400).map { i =>
+      if (i > 390) ("tc", Some(5.0), Some((i % 7).toDouble), i.toDouble)
+      else (s"t${i % 3}",
+        if (i % 5 == 0) None else Some(((i * 7) % 23).toDouble),
+        if (i % 4 == 0) None else Some((((i * 7) % 23) + (i % 3) * 5).toDouble),
+        i.toDouble)
+    }.toDF("k1", "x", "y", "z")
+    Storage.commitVersion(rows, base)
+    val both = col("x").isNotNull && col("y").isNotNull
+    Storage.commitVersion(
+      Storage.readVersion(spark, base).groupBy("k1")
+        .agg(count(lit(1)).as("count_rows"),
+          sum(when(both, 1L).otherwise(0L)).as("xy_n"),
+          sum(when(both, col("x"))).as("xy_sx"),
+          sum(when(both, col("y"))).as("xy_sy"),
+          sum(when(both, col("x") * col("x"))).as("xy_sxx"),
+          sum(when(both, col("y") * col("y"))).as("xy_syy"),
+          sum(when(both, col("x") * col("y"))).as("xy_sxy")),
+      view)
+    val vdir = base.resolve(s"v${Storage.currentVersion(base).get}")
+    def register(): Unit = MatView.register(MatView.Def(
+      name = "cov_t", baseRoots = () => Set(MatView.root(vdir)),
+      view = () => Storage.readVersion(spark, view),
+      keys = Seq("k1"), countCol = Some("count_rows"),
+      covs = Map("xy" -> ("x", "y"))))
+    register()
+    def close(a: Any, b: Any): Boolean = (a, b) match {
+      case (null, null) => true
+      case (p: Double, q: Double) =>
+        (p.isNaN && q.isNaN) || math.abs(p - q) <= 1e-9 * (1 + math.abs(q))
+      case (p, q) => p == q
+    }
+    withRule {
+      // the non-degenerate groups: corr + both covariances + the SWAPPED
+      // argument order (the formulas are symmetric — one registration
+      // serves both), compared against the base truth
+      def shape(df: DataFrame) = df.filter(col("k1") =!= "tc").groupBy("k1")
+        .agg(corr(col("x"), col("y")).as("r"),
+          covar_pop(col("x"), col("y")).as("cp"),
+          covar_samp(col("x"), col("y")).as("cs"),
+          corr(col("y"), col("x")).as("rSwap"),
+          count(lit(1)).as("cnt"))
+      val q = shape(Storage.readVersion(spark, base))
+      assert(scanPaths(q).exists(_.contains(view.toString)) &&
+        !scanPaths(q).exists(_.contains(base.toString)),
+        "corr/covar must navigate onto the pair partials")
+      val got = q.orderBy("k1").collect().toSeq
+      MatView.clear()
+      val want = shape(Storage.readVersion(spark, base)).orderBy("k1").collect().toSeq
+      assert(got.size == want.size && got.zip(want).forall { case (g, w) =>
+        (0 until g.size).forall(j => close(g.get(j), w.get(j))) },
+        s"cross moments diverged:\n got  $got\n want $want")
+      register()
+      // constant-x group: the navigated corr must FAIL exactly as the
+      // base plan fails under this session's ANSI mode (DIVIDE_BY_ZERO),
+      // not soften the error into a null
+      def constQ(df: DataFrame) = df.filter(col("k1") === "tc")
+        .groupBy("k1").agg(corr(col("x"), col("y")).as("r"))
+      val navigated = constQ(Storage.readVersion(spark, base))
+      assert(scanPaths(navigated).exists(_.contains(view.toString)))
+      val navEx = intercept[Exception](navigated.collect())
+      MatView.clear()
+      val baseEx = intercept[Exception](
+        constQ(Storage.readVersion(spark, base)).collect())
+      assert(navEx.toString.contains("DIVIDE_BY_ZERO") ==
+        baseEx.toString.contains("DIVIDE_BY_ZERO"),
+        s"constant-column corr must fail like the base plan:\n " +
+          s"navigated $navEx\n base $baseEx")
+      register()
+      // an UNREGISTERED pair falls back
+      val uq = Storage.readVersion(spark, base).groupBy("k1")
+        .agg(corr(col("x"), col("z")).as("rz"))
+      assert(!scanPaths(uq).exists(_.contains(view.toString)),
+        "an unregistered pair must fall back")
+      // ROLLUP rides the six pair partials like any partial column (the
+      // key-only filter commutes below the Expand)
+      def rshape(df: DataFrame) = df.filter(col("k1") =!= "tc")
+        .rollup("k1").agg(covar_samp(col("x"), col("y")).as("cs"),
+          count(lit(1)).as("cnt"))
+      val rq = rshape(Storage.readVersion(spark, base))
+      assert(scanPaths(rq).exists(_.contains(view.toString)) &&
+        !scanPaths(rq).exists(_.contains(base.toString)),
+        "rollup covar must navigate")
+      val rgot = rq.orderBy(col("k1").asc_nulls_first).collect().toSeq
+      MatView.clear()
+      val rwant = rshape(Storage.readVersion(spark, base))
+        .orderBy(col("k1").asc_nulls_first).collect().toSeq
+      assert(rgot.zip(rwant).forall { case (g, w) =>
+        (0 until g.size).forall(j => close(g.get(j), w.get(j))) },
+        s"rollup covar diverged:\n got  $rgot\n want $rwant")
+    }
+    Storage.deleteRecursively(root)
+  }
 }

@@ -374,10 +374,14 @@ class MatViewStarSpec extends SparkTestBase {
     loadA(a, (1L to 8L).map(i => (i, s"a${i % 3}")))
     loadB(b, (1L to 6L).map(i => (i, s"b${i % 2}")))
     loadFd(fdRows(i => ((i * 3) % 17).toDouble))
+    // the cov pair spans SIDES: fact measure × dim id column — the terms
+    // evaluate over joined image rows, so cross-side pairs maintain like
+    // any other
     def maintainV() = MatViews.maintainStar(spark, sides(a, b, f), viewV,
       joinKeys = JoinKeys, keys = Seq("a_grp"),
       sums = Map("f_d" -> "sum_d"), counts = Map("f_d" -> "cnt_d"),
-      sumsqs = Map("f_d" -> "ssq_d"), keepVersions = 2)
+      sumsqs = Map("f_d" -> "ssq_d"),
+      covs = Map("db" -> ("f_d", "b_id")), keepVersions = 2)
     maintainV()
     // churn: values shift (update pre/post images retract exactly), a
     // dim re-groups rows between a_grp values, rows delete — the signed
@@ -395,23 +399,30 @@ class MatViewStarSpec extends SparkTestBase {
     def joined = Storage.readPartitionedVersion(spark, f)
       .join(Storage.readPartitionedVersion(spark, a), col("f_aid") === col("a_id"))
       .join(Storage.readPartitionedVersion(spark, b), col("f_bid") === col("b_id"))
+    val bothDb = col("f_d").isNotNull && col("b_id").isNotNull
     val gotP = Storage.readVersion(spark, viewV)
-      .select("a_grp", "count_rows", "sum_d", "cnt_d", "ssq_d")
+      .select("a_grp", "count_rows", "sum_d", "cnt_d", "ssq_d",
+        "db_n", "db_sxy")
       .collect().map(r => r.toSeq.map(String.valueOf)).toSet
     val wantP = joined.groupBy("a_grp")
       .agg(count(lit(1)).as("count_rows"), sum("f_d").as("sum_d"),
         count(col("f_d")).as("cnt_d"),
-        sum(col("f_d") * col("f_d")).as("ssq_d"))
+        sum(col("f_d") * col("f_d")).as("ssq_d"),
+        sum(when(bothDb, 1L).otherwise(0L)).as("db_n"),
+        sum(when(bothDb,
+          col("f_d") * col("b_id").cast("double"))).as("db_sxy"))
       .collect().map(r => r.toSeq.map(String.valueOf)).toSet
     assert(gotP == wantP, s"churned Σx² diverged:\n got  $gotP\n want $wantP")
     MatViews.registerStarRewrite(spark, "star_v", Seq(f, a, b), viewV,
       joinKeys = JoinKeys, keys = Seq("a_grp"),
       sums = Map("f_d" -> "sum_d"), counts = Map("f_d" -> "cnt_d"),
-      sumsqs = Map("f_d" -> "ssq_d"))
+      sumsqs = Map("f_d" -> "ssq_d"), covs = Map("db" -> ("f_d", "b_id")))
     withRule {
       def shape(j: DataFrame) = j.groupBy("a_grp")
         .agg(var_samp(col("f_d")).as("vs"), stddev_pop(col("f_d")).as("sp"),
-          avg(col("f_d")).as("av"), count(lit(1)).as("cnt"))
+          avg(col("f_d")).as("av"),
+          covar_samp(col("f_d"), col("b_id")).as("cvs"),
+          count(lit(1)).as("cnt"))
       val q = shape(joined)
       val paths = scanPaths(q)
       assert(paths.exists(_.contains(viewV.toString)) &&
