@@ -182,18 +182,26 @@ object Scratch {
       val ev = Tables.events(spark, sfDir).select(col("event_id"),
         col("user_id"), col("event_type"), col("value"))
       MergeOps.prunedConditionalUpsert(evB,
-        stamp(ev.select(col("event_id"), col("event_type"), col("value"))),
-        pk = Seq("event_id"), tracked = Seq("event_type", "value"),
+        stamp(ev.select(col("event_id"), col("event_type"), col("value"),
+          col("user_id").cast("double").as("user_id"))),
+        pk = Seq("event_id"), tracked = Seq("event_type", "value", "user_id"),
         runTs = lit("2024-01-01 00:00:00").cast("timestamp"),
         nParts = 4, keepVersions = 4)
+      // one view serves the WHOLE statistical panel: power sums through
+      // Σx⁴ plus a (value, user_id) cov pair — variance, skew, kurt, and
+      // corr all read the same maintained state
       def maintainVar() = MatViews.maintain(spark, evB, evV,
         pk = Seq("event_id"), keys = Seq("event_type"),
         sums = Map("value" -> "sum_v"), counts = Map("value" -> "cnt_v"),
-        sumsqs = Map("value" -> "ssq_v"))
+        sumsqs = Map("value" -> "ssq_v"), sumcubes = Map("value" -> "scu_v"),
+        sumquads = Map("value" -> "squ_v"),
+        covs = Map("vu" -> ("value", "user_id")))
       maintainVar(); Storage.compact(spark, evB); maintainVar()
       MatViews.registerRewrite(spark, "mv12", evB, evV,
         keys = Seq("event_type"), sums = Map("value" -> "sum_v"),
-        counts = Map("value" -> "cnt_v"), sumsqs = Map("value" -> "ssq_v"))
+        counts = Map("value" -> "cnt_v"), sumsqs = Map("value" -> "ssq_v"),
+        sumcubes = Map("value" -> "scu_v"), sumquads = Map("value" -> "squ_v"),
+        covs = Map("vu" -> ("value", "user_id")))
       MergeOps.prunedConditionalUpsert(tkB,
         stamp(ev.select(col("event_id"), col("event_type"),
           (col("user_id") % 53).as("item"))),
@@ -213,6 +221,14 @@ object Scratch {
             .agg(var_samp(col("value")).as("vs"),
               stddev_pop(col("value")).as("sp"),
               avg(col("value")).as("av"), count(lit(1)).as("cnt")),
+        "mv14: skewness/kurtosis per event_type (Σx³/Σx⁴ power sums)" ->
+          Storage.readPartitionedVersion(spark, evB).groupBy(col("event_type"))
+            .agg(skewness(col("value")).as("sk"),
+              kurtosis(col("value")).as("ku")),
+        "mv15: corr/covar per event_type (pairwise cross sums)" ->
+          Storage.readPartitionedVersion(spark, evB).groupBy(col("event_type"))
+            .agg(corr(col("value"), col("user_id")).as("r"),
+              covar_samp(col("value"), col("user_id")).as("cs")),
         "mv13: top-3 items per event_type (aux-view count + row_number)" ->
           Storage.readPartitionedVersion(spark, tkB)
             .groupBy(col("event_type"), col("item"))
