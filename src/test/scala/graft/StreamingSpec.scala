@@ -424,6 +424,98 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming-maintained statistical panel: variance and corr navigate off the commit-log tail") {
+    // the stat-family partials are ALL plain signed sums, so the generic
+    // CDF maintainer streams them with no new machinery: the sums map
+    // carries the Σx/n/Σx² triple and the six pairwise cov terms as
+    // expressions, and registerRewrite serves var_samp/stddev/corr off
+    // the continuously-maintained state
+    import graft.ops.{MatViews, MergeOps, Storage}
+    import graft.plans.{MatView, MatViewRewrite}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = Files.createTempDirectory("cdf_stats")
+    val base = dir.resolve("t")
+    val view = dir.resolve("stats")
+    def load(rows: Seq[(Long, String, Option[Double], Option[Double])], ts: String) =
+      MergeOps.prunedConditionalUpsert(base,
+        rows.toDF("id", "grp", "x", "y")
+          .withColumn("loaded_at", lit(null).cast("timestamp"))
+          .withColumn("last_upd_at", lit(null).cast("timestamp")),
+        pk = Seq("id"), tracked = Seq("grp", "x", "y"),
+        runTs = lit(ts).cast("timestamp"), nParts = 4)
+    val both = col("x").isNotNull && col("y").isNotNull
+    def consumer(input: MemoryStream[Long]) =
+      StreamingLoads.foreachBatchCdfAggMaintain(
+        input.toDF().toDF("v"), base, view,
+        pk = Seq("id"), compareCols = Seq("grp", "x", "y"), keys = Seq("grp"),
+        sums = Map(
+          "sum_x" -> col("x"),
+          "cnt_x" -> when(col("x").isNotNull, 1L).otherwise(0L),
+          "ssq_x" -> (col("x") * col("x")),
+          "xy_n" -> when(both, 1L).otherwise(0L),
+          "xy_sx" -> when(both, col("x")), "xy_sy" -> when(both, col("y")),
+          "xy_sxx" -> when(both, col("x") * col("x")),
+          "xy_syy" -> when(both, col("y") * col("y")),
+          "xy_sxy" -> when(both, col("x") * col("y"))),
+        trigger = Trigger.ProcessingTime(0)).start()
+
+    val v0 = load((1L to 40L).map(i => (i, s"g${i % 2}",
+      if (i % 5 == 0) None else Some(((i * 3) % 11).toDouble),
+      if (i % 4 == 0) None else Some(((i * 3) % 11 + i % 3).toDouble))),
+      "2024-01-01 00:00:00")
+    val v1 = load(Seq((3L, "g1", Some(25.0), Some(26.0))), "2024-01-02 00:00:00")
+    val v2 = MergeOps.prunedDelete(base, Seq(7L, 8L).toDF("id"),
+      pk = Seq("id"), nParts = 4)
+    val in = MemoryStream[Long]
+    in.addData(v0, v1, v2)
+    Storage.compact(spark, base)
+    in.addData(Storage.currentVersion(base).get)
+    val q = consumer(in)
+    try q.processAllAvailable() finally q.stop()
+
+    MatViews.registerRewrite(spark, "stats_stream", base, view,
+      keys = Seq("grp"), sums = Map("x" -> "sum_x"),
+      counts = Map("x" -> "cnt_x"), sumsqs = Map("x" -> "ssq_x"),
+      covs = Map("xy" -> ("x", "y")))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ MatViewRewrite
+    try {
+      def shape(df: org.apache.spark.sql.DataFrame) = df.groupBy("grp")
+        .agg(var_samp(col("x")).as("vx"), stddev_pop(col("x")).as("sx"),
+          corr(col("x"), col("y")).as("r"),
+          covar_samp(col("x"), col("y")).as("cs"))
+      val panel = shape(Storage.readPartitionedVersion(spark, base))
+      val scans = panel.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+      assert(scans.exists(_.contains(view.toString)) &&
+        !scans.exists(_.contains(base.toString)),
+        s"the stat panel must navigate onto the stream-maintained view: $scans")
+      val got = panel.orderBy("grp").collect().toSeq
+      MatView.clear()
+      val want = shape(Storage.readPartitionedVersion(spark, base))
+        .orderBy("grp").collect().toSeq
+      assert(got.size == want.size && got.zip(want).forall { case (g, w) =>
+        (0 until g.size).forall { j => (g.get(j), w.get(j)) match {
+          case (p: Double, v: Double) => math.abs(p - v) <= 1e-9 * (1 + math.abs(v))
+          case (p, v) => p == v
+        } } }, s"streaming stat panel diverged:\n got  $got\n want $want")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq MatViewRewrite)
+      MatView.clear()
+    }
+  }
+
   test("join-view maintenance resumes from the committed (vA, vB) marker; duplicates apply nothing") {
     import graft.ops.{MergeOps, Storage}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
