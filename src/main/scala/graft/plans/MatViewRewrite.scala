@@ -620,6 +620,13 @@ private[graft] object MatViewSupport {
         d.countCol.map(Seq(_)) // COUNT(*) / COUNT(1) → SUM(count_rows)
       case Count(Seq(a: AttributeReference)) =>
         d.counts.get(a.name).map(Seq(_)) // COUNT(x) → SUM(count_x)
+      // two-column COUNT — the regr_count lowering — counts rows where
+      // BOTH are non-null: exactly a registered pair's n partial
+      case Count(Seq(a: AttributeReference, b: AttributeReference)) =>
+        d.covs.collectFirst {
+          case (p, (x, y)) if Set(x, y) == Set(a.name, b.name) =>
+            Seq(covCols(p).head)
+        }
       case Sum(a: AttributeReference, _) => d.sums.get(a.name).map(Seq(_))
       case Min(a: AttributeReference) => d.mins.get(a.name).map(Seq(_))
       case Max(a: AttributeReference) => d.maxs.get(a.name).map(Seq(_))
@@ -627,6 +634,52 @@ private[graft] object MatViewSupport {
           if avg.dataType == DoubleType =>
         for { s <- d.sums.get(a.name); c <- d.counts.get(a.name) }
           yield Seq(s, c)
+      // PAIRWISE-GATED average — the regr_avgx/regr_avgy lowering
+      // (avg over `If(both non-null, v, null)`): the pair's (Σv, n)
+      // serve it through the ordinary AVG rewrite
+      case avg: Average if avg.dataType == DoubleType =>
+        gatedTarget(avg.child).flatMap { case (gate, v) =>
+          d.covs.collectFirst {
+            case (p, (a, b)) if Set(a, b) == gate && v == a =>
+              val cc = covCols(p); Seq(cc(1), cc.head)
+            case (p, (a, b)) if Set(a, b) == gate && v == b =>
+              val cc = covCols(p); Seq(cc(2), cc.head)
+          }
+        }
+      // the regr_sxx/regr_syy lowering: a central-moment M2 over the
+      // pairwise-gated value — (n, Σv, Σv²) in the value's pair role
+      case rr: RegrReplacement =>
+        gatedTarget(rr.child).flatMap { case (gate, v) =>
+          d.covs.collectFirst {
+            case (p, (a, b)) if Set(a, b) == gate && v == a =>
+              val cc = covCols(p); Seq(cc.head, cc(1), cc(3))
+            case (p, (a, b)) if Set(a, b) == gate && v == b =>
+              val cc = covCols(p); Seq(cc.head, cc(2), cc(4))
+          }
+        }
+      // the regression family proper: role-ordered six
+      // (n, Σx, Σy, Σx², Σy², Σxy) with x = the INDEPENDENT (right)
+      // argument — regr_* is not argument-symmetric. Precedes the
+      // Covariance case below: RegrSXY subclasses Covariance.
+      case r @ (_: RegrSlope | _: RegrIntercept | _: RegrR2 | _: RegrSXY |
+                _: RegrSXX | _: RegrSYY) =>
+        val (dep, indep) = r match {
+          case f: RegrSlope => (f.left, f.right)
+          case f: RegrIntercept => (f.left, f.right)
+          case f: RegrR2 => (f.left, f.right)
+          case f: RegrSXY => (f.left, f.right)
+          case f: RegrSXX => (f.left, f.right)
+          case f: RegrSYY => (f.left, f.right)
+        }
+        for {
+          yn <- varianceTarget(dep); xn <- varianceTarget(indep)
+          cols <- d.covs.collectFirst {
+            case (p, (a, b)) if a == xn && b == yn => covCols(p)
+            case (p, (a, b)) if a == yn && b == xn =>
+              val Seq(n, sa, sb, saa, sbb, sab) = covCols(p)
+              Seq(n, sb, sa, sbb, saa, sab)
+          }
+        } yield cols
       // the variance/stddev family re-expresses over the (Σx², Σx, n)
       // triple — sumsq + sum + non-null count partials of the same column.
       // The analyzer casts any non-double child to DOUBLE (the family's
@@ -672,6 +725,27 @@ private[graft] object MatViewSupport {
         } yield covCols(p)
       case _ => None
     }
+
+  /** A PAIRWISE-GATED measure — the shape the regr_* lowerings produce:
+    * `If(isnotnull(a) AND isnotnull(b), v, null)` (the analyzer's form)
+    * or `If(isnull(a) OR isnull(b), null, v)` (the optimizer's), with v
+    * one of the gate columns, possibly under the inserted cast-to-double.
+    * Returns (gate column set, measured column). */
+  private def gatedTarget(e: Expression): Option[(Set[String], String)] = {
+    val inner = e match {
+      case c: Cast if c.dataType == DoubleType => c.child
+      case x => x
+    }
+    inner match {
+      case If(And(IsNotNull(a: AttributeReference),
+          IsNotNull(b: AttributeReference)), v, Literal(null, _)) =>
+        varianceTarget(v).map((Set(a.name, b.name), _))
+      case If(Or(IsNull(a: AttributeReference),
+          IsNull(b: AttributeReference)), Literal(null, _), v) =>
+        varianceTarget(v).map((Set(a.name, b.name), _))
+      case _ => None
+    }
+  }
 
   /** The base column a variance-family aggregate measures: its child is
     * the bare attribute (double input) or the analyzer's inserted
@@ -767,6 +841,63 @@ private[graft] object MatViewSupport {
     val atOne = if (nullOnDiv) nullD else Literal(Double.NaN)
     Some(If(EqualTo(n, Literal(0.0)), nullD,
       if (guardOne) If(EqualTo(n, Literal(1.0)), atOne, body) else body))
+  }
+
+  /** Serve the linear-regression family from a pair's partials. Edge
+    * semantics pinned against Spark 4.1 behavior (probed empirically —
+    * all guarded to NULL, no ANSI-throw paths):
+    *   regr_sxx/syy ([[RegrReplacement]] with attrs (n, Σv, Σv²)):
+    *     n = 0 → NULL, else vMk (0.0 for a constant column);
+    *   regr_sxy: n = 0 → NULL, else ck;
+    *   regr_slope: n = 0 ∨ xMk = 0 → NULL, else ck/xMk;
+    *   regr_intercept: n = 0 ∨ xMk = 0 → NULL, else ȳ − slope·x̄;
+    *   regr_r2: n = 0 ∨ xMk = 0 → NULL; yMk = 0 → 1.0;
+    *     else ck²/(xMk·yMk).
+    * Six-attr families take role-ordered (n, Σx, Σy, Σx², Σy², Σxy)
+    * with x = the independent argument. Even moments clamp at 0 (the
+    * Welford invariant), so the m2 = 0 null-guards fire exactly where
+    * the base plan's do for the exact-partial regime. */
+  def regrOnto(fn: AggregateFunction, attrs: Seq[Attribute],
+      complete: AggregateFunction => AggregateExpression): Option[Expression] = {
+    import org.apache.spark.sql.types.LongType
+    if (attrs.head.dataType != LongType) return None
+    if (attrs.tail.exists(_.dataType != DoubleType)) return None
+    def dv(a: Expression, b: Expression) = Divide(a, b, EvalMode.LEGACY)
+    def ml(a: Expression, b: Expression) = Multiply(a, b, EvalMode.LEGACY)
+    def sb(a: Expression, b: Expression) = Subtract(a, b, EvalMode.LEGACY)
+    val n = Cast(complete(Sum(attrs.head)), DoubleType)
+    def m2Of(sv: Expression, svv: Expression): Expression =
+      Greatest(Seq(sb(svv, dv(ml(sv, sv), n)), Literal(0.0)))
+    val nullD = Literal.create(null, DoubleType)
+    val nZero = EqualTo(n, Literal(0.0))
+    fn match {
+      case _: RegrReplacement =>
+        val Seq(_, svA, svvA) = attrs
+        Some(If(nZero, nullD,
+          m2Of(complete(Sum(svA)), complete(Sum(svvA)))))
+      case _: RegrSXY | _: RegrSXX | _: RegrSYY | _: RegrSlope |
+           _: RegrIntercept | _: RegrR2 =>
+        val Seq(_, sxA, syA, sxxA, syyA, sxyA) = attrs
+        val sx: Expression = complete(Sum(sxA))
+        val sy: Expression = complete(Sum(syA))
+        lazy val ck = sb(complete(Sum(sxyA)), dv(ml(sx, sy), n))
+        lazy val xMk = m2Of(sx, complete(Sum(sxxA)))
+        lazy val yMk = m2Of(sy, complete(Sum(syyA)))
+        lazy val guard = Or(nZero, EqualTo(xMk, Literal(0.0)))
+        fn match {
+          case _: RegrSXY => Some(If(nZero, nullD, ck))
+          case _: RegrSXX => Some(If(nZero, nullD, xMk))
+          case _: RegrSYY => Some(If(nZero, nullD, yMk))
+          case _: RegrSlope => Some(If(guard, nullD, dv(ck, xMk)))
+          case _: RegrIntercept => Some(If(guard, nullD,
+            sb(dv(sy, n), ml(dv(ck, xMk), dv(sx, n)))))
+          case _: RegrR2 => Some(If(guard, nullD,
+            If(EqualTo(yMk, Literal(0.0)), Literal(1.0),
+              dv(ml(ck, ck), ml(xMk, yMk)))))
+          case _ => None
+        }
+      case _ => None
+    }
   }
 
   def momentsOnto(fn: AggregateFunction, attrs: Seq[Attribute],
@@ -1042,6 +1173,14 @@ private[graft] object MatViewSupport {
             case Some(e) => e
             case None => return None
           }
+        // regr before Covariance: RegrSXY subclasses Covariance
+        case _: RegrReplacement | _: RegrSXY | _: RegrSXX | _: RegrSYY |
+             _: RegrSlope | _: RegrIntercept | _: RegrR2 =>
+          // the pair partials serve the regression family
+          regrOnto(fn, cols.map(vAttr), complete) match {
+            case Some(e) => e
+            case None => return None
+          }
         case _: Covariance | _: PearsonCorrelation =>
           // the pair partials serve the cross-moment family
           covarianceOnto(fn, cols.map(vAttr), complete) match {
@@ -1300,6 +1439,13 @@ private[graft] object MatViewSupport {
           // partials are plain reassociable sums, so they ride the
           // rollup's Expand like any other partial column
           momentsOnto(fn, cols.map(vAttr), complete) match {
+            case Some(e) => e
+            case None => return None
+          }
+        // regr before Covariance: RegrSXY subclasses Covariance
+        case _: RegrReplacement | _: RegrSXY | _: RegrSXX | _: RegrSYY |
+             _: RegrSlope | _: RegrIntercept | _: RegrR2 =>
+          regrOnto(fn, cols.map(vAttr), complete) match {
             case Some(e) => e
             case None => return None
           }

@@ -2930,6 +2930,108 @@ object CoreQueries {
              |       round(covar_samp(xv, yv), 6) AS cs_xy
              |FROM e GROUP BY event_type""".stripMargin)),
 
+    // REGR_* NAVIGATION — the full SQL-standard linear-regression family
+    // served from the SAME six pair partials as mv15 (zero new state):
+    // regr_slope/intercept/r2 by role-normalized formula
+    // (MatViewSupport.regrOnto, edges pinned against Spark: n=0 or
+    // constant-x → NULL, constant-y r2 → 1), regr_avgx/avgy through
+    // their pairwise-gated Average lowering, regr_count through the
+    // two-column Count lowering, regr_sxx/syy through RegrReplacement,
+    // regr_sxy through its Covariance subclass. DuckDB implements the
+    // same PostgreSQL semantics, so the oracle uses its regr_* directly.
+    // The row REQUIREs the navigated plan. At 100 TB: the trendline
+    // panel (slope + intercept + R² per segment) reads |groups| view
+    // rows from the correlation pair it already maintains.
+    Q("mv16_regr_navigation",
+      (s, d) => {
+        import graft.plans.{MatView, MatViewRewrite}
+        import graft.ops.{MatViews, MergeOps, Storage}
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+        val dir = java.nio.file.Files.createTempDirectory("mv16")
+        val table = dir.resolve("base")
+        val view = dir.resolve("view")
+        try {
+          val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+            col("event_type"), col("value"))
+          def load(df: DataFrame, ts: String) = {
+            val fl = floor(dec(col("value"))).cast("double")
+            val xv = when(col("user_id") % 7 === 0, lit(null)).otherwise(fl)
+            val yv = when(col("user_id") % 5 === 0, lit(null))
+              .otherwise(fl * 2.0 + (col("user_id") % 10).cast("double") * 3.0)
+            MergeOps.prunedConditionalUpsert(table,
+              df.select(col("event_id"), col("event_type"),
+                xv.as("xv"), yv.as("yv"),
+                lit(null).cast("timestamp").as("loaded_at"),
+                lit(null).cast("timestamp").as("last_upd_at")),
+              pk = Seq("event_id"), tracked = Seq("event_type", "xv", "yv"),
+              runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+          }
+          def maintain() = MatViews.maintain(s, table, view,
+            pk = Seq("event_id"), keys = Seq("event_type"),
+            covs = Map("xy" -> ("xv", "yv")), keepVersions = 2)
+          load(ev.filter(col("event_id") % 7 =!= 0)
+            .withColumn("value",
+              when(col("event_id") % 11 === 0, col("value") + 300.0)
+                .otherwise(col("value"))), CutoffTs)
+          maintain()
+          load(ev, RunTs)
+          MergeOps.prunedDelete(table,
+            ev.select(col("event_id")).filter(col("event_id") % 13 === 0),
+            pk = Seq("event_id"), nParts = 8, keepVersions = 4)
+          maintain()
+          Storage.compact(s, table)
+          maintain()
+          MatViews.registerRewrite(s, "mv16", table, view,
+            keys = Seq("event_type"), covs = Map("xy" -> ("xv", "yv")))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ MatViewRewrite
+          try {
+            val q = Storage.readPartitionedVersion(s, table)
+              .groupBy(col("event_type"))
+              .agg(expr("regr_count(yv, xv)").as("rc"),
+                round(expr("regr_slope(yv, xv)"), 6).as("slope"),
+                round(expr("regr_intercept(yv, xv)"), 6).as("icept"),
+                round(expr("regr_r2(yv, xv)"), 6).as("r2"),
+                round(expr("regr_avgx(yv, xv)"), 6).as("ax"),
+                round(expr("regr_avgy(yv, xv)"), 6).as("ay"),
+                round(expr("regr_sxy(yv, xv)"), 4).as("sxy"))
+            val scans = q.queryExecution.optimizedPlan.collect {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                lr.relation match {
+                  case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                    fs.location.rootPaths.map(_.toString)
+                  case _ => Nil
+                }
+            }.flatten
+            require(scans.exists(_.contains(view.toString)) &&
+                !scans.exists(_.contains(table.toString)),
+              s"regr family was not navigated onto the pair partials: $scans")
+            q.localCheckpoint()
+          } finally {
+            s.experimental.extraOptimizations =
+              s.experimental.extraOptimizations.filterNot(_ eq MatViewRewrite)
+            MatView.drop("mv16")
+          }
+        } finally Storage.deleteRecursively(dir)
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CASE WHEN user_id % 7 = 0 THEN NULL
+             |         ELSE CAST(FLOOR(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+             |    END AS xv,
+             |    CASE WHEN user_id % 5 = 0 THEN NULL
+             |         ELSE CAST(FLOOR(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+             |              * 2.0 + (user_id % 10) * 3.0
+             |    END AS yv
+             |  FROM events WHERE event_id % 13 <> 0)
+             |SELECT event_type, CAST(regr_count(yv, xv) AS BIGINT) AS rc,
+             |       round(regr_slope(yv, xv), 6) AS slope,
+             |       round(regr_intercept(yv, xv), 6) AS icept,
+             |       round(regr_r2(yv, xv), 6) AS r2,
+             |       round(regr_avgx(yv, xv), 6) AS ax,
+             |       round(regr_avgy(yv, xv), 6) AS ay,
+             |       round(regr_sxy(yv, xv), 4) AS sxy
+             |FROM e GROUP BY event_type""".stripMargin)),
+
     // ATOMIC workspace+view publish: a transaction's base tables AND its
     // maintained views land in ONE manifest (MatViews.workspaceCommitWith
     // Views — member commits through the table CAS logs, every cataloged

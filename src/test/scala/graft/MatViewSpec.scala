@@ -1472,6 +1472,36 @@ class MatViewSpec extends SparkTestBase {
       assert(rgot.zip(rwant).forall { case (g, w) =>
         (0 until g.size).forall(j => close(g.get(j), w.get(j))) },
         s"rollup covar diverged:\n got  $rgot\n want $rwant")
+      register()
+      // the whole regr_* family serves from the SAME six pair partials:
+      // the declarative trio (slope/intercept/r2) by role-normalized
+      // formula, avgx/avgy through their pairwise-gated Average
+      // lowering, count through the two-column Count lowering, and
+      // sxx/syy through RegrReplacement — including the constant-x
+      // group's NULL-guard edges (tc: slope/intercept/r2 NULL, sxx 0.0)
+      // and the ROLE SWAP (regr_slope(x, y) treats y as independent)
+      def regrShape(df: DataFrame) = df.groupBy("k1").agg(
+        expr("regr_slope(y, x)").as("sl"),
+        expr("regr_intercept(y, x)").as("ic"),
+        expr("regr_r2(y, x)").as("r2"),
+        expr("regr_avgx(y, x)").as("ax"),
+        expr("regr_avgy(y, x)").as("ay"),
+        expr("regr_count(y, x)").as("rc"),
+        expr("regr_sxx(y, x)").as("sxx"),
+        expr("regr_syy(y, x)").as("syy"),
+        expr("regr_sxy(y, x)").as("sxy"),
+        expr("regr_slope(x, y)").as("slSwap"))
+      val gq = regrShape(Storage.readVersion(spark, base))
+      assert(scanPaths(gq).exists(_.contains(view.toString)) &&
+        !scanPaths(gq).exists(_.contains(base.toString)),
+        "the regr_* family must navigate onto the pair partials")
+      val ggot = gq.orderBy("k1").collect().toSeq
+      MatView.clear()
+      val gwant = regrShape(Storage.readVersion(spark, base))
+        .orderBy("k1").collect().toSeq
+      assert(ggot.size == gwant.size && ggot.zip(gwant).forall { case (g, w) =>
+        (0 until g.size).forall(j => close(g.get(j), w.get(j))) },
+        s"regr family diverged:\n got  $ggot\n want $gwant")
     }
     Storage.deleteRecursively(root)
   }
