@@ -229,6 +229,11 @@ object Scratch {
           Storage.readPartitionedVersion(spark, evB).groupBy(col("event_type"))
             .agg(corr(col("value"), col("user_id")).as("r"),
               covar_samp(col("value"), col("user_id")).as("cs")),
+        "mv16: regr trendline per event_type (same pair partials)" ->
+          Storage.readPartitionedVersion(spark, evB).groupBy(col("event_type"))
+            .agg(expr("regr_slope(value, user_id)").as("slope"),
+              expr("regr_r2(value, user_id)").as("r2"),
+              expr("regr_count(value, user_id)").as("rc")),
         "mv13: top-3 items per event_type (aux-view count + row_number)" ->
           Storage.readPartitionedVersion(spark, tkB)
             .groupBy(col("event_type"), col("item"))
