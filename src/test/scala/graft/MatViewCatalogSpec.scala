@@ -360,4 +360,69 @@ class MatViewCatalogSpec extends SparkTestBase {
     pairOk(m1, "facts_a"); pairOk(m1, "facts_b")
     Storage.deleteRecursively(ws)
   }
+
+  test("statistical-family partials round-trip the catalog: power sums + cov pair from a fresh session") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mv_cat_stats")
+    val base = root.resolve("base")
+    val view = root.resolve("view_stats")
+    def stamp(df: DataFrame) = df
+      .withColumn("loaded_at", lit(null).cast("timestamp"))
+      .withColumn("last_upd_at", lit(null).cast("timestamp"))
+    def load(rows: Seq[(Long, String, Option[Double], Option[Double])]) =
+      MergeOps.prunedConditionalUpsert(base,
+        stamp(rows.toDF("id", "grp", "x", "y")),
+        pk = Seq("id"), tracked = Seq("grp", "x", "y"),
+        runTs = lit("2024-01-01 00:00:00").cast("timestamp"), nParts = 4,
+        keepVersions = 8)
+    load((1L to 60L).map(i => (i, s"g${i % 2}",
+      if (i % 5 == 0) None else Some(((i * 3) % 11).toDouble),
+      if (i % 4 == 0) None else Some(((i * 3) % 11 + i % 3).toDouble))))
+    // the full stat definition persists: sums/counts, power sums through
+    // Σx⁴, and the cov pair — one catalog entry
+    MatViews.defineView(root, MatViews.CatalogEntry(
+      name = "stats_by_grp", kind = "single",
+      view = view.toString, keys = Seq("grp"),
+      base = base.toString, pk = Seq("id"),
+      sums = Map("x" -> "sum_x"), counts = Map("x" -> "cnt_x"),
+      sumsqs = Map("x" -> "ssq_x"), sumcubes = Map("x" -> "scu_x"),
+      sumquads = Map("x" -> "squ_x"),
+      covs = Map("xy" -> Seq("x", "y")), keepVersions = 2))
+    MatViews.maintainCatalog(spark, root)
+    // churn + roll forward through the SAME catalog path
+    load(Seq((3L, "g1", Some(25.0), Some(26.0)), (61L, "g0", Some(4.0), None)))
+    MatViews.maintainCatalog(spark, root)
+    Storage.compact(spark, base)
+    MatViews.maintainCatalog(spark, root)
+    // "fresh session": clear every in-memory registration, reload from disk
+    MatView.clear()
+    assert(MatViews.loadCatalog(spark, root) == 1)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ MatViewRewrite
+    try {
+      def shape(df: DataFrame) = df.groupBy("grp").agg(
+        var_samp(col("x")).as("vx"), skewness(col("x")).as("sk"),
+        kurtosis(col("x")).as("ku"), corr(col("x"), col("y")).as("r"),
+        expr("regr_slope(y, x)").as("sl"), count(lit(1)).as("cnt"))
+      val q = shape(Storage.readPartitionedVersion(spark, base))
+      assert(scanPaths(q).exists(_.contains(view.toString)) &&
+        !scanPaths(q).exists(_.contains(base.toString)),
+        "the reloaded stat view must serve the whole family")
+      val got = q.orderBy("grp").collect().toSeq
+      MatView.clear()
+      val want = shape(Storage.readPartitionedVersion(spark, base))
+        .orderBy("grp").collect().toSeq
+      assert(got.size == want.size && got.zip(want).forall { case (g, w) =>
+        (0 until g.size).forall { j => (g.get(j), w.get(j)) match {
+          case (p: Double, v: Double) =>
+            (p.isNaN && v.isNaN) || math.abs(p - v) <= 1e-9 * (1 + math.abs(v))
+          case (p, v) => p == v
+        } } }, s"reloaded stat family diverged:\n got  $got\n want $want")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq MatViewRewrite)
+      MatView.clear()
+    }
+    Storage.deleteRecursively(root)
+  }
 }
