@@ -660,16 +660,16 @@ private[graft] object MatViewSupport {
       // the regression family proper: role-ordered six
       // (n, Σx, Σy, Σx², Σy², Σxy) with x = the INDEPENDENT (right)
       // argument — regr_* is not argument-symmetric. Precedes the
-      // Covariance case below: RegrSXY subclasses Covariance.
-      case r @ (_: RegrSlope | _: RegrIntercept | _: RegrR2 | _: RegrSXY |
-                _: RegrSXX | _: RegrSYY) =>
+      // Covariance case below: RegrSXY subclasses Covariance. (regr_sxx/
+      // regr_syy never arrive as their own classes — ReplaceExpressions
+      // lowers them to RegrReplacement, handled above — while RegrSXY
+      // survives the optimizer as itself; verified against Spark 4.1.2.)
+      case r @ (_: RegrSlope | _: RegrIntercept | _: RegrR2 | _: RegrSXY) =>
         val (dep, indep) = r match {
           case f: RegrSlope => (f.left, f.right)
           case f: RegrIntercept => (f.left, f.right)
           case f: RegrR2 => (f.left, f.right)
           case f: RegrSXY => (f.left, f.right)
-          case f: RegrSXX => (f.left, f.right)
-          case f: RegrSYY => (f.left, f.right)
         }
         for {
           yn <- varianceTarget(dep); xn <- varianceTarget(indep)
@@ -759,35 +759,6 @@ private[graft] object MatViewSupport {
     case _ => None
   }
 
-  /** Serve a central-moment family leaf from its resolved power-sum
-    * partial attributes — the textbook re-expression of the central sums
-    * from signed power sums (μ = Σx/n):
-    *     M2 = Σx² − (Σx)²/n
-    *     M3 = Σx³ − 3μΣx² + 2μ²Σx
-    *     M4 = Σx⁴ − 4μΣx³ + 6μ²Σx² − 3μ³Σx
-    * with Spark's exact edge semantics mirrored from
-    * CentralMomentAgg.getStatistic: n = 0 answers NULL; the sampled
-    * variance/stddev variants answer their divide-by-zero result at
-    * n = 1, and skewness/kurtosis answer it at M2 = 0 (NULL under the
-    * default non-legacy conf, NaN under legacy — read from the matched
-    * function's own `nullOnDivideByZero`, so the rewrite follows whatever
-    * the session resolved). M2 and M4 are clamped at 0 against downward
-    * float cancellation — both are sums of even powers of deviations, ≥ 0
-    * by construction, so the clamp restores the invariant rather than
-    * changing a result (and NaN inputs still propagate: greatest treats
-    * NaN as the largest double, exactly the poisoning the base plan has);
-    * M3 is legitimately signed and stays unclamped.
-    *
-    * `attrs` by function: variance/stddev → Seq(Σx², Σx, n); Skewness →
-    * Seq(Σx³, Σx², Σx, n); Kurtosis → Seq(Σx⁴, Σx³, Σx², Σx, n).
-    *
-    * Double-domain stance (same envelope as the SUM/AVG family over
-    * doubles): the re-expressed value may differ from one particular base
-    * scan's in the last ULPs, because float aggregation is
-    * order-sensitive — but so is Spark's own CentralMomentAgg across
-    * partitionings; there is no single canonical bit pattern to preserve.
-    * Decimal measures fall back (their Σx partial is decimal — refused
-    * below), the same stance as AVG. */
   /** Serve a cross-moment family leaf — `corr` / `covar_pop` /
     * `covar_samp` — from a pair's six pairwise-complete partials
     * `Seq(n, Σx, Σy, Σx², Σy², Σxy)` (all restricted to rows where BOTH
@@ -839,7 +810,10 @@ private[graft] object MatViewSupport {
       }
     val nullD = Literal.create(null, DoubleType)
     val atOne = if (nullOnDiv) nullD else Literal(Double.NaN)
-    Some(If(EqualTo(n, Literal(0.0)), nullD,
+    // NULL n (re-aggregated nothing) answers NULL like n = 0 — here the
+    // unclamped moments would propagate the NULL anyway, but the explicit
+    // arm keeps the family uniform with momentsOnto/regrOnto
+    Some(If(Or(IsNull(n), EqualTo(n, Literal(0.0))), nullD,
       if (guardOne) If(EqualTo(n, Literal(1.0)), atOne, body) else body))
   }
 
@@ -869,25 +843,30 @@ private[graft] object MatViewSupport {
     def m2Of(sv: Expression, svv: Expression): Expression =
       Greatest(Seq(sb(svv, dv(ml(sv, sv), n)), Literal(0.0)))
     val nullD = Literal.create(null, DoubleType)
-    val nZero = EqualTo(n, Literal(0.0))
+    // empty arm: n is 0 for a group with no complete pairs and NULL for
+    // the re-aggregated-nothing cases (global over an empty view, FILTER
+    // excluding every row) — both answer NULL, and the guard MUST catch
+    // the NULL before the clamped m2 (greatest(NULL, 0) is 0) turns an
+    // empty group into a spurious 0.0/constant-column answer
+    val nEmpty = Or(IsNull(n), EqualTo(n, Literal(0.0)))
     fn match {
       case _: RegrReplacement =>
         val Seq(_, svA, svvA) = attrs
-        Some(If(nZero, nullD,
+        Some(If(nEmpty, nullD,
           m2Of(complete(Sum(svA)), complete(Sum(svvA)))))
-      case _: RegrSXY | _: RegrSXX | _: RegrSYY | _: RegrSlope |
-           _: RegrIntercept | _: RegrR2 =>
+      // RegrSXX/RegrSYY never reach this rule: the optimizer's
+      // ReplaceExpressions lowers them to RegrReplacement first (RegrSXY,
+      // oddly, survives as itself — verified against Spark 4.1.2)
+      case _: RegrSXY | _: RegrSlope | _: RegrIntercept | _: RegrR2 =>
         val Seq(_, sxA, syA, sxxA, syyA, sxyA) = attrs
         val sx: Expression = complete(Sum(sxA))
         val sy: Expression = complete(Sum(syA))
         lazy val ck = sb(complete(Sum(sxyA)), dv(ml(sx, sy), n))
         lazy val xMk = m2Of(sx, complete(Sum(sxxA)))
         lazy val yMk = m2Of(sy, complete(Sum(syyA)))
-        lazy val guard = Or(nZero, EqualTo(xMk, Literal(0.0)))
+        lazy val guard = Or(nEmpty, EqualTo(xMk, Literal(0.0)))
         fn match {
-          case _: RegrSXY => Some(If(nZero, nullD, ck))
-          case _: RegrSXX => Some(If(nZero, nullD, xMk))
-          case _: RegrSYY => Some(If(nZero, nullD, yMk))
+          case _: RegrSXY => Some(If(nEmpty, nullD, ck))
           case _: RegrSlope => Some(If(guard, nullD, dv(ck, xMk)))
           case _: RegrIntercept => Some(If(guard, nullD,
             sb(dv(sy, n), ml(dv(ck, xMk), dv(sx, n)))))
@@ -900,6 +879,40 @@ private[graft] object MatViewSupport {
     }
   }
 
+  /** Serve a central-moment family leaf from its resolved power-sum
+    * partial attributes — the textbook re-expression of the central sums
+    * from signed power sums (μ = Σx/n):
+    *     M2 = Σx² − (Σx)²/n
+    *     M3 = Σx³ − 3μΣx² + 2μ²Σx
+    *     M4 = Σx⁴ − 4μΣx³ + 6μ²Σx² − 3μ³Σx
+    * with Spark's exact edge semantics mirrored from
+    * CentralMomentAgg.getStatistic: n = 0 — or NULL, the re-aggregated
+    * empty case (global aggregate over an empty view, a FILTER clause
+    * excluding every row) — answers NULL; the sampled variance/stddev
+    * variants answer their divide-by-zero result at n = 1, and
+    * skewness/kurtosis answer it at M2 = 0 (NULL under the default
+    * non-legacy conf, NaN under legacy — read from the matched
+    * function's own `nullOnDivideByZero`, so the rewrite follows whatever
+    * the session resolved). M2 and M4 are clamped at 0 against downward
+    * float cancellation — both are sums of even powers of deviations, ≥ 0
+    * by construction, so the clamp restores the invariant rather than
+    * changing a result (and NaN inputs still propagate: greatest treats
+    * NaN as the largest double, exactly the poisoning the base plan has);
+    * M3 is legitimately signed and stays unclamped. The NULL-n arm of the
+    * guard matters precisely because of those clamps: greatest(NULL, 0)
+    * is 0, so an unguarded NULL n would otherwise fall into the M2 = 0
+    * divide-by-zero branch instead of the base plan's NULL.
+    *
+    * `attrs` by function: variance/stddev → Seq(Σx², Σx, n); Skewness →
+    * Seq(Σx³, Σx², Σx, n); Kurtosis → Seq(Σx⁴, Σx³, Σx², Σx, n).
+    *
+    * Double-domain stance (same envelope as the SUM/AVG family over
+    * doubles): the re-expressed value may differ from one particular base
+    * scan's in the last ULPs, because float aggregation is
+    * order-sensitive — but so is Spark's own CentralMomentAgg across
+    * partitionings; there is no single canonical bit pattern to preserve.
+    * Decimal measures fall back (their Σx partial is decimal — refused
+    * below), the same stance as AVG. */
   def momentsOnto(fn: AggregateFunction, attrs: Seq[Attribute],
       complete: AggregateFunction => AggregateExpression): Option[Expression] = {
     import org.apache.spark.sql.types.LongType
@@ -933,9 +946,15 @@ private[graft] object MatViewSupport {
     val m2 = Greatest(Seq(sb(sq, dv(ml(sx, sx), n)), Literal(0.0)))
     val nullD = Literal.create(null, DoubleType)
     val divByZero = if (nullOnDiv) nullD else Literal(Double.NaN)
+    // empty arm: n is 0 for a group with no non-null values and NULL for
+    // the re-aggregated-nothing cases (global over an empty view, FILTER
+    // excluding every row) — BOTH must answer NULL before any
+    // divide-by-zero branch can fire (greatest(NULL, 0) is 0, so an
+    // unguarded NULL n would land in the M2 = 0 branch)
+    val nEmpty = Or(IsNull(n), EqualTo(n, Literal(0.0)))
     // guard(cond is the function's divide-by-zero condition)
     def guarded(cond: Expression, body: Expression): Expression =
-      If(EqualTo(n, Literal(0.0)), nullD, If(cond, divByZero, body))
+      If(nEmpty, nullD, If(cond, divByZero, body))
     val atOne = EqualTo(n, Literal(1.0))
     val m2Zero = EqualTo(m2, Literal(0.0))
     val body: Expression = fn match {
@@ -944,9 +963,9 @@ private[graft] object MatViewSupport {
       case _: StddevSamp =>
         return Some(guarded(atOne, Sqrt(dv(m2, sb(n, Literal(1.0))))))
       case _: VariancePop =>
-        return Some(If(EqualTo(n, Literal(0.0)), nullD, dv(m2, n)))
+        return Some(If(nEmpty, nullD, dv(m2, n)))
       case _: StddevPop =>
-        return Some(If(EqualTo(n, Literal(0.0)), nullD, Sqrt(dv(m2, n))))
+        return Some(If(nEmpty, nullD, Sqrt(dv(m2, n))))
       case _: Skewness =>
         val cube: Expression = complete(Sum(attrs.head))
         val m3 = ad(sb(cube, ml(ml(Literal(3.0), mu), sq)),
@@ -1174,8 +1193,8 @@ private[graft] object MatViewSupport {
             case None => return None
           }
         // regr before Covariance: RegrSXY subclasses Covariance
-        case _: RegrReplacement | _: RegrSXY | _: RegrSXX | _: RegrSYY |
-             _: RegrSlope | _: RegrIntercept | _: RegrR2 =>
+        case _: RegrReplacement | _: RegrSXY | _: RegrSlope |
+             _: RegrIntercept | _: RegrR2 =>
           // the pair partials serve the regression family
           regrOnto(fn, cols.map(vAttr), complete) match {
             case Some(e) => e
@@ -1443,8 +1462,8 @@ private[graft] object MatViewSupport {
             case None => return None
           }
         // regr before Covariance: RegrSXY subclasses Covariance
-        case _: RegrReplacement | _: RegrSXY | _: RegrSXX | _: RegrSYY |
-             _: RegrSlope | _: RegrIntercept | _: RegrR2 =>
+        case _: RegrReplacement | _: RegrSXY | _: RegrSlope |
+             _: RegrIntercept | _: RegrR2 =>
           regrOnto(fn, cols.map(vAttr), complete) match {
             case Some(e) => e
             case None => return None

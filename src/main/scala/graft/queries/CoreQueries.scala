@@ -3032,6 +3032,84 @@ object CoreQueries {
              |       round(regr_sxy(yv, xv), 4) AS sxy
              |FROM e GROUP BY event_type""".stripMargin)),
 
+    // HISTOGRAM NAVIGATION — the chart-ready binned distribution served
+    // from the (group, value) DISTRIBUTION view by EXPRESSION GROUPING:
+    // `GROUP BY event_type, floor(value/50)` groups by expressions of the
+    // view's keys, so whole view groups re-partition into bins and
+    // SUM(count_rows) re-aggregates exactly (the round-19 substitution
+    // machinery; no new rewrite code — this row pins the composition at
+    // the oracle). Churned loads + deletes move values across bin
+    // boundaries between refreshes. The row REQUIREs the navigated plan.
+    // At 100 TB: every histogram panel over the measure reads |distinct
+    // (group, value)| view rows — the base's value distribution is
+    // maintained once and serves every bin width.
+    Q("mv17_histogram_navigation",
+      (s, d) => {
+        import graft.plans.{MatView, MatViewRewrite}
+        import graft.ops.{MatViews, MergeOps, Storage}
+        val dir = java.nio.file.Files.createTempDirectory("mv17")
+        val table = dir.resolve("base")
+        val view = dir.resolve("view")
+        try {
+          val ev = Tables.events(s, d).select(col("event_id"),
+            col("event_type"), col("value"))
+          def load(df: DataFrame, ts: String) =
+            MergeOps.prunedConditionalUpsert(table,
+              df.select(col("event_id"), col("event_type"), col("value"),
+                lit(null).cast("timestamp").as("loaded_at"),
+                lit(null).cast("timestamp").as("last_upd_at")),
+              pk = Seq("event_id"), tracked = Seq("event_type", "value"),
+              runTs = lit(ts).cast("timestamp"), nParts = 8, keepVersions = 4)
+          def maintain() = MatViews.maintain(s, table, view,
+            pk = Seq("event_id"), keys = Seq("event_type", "value"),
+            keepVersions = 2)
+          load(ev.filter(col("event_id") % 7 =!= 0)
+            .withColumn("value",
+              when(col("event_id") % 11 === 0, col("value") + 300.0)
+                .otherwise(col("value"))), CutoffTs)
+          maintain()
+          load(ev, RunTs)
+          MergeOps.prunedDelete(table,
+            ev.select(col("event_id")).filter(col("event_id") % 13 === 0),
+            pk = Seq("event_id"), nParts = 8, keepVersions = 4)
+          maintain()
+          Storage.compact(s, table)
+          maintain()
+          MatViews.registerRewrite(s, "mv17", table, view,
+            keys = Seq("event_type", "value"))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ MatViewRewrite
+          try {
+            val q = Storage.readPartitionedVersion(s, table)
+              .groupBy(col("event_type"),
+                floor(col("value") / 50.0).cast("long").as("bin"))
+              .agg(count(lit(1)).as("cnt"))
+            val scans = q.queryExecution.optimizedPlan.collect {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                lr.relation match {
+                  case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                    fs.location.rootPaths.map(_.toString)
+                  case _ => Nil
+                }
+            }.flatten
+            require(scans.exists(_.contains(view.toString)) &&
+                !scans.exists(_.contains(table.toString)),
+              s"histogram was not navigated onto the distribution view: $scans")
+            q.localCheckpoint()
+          } finally {
+            s.experimental.extraOptimizations =
+              s.experimental.extraOptimizations.filterNot(_ eq MatViewRewrite)
+            MatView.drop("mv17")
+          }
+        } finally Storage.deleteRecursively(dir)
+      },
+      Some("""WITH e AS (SELECT event_type, value FROM events
+             |    WHERE event_id % 13 <> 0)
+             |SELECT event_type,
+             |       CAST(FLOOR(value / 50.0) AS BIGINT) AS bin,
+             |       count(*) AS cnt
+             |FROM e GROUP BY 1, 2""".stripMargin)),
+
     // ATOMIC workspace+view publish: a transaction's base tables AND its
     // maintained views land in ONE manifest (MatViews.workspaceCommitWith
     // Views — member commits through the table CAS logs, every cataloged

@@ -1368,6 +1368,24 @@ class MatViewSpec extends SparkTestBase {
         .agg(kurtosis(col("i")).as("ki"))
       assert(!scanPaths(kq).exists(_.contains(view.toString)),
         "kurtosis without a Σx⁴ partial must fall back")
+      register()
+      // the EMPTY arm: a never-true key FILTER re-aggregates NOTHING —
+      // n comes back NULL, and the clamped M2 (greatest(NULL, 0) = 0)
+      // must not drop skew/kurt into the divide-by-zero branch: base
+      // answers NULL, so must the navigated plan
+      def emptyShape(df: DataFrame) = df.agg(
+        expr("skewness(d) FILTER (WHERE k1 = 'nope')").as("sk"),
+        expr("kurtosis(d) FILTER (WHERE k1 = 'nope')").as("ku"),
+        expr("var_samp(d) FILTER (WHERE k1 = 'nope')").as("vs"))
+      val eq = emptyShape(Storage.readVersion(spark, base))
+      assert(scanPaths(eq).exists(_.contains(view.toString)),
+        "the empty-filter panel must still navigate")
+      val egot = eq.collect().head
+      MatView.clear()
+      val ewant = emptyShape(Storage.readVersion(spark, base)).collect().head
+      assert((0 until 3).forall(j =>
+        egot.isNullAt(j) == ewant.isNullAt(j) && egot.isNullAt(j)),
+        s"empty-arm moments must be NULL like the base: got $egot want $ewant")
     }
     Storage.deleteRecursively(root)
   }
@@ -1502,6 +1520,27 @@ class MatViewSpec extends SparkTestBase {
       assert(ggot.size == gwant.size && ggot.zip(gwant).forall { case (g, w) =>
         (0 until g.size).forall(j => close(g.get(j), w.get(j))) },
         s"regr family diverged:\n got  $ggot\n want $gwant")
+      register()
+      // the EMPTY arm: a global aggregate whose key-only FILTER excludes
+      // every row re-aggregates NOTHING — n is NULL, not 0, and the
+      // clamped moments (greatest(NULL, 0) = 0) must not turn that into
+      // a spurious 0.0 / divide-by-zero answer where the base says NULL
+      def emptyShape(df: DataFrame) = df.agg(
+        expr("regr_sxx(y, x) FILTER (WHERE k1 = 'nope')").as("sxx"),
+        expr("regr_slope(y, x) FILTER (WHERE k1 = 'nope')").as("sl"),
+        expr("corr(x, y) FILTER (WHERE k1 = 'nope')").as("r"),
+        expr("regr_count(y, x) FILTER (WHERE k1 = 'nope')").as("rc"))
+      val eq2 = emptyShape(Storage.readVersion(spark, base))
+      assert(scanPaths(eq2).exists(_.contains(view.toString)),
+        "the empty-filter panel must still navigate")
+      val egot = eq2.collect().head
+      MatView.clear()
+      val ewant = emptyShape(Storage.readVersion(spark, base)).collect().head
+      assert((0 until egot.size).forall(j => close(egot.get(j), ewant.get(j))),
+        s"empty-arm edge diverged:\n got  $egot\n want $ewant")
+      // wrong-before-the-fix spot check: sxx NULL (not 0.0), count 0
+      assert(egot.isNullAt(0) && egot.getLong(3) == 0L,
+        s"empty arm must answer NULL (and count 0): $egot")
     }
     Storage.deleteRecursively(root)
   }
