@@ -1386,6 +1386,26 @@ class MatViewSpec extends SparkTestBase {
       assert((0 until 3).forall(j =>
         egot.isNullAt(j) == ewant.isNullAt(j) && egot.isNullAt(j)),
         s"empty-arm moments must be NULL like the base: got $egot want $ewant")
+      register()
+      // LEGACY statistical conf: the divide-by-zero result flips to NaN —
+      // the rewrite reads nullOnDivideByZero from the MATCHED function
+      // instance, so a constant-valued group (m2 = 0, the tc rows) must
+      // answer NaN through the navigated plan exactly as the base does
+      spark.conf.set("spark.sql.legacy.statisticalAggregate", "true")
+      try {
+        def tcShape(df: DataFrame) = df.filter(col("k1") === "tc")
+          .groupBy("k1").agg(skewness(col("d")).as("sk"),
+            var_samp(col("d")).as("vs"))
+        val lq = tcShape(Storage.readVersion(spark, base))
+        assert(scanPaths(lq).exists(_.contains(view.toString)),
+          "the legacy-conf panel must still navigate")
+        val lgot = lq.collect().head
+        MatView.clear()
+        val lwant = tcShape(Storage.readVersion(spark, base)).collect().head
+        assert(lgot.getDouble(1).isNaN && lwant.getDouble(1).isNaN,
+          s"legacy m2=0 skewness must be NaN on BOTH plans: $lgot vs $lwant")
+      } finally
+        spark.conf.unset("spark.sql.legacy.statisticalAggregate")
     }
     Storage.deleteRecursively(root)
   }
