@@ -196,7 +196,8 @@ object Bench {
         // round 20: same churned-loads + maintenance + compaction class
         n == "mv12_variance_navigation" || n == "mv13_topk_navigation" ||
         n == "mv14_moments_navigation" || n == "mv15_corr_navigation" ||
-        n == "mv16_regr_navigation" || n == "mv17_histogram_navigation"
+        n == "mv16_regr_navigation" || n == "mv17_histogram_navigation" ||
+        n == "mv18_star_stats_navigation"
     val (harnessRows, coreRows) = results.partition { case (n, _) => isHarness(n) }
     def mean(rows: Seq[(String, Double)]): Double =
       if (rows.isEmpty) 0.0 else rows.map(_._2).sum / rows.size

@@ -3110,6 +3110,132 @@ object CoreQueries {
              |       count(*) AS cnt
              |FROM e GROUP BY 1, 2""".stripMargin)),
 
+    // STAR STATISTICAL PANEL — the new moment/cross-moment partials
+    // pinned at the oracle gate THROUGH the star delta path: a two-side
+    // star (orders ⋈ customer) maintains Σx² power sums on the fact
+    // measure AND a CROSS-SIDE cov pair (fact price × dim balance), and
+    // stddev/variance/corr/covar serve per customer segment. The churn
+    // exercises exactly what makes star maintenance hard: customers
+    // re-bucket between segments (whole join subtrees move groups — the
+    // net-multiplicity cancellation must keep the signed Σx²/Σxy exact
+    // through the transient cross terms), fact prices shift, and orders
+    // delete. The row REQUIREs the navigated plan: zero base scans, no
+    // Join node. At 100 TB: the per-segment risk panel (spread + price/
+    // balance correlation) reads |segments| view rows — the fact⋈dim
+    // join never re-runs at serve time.
+    Q("mv18_star_stats_navigation",
+      (s, d) => {
+        import graft.plans.{MatView, MatViewJoinRewrite}
+        import graft.ops.{MatViews, MergeOps, Storage}
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+        val dir = java.nio.file.Files.createTempDirectory("mv18")
+        val cust = dir.resolve("dim_customer")
+        val ord = dir.resolve("fct_orders")
+        val view = dir.resolve("view_stats")
+        try {
+          val cTrue = Tables.customer(s, d).select(col("c_custkey"),
+            col("c_mktsegment"),
+            floor(dec(col("c_acctbal"))).cast("double").as("c_bal"))
+          val oTrue = Tables.orders(s, d)
+            .filter(col("o_orderkey") % 3 === 0)
+            .select(col("o_orderkey"), col("o_custkey"),
+              floor(dec(col("o_totalprice"))).cast("double").as("o_price"))
+          def stamp(df: DataFrame) = df
+            .withColumn("loaded_at", lit(null).cast("timestamp"))
+            .withColumn("last_upd_at", lit(null).cast("timestamp"))
+          def loadCust(df: DataFrame, ts: String) =
+            MergeOps.prunedConditionalUpsert(cust, stamp(df),
+              pk = Seq("c_custkey"), tracked = Seq("c_mktsegment", "c_bal"),
+              runTs = lit(ts).cast("timestamp"), nParts = 4, keepVersions = 4)
+          def loadOrd(df: DataFrame, ts: String) =
+            MergeOps.prunedConditionalUpsert(ord, stamp(df),
+              pk = Seq("o_orderkey"), tracked = Seq("o_custkey", "o_price"),
+              runTs = lit(ts).cast("timestamp"), nParts = 4, keepVersions = 4)
+          val sides = Seq(MatViews.StarSide(ord, Seq("o_orderkey")),
+            MatViews.StarSide(cust, Seq("c_custkey")))
+          val jks = Seq("o_custkey" -> "c_custkey")
+          def maintain() = MatViews.maintainStar(s, sides, view,
+            joinKeys = jks, keys = Seq("c_mktsegment"),
+            sums = Map("o_price" -> "sum_p"),
+            counts = Map("o_price" -> "cnt_p"),
+            sumsqs = Map("o_price" -> "ssq_p"),
+            covs = Map("pb" -> ("o_price", "c_bal")), keepVersions = 2)
+          // churned bootstrap: %10 customers mis-bucketed into a phantom
+          // segment, facts halved, %11 prices shifted up
+          loadCust(cTrue.withColumn("c_mktsegment",
+            when(col("c_custkey") % 10 === 0, lit("MISBUCKET"))
+              .otherwise(col("c_mktsegment"))), CutoffTs)
+          loadOrd(oTrue.filter(col("o_orderkey") % 2 === 0)
+            .withColumn("o_price",
+              when(col("o_orderkey") % 11 === 0, col("o_price") + 50000.0)
+                .otherwise(col("o_price"))), CutoffTs)
+          maintain()
+          // truth: re-bucketed customers move their orders' moments
+          // between segments; the fact takedown retracts exact terms
+          loadCust(cTrue, RunTs)
+          loadOrd(oTrue, RunTs)
+          MergeOps.prunedDelete(ord,
+            oTrue.select(col("o_orderkey")).filter(col("o_orderkey") % 13 === 0),
+            pk = Seq("o_orderkey"), nParts = 4, keepVersions = 4)
+          maintain()
+          Storage.compact(s, cust)
+          Storage.compact(s, ord)
+          maintain()
+          MatViews.registerStarRewrite(s, "mv18", Seq(ord, cust), view,
+            joinKeys = jks, keys = Seq("c_mktsegment"),
+            sums = Map("o_price" -> "sum_p"),
+            counts = Map("o_price" -> "cnt_p"),
+            sumsqs = Map("o_price" -> "ssq_p"),
+            covs = Map("pb" -> ("o_price", "c_bal")))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ MatViewJoinRewrite
+          try {
+            val q = Storage.readPartitionedVersion(s, ord)
+              .join(Storage.readPartitionedVersion(s, cust),
+                col("o_custkey") === col("c_custkey"))
+              .groupBy(col("c_mktsegment"))
+              .agg(count(lit(1)).as("cnt"),
+                round(stddev_samp(col("o_price")), 6).as("sd_p"),
+                round(var_pop(col("o_price")), 4).as("vp_p"),
+                round(corr(col("o_price"), col("c_bal")), 6).as("r_pb"),
+                round(covar_samp(col("o_price"), col("c_bal")), 4).as("cs_pb"))
+            val scans = q.queryExecution.optimizedPlan.collect {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                lr.relation match {
+                  case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                    fs.location.rootPaths.map(_.toString)
+                  case _ => Nil
+                }
+            }.flatten
+            require(scans.exists(_.contains(view.toString)) &&
+                !scans.exists(p => p.contains(ord.toString) ||
+                  p.contains(cust.toString)),
+              s"star stat panel was not navigated onto the view: $scans")
+            q.localCheckpoint()
+          } finally {
+            s.experimental.extraOptimizations =
+              s.experimental.extraOptimizations.filterNot(_ eq MatViewJoinRewrite)
+            MatView.drop("mv18")
+          }
+        } finally Storage.deleteRecursively(dir)
+      },
+      Some("""WITH o AS (SELECT o_custkey,
+             |    CAST(FLOOR(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             |      AS o_price
+             |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 13 <> 0),
+             |c AS (SELECT c_custkey, c_mktsegment,
+             |    CAST(FLOOR(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+             |      AS c_bal
+             |  FROM customer),
+             |j AS (SELECT c_mktsegment, o_price, c_bal
+             |  FROM o JOIN c ON o_custkey = c_custkey)
+             |SELECT c_mktsegment, count(*) AS cnt,
+             |       round(stddev_samp(o_price), 6) AS sd_p,
+             |       round(var_pop(o_price), 4) AS vp_p,
+             |       round(corr(o_price, c_bal), 6) AS r_pb,
+             |       round(covar_samp(o_price, c_bal), 4) AS cs_pb
+             |FROM j GROUP BY c_mktsegment""".stripMargin)),
+
     // ATOMIC workspace+view publish: a transaction's base tables AND its
     // maintained views land in ONE manifest (MatViews.workspaceCommitWith
     // Views — member commits through the table CAS logs, every cataloged
