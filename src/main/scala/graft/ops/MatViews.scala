@@ -419,11 +419,12 @@ object MatViews {
     val flag = "__recompute"
     // checkpointed: the merged state is read twice (flag count +
     // final commit) and feeds a join — view-sized, not base-sized
-    val merged = AggMaintain.applyDeltaRetractable(
-      state, deltaAgg, keys, sumCols, minCols, maxCols, flag, kmvCols)
-      .localCheckpoint()
+    val merged = Prof.time("matViews.merge.checkpoint")(
+      AggMaintain.applyDeltaRetractable(
+        state, deltaAgg, keys, sumCols, minCols, maxCols, flag, kmvCols)
+        .localCheckpoint())
     val flagged = merged.filter(col(flag))
-    val n = flagged.count()
+    val n = Prof.time("matViews.merge.flagCount")(flagged.count())
     val next =
       if (n == 0) merged.drop(flag)
       else {

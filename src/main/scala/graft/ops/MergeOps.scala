@@ -102,8 +102,26 @@ object MergeOps {
   /** The `pbucket=<n>` partition-dir names `df`'s PKs hash into —
     * O(nParts) driver rows, never data. */
   private[graft] def affectedBuckets(df: DataFrame, pk: Seq[String], nParts: Int): Set[String] =
-    df.select(pkBucket(pk, nParts).as("pbucket")).distinct()
-      .collect().map(r => s"pbucket=${r.getInt(0)}").toSet
+    Prof.time("mergeOps.affectedBuckets")(
+      df.select(pkBucket(pk, nParts).as("pbucket")).distinct()
+        .collect().map(r => s"pbucket=${r.getInt(0)}").toSet)
+
+  /** Whether an increment frame is cheap to RE-evaluate: every leaf is an
+    * already-materialized relation or a plain file scan and nothing above
+    * them implies a shuffle or heavy per-row compute (join, aggregate,
+    * window, dedup, sort). Pruned writers consume their increment up to
+    * three times (bucket probe, change probe, merge write); an expensive
+    * increment is pinned once instead — see prunedConditionalUpsert. */
+  private[graft] def cheapToRecompute(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    var cheap = true
+    df.queryExecution.logical.foreach {
+      case _: Join | _: Aggregate | _: Window | _: Sort | _: Distinct
+          | _: Deduplicate | _: RepartitionOperation | _: Generate => cheap = false
+      case _ => ()
+    }
+    cheap
+  }
 
   /** M1 at the 100 TB design point: [[conditionalUpsert]] composed with
     * [[Storage.commitPartitions]] so an incremental load rewrites ONLY the
@@ -172,9 +190,31 @@ object MergeOps {
     // disagree with EACH OTHER). A winner touching a candidate bucket we
     // did not rewrite voids the change-probe verdicts → StaleReadException
     // → recompute from the new version (bounded by retryStale).
+    //
+    // The deduped increment is MATERIALIZED once (localCheckpoint) before
+    // any probe WHEN re-evaluation is expensive: the bucket probe, the
+    // changed-key probe, and the merge write each consume it, and without
+    // the pin the whole upstream increment pipeline re-executes per
+    // consumer — three full passes for one load. The increment is Δ-sized
+    // by the pruned-path contract (a bulk initial load takes the bootstrap
+    // branch above), so the materialization is bounded by the delta, never
+    // the table. An increment that is ALREADY cheap to re-evaluate (a
+    // materialized micro-batch, a straight scan + projection — no shuffle
+    // or join upstream) skips the pin: measured, the extra materialization
+    // job costs more than the re-evaluations it saves. Hoisted OUTSIDE the
+    // OCC retry loop: the increment derives from the feed alone, not from
+    // table state, so a retry must re-read the TABLE, not re-evaluate it.
+    val pin = !cheapToRecompute(incoming)
+    val one0 =
+      if (tieBreak.nonEmpty) latestByKey(incoming, pk, tieBreak)
+      else incoming.dropDuplicates(pk)
+    val one = if (pin) one0.localCheckpoint() else one0
+    // the bucket probe needs only the increment's DISTINCT buckets — on
+    // the unpinned path, probing the raw increment skips the dedup shuffle
+    val probeSrc = if (pin) one else incoming
     Storage.retryStale(table) {
     val readV = Storage.currentVersion(table).get
-    val candidate = affectedBuckets(incoming, pk, nParts)
+    val candidate = affectedBuckets(probeSrc, pk, nParts)
     // OPERATOR-level schema evolution: the feed may ADD tracked columns
     // mid-stream. The commit layer already declares appended columns, but
     // on the FIRST evolving load the stored read predates the column
@@ -192,9 +232,6 @@ object MergeOps {
     val old = aligned(
       Storage.readPartitionedVersionAt(spark, table, readV, Some(candidate))
         .drop("pbucket"))
-    val one =
-      if (tieBreak.nonEmpty) latestByKey(incoming, pk, tieBreak)
-      else incoming.dropDuplicates(pk)
     // null-safe PK match (a NULL PK is a key like any other — MergeSpec),
     // with an explicit marker because a matched null-key row would fool a
     // pk-is-null unmatched test
@@ -290,15 +327,24 @@ object MergeOps {
     if (Storage.currentVersion(table).isEmpty) return -1L
     val spark = doomed.sparkSession
     Storage.validateGeometry(table, nParts) // wrong nParts = wrong buckets read
+    // the doomed-key set is consumed by the bucket probe, the bookkeeping
+    // join and the survivor anti-join — materialize it once (k-row by the
+    // takedown contract) instead of re-running the caller's pipeline per
+    // consumer; hoisted outside the OCC retry (it derives from the feed,
+    // not table state)
+    val keys0 = {
+      val k = doomed.select(pk.map(col): _*).dropDuplicates(pk)
+      if (cheapToRecompute(doomed)) k else k.localCheckpoint()
+    }
     // read-snapshot OCC: counts/wiped/survivors all derive from ONE pinned
     // version; a winner touching any candidate bucket before we land voids
     // those verdicts → StaleReadException → recompute (retryStale)
     Storage.retryStale(table) {
     val readV = Storage.currentVersion(table).get
-    val candidate = affectedBuckets(doomed, pk, nParts)
+    val candidate = affectedBuckets(keys0, pk, nParts)
     val old = Storage.readPartitionedVersionAt(spark, table, readV, Some(candidate))
     // null-safe joins: a NULL PK is a key like any other (MergeSpec)
-    val keys = doomed.select(pk.map(col): _*).dropDuplicates(pk).alias("k")
+    val keys = keys0.alias("k")
     def matchCond = pk.map(c => col(s"o.$c") <=> col(s"k.$c")).reduce(_ && _)
     // ONE pass over the candidate buckets decides all the bookkeeping:
     // per-bucket (total, doomed) counts → buckets that LOSE a row rewrite
@@ -361,12 +407,18 @@ object MergeOps {
     // against the version they were located in — a winner rewriting (or
     // further tombstoning) a candidate bucket before we land would make
     // them stale → StaleReadException → relocate against the new version
+    // same one-materialization discipline as prunedDelete: the k-row key
+    // set feeds the bucket probe and the coordinate-locating semi-join
+    val keys0 = {
+      val k = doomed.select(pk.map(col): _*).dropDuplicates(pk)
+      if (cheapToRecompute(doomed)) k else k.localCheckpoint()
+    }
     Storage.retryStale(table) {
     val readV = Storage.currentVersion(table).get
-    val candidate = affectedBuckets(doomed, pk, nParts)
+    val candidate = affectedBuckets(keys0, pk, nParts)
     val lineage = Storage.readPartitionedLineage(spark, table, Some(candidate),
       at = Some(readV)).alias("o")
-    val keys = doomed.select(pk.map(col): _*).dropDuplicates(pk).alias("k")
+    val keys = keys0.alias("k")
     val matchCond = pk.map(c => col(s"o.$c") <=> col(s"k.$c")).reduce(_ && _)
     val hits = lineage.join(keys, matchCond, "left_semi")
       .select(col("__dv_file"), col("__dv_pos")).collect()

@@ -42,10 +42,14 @@ object MetaAgg {
 
   /** The current version's live adds with parsed stats, or None when any
     * add carries no stats payload (fileStats=false commits). */
-  private def liveStats(table: Path): Option[Seq[FileStat]] = {
+  private def liveStats(table: Path): Option[Seq[FileStat]] =
+    liveStatsAt(table, Storage.currentVersion(table).getOrElse(return Some(Seq.empty)))
+
+  /** [[liveStats]] pinned to an explicit retained version — for callers
+    * holding a read-snapshot pin (the SCD2 SK high-water mark). */
+  private def liveStatsAt(table: Path, v: Long): Option[Seq[FileStat]] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    val v = Storage.currentVersion(table).getOrElse(return Some(Seq.empty))
     val log = DeltaInterop.logFile(table.resolve(s"v$v"))
     if (!Files.exists(log)) return None
     val snap = DeltaInterop.readLog(log)
@@ -122,7 +126,16 @@ object MetaAgg {
     * min/max entry only passes when its nullCount proves the column is
     * all-null there — otherwise the file might hide the true extremum. */
   def columnRange(table: Path, column: String): Option[(String, String, String)] =
-    liveStats(table).flatMap { fs =>
+    columnRange0(liveStats(table), column)
+
+  /** [[columnRange]] pinned to a retained version (read-snapshot callers). */
+  private[ops] def columnRangeAt(
+      table: Path, v: Long, column: String): Option[(String, String, String)] =
+    columnRange0(liveStatsAt(table, v), column)
+
+  private def columnRange0(
+      stats: Option[Seq[FileStat]], column: String): Option[(String, String, String)] =
+    stats.flatMap { fs =>
       if (fs.exists(f => f.hasDv || !f.tight)) return None
       val contributing = fs.filter(f => f.rows > 0 &&
         !f.nulls.get(column).contains(f.rows)) // all-null files carry no values

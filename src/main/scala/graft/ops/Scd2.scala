@@ -254,9 +254,18 @@ object Scd2 {
     // so ANY winner that moved data invalidates this load (staleOnAny): two
     // unpinned concurrent loads could allocate colliding surrogate keys
     // even on disjoint buckets.
+    // same one-materialization discipline as prunedConditionalUpsert: the
+    // deduped delta feeds the bucket probe, the change probe and the merge;
+    // pin it once when re-evaluating the upstream pipeline is expensive
+    val pin = !MergeOps.cheapToRecompute(stgDelta)
+    val one0 =
+      if (tieBreak.nonEmpty) MergeOps.latestByKey(stgDelta, Seq(bk), tieBreak)
+      else stgDelta.dropDuplicates(bk)
+    val one = if (pin) one0.localCheckpoint() else one0
+    val probeSrc = if (pin) one else stgDelta
     Storage.retryStale(table) {
     val readV = Storage.currentVersion(table).get
-    val candidate = MergeOps.affectedBuckets(stgDelta, Seq(bk), nParts)
+    val candidate = MergeOps.affectedBuckets(probeSrc, Seq(bk), nParts)
     val old = Storage.readPartitionedVersionAt(spark, table, readV, Some(candidate))
       .drop("pbucket")
     // prune by CHANGE, not presence (same contract as
@@ -264,9 +273,6 @@ object Scd2 {
     // neither closes nor opens anything — rewriting its bucket would be
     // pure write amplification, and re-delivering an identical load must
     // rewrite ZERO buckets
-    val one =
-      if (tieBreak.nonEmpty) MergeOps.latestByKey(stgDelta, Seq(bk), tieBreak)
-      else stgDelta.dropDuplicates(bk)
     val changedKeys = one.alias("i")
       .join(old.filter(col("is_current")).withColumn("__matched", lit(true)).alias("o"),
         col(s"i.$bk") <=> col(s"o.$bk"), "left")
@@ -281,10 +287,19 @@ object Scd2 {
     else {
     // the global SK high-water mark needs the WHOLE dimension (a bucket
     // slice could derive a colliding local max) — but only once we know
-    // something will actually open; the no-change path above never scans
-    val maxSk = Storage.readPartitionedVersionAt(spark, table, readV)
-      .agg(coalesce(max(col(skCol)), lit(0L)).cast("long"))
-      .first().getLong(0)
+    // something will actually open; the no-change path above never scans.
+    // Served from the commit's per-file stats when they are exact
+    // (MetaAgg.columnRangeAt — the pinned version's Delta-log add stats):
+    // at 100 TB this replaces a full-dimension scan PER LOAD with a
+    // metadata read. Falls back to the scan whenever metadata cannot
+    // answer exactly (statless or DV'd files, non-integer tag).
+    val maxSk = MetaAgg.columnRangeAt(table, readV, skCol) match {
+      case Some(("i", _, mx)) => mx.toLong
+      case _ =>
+        Storage.readPartitionedVersionAt(spark, table, readV)
+          .agg(coalesce(max(col(skCol)), lit(0L)).cast("long"))
+          .first().getLong(0)
+    }
     val oldAffected =
       Storage.readPartitionedVersionAt(spark, table, readV, Some(affected))
         .drop("pbucket")
