@@ -17,12 +17,18 @@ object PlanDump {
       sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "plans/r21"))
     val names = sys.env.getOrElse("SPARK_GRAFT_PLANS", "q9_profit_by_nation")
       .split(",").map(_.trim).filter(_.nonEmpty)
+    // mirror Bench's session configuration exactly — the dumped plans must
+    // be the plans the bench measures (same env knobs, same defaults)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", (256 * 1024).toString))
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(outDir)
