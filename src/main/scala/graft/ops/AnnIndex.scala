@@ -76,12 +76,15 @@ object AnnIndex {
       m: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Long = {
-    Storage.commitVersion(centroids, centroidsT(dir))
-    Storage.commitVersion(codebooks, codebooksT(dir))
+    // fileStats = false on every index commit: ANN reads prune by IVF
+    // list dir (pcentroid=<id>), never by min/max file stats — the footer
+    // pass per commit would be pure overhead (same as the dedup index).
+    Storage.commitVersion(centroids, centroidsT(dir), fileStats = false)
+    Storage.commitVersion(codebooks, codebooksT(dir), fileStats = false)
     val enc = Similarity.encodePq(embeddings, centroids, codebooks, m, idCol, vecCol)
       .withColumnRenamed("centroid_id", "pcentroid")
     Storage.commitPartitions(enc, codesT(dir), "pcentroid",
-      extraFiles = Map(DriftFile -> "0"))
+      extraFiles = Map(DriftFile -> "0"), fileStats = false)
   }
 
   /** Fold a new batch into the index: encode it against the FROZEN stored
@@ -140,7 +143,7 @@ object AnnIndex {
     if (touched.isEmpty) // empty delta: carry everything, still commit the marker
       return Storage.commitPartitions(
         Storage.readPartitionedVersion(spark, codes).limit(0), codes, "pcentroid",
-        extraFiles = withDrift(0L))
+        extraFiles = withDrift(0L), fileStats = false)
     val existing = Storage.readPartitionedVersion(spark, codes, Some(touched))
     val gone = encU.select(col(idCol)).union(encD.select(col(idCol)))
     val next = existing.join(gone, Seq(idCol), "left_anti").unionByName(encU)
@@ -150,7 +153,7 @@ object AnnIndex {
     val prev = Storage.committedPartitions(codes)
     Storage.commitPartitions(next, codes, "pcentroid",
       dropParts = (touched -- live).intersect(prev),
-      extraFiles = withDrift(encU.count()))
+      extraFiles = withDrift(encU.count()), fileStats = false)
   }
 
   /** Re-encode a full corpus snapshot against the frozen model and commit
@@ -173,7 +176,8 @@ object AnnIndex {
     // a retrain), so re-encoding resets nothing: carry the odometer
     Storage.commitPartitions(enc, codesT(dir), "pcentroid",
       dropAbsent = true,
-      extraFiles = extraFiles + (DriftFile -> readDrift(dir).toString))
+      extraFiles = extraFiles + (DriftFile -> readDrift(dir).toString),
+      fileStats = false)
   }
 
   /** Quality-triggered re-bootstrap (the fix for the failure mode sim7's
@@ -201,12 +205,13 @@ object AnnIndex {
       .localCheckpoint()
     val codebooks = Similarity.pqCodebooks(snapshot, m, ksub, pqIters, idCol, vecCol)
       .localCheckpoint()
-    Storage.commitVersion(centroids, centroidsT(dir))
-    Storage.commitVersion(codebooks, codebooksT(dir))
+    Storage.commitVersion(centroids, centroidsT(dir), fileStats = false)
+    Storage.commitVersion(codebooks, codebooksT(dir), fileStats = false)
     val enc = Similarity.encodePq(snapshot, centroids, codebooks, m, idCol, vecCol)
       .withColumnRenamed("centroid_id", "pcentroid")
     Storage.commitPartitions(enc, codesT(dir), "pcentroid",
-      dropAbsent = true, extraFiles = extraFiles + (DriftFile -> "0"))
+      dropAbsent = true, extraFiles = extraFiles + (DriftFile -> "0"),
+      fileStats = false)
   }
 
   /** Top-k by cosine against the stored index: probe the query's best

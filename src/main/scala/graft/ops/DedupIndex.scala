@@ -48,6 +48,22 @@ object DedupIndex {
   private def fpT(dir: Path) = dir.resolve("fp")
   private def shT(dir: Path) = dir.resolve("shingles")
 
+  /** Run the two INDEPENDENT index halves concurrently from the driver
+    * (guide §2.6 "overlap independent jobs"): the fp and shingles tables
+    * are disjoint — separate dirs, separate commit logs — so one half's
+    * stage tail back-fills cores the other half's stragglers leave idle.
+    * Failure in either propagates; partial completion leaves the same
+    * per-table states a sequential failure could (the two tables were
+    * never transactionally coupled — callers get a version PAIR). */
+  private def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fa = Future(a)
+    val fb = Future(b)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+  }
+
   private def fpBucket(nBuckets: Int): Column =
     pmod(xxhash64(col("fp")), lit(nBuckets)).cast("int")
   private def gBucket(nBuckets: Int): Column =
@@ -88,16 +104,24 @@ object DedupIndex {
       idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
     // record the bucket geometry at both table roots (Storage's marker
-    // contract: a later call with a different nBuckets fails loudly)
+    // contract: a later call with a different nBuckets fails loudly).
+    // fileStats = false on every index commit: index reads prune by
+    // CONTENT-ADDRESSED bucket dir (fpBucket/gBucket), never by min/max
+    // file stats, so the per-file footer pass each commit would pay is
+    // pure overhead — the same contract the streaming view sinks use.
     Storage.validateGeometry(fpT(dir), nBuckets)
     Storage.validateGeometry(shT(dir), nBuckets)
-    Storage.commitPartitions(
-      fingerprints(docs, idCol, textCol)
-        .withColumn("pbucket", fpBucket(nBuckets)),
-      fpT(dir), "pbucket", dropAbsent = true, extraFiles = extraFiles)
-    Storage.commitPartitions(
-      postings(docs, n, idCol, textCol).withColumn("pbucket", gBucket(nBuckets)),
-      shT(dir), "pbucket", dropAbsent = true, extraFiles = extraFiles)
+    inParallel(
+      Storage.commitPartitions(
+        fingerprints(docs, idCol, textCol)
+          .withColumn("pbucket", fpBucket(nBuckets)),
+        fpT(dir), "pbucket", dropAbsent = true, extraFiles = extraFiles,
+        fileStats = false),
+      Storage.commitPartitions(
+        postings(docs, n, idCol, textCol).withColumn("pbucket", gBucket(nBuckets)),
+        shT(dir), "pbucket", dropAbsent = true, extraFiles = extraFiles,
+        fileStats = false))
+    ()
   }
 
   /** Fold a new batch in: O(batch) encode + O(touched buckets) rewrite,
@@ -116,42 +140,45 @@ object DedupIndex {
     Storage.validateGeometry(shT(dir), nBuckets)
     requireDocLayout(spark, dir, idCol)
 
-    val encFp = fingerprints(newDocs, idCol, textCol)
-      .withColumn("pbucket", fpBucket(nBuckets)).localCheckpoint()
-    val fpTouched = encFp.select(col("pbucket")).distinct()
-      .collect().map(r => s"pbucket=${r.get(0)}").toSet // O(buckets)
-    val vFp = if (fpTouched.isEmpty)
-      Storage.commitPartitions(
-        Storage.readPartitionedVersion(spark, fpT(dir)).limit(0), fpT(dir), "pbucket",
-        extraFiles = extraFiles)
-    else {
-      val existing = Storage.readPartitionedVersion(spark, fpT(dir), Some(fpTouched))
-      // re-delivered docs replace their fingerprint rows — idempotent
-      val goneFp = encFp.select(col(idCol)).distinct()
-      Storage.commitPartitions(
-        existing.join(goneFp, Seq(idCol), "left_anti").unionByName(encFp),
-        fpT(dir), "pbucket", extraFiles = extraFiles)
+    def fpHalf(): Long = {
+      val encFp = fingerprints(newDocs, idCol, textCol)
+        .withColumn("pbucket", fpBucket(nBuckets)).localCheckpoint()
+      val fpTouched = encFp.select(col("pbucket")).distinct()
+        .collect().map(r => s"pbucket=${r.get(0)}").toSet // O(buckets)
+      if (fpTouched.isEmpty)
+        Storage.commitPartitions(
+          Storage.readPartitionedVersion(spark, fpT(dir)).limit(0), fpT(dir), "pbucket",
+          extraFiles = extraFiles, fileStats = false)
+      else {
+        val existing = Storage.readPartitionedVersion(spark, fpT(dir), Some(fpTouched))
+        // re-delivered docs replace their fingerprint rows — idempotent
+        val goneFp = encFp.select(col(idCol)).distinct()
+        Storage.commitPartitions(
+          existing.join(goneFp, Seq(idCol), "left_anti").unionByName(encFp),
+          fpT(dir), "pbucket", extraFiles = extraFiles, fileStats = false)
+      }
     }
-
-    val encSh = postings(newDocs, n, idCol, textCol)
-      .withColumn("pbucket", gBucket(nBuckets)).localCheckpoint()
-    val shTouched = encSh.select(col("pbucket")).distinct()
-      .collect().map(r => s"pbucket=${r.get(0)}").toSet
-    val vSh = if (shTouched.isEmpty)
-      Storage.commitPartitions(
-        Storage.readPartitionedVersion(spark, shT(dir)).limit(0), shT(dir), "pbucket",
-        extraFiles = extraFiles)
-    else {
-      val existing = Storage.readPartitionedVersion(spark, shT(dir), Some(shTouched))
-      // re-delivered docs replace their postings (na may have changed
-      // only via a text change, which the append-only contract forbids —
-      // but replace-not-accumulate keeps re-delivery a strict no-op)
-      val gone = encSh.select(col(idCol)).distinct()
-      Storage.commitPartitions(
-        existing.join(gone, Seq(idCol), "left_anti").unionByName(encSh),
-        shT(dir), "pbucket", extraFiles = extraFiles)
+    def shHalf(): Long = {
+      val encSh = postings(newDocs, n, idCol, textCol)
+        .withColumn("pbucket", gBucket(nBuckets)).localCheckpoint()
+      val shTouched = encSh.select(col("pbucket")).distinct()
+        .collect().map(r => s"pbucket=${r.get(0)}").toSet
+      if (shTouched.isEmpty)
+        Storage.commitPartitions(
+          Storage.readPartitionedVersion(spark, shT(dir)).limit(0), shT(dir), "pbucket",
+          extraFiles = extraFiles, fileStats = false)
+      else {
+        val existing = Storage.readPartitionedVersion(spark, shT(dir), Some(shTouched))
+        // re-delivered docs replace their postings (na may have changed
+        // only via a text change, which the append-only contract forbids —
+        // but replace-not-accumulate keeps re-delivery a strict no-op)
+        val gone = encSh.select(col(idCol)).distinct()
+        Storage.commitPartitions(
+          existing.join(gone, Seq(idCol), "left_anti").unionByName(encSh),
+          shT(dir), "pbucket", extraFiles = extraFiles, fileStats = false)
+      }
     }
-    (vFp, vSh)
+    inParallel(fpHalf(), shHalf())
   }
 
   /** REMOVE documents from the index — the right-to-be-forgotten /
@@ -222,15 +249,16 @@ object DedupIndex {
           tdir.resolve(s"v${Storage.currentVersion(tdir).get}")).keySet
         Storage.commitPartitions(survivors, tdir, "pbucket",
           dropParts = (touched -- alive).intersect(present),
-          extraFiles = extraFiles)
+          extraFiles = extraFiles, fileStats = false)
       }
     }
-    val vFp = removeRows(fpT(dir),
-      fingerprints(docs, idCol, textCol)
-        .withColumn("pbucket", fpBucket(nBuckets)).localCheckpoint())
-    val vSh = removeRows(shT(dir),
-      postings(docs, n, idCol, textCol)
-        .withColumn("pbucket", gBucket(nBuckets)).localCheckpoint())
+    val (vFp, vSh) = inParallel(
+      removeRows(fpT(dir),
+        fingerprints(docs, idCol, textCol)
+          .withColumn("pbucket", fpBucket(nBuckets)).localCheckpoint()),
+      removeRows(shT(dir),
+        postings(docs, n, idCol, textCol)
+          .withColumn("pbucket", gBucket(nBuckets)).localCheckpoint()))
     if (audit) {
       val ids = docs.select(col(idCol)).distinct().localCheckpoint()
       def survivors(tdir: Path): Array[Any] =

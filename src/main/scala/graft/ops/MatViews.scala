@@ -417,6 +417,18 @@ object MatViews {
       recompute: (DataFrame, Long) => DataFrame,
       kmvCols: Seq[(String, Int)] = Seq.empty): (DataFrame, Long) = {
     val flag = "__recompute"
+    // PURE-SUMS views (no min/max/KMV partial anywhere — the whole
+    // statistical family, distribution views, join-count views) can never
+    // flag a recompute: applyDeltaRetractable's flag column is literally
+    // `false` with no extreme registered. The checkpoint exists only
+    // because the merged state is read twice (flag count + final commit)
+    // — with nothing to flag there is exactly ONE read (the commit), so
+    // both the materialization job and the flag-count job are pure
+    // overhead: skip straight to the merge pipeline (guide §1.2 step 1 —
+    // two fewer view-sized passes per refresh at any scale).
+    if (minCols.isEmpty && maxCols.isEmpty && kmvCols.isEmpty)
+      return (AggMaintain.applyDeltaRetractable(
+        state, deltaAgg, keys, sumCols, Nil, Nil, flag).drop(flag), 0L)
     // checkpointed: the merged state is read twice (flag count +
     // final commit) and feeds a join — view-sized, not base-sized
     val merged = Prof.time("matViews.merge.checkpoint")(

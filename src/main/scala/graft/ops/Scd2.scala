@@ -160,6 +160,25 @@ object Scd2 {
     val stgOne =
       if (tieBreak.nonEmpty) MergeOps.latestByKey(stg, Seq(bk), tieBreak)
       else stg.dropDuplicates(bk)
+
+    val dimColsAll = (Seq(bk) ++ tracked ++
+      Seq(skCol, "valid_from", "valid_to", "is_current"))
+    // PROVABLY-EMPTY dim (the bootstrap load: [[emptyDim]] is a typed
+    // `.limit(0)` frame): every staging row is `isNew`, history/kept/closed
+    // are empty, and the SK high-water mark is 0 — the full-outer join,
+    // its exchanges, and the max(sk) job all vanish (guide §2.4). The
+    // (row → sk) mapping is the identical withScalableSk order.
+    if (Storage.provablyEmpty(dim.queryExecution.analyzed)) {
+      val openedBase0 = stgOne.select(
+        (Seq(col(bk)) ++ tracked.map(col) ++ Seq(
+          runTs.as("valid_from"),
+          infinity.as("valid_to"),
+          lit(true).as("is_current"))): _*)
+      return withScalableSk(openedBase0, Seq(bk), "__sk")
+        .withColumn(skCol, (col("__sk") + lit(skBase.getOrElse(0L))).cast("long"))
+        .drop("__sk")
+        .select(dimColsAll.map(col): _*)
+    }
     val c = current.alias("c")
     val s = stgOne.alias("s")
     val joined = c.join(s, col(s"c.$bk") === col(s"s.$bk"), "full_outer")

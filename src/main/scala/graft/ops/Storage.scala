@@ -1713,7 +1713,7 @@ object Storage {
   /** Syntactic emptiness proof over an analyzed plan: `.limit(0)` (and
     * projections/filters above it, and empty local relations) — the exact
     * shapes the engine's own no-change commit paths construct. */
-  private def provablyEmpty(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+  private[ops] def provablyEmpty(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.plans.logical._
     p match {
