@@ -79,8 +79,11 @@ object AnnIndex {
     // fileStats = false on every index commit: ANN reads prune by IVF
     // list dir (pcentroid=<id>), never by min/max file stats — the footer
     // pass per commit would be pure overhead (same as the dedup index).
-    Storage.commitVersion(centroids, centroidsT(dir), fileStats = false)
-    Storage.commitVersion(codebooks, codebooksT(dir), fileStats = false)
+    // The two model tables are disjoint: commit them concurrently
+    // (Storage.inParallel, guide §2.6).
+    Storage.inParallel(
+      Storage.commitVersion(centroids, centroidsT(dir), fileStats = false),
+      Storage.commitVersion(codebooks, codebooksT(dir), fileStats = false))
     val enc = Similarity.encodePq(embeddings, centroids, codebooks, m, idCol, vecCol)
       .withColumnRenamed("centroid_id", "pcentroid")
     Storage.commitPartitions(enc, codesT(dir), "pcentroid",
@@ -130,8 +133,11 @@ object AnnIndex {
       Similarity.encodePq(df, centroids, codebooks, m, idCol, vecCol)
         .withColumnRenamed("centroid_id", "pcentroid")
         .localCheckpoint() // feeds the touched-list probe AND the commit
-    val encU = enc(upserts)
-    val encD = enc(deleteVecs).select(col(idCol), col("pcentroid"))
+    // the two halves encode independently (disjoint input frames) — their
+    // checkpoint jobs overlap (Storage.inParallel, guide §2.6)
+    val (encU, encD) = Storage.inParallel(
+      enc(upserts),
+      enc(deleteVecs).select(col(idCol), col("pcentroid")))
     val touched = encU.select(col("pcentroid")).union(encD.select(col("pcentroid")))
       .distinct().collect().map(r => s"pcentroid=${r.get(0)}").toSet // O(lists)
     val codes = codesT(dir)
@@ -201,12 +207,17 @@ object AnnIndex {
     val c = Storage.readVersion(spark, centroidsT(dir)).count().toInt
     val m = oldBooks.agg(max(col("sub"))).head.getInt(0) + 1
     val ksub = oldBooks.agg(max(col("code"))).head.getInt(0) + 1
-    val centroids = Similarity.kmeansCentroids(snapshot, c, kmeansIters, idCol, vecCol)
-      .localCheckpoint()
-    val codebooks = Similarity.pqCodebooks(snapshot, m, ksub, pqIters, idCol, vecCol)
-      .localCheckpoint()
-    Storage.commitVersion(centroids, centroidsT(dir), fileStats = false)
-    Storage.commitVersion(codebooks, codebooksT(dir), fileStats = false)
+    // the coarse-quantizer and PQ trainings are independent (both read the
+    // snapshot, touch disjoint model tables) — overlap them, then the two
+    // model commits (Storage.inParallel, guide §2.6)
+    val (centroids, codebooks) = Storage.inParallel(
+      Similarity.kmeansCentroids(snapshot, c, kmeansIters, idCol, vecCol)
+        .localCheckpoint(),
+      Similarity.pqCodebooks(snapshot, m, ksub, pqIters, idCol, vecCol)
+        .localCheckpoint())
+    Storage.inParallel(
+      Storage.commitVersion(centroids, centroidsT(dir), fileStats = false),
+      Storage.commitVersion(codebooks, codebooksT(dir), fileStats = false))
     val enc = Similarity.encodePq(snapshot, centroids, codebooks, m, idCol, vecCol)
       .withColumnRenamed("centroid_id", "pcentroid")
     Storage.commitPartitions(enc, codesT(dir), "pcentroid",

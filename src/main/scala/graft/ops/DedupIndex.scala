@@ -48,21 +48,14 @@ object DedupIndex {
   private def fpT(dir: Path) = dir.resolve("fp")
   private def shT(dir: Path) = dir.resolve("shingles")
 
-  /** Run the two INDEPENDENT index halves concurrently from the driver
-    * (guide §2.6 "overlap independent jobs"): the fp and shingles tables
-    * are disjoint — separate dirs, separate commit logs — so one half's
-    * stage tail back-fills cores the other half's stragglers leave idle.
-    * Failure in either propagates; partial completion leaves the same
-    * per-table states a sequential failure could (the two tables were
-    * never transactionally coupled — callers get a version PAIR). */
-  private def inParallel[A, B](a: => A, b: => B): (A, B) = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val fa = Future(a)
-    val fb = Future(b)
-    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
-  }
+  /** The two INDEPENDENT index halves run concurrently from the driver
+    * ([[Storage.inParallel]], guide §2.6): the fp and shingles tables are
+    * disjoint — separate dirs, separate commit logs. Partial completion
+    * on failure leaves the same per-table states a sequential failure
+    * could (the two tables were never transactionally coupled — callers
+    * get a version PAIR). */
+  private def inParallel[A, B](a: => A, b: => B): (A, B) =
+    Storage.inParallel(a, b)
 
   private def fpBucket(nBuckets: Int): Column =
     pmod(xxhash64(col("fp")), lit(nBuckets)).cast("int")

@@ -756,13 +756,28 @@ object MatViews {
         // canceling, net > 0 proves the row exists in the after-state and
         // net < 0 that it existed before — the premises the exemption's
         // proof needs. One delta-sized shuffle; counts/sums scale by |net|.
+        //
+        // PURE-SUMS star views skip the cancel outright (guide §2.4):
+        // counts/sums/power-sums/cov terms are LINEAR in the signed rows,
+        // so Σ sign·x over raw term rows equals Σ net·x over canceled
+        // ones — the phantom-pair hazard only exists for the min/max/KMV
+        // exemption proofs. Dropping it removes a full delta-sized
+        // shuffle (grouping by EVERY view column) from each refresh.
+        val needCancel = mins.nonEmpty || maxs.nonEmpty || kmvs.nonEmpty
+        val sumTerms =
+          sums.map { case (b, v) => v -> col(b) } ++ countsAsSums(counts) ++
+            powsAsSums(sumsqs, 2) ++ powsAsSums(sumcubes, 3) ++
+            powsAsSums(sumquads, 4) ++ covsAsSums(covs)
+        val deltaAgg = if (!needCancel)
+          AggMaintain.retractableDeltaAggregates(viewDelta, keys, sumTerms,
+            changeType = when(col("sign") > 0, lit("insert"))
+              .otherwise(lit("delete")),
+            weight = abs(col("sign")))
+        else {
         val rowCols = viewDelta.columns.filterNot(_ == "sign").toSeq
         val canceled = viewDelta.groupBy(rowCols.map(col): _*)
           .agg(sum(col("sign")).as("__net")).filter(col("__net") =!= 0)
-        val deltaAgg = AggMaintain.retractableDeltaAggregates(canceled, keys,
-          sums.map { case (b, v) => v -> col(b) } ++ countsAsSums(counts) ++
-            powsAsSums(sumsqs, 2) ++ powsAsSums(sumcubes, 3) ++
-            powsAsSums(sumquads, 4) ++ covsAsSums(covs),
+        AggMaintain.retractableDeltaAggregates(canceled, keys, sumTerms,
           mins.map { case (b, v) => v -> col(b) },
           maxs.map { case (b, v) => v -> col(b) },
           changeType = when(col("__net") > 0, lit("insert"))
@@ -773,6 +788,7 @@ object MatViews {
           // sketch; net < 0 proves copies left — conservative recompute
           // flagging via the smallest retracted hash, same as single-base
           kmvs = kmvs.map { case (b, v) => v -> (col(b), kmvK) })
+        }
         // flagged extremes recompute by ONE re-join of the CURRENT
         // snapshots, filtered to the flagged key set (the predicate
         // pushes below the joins into whichever side carries each key)

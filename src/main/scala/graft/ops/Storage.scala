@@ -1710,6 +1710,21 @@ object Storage {
       m
     }
 
+  /** Run two INDEPENDENT driver-side Spark pipelines concurrently
+    * (guide §2.6 "overlap independent jobs"): one pipeline's stage tail
+    * back-fills cores the other's stragglers leave idle. Only for work
+    * on DISJOINT state (separate tables / separate frames) — the commit
+    * protocol serializes per table, not across threads on one table.
+    * Failure in either propagates to the caller. */
+  private[graft] def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fa = Future(a)
+    val fb = Future(b)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+  }
+
   /** Syntactic emptiness proof over an analyzed plan: `.limit(0)` (and
     * projections/filters above it, and empty local relations) — the exact
     * shapes the engine's own no-change commit paths construct. */
